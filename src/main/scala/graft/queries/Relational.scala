@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Phase-A relational parity (SURVEY.md §2.2-2.4, §2.6): projection, filtering,
+  * every join shape, aggregation. Each query is declared with the DataFrame API so
+  * Catalyst plans pushdown/pruning/join strategy; dimension joins broadcast the
+  * small side (reference stack relies on stock Spark planning, SURVEY.md §4).
+  *
+  * Oracle-parity conventions (FIXTURES.md cautions):
+  *  - double SUMs go through DECIMAL(18,s) so Spark and DuckDB both do exact
+  *    decimal arithmetic (aggregation order then can't change the result), then
+  *    cast back to DOUBLE so schemas line up;
+  *  - every query ends in a total ORDER BY over a unique key;
+  *  - every computed column is aliased identically in both dialects.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact (order-independent) sum of a money-like double column. */
+  private def msum(c: Column): Column = sum(dec2(c)).cast("double")
+  /** price * (1 - discount) with every factor cast to decimal BEFORE the
+    * multiply: the fixtures keep all three on a 2-decimal grid, so decimal
+    * arithmetic is exact and both engines sum identical rationals. */
+  private def discPrice(price: Column, disc: Column): Column =
+    price.cast(DecimalType(12, 2)) * (lit(1.0) - disc).cast(DecimalType(4, 2))
+  private def charge(price: Column, disc: Column, tax: Column): Column =
+    discPrice(price, disc) * (lit(1.0) + tax).cast(DecimalType(4, 2))
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H-Q1-style pricing summary: scan → filter → hash agg → sort.
+    * The WHERE reaches the Parquet scan as a pushed filter; the aggregation is a
+    * partial→final HashAggregate (map-side combine), so at 100 TB the shuffle
+    * carries only |groups|×partitions rows. */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        msum($"l_quantity").as("sum_qty"),
+        msum($"l_extendedprice").as("sum_base_price"),
+        sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        sum(charge($"l_extendedprice", $"l_discount", $"l_tax")).cast("double").as("sum_charge"),
+        (msum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (msum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Predicate zoo: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL — all pushable
+    * conjuncts land in the scan's PushedFilters. */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .filter(
+        $"o_orderstatus".isin("O", "F") &&
+        $"o_totalprice".between(1000.0, 200000.0) &&
+        ($"o_orderpriority".like("1-%") || $"o_orderpriority".like("2-%")) &&
+        !($"o_orderkey" % 7 === 0) &&
+        $"o_orderdate".isNotNull)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('O','F')
+      |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+      |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      |  AND NOT (o_orderkey % 7 = 0)
+      |  AND o_orderdate IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Conditional expressions: CASE WHEN, IF, COALESCE, NULLIF, casts. */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        when($"l_quantity" < 10, "low")
+          .when($"l_quantity" < 30, "mid")
+          .otherwise("high").as("qty_band"),
+        coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("flag_or_none"),
+        $"l_quantity".cast("int").as("qty_int"),
+        ($"l_discount" > 0.05).cast("int").as("is_discounted"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+      |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+      |  CAST(l_quantity AS INT) AS qty_int,
+      |  CAST(l_discount > 0.05 AS INT) AS is_discounted
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Inner equi-join fact↔fact (lineitem ⋈ orders). Both sides are large at
+    * scale → Spark plans a shuffled join on the key; AQE can switch to
+    * broadcast when the filtered side collapses. */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir).filter($"o_orderstatus" === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Star join through broadcast dimensions: customer→nation→region rollup.
+    * nation/region are tiny → explicit broadcast() so the fact side never
+    * shuffles for the dimension joins, which is the 100 TB-correct plan. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        msum($"c_acctbal").as("total_acctbal"))
+      .orderBy($"r_name")
+  }
+
+  val q05Sql: String =
+    """SELECT r_name,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Left outer join: every customer, with order stats (nulls → zero). */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(msum($"o_totalprice"), lit(0.0)).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Right outer join (kept right-shaped on purpose to exercise the plan). */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = supplier(spark, dir)
+    val n = nation(spark, dir)
+    s.join(n, s("s_nationkey") === n("n_nationkey"), "right")
+      .groupBy($"n_nationkey", $"n_name")
+      .agg(count($"s_suppkey").as("n_suppliers"))
+      .orderBy($"n_nationkey")
+  }
+
+  val q07Sql: String =
+    """SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Full outer join of two differently-keyed aggregates (customers vs
+    * suppliers per nation key). */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = customer(spark, dir).groupBy($"c_nationkey".as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val bySupp = supplier(spark, dir).groupBy($"s_nationkey".as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    byCust.join(bySupp, Seq("nk"), "full")
+      .select(
+        $"nk",
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy($"nk")
+  }
+
+  val q08Sql: String =
+    """SELECT COALESCE(c.nk, s.nk) AS nk,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  USING (nk)
+      |ORDER BY nk""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Left semi join = EXISTS: orders that have at least one high-quantity item. */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o  = orders(spark, dir)
+    val li = lineitem(spark, dir).filter($"l_quantity" >= 45.0)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Left anti join = NOT EXISTS: customers who never placed an URGENT order. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Cross join (tiny × tiny → broadcast nested loop). */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = region(spark, dir).select($"r_regionkey", $"r_name")
+    val n = nation(spark, dir).select($"n_nationkey", $"n_name")
+    r.crossJoin(n)
+      .select($"r_regionkey", $"n_nationkey", concat_ws("-", $"r_name", $"n_name").as("pair"))
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  val q11Sql: String =
+    """SELECT r_regionkey, n_nationkey, concat_ws('-', r_name, n_name) AS pair
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Theta/range join: parts priced into bands derived from region keys
+    * (non-equi condition → BroadcastNestedLoopJoin with a broadcast band table —
+    * the bands stay tiny no matter the fact-side scale). */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = part(spark, dir)
+    val bands = region(spark, dir).select(
+      $"r_regionkey".as("band_id"),
+      ($"r_regionkey" * 500.0).as("lo"),
+      (($"r_regionkey" + 1) * 500.0).as("hi"))
+    p.join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_parts"), msum($"p_retailprice").as("band_value"))
+      .orderBy($"band_id")
+  }
+
+  val q12Sql: String =
+    """SELECT band_id, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+      |FROM part
+      |JOIN (SELECT r_regionkey AS band_id, r_regionkey * 500.0 AS lo, (r_regionkey + 1) * 500.0 AS hi
+      |      FROM region) bands
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band_id
+      |ORDER BY band_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> q01,
+    "q02_filter_predicates" -> q02,
+    "q03_case_conditional" -> q03,
+    "q04_join_inner"       -> q04,
+    "q05_join_broadcast_star" -> q05,
+    "q06_join_left"        -> q06,
+    "q07_join_right"       -> q07,
+    "q08_join_full"        -> q08,
+    "q09_join_semi"        -> q09,
+    "q10_join_anti"        -> q10,
+    "q11_join_cross"       -> q11,
+    "q12_join_range"       -> q12)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"  -> q01Sql,
+    "q02_filter_predicates" -> q02Sql,
+    "q03_case_conditional" -> q03Sql,
+    "q04_join_inner"       -> q04Sql,
+    "q05_join_broadcast_star" -> q05Sql,
+    "q06_join_left"        -> q06Sql,
+    "q07_join_right"       -> q07Sql,
+    "q08_join_full"        -> q08Sql,
+    "q09_join_semi"        -> q09Sql,
+    "q10_join_anti"        -> q10Sql,
+    "q11_join_cross"       -> q11Sql,
+    "q12_join_range"       -> q12Sql)
+}
