@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY.md §2.4 aggregation surface: DISTINCT aggregates, ROLLUP / CUBE /
+  * GROUPING SETS with `grouping_id`, HAVING, collect_list/collect_set, exact
+  * percentiles, statistical aggregates, and HyperLogLog `approx_count_distinct`.
+  *
+  * All of these plan as partial→final HashAggregate (map-side combine), so at
+  * 100 TB the shuffle carries |groups|×partitions rows, not the input. DISTINCT
+  * aggregates add one expand+reshuffle stage — Catalyst's RewriteDistinctAggregates
+  * handles multiple distincts in a single pass.
+  *
+  * Float discipline (FIXTURES.md): money doubles are summed as DECIMAL so the
+  * result is order-independent, then cast back to DOUBLE; genuinely floating
+  * statistics (stddev/corr) are rounded to 4 decimals on both engines.
+  */
+object Aggregates {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def msum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  // ---------------------------------------------------------------- q13
+  /** DISTINCT aggregates (COUNT/SUM DISTINCT), incl. two distinct columns in one
+    * aggregate — exercises Catalyst's expand-based distinct rewrite. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_suppliers"),
+        countDistinct($"l_partkey").as("n_parts"),
+        sum_distinct(dec2($"l_quantity")).cast("double").as("sum_distinct_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q13Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** ROLLUP with grouping_id: per (status, priority), per status, grand total. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        msum($"o_totalprice").as("total_price"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** CUBE over two keys: all 2^2 grouping combinations in one pass. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        msum($"l_quantity").as("sum_qty"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q15Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Explicit GROUPING SETS (a strict subset of cube): ((seg,nation),(seg),()). */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, dir)
+      .groupingSets(
+        Seq(Seq($"c_mktsegment", $"c_nationkey"), Seq($"c_mktsegment"), Seq.empty),
+        $"c_mktsegment", $"c_nationkey")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_customers"),
+        msum($"c_acctbal").as("total_bal"))
+      .orderBy($"gid", $"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
+  }
+
+  val q16Sql: String =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      |ORDER BY gid, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** HAVING: post-aggregation filter (planned as Filter above HashAggregate). */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("total_spent"))
+      .filter($"n_orders" >= 12 && $"total_spent" > 100000.0)
+      .orderBy($"o_custkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 12 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 100000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** collect_list / collect_set (arrays sorted for deterministic compare). */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        sort_array(collect_list($"o_orderpriority")).as("priorities"),
+        sort_array(collect_set($"o_orderstatus")).as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_custkey,
+      |  list(o_orderpriority ORDER BY o_orderpriority) AS priorities,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Exact percentiles (linear interpolation — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), plus min/max envelope. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.25)), 4).as("p25"),
+        round(percentile($"l_quantity", lit(0.5)), 4).as("p50"),
+        round(percentile($"l_quantity", lit(0.75)), 4).as("p75"),
+        min($"l_quantity").as("qmin"),
+        max($"l_quantity").as("qmax"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q19Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  MIN(l_quantity) AS qmin,
+      |  MAX(l_quantity) AS qmax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Statistical aggregates: stddev / variance / correlation / covariance. */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q20Sql: String =
+    """SELECT l_linestatus,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** HyperLogLog++ cardinality sketch. No DuckDB oracle (different sketch
+    * implementation → different estimate); AggregatesSpec bounds the relative
+    * error against the exact distinct count instead. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_agg_distinct"       -> q13,
+    "q14_agg_rollup"         -> q14,
+    "q15_agg_cube"           -> q15,
+    "q16_agg_grouping_sets"  -> q16,
+    "q17_agg_having"         -> q17,
+    "q18_agg_collect"        -> q18,
+    "q19_agg_percentiles"    -> q19,
+    "q20_agg_stats"          -> q20,
+    "q21_agg_approx_distinct" -> q21)
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_agg_distinct"      -> q13Sql,
+    "q14_agg_rollup"        -> q14Sql,
+    "q15_agg_cube"          -> q15Sql,
+    "q16_agg_grouping_sets" -> q16Sql,
+    "q17_agg_having"        -> q17Sql,
+    "q18_agg_collect"       -> q18Sql,
+    "q19_agg_percentiles"   -> q19Sql,
+    "q20_agg_stats"         -> q20Sql)
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY.md §2.5 window functions: ranking, analytic (lag/lead/first/last/
+  * cume_dist), and aggregates over explicit ROWS / RANGE frames.
+  *
+  * Scale notes: a window over `partitionBy(k)` shuffles once on k and sorts
+  * within partitions — the right plan at 100 TB as long as no single key is
+  * huge (the fixture keys are customer/order-grained, cardinality ~rows/15).
+  * Every window ordering includes a unique tie-break column so results are
+  * deterministic under hash-compare.
+  */
+object Windows {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- q22
+  /** Ranking family: row_number / rank / dense_rank / ntile / percent_rank. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders(spark, dir)
+      .select(
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Analytic family over an event stream: lag / lead / first_value /
+    * last_value (full-partition frame) / cume_dist per user timeline. */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(
+        $"event_id", $"user_id", $"event_type", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        first($"event_type").over(wAll).as("first_type"),
+        last($"event_type").over(wAll).as("last_type"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"event_id")
+  }
+
+  val q23Sql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(value, 1) OVER w AS next_value,
+      |  FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+      |  LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** ROWS frame: running total + 4-row moving average along each order's
+    * line numbers (decimal accumulation → order-independent exactness). */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+    val wRun  = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMove = w.rowsBetween(-3, Window.currentRow)
+    lineitem(spark, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity",
+        sum(dec2($"l_quantity")).over(wRun).cast("double").as("running_qty"),
+        (sum(dec2($"l_quantity")).over(wMove).cast("double") /
+          count(lit(1)).over(wMove)).as("moving_avg_qty"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q24Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg_qty
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** RANGE frame over a numeric ordering key: per-customer 30-day trailing
+    * order volume (order day as int days since 1990-01-01). */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withDay = orders(spark, dir)
+      .withColumn("order_day", datediff($"o_orderdate".cast("date"), lit("1990-01-01").cast("date")))
+    val w = Window.partitionBy($"o_custkey").orderBy($"order_day").rangeBetween(-30, 0)
+    withDay
+      .select(
+        $"o_orderkey", $"o_custkey", $"order_day",
+        sum(dec2($"o_totalprice")).over(w).cast("double").as("trailing_30d_total"),
+        count(lit(1)).over(w).as("trailing_30d_orders"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q25Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  date_diff('day', DATE '1990-01-01', o_orderdate::DATE)::INT AS order_day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_total,
+      |  COUNT(*) OVER w AS trailing_30d_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate::DATE)::INT
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_window_ranking"     -> q22,
+    "q23_window_analytic"    -> q23,
+    "q24_window_rows_frame"  -> q24,
+    "q25_window_range_frame" -> q25)
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_window_ranking"     -> q22Sql,
+    "q23_window_analytic"    -> q23Sql,
+    "q24_window_rows_frame"  -> q24Sql,
+    "q25_window_range_frame" -> q25Sql)
+}
