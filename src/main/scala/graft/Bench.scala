@@ -1,24 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline query set at
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * Methodology (fixes VERDICT r2 #6):
+  *  - materialize through the `noop` DSv2 sink, not `.count()` — count lets
+  *    Catalyst prune projections and final sorts, under-measuring exactly the
+  *    expression work being benchmarked;
+  *  - 1 warmup pass (JIT + codegen + parquet footer cache), then median of 3
+  *    timed runs per query;
+  *  - `value` = total over the FIXED headline set (q01–q12) so totals stay
+  *    comparable across rounds regardless of how many new operator queries
+  *    land; all registered queries are still timed and reported in `queries`.
+  */
 object Bench {
+
+  /** Fixed cross-round-comparable set (the round-1 BENCH baseline queries). */
+  private val headline: Seq[String] = (1 to 12).map(i => f"q$i%02d").map { p =>
+    SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(p)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(run) // warmup
+    val results: Seq[(String, Double)] =
+      names.map(n => n -> median((1 to 3).map(_ => run(n))))
+    val byName = results.toMap
+    val total = headline.flatMap(byName.get).filter(_ >= 0).sum
+    val totalAll = results.map(_._2).filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""headline":${headline.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""total_all_queries":$totalAll,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

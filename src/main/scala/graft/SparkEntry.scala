@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Aggregates, Relational, SetSort, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracleSql))
+      (Relational.queries, Relational.oracleSql),
+      (Aggregates.queries, Aggregates.oracleSql),
+      (Windows.queries, Windows.oracleSql),
+      (SetSort.queries, SetSort.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -136,22 +136,24 @@ object Aggregates {
       |ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** collect_list / collect_set (arrays sorted for deterministic compare). */
+  /** collect_list / collect_set — arrays sorted for determinism, then joined
+    * to a scalar string so the oracle's row-hash canonicalization (which can't
+    * sort array cells) applies cleanly. */
   def q18(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(
-        sort_array(collect_list($"o_orderpriority")).as("priorities"),
-        sort_array(collect_set($"o_orderstatus")).as("statuses"),
+        array_join(sort_array(collect_list($"o_orderpriority")), ",").as("priorities"),
+        array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses"),
         count(lit(1)).as("n_orders"))
       .orderBy($"o_custkey")
   }
 
   val q18Sql: String =
     """SELECT o_custkey,
-      |  list(o_orderpriority ORDER BY o_orderpriority) AS priorities,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  COUNT(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey

@@ -79,10 +79,14 @@ object Windows {
 
   // ---------------------------------------------------------------- q24
   /** ROWS frame: running total + 4-row moving average along each order's
-    * line numbers (decimal accumulation → order-independent exactness). */
+    * line numbers (decimal accumulation → order-independent exactness).
+    * The fixture has duplicate (l_orderkey, l_linenumber) pairs, so the
+    * ordering extends to the full 6-column key — verified unique at every
+    * scale factor — making the ROWS frames deterministic under hash-compare. */
   def q24(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_partkey", $"l_suppkey")
     val wRun  = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wMove = w.rowsBetween(-3, Window.currentRow)
     lineitem(spark, dir)
@@ -91,19 +95,23 @@ object Windows {
         sum(dec2($"l_quantity")).over(wRun).cast("double").as("running_qty"),
         (sum(dec2($"l_quantity")).over(wMove).cast("double") /
           count(lit(1)).over(wMove)).as("moving_avg_qty"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_partkey", $"l_suppkey")
   }
 
   val q24Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |    / COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    / COUNT(*) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg_qty
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey""".stripMargin
 
   // ---------------------------------------------------------------- q25
   /** RANGE frame over a numeric ordering key: per-customer 30-day trailing

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Aggregates
+
+class AggregatesSpec extends SparkSpec {
+
+  test("every aggregate query runs and returns rows at sf0.001") {
+    Aggregates.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every aggregate query except the HLL sketch has an oracle") {
+    assert(Aggregates.queries.keySet -- Aggregates.oracleSql.keySet ==
+      Set("q21_agg_approx_distinct"))
+  }
+
+  test("q21 HLL estimates are within relative-error bounds of exact counts") {
+    // default rsd = 0.05 for approx_parts; rsd = 0.02 for approx_orders —
+    // allow 4 sigma so the test is deterministic-safe at fixture scale.
+    val approx = Aggregates.q21(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (parts, orders)) =>
+      val (aParts, aOrders) = approx(flag)
+      assert(math.abs(aParts - parts).toDouble / parts <= 4 * 0.05,
+        s"$flag approx_parts $aParts vs exact $parts")
+      assert(math.abs(aOrders - orders).toDouble / orders <= 4 * 0.02,
+        s"$flag approx_orders $aOrders vs exact $orders")
+    }
+  }
+
+  test("q14 rollup group counts: (s,p) + (s) + ()") {
+    val df = Aggregates.q14(spark, sf)
+    val byGid = df.groupBy("gid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val statuses = Tables.orders(spark, sf).select("o_orderstatus").distinct().count()
+    assert(byGid(3L) == 1L)        // grand total
+    assert(byGid(1L) == statuses)  // per-status subtotals
+    assert(byGid.getOrElse(0L, 0L) > 0)
+  }
+
+  test("q17 having: every surviving group satisfies both predicates") {
+    val rows = Aggregates.q17(spark, sf).collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_orders") >= 12 && r.getAs[Double]("total_spent") > 100000.0))
+  }
+}
