@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Relational, SetSort, Windows}
+import graft.queries.{Aggregates, Functions, Relational, SetSort, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracleSql),
       (Aggregates.queries, Aggregates.oracleSql),
       (Windows.queries, Windows.oracleSql),
-      (SetSort.queries, SetSort.oracleSql))
+      (SetSort.queries, SetSort.oracleSql),
+      (Functions.queries, Functions.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
