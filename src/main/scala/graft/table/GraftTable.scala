@@ -1,0 +1,511 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Snapshot-versioned Parquet table with Iceberg semantics, Spark-native.
+  *
+  * Re-expresses the capability surface the reference stack gets from
+  * `IcebergSparkSessionExtensions` + the Iceberg 1.9.1 runtime (reference
+  * `main.tf:803`, `README.md:36`; SURVEY.md §2.1/§2.8): ACID append/
+  * overwrite, row-level DELETE / UPDATE / MERGE as copy-on-write file
+  * rewrites, time travel by version and timestamp, branch/tag refs,
+  * rollback / cherry-pick, snapshot expiry + orphan-file GC, compaction,
+  * CDC changelog, schema evolution (add/rename/drop column, ID-based so
+  * renames never rewrite data), and queryable metadata tables.
+  *
+  * Everything data-sized runs as DataFrame ops (distributed, codegen'd);
+  * only file *lists* ever reach the driver — at 100 TB that is thousands of
+  * entries, not rows. Copy-on-write touches only files that contain matched
+  * rows; untouched files carry over by reference.
+  */
+class GraftTable private (val spark: SparkSession, rawPath: String) {
+
+  /** Absolute table root — `_metadata.file_path` comparisons and snapshot
+    * entries must agree regardless of how the caller spelled the path. */
+  val path: String = Paths.get(rawPath).toAbsolutePath.normalize.toString
+
+  val log = new SnapshotLog(path)
+
+  // ------------------------------------------------------------------ reads
+
+  /** Current-snapshot read. */
+  def read: DataFrame = readSnapshot(log.current)
+
+  /** Time travel: `VERSION AS OF v` (SURVEY.md §2.8). */
+  def readVersion(v: Long): DataFrame = readSnapshot(log.snapshot(v))
+
+  /** Time travel: `TIMESTAMP AS OF ts` — latest snapshot committed <= tsMs. */
+  def readAsOf(tsMs: Long): DataFrame = readSnapshot(log.snapshotAsOf(tsMs))
+
+  /** Read a named tag/branch. */
+  def readRef(name: String): DataFrame = {
+    val r = log.refs.getOrElse(name, throw new IllegalArgumentException(s"no ref $name"))
+    readVersion(r.version)
+  }
+
+  def schema: StructType = schemaOf(log.current, log.current.currentSchemaId)
+
+  private def schemaOf(s: Snapshot, id: Int): StructType =
+    DataType.fromJson(s.schemas(id.toString)).asInstanceOf[StructType]
+
+  private def fieldId(f: StructField): Int = f.metadata.getLong("graft.id").toInt
+
+  /** Resolve a DataFile path: table-relative (`data/x.parquet`) or absolute
+    * (imported in place by [[GraftTable.importParquet]]). */
+  private def resolve(p: String): String = if (p.startsWith("/")) p else s"$path/$p"
+
+  /** Normalize a `_metadata.file_path` URI to a plain filesystem path. */
+  private def toLocal(p: String): String =
+    if (p.contains(":")) new java.net.URI(p).getPath else p
+
+  private[table] def readWithMeta(s: Snapshot): DataFrame = readSnapshot(s, withMeta = true)
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  private def stripIds(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
+
+  /** Normalized read of a snapshot: files are grouped by the schema they
+    * were written with and projected, ID-wise, onto the current schema —
+    * renamed columns map by field id, added columns null-fill, dropped
+    * columns vanish. `withMeta` threads parquet `_metadata` row identity
+    * through for copy-on-write DML. */
+  private def readSnapshot(s: Snapshot, withMeta: Boolean = false): DataFrame = {
+    val cur = schemaOf(s, s.currentSchemaId)
+    val out = stripIds(cur)
+    if (s.files.isEmpty) {
+      val base = if (withMeta)
+        StructType(out.fields :+ StructField("_graft_path", StringType)
+          :+ StructField("_graft_pos", LongType))
+      else out
+      return emptyDf(base)
+    }
+    val groups = s.files.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
+      val fileSchema = schemaOf(s, sid)
+      val idToName = fileSchema.fields.map(f => fieldId(f) -> f.name).toMap
+      val df = spark.read.schema(stripIds(fileSchema))
+        .parquet(files.map(f => resolve(f.path)): _*)
+      val cols = cur.fields.map { f =>
+        idToName.get(fieldId(f)) match {
+          case Some(old) => col(old).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      val metaCols =
+        if (withMeta) Seq(col("_metadata.file_path").as("_graft_path"),
+                          col("_metadata.row_index").as("_graft_pos"))
+        else Seq.empty
+      df.select(cols ++ metaCols: _*)
+    }
+    groups.reduce(_ unionAll _)
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** Append: write new data files, commit a new snapshot referencing old +
+    * new files (Iceberg append — SURVEY.md §2.1 "Iceberg append write"). */
+  def append(df: DataFrame): Snapshot = {
+    val head = log.current
+    val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "append", files = head.files ++ newFiles))
+  }
+
+  /** Replace the whole table content (INSERT OVERWRITE semantics). */
+  def overwrite(df: DataFrame): Snapshot = {
+    val head = log.current
+    val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "overwrite", files = newFiles))
+  }
+
+  /** Row-level DELETE as copy-on-write: only files containing matching rows
+    * are rewritten; the rest carry over by reference (SURVEY.md §2.8). */
+  def delete(cond: Column): Snapshot = {
+    val head = log.current
+    val df = readSnapshot(head, withMeta = true)
+    val touched = touchedPaths(df.filter(cond))
+    if (touched.isEmpty) return head
+    val keep = df.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
+      .drop("_graft_path", "_graft_pos")
+    replaceFiles(head, touched, keep, "delete")
+  }
+
+  /** Row-level UPDATE as copy-on-write rewrite of touched files. */
+  def update(cond: Column, set: Map[String, Column]): Snapshot = {
+    val head = log.current
+    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val df = readSnapshot(head, withMeta = true)
+    val touched = touchedPaths(df.filter(cond))
+    if (touched.isEmpty) return head
+    val hit = coalesce(cond, lit(false))
+    val rewritten = df.filter(col("_graft_path").isin(touched: _*))
+      .select(cur.fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    replaceFiles(head, touched, rewritten, "update")
+  }
+
+  /** Start a MERGE INTO builder (reference `main.tf:803` headline DML). */
+  def merge(source: DataFrame, condition: Column): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
+  // ---------------------------------------------------------- maintenance
+
+  /** `CALL rollback_to_snapshot` / `set_current_snapshot`: move HEAD. */
+  def rollbackTo(v: Long): Unit = log.setHead(v)
+
+  /** `CALL cherrypick_snapshot`: re-apply the files an (append) snapshot
+    * added onto the current head. */
+  def cherrypick(v: Long): Snapshot = {
+    val snap = log.snapshot(v)
+    val parentFiles =
+      if (snap.parent < 0) Set.empty[String]
+      else log.snapshot(snap.parent).files.map(_.path).toSet
+    val added = snap.files.filterNot(f => parentFiles.contains(f.path))
+    val head = log.current
+    val have = head.files.map(_.path).toSet
+    log.commit(head.version, nv => head.copy(
+      version = nv, parent = head.version, timestampMs = now(),
+      operation = "cherrypick", files = head.files ++ added.filterNot(f => have(f.path))))
+  }
+
+  /** `CALL expire_snapshots`: drop all but the newest `keepLast` snapshot
+    * JSONs (HEAD and ref targets always survive), then GC data files no
+    * remaining snapshot references. */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1)
+    val vs = log.listVersions
+    val keepFrom = vs.takeRight(keepLast).headOption.getOrElse(return Seq.empty)
+    val expired = log.expireMetadata(keepFrom)
+    removeOrphanFiles()
+    expired
+  }
+
+  /** `CALL remove_orphan_files`: delete data files not referenced by any
+    * live snapshot. */
+  def removeOrphanFiles(): Seq[String] = {
+    val referenced = log.listVersions.flatMap(v => log.snapshot(v).files.map(_.path)).toSet
+    val existing = Files.list(log.dataDir).iterator().asScala.toSeq
+    val orphans = existing.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
+    orphans.foreach(Files.deleteIfExists)
+    orphans.map(_.getFileName.toString)
+  }
+
+  /** `CALL rewrite_data_files`: compaction — same rows, `target` files. */
+  def rewriteDataFiles(target: Int): Snapshot = {
+    val head = log.current
+    val df = readSnapshot(head).repartition(target)
+    val newFiles = writeFiles(df, head.currentSchemaId, head.properties)
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "rewrite", files = newFiles))
+  }
+
+  /** `CALL create_changelog_view`: CDC rows between two snapshots —
+    * bag-semantics diff (exceptAll both ways), `_change_type` in
+    * {insert, delete}. */
+  def changelog(fromV: Long, toV: Long): DataFrame = {
+    val a = readVersion(fromV)
+    val b = readVersion(toV)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  // ------------------------------------------------------------------ refs
+
+  def createTag(name: String, v: Long = log.currentVersion): Unit =
+    log.setRef(name, Ref(v, "tag"))
+  def createBranch(name: String, v: Long = log.currentVersion): Unit =
+    log.setRef(name, Ref(v, "branch"))
+  def dropRef(name: String): Unit = log.dropRef(name)
+  /** Fast-forward a branch to the current head. */
+  def fastForward(name: String): Unit = {
+    val r = log.refs.getOrElse(name, throw new IllegalArgumentException(s"no ref $name"))
+    require(r.refType == "branch", s"$name is a tag")
+    log.setRef(name, r.copy(version = log.currentVersion))
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** ALTER TABLE ADD COLUMN — null-filled for existing files, no rewrite. */
+  def addColumn(name: String, dataType: DataType): Snapshot =
+    evolveSchema("add-column") { cur =>
+      require(!cur.fieldNames.contains(name), s"column $name exists")
+      val nextId = cur.fields.map(fieldId).max + 1
+      StructType(cur.fields :+ StructField(name, dataType, nullable = true,
+        new MetadataBuilder().putLong("graft.id", nextId).build()))
+    }
+
+  /** ALTER TABLE RENAME COLUMN — pure metadata, ID keeps file mapping. */
+  def renameColumn(from: String, to: String): Snapshot =
+    evolveSchema("rename-column") { cur =>
+      require(cur.fieldNames.contains(from), s"no column $from")
+      require(!cur.fieldNames.contains(to), s"column $to exists")
+      StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** ALTER TABLE DROP COLUMN — pure metadata, data files untouched. */
+  def dropColumn(name: String): Snapshot =
+    evolveSchema("drop-column") { cur =>
+      require(cur.fieldNames.contains(name), s"no column $name")
+      require(cur.fields.length > 1, "cannot drop the last column")
+      StructType(cur.fields.filterNot(_.name == name))
+    }
+
+  private def evolveSchema(op: String)(f: StructType => StructType): Snapshot = {
+    val head = log.current
+    val next = f(schemaOf(head, head.currentSchemaId))
+    val nextId = head.schemas.keys.map(_.toInt).max + 1
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(), operation = op,
+      currentSchemaId = nextId,
+      schemas = head.schemas + (nextId.toString -> next.json)))
+  }
+
+  /** Set write-distribution / ordering properties (`WRITE DISTRIBUTED BY /
+    * ORDERED BY` — SURVEY.md §2.8): `write.partition-by`, `write.sort-by`
+    * (comma-separated column lists applied on every write). */
+  def setProperties(props: Map[String, String]): Snapshot = {
+    val head = log.current
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "set-properties", properties = head.properties ++ props))
+  }
+
+  // ------------------------------------------------------- metadata tables
+
+  /** `t.history` — version lineage (SURVEY.md §2.1 metadata tables). */
+  def history: DataFrame = {
+    import spark.implicits._
+    log.listVersions.map { v =>
+      val s = log.snapshot(v)
+      (s.version, s.parent, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.version == log.currentVersion)
+    }.toDF("version", "parent", "made_current_at", "operation", "is_current")
+  }
+
+  /** `t.snapshots` — per-snapshot file/row/byte totals. */
+  def snapshotsMeta: DataFrame = {
+    import spark.implicits._
+    log.listVersions.map { v =>
+      val s = log.snapshot(v)
+      (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.files.size, s.files.map(_.rows).sum, s.files.map(_.bytes).sum)
+    }.toDF("version", "committed_at", "operation", "n_files", "total_rows", "total_bytes")
+  }
+
+  /** `t.files` — current snapshot's data files with per-column bounds. */
+  def filesMeta: DataFrame = {
+    import spark.implicits._
+    log.current.files.map(f =>
+      (f.path, f.rows, f.bytes, f.schemaId,
+        f.stats.map { case (c, st) => c -> s"[${st.min},${st.max}]" }))
+      .toDF("file_path", "rows", "bytes", "schema_id", "bounds")
+  }
+
+  /** `t.refs` — named tags/branches. */
+  def refsMeta: DataFrame = {
+    import spark.implicits._
+    log.refs.toSeq.map { case (n, r) => (n, r.refType, r.version) }
+      .toDF("name", "type", "version")
+  }
+
+  // -------------------------------------------------------------- internals
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** Align an incoming DataFrame to the table schema (names positional-free:
+    * match by name, cast types, reject missing columns). */
+  private def conform(df: DataFrame, head: Snapshot): DataFrame = {
+    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val cols = cur.fields.map { f =>
+      require(df.columns.contains(f.name), s"append missing column ${f.name}")
+      col(f.name).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Distinct file paths of a (filtered, withMeta) DataFrame — the only
+    * data-dependent collect in the DML path, and it is file-grained. */
+  private def touchedPaths(df: DataFrame): Seq[String] =
+    df.select("_graft_path").distinct().collect().map(_.getString(0)).toSeq
+
+  /** Commit a copy-on-write rewrite: `touched` absolute paths are replaced
+    * by the freshly-written `rewritten` rows; all other files carry over. */
+  private[table] def replaceFiles(head: Snapshot, touched: Seq[String],
+      rewritten: DataFrame, op: String, extraRows: Option[DataFrame] = None): Snapshot = {
+    val out = extraRows.map(rewritten.unionByName(_)).getOrElse(rewritten)
+    val newFiles = writeFiles(out, head.currentSchemaId, head.properties)
+    val touchedSet = touched.map(toLocal).toSet
+    val kept = head.files.filterNot(f => touchedSet.contains(resolve(f.path)))
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = op, files = kept ++ newFiles))
+  }
+
+  /** Write rows as immutable data files + collect per-file stats in one
+    * distributed pass (count + min/max per comparable column — the same
+    * bounds Iceberg keeps in manifests for scan pruning). */
+  private[table] def writeFiles(df: DataFrame, schemaId: Int,
+      props: Map[String, String]): Seq[DataFile] = {
+    val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
+    arrange(df, props).write.parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val moved = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, log.dataDir.resolve(name))
+      name
+    }
+    deleteRecursively(staging)
+    if (moved.isEmpty) return Seq.empty
+    val absolute = moved.map(n => s"$path/data/$n")
+    val files = statFiles(absolute, stripIds(df.schema), schemaId,
+      abs => s"data/${Paths.get(abs).getFileName}")
+    // GC physically-empty parts (parquet writers can emit 0-row files)
+    val present = files.map(f => resolve(f.path)).toSet
+    absolute.filterNot(present.contains).foreach(a => Files.deleteIfExists(Paths.get(a)))
+    files
+  }
+
+  /** One distributed pass over freshly-written (or imported) parquet files:
+    * per-file row count + min/max bounds per comparable column. `storeAs`
+    * maps an absolute path to the path recorded in the snapshot (relative
+    * for owned files, absolute for imported ones). Zero-row files yield no
+    * group and are therefore excluded. */
+  private[table] def statFiles(absPaths: Seq[String], schema: StructType,
+      schemaId: Int, storeAs: String => String): Seq[DataFile] = {
+    val statFields = schema.fields.filter(f => isStatType(f.dataType))
+    val aggs = Seq(count(lit(1)).as("_rows")) ++ statFields.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"_min_${f.name}"),
+      max(col(f.name)).cast("string").as(s"_max_${f.name}")))
+    spark.read.schema(schema).parquet(absPaths: _*)
+      .groupBy(col("_metadata.file_path").as("_fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val local = toLocal(r.getString(0))
+        val stats = statFields.flatMap { f =>
+          val mn = r.getAs[String](s"_min_${f.name}")
+          val mx = r.getAs[String](s"_max_${f.name}")
+          if (mn == null || mx == null) None
+          else Some(f.name -> ColumnStats(mn, mx, f.dataType.typeName))
+        }.toMap
+        DataFile(storeAs(local), r.getAs[Long]("_rows"),
+          Files.size(Paths.get(local)), schemaId, stats)
+      }.toSeq
+  }
+
+  /** Apply write-distribution properties: hash-distribute on
+    * `write.partition-by`, sort within partitions on `write.sort-by`. */
+  private def arrange(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val parted = props.get("write.partition-by").filter(_.nonEmpty) match {
+      case Some(cols) => df.repartition(cols.split(",").map(c => col(c.trim)): _*)
+      case None => df
+    }
+    props.get("write.sort-by").filter(_.nonEmpty) match {
+      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => col(c.trim)): _*)
+      case None => parted
+    }
+  }
+
+  private def isStatType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** File-level pruning from snapshot-log stats: files whose [min,max] range
+    * can contain `value` for `column` (the phase-B `SupportsPushDownFilters`
+    * seed — SURVEY.md §4 row 1). Files lacking stats are kept (safe). */
+  def filesPossiblyContaining(column: String, value: String): Seq[DataFile] = {
+    val field = schema.fields.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
+    def cmp(a: String, b: String): Int = field.dataType match {
+      case _: NumericType => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b)
+    }
+    log.current.files.filter { f =>
+      f.stats.get(column).forall(st => cmp(st.min, value) <= 0 && cmp(value, st.max) <= 0)
+    }
+  }
+}
+
+object GraftTable {
+
+  /** CREATE TABLE AS SELECT: materialize `df` as a new graft table. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(!t.log.exists, s"graft table already exists at $path")
+    t.log.initDirs()
+    val withIds = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
+    })
+    val files = t.writeFiles(df, 0, properties)
+    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "create",
+      0, Map("0" -> withIds.json), files, properties)
+    // first commit: version 0 has no parent; publish directly through the log
+    t.log.commit(-1L, _ => snap)
+    t
+  }
+
+  /** CREATE TABLE (empty) with an explicit schema. */
+  def createEmpty(spark: SparkSession, path: String, schema: StructType,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(!t.log.exists, s"graft table already exists at $path")
+    t.log.initDirs()
+    val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
+    })
+    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "create",
+      0, Map("0" -> withIds.json), Seq.empty, properties)
+    t.log.commit(-1L, _ => snap)
+    t
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(t.log.exists || t.log.listVersions.nonEmpty, s"no graft table at $path")
+    t
+  }
+
+  /** `CALL migrate / snapshot / add_files / register_table`: register an
+    * existing Parquet directory as a graft table IN PLACE — data files are
+    * referenced by absolute path, never copied or rewritten (SURVEY.md §2.8;
+    * orphan-file GC only ever touches the table-owned `data/` dir, so
+    * imported files are safe from expiry). */
+  def importParquet(spark: SparkSession, parquetDir: String, path: String): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(!t.log.exists, s"graft table already exists at $path")
+    t.log.initDirs()
+    val df = spark.read.parquet(parquetDir)
+    val withIds = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
+    })
+    val absPaths = Files.list(Paths.get(parquetDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val files = t.statFiles(absPaths, df.schema, 0, identity)
+    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "import",
+      0, Map("0" -> withIds.json), files, Map.empty)
+    t.log.commit(-1L, _ => snap)
+    t
+  }
+}

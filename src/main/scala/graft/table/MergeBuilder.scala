@@ -1,0 +1,127 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO builder with full Iceberg/Spark clause semantics (reference
+  * `main.tf:803`; SURVEY.md §2.8 row 1): ordered WHEN MATCHED [AND cond]
+  * THEN UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, and WHEN NOT
+  * MATCHED BY SOURCE THEN UPDATE/DELETE — executed as one copy-on-write
+  * rewrite of only the files containing affected rows.
+  *
+  * Reference the target as alias `t` and the source as alias `s` in the
+  * merge condition, clause conditions, and assignment expressions:
+  * {{{
+  * table.merge(src, expr("t.id = s.id"))
+  *   .whenMatchedUpdate(Map("qty" -> expr("s.qty")), Some(expr("s.qty > 0")))
+  *   .whenMatchedDelete()
+  *   .whenNotMatchedInsertAll()
+  *   .execute()
+  * }}}
+  *
+  * First matching clause wins (SQL-standard order). A target row matched by
+  * more than one source row raises the SQL-standard cardinality violation,
+  * detected distributedly (groupBy count, no row collect).
+  */
+class MergeBuilder private[table] (table: GraftTable, source: DataFrame, condition: Column) {
+
+  /** kind: update | delete | insert; set is empty for delete. */
+  private case class Clause(kind: String, cond: Column, set: Map[String, Column])
+
+  private var matched = Vector.empty[Clause]
+  private var notMatched = Vector.empty[Clause]
+  private var bySource = Vector.empty[Clause]
+
+  def whenMatchedUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
+    matched :+= Clause("update", cond.getOrElse(lit(true)), set); this
+  }
+  /** UPDATE SET * — every target column from the like-named source column. */
+  def whenMatchedUpdateAll(cond: Option[Column] = None): this.type = {
+    matched :+= Clause("update", cond.getOrElse(lit(true)),
+      table.schema.fieldNames.map(n => n -> col(s"s.$n")).toMap); this
+  }
+  def whenMatchedDelete(cond: Option[Column] = None): this.type = {
+    matched :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
+  }
+  def whenNotMatchedInsert(values: Map[String, Column], cond: Option[Column] = None): this.type = {
+    notMatched :+= Clause("insert", cond.getOrElse(lit(true)), values); this
+  }
+  /** INSERT * — every target column from the like-named source column. */
+  def whenNotMatchedInsertAll(cond: Option[Column] = None): this.type = {
+    notMatched :+= Clause("insert", cond.getOrElse(lit(true)),
+      table.schema.fieldNames.map(n => n -> col(s"s.$n")).toMap); this
+  }
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
+    bySource :+= Clause("update", cond.getOrElse(lit(true)), set); this
+  }
+  def whenNotMatchedBySourceDelete(cond: Option[Column] = None): this.type = {
+    bySource :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
+  }
+
+  def execute(): Snapshot = {
+    val spark = table.spark
+    val head = table.log.current
+    val cur = table.schema
+    val fields = cur.fields
+
+    val target = table.readWithMeta(head).withColumn("_t_exists", lit(1)).alias("t")
+    val src = source.withColumn("_s_exists", lit(1)).alias("s")
+    val joined = target.join(src, condition, "full_outer")
+
+    val isMatched = col("t._t_exists").isNotNull && col("s._s_exists").isNotNull
+    val targetOnly = col("t._t_exists").isNotNull && col("s._s_exists").isNull
+    val sourceOnly = col("t._t_exists").isNull && col("s._s_exists").isNotNull
+
+    // SQL-standard cardinality check: a target row hit by >1 source rows
+    if (matched.nonEmpty) {
+      val dup = joined.filter(isMatched)
+        .groupBy(col("t._graft_path"), col("t._graft_pos"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matches multiple source rows")
+    }
+
+    def anyCond(cs: Vector[Clause], base: Column): Column =
+      cs.map(c => base && c.cond).reduceOption(_ || _).getOrElse(lit(false))
+
+    // files containing at least one row an applicable clause would touch
+    val affected = anyCond(matched, isMatched) || anyCond(bySource, targetOnly)
+    val touched = joined.filter(affected).select(col("t._graft_path"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+    // ---- rewrite rows of touched files (matched + target-only rows) ------
+    val all = matched.zipWithIndex.map { case (c, i) => (c, isMatched, i) } ++
+      bySource.zipWithIndex.map { case (c, i) => (c, targetOnly, i + matched.size) }
+    val idxCol = all.reverse.foldLeft(lit(-1): Column) { case (els, (c, base, i)) =>
+      when(base && c.cond, lit(i)).otherwise(els)
+    }
+    val deleteIdxs = all.collect { case (c, _, i) if c.kind == "delete" => i }
+    val rows = joined
+      .filter(col("t._graft_path").isin(touched: _*))
+      .withColumn("_clause", idxCol)
+      .filter(!col("_clause").isin(deleteIdxs: _*))
+    val rewritten = rows.select(fields.map { f =>
+      val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
+        (i, c.set(f.name)) }
+      updates.foldRight(col(s"t.${f.name}")) { case ((i, v), els) =>
+        when(col("_clause") === i, v.cast(f.dataType)).otherwise(els)
+      }.as(f.name)
+    }: _*)
+
+    // ---- inserts from source-only rows -----------------------------------
+    val insIdx = notMatched.zipWithIndex.reverse.foldLeft(lit(-1): Column) {
+      case (els, (c, i)) => when(c.cond, lit(i)).otherwise(els)
+    }
+    val inserts = joined.filter(sourceOnly)
+      .withColumn("_ins", insIdx).filter(col("_ins") >= 0)
+      .select(fields.map { f =>
+        notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast(f.dataType): Column) {
+          case (els, (c, i)) =>
+            when(col("_ins") === i, c.set.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(els)
+        }.as(f.name)
+      }: _*)
+
+    table.replaceFiles(head, touched, rewritten, "merge",
+      extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
+  }
+}

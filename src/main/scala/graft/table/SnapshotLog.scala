@@ -1,0 +1,180 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Per-file column statistics (min/max as strings + the column's Spark type
+  * name) used for log-level file pruning — the same role Iceberg manifests'
+  * column bounds play for its `ScanBuilder` (reference `main.tf:794,803`;
+  * SURVEY.md §4 row 1). */
+case class ColumnStats(min: String, max: String, dataType: String)
+
+/** One immutable data file registered in a snapshot. `schemaId` pins the
+  * column names/ids the file was written with, so schema evolution (rename/
+  * add/drop — reference `main.tf:803` DDL surface) never rewrites data. */
+case class DataFile(
+    path: String,
+    rows: Long,
+    bytes: Long,
+    schemaId: Int,
+    stats: Map[String, ColumnStats] = Map.empty)
+
+/** One snapshot = full table state at a version: the file list plus every
+  * schema ever used (kept forward so `expireSnapshots` can drop old metadata
+  * JSONs without breaking reads of old files). Mirrors the Iceberg table-
+  * metadata/manifest split in one JSON per version (SURVEY.md §1 "Table"). */
+case class Snapshot(
+    version: Long,
+    parent: Long, // -1 for the first snapshot
+    timestampMs: Long,
+    operation: String,
+    currentSchemaId: Int,
+    schemas: Map[String, String], // schemaId -> StructType JSON
+    files: Seq[DataFile],
+    properties: Map[String, String] = Map.empty)
+
+/** Named reference to a snapshot version (Iceberg branch/tag semantics,
+  * SURVEY.md §2.8 "Branching/tagging"). */
+case class Ref(version: Long, refType: String) // refType: "tag" | "branch"
+
+/** Filesystem snapshot log with optimistic-concurrency commits.
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<uuid>.parquet      immutable data files
+  *   _graft/v<N>.json         immutable snapshot metadata
+  *   _graft/HEAD              current version (atomic rename on update)
+  *   _graft/refs.json         tags/branches (atomic rename on update)
+  * }}}
+  *
+  * Commit protocol (SURVEY.md §7 "hard parts" #2): the new `v<N+1>.json` is
+  * created with create-if-absent — the filesystem's compare-and-swap. Two
+  * racing writers both build their candidate snapshot; exactly one wins the
+  * create, the loser gets [[CommitConflictException]] and must retry on the
+  * new head. HEAD is then updated via write-temp + atomic rename, and is only
+  * a cache of "highest vN.json" — recovery derives it by listing. This is the
+  * local-filesystem analogue of the Iceberg REST catalog's CAS `updateTable`
+  * (reference `main.tf:795-801`; SURVEY.md §3 EP1 step 7).
+  */
+class SnapshotLog(tableRoot: String) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  val root: Path = Paths.get(tableRoot)
+  val metaDir: Path = root.resolve("_graft")
+  val dataDir: Path = root.resolve("data")
+
+  def initDirs(): Unit = { Files.createDirectories(metaDir); Files.createDirectories(dataDir) }
+  def exists: Boolean = Files.exists(metaDir.resolve("HEAD"))
+
+  private def versionPath(v: Long): Path = metaDir.resolve(s"v$v.json")
+
+  def currentVersion: Long = {
+    val head = metaDir.resolve("HEAD")
+    if (Files.exists(head)) Files.readString(head).trim.toLong
+    else listVersions.lastOption.getOrElse(
+      throw new IllegalStateException(s"no graft table at $tableRoot"))
+  }
+
+  /** All snapshot versions still present in the log (ascending). */
+  def listVersions: Seq[Long] =
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  def snapshot(v: Long): Snapshot = {
+    val p = versionPath(v)
+    require(Files.exists(p), s"snapshot v$v does not exist (expired or never committed)")
+    JsonMethods.parse(Files.readString(p)).extract[Snapshot]
+  }
+
+  def current: Snapshot = snapshot(currentVersion)
+
+  /** Latest snapshot whose commit time is <= tsMs (time travel TIMESTAMP AS
+    * OF — SURVEY.md §2.8). */
+  def snapshotAsOf(tsMs: Long): Snapshot = {
+    val vs = listVersions.map(snapshot).filter(_.timestampMs <= tsMs)
+    require(vs.nonEmpty, s"no snapshot as of $tsMs")
+    vs.maxBy(_.version)
+  }
+
+  /** CAS commit: verify `parentVersion` is still the head, then atomically
+    * create the next version file (always max(existing)+1, so a rollback's
+    * HEAD move never collides with versions it left behind — Iceberg
+    * likewise only ever appends metadata versions). Losing either check ->
+    * [[CommitConflictException]], retry on the new head. */
+  def commit(parentVersion: Long, build: Long => Snapshot): Snapshot = {
+    val headNow = if (Files.exists(metaDir.resolve("HEAD"))) currentVersion else -1L
+    if (headNow != parentVersion)
+      throw new CommitConflictException(
+        s"stale commit: parent v$parentVersion but head is v$headNow")
+    val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
+    val snap = build(next)
+    require(snap.version == next)
+    val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
+    Files.writeString(tmp, Serialization.write(snap))
+    // Publish via hard link: fully-written content becomes visible in one
+    // atomic create-if-absent — the exclusive create IS the CAS (a plain
+    // move's exists-check-then-rename has a race window on POSIX).
+    try Files.createLink(versionPath(next), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"concurrent commit created v$next first; retry on the new head")
+    }
+    Files.deleteIfExists(tmp)
+    writeHead(next)
+    snap
+  }
+
+  /** Move HEAD to an existing snapshot (rollback_to_snapshot /
+    * set_current_snapshot — SURVEY.md §2.8 CALL procedures). */
+  def setHead(v: Long): Unit = {
+    require(Files.exists(versionPath(v)), s"cannot set HEAD to missing v$v")
+    writeHead(v)
+  }
+
+  private def writeHead(v: Long): Unit = {
+    val tmp = metaDir.resolve(s".HEAD.tmp${util.Random.nextLong().abs}")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, metaDir.resolve("HEAD"), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- refs (tags / branches) --------------------------------------------
+  private def refsPath: Path = metaDir.resolve("refs.json")
+
+  def refs: Map[String, Ref] =
+    if (!Files.exists(refsPath)) Map.empty
+    else JsonMethods.parse(Files.readString(refsPath)).extract[Map[String, Ref]]
+
+  def setRef(name: String, ref: Ref): Unit = {
+    require(Files.exists(versionPath(ref.version)), s"ref to missing v${ref.version}")
+    writeRefs(refs + (name -> ref))
+  }
+
+  def dropRef(name: String): Unit = writeRefs(refs - name)
+
+  private def writeRefs(m: Map[String, Ref]): Unit = {
+    val tmp = metaDir.resolve(s".refs.tmp${util.Random.nextLong().abs}")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, refsPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete snapshot JSONs strictly older than `keepFrom`, never touching
+    * HEAD or any ref target. Data files are handled by removeOrphanFiles. */
+  def expireMetadata(keepFrom: Long): Seq[Long] = {
+    val protectedVs = refs.values.map(_.version).toSet + currentVersion
+    val expired = listVersions.filter(v => v < keepFrom && !protectedVs.contains(v))
+    expired.foreach(v => Files.deleteIfExists(versionPath(v)))
+    expired
+  }
+}
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)

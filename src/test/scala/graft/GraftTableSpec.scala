@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.table.{CommitConflictException, GraftTable}
+
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(Paths.get("target"), "graft-tbl-").toString
+
+  private def mk(rows: Seq[(Long, String, Double)], path: String = tmpDir()): GraftTable =
+    GraftTable.create(spark, path, rows.toDF("id", "name", "amount"))
+
+  test("create + read round-trips rows and schema") {
+    val t = mk(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    val got = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "amount"))
+  }
+
+  test("append adds rows and a new snapshot; old version still readable") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    assert(t.read.count() == 2)
+    assert(t.readVersion(0).count() == 1)
+    assert(t.log.currentVersion == 1)
+  }
+
+  test("time travel invariant: read@v1 plus changelog diff equals read@v2") {
+    val t = mk(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    t.delete(col("id") === 1L)
+    val v0 = t.readVersion(0)
+    val v2 = t.readVersion(2)
+    val log = t.changelog(0, 2)
+    val inserted = log.filter($"_change_type" === "insert").drop("_change_type")
+    val deleted = log.filter($"_change_type" === "delete").drop("_change_type")
+    // v0 ∪ inserts ∖ deletes == v2 (bag semantics)
+    val rebuilt = v0.unionAll(inserted).exceptAll(deleted)
+    assert(rebuilt.exceptAll(v2).count() == 0 && v2.exceptAll(rebuilt).count() == 0)
+  }
+
+  test("timestamp-as-of resolves to the latest snapshot at that time") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    val ts0 = t.log.current.timestampMs
+    Thread.sleep(5)
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    assert(t.readAsOf(ts0).count() == 1)
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 2)
+  }
+
+  test("overwrite replaces content; history records both operations") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.overwrite(Seq((9L, "z", 90.0)).toDF("id", "name", "amount"))
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val ops = t.history.orderBy("version").collect().map(_.getString(3)).toSeq
+    assert(ops == Seq("create", "overwrite"))
+  }
+
+  test("rollback moves HEAD; snapshots metadata table sees all versions") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.rollbackTo(0)
+    assert(t.read.count() == 1)
+    assert(t.snapshotsMeta.count() == 2)
+    assert(t.history.filter($"is_current").collect()(0).getLong(0) == 0L)
+  }
+
+  test("tags and branches: create, read, fast-forward, drop") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.createTag("v0-tag")
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.createBranch("dev")
+    assert(t.readRef("v0-tag").count() == 1)
+    assert(t.readRef("dev").count() == 2)
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    t.fastForward("dev")
+    assert(t.readRef("dev").count() == 3)
+    assert(t.refsMeta.count() == 2)
+    t.dropRef("dev")
+    assert(t.refsMeta.count() == 1)
+  }
+
+  test("cherrypick re-applies an append's files onto the current head") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount")) // v1
+    t.rollbackTo(0)
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount")) // v2 (from v0)
+    t.cherrypick(1)
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("expire_snapshots never deletes files referenced by live snapshots") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.delete(col("id") === 1L)
+    val expired = t.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    // current snapshot still fully readable after GC
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException](t.readVersion(0))
+  }
+
+  test("remove_orphan_files deletes unreferenced data files only") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    // plant an orphan
+    val orphan = Paths.get(t.path, "data", "orphan.parquet")
+    Files.writeString(orphan, "junk")
+    val removed = t.removeOrphanFiles()
+    assert(removed.contains("orphan.parquet"))
+    assert(t.read.count() == 1)
+  }
+
+  test("rewrite_data_files compacts to the target file count, same rows") {
+    val t = mk((1L to 50L).map(i => (i, s"n$i", i * 1.0)))
+    t.append((51L to 100L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "amount"))
+    val before = t.read.orderBy("id").collect()
+    t.rewriteDataFiles(target = 1)
+    assert(t.log.current.files.size == 1)
+    val after = t.read.orderBy("id").collect()
+    assert(before.sameElements(after))
+  }
+
+  test("schema evolution: add, rename (ID-mapped, no rewrite), drop") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    val filesBefore = t.log.current.files.map(_.path).toSet
+    t.addColumn("flag", StringType)
+    t.renameColumn("name", "label")
+    assert(t.log.current.files.map(_.path).toSet == filesBefore, "evolution must not rewrite data")
+    val r = t.read.collect()(0)
+    assert(r.getAs[String]("label") == "a")       // renamed, old file mapped by id
+    assert(r.getAs[String]("flag") == null)       // added, null-filled
+    // new writes use the new names; old files still read correctly
+    t.append(Seq((2L, "b", 20.0, "x")).toDF("id", "label", "amount", "flag"))
+    val byId = t.read.collect().map(r2 => r2.getAs[Long]("id") -> r2.getAs[String]("label")).toMap
+    assert(byId == Map(1L -> "a", 2L -> "b"))
+    t.dropColumn("flag")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label", "amount"))
+    assert(t.read.columns.toSeq == Seq("id", "label", "amount"))
+  }
+
+  test("import registers parquet in place without copying") {
+    val src = tmpDir()
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").write.mode("overwrite").parquet(src)
+    val t = GraftTable.importParquet(spark, src, tmpDir())
+    assert(t.read.count() == 2)
+    assert(t.log.current.files.forall(_.path.startsWith("/")), "files referenced absolutely")
+    assert(t.log.current.operation == "import")
+    // orphan GC must not touch imported files
+    t.removeOrphanFiles()
+    assert(t.read.count() == 2)
+  }
+
+  test("file pruning from stats: lookup keeps only candidate files") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((100L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.append(Seq((200L, "c", 30.0)).toDF("id", "name", "amount"))
+    assert(t.log.current.files.size == 3)
+    val candidates = t.filesPossiblyContaining("id", "100")
+    assert(candidates.size == 1)
+    assert(t.filesPossiblyContaining("id", "150").isEmpty)
+  }
+
+  test("commit CAS: losing writer gets a conflict, state stays consistent") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    val head = t.log.current
+    // writer A commits on head
+    t.log.commit(head.version, v => head.copy(version = v, parent = head.version,
+      timestampMs = System.currentTimeMillis(), operation = "append"))
+    // writer B races on the same stale head -> conflict
+    intercept[CommitConflictException] {
+      t.log.commit(head.version, v => head.copy(version = v, parent = head.version,
+        timestampMs = System.currentTimeMillis(), operation = "append"))
+    }
+    assert(t.log.currentVersion == head.version + 1)
+  }
+
+  test("write distribution properties shape output files") {
+    val path = tmpDir()
+    val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "name", "amount")
+    val t = GraftTable.create(spark, path, df,
+      properties = Map("write.partition-by" -> "name", "write.sort-by" -> "id"))
+    assert(t.read.count() == 40)
+    // hash distribution on 4 groups with 4 shuffle partitions -> <= 4 files
+    assert(t.log.current.files.size <= 4)
+  }
+}
