@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Functions, Relational, SetSort, Windows}
+import graft.queries.{Aggregates, Dedup, Functions, Relational, SetSort, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,10 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracleSql),
       (Windows.queries, Windows.oracleSql),
       (SetSort.queries, SetSort.oracleSql),
-      (Functions.queries, Functions.oracleSql))
+      (Functions.queries, Functions.oracleSql),
+      (Dedup.queries, Dedup.oracleSql),
+      (Similarity.queries, Similarity.oracleSql),
+      (TextAnalysis.queries, TextAnalysis.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data deduplication operators over `documents` (north-star surface;
+  * SURVEY.md §2.10 / §7 phase C): exact, MinHash+LSH banded near-dup,
+  * SimHash fingerprints, and n-gram Jaccard via an inverted-index join.
+  *
+  * Every hash is md5 (identical bytes in Spark and DuckDB), so the oracle
+  * verifies the *same* signature/bucket computation — not just row counts.
+  *
+  * 100 TB discipline: there is no all-pairs comparison anywhere. Candidate
+  * generation is always a key-equality shuffle join (LSH bucket or shared
+  * shingle), so cost scales with Σ bucket² over colliding docs, not n².
+  * At production scale the shared-shingle join (q43) additionally wants
+  * prefix filtering / hot-shingle salting — noted inline.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles per document: (doc_id, shingle). */
+  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        explode(expr("transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' '))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |CROSS JOIN UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Exact dedup: hash-groupBy on content — one representative (min doc_id)
+    * per distinct text. Partial→final HashAggregate; the md5 keeps the
+    * compared column narrow. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", $"text_hash")
+      .orderBy($"keep_id")
+  }
+
+  val q40Sql: String =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** MinHash + LSH near-dup candidates: 12 min-hash signatures (min of
+    * md5(seed|shingle) — a min-wise family), banded r=4 × b=3; docs sharing
+    * any band bucket are candidates. Bucket join = key shuffle, never n². */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val sig = sh.withColumn("i", explode(expr("sequence(0, 11)")))
+      .groupBy($"doc_id", $"i")
+      .agg(min(md5(concat($"i".cast("string"), lit("|"), $"shingle").cast("binary"))).as("s"))
+    val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
+      .agg(expr("md5(cast(array_join(transform(array_sort(collect_list(struct(i, s))), x -> x.s), '') as binary))")
+        .as("bucket"))
+    band.as("a").join(band.as("c"),
+        $"a.b" === $"c.b" && $"a.bucket" === $"c.bucket" && $"a.doc_id" < $"c.doc_id")
+      .select($"a.doc_id".as("d1"), $"c.doc_id".as("d2"))
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  val q41Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS s
+       |        FROM sh CROSS JOIN UNNEST(range(12)) AS r(i) GROUP BY doc_id, i),
+       |band AS (SELECT doc_id, i // 4 AS b, md5(string_agg(s, '' ORDER BY i)) AS bucket
+       |         FROM sig GROUP BY doc_id, i // 4)
+       |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+       |FROM band a JOIN band c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** SimHash: 16-bit fingerprint from the high bit of each md5 hex digit of
+    * every token, summed ±1 — identical docs get identical fingerprints,
+    * near-identical docs differ in few bits (Hamming). Pure groupBy+sum. */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val words = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("wd"))
+      .filter(length($"wd") > 0)
+      .withColumn("h", md5($"wd".cast("binary")))
+    val sums = (1 to 16).map(j =>
+      sum(when(substring($"h", j, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j"))
+    words.groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id",
+        concat((1 to 16).map(j => when(col(s"b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val q42Sql: String = {
+    val bits = (1 to 16).map { j =>
+      s"""CASE WHEN sum(CASE WHEN substr(md5(wd), $j, 1) IN ('8','9','a','b','c','d','e','f')
+         | THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END""".stripMargin.replaceAll("\n", "")
+    }.mkString(", ")
+    s"""SELECT doc_id, concat($bits) AS simhash
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents)
+       |WHERE length(wd) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** N-gram Jaccard near-dup: inverted-index join on shared shingles (docs
+    * sharing >=1 shingle), then |A∩B| / |A∪B| >= 0.4. At 100 TB add prefix
+    * filtering and salt stop-shingles before the join — the shape (shuffle
+    * on shingle, aggregate on pair) is already the scalable one. */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard", round($"c".cast("double") / ($"n1" + $"n2" - $"c"), 4))
+      .filter($"jaccard" >= 0.4)
+      .select($"d1", $"d2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  val q43Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+       |FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE round(c::DOUBLE / (s1.n + s2.n - c), 4) >= 0.4
+       |ORDER BY d1, d2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact"         -> q40,
+    "q41_dedup_minhash_lsh"   -> q41,
+    "q42_dedup_simhash"       -> q42,
+    "q43_dedup_ngram_jaccard" -> q43)
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact"         -> q40Sql,
+    "q41_dedup_minhash_lsh"   -> q41Sql,
+    "q42_dedup_simhash"       -> q42Sql,
+    "q43_dedup_ngram_jaccard" -> q43Sql)
+}

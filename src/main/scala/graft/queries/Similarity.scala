@@ -1,0 +1,137 @@
+package graft.queries
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], dim 64) —
+  * north-star ANN surface (SURVEY.md §2.10): brute-force cosine top-k as the
+  * exact baseline, and random-hyperplane LSH (SimHash for vectors) as the
+  * scale path for near-duplicate pairs.
+  *
+  * Determinism across engines: cosine is computed with the identical fold
+  * (float→double casts, array-order summation) in Spark and DuckDB, then
+  * rounded; top-k ordering tie-breaks on vec_id. The LSH hyperplanes are a
+  * ±1 matrix derived from md5 — generated once in Scala and embedded as
+  * array literals in BOTH dialects, so bucket assignment matches bit-for-bit.
+  *
+  * 100 TB discipline: top-k plans as TakeOrderedAndProject (per-partition
+  * heap, k×partitions rows to the driver); the near-dup join is LSH-bucket
+  * equality (banded r=2 × b=4), never all-pairs.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Planes = 8 // b=4 bands × r=2 rows
+
+  /** ±1 hyperplane matrix seeded from md5("j-i") — reproducible anywhere. */
+  private[queries] lazy val planes: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { j =>
+      (1 to Dim).map { i =>
+        val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) >= '8') 1 else -1
+      }
+    }
+  }
+
+  /** Shared fold: Σ CAST(x AS DOUBLE)*CAST(y AS DOUBLE) in array order. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def cosExpr(a: String, b: String): Column =
+    expr(s"${dotExpr(a, b)} / (${normExpr(a)} * ${normExpr(b)})")
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // ---------------------------------------------------------------- q44
+  /** Brute-force cosine top-k against a query vector (vec_id = 0): exact
+    * baseline. orderBy+limit plans as TakeOrderedAndProject — each partition
+    * keeps a k-heap, the driver merges k×partitions rows. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.crossJoin(broadcast(qv))
+      .select($"vec_id", round(cosExpr("embedding", "qv"), 3).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val q44Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${duckDot("embedding", "qv")} / (${duckNorm("embedding")} * ${duckNorm("qv")}), 3) AS cos_sim
+       |FROM embeddings, q
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Embedding near-dup pairs: banded random-hyperplane LSH (r=2, b=4)
+    * generates candidates by bucket equality, then the exact cosine filter
+    * (>= 0.4) verifies. Identical plane literals on both engines. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    // bit_j = sign(w_j · v) for each plane j
+    val bitCols = (0 until Planes).map { j =>
+      val w = s"array(${planes(j).map(v => s"${v}D").mkString(",")})"
+      when(expr(dotExpr("embedding", w)) > 0, lit("1")).otherwise(lit("0")).as(s"bit$j")
+    }
+    val sigs = e.select(($"vec_id" +: bitCols): _*)
+    val bands = (0 until Planes / 2).map { b =>
+      sigs.select($"vec_id", lit(b).as("band"),
+        concat(col(s"bit${2 * b}"), col(s"bit${2 * b + 1}")).as("sig"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("c"),
+        $"a.band" === $"c.band" && $"a.sig" === $"c.sig" && $"a.vec_id" < $"c.vec_id")
+      .select($"a.vec_id".as("d1"), $"c.vec_id".as("d2")).distinct()
+    val withVecs = cand
+      .join(e.select($"vec_id".as("d1"), $"embedding".as("v1")), "d1")
+      .join(e.select($"vec_id".as("d2"), $"embedding".as("v2")), "d2")
+    withVecs
+      .withColumn("cos_sim", round(cosExpr("v1", "v2"), 3))
+      .filter($"cos_sim" >= 0.4)
+      .select($"d1", $"d2", $"cos_sim")
+      .orderBy($"d1", $"d2")
+  }
+
+  val q45Sql: String = {
+    val bitExprs = (0 until Planes).map { j =>
+      val w = s"[${planes(j).map(v => s"$v.0").mkString(",")}]"
+      s"""CASE WHEN list_sum(list_transform(range(1, $Dim + 1),
+         | i -> CAST(embedding[i] AS DOUBLE) * ($w)[i])) > 0 THEN '1' ELSE '0' END AS bit$j"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",\n  ")
+    val bandSelects = (0 until Planes / 2).map { b =>
+      s"SELECT vec_id, $b AS band, bit${2 * b} || bit${2 * b + 1} AS sig FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sigs AS (SELECT vec_id,
+       |  $bitExprs
+       |FROM embeddings),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+       |         FROM bands a JOIN bands c ON a.band = c.band AND a.sig = c.sig AND a.vec_id < c.vec_id)
+       |SELECT d1, d2,
+       |  round(${duckDot("e1.embedding", "e2.embedding")} /
+       |        (${duckNorm("e1.embedding")} * ${duckNorm("e2.embedding")}), 3) AS cos_sim
+       |FROM cand JOIN embeddings e1 ON d1 = e1.vec_id JOIN embeddings e2 ON d2 = e2.vec_id
+       |WHERE round(${duckDot("e1.embedding", "e2.embedding")} /
+       |        (${duckNorm("e1.embedding")} * ${duckNorm("e2.embedding")}), 3) >= 0.4
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_embed_cosine_topk" -> q44,
+    "q45_embed_neardup_lsh" -> q45)
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_embed_cosine_topk" -> q44Sql,
+    "q45_embed_neardup_lsh" -> q45Sql)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators over `documents.text` (north-star training-data
+  * pipeline surface): quality scoring, n-gram-heuristic language ID, token
+  * counting (whitespace + regex-BPE-ish), and shingle fingerprinting.
+  *
+  * All pure built-ins → whole-stage codegen'd projections/aggregations: a
+  * single scan-shaped pass at any scale, no shuffle except the final
+  * fingerprint groupBy. */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- q46
+  /** Quality stats: char/word counts, average word length, punctuation
+    * ratio, stopword ratio, and a composite quality score. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(words, w -> w IN (${inList(stopEn)})))"))
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars_calc"),
+        $"n_words",
+        round(length(regexp_replace($"text", " ", "")).cast("double") / $"n_words", 3).as("avg_word_len"),
+        round(length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") / length($"text"), 4).as("punct_ratio"),
+        round($"stop_hits".cast("double") / $"n_words", 4).as("stop_ratio"),
+        round(
+          least($"n_words".cast("double") / 100.0, lit(1.0)) * 0.5 +
+          least($"stop_hits".cast("double") / $"n_words" * 10.0, lit(1.0)) * 0.5, 4).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val q46Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS n_chars_calc,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |  round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 3) AS avg_word_len,
+       |  round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio,
+       |  round(len(list_filter(string_split(text, ' '), w -> w IN (${inList(stopEn)})))::DOUBLE
+       |        / len(string_split(text, ' ')), 4) AS stop_ratio,
+       |  round(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.5 +
+       |        least(len(list_filter(string_split(text, ' '), w -> w IN (${inList(stopEn)})))::DOUBLE
+       |              / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5, 4) AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Language ID via stopword-list hit counting (n-gram heuristic): count
+    * list hits per language, argmax with a fixed priority order. */
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withHits = langLists.foldLeft(
+      documents(spark, dir).withColumn("words", split($"text", " "))) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"${lang}_hits",
+          expr(s"size(filter(words, w -> w IN (${inList(ws)})))").cast("long"))
+    }
+    val best = langLists.map { case (l, _) => col(s"${l}_hits") }.reduce(greatest(_, _))
+    val pred = langLists.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, _), els) => when(col(s"${l}_hits") === best && best > 0, lit(l)).otherwise(els)
+    }
+    withHits.select(
+      ($"doc_id" +: langLists.map { case (l, _) => col(s"${l}_hits") }) :+ pred.as("pred_lang"): _*)
+      .orderBy($"doc_id")
+  }
+
+  val q47Sql: String = {
+    val hits = langLists.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${inList(ws)})))::BIGINT AS ${l}_hits"
+    }.mkString(",\n  ")
+    val best = "greatest(en_hits, es_hits, fr_hits, de_hits)"
+    val pred = langLists.map { case (l, _) =>
+      s"WHEN ${l}_hits = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+       |  CASE $pred ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, $hits FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter-runs | digit-runs | single punctuation). */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))").as("re_tokens"),
+        round(length($"text").cast("double") /
+          expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"), 3)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS re_tokens,
+      |  round(length(text)::DOUBLE /
+      |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 3) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Document fingerprinting: min-hash style winnowing over 3-word shingles
+    * (two salted md5 families + distinct-shingle count). */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.shingles(spark, dir)
+      .groupBy($"doc_id")
+      .agg(
+        min(md5($"shingle".cast("binary"))).as("fp1"),
+        min(md5(concat(lit("s2|"), $"shingle").cast("binary"))).as("fp2"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val q49Sql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  CROSS JOIN UNNEST(range(greatest(len(w) - 2, 0))) AS t(i))
+      |SELECT doc_id, min(md5(shingle)) AS fp1, min(md5('s2|' || shingle)) AS fp2,
+      |  COUNT(*) AS n_shingles
+      |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_text_stats"       -> q46,
+    "q47_text_langid"      -> q47,
+    "q48_text_tokens"      -> q48,
+    "q49_text_fingerprint" -> q49)
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_text_stats"       -> q46Sql,
+    "q47_text_langid"      -> q47Sql,
+    "q48_text_tokens"      -> q48Sql,
+    "q49_text_fingerprint" -> q49Sql)
+}
