@@ -1,0 +1,173 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.GraftTable
+
+/** DSv2 `TableCatalog` over graft tables — the Spark-native analogue of the
+  * reference's catalog wiring (`spark.sql.catalog.<name> = SparkCatalog`,
+  * reference `main.tf:794-802`; SURVEY.md §1 "Catalog"). Register with
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * and the full SQL surface works: CREATE NAMESPACE / CREATE TABLE / CTAS /
+  * INSERT INTO / INSERT OVERWRITE / SELECT (incl. `VERSION AS OF` and
+  * `TIMESTAMP AS OF` time travel via the loadTable overloads) / ALTER TABLE
+  * ADD|RENAME|DROP COLUMN / DROP TABLE — resolved against the local
+  * warehouse directory instead of a REST endpoint (SURVEY.md §2.1 scopes the
+  * HTTP client out for a single-process engine).
+  *
+  * Layout: `<warehouse>/<namespace>/<table>/` — each table dir is a snapshot
+  * log owned by [[graft.table.GraftTable]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires the 'warehouse' option"))
+    Files.createDirectories(Paths.get(warehouse))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def nsPath(ns: Array[String]) = Paths.get((warehouse +: ns).mkString("/"))
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+  private def isTable(p: java.nio.file.Path): Boolean =
+    Files.exists(p.resolve("_graft").resolve("HEAD"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val p = nsPath(ns)
+    if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(ns)
+    Files.list(p).iterator().asScala
+      .filter(isTable)
+      .map(d => Identifier.of(ns, d.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(Paths.get(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString)
+  }
+
+  /** Time travel: `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString,
+      asOfVersion = Some(version.toLong))
+  }
+
+  /** Time travel: `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString,
+      asOfTimestampMs = Some(timestampMicros / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.collect {
+      case t if t.name == "identity" => t.references()(0).fieldNames().mkString(".")
+    }
+    val props = properties.asScala.toMap ++
+      (if (partCols.nonEmpty) Map("write.partition-by" -> partCols.mkString(",")) else Map.empty)
+    val t = GraftTable.createEmpty(spark, tablePath(ident), schema,
+      props - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER)
+    GraftDsv2Table(t, ident.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident))
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested add not supported")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested rename not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested drop not supported")
+        t.dropColumn(d.fieldNames()(0))
+      case p: TableChange.SetProperty =>
+        t.setProperties(Map(p.property() -> p.value()))
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+    GraftDsv2Table(t, ident.toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = Paths.get(tablePath(ident))
+    if (!isTable(p)) return false
+    deleteRecursively(p)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(Paths.get(tablePath(to)).getParent)
+    Files.move(Paths.get(tablePath(from)), Paths.get(tablePath(to)))
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (Files.isDirectory(nsPath(ns)) && !isTable(nsPath(ns)))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(ns).toString).asJava
+  }
+
+  override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(nsPath(ns))
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are immutable")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!Files.isDirectory(p)) return false
+    if (!cascade && Files.list(p).iterator().asScala.nonEmpty)
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+    deleteRecursively(p)
+    true
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

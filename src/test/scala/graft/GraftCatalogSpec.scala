@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end SQL surface through the DSv2 catalog — the reference's
+  * spark-sql entry point re-created locally (reference README.md:35-46). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory(Paths.get("target"), "warehouse-").toString
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip") {
+    init()
+    spark.sql("CREATE TABLE graft.db.t1 (id BIGINT, name STRING, amount DOUBLE)")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    val rows = spark.sql("SELECT * FROM graft.db.t1 ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spark.sql("INSERT INTO graft.db.t1 VALUES (3, 'c', 30.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t1").collect()(0).getLong(0) == 3)
+  }
+
+  test("CTAS creates and populates in one statement") {
+    init()
+    spark.sql("CREATE TABLE graft.db.ctas AS SELECT 42L AS id, 'x' AS tag")
+    val r = spark.sql("SELECT * FROM graft.db.ctas").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 42L)
+  }
+
+  test("INSERT OVERWRITE replaces table contents") {
+    init()
+    spark.sql("CREATE TABLE graft.db.ow (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (9)")
+    assert(spark.sql("SELECT * FROM graft.db.ow").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    init()
+    spark.sql("CREATE TABLE graft.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1)")     // v1
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.tt VALUES (2)")     // v2
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt").collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt VERSION AS OF 1").collect()(0).getLong(0) == 1)
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM graft.db.tt TIMESTAMP AS OF '${new java.sql.Timestamp(cut)}'")
+      .collect()(0).getLong(0)
+    assert(asOf == 1)
+  }
+
+  test("ALTER TABLE ADD / RENAME / DROP COLUMN via SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.db.ev (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.ev VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.db.ev ADD COLUMN flag STRING")
+    spark.sql("ALTER TABLE graft.db.ev RENAME COLUMN name TO label")
+    val r = spark.sql("SELECT id, label, flag FROM graft.db.ev").collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "a" && r.isNullAt(2))
+    spark.sql("ALTER TABLE graft.db.ev DROP COLUMN flag")
+    assert(spark.sql("SELECT * FROM graft.db.ev").columns.toSeq == Seq("id", "label"))
+  }
+
+  test("DROP TABLE and SHOW TABLES") {
+    init()
+    spark.sql("CREATE TABLE graft.db.gone (id BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("gone"))
+    spark.sql("DROP TABLE graft.db.gone")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("gone"))
+  }
+
+  test("partitioned CREATE TABLE records the write distribution property") {
+    init()
+    spark.sql("CREATE TABLE graft.db.pt (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.db.pt SELECT id, concat('g', id % 3) FROM range(30)")
+    assert(spark.sql("SELECT count(DISTINCT grp) FROM graft.db.pt").collect()(0).getLong(0) == 3)
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/pt")
+    assert(t.log.current.properties.get("write.partition-by").contains("grp"))
+  }
+
+  test("joins between catalog tables and plain DataFrames work") {
+    init()
+    spark.sql("CREATE TABLE graft.db.dim (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.dim VALUES (0, 'even'), (1, 'odd')")
+    val joined = spark.sql(
+      "SELECT r.id, d.v FROM range(10) r JOIN graft.db.dim d ON r.id % 2 = d.k")
+    assert(joined.count() == 10)
+  }
+}
