@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-time operators, batch form (SURVEY.md §2.9 "batch-over-events
+  * equivalents … come first", §2.3 as-of join): tumbling / sliding /
+  * session windows over `events.ts` and the as-of join pattern. The same
+  * window semantics run unchanged under Structured Streaming — see
+  * `graft.streaming.Streams` for the readStream variants (watermarks,
+  * stateful dedup, custom state), which are spec-verified since DuckDB
+  * can't oracle a stream. */
+object Temporal {
+
+  // ---------------------------------------------------------------- q50
+  /** Tumbling event-time window: 1-hour buckets per event type. Epoch-
+    * aligned on both engines (Spark `window` and DuckDB `time_bucket`). */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n_events", $"total_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val q50Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Sliding window: 2-hour windows sliding by 1 hour — every event lands
+    * in exactly two windows (expressed in the oracle as an explicit
+    * 2-element expansion of epoch-aligned starts). */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("w_start"), $"n_events")
+      .orderBy($"w_start")
+  }
+
+  val q51Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS w_start,
+      |  COUNT(*) AS n_events
+      |FROM events CROSS JOIN UNNEST(range(2)) AS t(k)
+      |GROUP BY 1
+      |ORDER BY w_start""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Session window per user with a 4-hour inactivity gap. Spark
+    * `session_window` starts a new session when the gap is >= 4h (window
+    * end is last event + gap, exclusive); the oracle's gaps-and-islands
+    * running sum uses the same `>=` break. */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(session_window($"ts", "4 hours").as("s"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"s.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q52Sql: String =
+    """WITH gaps AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM gaps)
+      |SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Stateful-dedup batch equivalent: first event per (user, type) — the
+    * batch semantics of `dropDuplicatesWithinWatermark` with an unbounded
+    * watermark (streaming variant spec-verified in StreamsSpec). */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"event_id").as("first_event_id"), count(lit(1)).as("n_dupes"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q53Sql: String =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id,
+      |  COUNT(*) AS n_dupes
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** As-of join (SURVEY.md §2.3 "documented pattern"): for every error
+    * event, the latest click by the same user at-or-before it. Spark lacks
+    * the primitive, so: range join on (user, ts<=) -> per-left-row max
+    * (`max(struct(ts, id))` keeps the argmax without a second join) ->
+    * left join back. At scale, bucket both sides by user and sort within
+    * partitions so the range join becomes a per-bucket merge. */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, dir)
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+    val best = errors.join(clicks,
+        $"user_id" === $"c_user" && $"c_ts" <= $"ts", "left")
+      .groupBy($"event_id")
+      .agg(max(struct($"c_ts", $"c_id")).as("m"))
+      .select($"event_id", $"m.c_id".as("prev_click_id"), $"m.c_ts".as("prev_click_ts"))
+    errors.join(best, Seq("event_id"), "left")
+      .select($"event_id", $"user_id", $"prev_click_id", $"prev_click_ts")
+      .orderBy($"event_id")
+  }
+
+  val q54Sql: String =
+    """SELECT err.event_id, err.user_id,
+      |  c.event_id AS prev_click_id, c.ts AS prev_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') err
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON err.user_id = c.user_id AND c.ts <= err.ts
+      |ORDER BY err.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_window_tumbling" -> q50,
+    "q51_window_sliding"  -> q51,
+    "q52_window_session"  -> q52,
+    "q53_dedup_first"     -> q53,
+    "q54_asof_join"       -> q54)
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_window_tumbling" -> q50Sql,
+    "q51_window_sliding"  -> q51Sql,
+    "q52_window_session"  -> q52Sql,
+    "q53_dedup_first"     -> q53Sql,
+    "q54_asof_join"       -> q54Sql)
+}

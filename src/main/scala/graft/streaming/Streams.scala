@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9): the same event-time
+  * transforms as the batch queries in `graft.queries.Temporal`, expressed so
+  * they run identically over `readStream` sources — plus the streaming-only
+  * pieces (watermarks, `dropDuplicatesWithinWatermark`, custom state via
+  * `mapGroupsWithState`). The declared reference stack can stream through
+  * Iceberg's Structured Streaming source/sink (Iceberg 1.9.1 runtime,
+  * reference `README.md:36`); these transforms are the engine-side
+  * equivalents, verified with MemoryStream micro-batches in StreamsSpec.
+  *
+  * At scale each of these is a keyed-state operator: state lives
+  * partitioned by the grouping key in the state store, watermarks bound it,
+  * and the shuffle is exactly the one the equivalent batch groupBy does. */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Tumbling 1-hour counts per event type, 2-hour watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Session windows per user (4-hour gap) with watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "4 hours").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"), col("n_events"))
+
+  /** Stateful dedup: first event per (user, type) within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom keyed state (`mapGroupsWithState`): running event count per
+    * user, emitted as an update every micro-batch. */
+  def runningCountsPerUser(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + batch.size
+          state.update(next)
+          UserCount(user, next)
+      }
+  }
+
+  /** Output mode for [[runningCountsPerUser]] sinks. */
+  val updateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** MemoryStream micro-batch verification of the Structured Streaming surface
+  * (SURVEY.md §2.9 — not oracle-able in DuckDB, so invariants live here). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String) =
+    Event(id, ts(minute), user, typ, 1.0)
+
+  test("streaming tumbling window counts match the batch computation") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"), ev(3, 70, 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 01:00:00.0", "view", 1L)))
+      // batch path over the same rows gives the same windows
+      val batch = Streams.tumblingCounts(
+        Seq(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"), ev(3, 70, 2, "view")).toDF())
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
+  test("streaming session window merges events within the gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      // user 1: two events 1h apart (same 4h session); second session 6h later
+      ms.addData(ev(1, 0, 1, "a"), ev(2, 60, 1, "a"), ev(3, 60 * 8, 1, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", 2L),
+        (1L, "2024-01-01 08:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one event per (user, type)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "click"), ev(3, 10, 1, "view"))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 2, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running counts across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.runningCountsPerUser(ms.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, 0, 7, "a"), ev(2, 1, 7, "a"))
+      q.processAllAvailable()
+      ms.addData(ev(3, 2, 7, "a"))   // second micro-batch: state carries over
+      q.processAllAvailable()
+      val latest = spark.table("running_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+      assert(latest == Map(7L -> 3L))
+    } finally q.stop()
+  }
+}
