@@ -38,6 +38,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

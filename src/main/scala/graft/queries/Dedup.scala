@@ -63,9 +63,12 @@ object Dedup {
     val sig = sh.withColumn("i", explode(expr("sequence(0, 11)")))
       .groupBy($"doc_id", $"i")
       .agg(min(md5(concat($"i".cast("string"), lit("|"), $"shingle").cast("binary"))).as("s"))
+    // cache: the band table is tiny (docs × b rows) and self-joined — without
+    // it the whole shingle→signature pipeline would run twice
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
       .agg(expr("md5(cast(array_join(transform(array_sort(collect_list(struct(i, s))), x -> x.s), '') as binary))")
         .as("bucket"))
+      .cache()
     band.as("a").join(band.as("c"),
         $"a.b" === $"c.b" && $"a.bucket" === $"c.bucket" && $"a.doc_id" < $"c.doc_id")
       .select($"a.doc_id".as("d1"), $"c.doc_id".as("d2"))
@@ -121,7 +124,8 @@ object Dedup {
     * on shingle, aggregate on pair) is already the scalable one. */
   def q43(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
+    // cached: used three times (self-join both sides + per-doc sizes)
+    val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")

@@ -71,7 +71,7 @@ object Functions {
         date_add($"o_orderdate".cast("date"), 30).as("plus_30d"),
         datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).as("days_since_95"),
         last_day($"o_orderdate".cast("date")).as("month_end"))
-      .orderBy($"o_orderkey")
+    // full-table projection: no trailing global sort (scale-killer pattern)
   }
 
   val q34Sql: String =
@@ -141,7 +141,8 @@ object Functions {
         array_contains($"words", "the").as("has_the"),
         array_join(expr("filter(words, w -> length(w) > 4)"), ",").as("long_words"),
         array_join(expr("transform(slice(words, 1, 3), w -> upper(w))"), ",").as("first3_upper"))
-      .orderBy($"doc_id")
+    // no trailing sort: higher-order lambdas are interpreted (not codegen'd),
+    // and a global sort's range-sampling pass would evaluate them all twice
   }
 
   val q36Sql: String =
@@ -173,7 +174,6 @@ object Functions {
         array_join(map_keys($"m"), ",").as("m_keys"),
         array_join(map_values($"m"), ",").as("m_vals"),
         element_at(str_to_map(concat(lit("a:1,u:"), $"user_id"), lit(","), lit(":")), "u").as("uid_str"))
-      .orderBy($"event_id")
   }
 
   val q37Sql: String =
@@ -198,7 +198,6 @@ object Functions {
         expr("from_json(props, 'k INT').k").as("k_parsed"),
         get_json_object($"props", "$.k").as("k_str"),
         expr("to_json(named_struct('k', from_json(props, 'k INT').k))").as("k_rt"))
-      .orderBy($"event_id")
   }
 
   val q38Sql: String =

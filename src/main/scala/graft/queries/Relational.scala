@@ -104,7 +104,8 @@ object Relational {
         coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("flag_or_none"),
         $"l_quantity".cast("int").as("qty_int"),
         ($"l_discount" > 0.05).cast("int").as("is_discounted"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+    // no trailing global sort: full-table output, ordering is not part of
+    // the semantics and a total range-shuffle would dominate at scale
   }
 
   val q03Sql: String =

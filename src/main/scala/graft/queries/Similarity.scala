@@ -23,7 +23,12 @@ import graft.Tables._
 object Similarity {
 
   private val Dim = 64
-  private val Planes = 8 // b=4 bands × r=2 rows
+  private val Planes = 32 // b=4 bands × r=8 rows
+  private val BandRows = 8
+  private val Bands = Planes / BandRows
+  // r=8 gives 256 buckets per band: with n vectors the candidate set is
+  // ~b × n²/256 instead of the n²/4 a short signature would produce — the
+  // knob that keeps verification cost sane at scale.
 
   /** ±1 hyperplane matrix seeded from md5("j-i") — reproducible anywhere. */
   private[queries] lazy val planes: Seq[Seq[Int]] = {
@@ -73,7 +78,7 @@ object Similarity {
        |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q45
-  /** Embedding near-dup pairs: banded random-hyperplane LSH (r=2, b=4)
+  /** Embedding near-dup pairs: banded random-hyperplane LSH (r=8, b=4)
     * generates candidates by bucket equality, then the exact cosine filter
     * (>= 0.4) verifies. Identical plane literals on both engines. */
   def q45(spark: SparkSession, dir: String): DataFrame = {
@@ -84,10 +89,13 @@ object Similarity {
       val w = s"array(${planes(j).map(v => s"${v}D").mkString(",")})"
       when(expr(dotExpr("embedding", w)) > 0, lit("1")).otherwise(lit("0")).as(s"bit$j")
     }
-    val sigs = e.select(($"vec_id" +: bitCols): _*)
-    val bands = (0 until Planes / 2).map { b =>
+    // cache the one-pass signature table: the bit columns are interpreted
+    // higher-order folds (HOFs don't codegen), and downstream the 4-band
+    // union is self-joined — uncached they would be re-evaluated 8×
+    val sigs = e.select(($"vec_id" +: bitCols): _*).cache()
+    val bands = (0 until Bands).map { b =>
       sigs.select($"vec_id", lit(b).as("band"),
-        concat(col(s"bit${2 * b}"), col(s"bit${2 * b + 1}")).as("sig"))
+        concat((0 until BandRows).map(r => col(s"bit${BandRows * b + r}")): _*).as("sig"))
     }.reduce(_ unionAll _)
     val cand = bands.as("a").join(bands.as("c"),
         $"a.band" === $"c.band" && $"a.sig" === $"c.sig" && $"a.vec_id" < $"c.vec_id")
@@ -109,8 +117,9 @@ object Similarity {
          | i -> CAST(embedding[i] AS DOUBLE) * ($w)[i])) > 0 THEN '1' ELSE '0' END AS bit$j"""
         .stripMargin.replaceAll("\n", "")
     }.mkString(",\n  ")
-    val bandSelects = (0 until Planes / 2).map { b =>
-      s"SELECT vec_id, $b AS band, bit${2 * b} || bit${2 * b + 1} AS sig FROM sigs"
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until BandRows).map(r => s"bit${BandRows * b + r}").mkString(" || ")
+      s"SELECT vec_id, $b AS band, $sig AS sig FROM sigs"
     }.mkString("\nUNION ALL\n")
     s"""WITH sigs AS (SELECT vec_id,
        |  $bitExprs

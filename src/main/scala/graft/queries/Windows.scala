@@ -32,7 +32,6 @@ object Windows {
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"))
-      .orderBy($"o_orderkey")
   }
 
   val q22Sql: String =
@@ -61,7 +60,6 @@ object Windows {
         first($"event_type").over(wAll).as("first_type"),
         last($"event_type").over(wAll).as("last_type"),
         round(cume_dist().over(w), 6).as("cd"))
-      .orderBy($"event_id")
   }
 
   val q23Sql: String =
@@ -95,7 +93,6 @@ object Windows {
         sum(dec2($"l_quantity")).over(wRun).cast("double").as("running_qty"),
         (sum(dec2($"l_quantity")).over(wMove).cast("double") /
           count(lit(1)).over(wMove)).as("moving_avg_qty"))
-      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_partkey", $"l_suppkey")
   }
 
   val q24Sql: String =
@@ -126,7 +123,6 @@ object Windows {
         $"o_orderkey", $"o_custkey", $"order_day",
         sum(dec2($"o_totalprice")).over(w).cast("double").as("trailing_30d_total"),
         count(lit(1)).over(w).as("trailing_30d_orders"))
-      .orderBy($"o_orderkey")
   }
 
   val q25Sql: String =
