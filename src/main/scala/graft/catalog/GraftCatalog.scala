@@ -65,6 +65,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     isTable(Paths.get(tablePath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: SELECT * FROM graft.db.`t$history` etc.
+    if (ident.name().contains("$")) {
+      val Array(base, meta) = ident.name().split("\\$", 2)
+      val baseIdent = Identifier.of(ident.namespace(), base)
+      if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
+      val t = GraftTable.load(spark, tablePath(baseIdent))
+      val df = meta match {
+        case "history"    => t.history
+        case "snapshots"  => t.snapshotsMeta
+        case "files"      => t.filesMeta
+        case "refs"       => t.refsMeta
+        case "partitions" => t.partitionsMeta
+        case other => throw new NoSuchTableException(ident)
+      }
+      return GraftMetadataTable(ident.toString, df)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString)
   }

@@ -171,16 +171,22 @@ object Relational {
       |ORDER BY r_name""".stripMargin
 
   // ---------------------------------------------------------------- q06
-  /** Left outer join: every customer, with order stats (nulls → zero). */
+  /** Left outer join: every customer, with order stats (nulls → zero).
+    * Orders are pre-aggregated by key BEFORE the join, so the join input on
+    * the fact side is |customers-with-orders| rows, not |orders| — at scale
+    * the shuffle shrinks by the fan-out factor and AQE can broadcast the
+    * aggregate. */
   def q06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = customer(spark, dir)
-    val o = orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy($"c_custkey")
-      .agg(
-        count($"o_orderkey").as("n_orders"),
-        coalesce(msum($"o_totalprice"), lit(0.0)).as("total_spent"))
+    val perCust = orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), msum($"o_totalprice").as("total_spent"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        $"c_custkey",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"total_spent", lit(0.0)).as("total_spent"))
       .orderBy($"c_custkey")
   }
 

@@ -230,6 +230,21 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   def createBranch(name: String, v: Long = log.currentVersion): Unit =
     log.setRef(name, Ref(v, "branch"))
   def dropRef(name: String): Unit = log.dropRef(name)
+
+  /** Branch write (Iceberg branch semantics, SURVEY.md §2.8): append onto a
+    * branch head without touching main — a detached commit whose parent is
+    * the branch's snapshot, then the ref fast-forwards to it. */
+  def appendToBranch(name: String, df: DataFrame): Snapshot = {
+    val r = log.refs.getOrElse(name, throw new IllegalArgumentException(s"no ref $name"))
+    require(r.refType == "branch", s"$name is a tag — tags are immutable")
+    val base = log.snapshot(r.version)
+    val newFiles = writeFiles(conform(df, base), base.currentSchemaId, base.properties)
+    val snap = log.commitDetached(base.version, v => base.copy(
+      version = v, parent = base.version, timestampMs = now(),
+      operation = "append-branch", files = base.files ++ newFiles))
+    log.setRef(name, r.copy(version = snap.version))
+    snap
+  }
   /** Fast-forward a branch to the current head. */
   def fastForward(name: String): Unit = {
     val r = log.refs.getOrElse(name, throw new IllegalArgumentException(s"no ref $name"))
@@ -320,6 +335,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     import spark.implicits._
     log.refs.toSeq.map { case (n, r) => (n, r.refType, r.version) }
       .toDF("name", "type", "version")
+  }
+
+  /** `t.partitions` — per-partition file/row totals derived from file stats
+    * when a write distribution is declared (`write.partition-by`): a file
+    * whose min==max bound for the partition column belongs wholly to that
+    * partition (the normal case under hash distribution), otherwise it
+    * reports as "mixed". Pure metadata — no data scan. */
+  def partitionsMeta: DataFrame = {
+    import spark.implicits._
+    val partCol = log.current.properties.get("write.partition-by")
+      .flatMap(_.split(",").headOption).map(_.trim)
+    val rows = log.current.files.map { f =>
+      val value = partCol.flatMap(c => f.stats.get(c))
+        .map(st => if (st.min == st.max) st.min else "mixed")
+        .getOrElse("(unpartitioned)")
+      (value, f.rows, f.bytes)
+    }
+    rows.toDF("partition", "rows", "bytes")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("total_rows"),
+        sum("bytes").as("total_bytes"))
   }
 
   // -------------------------------------------------------------- internals

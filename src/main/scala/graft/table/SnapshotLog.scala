@@ -132,6 +132,28 @@ class SnapshotLog(tableRoot: String) {
     snap
   }
 
+  /** CAS commit that does NOT move HEAD and allows any existing snapshot as
+    * parent — the primitive behind branch writes (a branch head is a ref,
+    * not HEAD, so the linear-head check doesn't apply; version numbers stay
+    * globally unique via max+1 allocation). */
+  def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
+    require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
+    val next = listVersions.last + 1
+    val snap = build(next)
+    require(snap.version == next)
+    val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
+    Files.writeString(tmp, Serialization.write(snap))
+    try Files.createLink(versionPath(next), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"concurrent commit created v$next first; retry")
+    }
+    Files.deleteIfExists(tmp)
+    snap
+  }
+
   /** Move HEAD to an existing snapshot (rollback_to_snapshot /
     * set_current_snapshot — SURVEY.md §2.8 CALL procedures). */
   def setHead(v: Long): Unit = {

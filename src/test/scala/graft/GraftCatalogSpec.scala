@@ -86,6 +86,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.log.current.properties.get("write.partition-by").contains("grp"))
   }
 
+  test("metadata tables via $ suffix: history, snapshots, files, partitions") {
+    init()
+    spark.sql("CREATE TABLE graft.db.meta1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.meta1 VALUES (1)")
+    spark.sql("INSERT INTO graft.db.meta1 VALUES (2)")
+    val hist = spark.sql("SELECT * FROM graft.db.`meta1$history` ORDER BY version").collect()
+    assert(hist.map(_.getString(3)).toSeq == Seq("create", "append", "append"))
+    val snaps = spark.sql("SELECT total_rows FROM graft.db.`meta1$snapshots` ORDER BY version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(spark.sql("SELECT * FROM graft.db.`meta1$files`").count() == 2)
+    assert(spark.sql("SELECT * FROM graft.db.`meta1$partitions`").count() >= 1)
+  }
+
   test("joins between catalog tables and plain DataFrames work") {
     init()
     spark.sql("CREATE TABLE graft.db.dim (k BIGINT, v STRING)")

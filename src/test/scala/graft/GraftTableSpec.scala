@@ -84,6 +84,33 @@ class GraftTableSpec extends SparkSpec {
     assert(t.refsMeta.count() == 1)
   }
 
+  test("branch writes: append to a branch leaves main untouched") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    assert(t.read.count() == 1, "main must not see branch writes")
+    assert(t.readRef("audit").count() == 2)
+    t.appendToBranch("audit", Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    assert(t.readRef("audit").count() == 3)
+    // main keeps committing independently
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "name", "amount"))
+    assert(t.read.count() == 2)
+    intercept[IllegalArgumentException] {
+      t.createTag("v-tag"); t.appendToBranch("v-tag",
+        Seq((4L, "d", 40.0)).toDF("id", "name", "amount"))
+    }
+  }
+
+  test("partitions metadata table groups files by partition value") {
+    val path = tmpDir()
+    val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "name", "amount")
+    val t = GraftTable.create(spark, path, df,
+      properties = Map("write.partition-by" -> "name"))
+    val parts = t.partitionsMeta.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts.values.sum == 40)
+    assert(parts.keySet.subsetOf(Set("g0", "g1", "g2", "g3", "mixed")))
+  }
+
   test("cherrypick re-applies an append's files onto the current head") {
     val t = mk(Seq((1L, "a", 10.0)))
     t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount")) // v1
