@@ -5,7 +5,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -34,24 +35,68 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
   override def properties(): util.Map[String, String] =
     t.log.current.properties.asJava
 
-  private def snapshotDf(): DataFrame = (asOfVersion, asOfTimestampMs) match {
-    case (Some(v), _) => t.readVersion(v)
-    case (_, Some(ts)) => t.readAsOf(ts)
-    case _ => t.read
-  }
-
+  /** Scan with pushdown: accepted filters prune whole files from the
+    * snapshot log via column bounds (Iceberg-manifest-style, SURVEY.md §4
+    * row 1), column pruning narrows the parquet read schema, and both are
+    * re-applied on the inner DataFrame so the vectorized parquet reader gets
+    * its own row-group-level PushedFilters. Filters are also returned as
+    * residuals, so Spark re-checks them — pruning can never lose rows. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = schema()
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // conservatively all residual: Spark re-evaluates post-scan
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) required = requiredSchema
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema()
+        private val filters = pushed
+        private val outSchema = required
+        override def readSchema(): StructType = outSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = GraftDsv2Table.this.schema()
-            override def buildScan(): RDD[Row] = snapshotDf().rdd
+            override def schema: StructType = outSchema
+            override def buildScan(): RDD[Row] = {
+              val base = prunedDf(filters)
+              val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
+              filtered.select(outSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*).rdd
+            }
           }.asInstanceOf[T]
       }
     }
+
+  /** Best-effort translation of pushed filters back to Columns for the inner
+    * parquet scan (unsupported shapes are skipped — Spark re-checks all
+    * residuals anyway). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v)            => Some(col(c) === v)
+      case GreaterThan(c, v)        => Some(col(c) > v)
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= v)
+      case LessThan(c, v)           => Some(col(c) < v)
+      case LessThanOrEqual(c, v)    => Some(col(c) <= v)
+      case In(c, vs)                => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c)                => Some(col(c).isNull)
+      case IsNotNull(c)             => Some(col(c).isNotNull)
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case _ => None
+    }
+  }
+
+  private def prunedDf(filters: Array[Filter]): DataFrame = (asOfVersion, asOfTimestampMs) match {
+    case (Some(v), _)  => t.readPruned(t.log.snapshot(v), filters.toIndexedSeq)
+    case (_, Some(ts)) => t.readPruned(t.log.snapshotAsOf(ts), filters.toIndexedSeq)
+    case _             => t.readPruned(t.log.current, filters.toIndexedSeq)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

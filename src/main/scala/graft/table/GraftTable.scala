@@ -76,17 +76,20 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * renamed columns map by field id, added columns null-fill, dropped
     * columns vanish. `withMeta` threads parquet `_metadata` row identity
     * through for copy-on-write DML. */
-  private def readSnapshot(s: Snapshot, withMeta: Boolean = false): DataFrame = {
+  private def readSnapshot(s: Snapshot, withMeta: Boolean = false): DataFrame =
+    readFilesOf(s, s.files, withMeta)
+
+  private def readFilesOf(s: Snapshot, fileSet: Seq[DataFile], withMeta: Boolean): DataFrame = {
     val cur = schemaOf(s, s.currentSchemaId)
     val out = stripIds(cur)
-    if (s.files.isEmpty) {
+    if (fileSet.isEmpty) {
       val base = if (withMeta)
         StructType(out.fields :+ StructField("_graft_path", StringType)
           :+ StructField("_graft_pos", LongType))
       else out
       return emptyDf(base)
     }
-    val groups = s.files.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
+    val groups = fileSet.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
       val fileSchema = schemaOf(s, sid)
       val idToName = fileSchema.fields.map(f => fieldId(f) -> f.name).toMap
       val df = spark.read.schema(stripIds(fileSchema))
@@ -109,13 +112,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   // ----------------------------------------------------------------- writes
 
   /** Append: write new data files, commit a new snapshot referencing old +
-    * new files (Iceberg append — SURVEY.md §2.1 "Iceberg append write"). */
-  def append(df: DataFrame): Snapshot = {
+    * new files (Iceberg append — SURVEY.md §2.1 "Iceberg append write").
+    * `extraProps` lands in the SAME commit as the data — the hook the
+    * streaming sink uses to record its batch id atomically (exactly-once). */
+  def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): Snapshot = {
     val head = log.current
     val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "append", files = head.files ++ newFiles))
+      operation = "append", files = head.files ++ newFiles,
+      properties = head.properties ++ extraProps))
   }
 
   /** Replace the whole table content (INSERT OVERWRITE semantics). */
@@ -468,19 +474,55 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   }
 
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
-    * can contain `value` for `column` (the phase-B `SupportsPushDownFilters`
-    * seed — SURVEY.md §4 row 1). Files lacking stats are kept (safe). */
-  def filesPossiblyContaining(column: String, value: String): Seq[DataFile] = {
-    val field = schema.fields.find(_.name == column)
-      .getOrElse(throw new IllegalArgumentException(s"no column $column"))
-    def cmp(a: String, b: String): Int = field.dataType match {
-      case _: NumericType => java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _ => a.compareTo(b)
-    }
-    log.current.files.filter { f =>
-      f.stats.get(column).forall(st => cmp(st.min, value) <= 0 && cmp(value, st.max) <= 0)
+    * can contain `value` for `column` (the `SupportsPushDownFilters` seed —
+    * SURVEY.md §4 row 1). Files lacking stats are kept (safe). */
+  def filesPossiblyContaining(column: String, value: String): Seq[DataFile] =
+    log.current.files.filter(fileCanContain(log.current, _, column, value))
+
+  private def cmpAs(s: Snapshot, column: String, a: String, b: String): Int = {
+    val dt = schemaOf(s, s.currentSchemaId).fields.find(_.name == column).map(_.dataType)
+    dt match {
+      case Some(_: NumericType) => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b) // strings + ISO-formatted date/timestamp casts
     }
   }
+
+  private def fileCanContain(s: Snapshot, f: DataFile, column: String, value: String): Boolean =
+    f.stats.get(column).forall(st =>
+      cmpAs(s, column, st.min, value) <= 0 && cmpAs(s, column, value, st.max) <= 0)
+
+  /** Prune a snapshot's file list with data-source filters (the pushdown
+    * entry used by the DSv2 scan): a file is dropped only when a filter
+    * PROVES no row can match its [min,max] bounds; unknown filter shapes and
+    * stat-less files are kept. The same metadata-only pruning Iceberg's
+    * ScanBuilder does from manifest column bounds (reference `main.tf:803`;
+    * SURVEY.md §4 row 1). */
+  private[graft] def pruneFiles(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
+    import org.apache.spark.sql.sources._
+    def excluded(f: DataFile, flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) if v != null => !fileCanContain(s, f, c, v.toString)
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        vs.filter(_ != null).forall(v => !fileCanContain(s, f, c, v.toString))
+      case GreaterThan(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpAs(s, c, st.max, v.toString) <= 0)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpAs(s, c, st.max, v.toString) < 0)
+      case LessThan(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) >= 0)
+      case LessThanOrEqual(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) > 0)
+      case And(l, r) => excluded(f, l) || excluded(f, r)
+      case Or(l, r) => excluded(f, l) && excluded(f, r)
+      case _ => false // unknown shape: cannot prove exclusion, keep the file
+    }
+    s.files.filter(f => !filters.exists(fl => excluded(f, fl)))
+  }
+
+  /** Pruned + projected read of a snapshot for the DSv2 V1 fallback scan. */
+  private[graft] def readPruned(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    readFilesOf(s, pruneFiles(s, filters), withMeta = false)
 }
 
 object GraftTable {

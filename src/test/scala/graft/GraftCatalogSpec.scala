@@ -99,6 +99,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.db.`meta1$partitions`").count() >= 1)
   }
 
+  test("scan pushdown: stats prune files, filtered SQL results stay exact") {
+    init()
+    spark.sql("CREATE TABLE graft.db.pr (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.pr SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.db.pr SELECT id, CAST(id AS DOUBLE) FROM range(1000, 1100)")
+    spark.sql("INSERT INTO graft.db.pr SELECT id, CAST(id AS DOUBLE) FROM range(2000, 2100)")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/pr")
+    val all = t.log.current.files
+    assert(all.size >= 3)
+    // log-level pruning: an equality in the middle range keeps only its files
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    assert(t.pruneFiles(t.log.current, Seq(EqualTo("id", 1050L))).size < all.size)
+    assert(t.pruneFiles(t.log.current, Seq(GreaterThan("id", 5000L))).isEmpty)
+    // SQL through the pruned scan still returns exact answers
+    assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id = 1050").collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id >= 2000").collect()(0).getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id > 5000").collect()(0).getLong(0) == 0)
+    // column pruning: projecting one column works through the narrowed schema
+    assert(spark.sql("SELECT v FROM graft.db.pr WHERE id = 42").collect()(0).getDouble(0) == 42.0)
+  }
+
   test("joins between catalog tables and plain DataFrames work") {
     init()
     spark.sql("CREATE TABLE graft.db.dim (k BIGINT, v STRING)")

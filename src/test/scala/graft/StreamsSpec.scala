@@ -69,6 +69,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink into a graft table: appends per micro-batch, exactly-once on replay") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-sink-").toString
+    val table = graft.table.GraftTable.createEmpty(spark, dir,
+      Seq.empty[Event].toDS().toDF().schema)
+    val ms = MemoryStream[Event]
+    val q = ms.toDF().writeStream
+      .foreachBatch(graft.streaming.Streams.graftSink(table) _)
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 0, 1, "a"), ev(2, 1, 1, "b"))
+      q.processAllAvailable()
+      ms.addData(ev(3, 2, 2, "c"))
+      q.processAllAvailable()
+      assert(table.read.count() == 3)
+      // each micro-batch is one ACID snapshot commit
+      assert(table.history.collect().count(_.getString(3) == "append") == 2)
+      // replayed batch id (at-least-once delivery) must be a no-op
+      val v = table.log.currentVersion
+      graft.streaming.Streams.graftSink(table)(
+        Seq(ev(99, 3, 9, "dup")).toDS().toDF(), batchId = 1)
+      assert(table.log.currentVersion == v && table.read.count() == 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running counts across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
