@@ -124,6 +124,28 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       properties = head.properties ++ extraProps))
   }
 
+  /** Append under contention: retry the CAS on [[CommitConflictException]]
+    * with the standard optimistic-concurrency loop (files are written once;
+    * only the metadata commit retries — same as Iceberg's commit retry). */
+  def appendWithRetry(df: DataFrame, maxRetries: Int = 10): Snapshot = {
+    val staged = writeFiles(conform(df, log.current), log.current.currentSchemaId,
+      log.current.properties)
+    var attempt = 0
+    while (true) {
+      val head = log.current
+      try {
+        return log.commit(head.version, v => head.copy(
+          version = v, parent = head.version, timestampMs = now(),
+          operation = "append", files = head.files ++ staged))
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Replace the whole table content (INSERT OVERWRITE semantics). */
   def overwrite(df: DataFrame): Snapshot = {
     val head = log.current

@@ -205,6 +205,20 @@ class GraftTableSpec extends SparkSpec {
     assert(t.log.currentVersion == head.version + 1)
   }
 
+  test("concurrent appenders: every writer's rows land exactly once") {
+    val t = mk(Seq((0L, "base", 0.0)))
+    val writers = (1 to 4).map { i =>
+      new Thread(() =>
+        t.appendWithRetry(Seq((i.toLong, s"w$i", i * 1.0)).toDF("id", "name", "amount")))
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    val ids = t.read.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L, 3L, 4L), s"lost/duplicated commits: $ids")
+    // linear history: every snapshot's parent is the previous version
+    val hist = t.history.orderBy("version").collect()
+    assert(hist.map(_.getLong(1)).toSeq == (-1L +: hist.map(_.getLong(0)).dropRight(1).toSeq))
+  }
+
   test("write distribution properties shape output files") {
     val path = tmpDir()
     val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "name", "amount")

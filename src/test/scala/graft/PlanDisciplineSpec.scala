@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.{Relational, SetSort}
+
+/** Physical-plan discipline (the 100 TB checklist): filters reach the
+  * parquet scan as PushedFilters, column pruning narrows ReadSchema,
+  * dimension joins broadcast, expressions stay inside whole-stage codegen,
+  * and nothing plans a CartesianProduct unless cross join IS the operator. */
+class PlanDisciplineSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: the shipdate filter is pushed into the parquet scan") {
+    val plan = planOf(Relational.q01(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q01: column pruning — ReadSchema carries only referenced columns") {
+    val plan = planOf(Relational.q01(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q02: every pushable predicate lands in PushedFilters") {
+    val plan = planOf(Relational.q02(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("In(o_orderstatus"), "IN not pushed")
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice"), "BETWEEN not pushed")
+  }
+
+  test("q05: both dimension joins are broadcast hash joins") {
+    val plan = planOf(Relational.q05(spark, sf))
+    // two BHJ nodes in the tree section (each also repeats in the details)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("q04: fact-fact join is a shuffle join or AQE-selected broadcast, never NLJ") {
+    val plan = planOf(Relational.q04(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("aggregation queries use whole-stage codegen") {
+    // codegen spans materialize in the final (post-AQE) executed plan
+    val df = Relational.q01(spark, sf)
+    df.collect()
+    // `*(N)` prefixes mark whole-stage-codegen spans in simpleString
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("*(2)"),
+      s"scan/agg stages not codegen'd:\n$plan")
+  }
+
+  test("only the cross-join query plans a cartesian/unconditioned NLJ") {
+    val crossy = Seq("q11_join_cross", "q12_join_range")
+    Relational.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sf))
+      val hasNlj = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (crossy.contains(name)) assert(hasNlj, s"$name should be NLJ-shaped")
+      else assert(!hasNlj, s"$name unexpectedly plans a nested-loop join")
+    }
+  }
+
+  test("top-k never globally sorts") {
+    val plan = planOf(SetSort.q30(spark, sf))
+    assert(!plan.matches("(?s).*Sort .*Exchange rangepartitioning.*"), plan)
+  }
+}
