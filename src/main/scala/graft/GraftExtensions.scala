@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, MinHashSignature}
+
+/** Session-extensions hook — the engine's analogue of the reference's
+  * `spark.sql.extensions = IcebergSparkSessionExtensions` line
+  * (`main.tf:803`): registers the custom Catalyst functions with SQL.
+  *
+  * {{{
+  *   spark.sql.extensions = graft.GraftExtensions
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT doc_id, minhash_sig(shingle, 12) FROM ... GROUP BY doc_id
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
+        CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(value, numHashes)")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an int literal, got $other")
+        }
+        MinHashSignature(args(0), k)
+      }))
+  }
+}

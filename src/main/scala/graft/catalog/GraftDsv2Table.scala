@@ -21,7 +21,22 @@ import graft.table.GraftTable
   * no bespoke row-level IO. */
 case class GraftDsv2Table(t: GraftTable, identName: String,
     asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM graft.db.t WHERE ...` (and `TRUNCATE TABLE` through
+    * the inherited default): translate the pushed filters and run the
+    * copy-on-write row-level delete. Refuse (-> Spark errors with a clear
+    * message) when any filter shape can't be translated exactly. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.delete(cond)
+  }
 
   override def name(): String = identName
 
@@ -88,6 +103,9 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       case IsNotNull(c)             => Some(col(c).isNotNull)
       case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
       case Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c)    => toColumn(c).map(!_)
+      case AlwaysTrue()  => Some(org.apache.spark.sql.functions.lit(true))
+      case AlwaysFalse() => Some(org.apache.spark.sql.functions.lit(false))
       case _ => None
     }
   }

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — stays
+    * inside the whole-stage loop instead of interpreted HOF folds. */
+  private def cosine(a: String, b: String) =
+    graft.functions.CosineSimilarity(col(a), expr(b))
 
   /** Exact brute-force cosine top-k (baseline; plans as TakeOrderedAndProject). */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,

@@ -20,7 +20,7 @@ import graft.Tables._
 object Dedup {
 
   /** Distinct 3-word shingles per document: (doc_id, shingle). */
-  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("w"))
@@ -60,9 +60,13 @@ object Dedup {
   def q41(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
-    val sig = sh.withColumn("i", explode(expr("sequence(0, 11)")))
-      .groupBy($"doc_id", $"i")
-      .agg(min(md5(concat($"i".cast("string"), lit("|"), $"shingle").cast("binary"))).as("s"))
+    // one-pass sketch: the TypedImperativeAggregate keeps all 12 salted-md5
+    // minima per doc in a single traversal (map-side combinable) instead of
+    // exploding every shingle 12× — same hash family, same answer
+    // (graft.functions.MinHashSignature; SURVEY.md §2.10)
+    val sig = sh.groupBy($"doc_id")
+      .agg(graft.functions.MinHashSignature($"shingle", 12).as("sigs"))
+      .select($"doc_id", posexplode($"sigs").as(Seq("i", "s")))
     // cache: the band table is tiny (docs × b rows) and self-joined — without
     // it the whole shingle→signature pipeline would run twice
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))

@@ -42,13 +42,12 @@ object Similarity {
     }
   }
 
-  /** Shared fold: Σ CAST(x AS DOUBLE)*CAST(y AS DOUBLE) in array order. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-  private def normExpr(a: String): String =
-    s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-  private def cosExpr(a: String, b: String): Column =
-    expr(s"${dotExpr(a, b)} / (${normExpr(a)} * ${normExpr(b)})")
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity): index-order
+    * double accumulation — bit-identical to the explicit fold formula the
+    * DuckDB oracle runs, but compiled into the whole-stage loop instead of
+    * an interpreted higher-order function. */
+  private def cos(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -64,7 +63,7 @@ object Similarity {
     val e = embeddings(spark, dir)
     val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
     e.crossJoin(broadcast(qv))
-      .select($"vec_id", round(cosExpr("embedding", "qv"), 3).as("cos_sim"))
+      .select($"vec_id", round(cos($"embedding", $"qv"), 3).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }
@@ -84,10 +83,11 @@ object Similarity {
   def q45(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, dir)
-    // bit_j = sign(w_j · v) for each plane j
+    // bit_j = sign(w_j · v) for each plane j; cosine shares the dot's sign
+    // (norms are positive), so the native expression computes it codegen'd
     val bitCols = (0 until Planes).map { j =>
-      val w = s"array(${planes(j).map(v => s"${v}D").mkString(",")})"
-      when(expr(dotExpr("embedding", w)) > 0, lit("1")).otherwise(lit("0")).as(s"bit$j")
+      val w = array(planes(j).map(v => lit(v.toFloat)): _*)
+      when(cos($"embedding", w) > 0, lit("1")).otherwise(lit("0")).as(s"bit$j")
     }
     // cache the one-pass signature table: the bit columns are interpreted
     // higher-order folds (HOFs don't codegen), and downstream the 4-band
@@ -104,7 +104,7 @@ object Similarity {
       .join(e.select($"vec_id".as("d1"), $"embedding".as("v1")), "d1")
       .join(e.select($"vec_id".as("d2"), $"embedding".as("v2")), "d2")
     withVecs
-      .withColumn("cos_sim", round(cosExpr("v1", "v2"), 3))
+      .withColumn("cos_sim", round(cos($"v1", $"v2"), 3))
       .filter($"cos_sim" >= 0.4)
       .select($"d1", $"d2", $"cos_sim")
       .orderBy($"d1", $"d2")

@@ -120,6 +120,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM graft.db.pr WHERE id = 42").collect()(0).getDouble(0) == 42.0)
   }
 
+  test("SQL DELETE FROM and TRUNCATE TABLE run as row-level operations") {
+    init()
+    spark.sql("CREATE TABLE graft.db.del (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.db.del SELECT id, concat('g', id % 2) FROM range(10)")
+    spark.sql("DELETE FROM graft.db.del WHERE grp = 'g1'")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del").collect()(0).getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft.db.del WHERE grp = 'g1'").collect()(0).getLong(0) == 0)
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/del")
+    assert(t.log.current.operation == "delete")
+    spark.sql("TRUNCATE TABLE graft.db.del")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del").collect()(0).getLong(0) == 0)
+  }
+
   test("joins between catalog tables and plain DataFrames work") {
     init()
     spark.sql("CREATE TABLE graft.db.dim (k BIGINT, v STRING)")
