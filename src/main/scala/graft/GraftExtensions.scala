@@ -7,17 +7,23 @@ import graft.functions.{CosineSimilarity, MinHashSignature}
 
 /** Session-extensions hook — the engine's analogue of the reference's
   * `spark.sql.extensions = IcebergSparkSessionExtensions` line
-  * (`main.tf:803`): registers the custom Catalyst functions with SQL.
+  * (`main.tf:803`): registers the custom Catalyst functions with SQL and
+  * the row-level SQL DML rewrite (UPDATE / MERGE INTO / full-expression
+  * DELETE) over graft catalog tables.
   *
   * {{{
   *   spark.sql.extensions = graft.GraftExtensions
   *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
   *   SELECT doc_id, minhash_sig(shingle, 12) FROM ... GROUP BY doc_id
+  *   UPDATE graft.db.t SET qty = qty + 1 WHERE id = 7
+  *   MERGE INTO graft.db.t t USING src s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(session => graft.catalog.GraftSqlDml(session))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,0 +1,157 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftglue.Bridge
+import graft.table.GraftTable
+
+/** SQL row-level DML over graft tables — the last piece of the reference's
+  * `IcebergSparkSessionExtensions` surface (reference `main.tf:803`;
+  * SURVEY.md §2.8): `UPDATE`, `MERGE INTO`, and arbitrary-predicate
+  * `DELETE FROM` as plain `spark.sql(...)` statements.
+  *
+  * Injected as a post-hoc resolution rule (see [[graft.GraftExtensions]]):
+  * once the analyzer has resolved the DML node against a graft DSv2
+  * relation, the node is replaced with an eagerly-executed command that
+  * routes into the engine's copy-on-write rewrites
+  * ([[GraftTable.update]] / [[GraftTable.delete]] / [[graft.table.MergeBuilder]]),
+  * so only files containing affected rows are rewritten — identical
+  * semantics and plan shape to the Scala API path.
+  *
+  * Resolved attribute references are re-qualified to unresolved names
+  * (`t.`/`s.` for MERGE, bare names for UPDATE/DELETE) so the expressions
+  * re-resolve against the engine's own scan of the table head at execution
+  * time. Subquery predicates and nested-field assignments are left
+  * untouched (Spark then reports them unsupported, same as stock DSv2).
+  */
+case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Unwrap a (possibly aliased) writable graft relation. Time-travel-pinned
+    * relations are not DML targets. */
+  private object GraftTarget {
+    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftDsv2Table)] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftDsv2Table if g.asOfVersion.isEmpty && g.asOfTimestampMs.isEmpty => Some((r, g))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def subqueryFree(e: Expression): Boolean = !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** Resolved attribute -> bare unresolved name (single-table UPDATE/DELETE). */
+  private def plain(e: Expression): Column =
+    Bridge.column(e.transform { case a: AttributeReference => UnresolvedAttribute(Seq(a.name)) })
+
+  /** Resolved target/source attributes -> `t.`/`s.`-qualified unresolved
+    * names, matching [[graft.table.MergeBuilder]]'s aliasing contract. */
+  private def requalify(e: Expression, t: AttributeSet, s: AttributeSet): Column =
+    Bridge.column(e.transform {
+      case a: AttributeReference if t.contains(a) => UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if s.contains(a) => UnresolvedAttribute(Seq("s", a.name))
+    })
+
+  private def topLevelKeys(as: Seq[Assignment]): Boolean =
+    as.forall(_.key.isInstanceOf[AttributeReference])
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(GraftTarget(_, g), assignments, condition)
+        if u.resolved && topLevelKeys(assignments) &&
+           (assignments.map(_.value) ++ condition).forall(subqueryFree) =>
+      val set = assignments
+        .map(a => a.key.asInstanceOf[AttributeReference].name -> plain(a.value)).toMap
+      GraftUpdateSqlCommand(g.t, plain(condition.getOrElse(Literal.TrueLiteral)), set)
+
+    // SupportsDelete only reaches pushable predicates; this covers the rest
+    // (arithmetic, functions, OR-trees) with the same file-level rewrite.
+    case d @ DeleteFromTable(GraftTarget(_, g), condition)
+        if d.resolved && subqueryFree(condition) =>
+      GraftDeleteSqlCommand(g.t, plain(condition))
+
+    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+      convertMerge(m).getOrElse(m)
+
+    case other => other
+  }
+
+  private def convertMerge(m: MergeIntoTable): Option[LogicalPlan] = m.targetTable match {
+    case GraftTarget(tr, g) =>
+      val tAtt = AttributeSet(tr.output)
+      val sAtt = AttributeSet(m.sourceTable.output)
+
+      def conv(actions: Seq[MergeAction], group: String): Option[Vector[SqlMergeClause]] = {
+        val out = actions.map {
+          case a: UpdateAction if topLevelKeys(a.assignments) &&
+              (a.condition.toSeq ++ a.assignments.map(_.value)).forall(subqueryFree) =>
+            Some(SqlMergeClause("update",
+              a.condition.map(requalify(_, tAtt, sAtt)),
+              a.assignments.map(x => x.key.asInstanceOf[AttributeReference].name ->
+                requalify(x.value, tAtt, sAtt)).toMap))
+          case a: DeleteAction if a.condition.forall(subqueryFree) =>
+            Some(SqlMergeClause("delete", a.condition.map(requalify(_, tAtt, sAtt)), Map.empty))
+          case a: InsertAction if group == "notMatched" && topLevelKeys(a.assignments) &&
+              (a.condition.toSeq ++ a.assignments.map(_.value)).forall(subqueryFree) =>
+            Some(SqlMergeClause("insert",
+              a.condition.map(requalify(_, tAtt, sAtt)),
+              a.assignments.map(x => x.key.asInstanceOf[AttributeReference].name ->
+                requalify(x.value, tAtt, sAtt)).toMap))
+          case _ => None // unexpanded star / nested keys / subquery — leave to Spark
+        }
+        if (out.forall(_.isDefined)) Some(out.flatten.toVector) else None
+      }
+
+      for {
+        _ <- if (subqueryFree(m.mergeCondition)) Some(()) else None
+        matched <- conv(m.matchedActions, "matched")
+        notMatched <- conv(m.notMatchedActions, "notMatched")
+        bySource <- conv(m.notMatchedBySourceActions, "bySource")
+      } yield GraftMergeSqlCommand(g.t, m.sourceTable,
+        requalify(m.mergeCondition, tAtt, sAtt), matched, notMatched, bySource)
+    case _ => None
+  }
+}
+
+/** One WHEN clause of a SQL MERGE, already re-qualified to `t`/`s` names. */
+case class SqlMergeClause(kind: String, cond: Option[Column], set: Map[String, Column])
+
+case class GraftUpdateSqlCommand(table: GraftTable, cond: Column, set: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = { table.update(cond, set); Seq.empty }
+}
+
+case class GraftDeleteSqlCommand(table: GraftTable, cond: Column)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = { table.delete(cond); Seq.empty }
+}
+
+case class GraftMergeSqlCommand(table: GraftTable, sourcePlan: LogicalPlan, cond: Column,
+    matched: Vector[SqlMergeClause], notMatched: Vector[SqlMergeClause],
+    bySource: Vector[SqlMergeClause])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val b = table.merge(Bridge.ofRows(session, sourcePlan), cond)
+    matched.foreach {
+      case SqlMergeClause("update", c, set) => b.whenMatchedUpdate(set, c)
+      case SqlMergeClause("delete", c, _)   => b.whenMatchedDelete(c)
+      case other => throw new IllegalStateException(s"bad matched clause $other")
+    }
+    notMatched.foreach {
+      case SqlMergeClause("insert", c, values) => b.whenNotMatchedInsert(values, c)
+      case other => throw new IllegalStateException(s"bad not-matched clause $other")
+    }
+    bySource.foreach {
+      case SqlMergeClause("update", c, set) => b.whenNotMatchedBySourceUpdate(set, c)
+      case SqlMergeClause("delete", c, _)   => b.whenNotMatchedBySourceDelete(c)
+      case other => throw new IllegalStateException(s"bad by-source clause $other")
+    }
+    b.execute()
+    Seq.empty
+  }
+}

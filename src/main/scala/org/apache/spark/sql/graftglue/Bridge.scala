@@ -1,14 +1,19 @@
 package org.apache.spark.sql.graftglue
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ↔ Catalyst-Expression bridge. Spark 4 made the converters
-  * `private[sql]` (the Connect split), so — like every Spark-native
-  * extension library — the engine keeps one glue object inside the sql
-  * package hierarchy to reach them. Nothing else lives here. */
+/** Column ↔ Catalyst-Expression (and LogicalPlan → DataFrame) bridge.
+  * Spark 4 made the converters `private[sql]` (the Connect split), so —
+  * like every Spark-native extension library — the engine keeps one glue
+  * object inside the sql package hierarchy to reach them. Nothing else
+  * lives here. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** SQL row-level DML through the extensions hook (reference `main.tf:803`
+  * — the `IcebergSparkSessionExtensions` analogue): UPDATE, MERGE INTO,
+  * and non-pushable DELETE as plain `spark.sql(...)` statements against
+  * catalog tables. */
+class GraftSqlDmlSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory(Paths.get("target"), "dml-wh-").toString
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+  }
+
+  test("SQL UPDATE rewrites matching rows, self-referencing expressions allowed") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.u1 (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.dml.u1 VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a')")
+    spark.sql("UPDATE graft.dml.u1 SET qty = qty + 5, tag = upper(tag) WHERE tag = 'a'")
+    val rows = spark.sql("SELECT id, qty, tag FROM graft.dml.u1 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 15L, "A"), (2L, 20L, "b"), (3L, 35L, "A")))
+  }
+
+  test("SQL UPDATE without WHERE touches every row") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.u2 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.dml.u2 VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("UPDATE graft.dml.u2 SET v = v * 10")
+    assert(spark.sql("SELECT sum(v) FROM graft.dml.u2").collect()(0).getDouble(0) == 30.0)
+  }
+
+  test("SQL DELETE with a non-pushable predicate (arithmetic over two columns)") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.d1 (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.dml.d1 VALUES (1, 1, 1), (2, 5, 6), (3, 2, 1)")
+    spark.sql("DELETE FROM graft.dml.d1 WHERE a + b > 10")
+    assert(spark.sql("SELECT id FROM graft.dml.d1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("SQL MERGE INTO: conditional update, delete, insert, by-source clauses") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.m1 (id BIGINT, qty BIGINT, status STRING)")
+    spark.sql("INSERT INTO graft.dml.m1 VALUES (1, 10, 'keep'), (2, 20, 'old'), (3, 30, 'old'), (4, 40, 'stale')")
+    spark.sql("""
+      MERGE INTO graft.dml.m1 t
+      USING (SELECT * FROM VALUES (2, 200L), (3, -1L), (5, 500L) AS s(id, qty)) s
+      ON t.id = s.id
+      WHEN MATCHED AND s.qty < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET qty = s.qty, status = 'merged'
+      WHEN NOT MATCHED THEN INSERT (id, qty, status) VALUES (s.id, s.qty, 'new')
+      WHEN NOT MATCHED BY SOURCE AND t.status = 'stale' THEN DELETE
+    """)
+    val rows = spark.sql("SELECT id, qty, status FROM graft.dml.m1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10L, "keep"), (2L, 200L, "merged"), (5L, 500L, "new")))
+  }
+
+  test("SQL MERGE INTO with UPDATE SET * / INSERT * star clauses") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.m2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.m2 VALUES (1, 'x'), (2, 'y')")
+    spark.sql("""
+      MERGE INTO graft.dml.m2 t
+      USING (SELECT * FROM VALUES (2, 'Y2'), (3, 'Z') AS s(id, v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.sql("SELECT id, v FROM graft.dml.m2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "x"), (2L, "Y2"), (3L, "Z")))
+  }
+
+  test("SQL DML commits snapshots: history shows update/delete/merge operations") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.h1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.dml.h1 VALUES (1), (2)")
+    spark.sql("UPDATE graft.dml.h1 SET id = id + 10 WHERE id = 1")
+    spark.sql("DELETE FROM graft.dml.h1 WHERE id % 2 = 0")
+    val ops = spark.sql("SELECT operation FROM graft.dml.`h1$history` ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.containsSlice(Seq("update", "delete")))
+    // time travel still sees the pre-DML state
+    assert(spark.sql("SELECT count(*) FROM graft.dml.h1 VERSION AS OF 1").collect()(0).getLong(0) == 2)
+  }
+}
