@@ -77,6 +77,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case "files"      => t.filesMeta
         case "refs"       => t.refsMeta
         case "partitions" => t.partitionsMeta
+        case "manifests"  => t.manifestsMeta
+        case "entries"    => t.entriesMeta
         case other => throw new NoSuchTableException(ident)
       }
       return GraftMetadataTable(ident.toString, df)

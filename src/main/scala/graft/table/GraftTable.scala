@@ -109,6 +109,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     groups.reduce(_ unionAll _)
   }
 
+  /** Rows in data files that snapshot `toV` references and `fromV` does not
+    * — the append-stream increment between two snapshots (`fromV = -1`
+    * means everything in `toV`). Powers the table-as-stream source
+    * ([[graft.streaming.GraftSourceProvider]]): file-granular, no diffing
+    * of row contents, so an increment costs a scan of only the new files. */
+  def readAppended(fromV: Long, toV: Long): DataFrame = {
+    val to = log.snapshot(toV)
+    val had = if (fromV < 0) Set.empty[String]
+              else log.snapshot(fromV).files.map(_.path).toSet
+    readFilesOf(to, to.files.filterNot(f => had.contains(f.path)), withMeta = false)
+  }
+
   // ----------------------------------------------------------------- writes
 
   /** Append: write new data files, commit a new snapshot referencing old +
@@ -320,11 +332,45 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   /** Set write-distribution / ordering properties (`WRITE DISTRIBUTED BY /
     * ORDERED BY` — SURVEY.md §2.8): `write.partition-by`, `write.sort-by`
     * (comma-separated column lists applied on every write). */
-  def setProperties(props: Map[String, String]): Snapshot = {
+  def setProperties(props: Map[String, String]): Snapshot =
+    commitProperties("set-properties", props)
+
+  private def commitProperties(op: String, props: Map[String, String]): Snapshot = {
     val head = log.current
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "set-properties", properties = head.properties ++ props))
+      operation = op, properties = head.properties ++ props))
+  }
+
+  // -------------------------------------- partition-spec / write-order DDL
+
+  private def partitionFields: Seq[String] =
+    log.current.properties.get("write.partition-by").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** `ALTER TABLE … ADD PARTITION FIELD` (SURVEY.md §2.8 partition-spec
+    * evolution): existing files keep their layout — only future writes
+    * hash-distribute on the new field list, exactly like Iceberg spec
+    * evolution never rewrites data. */
+  def addPartitionField(column: String): Snapshot = {
+    require(schema.fieldNames.contains(column), s"no column $column")
+    require(!partitionFields.contains(column), s"$column already a partition field")
+    commitProperties("replace-partition-spec",
+      Map("write.partition-by" -> (partitionFields :+ column).mkString(",")))
+  }
+
+  /** `ALTER TABLE … DROP PARTITION FIELD`. */
+  def dropPartitionField(column: String): Snapshot = {
+    require(partitionFields.contains(column), s"$column is not a partition field")
+    commitProperties("replace-partition-spec",
+      Map("write.partition-by" -> partitionFields.filterNot(_ == column).mkString(",")))
+  }
+
+  /** `ALTER TABLE … WRITE ORDERED BY cols` — future writes sort within
+    * partitions so column bounds tighten and scan pruning bites. */
+  def writeOrderedBy(columns: String*): Snapshot = {
+    columns.foreach(c => require(schema.fieldNames.contains(c), s"no column $c"))
+    commitProperties("set-write-order", Map("write.sort-by" -> columns.mkString(",")))
   }
 
   // ------------------------------------------------------- metadata tables
@@ -384,6 +430,52 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       .groupBy("partition")
       .agg(count(lit(1)).as("n_files"), sum("rows").as("total_rows"),
         sum("bytes").as("total_bytes"))
+  }
+
+  /** `t.manifests` — one row per live snapshot-metadata JSON (the format's
+    * manifest analogue): its path, size, and the file totals it tracks. */
+  def manifestsMeta: DataFrame = {
+    import spark.implicits._
+    log.listVersions.map { v =>
+      val s = log.snapshot(v)
+      val p = log.metaDir.resolve(s"v$v.json")
+      (s"_graft/v$v.json", Files.size(p), s.version, s.operation,
+        s.files.size, s.files.map(_.rows).sum, s.schemas.size)
+    }.toDF("path", "length", "version", "operation", "n_files", "total_rows", "n_schemas")
+  }
+
+  /** `t.entries` — per-(snapshot, file) manifest-entry view: which files
+    * each snapshot added, carried over, or deleted relative to its parent
+    * (Iceberg `$entries` statuses). Pure metadata — no data scan. */
+  def entriesMeta: DataFrame = {
+    import spark.implicits._
+    val live = log.listVersions.toSet
+    val rows = log.listVersions.flatMap { v =>
+      val s = log.snapshot(v)
+      val parent = Option(s.parent).filter(p => p >= 0 && live.contains(p)).map(log.snapshot)
+      val parentFiles = parent.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+      val cur = s.files.map(_.path).toSet
+      s.files.map { f =>
+        val status = if (parentFiles.contains(f.path)) "existing" else "added"
+        (v, status, f.path, f.rows, f.bytes, f.schemaId)
+      } ++ parentFiles.collect { case (p, f) if !cur.contains(p) =>
+        (v, "deleted", f.path, f.rows, f.bytes, f.schemaId)
+      }
+    }
+    rows.toDF("snapshot_version", "status", "file_path", "rows", "bytes", "schema_id")
+  }
+
+  /** `CALL rewrite_manifests` analogue: re-commit the head with metadata
+    * compacted — schema entries no live file references are dropped, so the
+    * per-snapshot JSON stops growing with schema-evolution history. Data
+    * files untouched. */
+  def rewriteManifests(): Snapshot = {
+    val head = log.current
+    val liveIds = head.files.map(_.schemaId).toSet + head.currentSchemaId
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "rewrite-manifests",
+      schemas = head.schemas.view.filterKeys(k => liveIds.contains(k.toInt)).toMap))
   }
 
   // -------------------------------------------------------------- internals

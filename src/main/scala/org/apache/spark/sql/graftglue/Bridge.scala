@@ -16,4 +16,13 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as streaming (`isStreaming = true`) — what a
+    * V1 `Source.getBatch` must return; MicroBatchExecution asserts on it. */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    cls.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

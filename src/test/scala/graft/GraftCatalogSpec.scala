@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
   * spark-sql entry point re-created locally (reference README.md:35-46). */
 class GraftCatalogSpec extends SparkSpec {
 
-  private lazy val wh = Files.createTempDirectory(Paths.get("target"), "warehouse-").toString
+  private def wh = SparkSpec.warehouse
 
   private def init(): Unit = {
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")

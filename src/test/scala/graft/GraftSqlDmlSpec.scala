@@ -8,11 +8,9 @@ import java.nio.file.{Files, Paths}
   * catalog tables. */
 class GraftSqlDmlSpec extends SparkSpec {
 
-  private lazy val wh = Files.createTempDirectory(Paths.get("target"), "dml-wh-").toString
-
   private def init(): Unit = {
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
   }
 

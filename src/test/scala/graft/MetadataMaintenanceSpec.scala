@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.table.GraftTable
+
+/** The remaining §2.8 management rows: `$entries`/`$manifests` metadata
+  * tables, rewrite_manifests, and partition-spec / write-order evolution. */
+class MetadataMaintenanceSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).resolve("t").toString
+
+  test("entries metadata tracks added / existing / deleted per snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("entries-"), Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.delete(org.apache.spark.sql.functions.col("id") === 1L)
+
+    val e = t.entriesMeta.collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+    assert(e(0L).map(_._2).forall(_ == "added"))             // create: all new
+    assert(e(1L).map(_._2).toSet == Set("added", "existing")) // append
+    assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
+  }
+
+  test("manifests metadata lists one row per live snapshot JSON") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("manifests-"), Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    val m = t.manifestsMeta.collect()
+    assert(m.length == 2)
+    assert(m.forall(_.getLong(1) > 0)) // real file lengths
+    assert(m.map(_.getString(0)).forall(_.startsWith("_graft/v")))
+  }
+
+  test("rewriteManifests drops schema history unused by live files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("rwm-"), Seq(1L, 2L).toDF("id"))
+    t.addColumn("extra", org.apache.spark.sql.types.StringType)
+    t.renameColumn("extra", "extra2")
+    t.dropColumn("extra2")
+    assert(t.log.current.schemas.size == 4)
+    // data files were all written under schema 0; head uses schema 3
+    t.rewriteManifests()
+    assert(t.log.current.schemas.size == 2)
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L)) // still readable
+  }
+
+  test("partition-spec evolution changes layout for future writes only") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("pspec-"), Seq((1L, "x")).toDF("id", "k"))
+    t.addPartitionField("k")
+    assert(t.log.current.properties("write.partition-by") == "k")
+    assert(t.log.current.operation == "replace-partition-spec")
+    t.append(Seq((2L, "y")).toDF("id", "k")) // must not throw; new layout applies
+    t.dropPartitionField("k")
+    assert(t.log.current.properties("write.partition-by").isEmpty)
+    intercept[IllegalArgumentException] { t.addPartitionField("nope") }
+  }
+
+  test("writeOrderedBy tightens per-file bounds for pruning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("worder-"), Seq((1L, 9L)).toDF("id", "v"))
+    t.writeOrderedBy("v")
+    assert(t.log.current.properties("write.sort-by") == "v")
+    assert(t.log.current.operation == "set-write-order")
+  }
+
+  test("SQL $entries and $manifests metadata tables resolve through the catalog") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.mt (id BIGINT)")
+    spark.sql("INSERT INTO graft.meta.mt VALUES (1), (2)")
+    assert(spark.sql("SELECT * FROM graft.meta.`mt$manifests`").count() == 2)
+    assert(spark.sql("SELECT status FROM graft.meta.`mt$entries` WHERE snapshot_version = 1")
+      .collect().map(_.getString(0)).contains("added"))
+  }
+}

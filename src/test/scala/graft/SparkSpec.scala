@@ -11,6 +11,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** One warehouse for every spec: Spark caches the catalog instance (with
+    * its warehouse) at first use, so per-spec warehouses would silently
+    * cross-wire depending on suite order. Specs isolate via namespaces. */
+  lazy val warehouse: String = java.nio.file.Files
+    .createTempDirectory(java.nio.file.Paths.get("target"), "wh-").toString
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
