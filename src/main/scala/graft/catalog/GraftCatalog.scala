@@ -28,7 +28,7 @@ import graft.table.GraftTable
   * Layout: `<warehouse>/<namespace>/<table>/` — each table dir is a snapshot
   * log owned by [[graft.table.GraftTable]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -49,6 +49,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
   private def isTable(p: java.nio.file.Path): Boolean =
     Files.exists(p.resolve("_graft").resolve("HEAD"))
+
+  // --------------------------------------------------------- procedures
+
+  /** `CALL graft.system.<proc>(...)` — Iceberg-style maintenance procedures
+    * (SURVEY.md §2.8; see [[GraftProcedures]]). */
+  private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.registry(name => (warehouse +: name.split("\\.").toSeq).mkString("/"))
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system")) && procedures.contains(ident.name())))
+      throw new IllegalArgumentException(
+        s"no procedure $ident; known: ${procedures.keys.toSeq.sorted.mkString(", ")}")
+    procedures(ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toSeq.sorted.map(n => Identifier.of(Array("system"), n)).toArray
 
   // ------------------------------------------------------------- tables
 

@@ -1,0 +1,91 @@
+package graft.catalog
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import graft.table.GraftTable
+
+/** The reference's `CALL catalog.system.<proc>(...)` maintenance surface
+  * (SURVEY.md §2.8 CALL rows; reference `main.tf:803` — Iceberg's stored
+  * procedures), implemented on Spark 4's DSv2 `ProcedureCatalog` API so the
+  * statements run as first-class SQL:
+  *
+  * {{{
+  *   CALL graft.system.expire_snapshots(`table` => 'db.t', keep_last => 5)
+  *   CALL graft.system.rollback_to_snapshot('db.t', 3)
+  *   CALL graft.system.rewrite_data_files('db.t', 4)
+  *   CALL graft.system.create_changelog_view('db.t', 0, 3, 'changes')
+  *   CALL graft.system.import_parquet('db.t2', '/data/existing_parquet')
+  * }}}
+  *
+  * Each procedure body delegates to the corresponding [[GraftTable]]
+  * maintenance API; nothing here touches data except through those
+  * snapshot-committing paths.
+  */
+private[catalog] object GraftProcedures {
+
+  /** One IN parameter. */
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** Self-binding procedure: fixed IN params, body over the coerced args. */
+  private final class Proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter])(body: (SparkSession, InternalRow) => Unit)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      body(SparkSession.active, input)
+      util.Collections.emptyIterator[Scan]()
+    }
+  }
+
+  /** Build the procedure registry against a `db.table -> path` resolver. */
+  def registry(tablePathOf: String => String): Map[String, UnboundProcedure] = {
+    def load(spark: SparkSession, row: InternalRow): GraftTable =
+      GraftTable.load(spark, tablePathOf(row.getUTF8String(0).toString))
+    val tbl = in("table", StringType)
+
+    val procs: Seq[UnboundProcedure] = Seq(
+      new Proc("rollback_to_snapshot", "move HEAD back to an existing snapshot",
+        Seq(tbl, in("version", LongType)))((s, r) => load(s, r).rollbackTo(r.getLong(1))),
+      new Proc("rollback_to_timestamp", "move HEAD to the snapshot current as of a timestamp (epoch ms)",
+        Seq(tbl, in("timestamp_ms", LongType)))((s, r) => {
+        val t = load(s, r); t.rollbackTo(t.log.snapshotAsOf(r.getLong(1)).version)
+      }),
+      new Proc("set_current_snapshot", "set HEAD to an arbitrary snapshot",
+        Seq(tbl, in("version", LongType)))((s, r) => load(s, r).rollbackTo(r.getLong(1))),
+      new Proc("cherrypick_snapshot", "re-apply a snapshot's added files onto HEAD",
+        Seq(tbl, in("version", LongType)))((s, r) => load(s, r).cherrypick(r.getLong(1))),
+      new Proc("expire_snapshots", "drop all but the newest keep_last snapshots, then GC",
+        Seq(tbl, in("keep_last", LongType)))((s, r) =>
+        load(s, r).expireSnapshots(r.getLong(1).toInt)),
+      new Proc("remove_orphan_files", "delete data files no live snapshot references",
+        Seq(tbl))((s, r) => load(s, r).removeOrphanFiles()),
+      new Proc("rewrite_data_files", "compact the table into target_files files",
+        Seq(tbl, in("target_files", LongType)))((s, r) =>
+        load(s, r).rewriteDataFiles(r.getLong(1).toInt)),
+      new Proc("rewrite_manifests", "compact snapshot metadata (drop dead schema history)",
+        Seq(tbl))((s, r) => load(s, r).rewriteManifests()),
+      new Proc("fast_forward", "advance a branch ref to the main HEAD",
+        Seq(tbl, in("branch", StringType)))((s, r) =>
+        load(s, r).fastForward(r.getUTF8String(1).toString)),
+      new Proc("create_changelog_view", "register a temp view of CDC rows between two snapshots",
+        Seq(tbl, in("from_version", LongType), in("to_version", LongType),
+          in("view_name", StringType)))((s, r) =>
+        load(s, r).changelog(r.getLong(1), r.getLong(2))
+          .createOrReplaceTempView(r.getUTF8String(3).toString)),
+      new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
+        Seq(tbl, in("source_dir", StringType)))((s, r) =>
+        GraftTable.importParquet(s, r.getUTF8String(1).toString,
+          tablePathOf(r.getUTF8String(0).toString))))
+
+    procs.map(p => p.name() -> p).toMap
+  }
+}

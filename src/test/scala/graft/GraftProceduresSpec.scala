@@ -1,0 +1,68 @@
+package graft
+
+/** `CALL graft.system.<proc>(...)` — the reference's Iceberg stored-procedure
+  * surface as first-class SQL (reference `main.tf:803`; SURVEY.md §2.8). */
+class GraftProceduresSpec extends SparkSpec {
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+  }
+
+  test("CALL rollback_to_snapshot moves HEAD; set_current_snapshot moves it forward again") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.rb (id BIGINT)")
+    spark.sql("INSERT INTO graft.proc.rb VALUES (1)")
+    spark.sql("INSERT INTO graft.proc.rb VALUES (2)")
+    spark.sql("CALL graft.system.rollback_to_snapshot('proc.rb', 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.rb").collect()(0).getLong(0) == 1)
+    spark.sql("CALL graft.system.set_current_snapshot('proc.rb', 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.rb").collect()(0).getLong(0) == 2)
+  }
+
+  test("CALL expire_snapshots with named args prunes history but keeps HEAD readable") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.ex (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.proc.ex VALUES ($i)"))
+    spark.sql("CALL graft.system.expire_snapshots(`table` => 'proc.ex', keep_last => 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.`ex$history`").collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.ex").collect()(0).getLong(0) == 4)
+  }
+
+  test("CALL rewrite_data_files compacts, rewrite_manifests + remove_orphan_files run") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.rw (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.proc.rw VALUES ($i)"))
+    spark.sql("CALL graft.system.rewrite_data_files('proc.rw', 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.`rw$files`").collect()(0).getLong(0) == 1)
+    spark.sql("CALL graft.system.rewrite_manifests('proc.rw')")
+    spark.sql("CALL graft.system.remove_orphan_files('proc.rw')")
+    assert(spark.sql("SELECT sum(id) FROM graft.proc.rw").collect()(0).getLong(0) == 6)
+  }
+
+  test("CALL create_changelog_view registers a queryable CDC view") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.cdc (id BIGINT)")
+    spark.sql("INSERT INTO graft.proc.cdc VALUES (1)")
+    spark.sql("INSERT INTO graft.proc.cdc VALUES (2)")
+    spark.sql("CALL graft.system.create_changelog_view('proc.cdc', 1, 2, 'cdc_changes')")
+    val rows = spark.sql("SELECT id, _change_type FROM cdc_changes").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "insert")))
+  }
+
+  test("CALL import_parquet registers an existing parquet dir as a table (migrate)") {
+    init()
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "import-src-").toString
+    spark.read.parquet(s"$sf/region.parquet").write.mode("overwrite").parquet(dir)
+    spark.sql(s"CALL graft.system.import_parquet('proc.imported', '$dir')")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.imported").collect()(0).getLong(0) == 5)
+  }
+
+  test("unknown procedure fails to resolve") {
+    init()
+    val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
+    assert(e.getMessage.contains("nope"))
+  }
+}
