@@ -84,7 +84,18 @@ private[catalog] object GraftProcedures {
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,
-          tablePathOf(r.getUTF8String(0).toString))))
+          tablePathOf(r.getUTF8String(0).toString))),
+      // branch/tag DDL rides the CALL surface instead of a parser extension:
+      // same capability as Iceberg's ALTER TABLE ... CREATE BRANCH/TAG.
+      new Proc("create_branch", "create a branch ref at the current (or given) snapshot",
+        Seq(tbl, in("name", StringType), in("version", LongType)))((s, r) =>
+        load(s, r).createBranch(r.getUTF8String(1).toString, r.getLong(2))),
+      new Proc("create_tag", "create a tag ref at the current (or given) snapshot",
+        Seq(tbl, in("name", StringType), in("version", LongType)))((s, r) =>
+        load(s, r).createTag(r.getUTF8String(1).toString, r.getLong(2))),
+      new Proc("drop_ref", "drop a branch or tag ref",
+        Seq(tbl, in("name", StringType)))((s, r) =>
+        load(s, r).dropRef(r.getUTF8String(1).toString)))
 
     procs.map(p => p.name() -> p).toMap
   }

@@ -60,6 +60,19 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.proc.imported").collect()(0).getLong(0) == 5)
   }
 
+  test("CALL create_branch / create_tag / drop_ref manage refs via SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.br (id BIGINT)")
+    spark.sql("INSERT INTO graft.proc.br VALUES (1)")
+    spark.sql("CALL graft.system.create_branch('proc.br', 'audit', 1)")
+    spark.sql("CALL graft.system.create_tag('proc.br', 'v1', 1)")
+    val refs = spark.sql("SELECT name, type FROM graft.proc.`br$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("audit", "branch"), ("v1", "tag")))
+    spark.sql("CALL graft.system.drop_ref('proc.br', 'v1')")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.`br$refs`").collect()(0).getLong(0) == 1)
+  }
+
   test("unknown procedure fails to resolve") {
     init()
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
