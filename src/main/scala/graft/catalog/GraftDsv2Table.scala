@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +45,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def properties(): util.Map[String, String] =
     t.log.current.properties.asJava
@@ -116,14 +116,32 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     case _             => t.readPruned(t.log.current, filters.toIndexedSeq)
   }
 
+  /** Writes: plain append, TRUNCATE-overwrite, and Iceberg-style
+    * overwrite-by-filter (`df.writeTo(t).overwrite(cond)` / static
+    * `INSERT OVERWRITE`): the filter rewrite commits matching-row removal
+    * and the new data in ONE snapshot. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var overwrite = false
+      private var overwriteCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => toColumn(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val cols = filters.map(f => toColumn(f).getOrElse(
+          throw new IllegalArgumentException(s"untranslatable overwrite filter $f")))
+        overwriteCond = cols.reduceOption(_ && _)
+        if (overwriteCond.isEmpty) overwrite = true // no filters == full overwrite
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwriteFlag: Boolean) => {
-            if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
+            overwriteCond match {
+              case Some(cond) => t.overwriteWhere(cond, data)
+              case None =>
+                if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
+            }
           }
       }
     }

@@ -179,6 +179,19 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     replaceFiles(head, touched, keep, "delete")
   }
 
+  /** Overwrite only rows matching `cond` with `df`, in ONE snapshot commit
+    * (Iceberg's overwrite-by-filter / static `INSERT OVERWRITE … WHERE`):
+    * files containing matching rows are rewritten without them, the new
+    * data lands alongside, untouched files carry over by reference. */
+  def overwriteWhere(cond: Column, df: DataFrame): Snapshot = {
+    val head = log.current
+    val full = readSnapshot(head, withMeta = true)
+    val touched = touchedPaths(full.filter(cond))
+    val keep = full.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
+      .drop("_graft_path", "_graft_pos")
+    replaceFiles(head, touched, keep, "overwrite", extraRows = Some(conform(df, head)))
+  }
+
   /** Row-level UPDATE as copy-on-write rewrite of touched files. */
   def update(cond: Column, set: Map[String, Column]): Snapshot = {
     val head = log.current

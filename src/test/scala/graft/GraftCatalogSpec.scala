@@ -141,4 +141,21 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT r.id, d.v FROM range(10) r JOIN graft.db.dim d ON r.id % 2 = d.k")
     assert(joined.count() == 10)
   }
+
+  test("DataFrameWriterV2: writeTo(...).create / append / overwrite-by-filter") {
+    init()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo("graft.db.w2").create()
+    Seq((3L, "c")).toDF("id", "v").writeTo("graft.db.w2").append()
+    assert(spark.table("graft.db.w2").count() == 3)
+    // replace only id >= 2 rows with the new data, in one snapshot commit
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.db.w2").overwrite(col("id") >= 2L)
+    assert(spark.table("graft.db.w2").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/w2")
+    assert(t.log.current.operation == "overwrite")
+    // overwrite(true) == full replacement
+    Seq((7L, "q")).toDF("id", "v").writeTo("graft.db.w2").overwrite(lit(true))
+    assert(spark.table("graft.db.w2").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
 }
