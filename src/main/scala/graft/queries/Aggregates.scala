@@ -226,6 +226,29 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** PIVOT: rows→columns over the (known, bounded) `l_linestatus` domain —
+    * Catalyst's `PivotFirst` path. Values are listed explicitly (`Seq("F",
+    * "O")`), which is the 100 TB-safe form: no distinct-value pre-scan. */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec2($"l_quantity")).cast("double"))
+      .na.fill(0.0, Seq("F", "O"))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy($"l_returnflag")
+  }
+
+  val q55Sql: String =
+    """SELECT l_returnflag,
+      |  coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE, 0.0) AS qty_f,
+      |  coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE, 0.0) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_agg_distinct"       -> q13,
     "q14_agg_rollup"         -> q14,
@@ -235,7 +258,8 @@ object Aggregates {
     "q18_agg_collect"        -> q18,
     "q19_agg_percentiles"    -> q19,
     "q20_agg_stats"          -> q20,
-    "q21_agg_approx_distinct" -> q21)
+    "q21_agg_approx_distinct" -> q21,
+    "q55_agg_pivot"          -> q55)
 
   val oracleSql: Map[String, String] = Map(
     "q13_agg_distinct"      -> q13Sql,
@@ -245,5 +269,6 @@ object Aggregates {
     "q17_agg_having"        -> q17Sql,
     "q18_agg_collect"       -> q18Sql,
     "q19_agg_percentiles"   -> q19Sql,
-    "q20_agg_stats"         -> q20Sql)
+    "q20_agg_stats"         -> q20Sql,
+    "q55_agg_pivot"         -> q55Sql)
 }

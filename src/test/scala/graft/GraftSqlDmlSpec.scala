@@ -75,6 +75,30 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, "x"), (2L, "Y2"), (3L, "Z")))
   }
 
+  test("SQL UPDATE assignments are simultaneous (swap two columns)") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.sw (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.dml.sw VALUES (1, 10, 20)")
+    spark.sql("UPDATE graft.dml.sw SET a = b, b = a")
+    val r = spark.sql("SELECT a, b FROM graft.dml.sw").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (20L, 10L)) // not (20, 20)
+  }
+
+  test("SQL MERGE raises the SQL-standard cardinality violation on duplicate matches") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.cv (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.dml.cv VALUES (1, 0)")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO graft.dml.cv t
+        USING (SELECT * FROM VALUES (1, 100L), (1, 200L) AS s(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"))
+  }
+
   test("SQL DML commits snapshots: history shows update/delete/merge operations") {
     init()
     spark.sql("CREATE TABLE graft.dml.h1 (id BIGINT)")
