@@ -238,7 +238,26 @@ object Functions {
   def bucket(n: Int)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(c), lit(n))
 
+  // ---------------------------------------------------------------- q56
+  /** Table-generating functions (SURVEY.md §2.10): `posexplode` — Catalyst's
+    * `Generate` operator — turning one row into one row per array element
+    * with its ordinal. Generates inline with the scan (no shuffle). */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    part(spark, dir)
+      .select($"p_partkey", posexplode(split($"p_name", " ")))
+      .select($"p_partkey", $"pos".cast("long").as("pos"), $"col".as("word"))
+    // no trailing global sort: result is table-sized and the checker
+    // canonicalizes row order itself (a full range-shuffle buys nothing)
+  }
+
+  val q56Sql: String =
+    """SELECT p_partkey, i - 1 AS pos, w[i] AS word
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+      |CROSS JOIN UNNEST(range(1, len(w) + 1)) AS t(i)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_fn_generate"   -> q56,
     "q33_fn_string"     -> q33,
     "q34_fn_datetime"   -> q34,
     "q35_fn_math"       -> q35,
@@ -248,6 +267,7 @@ object Functions {
     "q39_fn_transforms" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q56_fn_generate"   -> q56Sql,
     "q33_fn_string"     -> q33Sql,
     "q34_fn_datetime"   -> q34Sql,
     "q35_fn_math"       -> q35Sql,
