@@ -68,4 +68,21 @@ class PlanDisciplineSpec extends SparkSpec {
     val plan = planOf(SetSort.q30(spark, sf))
     assert(!plan.matches("(?s).*Sort .*Exchange rangepartitioning.*"), plan)
   }
+
+  test("q56: posexplode generates inline with the scan — zero shuffles") {
+    val plan = planOf(graft.queries.Functions.q56(spark, sf))
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), s"generator query should not shuffle:\n$plan")
+  }
+
+  test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
+    // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
+    // the second shuffle moves already-aggregated (tiny) rows, so the shape
+    // scales; anything beyond agg+pivot+final-sort exchanges would not.
+    val plan = planOf(graft.queries.Aggregates.q55(spark, sf))
+    // tree-form "Exchange (N)" counts each node once ("(N) Exchange" = details)
+    assert("HashAggregate \\(\\d+\\)".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange \\(\\d+\\)".r.findAllIn(plan).size <= 3,
+      s"unexpected extra shuffle:\n$plan")
+  }
 }
