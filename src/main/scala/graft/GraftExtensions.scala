@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => graft.catalog.GraftSqlDml(session))
+    // keeps catalog-table SELECTs on the vectorized parquet path (see
+    // graft.plans.GraftNativeScan) instead of the row-based V1Scan fallback
+    ext.injectOptimizerRule(session => graft.plans.GraftNativeScan(session))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -110,7 +110,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     }
   }
 
-  private def prunedDf(filters: Array[Filter]): DataFrame = (asOfVersion, asOfTimestampMs) match {
+  private[graft] def prunedDf(filters: Array[Filter]): DataFrame = (asOfVersion, asOfTimestampMs) match {
     case (Some(v), _)  => t.readPruned(t.log.snapshot(v), filters.toIndexedSeq)
     case (_, Some(ts)) => t.readPruned(t.log.snapshotAsOf(ts), filters.toIndexedSeq)
     case _             => t.readPruned(t.log.current, filters.toIndexedSeq)

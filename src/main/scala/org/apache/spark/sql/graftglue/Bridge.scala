@@ -25,4 +25,10 @@ object Bridge {
       df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** Catalyst predicate → data-source `Filter` (the same translation Spark's
+    * own pushdown uses; `private[sql]` in Spark 4, hence bridged here). */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

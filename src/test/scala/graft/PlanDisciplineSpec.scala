@@ -75,6 +75,29 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"generator query should not shuffle:\n$plan")
   }
 
+  test("catalog-table SELECT plans as a vectorized parquet scan with pushdown") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.native (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.db.native SELECT id, CAST(id AS DOUBLE), concat('t', id % 3) FROM range(1000)")
+    val df = spark.sql("SELECT v FROM graft.db.native WHERE id >= 500")
+    assert(df.collect().length == 500)
+    val plan = planOf(df)
+    // the GraftNativeScan swap keeps the read on the stock columnar path:
+    // FileScan parquet + PushedFilters into row-group pruning, not the
+    // row-based V1Scan fallback (which plans as "Scan GraftDsv2Table")
+    assert(plan.contains("Scan parquet"), s"catalog read fell off the parquet path:\n$plan")
+    assert(!plan.contains("GraftDsv2Table"), s"V1 fallback still in plan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,500)"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("tag"), s"unpruned catalog scan: $readSchema")
+    // and the scan participates in whole-stage codegen
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+      "catalog scan not codegen'd")
+  }
+
   test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
     // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
     // the second shuffle moves already-aggregated (tiny) rows, so the shape
