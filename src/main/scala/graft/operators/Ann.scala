@@ -36,19 +36,25 @@ object Ann {
   }
 
   /** IVF index: (vectors tagged with centroid id, the centroid table).
-    * Deterministic init: every (n/nlist)-th vector by id order seeds a
-    * centroid; `iters` Lloyd rounds refine. */
+    * Deterministic init in two bounded steps: (1) draw 8×nlist candidates as
+    * the smallest id-hashes — a uniform pseudo-random sample that plans as
+    * TakeOrderedAndProject (per-partition heaps; k rows per partition cross
+    * the wire, the full vector set never funnels through one task); (2) a
+    * driver-side farthest-point sweep (k-means++ shape) over that tiny pool
+    * spreads the nlist seeds. Both steps are O(nlist)-sized regardless of
+    * table size. `iters` Lloyd rounds refine. */
   def ivfIndex(spark: SparkSession, vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    val n = vectors.count()
-    val stride = math.max(n / nlist, 1L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    // deterministic seeding without collect: rank by id, take every stride-th
-    var centroids = vectors
-      .withColumn("_rk", row_number().over(w))
-      .filter((col("_rk") - 1) % stride === 0).limit(nlist)
-      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        col(vecCol).as("cvec"))
+    val pool = vectors
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist * 8)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val seeds = farthestPoints(pool, nlist)
+    import spark.implicits._
+    var centroids = seeds.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "cvec")
+      .select(col("centroid_id"), col("cvec").cast("array<float>").as("cvec"))
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, centroids, idCol, vecCol)
       // update step: element-wise mean per centroid via posexplode
@@ -60,6 +66,28 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cvec"))
     }
     (assign(vectors, centroids, idCol, vecCol), centroids)
+  }
+
+  /** Greedy farthest-point selection over a small candidate pool: start from
+    * the first candidate, repeatedly add the one with the largest minimum
+    * cosine distance to the chosen set. O(pool × k) driver work on an
+    * O(nlist)-bounded pool. */
+  private def farthestPoints(pool: Array[Array[Float]], k: Int): Array[Array[Float]] = {
+    if (pool.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (chosen.length < math.min(k, pool.length)) {
+      val next = pool.maxBy(v => chosen.map(c => 1.0 - cosineLocal(v, c)).min)
+      chosen += next
+    }
+    chosen.toArray
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** Nearest-centroid assignment: broadcast the tiny centroid table, keep

@@ -122,16 +122,33 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q43
+  /** Max docs a shingle may appear in before the inverted index drops it: a
+    * stop-shingle shared by f docs contributes f²/2 candidate pairs and ~no
+    * Jaccard signal, so without this cap one hot 3-gram across 10⁶ docs
+    * would explode the self-join to 10¹² pairs. Sizes (the union term) stay
+    * exact — only the hot shingles' intersection contribution is forfeited,
+    * the standard prefix-filtering trade. */
+  private[graft] val HotShingleCap = 100L
+
   /** N-gram Jaccard near-dup: inverted-index join on shared shingles (docs
-    * sharing >=1 shingle), then |A∩B| / |A∪B| >= 0.4. At 100 TB add prefix
-    * filtering and salt stop-shingles before the join — the shape (shuffle
-    * on shingle, aggregate on pair) is already the scalable one. */
+    * sharing >=1 rare shingle), then |A∩B| / |A∪B| >= 0.4. The shape —
+    * shuffle on shingle, aggregate on pair, hot keys capped — is the one
+    * that survives 100 TB; join cost is Σ_shingle df² with df <= the cap. */
   def q43(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cached: used three times (self-join both sides + per-doc sizes)
     val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"), "shingle")
+    // inverted-index frequency cap: drop stop-shingles before the self-join.
+    // A count-over-shingle window (not groupBy+join) computes the frequency
+    // in the SAME hash(shingle) shuffle the self-join needs — the window's
+    // output partitioning satisfies the join requirement, so the cap adds
+    // zero extra exchanges.
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+      .filter($"df" <= HotShingleCap).drop("df")
+    val shared = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -147,8 +164,11 @@ object Dedup {
   val q43Sql: String =
     s"""WITH sh AS ($shinglesSql),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= $HotShingleCap),
        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-       |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |           FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT d1, d2, round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
        |FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
        |WHERE round(c::DOUBLE / (s1.n + s2.n - c), 4) >= 0.4

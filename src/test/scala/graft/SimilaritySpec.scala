@@ -58,6 +58,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall below 0.5 (exact=$exact approx=$approx)")
   }
 
+  test("IVF index plan never funnels the vector set through one partition") {
+    val e = Tables.embeddings(spark, sf)
+    val (index, _) = Ann.ivfIndex(spark, e, "vec_id", "embedding", nlist = 4, iters = 1)
+    // seeding is a bounded TakeOrderedAndProject draw + driver-side sweep;
+    // assignment windows partition by vec_id — nothing in the distributed
+    // plan may gather the full data into a single partition
+    val plan = index.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition funnel in IVF plan:\n${plan.linesIterator.take(30).mkString("\n")}")
+  }
+
   test("IVF index partitions the space: every vector gets exactly one centroid") {
     val e = Tables.embeddings(spark, sf)
     val (index, centroids) = Ann.ivfIndex(spark, e, "vec_id", "embedding", nlist = 4, iters = 1)
