@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => graft.catalog.GraftSqlDml(session))
+    // MERGE ... WITH SCHEMA EVOLUTION: evolve the graft target (add columns,
+    // loss-free widenings) in the first analyzer batch, while the merge is
+    // still unresolved — star expansion then sees the evolved schema
+    ext.injectHintResolutionRule(session => graft.catalog.GraftMergeEvolution(session))
     // keeps catalog-table SELECTs on the vectorized parquet path (see
     // graft.plans.GraftNativeScan) instead of the row-based V1Scan fallback
     ext.injectOptimizerRule(session => graft.plans.GraftNativeScan(session))

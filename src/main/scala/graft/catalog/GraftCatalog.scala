@@ -105,11 +105,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString)
   }
 
-  /** Time travel: `VERSION AS OF <v>`. */
+  /** Time travel: `VERSION AS OF <v>` — a numeric snapshot version, or a
+    * branch/tag name resolved through the ref log (Iceberg accepts both
+    * forms; SURVEY.md §2.8). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString,
-      asOfVersion = Some(version.toLong))
+    val t = GraftTable.load(spark, tablePath(ident))
+    val v = version.toLongOption.getOrElse(
+      t.log.refs.getOrElse(version, throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': not a snapshot version and no branch/tag with that name"))
+        .version)
+    GraftDsv2Table(t, ident.toString, asOfVersion = Some(v))
   }
 
   /** Time travel: `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
@@ -145,6 +151,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1, "nested drop not supported")
         t.dropColumn(d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "nested type change not supported")
+        // Iceberg evolution semantics: only loss-free widenings change the
+        // column. Spark's MERGE schema evolution requests the SOURCE type
+        // verbatim (even a narrowing like BIGINT→INT when the source used
+        // int literals); a narrower source needs no schema change — its
+        // values upcast on write — so that request is a no-op here.
+        val cur = t.schema.fields.find(_.name == u.fieldNames()(0))
+          .getOrElse(throw new IllegalArgumentException(s"no column ${u.fieldNames()(0)}"))
+        if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(cur.dataType, u.newDataType()))
+          t.updateColumnType(u.fieldNames()(0), u.newDataType())
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property() -> p.value()))
       case other =>

@@ -43,6 +43,13 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
   override def schema(): StructType =
     StructType(t.schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
+  /** Deliberately NOT declaring AUTOMATIC_SCHEMA_EVOLUTION: Spark's
+    * `ResolveMergeIntoSchemaEvolution` applies the SOURCE type verbatim on
+    * mismatch — including narrowings like BIGINT→INT when the source used
+    * int literals — and errors if the catalog refuses. MERGE … WITH SCHEMA
+    * EVOLUTION instead goes through [[GraftMergeEvolution]], which adds
+    * missing columns and applies loss-free widenings only (Iceberg 1.9
+    * semantics). */
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava

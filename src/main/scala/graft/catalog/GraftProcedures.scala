@@ -87,12 +87,22 @@ private[catalog] object GraftProcedures {
           tablePathOf(r.getUTF8String(0).toString))),
       // branch/tag DDL rides the CALL surface instead of a parser extension:
       // same capability as Iceberg's ALTER TABLE ... CREATE BRANCH/TAG.
+      // version defaults to -1 = "the current snapshot" (Iceberg's
+      // snapshot_id is likewise optional).
       new Proc("create_branch", "create a branch ref at the current (or given) snapshot",
-        Seq(tbl, in("name", StringType), in("version", LongType)))((s, r) =>
-        load(s, r).createBranch(r.getUTF8String(1).toString, r.getLong(2))),
+        Seq(tbl, in("name", StringType),
+          ProcedureParameter.in("version", LongType).defaultValue("-1").build()))((s, r) => {
+        val t = load(s, r)
+        val v = r.getLong(2)
+        t.createBranch(r.getUTF8String(1).toString, if (v < 0) t.log.currentVersion else v)
+      }),
       new Proc("create_tag", "create a tag ref at the current (or given) snapshot",
-        Seq(tbl, in("name", StringType), in("version", LongType)))((s, r) =>
-        load(s, r).createTag(r.getUTF8String(1).toString, r.getLong(2))),
+        Seq(tbl, in("name", StringType),
+          ProcedureParameter.in("version", LongType).defaultValue("-1").build()))((s, r) => {
+        val t = load(s, r)
+        val v = r.getLong(2)
+        t.createTag(r.getUTF8String(1).toString, if (v < 0) t.log.currentVersion else v)
+      }),
       new Proc("drop_ref", "drop a branch or tag ref",
         Seq(tbl, in("name", StringType)))((s, r) =>
         load(s, r).dropRef(r.getUTF8String(1).toString)))

@@ -75,7 +75,11 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         if d.resolved && subqueryFree(condition) =>
       GraftDeleteSqlCommand(g.t, plain(condition))
 
-    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+    // WITH SCHEMA EVOLUTION is fine here: by post-hoc time the analyzer's
+    // ResolveMergeIntoSchemaEvolution has already widened the table (the
+    // graft relation declares AUTOMATIC_SCHEMA_EVOLUTION), so the merge
+    // converts like any other.
+    case m: MergeIntoTable if m.resolved =>
       convertMerge(m).getOrElse(m)
 
     case other => other
@@ -115,6 +119,72 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield GraftMergeSqlCommand(g.t, m.sourceTable,
         requalify(m.mergeCondition, tAtt, sAtt), matched, notMatched, bySource)
     case _ => None
+  }
+}
+
+/** `MERGE … WITH SCHEMA EVOLUTION` over graft tables, with Iceberg 1.9
+  * semantics: source columns missing on the target are added (ID-based,
+  * null-filled for existing files, no rewrite); a name-matching column whose
+  * source type is a loss-free widening of the target's (INT→BIGINT,
+  * FLOAT→DOUBLE, …) widens; a NARROWER source type changes nothing — its
+  * values upcast on write.
+  *
+  * Injected as a HINT-resolution rule — the first analyzer batch — so the
+  * table evolves while the merge is still fully unresolved: star expansion
+  * and reference resolution then see the evolved schema from the start, and
+  * no attribute rewiring is needed. The source subquery is self-contained,
+  * so its schema comes from a standalone analysis. The flag is cleared so
+  * Spark's own AUTOMATIC_SCHEMA_EVOLUTION machinery (which would demand the
+  * source type verbatim, even a narrowing like BIGINT→INT — see
+  * [[GraftDsv2Table.capabilities]]) never engages; the merge then resolves
+  * and converts like any other ([[GraftSqlDml]]). */
+case class GraftMergeEvolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Load the merge target iff it names a graft table (current or explicit
+    * catalog), without resolving the plan. */
+  private def graftTarget(plan: LogicalPlan): Option[GraftDsv2Table] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      val cm = Bridge.catalogManager(spark)
+      val parts = u.multipartIdentifier
+      val (catalog, rest) =
+        if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+          (cm.catalog(parts.head), parts.tail)
+        else (cm.currentCatalog, parts)
+      catalog match {
+        case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+          val ident =
+            if (rest.length == 1)
+              org.apache.spark.sql.connector.catalog.Identifier.of(cm.currentNamespace, rest.head)
+            else
+              org.apache.spark.sql.connector.catalog.Identifier.of(rest.init.toArray, rest.last)
+          try tc.loadTable(ident) match {
+            case g: GraftDsv2Table if g.asOfVersion.isEmpty && g.asOfTimestampMs.isEmpty => Some(g)
+            case _ => None
+          } catch { case _: Exception => None }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case m: MergeIntoTable if m.withSchemaEvolution =>
+      graftTarget(m.targetTable) match {
+        case Some(g) =>
+          val target = g.t.schema
+          val sourceSchema = Bridge.ofRows(spark, m.sourceTable).schema
+          sourceSchema.fields.foreach { f =>
+            target.fields.find(_.name == f.name) match {
+              case None => g.t.addColumn(f.name, f.dataType)
+              case Some(ex) if ex.dataType != f.dataType &&
+                  org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(ex.dataType, f.dataType) =>
+                g.t.updateColumnType(f.name, f.dataType)
+              case _ => () // same type, or narrower source: nothing to evolve
+            }
+          }
+          m.copy(withSchemaEvolution = false)
+        case None => m
+      }
   }
 }
 

@@ -96,7 +96,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         .parquet(files.map(f => resolve(f.path)): _*)
       val cols = cur.fields.map { f =>
         idToName.get(fieldId(f)) match {
-          case Some(old) => col(old).as(f.name)
+          // cast covers type evolution (file written before a widening);
+          // a no-op when the types already agree
+          case Some(old) => col(old).cast(f.dataType).as(f.name)
           case None      => lit(null).cast(f.dataType).as(f.name)
         }
       }
@@ -322,6 +324,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       require(cur.fieldNames.contains(from), s"no column $from")
       require(!cur.fieldNames.contains(to), s"column $to exists")
       StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** ALTER TABLE ALTER COLUMN TYPE (widening, e.g. INT→BIGINT — the change
+    * MERGE WITH SCHEMA EVOLUTION requests when the source is wider): pure
+    * metadata; old files cast ID-wise to the new type on read. */
+  def updateColumnType(name: String, dataType: DataType): Snapshot =
+    evolveSchema("update-column-type") { cur =>
+      require(cur.fieldNames.contains(name), s"no column $name")
+      StructType(cur.fields.map(f => if (f.name == name) f.copy(dataType = dataType) else f))
     }
 
   /** ALTER TABLE DROP COLUMN — pure metadata, data files untouched. */

@@ -26,6 +26,10 @@ object Bridge {
       df.schema, isStreaming = true)
   }
 
+  /** The session's catalog manager (`sessionState` is `private[sql]`). */
+  def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+
   /** Catalyst predicate → data-source `Filter` (the same translation Spark's
     * own pushdown uses; `private[sql]` in Spark 4, hence bridged here). */
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =

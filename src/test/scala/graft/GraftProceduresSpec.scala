@@ -73,6 +73,22 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.proc.`br$refs`").collect()(0).getLong(0) == 1)
   }
 
+  test("CALL create_tag without a version pins the current snapshot; SQL reads refs by name") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.refv (id BIGINT)")
+    spark.sql("INSERT INTO graft.proc.refv VALUES (1)")              // v1
+    spark.sql("CALL graft.system.create_tag('proc.refv', 'before')") // defaults to v1
+    spark.sql("INSERT INTO graft.proc.refv VALUES (2)")              // v2
+    // VERSION AS OF accepts the ref name, matching the Scala readRef path
+    assert(spark.sql("SELECT count(*) FROM graft.proc.refv VERSION AS OF 'before'")
+      .collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.refv").collect()(0).getLong(0) == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.proc.refv VERSION AS OF 'nosuch'").collect()
+    }
+    assert(e.getMessage.contains("nosuch"))
+  }
+
   test("unknown procedure fails to resolve") {
     init()
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }

@@ -99,6 +99,38 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cardinality"))
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION auto-adds missing source columns") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.se (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO graft.dml.se VALUES (1, 10), (2, 20)")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO graft.dml.se t
+      USING (SELECT * FROM VALUES (2, 200L, 'new'), (3, 300L, 'ins') AS s(id, qty, tag)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, qty, tag FROM graft.dml.se ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    // pre-existing row 1 null-fills the evolved column; 2 updated; 3 inserted
+    assert(rows.toSeq == Seq((1L, 10L, null), (2L, 200L, "new"), (3L, 300L, "ins")))
+    // and the evolution is an ID-based metadata add, not a rewrite
+    assert(spark.table("graft.dml.se").columns.toSeq == Seq("id", "qty", "tag"))
+    // the source's narrower INT id must NOT narrow the table column
+    // (Iceberg semantics: only loss-free widenings evolve types)
+    assert(spark.table("graft.dml.se").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("ALTER COLUMN TYPE widening is pure metadata; old files upcast on read") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.wide (id INT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.dml.wide VALUES (1, 1.5)")
+    spark.sql("ALTER TABLE graft.dml.wide ALTER COLUMN id TYPE BIGINT")
+    spark.sql("INSERT INTO graft.dml.wide VALUES (2147483648, 2.5)") // > Int.MaxValue
+    val rows = spark.sql("SELECT id FROM graft.dml.wide ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2147483648L))
+  }
+
   test("SQL DML commits snapshots: history shows update/delete/merge operations") {
     init()
     spark.sql("CREATE TABLE graft.dml.h1 (id BIGINT)")
