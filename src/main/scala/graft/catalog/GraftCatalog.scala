@@ -125,14 +125,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       asOfTimestampMs = Some(timestampMicros / 1000L))
   }
 
+  /** DSv2 partition `Transform` → graft spec string ([[graft.table.PartitionTransform]]):
+    * identity columns plus Iceberg's hidden-partitioning transforms
+    * (`bucket(n, col)`, `truncate(w, col)`, `years/months/days/hours(col)` —
+    * reference `main.tf:803` surface). */
+  private def transformSpec(t: Transform): String = {
+    def col = t.references()(0).fieldNames().mkString(".")
+    def firstLiteral = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
+    }.getOrElse(throw new IllegalArgumentException(s"transform $t needs a literal argument"))
+    t.name match {
+      case "identity" => col
+      case "bucket"   => s"bucket($firstLiteral,$col)"
+      case "truncate" => s"truncate($firstLiteral,$col)"
+      case fn @ ("years" | "months" | "days" | "hours") => s"$fn($col)"
+      case other => throw new UnsupportedOperationException(s"partition transform $other")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.collect {
-      case t if t.name == "identity" => t.references()(0).fieldNames().mkString(".")
-    }
+    val specs = partitions.map(transformSpec).toSeq
+    specs.foreach(s => graft.table.PartitionTransform.parse(s, schema)) // fail fast
     val props = properties.asScala.toMap ++
-      (if (partCols.nonEmpty) Map("write.partition-by" -> partCols.mkString(",")) else Map.empty)
+      (if (specs.nonEmpty) Map("write.partition-by" -> specs.mkString(",")) else Map.empty)
     val t = GraftTable.createEmpty(spark, tablePath(ident), schema,
       props - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER)
     GraftDsv2Table(t, ident.toString)

@@ -369,25 +369,28 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   // -------------------------------------- partition-spec / write-order DDL
 
   private def partitionFields: Seq[String] =
-    log.current.properties.get("write.partition-by").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    PartitionTransform.parseList(log.current.properties.get("write.partition-by"),
+      stripIds(schema)).map(_.canonical)
 
   /** `ALTER TABLE … ADD PARTITION FIELD` (SURVEY.md §2.8 partition-spec
-    * evolution): existing files keep their layout — only future writes
-    * hash-distribute on the new field list, exactly like Iceberg spec
-    * evolution never rewrites data. */
-  def addPartitionField(column: String): Snapshot = {
-    require(schema.fieldNames.contains(column), s"no column $column")
-    require(!partitionFields.contains(column), s"$column already a partition field")
+    * evolution): accepts an identity column or a hidden-partitioning
+    * transform spec — `bucket(n, col)`, `truncate(w, col)`,
+    * `years/months/days/hours(col)` ([[PartitionTransform]]). Existing files
+    * keep their layout — only future writes hash-distribute on the new spec,
+    * exactly like Iceberg spec evolution never rewrites data. */
+  def addPartitionField(spec: String): Snapshot = {
+    val t = PartitionTransform.parse(spec, stripIds(schema)) // validates
+    require(!partitionFields.contains(t.canonical), s"${t.canonical} already a partition field")
     commitProperties("replace-partition-spec",
-      Map("write.partition-by" -> (partitionFields :+ column).mkString(",")))
+      Map("write.partition-by" -> (partitionFields :+ t.canonical).mkString(",")))
   }
 
   /** `ALTER TABLE … DROP PARTITION FIELD`. */
-  def dropPartitionField(column: String): Snapshot = {
-    require(partitionFields.contains(column), s"$column is not a partition field")
+  def dropPartitionField(spec: String): Snapshot = {
+    val t = PartitionTransform.parse(spec, stripIds(schema))
+    require(partitionFields.contains(t.canonical), s"${t.canonical} is not a partition field")
     commitProperties("replace-partition-spec",
-      Map("write.partition-by" -> partitionFields.filterNot(_ == column).mkString(",")))
+      Map("write.partition-by" -> partitionFields.filterNot(_ == t.canonical).mkString(",")))
   }
 
   /** `ALTER TABLE … WRITE ORDERED BY cols` — future writes sort within
@@ -442,8 +445,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * reports as "mixed". Pure metadata — no data scan. */
   def partitionsMeta: DataFrame = {
     import spark.implicits._
-    val partCol = log.current.properties.get("write.partition-by")
-      .flatMap(_.split(",").headOption).map(_.trim)
+    // stats are keyed by the canonical spec: a plain column name for
+    // identity, the transform string (e.g. "days(ts)") otherwise
+    val partCol = PartitionTransform.parseList(
+      log.current.properties.get("write.partition-by"), stripIds(schema))
+      .headOption.map(_.canonical)
     val rows = log.current.files.map { f =>
       val value = partCol.flatMap(c => f.stats.get(c))
         .map(st => if (st.min == st.max) st.min else "mixed")
@@ -537,7 +543,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
 
   /** Write rows as immutable data files + collect per-file stats in one
     * distributed pass (count + min/max per comparable column — the same
-    * bounds Iceberg keeps in manifests for scan pruning). */
+    * bounds Iceberg keeps in manifests for scan pruning). Partition
+    * transforms additionally record their VALUE's bounds per file, keyed by
+    * the canonical transform spec, so [[pruneFiles]] can skip files from
+    * filters on the source column. */
   private[table] def writeFiles(df: DataFrame, schemaId: Int,
       props: Map[String, String]): Seq[DataFile] = {
     val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
@@ -552,8 +561,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     deleteRecursively(staging)
     if (moved.isEmpty) return Seq.empty
     val absolute = moved.map(n => s"$path/data/$n")
+    val derived = PartitionTransform
+      .parseList(props.get("write.partition-by"), stripIds(df.schema))
+      .filterNot(_.isInstanceOf[PartitionTransform.Identity])
+      .map(t => (t.canonical, t.column(col(t.source)), t.numeric))
     val files = statFiles(absolute, stripIds(df.schema), schemaId,
-      abs => s"data/${Paths.get(abs).getFileName}")
+      abs => s"data/${Paths.get(abs).getFileName}", derived)
     // GC physically-empty parts (parquet writers can emit 0-row files)
     val present = files.map(f => resolve(f.path)).toSet
     absolute.filterNot(present.contains).foreach(a => Files.deleteIfExists(Paths.get(a)))
@@ -566,11 +579,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * for owned files, absolute for imported ones). Zero-row files yield no
     * group and are therefore excluded. */
   private[table] def statFiles(absPaths: Seq[String], schema: StructType,
-      schemaId: Int, storeAs: String => String): Seq[DataFile] = {
+      schemaId: Int, storeAs: String => String,
+      derived: Seq[(String, Column, Boolean)] = Seq.empty): Seq[DataFile] = {
     val statFields = schema.fields.filter(f => isStatType(f.dataType))
-    val aggs = Seq(count(lit(1)).as("_rows")) ++ statFields.flatMap(f => Seq(
-      min(col(f.name)).cast("string").as(s"_min_${f.name}"),
-      max(col(f.name)).cast("string").as(s"_max_${f.name}")))
+    val aggs = Seq(count(lit(1)).as("_rows")) ++
+      statFields.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"_min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"_max_${f.name}"))) ++
+      derived.zipWithIndex.flatMap { case ((_, ex, _), i) => Seq(
+        min(ex).cast("string").as(s"_tmin_$i"),
+        max(ex).cast("string").as(s"_tmax_$i")) }
     spark.read.schema(schema).parquet(absPaths: _*)
       .groupBy(col("_metadata.file_path").as("_fp"))
       .agg(aggs.head, aggs.tail: _*)
@@ -583,18 +601,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
           if (mn == null || mx == null) None
           else Some(f.name -> ColumnStats(mn, mx, f.dataType.typeName))
         }.toMap
+        val transformStats = derived.zipWithIndex.flatMap { case ((key, _, num), i) =>
+          val mn = r.getAs[String](s"_tmin_$i")
+          val mx = r.getAs[String](s"_tmax_$i")
+          if (mn == null || mx == null) None
+          else Some(key -> ColumnStats(mn, mx, if (num) "long" else "string"))
+        }.toMap
         DataFile(storeAs(local), r.getAs[Long]("_rows"),
-          Files.size(Paths.get(local)), schemaId, stats)
+          Files.size(Paths.get(local)), schemaId, stats ++ transformStats)
       }.toSeq
   }
 
-  /** Apply write-distribution properties: hash-distribute on
-    * `write.partition-by`, sort within partitions on `write.sort-by`. */
+  /** Apply write-distribution properties: hash-distribute on the
+    * `write.partition-by` TRANSFORM VALUES (identity column, bucket,
+    * truncate, time truncation — [[PartitionTransform]]), sort within
+    * partitions on `write.sort-by`. */
   private def arrange(df: DataFrame, props: Map[String, String]): DataFrame = {
-    val parted = props.get("write.partition-by").filter(_.nonEmpty) match {
-      case Some(cols) => df.repartition(cols.split(",").map(c => col(c.trim)): _*)
-      case None => df
-    }
+    val transforms = PartitionTransform.parseList(
+      props.get("write.partition-by"), stripIds(df.schema))
+    val parted =
+      if (transforms.isEmpty) df
+      else df.repartition(transforms.map(t => t.column(col(t.source))): _*)
     props.get("write.sort-by").filter(_.nonEmpty) match {
       case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => col(c.trim)): _*)
       case None => parted
@@ -634,7 +661,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * PROVES no row can match its [min,max] bounds; unknown filter shapes and
     * stat-less files are kept. The same metadata-only pruning Iceberg's
     * ScanBuilder does from manifest column bounds (reference `main.tf:803`;
-    * SURVEY.md §4 row 1). */
+    * SURVEY.md §4 row 1). Hidden-partitioning transform bounds prune too:
+    * a filter on the SOURCE column maps into the transform domain —
+    * equality/IN through any transform, ranges through order-preserving
+    * ones — and checks the per-file transform-value bounds. */
   private[graft] def pruneFiles(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
     import org.apache.spark.sql.sources._
@@ -654,8 +684,57 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       case Or(l, r) => excluded(f, l) && excluded(f, r)
       case _ => false // unknown shape: cannot prove exclusion, keep the file
     }
-    s.files.filter(f => !filters.exists(fl => excluded(f, fl)))
+
+    // ---- transform-domain pruning ----------------------------------------
+    val transforms = PartitionTransform
+      .parseList(s.properties.get("write.partition-by"), stripIds(schemaOf(s, s.currentSchemaId)))
+      .filterNot(_.isInstanceOf[PartitionTransform.Identity])
+    // one evaluation per (transform, literal) per call — not per file
+    val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]
+    def tlit(t: PartitionTransform, v: Any): Option[String] =
+      litCache.getOrElseUpdate((t.canonical, v), transformLiteral(t, v))
+    def cmpT(numeric: Boolean, a: String, b: String): Int =
+      if (numeric) java.lang.Double.compare(a.toDouble, b.toDouble) else a.compareTo(b)
+    // t(v) provably outside the file's transform-value bounds
+    def outside(t: PartitionTransform, f: DataFile, v: Any): Boolean =
+      f.stats.get(t.canonical).exists(st => tlit(t, v).exists(tv =>
+        cmpT(t.numeric, tv, st.min) < 0 || cmpT(t.numeric, st.max, tv) < 0))
+    // rows with c > v (or >=) have t(c) >= t(v) under an order-preserving t
+    def belowLower(t: PartitionTransform, f: DataFile, v: Any): Boolean =
+      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
+        tlit(t, v).exists(tv => cmpT(t.numeric, st.max, tv) < 0))
+    def aboveUpper(t: PartitionTransform, f: DataFile, v: Any): Boolean =
+      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
+        tlit(t, v).exists(tv => cmpT(t.numeric, st.min, tv) > 0))
+    def txExcluded(f: DataFile, flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) if v != null =>
+        transforms.exists(t => t.source == c && outside(t, f, v))
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        transforms.exists(t => t.source == c &&
+          vs.filter(_ != null).forall(v => outside(t, f, v)))
+      case GreaterThan(c, v) if v != null =>
+        transforms.exists(t => t.source == c && belowLower(t, f, v))
+      case GreaterThanOrEqual(c, v) if v != null =>
+        transforms.exists(t => t.source == c && belowLower(t, f, v))
+      case LessThan(c, v) if v != null =>
+        transforms.exists(t => t.source == c && aboveUpper(t, f, v))
+      case LessThanOrEqual(c, v) if v != null =>
+        transforms.exists(t => t.source == c && aboveUpper(t, f, v))
+      case And(l, r) => txExcluded(f, l) || txExcluded(f, r)
+      case Or(l, r) => txExcluded(f, l) && txExcluded(f, r)
+      case _ => false
+    }
+
+    s.files.filter(f => !filters.exists(fl => excluded(f, fl) || txExcluded(f, fl)))
   }
+
+  /** Evaluate a transform over a filter literal, string-canonicalized the
+    * same way the per-file stats were (cast to string under the session
+    * zone) — a driver-local LocalRelation job, cached per pruneFiles call.
+    * None (no pruning) when the literal can't be lifted. */
+  private def transformLiteral(t: PartitionTransform, v: Any): Option[String] =
+    try Option(spark.range(1).select(t.column(lit(v)).cast("string")).head.getString(0))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pruned + projected read of a snapshot for the DSv2 V1 fallback scan. */
   private[graft] def readPruned(s: Snapshot,

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+import graft.table.GraftTable
+
+/** Hidden-partitioning transforms as partition specs (Iceberg's signature
+  * feature, reference `main.tf:803`): bucket/truncate/days drive the write
+  * layout, record per-file transform-value bounds, and prune files from
+  * filters on the SOURCE column — metadata-only, no data scan. */
+class HiddenPartitioningSpec extends SparkSpec {
+
+  private def wh = SparkSpec.warehouse
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+  }
+
+  /** AQE coalescing folds the transform-keyed write shuffle into one
+    * right-sized file at toy row counts (the correct behavior at real scale);
+    * disable it around inserts so the layout splits and pruning is visible. */
+  private def noCoalesce[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("days(ts): SQL PARTITIONED BY prunes a ts range to fewer files") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.ev (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    // 16 days of hourly events: the day value distributes writes, so each
+    // file covers a narrow day range
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.ev
+      SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)
+      FROM range(384)""") }
+    val t = GraftTable.load(spark, s"$wh/hp/ev")
+    val all = t.log.current.files
+    assert(all.size >= 2, s"need multiple files, got ${all.size}")
+    assert(all.forall(_.stats.contains("days(ts)")), "per-file transform bounds missing")
+    // metadata-only: a one-day range keeps strictly fewer files
+    val pruned = t.pruneFiles(t.log.current, Seq(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
+    assert(pruned.size < all.size, s"no pruning: ${pruned.size} of ${all.size}")
+    // and results through SQL stay exact (filter re-checked on residuals)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.hp.ev WHERE ts >= timestamp'2024-01-15 00:00:00'")
+      .collect()(0).getLong(0) == 48)
+  }
+
+  test("bucket(8, id): equality on the source column prunes to the bucket's files") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.bk (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, id))")
+    noCoalesce {
+      spark.sql("INSERT INTO graft.hp.bk SELECT id, CAST(id AS DOUBLE) FROM range(4000)") }
+    val t = GraftTable.load(spark, s"$wh/hp/bk")
+    val all = t.log.current.files
+    assert(all.size >= 2)
+    assert(all.forall(_.stats.contains("bucket(8,id)")))
+    val pruned = t.pruneFiles(t.log.current, Seq(EqualTo("id", 1234L)))
+    assert(pruned.size < all.size, s"bucket equality did not prune: ${pruned.size}/${all.size}")
+    assert(spark.sql("SELECT v FROM graft.hp.bk WHERE id = 1234").collect()(0).getDouble(0) == 1234.0)
+    // ranges cannot prune through a hash bucket — and must not mis-prune
+    assert(t.pruneFiles(t.log.current, Seq(GreaterThanOrEqual("id", 0L))).size == all.size)
+  }
+
+  test("truncate(2, tag): string-prefix layout prunes equality and ranges") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.tr (id BIGINT, tag STRING) PARTITIONED BY (truncate(2, tag))")
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.tr
+      SELECT id, concat(substring('abcdefgh', CAST(id % 8 AS INT) + 1, 1), 'x', id) FROM range(800)""") }
+    val t = GraftTable.load(spark, s"$wh/hp/tr")
+    val all = t.log.current.files
+    assert(all.size >= 2)
+    val prunedEq = t.pruneFiles(t.log.current, Seq(EqualTo("tag", "axe")))
+    assert(prunedEq.size < all.size)
+    val prunedRange = t.pruneFiles(t.log.current, Seq(LessThan("tag", "b")))
+    assert(prunedRange.size < all.size)
+    assert(spark.sql("SELECT count(*) FROM graft.hp.tr WHERE tag < 'b'")
+      .collect()(0).getLong(0) == 100)
+  }
+
+  test("ADD PARTITION FIELD with a transform: new writes prune, old files stay safe") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.evolve (id BIGINT, ts TIMESTAMP)")
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.evolve
+      SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)
+      FROM range(96)""") }
+    val t = GraftTable.load(spark, s"$wh/hp/evolve")
+    val before = t.log.current.files
+    assert(before.forall(f => !f.stats.contains("days(ts)")))
+    t.addPartitionField("days(ts)")
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.evolve
+      SELECT id + 96, timestamp'2024-03-05 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)
+      FROM range(96)""") }
+    val after = GraftTable.load(spark, s"$wh/hp/evolve").log.current
+    val newFiles = after.files.filterNot(f => before.exists(_.path == f.path))
+    assert(newFiles.nonEmpty && newFiles.forall(_.stats.contains("days(ts)")))
+    // pruning a post-evolution day: old stat-less-for-transform files are
+    // kept via their PLAIN ts column bounds or conservatively — never lost
+    val t2 = GraftTable.load(spark, s"$wh/hp/evolve")
+    val pruned = t2.pruneFiles(after, Seq(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-03-08 00:00:00"))))
+    assert(pruned.size < after.files.size)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.hp.evolve WHERE ts >= timestamp'2024-03-08 00:00:00'")
+      .collect()(0).getLong(0) == 24)
+    // duplicate spec rejected; unknown transform rejected
+    intercept[IllegalArgumentException] { t2.addPartitionField("days(ts)") }
+    intercept[IllegalArgumentException] { t2.addPartitionField("zigzag(ts)") }
+  }
+
+  test("partitions metadata table reports transform-valued partitions") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.pm (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.pm
+      SELECT id, timestamp'2024-06-01 00:00:00' + make_interval(0,0,CAST(id AS INT),0,0,0,0)
+      FROM range(4)""") }
+    val rows = spark.sql("SELECT partition, total_rows FROM graft.hp.`pm$partitions`").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == 4L)
+  }
+}
