@@ -20,13 +20,17 @@ import graft.table.GraftTable
   * }}}
   *
   * Offsets are snapshot versions, so exactly-once recovery falls out of the
-  * checkpoint log: a micro-batch is "the data files snapshot `end` has that
-  * snapshot `start` does not", read through the table's schema-evolution
+  * checkpoint log: a micro-batch is "the data files added by append
+  * snapshots in `(start, end]`", read through the table's schema-evolution
   * projection. File-granular — an increment never rescans old files, which
   * is what makes tailing a 100 TB table cheap: each batch reads only the
-  * newly committed files. Rewrites (compaction/DML) add files containing
-  * pre-existing rows; like Iceberg's streaming read, consume appends-only
-  * tables or pair with dropDuplicates on a key for replay tolerance.
+  * newly committed files. A data-rewriting snapshot in the range
+  * (compaction / UPDATE / MERGE / DELETE / overwrite) fails the batch
+  * rather than silently replaying pre-existing rows; pass
+  * `.option("skipRewrites", "true")` to ignore rewrite snapshots and keep
+  * streaming the genuine appends (Iceberg's
+  * streaming-skip-overwrite-snapshots semantics — see
+  * [[graft.table.GraftTable.readAppended]]).
   */
 class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -45,10 +49,12 @@ class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(ctx, parameters("path"),
-      parameters.get("fromVersion").map(_.toLong))
+      parameters.get("fromVersion").map(_.toLong),
+      parameters.get("skipRewrites").exists(_.toBoolean))
 }
 
-class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long])
+class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
+    skipRewrites: Boolean = false)
   extends Source {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
@@ -69,7 +75,8 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(base)
-    Bridge.streamingDataFrame(ctx.sparkSession, table.readAppended(from, ver(end)))
+    Bridge.streamingDataFrame(ctx.sparkSession,
+      table.readAppended(from, ver(end), skipRewrites))
   }
 
   override def stop(): Unit = ()

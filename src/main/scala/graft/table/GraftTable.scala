@@ -111,16 +111,61 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     groups.reduce(_ unionAll _)
   }
 
-  /** Rows in data files that snapshot `toV` references and `fromV` does not
-    * — the append-stream increment between two snapshots (`fromV = -1`
-    * means everything in `toV`). Powers the table-as-stream source
-    * ([[graft.streaming.GraftSourceProvider]]): file-granular, no diffing
-    * of row contents, so an increment costs a scan of only the new files. */
-  def readAppended(fromV: Long, toV: Long): DataFrame = {
+  /** Operations whose snapshot only ADDS rows never seen before — safe to
+    * emit into an incremental stream. Everything else either removes rows or
+    * re-adds pre-existing rows in new files (overwrite/delete/update/merge/
+    * rewrite), which a file-granular increment would replay as duplicates. */
+  private val appendOps = Set("create", "import", "append", "append-branch", "cherrypick")
+  private val metadataOps = Set("rewrite-manifests", "set-properties",
+    "replace-partition-spec", "set-write-order", "add-column", "rename-column",
+    "drop-column", "update-column-type")
+
+  /** Rows in data files added between snapshot `fromV` (exclusive) and `toV`
+    * (inclusive) — the append-stream increment (`fromV = -1` means everything
+    * in `toV`). Powers the table-as-stream source
+    * ([[graft.streaming.GraftSourceProvider]]): file-granular, no diffing of
+    * row contents, so an increment costs a scan of only the new files.
+    *
+    * Walks the parent chain from `toV` down to `fromV` so every intermediate
+    * snapshot's operation is inspected (Iceberg incremental-read semantics):
+    * a data-rewriting snapshot in the range (overwrite / DELETE / UPDATE /
+    * MERGE / compaction) FAILS the batch rather than silently re-emitting
+    * pre-existing rows as new — pass `skipRewrites = true` to ignore those
+    * snapshots' file additions and keep streaming the genuine appends
+    * (Iceberg's streaming-skip-overwrite/delete-snapshots). An expired
+    * start/intermediate snapshot fails with the cause named. */
+  def readAppended(fromV: Long, toV: Long, skipRewrites: Boolean = false): DataFrame = {
     val to = log.snapshot(toV)
-    val had = if (fromV < 0) Set.empty[String]
-              else log.snapshot(fromV).files.map(_.path).toSet
-    readFilesOf(to, to.files.filterNot(f => had.contains(f.path)), withMeta = false)
+    if (fromV < 0) return readFilesOf(to, to.files, withMeta = false)
+    val newFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    var cur = to
+    while (cur.version != fromV) {
+      if (cur.parent < 0)
+        throw new IllegalStateException(
+          s"stream start snapshot v$fromV is not an ancestor of v$toV")
+      val parent =
+        try log.snapshot(cur.parent)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"snapshot v${cur.parent} in the stream range (v$fromV, v$toV] has been " +
+            s"removed by expire_snapshots; restart the stream from a fresh checkpoint " +
+            s"or keep at least the checkpointed range un-expired", e)
+        }
+      val parentPaths = parent.files.map(_.path).toSet
+      val added = cur.files.filterNot(f => parentPaths.contains(f.path))
+      if (appendOps.contains(cur.operation) || metadataOps.contains(cur.operation)) {
+        newFiles.prependAll(added)
+      } else if (!skipRewrites) {
+        throw new IllegalStateException(
+          s"snapshot v${cur.version} in the stream range is a '${cur.operation}' — " +
+          s"its files contain pre-existing rows and streaming them would duplicate " +
+          s"data; set the skipRewrites option to ignore rewrite snapshots, or stream " +
+          s"an append-only table")
+      } // else: skip this snapshot's additions
+      cur = parent
+    }
+    val distinct = newFiles.groupBy(_.path).map(_._2.head).toSeq
+    readFilesOf(to, distinct, withMeta = false)
   }
 
   // ----------------------------------------------------------------- writes
@@ -482,11 +527,20 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val live = log.listVersions.toSet
     val rows = log.listVersions.flatMap { v =>
       val s = log.snapshot(v)
-      val parent = Option(s.parent).filter(p => p >= 0 && live.contains(p)).map(log.snapshot)
-      val parentFiles = parent.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+      // three parent states: none (root), live (diff normally), expired —
+      // an expired parent means add/delete attribution is UNKNOWABLE, so
+      // report "unknown" rather than misstating carried-over files as added
+      val parentExpired = s.parent >= 0 && !live.contains(s.parent)
+      val parentFiles =
+        if (s.parent >= 0 && live.contains(s.parent))
+          log.snapshot(s.parent).files.map(f => f.path -> f).toMap
+        else Map.empty[String, DataFile]
       val cur = s.files.map(_.path).toSet
       s.files.map { f =>
-        val status = if (parentFiles.contains(f.path)) "existing" else "added"
+        val status =
+          if (parentExpired) "unknown"
+          else if (parentFiles.contains(f.path)) "existing"
+          else "added"
         (v, status, f.path, f.rows, f.bytes, f.schemaId)
       } ++ parentFiles.collect { case (p, f) if !cur.contains(p) =>
         (v, "deleted", f.path, f.rows, f.bytes, f.schemaId)

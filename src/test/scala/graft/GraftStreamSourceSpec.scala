@@ -61,4 +61,56 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(t.readAppended(-1L, v1).count() == 3)
     assert(t.readAppended(v1, v1).count() == 0)
   }
+
+  test("a rewrite snapshot in the range fails the increment; skipRewrites streams appends only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmp("stream-rw-")
+    val t = GraftTable.create(spark, path, Seq(1L, 2L).toDF("id"))
+    val v0 = t.log.currentVersion
+    t.update(col("id") === 1L, Map("id" -> org.apache.spark.sql.functions.lit(10L))) // rewrite
+    t.append(Seq(3L).toDF("id"))
+    val v2 = t.log.currentVersion
+    // default: refuse rather than replay row 2 (carried into the rewritten file)
+    val e = intercept[IllegalStateException] { t.readAppended(v0, v2).collect() }
+    assert(e.getMessage.contains("update") && e.getMessage.contains("skipRewrites"))
+    // skip mode: only the genuine append flows
+    assert(t.readAppended(v0, v2, skipRewrites = true)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("an expired snapshot inside the stream range fails with the cause named") {
+    import spark.implicits._
+    val path = tmp("stream-exp-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id"))
+    val v0 = t.log.currentVersion
+    t.append(Seq(2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.append(Seq(4L).toDF("id"))
+    val head = t.log.currentVersion
+    t.expireSnapshots(keepLast = 2) // drops v0..v1 metadata
+    val e = intercept[IllegalStateException] { t.readAppended(v0, head).collect() }
+    assert(e.getMessage.contains("expire_snapshots"))
+  }
+
+  test("streaming a table through an UPDATE with skipRewrites never duplicates rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = tmp("stream-skip-")
+    val t = GraftTable.create(spark, path, Seq(1L, 2L).toDF("id"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("skipRewrites", "true").load()
+      .writeStream.format("memory").queryName("graft_skip")
+      .option("checkpointLocation", s"$path/../ckpt-skip").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_skip").count() == 2)
+      t.update(col("id") === 1L, Map("id" -> lit(100L)))
+      t.append(Seq(3L).toDF("id"))
+      q.processAllAvailable()
+      // the rewritten copy of row 2 is NOT replayed; only the append arrives
+      assert(spark.table("graft_skip").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
