@@ -24,8 +24,10 @@ case class DataFile(
 
 /** One snapshot = full table state at a version: the file list plus every
   * schema ever used (kept forward so `expireSnapshots` can drop old metadata
-  * JSONs without breaking reads of old files). Mirrors the Iceberg table-
-  * metadata/manifest split in one JSON per version (SURVEY.md §1 "Table"). */
+  * JSONs without breaking reads of old files). In-memory view only — on disk
+  * the file list is split into shared content-addressed manifest chunks
+  * ([[StoredSnapshot]]), the Iceberg metadata/manifest split, so a commit
+  * writes O(new files), not O(all files). */
 case class Snapshot(
     version: Long,
     parent: Long, // -1 for the first snapshot
@@ -34,6 +36,23 @@ case class Snapshot(
     currentSchemaId: Int,
     schemas: Map[String, String], // schemaId -> StructType JSON
     files: Seq[DataFile],
+    properties: Map[String, String] = Map.empty)
+
+/** On-disk snapshot form: `manifests` names immutable chunk files
+  * (`_graft/m-<contenthash>.json`, each a JSON array of [[DataFile]]) that
+  * together hold the file list. A commit reuses every parent chunk whose
+  * files all survive and writes ONE new chunk for the rest — so an append's
+  * metadata write is proportional to the files it adds. `files` inline is
+  * the legacy/fallback form, still readable. */
+private[table] case class StoredSnapshot(
+    version: Long,
+    parent: Long,
+    timestampMs: Long,
+    operation: String,
+    currentSchemaId: Int,
+    schemas: Map[String, String],
+    files: Seq[DataFile] = Seq.empty,
+    manifests: Seq[String] = Seq.empty,
     properties: Map[String, String] = Map.empty)
 
 /** Named reference to a snapshot version (Iceberg branch/tag semantics,
@@ -89,8 +108,68 @@ class SnapshotLog(tableRoot: String) {
   def snapshot(v: Long): Snapshot = {
     val p = versionPath(v)
     require(Files.exists(p), s"snapshot v$v does not exist (expired or never committed)")
-    JsonMethods.parse(Files.readString(p)).extract[Snapshot]
+    hydrate(JsonMethods.parse(Files.readString(p)).extract[StoredSnapshot])
   }
+
+  // ---- manifest chunks ----------------------------------------------------
+  // Immutable, content-addressed file-list chunks shared across snapshots:
+  // the Iceberg manifest split. Cached in memory — a chunk never changes.
+  private val chunkCache = scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
+
+  private def chunkPath(name: String): Path = metaDir.resolve(name)
+
+  private def readChunk(name: String): Seq[DataFile] =
+    chunkCache.getOrElseUpdate(name,
+      JsonMethods.parse(Files.readString(chunkPath(name))).extract[Seq[DataFile]])
+
+  private def writeChunk(files: Seq[DataFile]): String = {
+    val json = Serialization.write(files)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val name = s"m-$hash.json"
+    if (!Files.exists(chunkPath(name))) {
+      val tmp = metaDir.resolve(s".$name.tmp${util.Random.nextLong().abs}")
+      Files.writeString(tmp, json)
+      try Files.createLink(chunkPath(name), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // identical content
+      Files.deleteIfExists(tmp)
+    }
+    chunkCache.put(name, files)
+    name
+  }
+
+  /** Parent chunks carried before consolidating into one — bounds the
+    * manifest list and read fan-out (Iceberg's manifest merging); commits
+    * stay O(new files) amortized. */
+  private val ConsolidateAt = 32
+
+  private def storedManifests(v: Long): Seq[String] =
+    if (!Files.exists(versionPath(v))) Seq.empty
+    else JsonMethods.parse(Files.readString(versionPath(v))).extract[StoredSnapshot].manifests
+
+  /** Split a snapshot's file list for storage: reuse every parent chunk whose
+    * files all survive, write ONE fresh chunk for the rest. The version JSON
+    * itself holds only chunk names — its size is independent of the
+    * pre-existing file count. */
+  private def toStored(s: Snapshot): StoredSnapshot = {
+    val base = StoredSnapshot(s.version, s.parent, s.timestampMs, s.operation,
+      s.currentSchemaId, s.schemas, properties = s.properties)
+    val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
+    val livePaths = s.files.map(_.path).toSet
+    val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
+    if (kept.size >= ConsolidateAt)
+      base.copy(manifests = if (s.files.isEmpty) Seq.empty else Seq(writeChunk(s.files)))
+    else {
+      val covered = kept.flatMap(readChunk).map(_.path).toSet
+      val fresh = s.files.filterNot(f => covered.contains(f.path))
+      base.copy(manifests =
+        kept ++ (if (fresh.nonEmpty) Seq(writeChunk(fresh)) else Seq.empty))
+    }
+  }
+
+  private def hydrate(st: StoredSnapshot): Snapshot =
+    Snapshot(st.version, st.parent, st.timestampMs, st.operation, st.currentSchemaId,
+      st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties)
 
   def current: Snapshot = snapshot(currentVersion)
 
@@ -116,7 +195,7 @@ class SnapshotLog(tableRoot: String) {
     val snap = build(next)
     require(snap.version == next)
     val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, Serialization.write(snap))
+    Files.writeString(tmp, Serialization.write(toStored(snap)))
     // Publish via hard link: fully-written content becomes visible in one
     // atomic create-if-absent — the exclusive create IS the CAS (a plain
     // move's exists-check-then-rename has a race window on POSIX).
@@ -142,7 +221,7 @@ class SnapshotLog(tableRoot: String) {
     val snap = build(next)
     require(snap.version == next)
     val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, Serialization.write(snap))
+    Files.writeString(tmp, Serialization.write(toStored(snap)))
     try Files.createLink(versionPath(next), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -189,12 +268,20 @@ class SnapshotLog(tableRoot: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete snapshot JSONs strictly older than `keepFrom`, never touching
-    * HEAD or any ref target. Data files are handled by removeOrphanFiles. */
+  /** Delete snapshot JSONs strictly older than `keepFrom` (never HEAD or a
+    * ref target), then GC manifest chunks no surviving snapshot references.
+    * Data files are handled by removeOrphanFiles. */
   def expireMetadata(keepFrom: Long): Seq[Long] = {
     val protectedVs = refs.values.map(_.version).toSet + currentVersion
     val expired = listVersions.filter(v => v < keepFrom && !protectedVs.contains(v))
     expired.foreach(v => Files.deleteIfExists(versionPath(v)))
+    val referenced = listVersions.flatMap(storedManifests).toSet
+    Files.list(metaDir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("m-") && n.endsWith(".json") && !referenced.contains(n)
+      }
+      .foreach(Files.deleteIfExists(_))
     expired
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import graft.table.GraftTable
 
 /** The remaining §2.8 management rows: `$entries`/`$manifests` metadata
@@ -21,6 +22,30 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(e(0L).map(_._2).forall(_ == "added"))             // create: all new
     assert(e(1L).map(_._2).toSet == Set("added", "existing")) // append
     assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
+  }
+
+  test("append commit metadata is O(new files): version JSON size stays flat") {
+    import spark.implicits._
+    val path = tmp("chunked-")
+    val t = GraftTable.create(spark, path, Seq(0L).toDF("id"))
+    (1 to 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    val meta = Paths.get(path, "_graft")
+    def size(v: Long) = Files.size(meta.resolve(s"v$v.json"))
+    // file list lives in shared chunks, so v12 (13 files tracked) is no
+    // bigger than v2 (3 files) beyond the per-append chunk-name growth
+    assert(size(12) < size(2) + 12 * 64,
+      s"v12.json=${size(12)}B vs v2.json=${size(2)}B — commit metadata grows with table size")
+    // each append wrote exactly one new chunk; carried files are shared
+    def chunks = Files.list(meta).iterator().asScala
+      .map(_.getFileName.toString).filter(n => n.startsWith("m-") && n.endsWith(".json")).toSeq
+    assert(chunks.size == 13, s"expected 13 chunks, got ${chunks.size}")
+    // hydrated view is unchanged
+    assert(t.read.count() == 13)
+    // expiring history GCs chunks no surviving snapshot references
+    t.overwrite(Seq(99L).toDF("id")) // drops all prior files from the head
+    t.expireSnapshots(keepLast = 1)
+    assert(chunks.size == 1, s"unreferenced chunks survived GC: $chunks")
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(99L))
   }
 
   test("manifests metadata lists one row per live snapshot JSON") {
