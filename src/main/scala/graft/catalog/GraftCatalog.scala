@@ -160,25 +160,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val t = GraftTable.load(spark, tablePath(ident))
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1, "nested add not supported")
-        t.addColumn(a.fieldNames()(0), a.dataType())
+        t.addColumn(a.fieldNames().toSeq, a.dataType())
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1, "nested rename not supported")
-        t.renameColumn(r.fieldNames()(0), r.newName())
+        t.renameColumn(r.fieldNames().toSeq, r.newName())
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1, "nested drop not supported")
-        t.dropColumn(d.fieldNames()(0))
+        t.dropColumn(d.fieldNames().toSeq)
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1, "nested type change not supported")
         // Iceberg evolution semantics: only loss-free widenings change the
         // column. Spark's MERGE schema evolution requests the SOURCE type
         // verbatim (even a narrowing like BIGINT→INT when the source used
         // int literals); a narrower source needs no schema change — its
         // values upcast on write — so that request is a no-op here.
-        val cur = t.schema.fields.find(_.name == u.fieldNames()(0))
-          .getOrElse(throw new IllegalArgumentException(s"no column ${u.fieldNames()(0)}"))
+        val path = u.fieldNames().toSeq
+        val cur = t.fieldAt(path).getOrElse(
+          throw new IllegalArgumentException(s"no column ${path.mkString(".")}"))
         if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(cur.dataType, u.newDataType()))
-          t.updateColumnType(u.fieldNames()(0), u.newDataType())
+          t.updateColumnType(path, u.newDataType())
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property() -> p.value()))
       case other =>

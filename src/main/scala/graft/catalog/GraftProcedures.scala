@@ -105,7 +105,17 @@ private[catalog] object GraftProcedures {
       }),
       new Proc("drop_ref", "drop a branch or tag ref",
         Seq(tbl, in("name", StringType)))((s, r) =>
-        load(s, r).dropRef(r.getUTF8String(1).toString)))
+        load(s, r).dropRef(r.getUTF8String(1).toString)),
+      // ALTER TABLE ... ADD/DROP PARTITION FIELD is Iceberg parser-extension
+      // syntax; the capability rides the CALL surface instead. `spec` is an
+      // identity column or transform: bucket(n,col) truncate(w,col)
+      // years/months/days/hours(col).
+      new Proc("add_partition_field", "add an identity or transform partition field to the spec",
+        Seq(tbl, in("spec", StringType)))((s, r) =>
+        load(s, r).addPartitionField(r.getUTF8String(1).toString)),
+      new Proc("drop_partition_field", "remove a partition field from the spec",
+        Seq(tbl, in("spec", StringType)))((s, r) =>
+        load(s, r).dropPartitionField(r.getUTF8String(1).toString)))
 
     procs.map(p => p.name() -> p).toMap
   }

@@ -91,16 +91,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }
     val groups = fileSet.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
       val fileSchema = schemaOf(s, sid)
-      val idToName = fileSchema.fields.map(f => fieldId(f) -> f.name).toMap
       val df = spark.read.schema(stripIds(fileSchema))
         .parquet(files.map(f => resolve(f.path)): _*)
       val cols = cur.fields.map { f =>
-        idToName.get(fieldId(f)) match {
-          // cast covers type evolution (file written before a widening);
-          // a no-op when the types already agree
-          case Some(old) => col(old).cast(f.dataType).as(f.name)
-          case None      => lit(null).cast(f.dataType).as(f.name)
-        }
+        val ff = counterpart(fileSchema, f)
+        project(ff.map(x => col(x.name)), ff, f).as(f.name)
       }
       val metaCols =
         if (withMeta) Seq(col("_metadata.file_path").as("_graft_path"),
@@ -109,6 +104,41 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       df.select(cols ++ metaCols: _*)
     }
     groups.reduce(_ unionAll _)
+  }
+
+  /** Field in a file schema matching a current-schema field: by graft.id
+    * when both carry one (rename-proof), by name as the fallback for legacy
+    * nested fields written before nested ids existed. */
+  private def counterpart(in: StructType, want: StructField): Option[StructField] = {
+    def idOf(f: StructField): Option[Int] =
+      if (f.metadata.contains("graft.id")) Some(f.metadata.getLong("graft.id").toInt) else None
+    idOf(want).flatMap(id => in.fields.find(f => idOf(f).contains(id)))
+      .orElse(in.fields.find(_.name == want.name))
+  }
+
+  /** ID-wise projection of one file-side column onto the current schema,
+    * recursing into structs so NESTED add/rename/drop/widen evolve too:
+    * renamed nested fields map by id, added ones null-fill, dropped ones
+    * vanish, and a null struct stays null (never a struct of nulls). Arrays/
+    * maps project as leaves (cast). */
+  private def project(fileCol: Option[Column], fileF: Option[StructField],
+      curF: StructField): Column = (fileCol, fileF.map(_.dataType), curF.dataType) match {
+    case (Some(fc), Some(fs: StructType), cs: StructType) =>
+      val children = cs.fields.map { nf =>
+        val nff = counterpart(fs, nf)
+        project(nff.map(x => fc.getField(x.name)), nff, nf).as(nf.name)
+      }
+      when(fc.isNotNull, struct(children: _*))
+    case (Some(fc), Some(_), dt) => fc.cast(dt)
+    case _ => lit(null).cast(stripNested(curF.dataType))
+  }
+
+  private def stripNested(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = stripNested(f.dataType), metadata = Metadata.empty)))
+    case ArrayType(e, n) => ArrayType(stripNested(e), n)
+    case MapType(k, v, n) => MapType(stripNested(k), stripNested(v), n)
+    case other => other
   }
 
   /** Operations whose snapshot only ADDS rows never seen before — safe to
@@ -354,39 +384,108 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
 
   // ------------------------------------------------------ schema evolution
 
-  /** ALTER TABLE ADD COLUMN — null-filled for existing files, no rewrite. */
-  def addColumn(name: String, dataType: DataType): Snapshot =
+  /** ALTER TABLE ADD COLUMN — null-filled for existing files, no rewrite.
+    * A multi-part path (`Seq("address", "zip")`) adds a NESTED struct field
+    * (Iceberg nested evolution); the new field gets a fresh graft.id so
+    * later renames stay metadata-only. */
+  def addColumn(name: String, dataType: DataType): Snapshot = addColumn(Seq(name), dataType)
+  def addColumn(path: Seq[String], dataType: DataType): Snapshot =
     evolveSchema("add-column") { cur =>
-      require(!cur.fieldNames.contains(name), s"column $name exists")
-      val nextId = cur.fields.map(fieldId).max + 1
-      StructType(cur.fields :+ StructField(name, dataType, nullable = true,
-        new MetadataBuilder().putLong("graft.id", nextId).build()))
+      var id = maxId(cur) // fresh ids for the field and any nested structs inside it
+      def next(): Int = { id += 1; id }
+      mapStructAt(cur, path.init) { parent =>
+        require(!parent.fieldNames.contains(path.last), s"column ${path.mkString(".")} exists")
+        val ownId = next()
+        StructType(parent.fields :+ StructField(path.last, withIds(dataType, next _),
+          nullable = true, new MetadataBuilder().putLong("graft.id", ownId.toLong).build()))
+      }
     }
 
-  /** ALTER TABLE RENAME COLUMN — pure metadata, ID keeps file mapping. */
-  def renameColumn(from: String, to: String): Snapshot =
+  /** ALTER TABLE RENAME COLUMN — pure metadata, ID keeps file mapping.
+    * Multi-part paths rename nested struct fields. */
+  def renameColumn(from: String, to: String): Snapshot = renameColumn(Seq(from), to)
+  def renameColumn(path: Seq[String], to: String): Snapshot =
     evolveSchema("rename-column") { cur =>
-      require(cur.fieldNames.contains(from), s"no column $from")
-      require(!cur.fieldNames.contains(to), s"column $to exists")
-      StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      mapStructAt(cur, path.init) { parent =>
+        require(parent.fieldNames.contains(path.last), s"no column ${path.mkString(".")}")
+        require(!parent.fieldNames.contains(to), s"column $to exists")
+        StructType(parent.fields.map(f => if (f.name == path.last) f.copy(name = to) else f))
+      }
     }
 
   /** ALTER TABLE ALTER COLUMN TYPE (widening, e.g. INT→BIGINT — the change
     * MERGE WITH SCHEMA EVOLUTION requests when the source is wider): pure
     * metadata; old files cast ID-wise to the new type on read. */
   def updateColumnType(name: String, dataType: DataType): Snapshot =
+    updateColumnType(Seq(name), dataType)
+  def updateColumnType(path: Seq[String], dataType: DataType): Snapshot =
     evolveSchema("update-column-type") { cur =>
-      require(cur.fieldNames.contains(name), s"no column $name")
-      StructType(cur.fields.map(f => if (f.name == name) f.copy(dataType = dataType) else f))
+      mapStructAt(cur, path.init) { parent =>
+        require(parent.fieldNames.contains(path.last), s"no column ${path.mkString(".")}")
+        StructType(parent.fields.map(f =>
+          if (f.name == path.last) f.copy(dataType = dataType) else f))
+      }
     }
 
-  /** ALTER TABLE DROP COLUMN — pure metadata, data files untouched. */
-  def dropColumn(name: String): Snapshot =
+  /** ALTER TABLE DROP COLUMN — pure metadata, data files untouched.
+    * Multi-part paths drop nested struct fields. */
+  def dropColumn(name: String): Snapshot = dropColumn(Seq(name))
+  def dropColumn(path: Seq[String]): Snapshot =
     evolveSchema("drop-column") { cur =>
-      require(cur.fieldNames.contains(name), s"no column $name")
-      require(cur.fields.length > 1, "cannot drop the last column")
-      StructType(cur.fields.filterNot(_.name == name))
+      mapStructAt(cur, path.init) { parent =>
+        require(parent.fieldNames.contains(path.last), s"no column ${path.mkString(".")}")
+        require(parent.fields.length > 1, "cannot drop the last field")
+        StructType(parent.fields.filterNot(_.name == path.last))
+      }
     }
+
+  /** Field at a (possibly nested) struct path in the current schema. */
+  def fieldAt(path: Seq[String]): Option[StructField] = {
+    def walk(s: StructType, p: Seq[String]): Option[StructField] = p match {
+      case Seq(last) => s.fields.find(_.name == last)
+      case head +: rest => s.fields.find(_.name == head).flatMap(_.dataType match {
+        case st: StructType => walk(st, rest)
+        case _ => None
+      })
+      case _ => None
+    }
+    walk(schema, path)
+  }
+
+  /** Apply `f` to the struct at a field path (empty path = the root). */
+  private def mapStructAt(root: StructType, path: Seq[String])(f: StructType => StructType): StructType =
+    path match {
+      case Seq() => f(root)
+      case head +: rest =>
+        require(root.fieldNames.contains(head), s"no column $head")
+        StructType(root.fields.map { fld =>
+          if (fld.name != head) fld
+          else fld.dataType match {
+            case st: StructType => fld.copy(dataType = mapStructAt(st, rest)(f))
+            case other => throw new IllegalArgumentException(
+              s"$head is ${other.simpleString}, not a struct — cannot evolve nested field")
+          }
+        })
+    }
+
+  /** Highest graft.id anywhere in the schema tree. */
+  private def maxId(s: StructType): Int =
+    s.fields.map { f =>
+      val own = if (f.metadata.contains("graft.id")) f.metadata.getLong("graft.id").toInt else -1
+      val nested = f.dataType match { case st: StructType => maxId(st); case _ => -1 }
+      own max nested
+    }.foldLeft(-1)(_ max _)
+
+  /** Recursively stamp fresh graft.ids onto a (possibly struct) type. */
+  private def withIds(dt: DataType, next: () => Int): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val id = next()
+      f.copy(dataType = withIds(f.dataType, next),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("graft.id", id.toLong).build())
+    })
+    case other => other
+  }
 
   private def evolveSchema(op: String)(f: StructType => StructType): Snapshot = {
     val head = log.current
@@ -798,15 +897,30 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
 
 object GraftTable {
 
+  /** Stamp a fresh, unique graft.id on EVERY field in the schema tree —
+    * nested struct fields included, so nested rename/drop/add evolve by id
+    * exactly like top-level columns. */
+  private def stampIds(schema: StructType): StructType = {
+    var id = -1
+    def next(): Int = { id += 1; id }
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val own = next()
+        f.copy(dataType = walk(f.dataType),
+          metadata = new MetadataBuilder().putLong("graft.id", own.toLong).build())
+      })
+      case other => other
+    }
+    walk(schema).asInstanceOf[StructType]
+  }
+
   /** CREATE TABLE AS SELECT: materialize `df` as a new graft table. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       properties: Map[String, String] = Map.empty): GraftTable = {
     val t = new GraftTable(spark, path)
     require(!t.log.exists, s"graft table already exists at $path")
     t.log.initDirs()
-    val withIds = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
-    })
+    val withIds = stampIds(df.schema)
     val files = t.writeFiles(df, 0, properties)
     val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "create",
       0, Map("0" -> withIds.json), files, properties)
@@ -821,9 +935,7 @@ object GraftTable {
     val t = new GraftTable(spark, path)
     require(!t.log.exists, s"graft table already exists at $path")
     t.log.initDirs()
-    val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
-    })
+    val withIds = stampIds(schema)
     val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "create",
       0, Map("0" -> withIds.json), Seq.empty, properties)
     t.log.commit(-1L, _ => snap)
@@ -846,9 +958,7 @@ object GraftTable {
     require(!t.log.exists, s"graft table already exists at $path")
     t.log.initDirs()
     val df = spark.read.parquet(parquetDir)
-    val withIds = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(metadata = new MetadataBuilder().putLong("graft.id", i.toLong).build())
-    })
+    val withIds = stampIds(df.schema)
     val absPaths = Files.list(Paths.get(parquetDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq
     val files = t.statFiles(absPaths, df.schema, 0, identity)

@@ -67,6 +67,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.db.ev").columns.toSeq == Seq("id", "label"))
   }
 
+  test("nested-field schema evolution: add, rename, widen, drop inside a struct") {
+    init()
+    spark.sql("""CREATE TABLE graft.db.nest
+      (id BIGINT, address STRUCT<city: STRING, zip: INT>)""")
+    spark.sql("INSERT INTO graft.db.nest VALUES (1, named_struct('city', 'rome', 'zip', 100))")
+    // add a nested field: old rows null-fill it
+    spark.sql("ALTER TABLE graft.db.nest ADD COLUMN address.country STRING")
+    val r1 = spark.sql("SELECT address.city, address.country FROM graft.db.nest").collect()(0)
+    assert(r1.getString(0) == "rome" && r1.isNullAt(1))
+    // rename a nested field: pure metadata, id keeps the file mapping
+    spark.sql("ALTER TABLE graft.db.nest RENAME COLUMN address.zip TO postcode")
+    assert(spark.sql("SELECT address.postcode FROM graft.db.nest").collect()(0).getInt(0) == 100)
+    // widen a nested field: old files upcast on read
+    spark.sql("ALTER TABLE graft.db.nest ALTER COLUMN address.postcode TYPE BIGINT")
+    spark.sql("INSERT INTO graft.db.nest VALUES (2, named_struct('city', 'oslo', 'postcode', 2147483648L, 'country', 'no'))")
+    assert(spark.sql("SELECT address.postcode FROM graft.db.nest ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 2147483648L))
+    // drop a nested field: vanishes without touching data files
+    spark.sql("ALTER TABLE graft.db.nest DROP COLUMN address.country")
+    assert(spark.table("graft.db.nest").schema("address").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("city", "postcode"))
+    // a null struct stays null through the projection (not a struct of nulls)
+    spark.sql("INSERT INTO graft.db.nest VALUES (3, NULL)")
+    assert(spark.sql("SELECT address FROM graft.db.nest WHERE id = 3").collect()(0).isNullAt(0))
+  }
+
+  test("CALL add_partition_field evolves the spec through SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.db.apf (id BIGINT, ts TIMESTAMP)")
+    spark.sql("CALL graft.system.add_partition_field('db.apf', 'days(ts)')")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/apf")
+    assert(t.log.current.properties.get("write.partition-by").contains("days(ts)"))
+    spark.sql("CALL graft.system.drop_partition_field('db.apf', 'days(ts)')")
+    val t2 = graft.table.GraftTable.load(spark, s"$wh/db/apf")
+    assert(!t2.log.current.properties.getOrElse("write.partition-by", "").contains("days"))
+  }
+
   test("DROP TABLE and SHOW TABLES") {
     init()
     spark.sql("CREATE TABLE graft.db.gone (id BIGINT)")
