@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Dedup, Functions, Relational, SetSort, Similarity, Temporal, TextAnalysis, Windows}
+import graft.queries.{Aggregates, Dedup, Functions, Relational, Sampling, SetSort, Similarity, Temporal, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
-      (Temporal.queries, Temporal.oracleSql))
+      (Temporal.queries, Temporal.oracleSql),
+      (Sampling.queries, Sampling.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic dataset sampling/splitting over `documents` — the
+  * train/val/test plumbing every large-scale training-data pipeline needs
+  * (north-star surface, same family as `Dedup`/`TextAnalysis`).
+  *
+  * Everything is HASH-derived, never random: the same row lands in the same
+  * split on every engine, every run, at any parallelism — which is what
+  * makes holdout splits reproducible and joins across pipeline stages safe.
+  * md5 on both engines keeps the oracle comparing identical assignments,
+  * not just sizes.
+  *
+  * 100 TB shape: q57 is a pure scan-shaped projection (no shuffle at all);
+  * q58 is one tiny groupBy (per-class counts, broadcast back) + a
+  * scan-shaped filter — NO per-class window/rank, so a skewed class never
+  * funnels through one task (the exact-size rank variant would; the
+  * hash-threshold form trades ±binomial size noise for linear scale). */
+object Sampling {
+
+  // ---------------------------------------------------------------- q57
+  /** Deterministic 80/10/10 train/val/test split: the first two hex chars
+    * of a salted doc-id hash partition [0x00,0xff] at 0xcc (=204/256 ≈ 80%)
+    * and 0xe6 (=230/256 ≈ 90%). Hex compares lexically in both engines. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h2 = substring(md5(concat(lit("split|"), $"doc_id".cast("string")).cast("binary")), 1, 2)
+    documents(spark, dir)
+      .select($"doc_id",
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q57Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5('split|' || doc_id), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5('split|' || doc_id), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Class-balanced stratified sample: downsample every language to
+    * (approximately) the rarest language's size by keeping docs whose
+    * 16-bit text-hash falls under the per-class keep-ratio threshold.
+    * Deterministic, one broadcast of the tiny per-class table, no rank
+    * window — the scalable alternative to exact-size per-class top-k. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+      .withColumn("hv", conv(substring(md5($"text".cast("binary")), 1, 4), 16, 10).cast("long"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val floorCnt = counts.agg(min($"cnt").as("m"))
+    docs.join(broadcast(counts), "lang").crossJoin(broadcast(floorCnt))
+      .filter($"hv" < $"m".cast("double") / $"cnt" * 65536.0)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT min(cnt) AS m FROM counts)
+      |SELECT doc_id, lang
+      |FROM documents d JOIN counts USING (lang), m
+      |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT < m.m::DOUBLE / cnt * 65536.0
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_hash_split"        -> q57,
+    "q58_stratified_sample" -> q58)
+
+  val oracleSql: Map[String, String] = Map(
+    "q57_hash_split"        -> q57Sql,
+    "q58_stratified_sample" -> q58Sql)
+}

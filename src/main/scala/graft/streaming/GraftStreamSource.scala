@@ -31,6 +31,20 @@ import graft.table.GraftTable
   * streaming the genuine appends (Iceberg's
   * streaming-skip-overwrite-snapshots semantics — see
   * [[graft.table.GraftTable.readAppended]]).
+  *
+  * Design note — why the V1 `Source` API and not DSv2 `MicroBatchStream`:
+  * `getBatch` returns a full DataFrame, so each micro-batch plans through
+  * Catalyst onto Spark's VECTORIZED parquet reader with the table's
+  * schema-evolution projection — for free. A DSv2 `MicroBatchStream` must
+  * produce rows itself through a `PartitionReaderFactory`, which for a
+  * parquet-backed table means either hand-rolling a row-based parquet
+  * decoder (a large performance regression vs the columnar path) or calling
+  * Spark's internal `ParquetFileFormat` machinery — strictly MORE
+  * internals-coupling than the two small touch points here (`Source` +
+  * `internalCreateDataFrame`, both stable since Spark 2.0 and used the same
+  * way by Delta Lake's V1 relation path). If Spark ever drops the V1 source
+  * API it will be because DSv2 grew a file-batch bridge, which is the
+  * moment to port.
   */
 class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
