@@ -46,6 +46,88 @@ class MultimodalSpec extends SparkSpec {
     assert(r.count() == a.count())
   }
 
+  // ---- real-codec paths (JDK ImageIO / javax.sound) ----------------------
+
+  /** A real in-memory PNG: w×h with a deterministic gradient. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A real WAV: 16-bit mono PCM sine at `hz`, one second at 8 kHz. */
+  private def wavBytes(hz: Double): Array[Byte] = {
+    val rate = 8000
+    val samples = Array.tabulate(rate)(i =>
+      (math.sin(2 * math.Pi * hz * i / rate) * 16384).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeImages parses real PNG payloads: dimensions come from pixels") {
+    val rows = Seq(
+      Multimodal.Asset(1L, pngBytes(32, 16), "png", 0, 0),   // metadata lies (0x0)
+      Multimodal.Asset(2L, pngBytes(8, 8), "png", 0, 0),
+      Multimodal.Asset(3L, "not an image".getBytes, "webp", 0, 0))
+    val ds = spark.createDataset(rows)
+    val decoded = Multimodal.decodeImages(ds).collect().sortBy(_.asset_id)
+    assert(decoded.map(_.asset_id).toSeq == Seq(1L, 2L)) // undecodable dropped
+    assert(decoded(0).width == 32 && decoded(0).height == 16)
+    assert(decoded(0).channels == 3)
+    assert(decoded(0).thumb.length == 64)
+    assert(decoded(0).mean_luma > 0.0 && decoded(0).mean_luma < 1.0)
+  }
+
+  test("resize really re-encodes pixels: output decodes at the new size") {
+    val ds = spark.createDataset(Seq(Multimodal.Asset(1L, pngBytes(64, 64), "png", 64, 64)))
+    val resized = Multimodal.resize(ds, 16, 24).collect()(0)
+    assert(resized.format == "png" && resized.width == 16 && resized.height == 24)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.media))
+    assert(back.getWidth == 16 && back.getHeight == 24, "payload was not re-encoded")
+  }
+
+  test("extractFeatures uses pixel-derived features for decodable images") {
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(1L, pngBytes(32, 32), "png", 32, 32),
+      Multimodal.Asset(2L, "plain text".getBytes, "webp", 0, 0)))
+    val f = Multimodal.extractFeatures(ds, dim = 64).collect().sortBy(_.asset_id)
+    assert(f(0).decoded && !f(1).decoded)
+    // decoded features are the gray thumbnail, not a byte hash: a solid
+    // white image must give ~1.0 everywhere
+    val white = new java.awt.image.BufferedImage(10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 10; y <- 0 until 10) white.setRGB(x, y, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", out)
+    val wf = Multimodal.extractFeatures(
+      spark.createDataset(Seq(Multimodal.Asset(9L, out.toByteArray, "png", 10, 10))), 16)
+      .collect()(0)
+    assert(wf.decoded && wf.features.forall(_ > 0.95f), wf.features.mkString(","))
+  }
+
+  test("decodeWavs parses real WAV payloads: rate, duration, RMS from samples") {
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(1L, wavBytes(440.0), "wav", 0, 0),
+      Multimodal.Asset(2L, "nope".getBytes, "webp", 0, 0)))
+    val a = Multimodal.decodeWavs(ds).collect()
+    assert(a.map(_.asset_id).toSeq == Seq(1L)) // non-audio dropped
+    assert(a(0).sample_rate == 8000.0f && a(0).channels == 1)
+    assert(math.abs(a(0).duration_s - 1.0) < 0.01)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.354
+    assert(math.abs(a(0).rms - 0.354) < 0.01, s"rms=${a(0).rms}")
+  }
+
   test("frame sampling explodes to n frames per asset with sliced bytes") {
     val a = Multimodal.assets(spark, sf).limit(10)
     val frames = Multimodal.frameSample(a, nFrames = 4)
