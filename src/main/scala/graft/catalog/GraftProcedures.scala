@@ -68,9 +68,13 @@ private[catalog] object GraftProcedures {
         load(s, r).expireSnapshots(r.getLong(1).toInt)),
       new Proc("remove_orphan_files", "delete data files no live snapshot references",
         Seq(tbl))((s, r) => load(s, r).removeOrphanFiles()),
-      new Proc("rewrite_data_files", "compact the table into target_files files",
-        Seq(tbl, in("target_files", LongType)))((s, r) =>
-        load(s, r).rewriteDataFiles(r.getLong(1).toInt)),
+      new Proc("rewrite_data_files", "compact into target_files files; zorder_by = comma-separated numeric columns for Z-order clustering",
+        Seq(tbl, in("target_files", LongType),
+          ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build()))((s, r) => {
+        val zorder = r.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (zorder.isEmpty) load(s, r).rewriteDataFiles(r.getLong(1).toInt)
+        else load(s, r).rewriteDataFilesZOrder(r.getLong(1).toInt, zorder)
+      }),
       new Proc("rewrite_manifests", "compact snapshot metadata (drop dead schema history)",
         Seq(tbl))((s, r) => load(s, r).rewriteManifests()),
       new Proc("fast_forward", "advance a branch ref to the main HEAD",

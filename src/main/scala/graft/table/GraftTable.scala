@@ -343,6 +343,56 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       operation = "rewrite", files = newFiles))
   }
 
+  /** Z-ORDER compaction (`CALL rewrite_data_files(..., zorder_by)` — the
+    * Iceberg rewrite strategy): rows are range-partitioned and sorted on an
+    * interleaved-bit curve over the given NUMERIC columns, so each output
+    * file covers a small hyper-rectangle and min/max pruning bites on EVERY
+    * zorder column — linear sort only ever tightens the leading one.
+    *
+    * Scale shape: per-column [min,max] comes from the snapshot's existing
+    * file stats (driver metadata, no scan); the z-value is pure codegen'd
+    * arithmetic (normalize to 16 bits, interleave via shift/and/or);
+    * `repartitionByRange` samples the z-values to cut `target` balanced
+    * ranges. One full read + write, like any compaction. */
+  def rewriteDataFilesZOrder(target: Int, zorderBy: Seq[String]): Snapshot = {
+    require(zorderBy.nonEmpty, "zorder needs at least one column")
+    val head = log.current
+    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val bounds = zorderBy.map { c =>
+      val f = cur.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c"))
+      require(f.dataType.isInstanceOf[NumericType],
+        s"zorder column $c must be numeric, is ${f.dataType.simpleString}")
+      val sts = head.files.flatMap(_.stats.get(c))
+      require(sts.nonEmpty, s"no stats for zorder column $c")
+      c -> (sts.map(_.min.toDouble).min, sts.map(_.max.toDouble).max)
+    }.toMap
+    val k = zorderBy.length
+    val zCol = zorderBy.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = bounds(c)
+      val range = if (mx > mn) mx - mn else 1.0
+      val nz = least(greatest(
+        floor((col(c).cast("double") - mn) / range * 65535.0), lit(0.0)), lit(65535.0))
+        .cast("long")
+      // spread bit b of column j to position b*k + j (disjoint positions, so
+      // summing across columns IS the bitwise-or interleave)
+      (0 until 16).map(b =>
+        shiftleft(shiftrightunsigned(nz, b).bitwiseAND(lit(1L)), b * k + j): Column)
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val out = readSnapshot(head)
+      .withColumn("_z", zCol)
+      .repartitionByRange(target, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    val newFiles = writeFiles(out, head.currentSchemaId,
+      // bypass the write-distribution re-shuffle: the z-curve IS the layout
+      head.properties - "write.partition-by" - "write.sort-by")
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "rewrite", files = newFiles))
+  }
+
   /** `CALL create_changelog_view`: CDC rows between two snapshots —
     * bag-semantics diff (exceptAll both ways), `_change_type` in
     * {insert, delete}. */
@@ -738,7 +788,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val aggs = Seq(count(lit(1)).as("_rows")) ++
       statFields.flatMap(f => Seq(
         min(col(f.name)).cast("string").as(s"_min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"_max_${f.name}"))) ++
+        max(col(f.name)).cast("string").as(s"_max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
       derived.zipWithIndex.flatMap { case ((_, ex, _), i) => Seq(
         min(ex).cast("string").as(s"_tmin_$i"),
         max(ex).cast("string").as(s"_tmax_$i")) }
@@ -752,7 +803,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
           if (mn == null || mx == null) None
-          else Some(f.name -> ColumnStats(mn, mx, f.dataType.typeName))
+          else Some(f.name -> ColumnStats(mn, mx, f.dataType.typeName,
+            r.getAs[Long](s"_nulls_${f.name}")))
         }.toMap
         val transformStats = derived.zipWithIndex.flatMap { case ((key, _, num), i) =>
           val mn = r.getAs[String](s"_tmin_$i")
@@ -833,6 +885,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) >= 0)
       case LessThanOrEqual(c, v) if v != null =>
         f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) > 0)
+      // Iceberg-manifest-style null-count pruning: a file with zero nulls
+      // in c can't satisfy IS NULL (-1 = legacy entry, unknown — keep)
+      case IsNull(c) => f.stats.get(c).exists(_.nullCount == 0L)
       case And(l, r) => excluded(f, l) || excluded(f, r)
       case Or(l, r) => excluded(f, l) && excluded(f, r)
       case _ => false // unknown shape: cannot prove exclusion, keep the file

@@ -10,7 +10,8 @@ import org.json4s.jackson.Serialization
   * name) used for log-level file pruning — the same role Iceberg manifests'
   * column bounds play for its `ScanBuilder` (reference `main.tf:794,803`;
   * SURVEY.md §4 row 1). */
-case class ColumnStats(min: String, max: String, dataType: String)
+case class ColumnStats(min: String, max: String, dataType: String,
+    nullCount: Long = -1L) // -1 = unknown (entry written before null tracking)
 
 /** One immutable data file registered in a snapshot. `schemaId` pins the
   * column names/ids the file was written with, so schema evolution (rename/

@@ -150,6 +150,10 @@ class GraftCatalogSpec extends SparkSpec {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
     assert(t.pruneFiles(t.log.current, Seq(EqualTo("id", 1050L))).size < all.size)
     assert(t.pruneFiles(t.log.current, Seq(GreaterThan("id", 5000L))).isEmpty)
+    // null-count pruning: no file has null ids, so IS NULL scans nothing
+    import org.apache.spark.sql.sources.IsNull
+    assert(t.pruneFiles(t.log.current, Seq(IsNull("id"))).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id IS NULL").collect()(0).getLong(0) == 0)
     // SQL through the pruned scan still returns exact answers
     assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id = 1050").collect()(0).getLong(0) == 1)
     assert(spark.sql("SELECT count(*) FROM graft.db.pr WHERE id >= 2000").collect()(0).getLong(0) == 100)

@@ -39,6 +39,9 @@ class GraftProceduresSpec extends SparkSpec {
     spark.sql("CALL graft.system.rewrite_manifests('proc.rw')")
     spark.sql("CALL graft.system.remove_orphan_files('proc.rw')")
     assert(spark.sql("SELECT sum(id) FROM graft.proc.rw").collect()(0).getLong(0) == 6)
+    // zorder variant through the same procedure
+    spark.sql("CALL graft.system.rewrite_data_files('proc.rw', 1, 'id')")
+    assert(spark.sql("SELECT sum(id) FROM graft.proc.rw").collect()(0).getLong(0) == 6)
   }
 
   test("CALL create_changelog_view registers a queryable CDC view") {

@@ -24,6 +24,32 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
   }
 
+  test("zorder rewrite makes pruning bite on BOTH clustered columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = tmp("zorder-")
+    // two independent uniform dimensions — row order correlates with neither
+    val df = spark.range(4096).select(
+      ($"id" * 2654435761L % 1000).as("x"),
+      ($"id" * 40503L % 1000).as("y"),
+      $"id".as("payload"))
+    val t = GraftTable.create(spark, path, df)
+    val before = t.read.orderBy("payload").collect()
+    t.rewriteDataFilesZOrder(target = 8, zorderBy = Seq("x", "y"))
+    val after = GraftTable.load(spark, path)
+    val files = after.log.current.files
+    assert(files.size >= 4, s"expected several z-files, got ${files.size}")
+    // the z-curve gives every file a small x-range AND a small y-range, so
+    // point filters on EITHER column prune (linear sort only does one)
+    val px = after.pruneFiles(after.log.current, Seq(EqualTo("x", 500L)))
+    val py = after.pruneFiles(after.log.current, Seq(EqualTo("y", 500L)))
+    assert(px.size < files.size, s"x filter kept all ${files.size} files")
+    assert(py.size < files.size, s"y filter kept all ${files.size} files")
+    // compaction must not change a single row
+    assert(after.read.orderBy("payload").collect().toSeq == before.toSeq)
+    assert(after.log.current.operation == "rewrite")
+  }
+
   test("append commit metadata is O(new files): version JSON size stays flat") {
     import spark.implicits._
     val path = tmp("chunked-")
