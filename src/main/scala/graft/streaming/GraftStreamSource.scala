@@ -46,7 +46,8 @@ import graft.table.GraftTable
   * API it will be because DSv2 grew a file-batch bridge, which is the
   * moment to port.
   */
-class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftSourceProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-stream"
 
@@ -65,6 +66,44 @@ class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new GraftStreamSource(ctx, parameters("path"),
       parameters.get("fromVersion").map(_.toLong),
       parameters.get("skipRewrites").exists(_.toBoolean))
+
+  /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
+    * counterpart: every micro-batch appends in ONE snapshot commit that also
+    * records the batch id, so a replayed batch after failure recovery is
+    * detected and skipped (exactly-once on top of foreachBatch-style
+    * at-least-once delivery). The table is created from the stream's schema
+    * on the first batch if absent. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      "graft-stream sink is append-only (snapshots are immutable increments)")
+    new GraftStreamSink(parameters("path"))
+  }
+}
+
+class GraftStreamSink(path: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the incoming frame is streaming-planned; re-tag it as batch so the
+    // append's normal transformations can run over it
+    val batch = Bridge.batchDataFrame(spark, data)
+    val t =
+      if (new SnapshotLogProbe(path).exists) GraftTable.load(spark, path)
+      else GraftTable.createEmpty(spark, path,
+        StructType(batch.schema.fields.map(_.copy(metadata = Metadata.empty))))
+    val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
+    if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
+    t.append(batch, Map("stream.last-batch-id" -> batchId.toString))
+  }
+}
+
+/** Existence probe without requiring a committed table. */
+private class SnapshotLogProbe(path: String) {
+  def exists: Boolean = new graft.table.SnapshotLog(path).exists
 }
 
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],

@@ -26,6 +26,18 @@ object Bridge {
       df.schema, isStreaming = true)
   }
 
+  /** Re-tag a streaming micro-batch DataFrame as a BATCH one (the inverse of
+    * [[streamingDataFrame]]): what a V1 `Sink.addBatch` implementation needs
+    * to run normal batch transformations over the incoming data — planning
+    * new queries over the raw streaming frame throws
+    * "streaming sources must be executed with writeStream.start()". */
+  def batchDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    cls.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema, isStreaming = false)
+  }
+
   /** The session's catalog manager (`sessionState` is `private[sql]`). */
   def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager

@@ -62,6 +62,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(t.readAppended(v1, v1).count() == 0)
   }
 
+  test("writeStream.format(graft-stream) sink: creates the table, appends per batch, exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("stream-sink-")
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id")
+      .writeStream.format("graft-stream")
+      .option("path", path)
+      .option("checkpointLocation", s"$path/../ckpt-sink")
+      .start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      val t = GraftTable.load(spark, path)
+      assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      mem.addData(3L)
+      q.processAllAvailable()
+      val t2 = GraftTable.load(spark, path)
+      assert(t2.read.count() == 3)
+      // batch id rides the same commit (the exactly-once marker)
+      assert(t2.log.current.properties.contains("stream.last-batch-id"))
+      // a replayed batch id is a no-op, not a duplicate append
+      val before = t2.log.currentVersion
+      new graft.streaming.GraftStreamSink(path)
+        .addBatch(0L, graft.Tables.documents(spark, sf).selectExpr("doc_id AS id").limit(1))
+      assert(GraftTable.load(spark, path).log.currentVersion == before)
+    } finally q.stop()
+  }
+
   test("a rewrite snapshot in the range fails the increment; skipRewrites streams appends only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
