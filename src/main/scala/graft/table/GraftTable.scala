@@ -244,23 +244,44 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       operation = "overwrite", files = newFiles))
   }
 
+  /** Re-run a whole copy-on-write operation when its commit loses the CAS to
+    * a concurrent writer (Iceberg's commit-retry): the body re-reads the
+    * head, so a retry operates on the NEW table state — correctness never
+    * depends on the loser's stale file list. Files written by a failed
+    * attempt become orphans and are collected by removeOrphanFiles. */
+  private[table] def retryOnConflict[A](attempts: Int = 3)(body: => A): A = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          i += 1
+          if (i >= attempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Row-level DELETE as copy-on-write: only files containing matching rows
-    * are rewritten; the rest carry over by reference (SURVEY.md §2.8). */
-  def delete(cond: Column): Snapshot = {
+    * are rewritten; the rest carry over by reference (SURVEY.md §2.8).
+    * Retries against the new head if a concurrent commit wins the CAS. */
+  def delete(cond: Column): Snapshot = retryOnConflict() {
     val head = log.current
     val df = readSnapshot(head, withMeta = true)
     val touched = touchedPaths(df.filter(cond))
-    if (touched.isEmpty) return head
-    val keep = df.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
-      .drop("_graft_path", "_graft_pos")
-    replaceFiles(head, touched, keep, "delete")
+    if (touched.isEmpty) head
+    else {
+      val keep = df.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
+        .drop("_graft_path", "_graft_pos")
+      replaceFiles(head, touched, keep, "delete")
+    }
   }
 
   /** Overwrite only rows matching `cond` with `df`, in ONE snapshot commit
     * (Iceberg's overwrite-by-filter / static `INSERT OVERWRITE … WHERE`):
     * files containing matching rows are rewritten without them, the new
     * data lands alongside, untouched files carry over by reference. */
-  def overwriteWhere(cond: Column, df: DataFrame): Snapshot = {
+  def overwriteWhere(cond: Column, df: DataFrame): Snapshot = retryOnConflict() {
     val head = log.current
     val full = readSnapshot(head, withMeta = true)
     val touched = touchedPaths(full.filter(cond))
@@ -269,22 +290,25 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     replaceFiles(head, touched, keep, "overwrite", extraRows = Some(conform(df, head)))
   }
 
-  /** Row-level UPDATE as copy-on-write rewrite of touched files. */
-  def update(cond: Column, set: Map[String, Column]): Snapshot = {
+  /** Row-level UPDATE as copy-on-write rewrite of touched files. Retries
+    * against the new head if a concurrent commit wins the CAS. */
+  def update(cond: Column, set: Map[String, Column]): Snapshot = retryOnConflict() {
     val head = log.current
     val cur = stripIds(schemaOf(head, head.currentSchemaId))
     val df = readSnapshot(head, withMeta = true)
     val touched = touchedPaths(df.filter(cond))
-    if (touched.isEmpty) return head
-    val hit = coalesce(cond, lit(false))
-    val rewritten = df.filter(col("_graft_path").isin(touched: _*))
-      .select(cur.fields.map { f =>
-        set.get(f.name) match {
-          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None    => col(f.name)
-        }
-      }: _*)
-    replaceFiles(head, touched, rewritten, "update")
+    if (touched.isEmpty) head
+    else {
+      val hit = coalesce(cond, lit(false))
+      val rewritten = df.filter(col("_graft_path").isin(touched: _*))
+        .select(cur.fields.map { f =>
+          set.get(f.name) match {
+            case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None    => col(f.name)
+          }
+        }: _*)
+      replaceFiles(head, touched, rewritten, "update")
+    }
   }
 
   /** Start a MERGE INTO builder (reference `main.tf:803` headline DML). */

@@ -58,7 +58,11 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     bySource :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
   }
 
-  def execute(): Snapshot = {
+  /** Runs the merge; a lost commit CAS (concurrent writer) re-executes the
+    * whole merge against the new head (Iceberg commit-retry semantics). */
+  def execute(): Snapshot = table.retryOnConflict() { executeOnce() }
+
+  private def executeOnce(): Snapshot = {
     val spark = table.spark
     val head = table.log.current
     val cur = table.schema

@@ -219,6 +219,21 @@ class GraftTableSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).toSeq == (-1L +: hist.map(_.getLong(0)).dropRight(1).toSeq))
   }
 
+  test("copy-on-write DELETE racing a concurrent append: both land (commit retry)") {
+    val t = mk((0L to 50L).map(i => (i, s"r$i", i * 1.0)))
+    val appender = new Thread(() =>
+      t.appendWithRetry(Seq((999L, "late", 9.9)).toDF("id", "name", "amount")))
+    val deleter = new Thread(() =>
+      t.delete(org.apache.spark.sql.functions.col("id") < 10L))
+    appender.start(); deleter.start()
+    appender.join(); deleter.join()
+    val ids = t.read.collect().map(_.getLong(0)).sorted.toSeq
+    // whichever commit order won, deletes applied and the append survived
+    assert(ids.contains(999L), "concurrent append lost")
+    assert(!ids.exists(_ < 10L), "delete lost rows it should have removed")
+    assert(ids.filter(i => i >= 10L && i <= 50L).size == 41)
+  }
+
   test("write distribution properties shape output files") {
     val path = tmpDir()
     val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.0)).toDF("id", "name", "amount")
