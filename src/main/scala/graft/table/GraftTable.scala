@@ -827,8 +827,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
           if (mn == null || mx == null) None
-          else Some(f.name -> ColumnStats(mn, mx, f.dataType.typeName,
-            r.getAs[Long](s"_nulls_${f.name}")))
+          else {
+            val (bmn, bmx) =
+              if (f.dataType == StringType) truncateBounds(mn, mx) else (mn, mx)
+            Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName,
+              r.getAs[Long](s"_nulls_${f.name}")))
+          }
         }.toMap
         val transformStats = derived.zipWithIndex.flatMap { case ((key, _, num), i) =>
           val mn = r.getAs[String](s"_tmin_$i")
@@ -855,6 +859,26 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => col(c.trim)): _*)
       case None => parted
     }
+  }
+
+  /** Iceberg-style string-bound truncation so a long-text column (a whole
+    * document!) never bloats snapshot metadata: the lower bound truncates to
+    * a prefix (any prefix IS a valid lower bound), the upper bound truncates
+    * and increments its last incrementable char (making it strictly above
+    * everything sharing the prefix). Pruning comparisons stay conservative —
+    * never excluding a file that could match. */
+  private val BoundLen = 32
+  private def truncateBounds(min: String, max: String): (String, String) = {
+    val mn = if (min.length > BoundLen) min.substring(0, BoundLen) else min
+    val mx =
+      if (max.length <= BoundLen) max
+      else {
+        val t = max.substring(0, BoundLen)
+        val i = t.lastIndexWhere(_ < Char.MaxValue)
+        if (i < 0) max // pathological all-￿ prefix: keep the full bound
+        else t.substring(0, i) + (t(i) + 1).toChar
+      }
+    (mn, mx)
   }
 
   private def isStatType(dt: DataType): Boolean = dt match {

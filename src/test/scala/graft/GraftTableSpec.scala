@@ -219,6 +219,23 @@ class GraftTableSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).toSeq == (-1L +: hist.map(_.getLong(0)).dropRight(1).toSeq))
   }
 
+  test("long string bounds truncate in metadata but still prune correctly") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val longA = "a" * 500 + "end"
+    val longZ = "z" * 500 + "end"
+    val t = GraftTable.create(spark, tmpDir(),
+      Seq((1L, longA, 1.0), (2L, longZ, 2.0)).toDF("id", "name", "amount"))
+    val st = t.log.current.files.head.stats("name")
+    assert(st.min.length <= 33 && st.max.length <= 33,
+      s"unbounded string stats: ${st.min.length}/${st.max.length} chars")
+    // truncated bounds stay CONSERVATIVE: the real values are still "inside"
+    assert(t.pruneFiles(t.log.current, Seq(EqualTo("name", longA))).nonEmpty)
+    assert(t.pruneFiles(t.log.current, Seq(EqualTo("name", longZ))).nonEmpty)
+    // and still exclude what they can prove: '{' sorts above any z-string,
+    // including the incremented truncated upper bound
+    assert(t.pruneFiles(t.log.current, Seq(GreaterThan("name", "{"))).isEmpty)
+  }
+
   test("copy-on-write DELETE racing a concurrent append: both land (commit retry)") {
     val t = mk((0L to 50L).map(i => (i, s"r$i", i * 1.0)))
     val appender = new Thread(() =>
