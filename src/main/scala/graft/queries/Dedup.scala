@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -93,16 +93,31 @@ object Dedup {
   // ---------------------------------------------------------------- q42
   /** SimHash: 16-bit fingerprint from the high bit of each md5 hex digit of
     * every token, summed ±1 — identical docs get identical fingerprints,
-    * near-identical docs differ in few bits (Hamming). Pure groupBy+sum. */
+    * near-identical docs differ in few bits (Hamming). Pure groupBy+sum.
+    *
+    * Bit extraction is integer arithmetic, not string matching: the first
+    * 16 hex digits parse into two 32-bit words (conv once per half), and
+    * "high bit of digit j" is a shift+mask — 2 parses + 16 shifts per token
+    * instead of 16 substring×8-way IN comparisons. Same semantics, same
+    * oracle (DuckDB keeps the readable CASE form — the driver compares
+    * RESULTS, not expressions). */
   def q42(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val words = documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("wd"))
       .filter(length($"wd") > 0)
       .withColumn("h", md5($"wd".cast("binary")))
-    val sums = (1 to 16).map(j =>
-      sum(when(substring($"h", j, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j"))
+      // digits 1-8 / 9-16 as two unsigned 32-bit values (each fits a long)
+      .withColumn("v1", conv(substring($"h", 1, 8), 16, 10).cast("long"))
+      .withColumn("v2", conv(substring($"h", 9, 8), 16, 10).cast("long"))
+    // hex digit j occupies bits (35-4j)..(32-4j) of its word; its high bit
+    // sits at 35-4j — shift, mask, map {1,0} -> {+1,-1} via 2*bit-1
+    def bit(v: Column, j: Int): Column =
+      shiftrightunsigned(v, 35 - 4 * j).bitwiseAND(lit(1L)) * 2 - 1
+    val sums = (1 to 16).map { j =>
+      val b = if (j <= 8) bit($"v1", j) else bit($"v2", j - 8)
+      sum(b).as(s"b$j")
+    }
     words.groupBy($"doc_id")
       .agg(sums.head, sums.tail: _*)
       .select($"doc_id",
