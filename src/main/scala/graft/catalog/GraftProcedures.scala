@@ -80,11 +80,19 @@ private[catalog] object GraftProcedures {
       new Proc("fast_forward", "advance a branch ref to the main HEAD",
         Seq(tbl, in("branch", StringType)))((s, r) =>
         load(s, r).fastForward(r.getUTF8String(1).toString)),
-      new Proc("create_changelog_view", "register a temp view of CDC rows between two snapshots",
+      new Proc("create_changelog_view", "register a temp view of CDC rows between two snapshots; per_commit=true adds _commit_version/_change_ordinal and filters carryovers per step",
         Seq(tbl, in("from_version", LongType), in("to_version", LongType),
-          in("view_name", StringType)))((s, r) =>
-        load(s, r).changelog(r.getLong(1), r.getLong(2))
-          .createOrReplaceTempView(r.getUTF8String(3).toString)),
+          in("view_name", StringType),
+          ProcedureParameter.in("per_commit", org.apache.spark.sql.types.BooleanType)
+            .defaultValue("false").build()))((s, r) => {
+        val t = load(s, r)
+        val df = if (r.getBoolean(4)) t.changelogDetailed(r.getLong(1), r.getLong(2))
+                 else t.changelog(r.getLong(1), r.getLong(2))
+        df.createOrReplaceTempView(r.getUTF8String(3).toString)
+      }),
+      new Proc("rewrite_small_files", "binpack-compact files smaller than min_bytes into ~target_bytes outputs; right-sized files carry over",
+        Seq(tbl, in("min_bytes", LongType), in("target_bytes", LongType)))((s, r) =>
+        load(s, r).rewriteSmallFiles(r.getLong(1), r.getLong(2))),
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,

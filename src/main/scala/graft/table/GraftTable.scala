@@ -367,6 +367,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       operation = "rewrite", files = newFiles))
   }
 
+  /** Binpack compaction (Iceberg's default rewrite strategy): coalesce only
+    * files SMALLER than `minBytes` into ~`targetBytes`-sized outputs,
+    * carrying every right-sized file over by reference. On a 100 TB table
+    * this is the difference between rewriting the 1% of small files an
+    * hourly stream produced and rewriting everything. */
+  def rewriteSmallFiles(minBytes: Long, targetBytes: Long): Snapshot = retryOnConflict() {
+    val head = log.current
+    val small = head.files.filter(_.bytes < minBytes)
+    if (small.size <= 1) head
+    else {
+      val parts = math.max(1, (small.map(_.bytes).sum / math.max(targetBytes, 1L)).toInt)
+      val df = readFilesOf(head, small, withMeta = false).repartition(parts)
+      val newFiles = writeFiles(df, head.currentSchemaId, head.properties)
+      val smallPaths = small.map(_.path).toSet
+      log.commit(head.version, v => head.copy(
+        version = v, parent = head.version, timestampMs = now(),
+        operation = "rewrite",
+        files = head.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles))
+    }
+  }
+
   /** Z-ORDER compaction (`CALL rewrite_data_files(..., zorder_by)` — the
     * Iceberg rewrite strategy): rows are range-partitioned and sorted on an
     * interleaved-bit curve over the given NUMERIC columns, so each output
@@ -417,7 +438,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       operation = "rewrite", files = newFiles))
   }
 
-  /** `CALL create_changelog_view`: CDC rows between two snapshots —
+  /** `CALL create_changelog_view`: NET CDC rows between two snapshots —
     * bag-semantics diff (exceptAll both ways), `_change_type` in
     * {insert, delete}. */
   def changelog(fromV: Long, toV: Long): DataFrame = {
@@ -425,6 +446,45 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val b = readVersion(toV)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Per-commit changelog (Iceberg changelog-with-ordinals semantics): one
+    * insert/delete row set PER SNAPSHOT in `(fromV, toV]`, tagged with
+    * `_commit_version` and a dense `_change_ordinal`, carryover rows
+    * (rewritten unchanged by compaction/DML) filtered out by the per-step
+    * bag diff. Each step reads only the files that changed in that commit —
+    * never the whole table. */
+  def changelogDetailed(fromV: Long, toV: Long): DataFrame = {
+    // ancestors of toV back to fromV, oldest first
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    var cur = log.snapshot(toV)
+    while (cur.version != fromV) {
+      require(cur.parent >= 0, s"v$fromV is not an ancestor of v$toV")
+      chain.prepend(cur)
+      cur = log.snapshot(cur.parent)
+    }
+    // every step projects through toV's snapshot: its schema registry holds
+    // all schemas ever written, so ID-wise projection lands each step's rows
+    // on ONE common (end-of-range) schema regardless of mid-range evolution
+    val to = log.snapshot(toV)
+    val steps = chain.toSeq.zipWithIndex.map { case (s, ord) =>
+      val parent = log.snapshot(s.parent)
+      val parentPaths = parent.files.map(_.path).toSet
+      val curPaths = s.files.map(_.path).toSet
+      val added = readFilesOf(to, s.files.filterNot(f => parentPaths.contains(f.path)), withMeta = false)
+      val removed = readFilesOf(to, parent.files.filterNot(f => curPaths.contains(f.path)), withMeta = false)
+      added.exceptAll(removed)
+        .withColumn("_change_type", lit("insert"))
+        .unionAll(removed.exceptAll(added)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(s.version))
+        .withColumn("_change_ordinal", lit(ord))
+    }
+    steps.reduceOption(_ unionAll _)
+      .getOrElse(emptyDf(StructType(stripIds(schema).fields
+        :+ StructField("_change_type", StringType)
+        :+ StructField("_commit_version", LongType)
+        :+ StructField("_change_ordinal", IntegerType))))
   }
 
   // ------------------------------------------------------------------ refs

@@ -24,6 +24,43 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
   }
 
+  test("binpack rewrite compacts only small files; big files carry over untouched") {
+    import spark.implicits._
+    val path = tmp("binpack-")
+    val t = GraftTable.create(spark, path, spark.range(20000).select($"id").toDF("id"))
+    val bigPaths = t.log.current.files.map(_.path).toSet
+    (1 to 5).foreach(i => t.append(Seq(100000L + i).toDF("id"))) // 5 tiny files
+    val before = t.log.current.files
+    assert(before.size == bigPaths.size + 5)
+    t.rewriteSmallFiles(minBytes = 10000L, targetBytes = 64 * 1024 * 1024L)
+    val after = GraftTable.load(spark, path).log.current
+    // the big file(s) kept their identity — no rewrite, no data movement
+    assert(bigPaths.subsetOf(after.files.map(_.path).toSet), "big files were rewritten")
+    // the 5 tiny files merged into fewer outputs
+    assert(after.files.size < before.size)
+    assert(after.operation == "rewrite")
+    assert(GraftTable.load(spark, path).read.count() == 20005)
+  }
+
+  test("per-commit changelog tags inserts/deletes with version and ordinal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmp("cdc-ord-")
+    val t = GraftTable.create(spark, path, Seq(1L, 2L).toDF("id")) // v0
+    t.append(Seq(3L).toDF("id"))                                   // v1
+    t.delete(col("id") === 1L)                                     // v2 (rewrite)
+    t.append(Seq(4L).toDF("id"))                                   // v3
+    val log = t.changelogDetailed(0L, 3L)
+      .select("id", "_change_type", "_commit_version", "_change_ordinal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._4, x._2, x._1))
+    // v1: +3 @ord0; v2: -1 @ord1 (carryover of 2 filtered); v3: +4 @ord2
+    assert(log.toSeq == Seq(
+      (3L, "insert", 1L, 0),
+      (1L, "delete", 2L, 1),
+      (4L, "insert", 3L, 2)), log.mkString(", "))
+  }
+
   test("zorder rewrite makes pruning bite on BOTH clustered columns") {
     import spark.implicits._
     import org.apache.spark.sql.sources.EqualTo
