@@ -782,6 +782,25 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     rows.toDF("snapshot_version", "status", "file_path", "rows", "bytes", "schema_id")
   }
 
+  /** Export the current snapshot as a SYMLINK-FORMAT MANIFEST — a text file
+    * of absolute data-file URIs, the lingua-franca external engines (Trino,
+    * Presto, Athena, DuckDB's read_parquet list) use to read a CONSISTENT
+    * table snapshot without speaking the native log format. The reference
+    * stack's whole purpose is this multi-engine read path (reference
+    * `main.tf:809-820`); the manifest is the catalog-less equivalent.
+    * Re-export after commits to publish a newer snapshot. */
+  def exportSymlinkManifest(outDir: String): Path = {
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    val manifest = dir.resolve("manifest.txt")
+    val tmp = dir.resolve(s".manifest.tmp${UUID.randomUUID()}")
+    val uris = log.current.files.map(f => s"file://${resolve(f.path)}")
+    Files.writeString(tmp, uris.mkString("\n") + (if (uris.isEmpty) "" else "\n"))
+    Files.move(tmp, manifest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
   /** `CALL rewrite_manifests` analogue: re-commit the head with metadata
     * compacted — schema entries no live file references are dropped, so the
     * per-snapshot JSON stops growing with schema-evolution history. Data
@@ -837,7 +856,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private[table] def writeFiles(df: DataFrame, schemaId: Int,
       props: Map[String, String]): Seq[DataFile] = {
     val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
-    arrange(df, props).write.parquet(staging.toString)
+    // `write.bloom-filter-columns`: per-column parquet Bloom filters — the
+    // point-lookup complement to min/max bounds. A random-id equality rarely
+    // prunes on ranges (every file spans the id space); the Bloom filter
+    // skips row groups that provably lack the value, applied inside Spark's
+    // vectorized reader from the pushed predicate, no engine code needed.
+    val bloomOpts = props.get("write.bloom-filter-columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    arrange(df, props).write.options(bloomOpts).parquet(staging.toString)
     val parts = Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
     val moved = parts.map { p =>

@@ -24,6 +24,44 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
   }
 
+  test("bloom-filter table property lands real parquet bloom filters in data files") {
+    import spark.implicits._
+    val path = tmp("bloom-")
+    val t = GraftTable.create(spark, path, spark.range(5000).toDF("id"),
+      properties = Map("write.bloom-filter-columns" -> "id"))
+    val file = t.log.current.files.head
+    // read the parquet footer: the id column chunk must carry a bloom offset
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$path/${file.path}"), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val idCol = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "id").get
+      assert(idCol.getBloomFilterOffset > 0, "no bloom filter written for id")
+    } finally reader.close()
+    // and scans still answer exactly
+    assert(t.read.filter($"id" === 4321L).count() == 1)
+  }
+
+  test("symlink manifest export lists exactly the current snapshot's files") {
+    import spark.implicits._
+    val path = tmp("symlink-")
+    val t = GraftTable.create(spark, path, Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    val out = Files.createTempDirectory(Paths.get("target"), "manifest-")
+    val manifest = t.exportSymlinkManifest(out.toString)
+    val uris = Files.readString(manifest).trim.split("\n").toSeq
+    assert(uris.size == t.log.current.files.size)
+    assert(uris.forall(_.startsWith("file:///")))
+    // globbing the listed files reproduces the snapshot exactly
+    val paths = uris.map(_.stripPrefix("file://"))
+    val back = spark.read.parquet(paths: _*)
+    assert(back.count() == 3)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("binpack rewrite compacts only small files; big files carry over untouched") {
     import spark.implicits._
     val path = tmp("binpack-")
