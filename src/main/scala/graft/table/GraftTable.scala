@@ -498,7 +498,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   /** Branch write (Iceberg branch semantics, SURVEY.md §2.8): append onto a
     * branch head without touching main — a detached commit whose parent is
     * the branch's snapshot, then the ref fast-forwards to it. */
-  def appendToBranch(name: String, df: DataFrame): Snapshot = {
+  def appendToBranch(name: String, df: DataFrame): Snapshot = retryOnConflict() {
     val r = log.refs.getOrElse(name, throw new IllegalArgumentException(s"no ref $name"))
     require(r.refType == "branch", s"$name is a tag — tags are immutable")
     val base = log.snapshot(r.version)
