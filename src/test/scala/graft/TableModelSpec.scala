@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.table.GraftTable
+
+/** Model-based testing of the table format: drive the table through random
+  * sequences of append / DELETE / UPDATE / overwrite-by-filter / MERGE /
+  * compaction, mirroring every operation on a plain in-memory model, and
+  * assert after EVERY commit that the table reads exactly the model — then
+  * replay time travel against the recorded model history. A metadata bug
+  * anywhere (file tracking, carryover, manifest chunks, COW rewrites,
+  * snapshot lineage) surfaces as a divergence within a few ops. */
+class TableModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = java.nio.file.Files
+    .createTempDirectory(java.nio.file.Paths.get("target"), "model-").resolve("t").toString
+
+  private type Model = Map[Long, Double] // id -> v (ids unique by construction)
+
+  private def readState(t: GraftTable): Model =
+    t.read.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("random op sequences: table state always equals the reference model") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 2) {
+      val t = GraftTable.create(spark, tmpDir(),
+        Seq((0L, 0.5), (1L, 1.5), (2L, 2.5)).toDF("id", "v"))
+      var model: Model = Map(0L -> 0.5, 1L -> 1.5, 2L -> 2.5)
+      var nextId = 3L
+      val history = scala.collection.mutable.Buffer[(Long, Model)]()
+      history += ((t.log.currentVersion, model))
+
+      for (step <- 1 to 22) {
+        rnd.nextInt(6) match {
+          case 0 => // append a small batch
+            val k = 1 + rnd.nextInt(4)
+            val rows = (0 until k).map(i => (nextId + i, (nextId + i) * 0.25))
+            t.append(rows.toDF("id", "v"))
+            model ++= rows.toMap
+            nextId += k
+          case 1 => // row-level delete on a residue class
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            t.delete(col("id") % m === r)
+            model = model.filter { case (id, _) => id % m != r }
+          case 2 => // row-level update on a residue class
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            t.update(col("id") % m === r, Map("v" -> (col("v") + 100.0)))
+            model = model.map { case (id, v) => id -> (if (id % m == r) v + 100.0 else v) }
+          case 3 => // overwrite-by-filter: replace a residue class with fresh rows
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val rows = Seq((nextId, nextId * 0.25))
+            t.overwriteWhere(col("id") % m === r, rows.toDF("id", "v"))
+            model = model.filter { case (id, _) => id % m != r } ++ rows.toMap
+            nextId += 1
+          case 4 => // merge: update half the touched ids, insert a fresh one
+            val targets = model.keys.toSeq.sorted.take(3)
+            val src = targets.map(id => (id, -1.0)) :+ ((nextId, nextId * 0.25))
+            t.merge(src.toDF("id", "v"), expr("t.id = s.id"))
+              .whenMatchedUpdate(Map("v" -> expr("t.v + 1.0")))
+              .whenNotMatchedInsertAll()
+              .execute()
+            model = model.map { case (id, v) =>
+              id -> (if (targets.contains(id)) v + 1.0 else v) }
+            model += (nextId -> nextId * 0.25)
+            nextId += 1
+          case 5 => // maintenance must never change visible state
+            if (rnd.nextBoolean()) t.rewriteDataFiles(1 + rnd.nextInt(3))
+            else t.rewriteSmallFiles(minBytes = 1L << 20, targetBytes = 1L << 26)
+        }
+        val got = readState(t)
+        assert(got == model,
+          s"trial $trial step $step diverged: " +
+          s"extra=${(got.toSet -- model.toSet).take(5)} missing=${(model.toSet -- got.toSet).take(5)}")
+        history += ((t.log.currentVersion, model))
+      }
+
+      // time travel must replay every recorded state exactly
+      val samples = rnd.shuffle(history.toSeq).take(5)
+      samples.foreach { case (v, m) =>
+        val got = t.readVersion(v).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == m, s"time travel to v$v diverged")
+      }
+
+      // and the per-commit changelog replays the final state from the start
+      val first = history.head._1
+      val last = t.log.currentVersion
+      if (last > first) {
+        // within a step apply deletes before inserts: an UPDATE emits both
+        // for the same id, and the fold keys on id ("delete" < "insert")
+        val changes = t.changelogDetailed(first, last)
+          .select("id", "v", "_change_type", "_change_ordinal")
+          .collect()
+          .sortBy(r => (r.getInt(3), r.getString(2)))
+        val replayed = changes.foldLeft(history.head._2) { (m, r) =>
+          if (r.getString(2) == "insert") m + (r.getLong(0) -> r.getDouble(1))
+          else m - r.getLong(0)
+        }
+        assert(replayed == model, "changelog replay diverged from final state")
+      }
+    }
+  }
+}
