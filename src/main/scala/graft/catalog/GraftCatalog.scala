@@ -178,6 +178,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           t.updateColumnType(path, u.newDataType())
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        t.removeProperties(Seq(p.property()))
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames().length == 1, "nested nullability change not supported")
+        t.updateColumnNullability(n.fieldNames()(0), n.nullable())
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }

@@ -637,6 +637,31 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   def setProperties(props: Map[String, String]): Snapshot =
     commitProperties("set-properties", props)
 
+  /** `ALTER TABLE … UNSET TBLPROPERTIES`. */
+  def removeProperties(keys: Seq[String]): Snapshot = {
+    val head = log.current
+    log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "set-properties", properties = head.properties -- keys))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN SET/DROP NOT NULL` — metadata-only; making
+    * a column non-nullable requires proof no live file holds a null in it
+    * (from the null-count stats), matching Iceberg's refusal to narrow
+    * nullability blindly. */
+  def updateColumnNullability(name: String, nullable: Boolean): Snapshot =
+    evolveSchema("update-nullability") { cur =>
+      require(cur.fieldNames.contains(name), s"no column $name")
+      if (!nullable) {
+        val unproven = log.current.files.exists(f =>
+          f.stats.get(name).forall(_.nullCount != 0L))
+        require(!unproven,
+          s"cannot set $name NOT NULL: existing files may contain nulls")
+      }
+      StructType(cur.fields.map(f =>
+        if (f.name == name) f.copy(nullable = nullable) else f))
+    }
+
   private def commitProperties(op: String, props: Map[String, String]): Snapshot = {
     val head = log.current
     log.commit(head.version, v => head.copy(

@@ -94,6 +94,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT address FROM graft.db.nest WHERE id = 3").collect()(0).isNullAt(0))
   }
 
+  test("SET/UNSET TBLPROPERTIES and column nullability through SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.db.props (id BIGINT, v DOUBLE)")
+    spark.sql("ALTER TABLE graft.db.props SET TBLPROPERTIES ('k1' = 'a', 'k2' = 'b')")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/props")
+    assert(t.log.current.properties.get("k1").contains("a"))
+    spark.sql("ALTER TABLE graft.db.props UNSET TBLPROPERTIES ('k1')")
+    val t2 = graft.table.GraftTable.load(spark, s"$wh/db/props")
+    assert(!t2.log.current.properties.contains("k1") &&
+      t2.log.current.properties.get("k2").contains("b"))
+    // nullability tightening is a Scala-API op (Spark's analyzer refuses SQL
+    // SET NOT NULL on any v2 table); it requires null-count PROOF from stats
+    spark.sql("INSERT INTO graft.db.props VALUES (1, 1.0)")
+    t2.updateColumnNullability("v", nullable = false)
+    assert(!spark.table("graft.db.props").schema("v").nullable)
+    // widening back is plain SQL
+    spark.sql("ALTER TABLE graft.db.props ALTER COLUMN v DROP NOT NULL")
+    assert(spark.table("graft.db.props").schema("v").nullable)
+    // a column with live nulls refuses to tighten
+    spark.sql("INSERT INTO graft.db.props VALUES (2, NULL)")
+    val t3 = graft.table.GraftTable.load(spark, s"$wh/db/props")
+    intercept[IllegalArgumentException] { t3.updateColumnNullability("v", nullable = false) }
+  }
+
   test("CALL add_partition_field evolves the spec through SQL") {
     init()
     spark.sql("CREATE TABLE graft.db.apf (id BIGINT, ts TIMESTAMP)")
