@@ -79,7 +79,13 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private def readSnapshot(s: Snapshot, withMeta: Boolean = false): DataFrame =
     readFilesOf(s, s.files, withMeta)
 
-  private def readFilesOf(s: Snapshot, fileSet: Seq[DataFile], withMeta: Boolean): DataFrame = {
+  /** Schema of a positional-delete file: the deleted row's data-file URI (as
+    * `_metadata.file_path` renders it) and row index. */
+  private val deleteSchema = StructType(Seq(
+    StructField("file_path", StringType), StructField("pos", LongType)))
+
+  private def readFilesOf(s: Snapshot, fileSet: Seq[DataFile], withMeta: Boolean,
+      applyDeletes: Boolean = true): DataFrame = {
     val cur = schemaOf(s, s.currentSchemaId)
     val out = stripIds(cur)
     if (fileSet.isEmpty) {
@@ -89,6 +95,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       else out
       return emptyDf(base)
     }
+    val mor = applyDeletes && s.deleteFiles.nonEmpty
+    val needMeta = withMeta || mor
     val groups = fileSet.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
       val fileSchema = schemaOf(s, sid)
       val df = spark.read.schema(stripIds(fileSchema))
@@ -98,12 +106,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         project(ff.map(x => col(x.name)), ff, f).as(f.name)
       }
       val metaCols =
-        if (withMeta) Seq(col("_metadata.file_path").as("_graft_path"),
+        if (needMeta) Seq(col("_metadata.file_path").as("_graft_path"),
                           col("_metadata.row_index").as("_graft_pos"))
         else Seq.empty
       df.select(cols ++ metaCols: _*)
     }
-    groups.reduce(_ unionAll _)
+    val unioned = groups.reduce(_ unionAll _)
+    // merge-on-read: anti-join the positional deletes (small — broadcast by
+    // AQE) so deleted rows vanish without their data files being rewritten
+    val live = if (mor) {
+      val dels = spark.read.schema(deleteSchema)
+        .parquet(s.deleteFiles.map(f => resolve(f.path)): _*)
+      unioned.join(dels,
+        unioned("_graft_path") === dels("file_path") &&
+          unioned("_graft_pos") === dels("pos"), "left_anti")
+    } else unioned
+    if (withMeta) live else live.drop("_graft_path", "_graft_pos")
   }
 
   /** Field in a file schema matching a current-schema field: by graft.id
@@ -241,7 +259,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "overwrite", files = newFiles))
+      operation = "overwrite", files = newFiles, deleteFiles = Seq.empty))
   }
 
   /** Re-run a whole copy-on-write operation when its commit loses the CAS to
@@ -262,19 +280,59 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Row-level DELETE as copy-on-write: only files containing matching rows
-    * are rewritten; the rest carry over by reference (SURVEY.md §2.8).
-    * Retries against the new head if a concurrent commit wins the CAS. */
+  /** Row-level DELETE. Default mode is copy-on-write: only files containing
+    * matching rows are rewritten, the rest carry over by reference
+    * (SURVEY.md §2.8). With table property `write.delete.mode =
+    * merge-on-read` the delete instead WRITES a small positional-delete file
+    * (Iceberg v2 semantics) — O(matches) write cost instead of O(touched
+    * files), the right trade for frequent small deletes; reads anti-join the
+    * delete entries until a compaction materializes them. Retries against
+    * the new head if a concurrent commit wins the CAS. */
   def delete(cond: Column): Snapshot = retryOnConflict() {
     val head = log.current
-    val df = readSnapshot(head, withMeta = true)
-    val touched = touchedPaths(df.filter(cond))
-    if (touched.isEmpty) head
+    if (head.properties.get("write.delete.mode").contains("merge-on-read"))
+      deleteMergeOnRead(head, cond)
     else {
-      val keep = df.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
-        .drop("_graft_path", "_graft_pos")
-      replaceFiles(head, touched, keep, "delete")
+      val df = readSnapshot(head, withMeta = true)
+      val touched = touchedPaths(df.filter(cond))
+      if (touched.isEmpty) head
+      else {
+        val keep = df.filter(col("_graft_path").isin(touched: _*) && !coalesce(cond, lit(false)))
+          .drop("_graft_path", "_graft_pos")
+        replaceFiles(head, touched, keep, "delete")
+      }
     }
+  }
+
+  private def deleteMergeOnRead(head: Snapshot, cond: Column): Snapshot = {
+    // readSnapshot applies the EXISTING deletes, so only live rows match —
+    // a position is never deleted twice
+    val matches = readSnapshot(head, withMeta = true).filter(cond)
+      .select(col("_graft_path").as("file_path"), col("_graft_pos").as("pos"))
+    val newDeletes = writeDeleteFiles(matches)
+    if (newDeletes.isEmpty) head
+    else log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "delete", deleteFiles = head.deleteFiles ++ newDeletes))
+  }
+
+  /** Write (file_path, pos) rows as positional-delete parquet files in the
+    * table's data dir, stats included (file_path bounds could prune delete
+    * application per data file). */
+  private def writeDeleteFiles(df: DataFrame): Seq[DataFile] = {
+    val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val moved = parts.map { p =>
+      val name = s"${UUID.randomUUID()}-deletes.parquet"
+      Files.move(p, log.dataDir.resolve(name))
+      name
+    }
+    deleteRecursively(staging)
+    if (moved.isEmpty) return Seq.empty
+    statFiles(moved.map(n => s"$path/data/$n"), deleteSchema, -1,
+      abs => s"data/${Paths.get(abs).getFileName}")
   }
 
   /** Overwrite only rows matching `cond` with `df`, in ONE snapshot commit
@@ -350,7 +408,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   /** `CALL remove_orphan_files`: delete data files not referenced by any
     * live snapshot. */
   def removeOrphanFiles(): Seq[String] = {
-    val referenced = log.listVersions.flatMap(v => log.snapshot(v).files.map(_.path)).toSet
+    val referenced = log.listVersions.flatMap { v =>
+      val s = log.snapshot(v)
+      (s.files ++ s.deleteFiles).map(_.path)
+    }.toSet
     val existing = Files.list(log.dataDir).iterator().asScala.toSeq
     val orphans = existing.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
     orphans.foreach(Files.deleteIfExists)
@@ -362,9 +423,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val head = log.current
     val df = readSnapshot(head).repartition(target)
     val newFiles = writeFiles(df, head.currentSchemaId, head.properties)
+    // a full rewrite reads through the delete filter, so the output is
+    // clean — positional deletes are materialized and dropped
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "rewrite", files = newFiles))
+      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty))
   }
 
   /** Binpack compaction (Iceberg's default rewrite strategy): coalesce only
@@ -435,7 +498,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       head.properties - "write.partition-by" - "write.sort-by")
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "rewrite", files = newFiles))
+      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty))
   }
 
   /** `CALL create_changelog_view`: NET CDC rows between two snapshots —
@@ -471,12 +534,35 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       val parent = log.snapshot(s.parent)
       val parentPaths = parent.files.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
-      val added = readFilesOf(to, s.files.filterNot(f => parentPaths.contains(f.path)), withMeta = false)
-      val removed = readFilesOf(to, parent.files.filterNot(f => curPaths.contains(f.path)), withMeta = false)
-      added.exceptAll(removed)
+      // raw per-step file reads: the END state's delete filter must not leak
+      // into intermediate steps (a row appended at ord 0 and MOR-deleted at
+      // ord 2 is an insert THEN a delete, not nothing)
+      val added = readFilesOf(to, s.files.filterNot(f => parentPaths.contains(f.path)),
+        withMeta = false, applyDeletes = false)
+      val removed = readFilesOf(to, parent.files.filterNot(f => curPaths.contains(f.path)),
+        withMeta = false, applyDeletes = false)
+      val fileDiff = added.exceptAll(removed)
         .withColumn("_change_type", lit("insert"))
         .unionAll(removed.exceptAll(added)
           .withColumn("_change_type", lit("delete")))
+      // merge-on-read delete step: the data files didn't change — the
+      // deleted rows are the ones the step's NEW delete entries point at
+      val parentDeletes = parent.deleteFiles.map(_.path).toSet
+      val newDeletes = s.deleteFiles.filterNot(f => parentDeletes.contains(f.path))
+      val step =
+        if (newDeletes.isEmpty) fileDiff
+        else {
+          val dels = spark.read.schema(deleteSchema)
+            .parquet(newDeletes.map(f => resolve(f.path)): _*)
+          val data = readFilesOf(to, s.files, withMeta = true, applyDeletes = false)
+          val morDeleted = data.join(dels,
+            data("_graft_path") === dels("file_path") && data("_graft_pos") === dels("pos"),
+            "left_semi")
+            .drop("_graft_path", "_graft_pos")
+            .withColumn("_change_type", lit("delete"))
+          fileDiff.unionAll(morDeleted)
+        }
+      step
         .withColumn("_commit_version", lit(s.version))
         .withColumn("_change_ordinal", lit(ord))
     }

@@ -37,7 +37,11 @@ case class Snapshot(
     currentSchemaId: Int,
     schemas: Map[String, String], // schemaId -> StructType JSON
     files: Seq[DataFile],
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    // Iceberg-v2-style POSITIONAL DELETE files (merge-on-read): parquet
+    // files of (file_path, pos) rows anti-joined against data on read.
+    // Few and small, so stored inline, never chunked.
+    deleteFiles: Seq[DataFile] = Seq.empty)
 
 /** On-disk snapshot form: `manifests` names immutable chunk files
   * (`_graft/m-<contenthash>.json`, each a JSON array of [[DataFile]]) that
@@ -54,7 +58,8 @@ private[table] case class StoredSnapshot(
     schemas: Map[String, String],
     files: Seq[DataFile] = Seq.empty,
     manifests: Seq[String] = Seq.empty,
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    deleteFiles: Seq[DataFile] = Seq.empty)
 
 /** Named reference to a snapshot version (Iceberg branch/tag semantics,
   * SURVEY.md §2.8 "Branching/tagging"). */
@@ -154,7 +159,8 @@ class SnapshotLog(tableRoot: String) {
     * pre-existing file count. */
   private def toStored(s: Snapshot): StoredSnapshot = {
     val base = StoredSnapshot(s.version, s.parent, s.timestampMs, s.operation,
-      s.currentSchemaId, s.schemas, properties = s.properties)
+      s.currentSchemaId, s.schemas, properties = s.properties,
+      deleteFiles = s.deleteFiles)
     val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
     val livePaths = s.files.map(_.path).toSet
     val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
@@ -170,7 +176,8 @@ class SnapshotLog(tableRoot: String) {
 
   private def hydrate(st: StoredSnapshot): Snapshot =
     Snapshot(st.version, st.parent, st.timestampMs, st.operation, st.currentSchemaId,
-      st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties)
+      st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties,
+      st.deleteFiles)
 
   def current: Snapshot = snapshot(currentVersion)
 
