@@ -348,24 +348,49 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     replaceFiles(head, touched, keep, "overwrite", extraRows = Some(conform(df, head)))
   }
 
-  /** Row-level UPDATE as copy-on-write rewrite of touched files. Retries
-    * against the new head if a concurrent commit wins the CAS. */
+  /** Row-level UPDATE as copy-on-write rewrite of touched files — or, under
+    * `write.delete.mode = merge-on-read`, as positional deletes of the old
+    * rows plus an append of their updated copies in the SAME commit
+    * (Iceberg v2 MOR update: O(matches) write cost). Retries against the new
+    * head if a concurrent commit wins the CAS. */
   def update(cond: Column, set: Map[String, Column]): Snapshot = retryOnConflict() {
     val head = log.current
     val cur = stripIds(schemaOf(head, head.currentSchemaId))
     val df = readSnapshot(head, withMeta = true)
-    val touched = touchedPaths(df.filter(cond))
-    if (touched.isEmpty) head
-    else {
-      val hit = coalesce(cond, lit(false))
-      val rewritten = df.filter(col("_graft_path").isin(touched: _*))
-        .select(cur.fields.map { f =>
-          set.get(f.name) match {
-            case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None    => col(f.name)
-          }
-        }: _*)
-      replaceFiles(head, touched, rewritten, "update")
+    if (head.properties.get("write.delete.mode").contains("merge-on-read")) {
+      val matched = df.filter(cond).cache()
+      try {
+        val newDeletes = writeDeleteFiles(
+          matched.select(col("_graft_path").as("file_path"), col("_graft_pos").as("pos")))
+        if (newDeletes.isEmpty) head
+        else {
+          val updated = matched.select(cur.fields.map { f =>
+            set.get(f.name) match {
+              case Some(v) => v.cast(f.dataType).as(f.name)
+              case None    => col(f.name)
+            }
+          }: _*)
+          val newFiles = writeFiles(updated, head.currentSchemaId, head.properties)
+          log.commit(head.version, v => head.copy(
+            version = v, parent = head.version, timestampMs = now(),
+            operation = "update", files = head.files ++ newFiles,
+            deleteFiles = head.deleteFiles ++ newDeletes))
+        }
+      } finally matched.unpersist()
+    } else {
+      val touched = touchedPaths(df.filter(cond))
+      if (touched.isEmpty) head
+      else {
+        val hit = coalesce(cond, lit(false))
+        val rewritten = df.filter(col("_graft_path").isin(touched: _*))
+          .select(cur.fields.map { f =>
+            set.get(f.name) match {
+              case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None    => col(f.name)
+            }
+          }: _*)
+        replaceFiles(head, touched, rewritten, "update")
+      }
     }
   }
 
@@ -534,13 +559,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       val parent = log.snapshot(s.parent)
       val parentPaths = parent.files.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
-      // raw per-step file reads: the END state's delete filter must not leak
-      // into intermediate steps (a row appended at ord 0 and MOR-deleted at
-      // ord 2 is an insert THEN a delete, not nothing)
+      // the END state's delete filter must not leak into intermediate steps
+      // (a row appended at ord 0 and MOR-deleted at ord 2 is an insert THEN
+      // a delete, not nothing) — added files read raw; removed files read
+      // through the PARENT's delete entries, because rows already
+      // MOR-deleted before this step were not alive to be "removed" by it
       val added = readFilesOf(to, s.files.filterNot(f => parentPaths.contains(f.path)),
         withMeta = false, applyDeletes = false)
-      val removed = readFilesOf(to, parent.files.filterNot(f => curPaths.contains(f.path)),
-        withMeta = false, applyDeletes = false)
+      val parentCtx = to.copy(deleteFiles = parent.deleteFiles)
+      val removed = readFilesOf(parentCtx, parent.files.filterNot(f => curPaths.contains(f.path)),
+        withMeta = false)
       val fileDiff = added.exceptAll(removed)
         .withColumn("_change_type", lit("insert"))
         .unionAll(removed.exceptAll(added)

@@ -41,13 +41,21 @@ class MergeOnReadSpec extends SparkSpec {
     assert(t.log.current.deleteFiles.size > afterFirst.deleteFiles.size)
   }
 
-  test("COW update after MOR delete: rewritten files drop their delete entries' rows") {
+  test("MOR update: old rows deleted by position, updated copies appended — no rewrite") {
     val t = mk()
     t.delete($"id" <= 5L)
+    val dataPathsBefore = t.log.current.files.map(_.path).toSet
     t.update($"id" === 10L, Map("v" -> lit(-1.0)))
+    val s = t.log.current
+    // original data files all still present (plus the appended update file)
+    assert(dataPathsBefore.subsetOf(s.files.map(_.path).toSet), "MOR update rewrote files")
+    assert(s.files.size > dataPathsBefore.size)
+    assert(s.operation == "update")
     val got = t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got.keySet == (6L to 20L).toSet)
     assert(got(10L) == -1.0)
+    // time travel to before the update sees the original value
+    assert(t.readVersion(s.parent).filter($"id" === 10L).collect()(0).getDouble(1) == 10.0)
   }
 
   test("compaction materializes deletes; orphan GC never collects live delete files") {
