@@ -56,6 +56,10 @@ class GraftSourceProvider extends StreamSourceProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    // The schema is ALWAYS the table's own (it is the source of truth); a
+    // user-supplied schema would be silently shadowed, so reject it loudly.
+    require(schema.isEmpty,
+      "graft-stream derives its schema from the table; .schema(...) is not supported")
     val t = GraftTable.load(ctx.sparkSession, parameters("path"))
     (shortName(), strip(t.schema))
   }
@@ -112,6 +116,11 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
 
   private val table = GraftTable.load(ctx.sparkSession, path)
   private val base: Long = fromVersion.getOrElse(-1L)
+  // Pin the schema ID at source creation: every batch is projected through
+  // it (ID-based, so rename/widen-safe), keeping the running query plan —
+  // which is bound once, at stream start — valid across mid-stream schema
+  // evolution. New columns simply don't appear until the stream restarts.
+  private val pinnedSchemaId: Int = table.log.current.currentSchemaId
 
   override def schema: StructType =
     StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
@@ -129,7 +138,7 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(base)
     Bridge.streamingDataFrame(ctx.sparkSession,
-      table.readAppended(from, ver(end), skipRewrites))
+      table.readAppended(from, ver(end), skipRewrites, Some(pinnedSchemaId)))
   }
 
   override def stop(): Unit = ()

@@ -85,8 +85,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     StructField("file_path", StringType), StructField("pos", LongType)))
 
   private def readFilesOf(s: Snapshot, fileSet: Seq[DataFile], withMeta: Boolean,
-      applyDeletes: Boolean = true): DataFrame = {
-    val cur = schemaOf(s, s.currentSchemaId)
+      applyDeletes: Boolean = true, schemaIdOverride: Option[Int] = None): DataFrame = {
+    val cur = schemaOf(s, schemaIdOverride.getOrElse(s.currentSchemaId))
     val out = stripIds(cur)
     if (fileSet.isEmpty) {
       val base = if (withMeta)
@@ -182,9 +182,17 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * snapshots' file additions and keep streaming the genuine appends
     * (Iceberg's streaming-skip-overwrite/delete-snapshots). An expired
     * start/intermediate snapshot fails with the cause named. */
-  def readAppended(fromV: Long, toV: Long, skipRewrites: Boolean = false): DataFrame = {
+  def readAppended(fromV: Long, toV: Long, skipRewrites: Boolean = false,
+      projectToSchemaId: Option[Int] = None): DataFrame = {
     val to = log.snapshot(toV)
-    if (fromV < 0) return readFilesOf(to, to.files, withMeta = false)
+    projectToSchemaId.foreach { id =>
+      require(to.schemas.contains(id.toString),
+        s"schema id $id (pinned when the stream started) is no longer in the " +
+        s"table's schema history; restart the stream from a fresh checkpoint")
+    }
+    if (fromV < 0)
+      return readFilesOf(to, to.files, withMeta = false,
+        schemaIdOverride = projectToSchemaId)
     val newFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
     var cur = to
     while (cur.version != fromV) {
@@ -213,7 +221,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       cur = parent
     }
     val distinct = newFiles.groupBy(_.path).map(_._2.head).toSeq
-    readFilesOf(to, distinct, withMeta = false)
+    readFilesOf(to, distinct, withMeta = false, schemaIdOverride = projectToSchemaId)
   }
 
   // ----------------------------------------------------------------- writes

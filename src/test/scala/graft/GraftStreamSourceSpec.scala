@@ -123,6 +123,42 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("expire_snapshots"))
   }
 
+  test("mid-stream schema evolution keeps batches on the schema pinned at start") {
+    import spark.implicits._
+    val path = tmp("stream-evo-")
+    val t = GraftTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val q = spark.readStream.format("graft-stream").option("path", path).load()
+      .writeStream.format("memory").queryName("graft_evo")
+      .option("checkpointLocation", s"$path/../ckpt-evo").start()
+    try {
+      q.processAllAvailable()
+      // evolve mid-stream: add a column, rename one — the running plan is
+      // bound to (id, v), so batches must keep arriving in that shape
+      t.addColumn("extra", org.apache.spark.sql.types.StringType)
+      t.renameColumn("v", "val")
+      GraftTable.load(spark, path)
+        .append(Seq(("b", 2L, "x")).toDF("val", "id", "extra"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_evo").collect()
+      assert(spark.table("graft_evo").schema.fieldNames.toSeq == Seq("id", "v"))
+      // the renamed column's data still lands in the pinned "v" slot (ID-based)
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
+  test("a user-supplied schema is rejected, not silently ignored") {
+    import spark.implicits._
+    val path = tmp("stream-usch-")
+    GraftTable.create(spark, path, Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-stream")
+        .schema(new org.apache.spark.sql.types.StructType().add("id", "long"))
+        .option("path", path).load()
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("streaming a table through an UPDATE with skipRewrites never duplicates rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
