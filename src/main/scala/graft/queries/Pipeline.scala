@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data pipeline ASSEMBLY operators (north-star surface; the steps a
+  * 100 TB pretraining corpus goes through after per-doc scoring/dedup): near-
+  * dup cluster resolution, relevance scoring for data selection, per-domain
+  * caps, embedding quantization, and token-budget sequence packing.
+  *
+  * The reference stack runs these as Spark SQL over Iceberg tables on EMR
+  * (reference `main.tf:791-807`); each op here is declarative DataFrame code
+  * whose physical plan is the one that survives scale — notes inline.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- q62
+  /** Near-dup CLUSTER RESOLUTION: the LSH pair list (q41) only says "a≈b";
+    * acting on it (keep one doc per group) needs connected components —
+    * a≈b, b≈c must collapse into ONE cluster even though (a,c) never
+    * collided. Iterative min-label propagation: every node repeatedly takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds.
+    *
+    * 100 TB shape: each round is one key-equality shuffle join + partial→
+    * final min-aggregate (the large-star/small-star MapReduce CC algorithm
+    * is this loop with path-halving; diameters of near-dup graphs are tiny —
+    * dup clusters are cliques-ish, so 2-4 rounds). `localCheckpoint` after
+    * each round truncates the lineage so round N's plan doesn't replay
+    * rounds 1..N-1, and the driver only ever sees a per-round CHANGED
+    * counter, never row data. */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").cache()
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).cache()
+    var labels = edges.select($"d1".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "d2"), "d2")
+        .groupBy($"d1".as("id")).agg(min($"label").as("nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter($"n.label" =!= $"o.label").count()
+      labels = next
+      rounds += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id")).orderBy($"doc_id")
+  }
+
+  /** Oracle: reachability closure by recursive CTE (UNION dedups, so it
+    * converges); cluster id = min reachable node — same fixpoint the label
+    * propagation computes. */
+  val q62Sql: String =
+    s"""WITH RECURSIVE pairs AS (${Dedup.q41Sql}),
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT d1, d1 FROM edges GROUP BY d1
+       |  UNION
+       |  SELECT e.d1, reach.r FROM edges e JOIN reach ON e.d2 = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** BM25 relevance scoring for DATA SELECTION (rank a corpus against a
+    * probe query, keep the head): Okapi BM25 with k1=1.2, b=0.75 over
+    * whitespace tokens. Everything is two scan-shaped aggregations (doc
+    * lengths; per-doc-per-term tf) + a broadcast of three scalars (N, avgdl,
+    * per-term df) — no shuffle wider than the final per-doc sum. Scores are
+    * rounded to 4 decimals BEFORE the top-k ordering so the ranking is
+    * deterministic across engines (ties broken by doc_id); top-k plans as
+    * TakeOrderedAndProject, never a global sort. */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("data", "query", "fast")
+    val tok = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("wd"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = tok.filter($"wd".isin(terms: _*))
+      .groupBy($"doc_id", $"wd").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"wd").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "wd")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * 2.2) / ($"tf" + (lit(0.75) * $"dl" / $"avgdl" + 0.25) * 1.2))
+      .groupBy($"doc_id").agg(round(sum($"contrib"), 4).as("bm25"))
+    scored.orderBy($"bm25".desc, $"doc_id").limit(20)
+  }
+
+  val q63Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, wd, COUNT(*) AS tf FROM tok
+      |       WHERE wd IN ('data', 'query', 'fast') GROUP BY doc_id, wd),
+      |dfreq AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY wd)
+      |SELECT doc_id,
+      |       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+      |FROM tf JOIN dfreq USING (wd) JOIN dl USING (doc_id) CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** PER-DOMAIN CAP: web-scale corpora cap documents per source domain so a
+    * few mega-sites don't dominate the training mix — keep the top 3 docs
+    * per source by quality (proxy: n_chars), deterministic tie-break on
+    * doc_id. One rank window partitioned by source: the shuffle is on the
+    * domain key; a genuinely hot domain skews its partition, but the rank
+    * frame never materializes more than the running top-k per partition.
+    * (For pathological domains, pre-aggregate a per-partition local top-3
+    * before the window — same two-phase shape as q61's salted join.) */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  val q64Sql: String =
+    """SELECT source, rk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** INT8 EMBEDDING QUANTIZATION (symmetric, per-vector scale): q_i =
+    * floor(x_i / max|x| * 127 + 0.5). Cuts ANN index memory 4× — the
+    * standard prep before shipping vectors to a serving index. Pure
+    * higher-order array expressions (scan-shaped, zero shuffle, whole-stage
+    * codegen); every arithmetic step is IEEE-exact double math in a fixed
+    * order, so the oracle hash-matches the quantized vectors bit-for-bit.
+    * All-zero vectors quantize to zeros (scale guard), not NaNs. */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, dir)
+      .withColumn("scale",
+        expr("aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
+      .withColumn("qvec",
+        expr("""CASE WHEN scale = 0.0 THEN transform(embedding, x -> 0)
+               |ELSE transform(embedding, x -> cast(floor(cast(x as double) / scale * 127.0 + 0.5) as int)) END""".stripMargin))
+      // arrays dump as a joined string so the row canonicalization (which
+      // sorts by every column) has a scalar to compare — q18's convention
+      .select($"vec_id", $"scale", array_join($"qvec", ",").as("qvec_csv"))
+      .orderBy($"vec_id")
+  }
+
+  val q65Sql: String =
+    """SELECT vec_id, scale,
+      |       array_to_string(CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+      |            ELSE list_transform(embedding,
+      |                   x -> cast(floor(x::DOUBLE / scale * 127.0 + 0.5) AS INT)) END, ',') AS qvec_csv
+      |FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+      |      FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** TOKEN-BUDGET SEQUENCE PACKING: lay the corpus out as one token stream
+    * in doc_id order and cut a context window every 512 tokens — each doc
+    * gets its stream offset, first window, and how many windows it spans
+    * (docs straddling a boundary are split across windows, the standard
+    * pretraining packing).
+    *
+    * The global running sum is computed in TWO PHASES so no window function
+    * ever sees the whole table in one partition: (1) per-bucket cumulative
+    * sums, partitioned by `doc_id div 100` — parallel; (2) bucket base
+    * offsets from a cumulative sum over the per-bucket TOTALS — a
+    * single-partition window over B rows where B ≈ table/100, metadata-
+    * grained (at 100 TB with 10⁹ docs pick a bucket width that keeps B in
+    * the millions; the tiny table broadcasts back). Integer arithmetic end
+    * to end — the oracle hash-matches exactly. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val tok = documents(spark, dir)
+      .select($"doc_id", ($"doc_id" / 100).cast("long").as("bucket"),
+        size(split($"text", " ")).cast("long").as("ntok"))
+    val within = tok.withColumn("cum",
+      sum($"ntok").over(Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bases = within.groupBy($"bucket").agg(max($"cum").as("btot"))
+      .withColumn("base",
+        coalesce(sum($"btot").over(Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"base")
+    within.join(broadcast(bases), "bucket")
+      .withColumn("start_offset", $"base" + $"cum" - $"ntok")
+      .withColumn("first_window", expr("start_offset div 512"))
+      .withColumn("windows_spanned",
+        expr("(start_offset + ntok - 1) div 512") - $"first_window" + 1)
+      .select($"doc_id", $"ntok", $"start_offset", $"first_window", $"windows_spanned")
+      .orderBy($"doc_id")
+  }
+
+  val q66Sql: String =
+    """WITH tok AS (SELECT doc_id, doc_id // 100 AS bucket,
+      |                    len(string_split(text, ' '))::BIGINT AS ntok FROM documents),
+      |win AS (SELECT doc_id, bucket, ntok,
+      |               (sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+      |                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM tok),
+      |bases AS (SELECT bucket, (coalesce(sum(btot) OVER (ORDER BY bucket
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS base
+      |          FROM (SELECT bucket, max(cum) AS btot FROM win GROUP BY bucket))
+      |SELECT doc_id, ntok, (base + cum - ntok)::BIGINT AS start_offset,
+      |       ((base + cum - ntok) // 512)::BIGINT AS first_window,
+      |       ((base + cum - 1) // 512 - (base + cum - ntok) // 512 + 1)::BIGINT AS windows_spanned
+      |FROM win JOIN bases USING (bucket)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_dedup_clusters"  -> q62,
+    "q63_text_bm25"       -> q63,
+    "q64_domain_cap"      -> q64,
+    "q65_embed_quantize"  -> q65,
+    "q66_pack_sequences"  -> q66)
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_dedup_clusters"  -> q62Sql,
+    "q63_text_bm25"       -> q63Sql,
+    "q64_domain_cap"      -> q64Sql,
+    "q65_embed_quantize"  -> q65Sql,
+    "q66_pack_sequences"  -> q66Sql)
+}

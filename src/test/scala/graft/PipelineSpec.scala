@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Pipeline}
+
+/** Invariants for the pipeline-assembly operators (q62–q66) beyond the
+  * DuckDB hash oracle: structural properties the hash can't state. */
+class PipelineSpec extends SparkSpec {
+
+  test("q62: cluster labels are a valid connected-components assignment") {
+    import spark.implicits._
+    val pairs = Dedup.q41(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Pipeline.q62(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint of a pair is labeled, and both ends share a label
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // each label is the MIN member of its cluster (canonical representative)
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl label is not its min member")
+    }
+    // transitivity through shared endpoints: a-b, b-c => same label (spot
+    // property — already implied by the above, kept as an explicit witness)
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+    for ((a, bs) <- adj; (_, b) <- bs; (_, c) <- adj.getOrElse(b, Array.empty[(Long, Long)]))
+      assert(labels(a) == labels(c))
+  }
+
+  test("q63: bm25 scores are positive and capped by top-k contract") {
+    val rows = Pipeline.q63(spark, sf).collect()
+    assert(rows.length <= 20)
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    // descending by score (post-round), doc_id tie-break
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("q64: no source exceeds its cap; kept docs dominate dropped ones") {
+    import spark.implicits._
+    val kept = Pipeline.q64(spark, sf)
+    val bySrc = kept.groupBy($"source").count().collect()
+    assert(bySrc.forall(_.getLong(1) <= 3))
+    // minimum kept n_chars per source >= max dropped n_chars (quality order)
+    val minKept = kept.groupBy($"source").agg(min($"n_chars").as("mk"))
+    val dropped = graft.Tables.documents(spark, sf)
+      .join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy($"source").agg(max($"n_chars").as("md"))
+    val bad = minKept.join(maxDropped, "source").filter($"md" > $"mk").count()
+    assert(bad == 0)
+  }
+
+  test("q65: quantized values are int8-range and reconstruct within half a step") {
+    import spark.implicits._
+    val check = Pipeline.q65(spark, sf)
+      .select($"vec_id", $"scale", split($"qvec_csv", ",").cast("array<int>").as("q"))
+      .join(graft.Tables.embeddings(spark, sf), "vec_id")
+      .select($"vec_id", $"scale",
+        expr("aggregate(zip_with(q, embedding, (qi, xi) -> abs(qi * scale / 127.0 - cast(xi as double))), cast(0.0 as double), (m, e) -> greatest(m, e))").as("max_err"),
+        expr("aggregate(q, 0, (bad, qi) -> bad + IF(qi > 127 or qi < -127, 1, 0))").as("oob"))
+      .collect()
+    assert(check.nonEmpty)
+    check.foreach { r =>
+      assert(r.getInt(3) == 0, s"vec ${r.getLong(0)} has out-of-range int8 values")
+      // |dequant - x| <= scale/254 + ulp slack (half a quantization step)
+      assert(r.getDouble(2) <= r.getDouble(1) / 254.0 + 1e-9,
+        s"vec ${r.getLong(0)} reconstruction error ${r.getDouble(2)} > half-step")
+    }
+  }
+
+  test("q66: packing is gapless, ordered, and window spans match token math") {
+    import spark.implicits._
+    val rows = Pipeline.q66(spark, sf).collect()
+    // offsets are a gapless prefix-sum in doc_id order
+    var expected = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected, s"doc ${r.getLong(0)} offset gap")
+      expected += r.getLong(1)
+    }
+    // spans agree with the 512-token window geometry
+    rows.foreach { r =>
+      val (ntok, start, first, span) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(first == start / 512)
+      assert(span == (start + ntok - 1) / 512 - start / 512 + 1)
+    }
+  }
+}
