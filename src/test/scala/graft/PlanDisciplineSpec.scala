@@ -98,6 +98,25 @@ class PlanDisciplineSpec extends SparkSpec {
       "catalog scan not codegen'd")
   }
 
+  test("small catalog table auto-broadcasts in a join — stats flow through the scan swap") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.smalldim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.smalldim SELECT id, concat('n', id) FROM range(50)")
+    // no broadcast() hint anywhere: the planner must see the swapped parquet
+    // relation's sizeInBytes (far under autoBroadcastJoinThreshold) and pick
+    // BroadcastHashJoin on its own — the decision a 1000-executor cluster
+    // needs to avoid shuffling the big side
+    val big = spark.range(100000).toDF("k")
+    val joined = big.join(spark.table("graft.db.smalldim"), "k")
+    assert(joined.count() == 50)
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small catalog table was not auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join shuffled:\n$plan")
+  }
+
   test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
     // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
     // the second shuffle moves already-aggregated (tiny) rows, so the shape
