@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -76,10 +76,23 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         private val filters = pushed
         private val outSchema = required
         override def readSchema(): StructType = outSchema
+        /** Exact post-pruning size/row counts from the snapshot log's file
+          * stats (the manifest numbers — no file IO). With them the planner
+          * auto-broadcasts small graft tables even where the
+          * [[graft.plans.GraftNativeScan]] swap isn't installed; without
+          * them a V1 relation defaults to `defaultSizeInBytes` (= "huge")
+          * and every dim join shuffles. */
+        override def estimateStatistics(): Statistics = new Statistics {
+          private val files = t.pruneFiles(snapshotForRead, filters.toIndexedSeq)
+          override def sizeInBytes(): util.OptionalLong =
+            util.OptionalLong.of(files.map(_.bytes).sum)
+          override def numRows(): util.OptionalLong =
+            util.OptionalLong.of(files.map(_.rows).sum)
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
@@ -115,6 +128,13 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       case AlwaysFalse() => Some(org.apache.spark.sql.functions.lit(false))
       case _ => None
     }
+  }
+
+  /** The snapshot this table instance reads (honors time travel). */
+  private[graft] def snapshotForRead: graft.table.Snapshot = (asOfVersion, asOfTimestampMs) match {
+    case (Some(v), _)  => t.log.snapshot(v)
+    case (_, Some(ts)) => t.log.snapshotAsOf(ts)
+    case _             => t.log.current
   }
 
   private[graft] def prunedDf(filters: Array[Filter]): DataFrame = (asOfVersion, asOfTimestampMs) match {
