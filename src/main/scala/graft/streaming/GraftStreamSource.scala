@@ -31,6 +31,9 @@ import graft.table.GraftTable
   * streaming the genuine appends (Iceberg's
   * streaming-skip-overwrite-snapshots semantics — see
   * [[graft.table.GraftTable.readAppended]]).
+  * `.option("maxFilesPerTrigger", n)` rate-limits catch-up: each micro-batch
+  * ends at the snapshot where the accumulated added-file count crosses `n`
+  * (Iceberg's streaming-max-files-per-micro-batch).
   *
   * Design note — why the V1 `Source` API and not DSv2 `MicroBatchStream`:
   * `getBatch` returns a full DataFrame, so each micro-batch plans through
@@ -69,7 +72,8 @@ class GraftSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new GraftStreamSource(ctx, parameters("path"),
       parameters.get("fromVersion").map(_.toLong),
-      parameters.get("skipRewrites").exists(_.toBoolean))
+      parameters.get("skipRewrites").exists(_.toBoolean),
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
     * counterpart: every micro-batch appends in ONE snapshot commit that also
@@ -111,7 +115,7 @@ private class SnapshotLogProbe(path: String) {
 }
 
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
-    skipRewrites: Boolean = false)
+    skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
   extends Source {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
@@ -125,9 +129,50 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
   override def schema: StructType =
     StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
 
+  // Highest version already handed to the engine; re-seeded by getBatch on
+  // checkpoint recovery, so rate limiting survives restarts.
+  private var planned: Long = base
+
+  /** Rate limiting (`maxFilesPerTrigger`, Iceberg's
+    * streaming-max-files-per-micro-batch): a stream that starts against a
+    * table with a deep backlog — or wakes after downtime — must not get the
+    * whole catch-up as ONE micro-batch (one giant shuffle, one giant state
+    * update, checkpoint only at the end). Cap each batch's end offset at the
+    * version where the accumulated added-file count crosses the budget;
+    * always at least one version, so progress is guaranteed even when a
+    * single commit exceeds the cap. Snapshot-log metadata only — no file IO. */
   override def getOffset: Option[Offset] = {
-    val v = table.log.currentVersion
-    if (v <= base) None else Some(LongOffset(v))
+    val head = table.log.currentVersion
+    val from = math.max(planned, base)
+    if (head <= from) return None
+    val end = maxFilesPerTrigger match {
+      case None => head
+      case Some(budget) =>
+        // walk the parent chain head→from, then replay forward under budget
+        val chain = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        var cur = table.log.snapshot(head)
+        var atRoot = false
+        while (!atRoot && cur.version != from) {
+          if (cur.parent < 0) { // root snapshot: all its files are "added"
+            chain.prepend((cur.version, cur.files.size))
+            atRoot = true
+          } else {
+            val parentFiles = table.log.snapshot(cur.parent).files.map(_.path).toSet
+            chain.prepend((cur.version, cur.files.count(f => !parentFiles.contains(f.path))))
+            cur = table.log.snapshot(cur.parent)
+          }
+        }
+        var (acc, last) = (0, from)
+        val it = chain.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val (v, added) = it.next()
+          if (last != from && acc + added > budget) stop = true
+          else { acc += added; last = v }
+        }
+        last
+    }
+    if (end <= from) None else Some(LongOffset(end))
   }
 
   private def ver(o: Offset): Long = o match {
@@ -137,6 +182,7 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(base)
+    planned = math.max(planned, ver(end))
     Bridge.streamingDataFrame(ctx.sparkSession,
       table.readAppended(from, ver(end), skipRewrites, Some(pinnedSchemaId)))
   }

@@ -123,6 +123,28 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("expire_snapshots"))
   }
 
+  test("maxFilesPerTrigger splits a deep backlog into multiple micro-batches") {
+    import spark.implicits._
+    val path = tmp("stream-rate-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.append(Seq(4L).toDF("id")) // 4-version backlog before the stream starts
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("graft_rate")
+      .option("checkpointLocation", s"$path/../ckpt-rate").start()
+    try {
+      q.processAllAvailable()
+      // nothing lost, nothing duplicated …
+      assert(spark.table("graft_rate").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      // … and the catch-up arrived as several rate-limited batches, not one
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2, s"backlog was not split: $dataBatches data batches")
+    } finally q.stop()
+  }
+
   test("mid-stream schema evolution keeps batches on the schema pinned at start") {
     import spark.implicits._
     val path = tmp("stream-evo-")
