@@ -1011,7 +1011,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val bloomOpts = props.get("write.bloom-filter-columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
-    arrange(df, props).write.options(bloomOpts).parquet(staging.toString)
+    withTargetFileSize(props) {
+      arrange(df, props).write.options(bloomOpts).parquet(staging.toString)
+    }
     val parts = Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
     val moved = parts.map { p =>
@@ -1082,18 +1084,54 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   /** Apply write-distribution properties: hash-distribute on the
     * `write.partition-by` TRANSFORM VALUES (identity column, bucket,
     * truncate, time truncation — [[PartitionTransform]]), sort within
-    * partitions on `write.sort-by`. */
+    * partitions on `write.sort-by`.
+    *
+    * `write.target-file-size-bytes` switches the distribution to an AQE
+    * REBALANCE (by the same transform values when partitioned): the runtime
+    * coalesces undersized shuffle partitions and SPLITS oversized/skewed
+    * ones to the advisory size, so output files land near the target
+    * instead of one-per-input-partition — at high parallelism a plain
+    * append otherwise sprays one tiny file per task (the small-file
+    * problem), and a hot partition value otherwise becomes one giant file.
+    * The advisory size is scoped to this write and restored after. */
   private def arrange(df: DataFrame, props: Map[String, String]): DataFrame = {
     val transforms = PartitionTransform.parseList(
       props.get("write.partition-by"), stripIds(df.schema))
+    val tcols = transforms.map(t => t.column(col(t.source)))
+    val sized = props.get("write.target-file-size-bytes").isDefined
     val parted =
-      if (transforms.isEmpty) df
-      else df.repartition(transforms.map(t => t.column(col(t.source))): _*)
+      if (sized && tcols.isEmpty) df.hint("rebalance")
+      else if (sized) {
+        // REBALANCE accepts attributes only: materialize the transform
+        // values, rebalance on them, then project them back out
+        val names = tcols.indices.map(i => s"__graft_rebal_$i")
+        val withVals = tcols.zip(names).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
+        withVals.hint("rebalance", names.map(col): _*).drop(names: _*)
+      }
+      else if (transforms.isEmpty) df
+      else df.repartition(tcols: _*)
     props.get("write.sort-by").filter(_.nonEmpty) match {
       case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => col(c.trim)): _*)
       case None => parted
     }
   }
+
+  /** Run `body` with the AQE advisory partition size set to the table's
+    * target file size (shuffle bytes ≈ parquet bytes — both compressed), so
+    * the REBALANCE in [[arrange]] aims partitions at the file target. */
+  private def withTargetFileSize[A](props: Map[String, String])(body: => A): A =
+    props.get("write.target-file-size-bytes") match {
+      case None => body
+      case Some(t) =>
+        val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val old = spark.conf.getOption(key)
+        spark.conf.set(key, t)
+        try body
+        finally old match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+    }
 
   /** Iceberg-style string-bound truncation so a long-text column (a whole
     * document!) never bloats snapshot metadata: the lower bound truncates to

@@ -192,6 +192,39 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(t.log.current.operation == "set-write-order")
   }
 
+  test("write.target-file-size-bytes coalesces the tiny-file spray and splits big writes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, sha2}
+    // 8 input partitions of trivial data + a 128 MB target: the AQE
+    // rebalance coalesces to ONE output file instead of 8 tiny ones
+    val one = GraftTable.create(spark, tmp("sized1-"),
+      spark.range(0, 1000).toDF("id").repartition(8),
+      Map("write.target-file-size-bytes" -> (128L * 1024 * 1024).toString))
+    assert(one.log.current.files.size == 1,
+      s"expected 1 coalesced file, got ${one.log.current.files.size}")
+    // ~3 MB of incompressible-ish data + a 64 KB target: the rebalance
+    // SPLITS the write into many near-target files
+    val big = spark.range(0, 30000)
+      .select($"id", sha2(concat($"id".cast("string"), lit("pad")), 512).as("payload"))
+      .coalesce(1)
+    val many = GraftTable.create(spark, tmp("sized2-"), big,
+      Map("write.target-file-size-bytes" -> (64L * 1024).toString))
+    assert(many.log.current.files.size > 4,
+      s"expected a split write, got ${many.log.current.files.size} file(s)")
+    // the advisory-size conf is restored after the write
+    assert(spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes").isEmpty
+      || spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") != "65536")
+    // sizing composes with hidden partitioning: rebalance BY the transform
+    // value keeps clustering (each file one bucket) while sizing files
+    val parted = GraftTable.create(spark, tmp("sized3-"),
+      spark.range(0, 1000).toDF("id").repartition(8),
+      Map("write.partition-by" -> "bucket(2, id)",
+          "write.target-file-size-bytes" -> (128L * 1024 * 1024).toString))
+    assert(parted.read.count() == 1000)
+    assert(parted.log.current.files.size <= 2, // one per bucket, not per task
+      s"expected <=2 bucket-clustered files, got ${parted.log.current.files.size}")
+  }
+
   test("SQL $entries and $manifests metadata tables resolve through the catalog") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
