@@ -189,15 +189,84 @@ object Dedup {
        |WHERE round(c::DOUBLE / (s1.n + s2.n - c), 4) >= 0.4
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** SimHash NEAR-DUP PAIRS: q42 stops at fingerprints; the dedup decision
+    * needs the pairs within Hamming distance ≤ 3. 64-bit SimHash (two
+    * 32-bit halves — no sign-bit overflow, exact oracle math) banded into
+    * 4×16 bits: by pigeonhole, any pair with ham ≤ 3 shares at least one
+    * band, so candidate generation is a band-equality shuffle join — never
+    * all-pairs — and the exact `bit_count(xor)` check runs only on
+    * colliding docs. The 64 per-bit conditional sums are one map-side-
+    * combinable aggregate over the token scan. */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("wd"))
+      .filter(length($"wd") > 0)
+      .withColumn("h", md5($"wd".cast("binary")))
+      .withColumn("v_hi", conv(substring($"h", 1, 8), 16, 10).cast("long"))
+      .withColumn("v_lo", conv(substring($"h", 9, 8), 16, 10).cast("long"))
+    def bitSums(v: Column): Seq[Column] = (0 until 32).map { p =>
+      sum(shiftrightunsigned(v, p).bitwiseAND(lit(1L)) * 2 - 1)
+    }
+    def packed(half: String): Column = (0 until 32).map { p =>
+      when(col(s"${half}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val aggs = bitSums($"v_hi").zipWithIndex.map { case (c, p) => c.as(s"hi_$p") } ++
+               bitSums($"v_lo").zipWithIndex.map { case (c, p) => c.as(s"lo_$p") }
+    val fps = words.groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", packed("hi").as("f_hi"), packed("lo").as("f_lo"))
+    val band = fps.select($"doc_id", $"f_hi", $"f_lo",
+        posexplode(array(
+          shiftrightunsigned($"f_hi", 16).bitwiseAND(lit(65535L)),
+          $"f_hi".bitwiseAND(lit(65535L)),
+          shiftrightunsigned($"f_lo", 16).bitwiseAND(lit(65535L)),
+          $"f_lo".bitwiseAND(lit(65535L)))).as(Seq("i", "v")))
+      .cache()
+    band.as("a").join(band.as("b"),
+        $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        (bit_count($"a.f_hi".bitwiseXOR($"b.f_hi")) +
+         bit_count($"a.f_lo".bitwiseXOR($"b.f_lo"))).cast("long").as("ham"))
+      .filter($"ham" <= 3)
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  val q67Sql: String = {
+    def half(col: String): String = (0 until 32).map { p =>
+      s"(CASE WHEN sum((($col >> $p) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END) * ${1L << p}::BIGINT"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substr(md5(wd), 1, 8))::BIGINT AS v_hi,
+       |        ('0x' || substr(md5(wd), 9, 8))::BIGINT AS v_lo
+       |      FROM tok WHERE length(wd) > 0),
+       |fps AS (SELECT doc_id, (${half("v_hi")}) AS f_hi, (${half("v_lo")}) AS f_lo
+       |        FROM h GROUP BY doc_id),
+       |band AS (SELECT doc_id, f_hi, f_lo, i,
+       |                CASE i WHEN 0 THEN (f_hi >> 16) & 65535 WHEN 1 THEN f_hi & 65535
+       |                       WHEN 2 THEN (f_lo >> 16) & 65535 ELSE f_lo & 65535 END AS v
+       |         FROM fps CROSS JOIN UNNEST([0,1,2,3]) AS t(i))
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |       (bit_count(xor(a.f_hi, b.f_hi)) + bit_count(xor(a.f_lo, b.f_lo)))::BIGINT AS ham
+       |FROM band a JOIN band b ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f_hi, b.f_hi)) + bit_count(xor(a.f_lo, b.f_lo)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
     "q42_dedup_simhash"       -> q42,
-    "q43_dedup_ngram_jaccard" -> q43)
+    "q43_dedup_ngram_jaccard" -> q43,
+    "q67_dedup_simhash_pairs" -> q67)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
     "q41_dedup_minhash_lsh"   -> q41Sql,
     "q42_dedup_simhash"       -> q42Sql,
-    "q43_dedup_ngram_jaccard" -> q43Sql)
+    "q43_dedup_ngram_jaccard" -> q43Sql,
+    "q67_dedup_simhash_pairs" -> q67Sql)
 }

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSpec {
     assert(fp.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
   }
 
+  test("simhash pairs: planted near-copy caught at ham<=3, identical at ham=0") {
+    // doc 2 differs from doc 1 by one word in 100 — most per-bit sums keep
+    // their sign, so the 64-bit fingerprints differ in few bits; doc 3 is
+    // an unrelated vocabulary and must stay far in Hamming space
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val near = base.replace(" w50 ", " changed ")
+    val other = (0 until 100).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other), (4L, base)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dedup-")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.q67(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((1L, 2L)), s"planted near-dup missed: $rows")
+    assert(rows((1L, 4L)) == 0L, "identical docs must be at Hamming 0")
+    assert(!rows.keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
+    // no all-pairs shape here either
+    val plan = Dedup.q67(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("jaccard scores are in (0,1] and symmetric-pair-unique (d1 < d2)") {
     val rows = Dedup.q43(spark, sf).collect()
     rows.foreach { r =>
