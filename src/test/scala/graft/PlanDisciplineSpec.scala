@@ -117,6 +117,19 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dim join shuffled:\n$plan")
   }
 
+  test("q63: BM25 top-20 plans as TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(graft.queries.Pipeline.q63(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("new pair-generation queries never degrade to cartesian products") {
+    Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+      }
+  }
+
   test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
     // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
     // the second shuffle moves already-aggregated (tiny) rows, so the shape
