@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`), so each task amortizes codec setup across its partition.
   *
   * Decode is REAL for every format the JDK ships a codec for — PNG, JPEG,
-  * BMP, GIF via `javax.imageio`, WAV/PCM via `javax.sound.sampled` — pixels
-  * and samples actually parsed from the payload bytes, dimensions recovered
-  * from the data (not trusted from metadata), features computed from a
-  * decoded grayscale thumbnail. Formats with no JDK codec (webp, video)
-  * fall back to a clearly-marked deterministic byte-derived path so the
-  * pipeline shape stays testable end-to-end; swapping the fallback for a
-  * native codec changes only the marked function bodies. */
+  * BMP, GIF via `javax.imageio`, WAV/PCM via `javax.sound.sampled`, and
+  * MJPEG-AVI video (own RIFF container walker + per-frame JDK JPEG decode)
+  * — pixels and samples actually parsed from the payload bytes, dimensions
+  * recovered from the data (not trusted from metadata), features computed
+  * from a decoded grayscale thumbnail. Formats with no JDK codec (webp,
+  * mp4/webm) fall back to a clearly-marked deterministic byte-derived path
+  * so the pipeline shape stays testable end-to-end; swapping the fallback
+  * for a native codec changes only the marked function bodies. */
 object Multimodal {
 
   /** One media asset: opaque payload + typed metadata. */
@@ -183,18 +184,108 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one row per sampled frame, bytes sliced round-robin
-    * from the payload (STUB for video frame extraction — the JDK has no
-    * video codec; the explode shape and per-frame byte slices are the real
-    * contract a codec implementation would fill). */
+  // ------------------------------------------------------------- video
+
+  /** Minimal RIFF/AVI walker: descends LIST chunks to the `movi` payload
+    * and returns the video stream's frame chunks (`NNdc`/`NNdb`) — for
+    * MJPEG, each one a complete JPEG the JDK image codec can decode. Pure
+    * byte parsing, no temp files, safe to run per-row inside a task.
+    * Returns None for anything that isn't a RIFF AVI. */
+  private[operators] def mjpegFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourcc(p); val sz = le32(p + 4); val body = p + 8
+        if (sz < 0 || body + sz > to) return // malformed: stop, keep parsed frames
+        if (id == "LIST" && sz >= 4) {
+          val lt = fourcc(body)
+          if (lt == "movi" || lt == "hdrl" || lt == "strl" || lt == "rec ")
+            walk(body + 4, body + sz)
+        } else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+        }
+        p = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** Encode frames as an MJPEG AVI (full hdrl + movi structure): each frame
+    * JPEG-compressed by the JDK codec and wrapped in `00dc` chunks — the
+    * write-side counterpart of [[mjpegFrames]], and the fixture generator
+    * for its tests. */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val jpegs = frames.map { img =>
+      val o = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    def struct(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(b); b.array()
+    }
+    val avih = struct(56) { b =>
+      b.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      b.putInt(jpegs.length).putInt(0).putInt(1).putInt(jpegs.map(_.length).max)
+      b.putInt(w).putInt(h) // + 4 reserved ints left zero
+    }
+    val strh = struct(56) { b =>
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(1).putInt(fps) // scale/rate
+      b.putInt(0).putInt(jpegs.length).putInt(jpegs.map(_.length).max)
+      b.putInt(-1).putInt(0)
+      b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    }
+    val strf = struct(40) { b => // BITMAPINFOHEADER
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** Frame sampling: one row per sampled frame. REAL for MJPEG AVI payloads
+    * — the RIFF container is parsed ([[mjpegFrames]]) and `nFrames` evenly-
+    * spaced frames are emitted, each a decodable JPEG. Payloads in a format
+    * with no JDK codec (mp4/webm/…) fall back to deterministic byte slices
+    * (FALLBACK — keeps the explode shape testable; a native codec would
+    * replace only that branch). */
   def frameSample(assets: Dataset[Asset], nFrames: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      val chunk = math.max(a.media.length / math.max(nFrames, 1), 1)
-      (0 until nFrames).iterator.map { i =>
-        val from = math.min(i * chunk, a.media.length)
-        val until = math.min(from + chunk, a.media.length)
-        Frame(a.asset_id, i, a.media.slice(from, until))
+      mjpegFrames(a.media) match {
+        case Some(fs) =>
+          (0 until nFrames).iterator.map { i =>
+            val idx =
+              if (fs.length == 1 || nFrames == 1) (i * fs.length) / math.max(nFrames, 1)
+              else (i.toLong * (fs.length - 1) / (nFrames - 1)).toInt
+            Frame(a.asset_id, i, fs(math.min(idx, fs.length - 1)))
+          }
+        case None =>
+          val chunk = math.max(a.media.length / math.max(nFrames, 1), 1)
+          (0 until nFrames).iterator.map { i =>
+            val from = math.min(i * chunk, a.media.length)
+            val until = math.min(from + chunk, a.media.length)
+            Frame(a.asset_id, i, a.media.slice(from, until))
+          }
       }
     }
   }

@@ -137,4 +137,37 @@ class MultimodalSpec extends SparkSpec {
     val f0 = frames.filter($"asset_id" === 0 && $"frame_idx" === 0).collect()(0)
     assert(f0.frame_bytes.nonEmpty)
   }
+
+  test("frame sampling REALLY extracts MJPEG-AVI frames: container parsed, JPEGs decode") {
+    import javax.imageio.ImageIO
+    // 12 frames, each a solid color encoding its index in the red channel
+    val srcFrames = (0 until 12).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(i * 20, 60, 120)); g.fillRect(0, 0, 32, 24) }
+      finally g.dispose()
+      img
+    }
+    val avi = Multimodal.encodeMjpegAvi(srcFrames, fps = 5)
+    val ds = spark.createDataset(Seq(Multimodal.Asset(7L, avi, "avi", 32, 24)))
+    val sampled = Multimodal.frameSample(ds, nFrames = 3).collect().sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    // each sampled frame is a complete JPEG: decode it and read real pixels
+    val reds = sampled.map { f =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable JPEG")
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      (img.getRGB(16, 12) >> 16) & 0xff
+    }
+    // evenly spaced over 12 frames: first ~ frame 0, mid ~ frame 5/6, last ~ frame 11
+    // (JPEG is lossy: match to the nearest planted red level, tolerance 15)
+    def near(red: Int, frameIdx: Int) = math.abs(red - frameIdx * 20) <= 15
+    assert(near(reds(0), 0), s"first sample red=${reds(0)}")
+    assert(near(reds(1), 5) || near(reds(1), 6), s"mid sample red=${reds(1)}")
+    assert(near(reds(2), 11), s"last sample red=${reds(2)}")
+    // a non-AVI payload still flows through the fallback path
+    val fb = Multimodal.frameSample(
+      spark.createDataset(Seq(Multimodal.Asset(8L, Array.fill(100)(42.toByte), "mp4", 0, 0))), 3)
+    assert(fb.count() == 3)
+  }
 }
