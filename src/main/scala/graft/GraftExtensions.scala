@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // loss-free widenings) in the first analyzer batch, while the merge is
     // still unresolved — star expansion then sees the evolved schema
     ext.injectHintResolutionRule(session => graft.catalog.GraftMergeEvolution(session))
+    // metadata-only COUNT(*) from snapshot-log row counts — must be
+    // injected BEFORE GraftNativeScan so it sees the un-swapped relation
+    ext.injectOptimizerRule(session => graft.plans.GraftMetadataAggregate(session))
     // keeps catalog-table SELECTs on the vectorized parquet path (see
     // graft.plans.GraftNativeScan) instead of the row-based V1Scan fallback
     ext.injectOptimizerRule(session => graft.plans.GraftNativeScan(session))

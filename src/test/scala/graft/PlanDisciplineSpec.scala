@@ -130,6 +130,41 @@ class PlanDisciplineSpec extends SparkSpec {
       }
   }
 
+  test("SELECT count(*) on a catalog table is metadata-only — no scan in the plan") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.cnt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.cnt SELECT id, concat('v', id) FROM range(12345)")
+    spark.sql("INSERT INTO graft.db.cnt SELECT id, 'x' FROM range(55)")
+    val df = spark.sql("SELECT count(*) AS n FROM graft.db.cnt")
+    assert(df.collect()(0).getLong(0) == 12400)
+    val plan = planOf(df)
+    assert(!plan.contains("Scan parquet") && !plan.contains("GraftDsv2Table"),
+      s"count(*) still scans data:\n$plan")
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"), plan)
+    // min/max of numeric columns come from the (exact) metadata bounds too,
+    // mixed freely with count in one aggregate
+    val mm = spark.sql("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM graft.db.cnt")
+    assert(mm.collect()(0).toSeq == Seq(0L, 12344L, 12400L))
+    assert(!planOf(mm).contains("Scan parquet"), planOf(mm))
+    // min/max of a STRING column must scan (metadata bounds are truncated)
+    val sm = spark.sql("SELECT max(v) FROM graft.db.cnt")
+    assert(planOf(sm).contains("Scan parquet"))
+    assert(sm.collect()(0).getString(0) == "x")
+    // a WHERE clause disables the shortcut — that count needs the scan
+    val filtered = spark.sql("SELECT count(*) FROM graft.db.cnt WHERE id > 10")
+    assert(filtered.collect()(0).getLong(0) == 12378)
+    assert(planOf(filtered).contains("Scan parquet"))
+    // merge-on-read deletes also disable it (count must subtract join-time)
+    spark.sql("ALTER TABLE graft.db.cnt SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM graft.db.cnt WHERE id = 7")
+    val afterDel = spark.sql("SELECT count(*) AS n FROM graft.db.cnt")
+    assert(afterDel.collect()(0).getLong(0) == 12398) // id=7 in both inserts
+    assert(planOf(afterDel).contains("Scan parquet"),
+      "MOR-delete count must fall back to the scan")
+  }
+
   test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
     // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
     // the second shuffle moves already-aggregated (tiny) rows, so the shape
