@@ -63,9 +63,14 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("version", LongType)))((s, r) => load(s, r).rollbackTo(r.getLong(1))),
       new Proc("cherrypick_snapshot", "re-apply a snapshot's added files onto HEAD",
         Seq(tbl, in("version", LongType)))((s, r) => load(s, r).cherrypick(r.getLong(1))),
-      new Proc("expire_snapshots", "drop all but the newest keep_last snapshots, then GC",
-        Seq(tbl, in("keep_last", LongType)))((s, r) =>
-        load(s, r).expireSnapshots(r.getLong(1).toInt)),
+      new Proc("expire_snapshots",
+        "drop all but the newest keep_last snapshots, then GC; older_than " +
+        "(epoch ms) switches to age-based expiry retaining keep_last anyway",
+        Seq(tbl, in("keep_last", LongType),
+          ProcedureParameter.in("older_than", LongType).defaultValue("-1").build()))((s, r) =>
+        if (r.getLong(2) >= 0)
+          load(s, r).expireSnapshotsOlderThan(r.getLong(2), r.getLong(1).toInt)
+        else load(s, r).expireSnapshots(r.getLong(1).toInt)),
       new Proc("remove_orphan_files", "delete data files no live snapshot references",
         Seq(tbl))((s, r) => load(s, r).removeOrphanFiles()),
       new Proc("rewrite_data_files", "compact into target_files files; zorder_by = comma-separated numeric columns for Z-order clustering",

@@ -438,6 +438,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     expired
   }
 
+  /** Timestamp form (Iceberg `expire_snapshots(older_than, retain_last)`):
+    * expire snapshots committed strictly before `olderThanMs`, but always
+    * retain the newest `retainLast` regardless of age (and, through
+    * [[SnapshotLog.expireMetadata]], HEAD and every ref target). */
+  def expireSnapshotsOlderThan(olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
+    require(retainLast >= 1)
+    val vs = log.listVersions
+    if (vs.isEmpty) return Seq.empty
+    val byAge = vs.filter(v => log.snapshot(v).timestampMs >= olderThanMs)
+    val protectedTail = vs.takeRight(retainLast)
+    val keepFrom = (byAge ++ protectedTail).minOption.getOrElse(vs.last)
+    val expired = log.expireMetadata(keepFrom)
+    removeOrphanFiles()
+    expired
+  }
+
   /** `CALL remove_orphan_files`: delete data files not referenced by any
     * live snapshot. */
   def removeOrphanFiles(): Seq[String] = {

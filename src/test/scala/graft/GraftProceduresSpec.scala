@@ -28,6 +28,11 @@ class GraftProceduresSpec extends SparkSpec {
     spark.sql("CALL graft.system.expire_snapshots(`table` => 'proc.ex', keep_last => 2)")
     assert(spark.sql("SELECT count(*) FROM graft.proc.`ex$history`").collect()(0).getLong(0) == 2)
     assert(spark.sql("SELECT count(*) FROM graft.proc.ex").collect()(0).getLong(0) == 4)
+    // age-based form: a future cutoff expires all but keep_last
+    spark.sql("CALL graft.system.expire_snapshots(`table` => 'proc.ex', keep_last => 1, " +
+      s"older_than => ${System.currentTimeMillis() + 3600000L})")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.`ex$history`").collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.ex").collect()(0).getLong(0) == 4)
   }
 
   test("CALL rewrite_data_files compacts, rewrite_manifests + remove_orphan_files run") {

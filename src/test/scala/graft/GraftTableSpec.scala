@@ -131,6 +131,21 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(0))
   }
 
+  test("expireSnapshotsOlderThan expires by age but always retains the newest") {
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.append(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    val cutoff = System.currentTimeMillis() + 3600_000 // everything is "old"
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    val expired = t.expireSnapshotsOlderThan(cutoff, retainLast = 2)
+    // newest 2 survive the age rule; the root is expired
+    assert(expired == Seq(0L), s"expired=$expired")
+    assert(t.read.count() == 3)
+    intercept[IllegalArgumentException](t.readVersion(0))
+    assert(t.readVersion(1).count() == 2)
+    // a cutoff in the past expires nothing
+    assert(t.expireSnapshotsOlderThan(0L).isEmpty)
+  }
+
   test("remove_orphan_files deletes unreferenced data files only") {
     val t = mk(Seq((1L, "a", 10.0)))
     // plant an orphan

@@ -152,6 +152,10 @@ class PlanDisciplineSpec extends SparkSpec {
     val sm = spark.sql("SELECT max(v) FROM graft.db.cnt")
     assert(planOf(sm).contains("Scan parquet"))
     assert(sm.collect()(0).getString(0) == "x")
+    // time travel: the metadata count comes from the PINNED snapshot
+    val tt = spark.sql("SELECT count(*) FROM graft.db.cnt VERSION AS OF 1")
+    assert(tt.collect()(0).getLong(0) == 12345)
+    assert(!planOf(tt).contains("Scan parquet"), planOf(tt))
     // a WHERE clause disables the shortcut — that count needs the scan
     val filtered = spark.sql("SELECT count(*) FROM graft.db.cnt WHERE id > 10")
     assert(filtered.collect()(0).getLong(0) == 12378)
