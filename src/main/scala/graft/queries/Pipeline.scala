@@ -222,17 +222,68 @@ object Pipeline {
       |FROM win JOIN bases USING (bucket)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** END-TO-END CORPUS CURATION — the flagship composition: quality gate →
+    * exact dedup (keep min doc_id per content hash) → per-domain cap (top 5
+    * by length) → deterministic hash split. One declarative chain, so
+    * Catalyst fuses the quality filter into the scan, the dedup is one
+    * partial→final aggregate, the cap is one domain-keyed window, and the
+    * split is a scan-shaped projection — four pipeline stages, two
+    * shuffles total. The output is exactly what a pretraining data loader
+    * consumes: (doc_id, source, split). */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quality = documents(spark, dir)
+      .filter($"lang" === "en" && $"n_chars" >= 100 &&
+        size(split($"text", " ")) >= 20)
+    val deduped = quality
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("doc_id"), min($"source").as("source"),
+        min($"n_chars").as("n_chars"))
+    val capped = deduped
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rk" <= 5)
+    val h2 = substring(md5(concat(lit("split|"), $"doc_id".cast("string")).cast("binary")), 1, 2)
+    capped
+      .select($"doc_id", $"source",
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  // min(source)/min(n_chars) on BOTH sides: duplicates from different
+  // sources must resolve to the same representative on every engine.
+  val q68Sql: String =
+    """WITH quality AS (
+      |  SELECT * FROM documents
+      |  WHERE lang = 'en' AND n_chars >= 100 AND len(string_split(text, ' ')) >= 20),
+      |deduped AS (
+      |  SELECT min(doc_id) AS doc_id, min(source) AS source, min(n_chars) AS n_chars
+      |  FROM quality GROUP BY md5(text)),
+      |capped AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM deduped)
+      |SELECT doc_id, source,
+      |  CASE WHEN substr(md5('split|' || doc_id), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5('split|' || doc_id), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM capped WHERE rk <= 5 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_dedup_clusters"  -> q62,
     "q63_text_bm25"       -> q63,
     "q64_domain_cap"      -> q64,
     "q65_embed_quantize"  -> q65,
-    "q66_pack_sequences"  -> q66)
+    "q66_pack_sequences"  -> q66,
+    "q68_curation_chain"  -> q68)
 
   val oracleSql: Map[String, String] = Map(
     "q62_dedup_clusters"  -> q62Sql,
     "q63_text_bm25"       -> q63Sql,
     "q64_domain_cap"      -> q64Sql,
     "q65_embed_quantize"  -> q65Sql,
-    "q66_pack_sequences"  -> q66Sql)
+    "q66_pack_sequences"  -> q66Sql,
+    "q68_curation_chain"  -> q68Sql)
 }

@@ -69,6 +69,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q68: curation chain output is capped, split-labeled, and two-shuffle-shaped") {
+    import spark.implicits._
+    val out = Pipeline.q68(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+    val perSource = out.groupBy($"source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 5))
+    // four logical stages, but only the dedup groupBy and the domain window
+    // shuffle (+ the output's range sort) — the quality gate rides the scan.
+    // Count on the pre-execution plan: AQE's final plan prints each shuffle
+    // again at every stage boundary.
+    val plan = Pipeline.q68(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"curation chain shuffles too much ($exchanges):\n$plan")
+  }
+
   test("q66: packing is gapless, ordered, and window spans match token math") {
     import spark.implicits._
     val rows = Pipeline.q66(spark, sf).collect()
