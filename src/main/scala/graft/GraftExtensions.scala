@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, NormalizeText}
 
 /** Session-extensions hook — the engine's analogue of the reference's
   * `spark.sql.extensions = IcebergSparkSessionExtensions` line
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
         CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(string)")
+        NormalizeText(args(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

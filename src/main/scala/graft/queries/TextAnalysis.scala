@@ -141,15 +141,49 @@ object TextAnalysis {
       |  COUNT(*) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Unicode NFC normalization ([[graft.functions.NormalizeText]], a native
+    * codegen'd expression — SURVEY.md §2.10): the fixture text is ASCII, so
+    * the query PLANTS decomposed sequences (e+U+0301, A+U+0300) on every
+    * row and verifies both engines compose them identically — md5 over the
+    * normalized UTF-8 bytes, plus the codepoint-count contraction (2 fewer
+    * after composing 2 pairs). Scan-shaped, zero shuffle before the output
+    * sort. */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // combining acute/grave as \u escapes — Spark's chr() is ASCII-only
+    val raw = concat(substring($"text", 1, 40),
+      lit(" Cafe"), lit("\u0301"), lit(" A"), lit("\u0300"))
+    documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        length($"raw").as("len_raw"),
+        length(graft.functions.NormalizeText($"raw")).as("len_nfc"),
+        md5(graft.functions.NormalizeText($"raw").cast("binary")).as("h"))
+      .orderBy($"doc_id")
+  }
+
+  val q69Sql: String =
+    """SELECT doc_id,
+      |       length(raw) AS len_raw,
+      |       length(nfc_normalize(raw)) AS len_nfc,
+      |       md5(nfc_normalize(raw)) AS h
+      |FROM (SELECT doc_id,
+      |        substr(text, 1, 40) || ' Cafe' || chr(769) || ' A' || chr(768) AS raw
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
     "q48_text_tokens"      -> q48,
-    "q49_text_fingerprint" -> q49)
+    "q49_text_fingerprint" -> q49,
+    "q69_text_nfc"         -> q69)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
     "q47_text_langid"      -> q47Sql,
     "q48_text_tokens"      -> q48Sql,
-    "q49_text_fingerprint" -> q49Sql)
+    "q49_text_fingerprint" -> q49Sql,
+    "q69_text_nfc"         -> q69Sql)
 }

@@ -51,6 +51,28 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(reference.exceptAll(oneShot).count() == 0)
   }
 
+  test("NormalizeText composes decomposed sequences and stays in codegen") {
+    import graft.functions.NormalizeText
+    val nfcRows = Seq(
+      ("Cafe\u0301", "Caf\u00e9"),  // e + combining acute -> e-acute
+      ("A\u0300 b", "\u00c0 b"),    // A + combining grave -> A-grave
+      ("composed \u00e9", "composed \u00e9"),
+      ("plain ascii", "plain ascii")).toDF("raw", "want")
+    val out = nfcRows.select(NormalizeText($"raw").as("got"), $"want")
+    out.collect().foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+    // codegen check on a parquet-backed frame (a local Seq collapses to
+    // LocalTableScan before any stage is generated)
+    val scan = Tables.documents(spark, sf)
+      .select(NormalizeText($"text").as("n"))
+    scan.collect()
+    assert(scan.queryExecution.executedPlan.toString.contains("*(1)"),
+      "nfc_normalize fell out of codegen")
+    // null flows through
+    assert(Seq((null: String, 1)).toDF("raw", "x")
+      .select(NormalizeText($"raw")).collect()(0).isNullAt(0))
+  }
+
   test("extensions hook registers cosine_sim and minhash_sig for SQL") {
     // same injection path as spark.sql.extensions=graft.GraftExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
