@@ -34,8 +34,11 @@ object Pipeline {
     import spark.implicits._
     val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").cache()
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).cache()
-    var labels = edges.select($"d1".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint()
+    // seed with the ONE-HOP minimum (min of self and direct neighbors) in a
+    // single aggregate — for clique-shaped dup groups, the common case, this
+    // is already the fixpoint and the loop exits after one verification round
+    var labels = edges.groupBy($"d1".as("id"))
+      .agg(least(min($"d2"), first($"d1")).as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {

@@ -69,8 +69,12 @@ class TableModelSpec extends SparkSpec {
             model += (nextId -> nextId * 0.25)
             nextId += 1
           case 5 => // maintenance must never change visible state
-            if (rnd.nextBoolean()) t.rewriteDataFiles(1 + rnd.nextInt(3))
-            else t.rewriteSmallFiles(minBytes = 1L << 20, targetBytes = 1L << 26)
+            rnd.nextInt(3) match {
+              case 0 => t.rewriteDataFiles(1 + rnd.nextInt(3))
+              case 1 => t.rewriteSmallFiles(minBytes = 1L << 20, targetBytes = 1L << 26)
+              case _ => t.expireSnapshotsOlderThan(
+                System.currentTimeMillis() + 1000, retainLast = 1 + rnd.nextInt(3))
+            }
         }
         val got = readState(t)
         assert(got == model,
@@ -79,15 +83,20 @@ class TableModelSpec extends SparkSpec {
         history += ((t.log.currentVersion, model))
       }
 
-      // time travel must replay every recorded state exactly
-      val samples = rnd.shuffle(history.toSeq).take(5)
+      // time travel must replay every recorded LIVE state exactly (the
+      // random expiry op may have dropped older versions — by design)
+      val live = t.log.listVersions.toSet
+      val liveHistory = history.filter { case (v, _) => live.contains(v) }
+      assert(liveHistory.nonEmpty)
+      val samples = rnd.shuffle(liveHistory.toSeq).take(5)
       samples.foreach { case (v, m) =>
         val got = t.readVersion(v).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         assert(got == m, s"time travel to v$v diverged")
       }
 
-      // and the per-commit changelog replays the final state from the start
-      val first = history.head._1
+      // and the per-commit changelog replays the final state from the
+      // OLDEST SURVIVING recorded version
+      val (first, firstModel) = liveHistory.head
       val last = t.log.currentVersion
       if (last > first) {
         // within a step apply deletes before inserts: an UPDATE emits both
@@ -96,7 +105,7 @@ class TableModelSpec extends SparkSpec {
           .select("id", "v", "_change_type", "_change_ordinal")
           .collect()
           .sortBy(r => (r.getInt(3), r.getString(2)))
-        val replayed = changes.foldLeft(history.head._2) { (m, r) =>
+        val replayed = changes.foldLeft(firstModel) { (m, r) =>
           if (r.getString(2) == "insert") m + (r.getLong(0) -> r.getDouble(1))
           else m - r.getLong(0)
         }
