@@ -157,8 +157,8 @@ object TextAnalysis {
     documents(spark, dir)
       .select($"doc_id", raw.as("raw"))
       .select($"doc_id",
-        length($"raw").as("len_raw"),
-        length(graft.functions.NormalizeText($"raw")).as("len_nfc"),
+        length($"raw").cast("long").as("len_raw"),
+        length(graft.functions.NormalizeText($"raw")).cast("long").as("len_nfc"),
         md5(graft.functions.NormalizeText($"raw").cast("binary")).as("h"))
       .orderBy($"doc_id")
   }
