@@ -71,6 +71,10 @@ class NativeFunctionsSpec extends SparkSpec {
     // null flows through
     assert(Seq((null: String, 1)).toDF("raw", "x")
       .select(NormalizeText($"raw")).collect()(0).isNullAt(0))
+    // and the SQL registration (the test session runs with
+    // spark.sql.extensions=graft.GraftExtensions) resolves it by name
+    assert(spark.sql("SELECT nfc_normalize('Cafe\u0301') = 'Caf\u00e9'")
+      .collect()(0).getBoolean(0))
   }
 
   test("extensions hook registers cosine_sim and minhash_sig for SQL") {
