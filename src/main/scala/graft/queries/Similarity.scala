@@ -136,9 +136,30 @@ object Similarity {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q70
+  /** IVF ANN end-to-end (index + probe): build a 4-list inverted-file index
+    * over the embeddings and answer the same probe query as q44 with
+    * nprobe=2 — approximate, so NO SQL oracle (the driver records the
+    * rows-only check, like q21); SimilaritySpec asserts the recall
+    * invariants against the exact q44 baseline instead. */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val vecs = graft.Tables.embeddings(spark, dir)
+    // the probe = vec 0's embedding (same probe as q44's exact baseline);
+    // single-row collect, metadata-grained
+    val probe = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
+    val (index, centroids) = graft.operators.Ann.ivfIndex(
+      spark, vecs, "vec_id", "embedding", nlist = 4)
+    graft.operators.Ann.ivfSearch(index, centroids, "vec_id", "embedding",
+      probe, k = 10, nprobe = 2)
+      .withColumn("cos_sim", rnd(col("cos_sim"), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embed_cosine_topk" -> q44,
-    "q45_embed_neardup_lsh" -> q45)
+    "q45_embed_neardup_lsh" -> q45,
+    "q70_ann_ivf"           -> q70)
 
   val oracleSql: Map[String, String] = Map(
     "q44_embed_cosine_topk" -> q44Sql,

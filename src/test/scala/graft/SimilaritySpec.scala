@@ -58,6 +58,12 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall below 0.5 (exact=$exact approx=$approx)")
   }
 
+  test("q70 (registered IVF query) finds the probe itself first") {
+    val rows = graft.queries.Similarity.q70(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0)
+  }
+
   test("IVF index plan never funnels the vector set through one partition") {
     val e = Tables.embeddings(spark, sf)
     val (index, _) = Ann.ivfIndex(spark, e, "vec_id", "embedding", nlist = 4, iters = 1)
