@@ -97,6 +97,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }
     val mor = applyDeletes && s.deleteFiles.nonEmpty
     val needMeta = withMeta || mor
+    // Spark-native co-located bucketing fast path: when every file was
+    // written under the CURRENT schema with a conforming `_NNNNN` bucket
+    // suffix and no positional deletes / metadata columns are in play, read
+    // through a bucket-spec'd relation — the scan then reports
+    // HashPartitioning(bucketCol, n), so joins and aggregations on the
+    // bucket key skip their exchange entirely (the bucketed-join layout;
+    // schema evolution or MOR deletes simply fall back to the general path)
+    GraftTable.bucketByOf(s.properties) match {
+      case Some((n, bcol)) if !needMeta && schemaIdOverride.isEmpty &&
+          fileSet.forall(_.schemaId == s.currentSchemaId) &&
+          fileSet.forall(f => GraftTable.BucketSuffix.matcher(f.path).matches()) &&
+          out.fieldNames.contains(bcol) =>
+        return org.apache.spark.sql.graftglue.Bridge.bucketedParquetDf(
+          spark, fileSet.map(f => resolve(f.path)), out, n, Seq(bcol))
+      case _ =>
+    }
     val groups = fileSet.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
       val fileSchema = schemaOf(s, sid)
       val df = spark.read.schema(stripIds(fileSchema))
@@ -1032,8 +1048,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }
     val parts = Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val bucketed = GraftTable.bucketByOf(props).isDefined
     val moved = parts.map { p =>
-      val name = s"${UUID.randomUUID()}.parquet"
+      // bucketed writes keep the task's partition index as Spark's
+      // `_NNNNN` bucket suffix (partition i = bucket i under the
+      // repartition(n, col) layout) so the read side can group by bucket
+      val name = if (bucketed) {
+        val m = GraftTable.StagedPart.matcher(p.getFileName.toString)
+        require(m.find(), s"unexpected staged part name: ${p.getFileName}")
+        f"${UUID.randomUUID()}_${m.group(1).toInt}%05d.parquet"
+      } else s"${UUID.randomUUID()}.parquet"
       Files.move(p, log.dataDir.resolve(name))
       name
     }
@@ -1116,7 +1140,14 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val tcols = transforms.map(t => t.column(col(t.source)))
     val sized = props.get("write.target-file-size-bytes").isDefined
     val parted =
-      if (sized && tcols.isEmpty) df.hint("rebalance")
+      // co-located bucketing first: repartition(n, col) IS Spark's bucket
+      // hash (murmur3 pmod n) — partition index i becomes bucket file i.
+      // Explicit numPartitions, so AQE never coalesces the layout away.
+      if (GraftTable.bucketByOf(props).isDefined) {
+        val (n, c) = GraftTable.bucketByOf(props).get
+        df.repartition(n, col(c))
+      }
+      else if (sized && tcols.isEmpty) df.hint("rebalance")
       else if (sized) {
         // REBALANCE accepts attributes only: materialize the transform
         // values, rebalance on them, then project them back out
@@ -1287,6 +1318,23 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
 }
 
 object GraftTable {
+
+  /** `write.bucket-by = "n,col"` — Spark-native co-located bucketing. */
+  private[table] def bucketByOf(props: Map[String, String]): Option[(Int, String)] =
+    props.get("write.bucket-by").map { s =>
+      val parts = s.split(",").map(_.trim)
+      require(parts.length == 2 && parts(0).forall(_.isDigit) && parts(0).toInt > 0,
+        s"write.bucket-by must be 'numBuckets,column', got '$s'")
+      (parts(0).toInt, parts(1))
+    }
+
+  /** Spark's bucket-file suffix (`..._00003.parquet`). */
+  private[graft] val BucketSuffix =
+    java.util.regex.Pattern.compile(".*_\\d{5}\\.parquet$")
+
+  /** Partition index inside a staged `part-00003-uuid…` file name. */
+  private[table] val StagedPart =
+    java.util.regex.Pattern.compile("^part-(\\d+)-")
 
   /** Stamp a fresh, unique graft.id on EVERY field in the schema tree —
     * nested struct fields included, so nested rename/drop/add evolve by id

@@ -47,4 +47,29 @@ object Bridge {
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** A parquet DataFrame whose relation carries a BUCKET SPEC: file names
+    * end in Spark's `_NNNNN` bucket suffix and the data was written
+    * murmur3-hash-partitioned on `bucketCols`, so `FileSourceScanExec`
+    * reports `HashPartitioning(bucketCols, nBuckets)` and joins /
+    * aggregations on the bucket key need NO exchange on this side — the
+    * storage-co-located join. (`HadoopFsRelation`/`LogicalRelation` are
+    * `private[sql]`/internal, hence bridged.) */
+  def bucketedParquetDf(spark: SparkSession, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      nBuckets: Int, bucketCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    val index = new InMemoryFileIndex(cls,
+      files.map(f => new org.apache.hadoop.fs.Path(f)), Map.empty, Some(schema))
+    val rel = HadoopFsRelation(
+      index,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = schema,
+      bucketSpec = Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        nBuckets, bucketCols, Nil)),
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(cls)
+    ofRows(spark, LogicalRelation(rel))
+  }
 }
