@@ -58,6 +58,23 @@ class BucketedJoinSpec extends SparkSpec {
       GraftTable.BucketSuffix.matcher(f.path).matches()))
   }
 
+  test("SQL catalog tables inherit the co-located layout end-to-end") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk")
+    spark.sql("CREATE TABLE graft.bk.fa (id BIGINT, va BIGINT) " +
+      "TBLPROPERTIES ('write.bucket-by'='4,id')")
+    spark.sql("CREATE TABLE graft.bk.fb (id BIGINT, vb BIGINT) " +
+      "TBLPROPERTIES ('write.bucket-by'='4,id')")
+    spark.sql("INSERT INTO graft.bk.fa SELECT id, id * 2 FROM range(300)")
+    spark.sql("INSERT INTO graft.bk.fb SELECT id, id * 3 FROM range(100, 400)")
+    val j = spark.sql(
+      "SELECT a.id, va, vb FROM graft.bk.fa a JOIN graft.bk.fb b ON a.id = b.id")
+    assert(j.count() == 200)
+    assert(exchanges(j) == 0,
+      s"SQL bucketed join still shuffles:\n${j.queryExecution.executedPlan}")
+  }
+
   test("MOR deletes and schema evolution fall back to the general path, correctly") {
     val path = tmp("bk-fb-")
     val t = GraftTable.create(spark, path,
