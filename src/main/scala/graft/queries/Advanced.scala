@@ -88,13 +88,92 @@ object Advanced {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** VARIANT semi-structured path (Spark 4 native): build a nested JSON
+    * document per event, `parse_json` it into a VARIANT, then extract typed
+    * fields with `variant_get` and filter on one. VARIANT stores a parsed
+    * binary form, so repeated extraction doesn't re-tokenize the JSON text —
+    * at 100 TB this is the difference between one parse per row and one
+    * parse per field (q38's `get_json_object` pays the latter). The whole
+    * query is scan-shaped: parse + extract + filter fuse into one codegen
+    * stage, no shuffle. `floor` (not `round`) keeps the constructed integers
+    * bit-identical across engines. */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("js", concat(
+        lit("{\"meta\":{\"type\":\""), $"event_type", lit("\",\"uid\":"), $"user_id",
+        lit("},\"vals\":["), floor($"value" * 100).cast("long"),
+        lit(","), $"event_id" % 10, lit("]}")))
+      .withColumn("v", expr("parse_json(js)"))
+      .select($"event_id",
+        expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+        expr("variant_get(v, '$.meta.uid', 'bigint')").as("vuid"),
+        expr("variant_get(v, '$.vals[0]', 'bigint')").as("cents"),
+        expr("variant_get(v, '$.vals[1]', 'bigint')").as("mod10"))
+      .filter($"cents" > 50)
+      .orderBy($"event_id")
+  }
+
+  val q71Sql: String =
+    """SELECT event_id, vtype, vuid, cents, mod10 FROM (
+      |  WITH j AS (SELECT event_id,
+      |    '{"meta":{"type":"' || event_type || '","uid":' || user_id ||
+      |    '},"vals":[' || CAST(floor(value*100) AS BIGINT) || ',' || (event_id % 10) || ']}' AS js
+      |    FROM events)
+      |  SELECT event_id,
+      |    json_extract_string(js, '$.meta.type') AS vtype,
+      |    json_extract(js, '$.meta.uid')::BIGINT AS vuid,
+      |    json_extract(js, '$.vals[0]')::BIGINT AS cents,
+      |    json_extract(js, '$.vals[1]')::BIGINT AS mod10
+      |  FROM j)
+      |WHERE cents > 50 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE` → UnionLoop): hierarchical
+    * traversal of an implicit binary tree over documents (parent(n) =
+    * (n-1) div 2), reporting per-depth node counts. Each recursion step is
+    * one equi-join of the frontier against the base table — the frontier is
+    * tiny relative to the table, so at scale every step is a broadcast join
+    * and the loop runs O(depth) jobs, never materializing the closure
+    * driver-side. Depth over N docs is ceil(log2(N)) — 30 levels at 10^9
+    * rows, well under the recursion limit. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir).createOrReplaceTempView("q72_docs")
+    spark.sql("""
+      WITH RECURSIVE tree AS (
+        SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM q72_docs WHERE doc_id = 0
+        UNION ALL
+        SELECT d.doc_id AS id, t.depth + 1 AS depth
+        FROM q72_docs d JOIN tree t ON (d.doc_id - 1) div 2 = t.id
+        WHERE d.doc_id > 0)
+      SELECT depth, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id,
+             sum(id) AS sum_id
+      FROM tree GROUP BY depth ORDER BY depth""")
+  }
+
+  val q72Sql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT d.doc_id AS id, t.depth + 1 AS depth
+      |  FROM documents d JOIN tree t ON (d.doc_id - 1) // 2 = t.id
+      |  WHERE d.doc_id > 0)
+      |SELECT depth, COUNT(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id,
+      |       sum(id)::BIGINT AS sum_id
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_scalar_subquery" -> q59,
     "q60_unpivot"         -> q60,
-    "q61_salted_join"     -> q61)
+    "q61_salted_join"     -> q61,
+    "q71_variant_extract" -> q71,
+    "q72_recursive_cte"   -> q72)
 
   val oracleSql: Map[String, String] = Map(
     "q59_scalar_subquery" -> q59Sql,
     "q60_unpivot"         -> q60Sql,
-    "q61_salted_join"     -> q61Sql)
+    "q61_salted_join"     -> q61Sql,
+    "q71_variant_extract" -> q71Sql,
+    "q72_recursive_cte"   -> q72Sql)
 }
