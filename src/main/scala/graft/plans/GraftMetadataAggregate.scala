@@ -42,7 +42,8 @@ case class GraftMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupless, aggExprs, child, _) if groupless.isEmpty && aggExprs.nonEmpty =>
       graftOf(child) match {
-        case Some(g) if g.snapshotForRead.deleteFiles.isEmpty =>
+        case Some(g) if g.snapshotForRead.deleteFiles.isEmpty &&
+            g.snapshotForRead.eqDeleteFiles.isEmpty =>
           val snap = g.snapshotForRead
           val answers = aggExprs.map(e => answer(e, snap))
           if (answers.forall(_.isDefined))

@@ -62,6 +62,51 @@ object Streams {
   /** Output mode for [[runningCountsPerUser]] sinks. */
   val updateMode: OutputMode = OutputMode.Update()
 
+  /** Watermarked STREAM-STREAM INNER JOIN (the click-attribution shape):
+    * join clicks to the impression they followed within 30 minutes, per
+    * user. Both sides carry watermarks and the join condition bounds
+    * `click_ts` to a window after `imp_ts`, so Spark derives state-eviction
+    * watermarks for BOTH state stores — without the time bound, stream-
+    * stream join state grows forever. At scale the state is partitioned by
+    * the equi-key (user_id): the same shuffle the equivalent batch join
+    * does, with state bounded by watermark horizon × event rate. */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "1 hour")
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
+  /** LEFT-OUTER stream-stream join: same attribution, but impressions with
+    * no click inside the window are still emitted (null click columns) once
+    * the watermark passes the window end — the state store proves the
+    * absence before releasing the row. */
+  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "1 hour")
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Streaming sink into a graft table (the Iceberg Structured Streaming
     * sink equivalent — the declared stack ships one in the Iceberg 1.9.1
     * runtime, reference `README.md:36`). Use with foreachBatch:

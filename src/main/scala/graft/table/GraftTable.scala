@@ -96,6 +96,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       return emptyDf(base)
     }
     val mor = applyDeletes && s.deleteFiles.nonEmpty
+    val eqDels = if (applyDeletes) s.eqDeleteFiles else Seq.empty
     val needMeta = withMeta || mor
     // Spark-native co-located bucketing fast path: when every file was
     // written under the CURRENT schema with a conforming `_NNNNN` bucket
@@ -105,7 +106,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     // bucket key skip their exchange entirely (the bucketed-join layout;
     // schema evolution or MOR deletes simply fall back to the general path)
     GraftTable.bucketByOf(s.properties) match {
-      case Some((n, bcol)) if !needMeta && schemaIdOverride.isEmpty &&
+      case Some((n, bcol)) if !needMeta && eqDels.isEmpty && schemaIdOverride.isEmpty &&
           fileSet.forall(_.schemaId == s.currentSchemaId) &&
           fileSet.forall(f => GraftTable.BucketSuffix.matcher(f.path).matches()) &&
           out.fieldNames.contains(bcol) =>
@@ -113,7 +114,17 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
           spark, fileSet.map(f => resolve(f.path)), out, n, Seq(bcol))
       case _ =>
     }
-    val groups = fileSet.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
+    // Equality-delete applicability buckets: a delete applies to files with
+    // a strictly lower data sequence, so files sharing the COUNT of
+    // higher-seq deletes share the exact applicable subset (seqs are
+    // sorted). Grouping by (schema, bucket) bounds the plan at
+    // #schemas × (#eq-delete-commits + 1) scan branches — compaction folds
+    // deletes away, so the second factor stays small by maintenance, never
+    // by file count.
+    val delSeqs = eqDels.map(_.seq).distinct.sorted
+    def eqBucket(f: DataFile): Int = delSeqs.count(_ > f.seq)
+    val groups = fileSet.groupBy(f => (f.schemaId, eqBucket(f))).toSeq.map {
+      case ((sid, _), files) =>
       val fileSchema = schemaOf(s, sid)
       val df = spark.read.schema(stripIds(fileSchema))
         .parquet(files.map(f => resolve(f.path)): _*)
@@ -125,7 +136,17 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         if (needMeta) Seq(col("_metadata.file_path").as("_graft_path"),
                           col("_metadata.row_index").as("_graft_pos"))
         else Seq.empty
-      df.select(cols ++ metaCols: _*)
+      val base = df.select(cols ++ metaCols: _*)
+      // anti-join each applicable equality-delete key set (null-safe — in
+      // Iceberg's equality matching null is a value and matches null); the
+      // key sets are small, so AQE broadcasts these joins
+      eqDels.filter(_.seq > files.head.seq).groupBy(_.cols).toSeq
+        .foldLeft(base) { case (acc, (keyCols, dels)) =>
+          val keys = spark.read.parquet(dels.map(d => resolve(d.file.path)): _*)
+            .select(keyCols.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
+          acc.join(keys,
+            keyCols.map(c => acc(c) <=> keys(s"_eq_$c")).reduce(_ && _), "left_anti")
+        }
     }
     val unioned = groups.reduce(_ unionAll _)
     // merge-on-read: anti-join the positional deletes (small — broadcast by
@@ -283,7 +304,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "overwrite", files = newFiles, deleteFiles = Seq.empty))
+      operation = "overwrite", files = newFiles, deleteFiles = Seq.empty,
+      eqDeleteFiles = Seq.empty))
   }
 
   /** Re-run a whole copy-on-write operation when its commit loses the CAS to
@@ -340,10 +362,38 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       operation = "delete", deleteFiles = head.deleteFiles ++ newDeletes))
   }
 
+  /** Equality DELETE (Iceberg v2 `write.delete.mode = merge-on-read` with
+    * equality-delete files — the CDC-writer fast path): register the given
+    * key rows as an equality-delete file; on read, any row in a data file
+    * committed BEFORE this delete whose `keys`-column values match (null-safe)
+    * vanishes. No data scan at all — O(keys) write cost, which is why
+    * streaming upsert writers (Flink CDC into Iceberg) emit these instead of
+    * positional deletes. Key rows appended AFTER the delete are untouched
+    * (data-sequence-number scoping). A compaction
+    * ([[rewriteDataFiles]]) materializes and drops the delete. */
+  def deleteByEquality(keys: DataFrame): Snapshot = retryOnConflict() {
+    val head = log.current
+    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val cols = keys.columns.toSeq
+    cols.foreach(c => require(cur.fieldNames.contains(c),
+      s"equality-delete column $c is not in the table schema"))
+    val keySchema = StructType(cols.map(c => cur(cur.fieldIndex(c)).copy(nullable = true)))
+    val typed = keys.select(cols.map(c =>
+      col(c).cast(keySchema(c).dataType).as(c)): _*).dropDuplicates()
+    val fs = writeDeleteFiles(typed, keySchema)
+    if (fs.isEmpty) head
+    else log.commit(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "delete",
+      eqDeleteFiles = head.eqDeleteFiles ++ fs.map(f => EqDeleteFile(f, cols, v))))
+  }
+
   /** Write (file_path, pos) rows as positional-delete parquet files in the
     * table's data dir, stats included (file_path bounds could prune delete
-    * application per data file). */
-  private def writeDeleteFiles(df: DataFrame): Seq[DataFile] = {
+    * application per data file). With an explicit `schema`, writes
+    * arbitrary-keyed EQUALITY-delete files instead. */
+  private[table] def writeDeleteFiles(df: DataFrame,
+      schema: StructType = deleteSchema): Seq[DataFile] = {
     val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
     val parts = Files.list(staging).iterator().asScala
@@ -355,7 +405,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }
     deleteRecursively(staging)
     if (moved.isEmpty) return Seq.empty
-    statFiles(moved.map(n => s"$path/data/$n"), deleteSchema, -1,
+    statFiles(moved.map(n => s"$path/data/$n"), schema, -1,
       abs => s"data/${Paths.get(abs).getFileName}")
   }
 
@@ -381,7 +431,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val head = log.current
     val cur = stripIds(schemaOf(head, head.currentSchemaId))
     val df = readSnapshot(head, withMeta = true)
-    if (head.properties.get("write.delete.mode").contains("merge-on-read")) {
+    // Iceberg's per-op mode: write.update.mode, falling back to the
+    // table-wide write.delete.mode switch
+    if (head.properties.get("write.update.mode")
+        .orElse(head.properties.get("write.delete.mode")).contains("merge-on-read")) {
       val matched = df.filter(cond).cache()
       try {
         val newDeletes = writeDeleteFiles(
@@ -475,7 +528,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   def removeOrphanFiles(): Seq[String] = {
     val referenced = log.listVersions.flatMap { v =>
       val s = log.snapshot(v)
-      (s.files ++ s.deleteFiles).map(_.path)
+      (s.files ++ s.deleteFiles ++ s.eqDeleteFiles.map(_.file)).map(_.path)
     }.toSet
     val existing = Files.list(log.dataDir).iterator().asScala.toSeq
     val orphans = existing.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
@@ -488,11 +541,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     val head = log.current
     val df = readSnapshot(head).repartition(target)
     val newFiles = writeFiles(df, head.currentSchemaId, head.properties)
-    // a full rewrite reads through the delete filter, so the output is
-    // clean — positional deletes are materialized and dropped
+    // a full rewrite reads through the delete filters, so the output is
+    // clean — positional AND equality deletes are materialized and dropped
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty))
+      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty,
+      eqDeleteFiles = Seq.empty))
   }
 
   /** Binpack compaction (Iceberg's default rewrite strategy): coalesce only
@@ -563,7 +617,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       head.properties - "write.partition-by" - "write.sort-by")
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty))
+      operation = "rewrite", files = newFiles, deleteFiles = Seq.empty,
+      eqDeleteFiles = Seq.empty))
   }
 
   /** `CALL create_changelog_view`: NET CDC rows between two snapshots —
@@ -606,7 +661,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       // MOR-deleted before this step were not alive to be "removed" by it
       val added = readFilesOf(to, s.files.filterNot(f => parentPaths.contains(f.path)),
         withMeta = false, applyDeletes = false)
-      val parentCtx = to.copy(deleteFiles = parent.deleteFiles)
+      val parentCtx = to.copy(deleteFiles = parent.deleteFiles,
+        eqDeleteFiles = parent.eqDeleteFiles)
       val removed = readFilesOf(parentCtx, parent.files.filterNot(f => curPaths.contains(f.path)),
         withMeta = false)
       val fileDiff = added.exceptAll(removed)
@@ -630,7 +686,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
             .withColumn("_change_type", lit("delete"))
           fileDiff.unionAll(morDeleted)
         }
-      step
+      // equality-delete step: data files unchanged — the deleted rows are
+      // the parent-alive rows the step's NEW equality keys match. Bag-exact:
+      // survivors via the same anti-join chain the read path uses, deleted =
+      // alive \ survivors.
+      val parentEqPaths = parent.eqDeleteFiles.map(_.file.path).toSet
+      val newEq = s.eqDeleteFiles.filterNot(f => parentEqPaths.contains(f.file.path))
+      val step2 =
+        if (newEq.isEmpty) step
+        else {
+          val alive = readFilesOf(parentCtx, parent.files, withMeta = false)
+          val survivors = newEq.groupBy(_.cols).toSeq.foldLeft(alive) {
+            case (acc, (keyCols, dels)) =>
+              val keys = spark.read.parquet(dels.map(d => resolve(d.file.path)): _*)
+                .select(keyCols.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
+              acc.join(keys,
+                keyCols.map(c => acc(c) <=> keys(s"_eq_$c")).reduce(_ && _), "left_anti")
+          }
+          step.unionAll(alive.exceptAll(survivors)
+            .withColumn("_change_type", lit("delete")))
+        }
+      step2
         .withColumn("_commit_version", lit(s.version))
         .withColumn("_change_ordinal", lit(ord))
     }

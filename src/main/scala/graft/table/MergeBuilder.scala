@@ -88,23 +88,15 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     def anyCond(cs: Vector[Clause], base: Column): Column =
       cs.map(c => base && c.cond).reduceOption(_ || _).getOrElse(lit(false))
 
-    // files containing at least one row an applicable clause would touch
-    val affected = anyCond(matched, isMatched) || anyCond(bySource, targetOnly)
-    val touched = joined.filter(affected).select(col("t._graft_path"))
-      .distinct().collect().map(_.getString(0)).toSeq
-
-    // ---- rewrite rows of touched files (matched + target-only rows) ------
+    // first applicable clause per row (SQL-standard order), -1 = untouched
     val all = matched.zipWithIndex.map { case (c, i) => (c, isMatched, i) } ++
       bySource.zipWithIndex.map { case (c, i) => (c, targetOnly, i + matched.size) }
     val idxCol = all.reverse.foldLeft(lit(-1): Column) { case (els, (c, base, i)) =>
       when(base && c.cond, lit(i)).otherwise(els)
     }
     val deleteIdxs = all.collect { case (c, _, i) if c.kind == "delete" => i }
-    val rows = joined
-      .filter(col("t._graft_path").isin(touched: _*))
-      .withColumn("_clause", idxCol)
-      .filter(!col("_clause").isin(deleteIdxs: _*))
-    val rewritten = rows.select(fields.map { f =>
+
+    def newImage(rows: DataFrame): DataFrame = rows.select(fields.map { f =>
       val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
         (i, c.set(f.name)) }
       updates.foldRight(col(s"t.${f.name}")) { case ((i, v), els) =>
@@ -125,7 +117,42 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
         }.as(f.name)
       }: _*)
 
-    table.replaceFiles(head, touched, rewritten, "merge",
-      extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
+    // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
+    // falls back to write.delete.mode (the table-wide MOR switch)
+    val morMode = head.properties.get("write.merge.mode")
+      .orElse(head.properties.get("write.delete.mode")).contains("merge-on-read")
+
+    if (morMode) {
+      // ---- merge-on-read: positional-delete every affected target row,
+      // append the update images + inserts — one commit, O(affected rows)
+      // write cost instead of O(touched files) (Iceberg v2 MOR merge)
+      val affectedRows = joined.withColumn("_clause", idxCol)
+        .filter(col("_clause") >= 0).cache()
+      try {
+        val newDeletes = table.writeDeleteFiles(affectedRows.select(
+          col("t._graft_path").as("file_path"), col("t._graft_pos").as("pos")))
+        val updated = newImage(affectedRows.filter(!col("_clause").isin(deleteIdxs: _*)))
+        val appendDf =
+          if (notMatched.nonEmpty) updated.unionByName(inserts) else updated
+        val newFiles = table.writeFiles(appendDf, head.currentSchemaId, head.properties)
+        if (newDeletes.isEmpty && newFiles.isEmpty) head
+        else table.log.commit(head.version, v => head.copy(
+          version = v, parent = head.version,
+          timestampMs = System.currentTimeMillis(),
+          operation = "merge", files = head.files ++ newFiles,
+          deleteFiles = head.deleteFiles ++ newDeletes))
+      } finally affectedRows.unpersist()
+    } else {
+      // ---- copy-on-write: rewrite only the files containing affected rows
+      val affected = anyCond(matched, isMatched) || anyCond(bySource, targetOnly)
+      val touched = joined.filter(affected).select(col("t._graft_path"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val rows = joined
+        .filter(col("t._graft_path").isin(touched: _*))
+        .withColumn("_clause", idxCol)
+        .filter(!col("_clause").isin(deleteIdxs: _*))
+      table.replaceFiles(head, touched, newImage(rows), "merge",
+        extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
+    }
   }
 }

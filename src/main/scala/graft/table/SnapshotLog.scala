@@ -15,13 +15,26 @@ case class ColumnStats(min: String, max: String, dataType: String,
 
 /** One immutable data file registered in a snapshot. `schemaId` pins the
   * column names/ids the file was written with, so schema evolution (rename/
-  * add/drop — reference `main.tf:803` DDL surface) never rewrites data. */
+  * add/drop — reference `main.tf:803` DDL surface) never rewrites data.
+  * `seq` is the Iceberg-v2 DATA SEQUENCE NUMBER: the version at which the
+  * file entered the table (stamped by the commit itself; 0 = legacy entry,
+  * older than everything). Equality deletes apply only to files with a
+  * strictly LOWER sequence — rows appended after the delete survive it. */
 case class DataFile(
     path: String,
     rows: Long,
     bytes: Long,
     schemaId: Int,
-    stats: Map[String, ColumnStats] = Map.empty)
+    stats: Map[String, ColumnStats] = Map.empty,
+    seq: Long = 0L)
+
+/** Iceberg-v2-style EQUALITY DELETE file: a parquet file of key rows; any
+  * data row in an OLDER file (data seq < `seq`) whose `cols` values match a
+  * key row (null-safe, null matches null — Iceberg's StructLike equality) is
+  * deleted on read. Written by [[GraftTable.deleteByEquality]] without
+  * scanning any data — the CDC-writer fast path positional deletes can't
+  * offer. */
+case class EqDeleteFile(file: DataFile, cols: Seq[String], seq: Long = 0L)
 
 /** One snapshot = full table state at a version: the file list plus every
   * schema ever used (kept forward so `expireSnapshots` can drop old metadata
@@ -41,7 +54,10 @@ case class Snapshot(
     // Iceberg-v2-style POSITIONAL DELETE files (merge-on-read): parquet
     // files of (file_path, pos) rows anti-joined against data on read.
     // Few and small, so stored inline, never chunked.
-    deleteFiles: Seq[DataFile] = Seq.empty)
+    deleteFiles: Seq[DataFile] = Seq.empty,
+    // Iceberg-v2-style EQUALITY DELETE files — also few and small (a
+    // compaction folds them into the data), stored inline.
+    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
 
 /** On-disk snapshot form: `manifests` names immutable chunk files
   * (`_graft/m-<contenthash>.json`, each a JSON array of [[DataFile]]) that
@@ -59,7 +75,8 @@ private[table] case class StoredSnapshot(
     files: Seq[DataFile] = Seq.empty,
     manifests: Seq[String] = Seq.empty,
     properties: Map[String, String] = Map.empty,
-    deleteFiles: Seq[DataFile] = Seq.empty)
+    deleteFiles: Seq[DataFile] = Seq.empty,
+    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
 
 /** Named reference to a snapshot version (Iceberg branch/tag semantics,
   * SURVEY.md §2.8 "Branching/tagging"). */
@@ -160,7 +177,7 @@ class SnapshotLog(tableRoot: String) {
   private def toStored(s: Snapshot): StoredSnapshot = {
     val base = StoredSnapshot(s.version, s.parent, s.timestampMs, s.operation,
       s.currentSchemaId, s.schemas, properties = s.properties,
-      deleteFiles = s.deleteFiles)
+      deleteFiles = s.deleteFiles, eqDeleteFiles = s.eqDeleteFiles)
     val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
     val livePaths = s.files.map(_.path).toSet
     val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
@@ -177,7 +194,22 @@ class SnapshotLog(tableRoot: String) {
   private def hydrate(st: StoredSnapshot): Snapshot =
     Snapshot(st.version, st.parent, st.timestampMs, st.operation, st.currentSchemaId,
       st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties,
-      st.deleteFiles)
+      st.deleteFiles, st.eqDeleteFiles)
+
+  /** Stamp the Iceberg-style data sequence number: every file the commit
+    * ADDS (path not in the parent) gets `seq =` the new version; carried
+    * files keep the seq they were stamped with. Centralizing this in the
+    * commit itself means no write path can forget it — the invariant
+    * "file.seq = version that introduced it" holds by construction. */
+  private def stampNew(snap: Snapshot, parentVersion: Long): Snapshot = {
+    val parentPaths =
+      if (parentVersion >= 0 && Files.exists(versionPath(parentVersion)))
+        hydrate(JsonMethods.parse(Files.readString(versionPath(parentVersion)))
+          .extract[StoredSnapshot]).files.map(_.path).toSet
+      else Set.empty[String]
+    snap.copy(files = snap.files.map(f =>
+      if (parentPaths.contains(f.path)) f else f.copy(seq = snap.version)))
+  }
 
   def current: Snapshot = snapshot(currentVersion)
 
@@ -200,7 +232,7 @@ class SnapshotLog(tableRoot: String) {
       throw new CommitConflictException(
         s"stale commit: parent v$parentVersion but head is v$headNow")
     val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
-    val snap = build(next)
+    val snap = stampNew(build(next), parentVersion)
     require(snap.version == next)
     val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
     Files.writeString(tmp, Serialization.write(toStored(snap)))
@@ -226,7 +258,7 @@ class SnapshotLog(tableRoot: String) {
   def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
     require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
     val next = listVersions.last + 1
-    val snap = build(next)
+    val snap = stampNew(build(next), parentVersion)
     require(snap.version == next)
     val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
     Files.writeString(tmp, Serialization.write(toStored(snap)))

@@ -81,6 +81,99 @@ class MergeOnReadSpec extends SparkSpec {
     assert(log.toSeq == Seq((21L, "insert", 0), (21L, "delete", 1)), log.mkString(", "))
   }
 
+  test("equality delete removes matching rows without touching data files") {
+    val t = mk()
+    val dataPaths = t.log.current.files.map(_.path).toSet
+    t.deleteByEquality(Seq(2L, 4L).toDF("id"))
+    val s = t.log.current
+    assert(s.files.map(_.path).toSet == dataPaths, "data files were rewritten")
+    assert(s.eqDeleteFiles.nonEmpty, "no equality-delete file recorded")
+    assert(s.operation == "delete")
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filterNot(Set(2L, 4L)))
+    // time travel to before the delete still sees all rows
+    assert(t.readVersion(s.parent).count() == 20)
+  }
+
+  test("rows appended AFTER an equality delete survive it (sequence scoping)") {
+    val t = mk()
+    t.deleteByEquality(Seq(3L, 25L).toDF("id"))
+    t.append(Seq((25L, 25.0)).toDF("id", "v")) // re-insert a deleted key
+    val ids = t.read.collect().map(_.getLong(0)).sorted.toSeq
+    assert(!ids.contains(3L), "pre-delete row 3 must be gone")
+    assert(ids.contains(25L), "row appended after the delete must survive it")
+    // positional + equality deletes compose
+    t.delete($"id" === 25L)
+    assert(!t.read.collect().map(_.getLong(0)).contains(25L))
+  }
+
+  test("equality delete is null-safe: a null key matches null rows") {
+    val t = GraftTable.create(spark, tmpDir(),
+      Seq((1L, Option(1.0)), (2L, Option.empty[Double]), (3L, Option(3.0)))
+        .toDF("id", "v"))
+    t.deleteByEquality(Seq(Option.empty[Double]).toDF("v"))
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("compaction materializes equality deletes; GC keeps live delete files") {
+    val t = mk()
+    t.deleteByEquality(Seq(1L, 2L).toDF("id"))
+    t.removeOrphanFiles()
+    assert(t.read.count() == 18, "orphan GC collected a live equality-delete file")
+    t.rewriteDataFiles(target = 2)
+    val s = t.log.current
+    assert(s.eqDeleteFiles.isEmpty, "compaction did not materialize equality deletes")
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == (3L to 20L))
+  }
+
+  test("per-commit changelog reports equality-deleted rows") {
+    val t = mk()
+    t.deleteByEquality(Seq(7L).toDF("id"))
+    val log = t.changelogDetailed(0L, t.log.currentVersion)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(log.toSeq == Seq((7L, "delete")), log.mkString(", "))
+  }
+
+  test("MOR merge: positional deletes + appended images, no file rewrite") {
+    val t = mk() // write.delete.mode covers merge too (Iceberg fallback)
+    val dataPathsBefore = t.log.current.files.map(_.path).toSet
+    val src = Seq((10L, 100.0), (15L, -5.0), (30L, 30.0)).toDF("id", "v")
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatchedUpdate(Map("v" -> col("s.v")), Some(expr("s.v >= 0")))
+      .whenMatchedDelete()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val s = t.log.current
+    assert(dataPathsBefore.subsetOf(s.files.map(_.path).toSet), "MOR merge rewrote files")
+    assert(s.deleteFiles.nonEmpty, "MOR merge wrote no positional deletes")
+    assert(s.operation == "merge")
+    val got = t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(10L) == 100.0, "matched update image missing")
+    assert(!got.contains(15L), "matched delete row still present")
+    assert(got(30L) == 30.0, "not-matched insert missing")
+    assert(got.keySet == ((1L to 20L).toSet - 15L) + 30L)
+    // time travel to before the merge sees the original state
+    assert(t.readVersion(s.parent).count() == 20)
+  }
+
+  test("MOR merge result equals copy-on-write merge result") {
+    def run(mor: Boolean): Map[Long, Double] = {
+      val props = if (mor) Map("write.merge.mode" -> "merge-on-read") else Map.empty[String, String]
+      val t = GraftTable.create(spark, tmpDir(),
+        (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"), properties = props)
+      val src = (5L to 25L by 5).map(i => (i, i * -1.0)).toDF("id", "v")
+      t.merge(src, expr("t.id = s.id"))
+        .whenMatchedUpdate(Map("v" -> col("s.v")), Some(expr("s.id <= 10")))
+        .whenMatchedDelete()
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceUpdate(Map("v" -> lit(0.0)), Some(expr("t.id = 1")))
+        .execute()
+      t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    assert(run(mor = true) == run(mor = false))
+  }
+
   test("streaming increments refuse MOR delete snapshots (or skip them)") {
     val t = mk()
     val v0 = t.log.currentVersion

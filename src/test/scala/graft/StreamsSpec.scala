@@ -95,6 +95,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream inner join attributes clicks to impressions in-window") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.clickAttribution(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(ev(1, 0, 1, "imp"), ev(2, 0, 2, "imp"))
+      clicks.addData(
+        ev(10, 20, 1, "click"),  // user 1: 20 min after the impression — in window
+        ev(11, 50, 2, "click"))  // user 2: 50 min after — outside the 30-min window
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 10L, 1L)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits unmatched impressions after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.clickAttributionOuter(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(ev(1, 0, 1, "imp"), ev(2, 0, 2, "imp"))
+      clicks.addData(ev(10, 20, 1, "click")) // only user 1 clicks
+      q.processAllAvailable()
+      // advance both watermarks far past the join window so the state store
+      // can prove user 2 never clicked and release the null-extended row
+      imps.addData(ev(3, 60 * 10, 9, "imp"))
+      clicks.addData(ev(12, 60 * 10, 9, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(rows.contains((1L, Some(10L), 1L)), s"matched row missing: $rows")
+      assert(rows.contains((2L, None, 2L)), s"null-extended unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running counts across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
