@@ -163,17 +163,98 @@ object Advanced {
       |       sum(id)::BIGINT AS sum_id
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** LATERAL correlated subquery (SQL-standard LATERAL join): top-2
+    * customers by balance PER NATION, the per-row-parameterized-subquery
+    * shape. Catalyst decorrelates the LIMIT-over-ORDER BY into a rank
+    * window partitioned by the correlation key — so what reads as "run a
+    * top-k query per outer row" executes as ONE window over the inner
+    * table plus an equi-join, never a nested loop. */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    nation(spark, dir).createOrReplaceTempView("q76_nation")
+    customer(spark, dir).createOrReplaceTempView("q76_customer")
+    spark.sql("""
+      SELECT n_name, c_name, c_acctbal
+      FROM q76_nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM q76_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      ORDER BY n_name, c_acctbal DESC, c_name""")
+  }
+
+  val q76Sql: String =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** LISTAGG (SQL:2016, Spark 4 native) — ordered string aggregation
+    * WITHIN GROUP. The per-group ORDER BY rides the aggregation's own
+    * shuffle (sort-based aggregate), no extra exchange; group sizes bound
+    * the string, so the filter keeps the demo deterministic AND small. */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("q77_orders")
+    spark.sql("""
+      SELECT o_orderpriority,
+             listagg(cast(o_orderkey AS STRING), ',')
+               WITHIN GROUP (ORDER BY o_orderkey) AS ids
+      FROM q77_orders WHERE o_orderkey < 300
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderpriority,
+      |       string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS ids
+      |FROM orders WHERE o_orderkey < 300
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** LOCF gap-fill (last observation carried forward): per user, carry the
+    * most recent purchase value forward over non-purchase events —
+    * `last(..., ignoreNulls)` over an unbounded-preceding frame, the
+    * standard time-series imputation. One window shuffle on user_id; the
+    * running frame never materializes more than the current carry value
+    * per row, so a hot user costs memory O(1), not O(events). */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    events(spark, dir)
+      .withColumn("pv", when($"event_type" === "purchase", $"value"))
+      .select($"event_id", $"user_id",
+        last($"pv", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("locf"))
+      .orderBy($"event_id")
+  }
+
+  val q78Sql: String =
+    """SELECT event_id, user_id,
+      |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_scalar_subquery" -> q59,
     "q60_unpivot"         -> q60,
     "q61_salted_join"     -> q61,
     "q71_variant_extract" -> q71,
-    "q72_recursive_cte"   -> q72)
+    "q72_recursive_cte"   -> q72,
+    "q76_lateral_topk"    -> q76,
+    "q77_listagg"         -> q77,
+    "q78_locf_fill"       -> q78)
 
   val oracleSql: Map[String, String] = Map(
     "q59_scalar_subquery" -> q59Sql,
     "q60_unpivot"         -> q60Sql,
     "q61_salted_join"     -> q61Sql,
     "q71_variant_extract" -> q71Sql,
-    "q72_recursive_cte"   -> q72Sql)
+    "q72_recursive_cte"   -> q72Sql,
+    "q76_lateral_topk"    -> q76Sql,
+    "q77_listagg"         -> q77Sql,
+    "q78_locf_fill"       -> q78Sql)
 }
