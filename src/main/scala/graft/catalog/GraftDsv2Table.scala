@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.table.GraftTable
 
@@ -87,11 +87,65 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
           * them a V1 relation defaults to `defaultSizeInBytes` (= "huge")
           * and every dim join shuffles. */
         override def estimateStatistics(): Statistics = new Statistics {
-          private val files = t.pruneFiles(snapshotForRead, filters.toIndexedSeq)
+          private val snap = snapshotForRead
+          private val files = t.pruneFiles(snap, filters.toIndexedSeq)
           override def sizeInBytes(): util.OptionalLong =
             util.OptionalLong.of(files.map(_.bytes).sum)
           override def numRows(): util.OptionalLong =
             util.OptionalLong.of(files.map(_.rows).sum)
+          /** Per-COLUMN statistics for the CBO, all metadata-derived:
+            * null counts + exact-numeric min/max merge from the per-file
+            * manifest bounds; distinct counts come from the `stats.ndv.*`
+            * properties an ANALYZE pass ([[GraftTable.computeColumnStats]])
+            * recorded. Zero file IO at plan time. */
+          override def columnStats(): util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+            import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+            val nRows = files.map(_.rows).sum
+            val out = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+            outSchema.fields.foreach { f =>
+              val perFile = files.map(_.stats.get(f.name))
+              // nullCount only when EVERY file tracks it (a file with no
+              // entry is all-null-or-legacy — indeterminate, so skip)
+              val nulls: Option[Long] =
+                if (files.nonEmpty && perFile.forall(_.exists(_.nullCount >= 0)))
+                  Some(perFile.flatMap(_.map(_.nullCount)).sum)
+                else None
+              // min/max only for exact numerics whose string bounds
+              // round-trip losslessly (same rule as GraftMetadataAggregate)
+              def merged(pick: graft.table.ColumnStats => String, wantMin: Boolean): Option[AnyRef] = {
+                val vals = perFile.flatten.map(pick)
+                if (vals.isEmpty) None
+                else f.dataType match {
+                  case LongType | IntegerType | ShortType | ByteType =>
+                    val ls = vals.map(_.toLong)
+                    Some(java.lang.Long.valueOf(if (wantMin) ls.min else ls.max))
+                  case DoubleType | FloatType =>
+                    val ds = vals.map(_.toDouble)
+                    Some(java.lang.Double.valueOf(if (wantMin) ds.min else ds.max))
+                  case _ => None
+                }
+              }
+              val mn = scala.util.Try(merged(_.min, wantMin = true)).toOption.flatten
+              val mx = scala.util.Try(merged(_.max, wantMin = false)).toOption.flatten
+              val ndv = snap.properties.get(s"stats.ndv.${f.name}")
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+                .map(n => math.min(n, math.max(nRows, 1L))) // NDV can't exceed rows
+              if (nulls.nonEmpty || ndv.nonEmpty || mn.nonEmpty)
+                out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                  new ColumnStatistics {
+                  override def distinctCount(): util.OptionalLong =
+                    ndv.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+                  override def nullCount(): util.OptionalLong =
+                    nulls.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+                  override def min(): util.Optional[Object] =
+                    mn.map(util.Optional.of[Object]).getOrElse(util.Optional.empty[Object])
+                  override def max(): util.Optional[Object] =
+                    mx.map(util.Optional.of[Object]).getOrElse(util.Optional.empty[Object])
+                })
+            }
+            out
+          }
         }
         override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
           new BaseRelation with TableScan {

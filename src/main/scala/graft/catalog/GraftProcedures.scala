@@ -98,6 +98,8 @@ private[catalog] object GraftProcedures {
       new Proc("rewrite_small_files", "binpack-compact files smaller than min_bytes into ~target_bytes outputs; right-sized files carry over",
         Seq(tbl, in("min_bytes", LongType), in("target_bytes", LongType)))((s, r) =>
         load(s, r).rewriteSmallFiles(r.getLong(1), r.getLong(2))),
+      new Proc("analyze_table", "one distributed pass recording per-column approx NDV as stats.ndv.* properties (feeds the DSv2 column statistics / CBO)",
+        Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,

@@ -203,7 +203,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private val appendOps = Set("create", "import", "append", "append-branch", "cherrypick")
   private val metadataOps = Set("rewrite-manifests", "set-properties",
     "replace-partition-spec", "set-write-order", "add-column", "rename-column",
-    "drop-column", "update-column-type")
+    "drop-column", "update-column-type", "analyze")
 
   /** Rows in data files added between snapshot `fromV` (exclusive) and `toV`
     * (inclusive) — the append-stream increment (`fromV = -1` means everything
@@ -619,6 +619,31 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       version = v, parent = head.version, timestampMs = now(),
       operation = "rewrite", files = newFiles, deleteFiles = Seq.empty,
       eqDeleteFiles = Seq.empty))
+  }
+
+  /** ANALYZE TABLE: one distributed pass computing per-column approximate
+    * NDV (HLL sketch, partial→final — map-side combinable at any scale)
+    * over the current snapshot, recorded as `stats.ndv.<col>` table
+    * properties in a metadata-only commit. Feeds the DSv2 COLUMN statistics
+    * ([[graft.catalog.GraftDsv2Table]]) so Spark's cost-based optimizer
+    * sees distinct counts without any plan-time scan — the analogue of
+    * Iceberg's `ANALYZE TABLE` / compute_table_stats Puffin theta
+    * sketches. Min/max/null-count column stats need no analyze pass: they
+    * merge from the per-file manifest bounds the writes already keep. */
+  def computeColumnStats(): Snapshot = retryOnConflict() {
+    val head = log.current
+    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val statCols = cur.fields.filter(f => isStatType(f.dataType)).map(_.name).toSeq
+    if (statCols.isEmpty) head
+    else {
+      val aggs = statCols.map(c => approx_count_distinct(col(c)).as(c))
+      val row = readSnapshot(head).agg(aggs.head, aggs.tail: _*).collect()(0)
+      val props = statCols.zipWithIndex
+        .map { case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString }.toMap
+      log.commit(head.version, v => head.copy(
+        version = v, parent = head.version, timestampMs = now(),
+        operation = "analyze", properties = head.properties ++ props))
+    }
   }
 
   /** `CALL create_changelog_view`: NET CDC rows between two snapshots —

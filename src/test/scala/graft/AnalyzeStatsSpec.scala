@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsReportStatistics}
+import graft.catalog.GraftDsv2Table
+import graft.table.GraftTable
+
+/** ANALYZE (`computeColumnStats`) + DSv2 per-column statistics: distinct
+  * counts from the recorded NDV sketch, null counts and exact-numeric
+  * min/max merged from the per-file manifest bounds — all metadata-only at
+  * plan time (the Iceberg Puffin-stats analogue feeding Spark's CBO). */
+class AnalyzeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = java.nio.file.Files
+    .createTempDirectory(java.nio.file.Paths.get("target"), "analyze-").resolve("t").toString
+
+  private def columnStatsOf(t: GraftTable, filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty) = {
+    val builder = GraftDsv2Table(t, "t").newScanBuilder(CaseInsensitiveStringMap.empty())
+    builder.asInstanceOf[SupportsPushDownFilters].pushFilters(filters)
+    val stats = builder.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    import scala.jdk.CollectionConverters._
+    stats.columnStats().asScala.map { case (k, v) => k.fieldNames().mkString(".") -> v }.toMap
+  }
+
+  test("analyze records per-column NDV properties in a metadata-only commit") {
+    val t = GraftTable.create(spark, tmpDir(),
+      (1L to 200L).map(i => (i, i % 10, s"s${i % 7}")).toDF("id", "grp", "tag"))
+    val filesBefore = t.log.current.files.map(_.path).toSet
+    t.computeColumnStats()
+    val s = t.log.current
+    assert(s.operation == "analyze")
+    assert(s.files.map(_.path).toSet == filesBefore, "analyze touched data files")
+    // HLL is approximate — accept 10% error around the true cardinalities
+    def ndv(c: String) = s.properties(s"stats.ndv.$c").toLong
+    assert(math.abs(ndv("id") - 200L) <= 20, s"ndv(id)=${ndv("id")}")
+    assert(math.abs(ndv("grp") - 10L) <= 2, s"ndv(grp)=${ndv("grp")}")
+    assert(math.abs(ndv("tag") - 7L) <= 2, s"ndv(tag)=${ndv("tag")}")
+  }
+
+  test("DSv2 column statistics report NDV, null counts, and merged min/max") {
+    val t = GraftTable.create(spark, tmpDir(),
+      (1L to 100L).map(i => (i, if (i % 4 == 0) None else Some(i * 2.0))).toDF("id", "v"))
+    t.append((101L to 150L).map(i => (i, Some(i * 2.0))).toDF("id", "v"))
+    t.computeColumnStats()
+    val cs = columnStatsOf(t)
+    assert(cs.contains("id") && cs.contains("v"), s"missing columns in $cs")
+    assert(cs("id").nullCount().getAsLong == 0L)
+    assert(cs("v").nullCount().getAsLong == 25L, "null count must merge across files")
+    assert(cs("id").min().get() == java.lang.Long.valueOf(1L))
+    assert(cs("id").max().get() == java.lang.Long.valueOf(150L), "max must merge across appends")
+    assert(cs("v").max().get() == java.lang.Double.valueOf(300.0))
+    val ndvId = cs("id").distinctCount().getAsLong
+    assert(math.abs(ndvId - 150L) <= 15, s"ndv(id)=$ndvId")
+  }
+
+  test("column statistics follow file pruning: filtered scans report filtered bounds") {
+    // two files with disjoint id ranges; a filter that prunes one of them
+    val t = GraftTable.create(spark, tmpDir(), (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    t.append((1000L to 1050L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    import org.apache.spark.sql.sources.LessThan
+    val cs = columnStatsOf(t, Array(LessThan("id", 100L)))
+    assert(cs("id").max().get() == java.lang.Long.valueOf(50L),
+      "pruned file's bounds leaked into the column statistics")
+  }
+
+  test("CALL analyze_table runs the NDV pass through the procedure surface") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.an (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.db.an SELECT id, concat('t', id % 5) FROM range(100)")
+    spark.sql("CALL graft.system.analyze_table('db.an')")
+    val t = GraftTable.load(spark, s"${SparkSpec.warehouse}/db/an")
+    assert(t.log.current.properties.contains("stats.ndv.id"))
+    assert(math.abs(t.log.current.properties("stats.ndv.tag").toLong - 5L) <= 1)
+  }
+}
