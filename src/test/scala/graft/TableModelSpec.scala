@@ -36,7 +36,7 @@ class TableModelSpec extends SparkSpec {
       history += ((t.log.currentVersion, model))
 
       for (step <- 1 to 22) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // append a small batch
             val k = 1 + rnd.nextInt(4)
             val rows = (0 until k).map(i => (nextId + i, (nextId + i) * 0.25))
@@ -68,6 +68,12 @@ class TableModelSpec extends SparkSpec {
               id -> (if (targets.contains(id)) v + 1.0 else v) }
             model += (nextId -> nextId * 0.25)
             nextId += 1
+          case 6 => // equality delete by key rows (no data scan on write)
+            val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+            if (ids.nonEmpty) {
+              t.deleteByEquality(ids.toDF("id"))
+              model --= ids
+            }
           case 5 => // maintenance must never change visible state
             rnd.nextInt(3) match {
               case 0 => t.rewriteDataFiles(1 + rnd.nextInt(3))
