@@ -91,15 +91,22 @@ object Ann {
   }
 
   /** Nearest-centroid assignment: broadcast the tiny centroid table, keep
-    * the max-cosine centroid per vector (window over a broadcast join). */
+    * the max-cosine centroid per vector. A partial→final `max(struct)`
+    * aggregation, NOT a rank window: the map side combines the nlist
+    * candidate rows per vector down to one before the exchange, so the
+    * shuffle carries n rows instead of n·nlist sort-shuffled ones — per
+    * Lloyd iteration. Ties break to the lowest centroid id (negated id in
+    * the struct), matching a deterministic rank. */
   private def assign(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("_sim", cosine(vecCol, "cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_sim").desc, col("centroid_id"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_sim", "cvec")
+    val carried = vectors.columns.filterNot(_ == idCol).toSeq
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("_sim"), (-col("centroid_id")).as("nid"))).as("_b"),
+        carried.map(c => first(col(c)).as(c)): _*)
+      .select(col(idCol) +: carried.map(col) :+
+        (-col("_b.nid")).cast("int").as("centroid_id"): _*)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest the query (driver-side

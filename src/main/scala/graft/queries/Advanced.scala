@@ -101,6 +101,11 @@ object Advanced {
   def q71(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir)
+      // filter on the cheap pre-parse expression, not the extracted field:
+      // a filter on variant_get(cents) would push below the parse projection
+      // and re-run parse_json a second time per row (Catalyst inlines the
+      // alias when pushing) — same rows, half the parse work this way
+      .filter(floor($"value" * 100).cast("long") > 50)
       .withColumn("js", concat(
         lit("{\"meta\":{\"type\":\""), $"event_type", lit("\",\"uid\":"), $"user_id",
         lit("},\"vals\":["), floor($"value" * 100).cast("long"),
@@ -111,7 +116,6 @@ object Advanced {
         expr("variant_get(v, '$.meta.uid', 'bigint')").as("vuid"),
         expr("variant_get(v, '$.vals[0]', 'bigint')").as("cents"),
         expr("variant_get(v, '$.vals[1]', 'bigint')").as("mod10"))
-      .filter($"cents" > 50)
       .orderBy($"event_id")
   }
 

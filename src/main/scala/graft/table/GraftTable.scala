@@ -980,13 +980,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }.toDF("version", "committed_at", "operation", "n_files", "total_rows", "total_bytes")
   }
 
-  /** `t.files` — current snapshot's data files with per-column bounds. */
+  /** `t.files` — current snapshot's data AND delete files with per-column
+    * bounds (`content` mirrors Iceberg's $files: data / position-deletes /
+    * equality-deletes; `data_seq` is the sequence number equality deletes
+    * scope by). */
   def filesMeta: DataFrame = {
     import spark.implicits._
-    log.current.files.map(f =>
-      (f.path, f.rows, f.bytes, f.schemaId,
-        f.stats.map { case (c, st) => c -> s"[${st.min},${st.max}]" }))
-      .toDF("file_path", "rows", "bytes", "schema_id", "bounds")
+    val s = log.current
+    def boundsOf(f: DataFile) = f.stats.map { case (c, st) => c -> s"[${st.min},${st.max}]" }
+    val rows =
+      s.files.map(f => ("data", f.path, f.rows, f.bytes, f.schemaId, f.seq, boundsOf(f))) ++
+      s.deleteFiles.map(f =>
+        ("position-deletes", f.path, f.rows, f.bytes, f.schemaId, f.seq, boundsOf(f))) ++
+      s.eqDeleteFiles.map(e =>
+        ("equality-deletes", e.file.path, e.file.rows, e.file.bytes, e.file.schemaId,
+          e.seq, boundsOf(e.file)))
+    rows.toDF("content", "file_path", "rows", "bytes", "schema_id", "data_seq", "bounds")
   }
 
   /** `t.refs` — named tags/branches. */

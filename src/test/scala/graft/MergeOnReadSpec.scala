@@ -93,6 +93,9 @@ class MergeOnReadSpec extends SparkSpec {
       (1L to 20L).filterNot(Set(2L, 4L)))
     // time travel to before the delete still sees all rows
     assert(t.readVersion(s.parent).count() == 20)
+    // $files reports the delete file with Iceberg's content marker
+    val contents = t.filesMeta.select("content").collect().map(_.getString(0)).toSet
+    assert(contents == Set("data", "equality-deletes"), contents.toString)
   }
 
   test("rows appended AFTER an equality delete survive it (sequence scoping)") {
