@@ -155,12 +155,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftDsv2Table(t, ident.toString)
   }
 
+  /** DEFAULT clauses on ADD COLUMN are accepted (initial-default reads). */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(spark, tablePath(ident))
     changes.foreach {
       case a: TableChange.AddColumn =>
-        t.addColumn(a.fieldNames().toSeq, a.dataType())
+        // DEFAULT clause → Iceberg-v3-style initial default (old files read
+        // the default; data never rewrites)
+        t.addColumn(a.fieldNames().toSeq, a.dataType(),
+          Option(a.defaultValue()).map(_.getSql))
       case r: TableChange.RenameColumn =>
         t.renameColumn(r.fieldNames().toSeq, r.newName())
       case d: TableChange.DeleteColumn =>

@@ -100,6 +100,8 @@ private[catalog] object GraftProcedures {
         load(s, r).rewriteSmallFiles(r.getLong(1), r.getLong(2))),
       new Proc("analyze_table", "one distributed pass recording per-column approx NDV as stats.ndv.* properties (feeds the DSv2 column statistics / CBO)",
         Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
+      new Proc("rewrite_position_delete_files", "compact positional-delete files into one, dropping entries whose target data file left the snapshot",
+        Seq(tbl))((s, r) => load(s, r).rewritePositionDeleteFiles()),
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,

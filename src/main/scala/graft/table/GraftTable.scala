@@ -185,7 +185,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       }
       when(fc.isNotNull, struct(children: _*))
     case (Some(fc), Some(_), dt) => fc.cast(dt)
-    case _ => lit(null).cast(stripNested(curF.dataType))
+    case _ =>
+      // column absent from the file: initial default if one was declared
+      // when the column was added (Iceberg v3), else null
+      if (curF.metadata.contains("graft.default"))
+        expr(curF.metadata.getString("graft.default")).cast(stripNested(curF.dataType))
+      else lit(null).cast(stripNested(curF.dataType))
   }
 
   private def stripNested(dt: DataType): DataType = dt match {
@@ -203,7 +208,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private val appendOps = Set("create", "import", "append", "append-branch", "cherrypick")
   private val metadataOps = Set("rewrite-manifests", "set-properties",
     "replace-partition-spec", "set-write-order", "add-column", "rename-column",
-    "drop-column", "update-column-type", "analyze")
+    "drop-column", "update-column-type", "analyze", "rewrite-deletes")
 
   /** Rows in data files added between snapshot `fromV` (exclusive) and `toV`
     * (inclusive) — the append-stream increment (`fromV = -1` means everything
@@ -570,6 +575,33 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     }
   }
 
+  /** `CALL rewrite_position_delete_files` (Iceberg maintenance): compact
+    * the accumulated positional-delete files into one, dropping entries
+    * whose target data file left the snapshot (rewritten or removed — such
+    * entries are dead weight anti-joined on every read). Touches no data
+    * files; visible rows are unchanged. */
+  def rewritePositionDeleteFiles(): Snapshot = retryOnConflict() {
+    val head = log.current
+    if (head.deleteFiles.isEmpty) head
+    else {
+      val liveB = spark.sparkContext.broadcast(head.files.map(f => resolve(f.path)).toSet)
+      // file_path is the parquet _metadata rendering (a file: URI) — map it
+      // back to the local path the snapshot stores before the liveness check
+      val isLive = udf((p: String) => {
+        val lp = if (p.contains(":")) new java.net.URI(p).getPath else p
+        liveB.value.contains(lp)
+      })
+      val kept = spark.read.schema(deleteSchema)
+        .parquet(head.deleteFiles.map(f => resolve(f.path)): _*)
+        .filter(isLive(col("file_path")))
+        .repartition(1)
+      val newDeletes = writeDeleteFiles(kept)
+      log.commit(head.version, v => head.copy(
+        version = v, parent = head.version, timestampMs = now(),
+        operation = "rewrite-deletes", deleteFiles = newDeletes))
+    }
+  }
+
   /** Z-ORDER compaction (`CALL rewrite_data_files(..., zorder_by)` — the
     * Iceberg rewrite strategy): rows are range-partitioned and sorted on an
     * interleaved-bit curve over the given NUMERIC columns, so each output
@@ -779,14 +811,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * later renames stay metadata-only. */
   def addColumn(name: String, dataType: DataType): Snapshot = addColumn(Seq(name), dataType)
   def addColumn(path: Seq[String], dataType: DataType): Snapshot =
+    addColumn(path, dataType, None)
+  /** With `defaultSql` (a SQL literal/expression string), the column gets an
+    * Iceberg-v3-style INITIAL DEFAULT: rows in files written BEFORE the
+    * column existed read the default instead of null — pure metadata, the
+    * files never change. Rows written after carry their own values. */
+  def addColumn(path: Seq[String], dataType: DataType, defaultSql: Option[String]): Snapshot =
     evolveSchema("add-column") { cur =>
       var id = maxId(cur) // fresh ids for the field and any nested structs inside it
       def next(): Int = { id += 1; id }
       mapStructAt(cur, path.init) { parent =>
         require(!parent.fieldNames.contains(path.last), s"column ${path.mkString(".")} exists")
         val ownId = next()
+        val mb = new MetadataBuilder().putLong("graft.id", ownId.toLong)
+        defaultSql.foreach(mb.putString("graft.default", _))
         StructType(parent.fields :+ StructField(path.last, withIds(dataType, next _),
-          nullable = true, new MetadataBuilder().putLong("graft.id", ownId.toLong).build()))
+          nullable = true, mb.build()))
       }
     }
 

@@ -67,6 +67,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.db.ev").columns.toSeq == Seq("id", "label"))
   }
 
+  test("ADD COLUMN with DEFAULT: old files read the initial default, no rewrite") {
+    init()
+    spark.sql("CREATE TABLE graft.db.defc (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.defc VALUES (1), (2)")
+    val t = graft.table.GraftTable.load(spark, s"${SparkSpec.warehouse}/db/defc")
+    val filesBefore = t.log.current.files.map(_.path).toSet
+    spark.sql("ALTER TABLE graft.db.defc ADD COLUMN score INT DEFAULT 42")
+    spark.sql("INSERT INTO graft.db.defc VALUES (3, 7)")
+    val rows = spark.sql("SELECT id, score FROM graft.db.defc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 42), (2L, 42), (3L, 7)), rows.toString)
+    // pre-existing files were never rewritten — the default is metadata
+    assert(filesBefore.subsetOf(t.log.current.files.map(_.path).toSet))
+    // filters over the defaulted column see the default on old rows
+    assert(spark.sql("SELECT count(*) FROM graft.db.defc WHERE score = 42")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("nested-field schema evolution: add, rename, widen, drop inside a struct") {
     init()
     spark.sql("""CREATE TABLE graft.db.nest

@@ -138,6 +138,24 @@ class MergeOnReadSpec extends SparkSpec {
     assert(log.toSeq == Seq((7L, "delete")), log.mkString(", "))
   }
 
+  test("rewrite_position_delete_files compacts delete files and drops dead entries") {
+    val t = mk()
+    t.delete($"id" <= 3L)
+    t.delete($"id" === 10L)
+    assert(t.log.current.deleteFiles.size >= 2)
+    t.rewritePositionDeleteFiles()
+    assert(t.log.current.deleteFiles.size == 1, "delete files not compacted")
+    assert(t.log.current.operation == "rewrite-deletes")
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq ==
+      (4L to 20L).filterNot(_ == 10L))
+    // after every data file is rewritten, all entries point at dead files
+    t.rewriteSmallFiles(minBytes = 1L << 30, targetBytes = 1L << 30)
+    t.rewritePositionDeleteFiles()
+    assert(t.log.current.deleteFiles.isEmpty,
+      "entries targeting rewritten files must be dropped")
+    assert(t.read.count() == 16)
+  }
+
   test("MOR merge: positional deletes + appended images, no file rewrite") {
     val t = mk() // write.delete.mode covers merge too (Iceberg fallback)
     val dataPathsBefore = t.log.current.files.map(_.path).toSet
