@@ -1148,14 +1148,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private def now(): Long = System.currentTimeMillis()
 
   /** Align an incoming DataFrame to the table schema (names positional-free:
-    * match by name, cast types, reject missing columns). */
+    * match by name, cast types). A missing column with a declared DEFAULT
+    * fills with it (write-side default); otherwise missing is an error. */
   private def conform(df: DataFrame, head: Snapshot): DataFrame = {
-    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val cur = schemaOf(head, head.currentSchemaId) // unstripped: defaults live in metadata
     val cols = cur.fields.map { f =>
-      require(df.columns.contains(f.name), s"append missing column ${f.name}")
-      col(f.name).cast(f.dataType).as(f.name)
+      if (df.columns.contains(f.name))
+        col(f.name).cast(stripNested(f.dataType)).as(f.name)
+      else if (f.metadata.contains("graft.default"))
+        expr(f.metadata.getString("graft.default")).cast(stripNested(f.dataType)).as(f.name)
+      else throw new IllegalArgumentException(s"append missing column ${f.name}")
     }
-    df.select(cols: _*)
+    df.select(cols.toIndexedSeq: _*)
   }
 
   /** Distinct file paths of a (filtered, withMeta) DataFrame — the only

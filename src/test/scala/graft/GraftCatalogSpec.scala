@@ -83,6 +83,10 @@ class GraftCatalogSpec extends SparkSpec {
     // filters over the defaulted column see the default on old rows
     assert(spark.sql("SELECT count(*) FROM graft.db.defc WHERE score = 42")
       .collect()(0).getLong(0) == 2L)
+    // write-side: an API append missing the column fills the default too
+    t.append(spark.range(4, 5).toDF("id"))
+    assert(spark.sql("SELECT score FROM graft.db.defc WHERE id = 4")
+      .collect()(0).getInt(0) == 42)
   }
 
   test("nested-field schema evolution: add, rename, widen, drop inside a struct") {

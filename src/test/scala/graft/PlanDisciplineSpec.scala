@@ -169,6 +169,26 @@ class PlanDisciplineSpec extends SparkSpec {
       "MOR-delete count must fall back to the scan")
   }
 
+  test("q71: parse_json evaluates once per row — the filter never re-parses") {
+    // the cents filter must ride the cheap pre-parse expression; a filter on
+    // the variant_get alias would inline parse_json below the projection and
+    // double the per-row parse cost (the regression this test pins)
+    val plan = graft.queries.Advanced.q71(spark, sf).queryExecution.optimizedPlan.toString
+    assert("parseJson".r.findAllIn(plan).size == 1, s"parse_json duplicated:\n$plan")
+  }
+
+  test("q76: LATERAL top-k decorrelates to WindowGroupLimit + broadcast join") {
+    val plan = planOf(graft.queries.Advanced.q76(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no per-group top-k pushdown:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"lateral subquery nested-looped:\n$plan")
+  }
+
+  test("q74: decontamination joins the broadcast eval-gram side, never shuffles train grams for the join") {
+    val plan = planOf(graft.queries.Curation.q74(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+  }
+
   test("q55: pivot is the two-phase aggregate rewrite, shuffling only aggregated rows") {
     // Spark rewrites pivot to groupBy(keys, pivotCol).agg then PivotFirst —
     // the second shuffle moves already-aggregated (tiny) rows, so the shape
