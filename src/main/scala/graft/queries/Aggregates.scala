@@ -249,6 +249,29 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Bitwise + boolean aggregate family (bit_and/bit_or/bit_xor,
+    * bool_and/bool_or): all partial→final combinable single-word state —
+    * the cheapest aggregates there are; one scan-shaped pass. */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("bit_and(l_orderkey)").as("band"),
+        expr("bit_or(l_orderkey)").as("bor"),
+        expr("bit_xor(l_orderkey)").as("bxor"),
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.09)").as("any_hidisc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag,
+      |  bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor,
+      |  bool_and(l_quantity > 0) AS all_pos, bool_or(l_discount > 0.09) AS any_hidisc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_agg_distinct"       -> q13,
     "q14_agg_rollup"         -> q14,
@@ -259,7 +282,8 @@ object Aggregates {
     "q19_agg_percentiles"    -> q19,
     "q20_agg_stats"          -> q20,
     "q21_agg_approx_distinct" -> q21,
-    "q55_agg_pivot"          -> q55)
+    "q55_agg_pivot"          -> q55,
+    "q79_agg_bitwise_bool"   -> q79)
 
   val oracleSql: Map[String, String] = Map(
     "q13_agg_distinct"      -> q13Sql,
@@ -270,5 +294,6 @@ object Aggregates {
     "q18_agg_collect"       -> q18Sql,
     "q19_agg_percentiles"   -> q19Sql,
     "q20_agg_stats"         -> q20Sql,
-    "q55_agg_pivot"         -> q55Sql)
+    "q55_agg_pivot"         -> q55Sql,
+    "q79_agg_bitwise_bool"  -> q79Sql)
 }

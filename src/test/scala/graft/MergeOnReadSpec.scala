@@ -156,6 +156,29 @@ class MergeOnReadSpec extends SparkSpec {
     assert(t.read.count() == 16)
   }
 
+  test("equality delete racing an append: CAS retry linearizes, sequence decides survival") {
+    val t = mk()
+    // the append re-inserts key 5; the equality delete targets key 5 — the
+    // loser of the commit CAS retries, and the data-sequence rule decides:
+    // the original key-5 row (older than any delete) always dies; the
+    // re-inserted copy survives iff the append committed AFTER the delete
+    val appender = new Thread(() =>
+      t.appendWithRetry(Seq((105L, 1.0), (5L, 5.5)).toDF("id", "v")))
+    appender.start()
+    t.deleteByEquality(Seq(5L).toDF("id"))
+    appender.join()
+    val snaps = t.log.listVersions.map(t.log.snapshot)
+    val delV = snaps.find(_.eqDeleteFiles.nonEmpty).get.version
+    val appV = snaps.filter(_.operation == "append").map(_.version).max
+    val got = t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.contains(105L), "racing append lost rows")
+    assert(!got.get(5L).contains(5.0), "pre-delete key-5 row must be gone")
+    if (appV > delV)
+      assert(got.get(5L).contains(5.5), s"append v$appV after delete v$delV must survive")
+    else
+      assert(!got.contains(5L), s"append v$appV before delete v$delV must be deleted")
+  }
+
   test("MOR merge: positional deletes + appended images, no file rewrite") {
     val t = mk() // write.delete.mode covers merge too (Iceberg fallback)
     val dataPathsBefore = t.log.current.files.map(_.path).toSet
