@@ -137,16 +137,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
                           col("_metadata.row_index").as("_graft_pos"))
         else Seq.empty
       val base = df.select(cols ++ metaCols: _*)
-      // anti-join each applicable equality-delete key set (null-safe — in
-      // Iceberg's equality matching null is a value and matches null); the
-      // key sets are small, so AQE broadcasts these joins
-      eqDels.filter(_.seq > files.head.seq).groupBy(_.cols).toSeq
-        .foldLeft(base) { case (acc, (keyCols, dels)) =>
-          val keys = spark.read.parquet(dels.map(d => resolve(d.file.path)): _*)
-            .select(keyCols.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
-          acc.join(keys,
-            keyCols.map(c => acc(c) <=> keys(s"_eq_$c")).reduce(_ && _), "left_anti")
-        }
+      applyEqDeletes(base, eqDels.filter(_.seq > files.head.seq), cur)
     }
     val unioned = groups.reduce(_ unionAll _)
     // merge-on-read: anti-join the positional deletes (small — broadcast by
@@ -160,6 +151,38 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     } else unioned
     if (withMeta) live else live.drop("_graft_path", "_graft_pos")
   }
+
+  /** Current-schema column name of an equality-delete key: resolved by
+    * FIELD ID (rename-proof — Iceberg's equality_ids) when recorded, by the
+    * stored name for legacy entries. A dropped key column fails loudly — a
+    * delete that can no longer be applied must not be silently ignored. */
+  private def eqKeyNames(d: EqDeleteFile, cur: StructType): Seq[String] =
+    if (d.colIds.isEmpty) d.cols
+    else d.colIds.zip(d.cols).map { case (id, orig) =>
+      cur.fields.find(f => f.metadata.contains("graft.id") &&
+          f.metadata.getLong("graft.id").toInt == id)
+        .getOrElse(throw new IllegalStateException(
+          s"equality-delete key column '$orig' (field id $id) is no longer in the " +
+          "schema; run rewrite_data_files to materialize the delete first"))
+        .name
+    }
+
+  /** Anti-join each applicable equality-delete key set against `base`
+    * (null-safe — in Iceberg's equality matching null is a value and matches
+    * null). Key columns select from the delete file under their AS-WRITTEN
+    * names but compare against the CURRENT names, so renames keep matching.
+    * The key sets are small, so AQE broadcasts these joins. */
+  private def applyEqDeletes(base: DataFrame, dels: Seq[EqDeleteFile],
+      cur: StructType): DataFrame =
+    dels.groupBy(d => (eqKeyNames(d, cur), d.cols)).toSeq
+      .foldLeft(base) { case (acc, ((curNames, storedNames), ds)) =>
+        val keys = spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
+          .select(storedNames.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
+        acc.join(keys,
+          curNames.zip(storedNames)
+            .map { case (cn, sn) => acc(cn) <=> keys(s"_eq_$sn") }.reduce(_ && _),
+          "left_anti")
+      }
 
   /** Field in a file schema matching a current-schema field: by graft.id
     * when both carry one (rename-proof), by name as the fallback for legacy
@@ -378,11 +401,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     * ([[rewriteDataFiles]]) materializes and drops the delete. */
   def deleteByEquality(keys: DataFrame): Snapshot = retryOnConflict() {
     val head = log.current
-    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val curMeta = schemaOf(head, head.currentSchemaId)
     val cols = keys.columns.toSeq
-    cols.foreach(c => require(cur.fieldNames.contains(c),
+    cols.foreach(c => require(curMeta.fieldNames.contains(c),
       s"equality-delete column $c is not in the table schema"))
-    val keySchema = StructType(cols.map(c => cur(cur.fieldIndex(c)).copy(nullable = true)))
+    // record field ids (Iceberg equality_ids) so the keys keep matching
+    // after the table column is renamed
+    val colIds = cols.map(c => fieldId(curMeta(curMeta.fieldIndex(c))))
+    val keySchema = StructType(cols.map(c =>
+      stripIds(curMeta)(curMeta.fieldIndex(c)).copy(nullable = true, metadata = Metadata.empty)))
     val typed = keys.select(cols.map(c =>
       col(c).cast(keySchema(c).dataType).as(c)): _*).dropDuplicates()
     val fs = writeDeleteFiles(typed, keySchema)
@@ -390,7 +417,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     else log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
       operation = "delete",
-      eqDeleteFiles = head.eqDeleteFiles ++ fs.map(f => EqDeleteFile(f, cols, v))))
+      eqDeleteFiles = head.eqDeleteFiles ++ fs.map(f => EqDeleteFile(f, cols, v, colIds))))
   }
 
   /** Write (file_path, pos) rows as positional-delete parquet files in the
@@ -753,13 +780,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         if (newEq.isEmpty) step
         else {
           val alive = readFilesOf(parentCtx, parent.files, withMeta = false)
-          val survivors = newEq.groupBy(_.cols).toSeq.foldLeft(alive) {
-            case (acc, (keyCols, dels)) =>
-              val keys = spark.read.parquet(dels.map(d => resolve(d.file.path)): _*)
-                .select(keyCols.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
-              acc.join(keys,
-                keyCols.map(c => acc(c) <=> keys(s"_eq_$c")).reduce(_ && _), "left_anti")
-          }
+          val survivors = applyEqDeletes(alive, newEq, schemaOf(to, to.currentSchemaId))
           step.unionAll(alive.exceptAll(survivors)
             .withColumn("_change_type", lit("delete")))
         }
@@ -859,7 +880,21 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   /** ALTER TABLE DROP COLUMN — pure metadata, data files untouched.
     * Multi-part paths drop nested struct fields. */
   def dropColumn(name: String): Snapshot = dropColumn(Seq(name))
-  def dropColumn(path: Seq[String]): Snapshot =
+  def dropColumn(path: Seq[String]): Snapshot = {
+    // a live equality delete keyed on this column could never apply again —
+    // refuse instead of silently un-deleting rows (Iceberg protects its
+    // identifier fields the same way)
+    if (path.length == 1) {
+      val head = log.current
+      val cur = schemaOf(head, head.currentSchemaId)
+      cur.fields.find(_.name == path.head).map(fieldId).foreach { fid =>
+        val referenced = head.eqDeleteFiles.exists(d =>
+          d.colIds.contains(fid) || (d.colIds.isEmpty && d.cols.contains(path.head)))
+        if (referenced) throw new IllegalStateException(
+          s"column ${path.head} is an equality-delete key of a live delete file; " +
+          "run rewrite_data_files to materialize the deletes before dropping it")
+      }
+    }
     evolveSchema("drop-column") { cur =>
       mapStructAt(cur, path.init) { parent =>
         require(parent.fieldNames.contains(path.last), s"no column ${path.mkString(".")}")
@@ -867,6 +902,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
         StructType(parent.fields.filterNot(_.name == path.last))
       }
     }
+  }
 
   /** Field at a (possibly nested) struct path in the current schema. */
   def fieldAt(path: Seq[String]): Option[StructField] = {

@@ -29,12 +29,17 @@ case class DataFile(
     seq: Long = 0L)
 
 /** Iceberg-v2-style EQUALITY DELETE file: a parquet file of key rows; any
-  * data row in an OLDER file (data seq < `seq`) whose `cols` values match a
-  * key row (null-safe, null matches null — Iceberg's StructLike equality) is
-  * deleted on read. Written by [[GraftTable.deleteByEquality]] without
+  * data row in an OLDER file (data seq < `seq`) whose key-column values match
+  * a key row (null-safe, null matches null — Iceberg's StructLike equality)
+  * is deleted on read. Written by [[GraftTable.deleteByEquality]] without
   * scanning any data — the CDC-writer fast path positional deletes can't
-  * offer. */
-case class EqDeleteFile(file: DataFile, cols: Seq[String], seq: Long = 0L)
+  * offer. `cols` are the key columns AS NAMED WHEN THE DELETE WAS WRITTEN
+  * (the delete parquet's own column names); `colIds` are their field ids —
+  * Iceberg's equality_ids — so the keys keep matching after the table column
+  * is RENAMED (reads resolve ids against the current schema; empty = legacy
+  * entry, resolved by name). */
+case class EqDeleteFile(file: DataFile, cols: Seq[String], seq: Long = 0L,
+    colIds: Seq[Int] = Seq.empty)
 
 /** One snapshot = full table state at a version: the file list plus every
   * schema ever used (kept forward so `expireSnapshots` can drop old metadata

@@ -110,6 +110,21 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!t.read.collect().map(_.getLong(0)).contains(25L))
   }
 
+  test("equality deletes survive a rename of the key column (field-id scoped)") {
+    val t = mk()
+    t.deleteByEquality(Seq(6L, 7L).toDF("id"))
+    t.renameColumn("id", "doc_id") // pure metadata — the delete must keep applying
+    val ids = t.read.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 20L).filterNot(Set(6L, 7L)), ids.toString)
+    // dropping the key column of a live equality delete is refused —
+    // it would silently un-delete the rows
+    intercept[IllegalStateException] { t.dropColumn("doc_id") }
+    // after compaction materializes the delete, the drop is legal
+    t.rewriteDataFiles(target = 1)
+    t.dropColumn("v")
+    assert(t.read.columns.toSeq == Seq("doc_id"))
+  }
+
   test("equality delete is null-safe: a null key matches null rows") {
     val t = GraftTable.create(spark, tmpDir(),
       Seq((1L, Option(1.0)), (2L, Option.empty[Double]), (3L, Option(3.0)))
