@@ -256,8 +256,32 @@ object Functions {
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
       |CROSS JOIN UNNEST(range(1, len(w) + 1)) AS t(i)""".stripMargin
 
+
+  // ---------------------------------------------------------------- q81
+  /** Error-safe function family (ANSI-safe `try_*`): division by zero and
+    * failing casts yield NULL instead of aborting the job — the behavior a
+    * 100 TB pipeline needs when one malformed row must not kill the stage.
+    * Pure codegen'd projection. */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    part(spark, dir)
+      .select($"p_partkey",
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+        expr("try_cast(p_type AS DOUBLE)").as("bad_cast"),
+        expr("try_cast(p_size AS TINYINT)").as("small_cast"))
+      .orderBy($"p_partkey").limit(200)
+  }
+
+  val q81Sql: String =
+    """SELECT p_partkey,
+      |  p_retailprice / NULLIF(p_size - p_size, 0) AS div0,
+      |  TRY_CAST(p_type AS DOUBLE) AS bad_cast,
+      |  TRY_CAST(p_size AS TINYINT) AS small_cast
+      |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_fn_generate"   -> q56,
+    "q81_fn_try_safe"   -> q81,
     "q33_fn_string"     -> q33,
     "q34_fn_datetime"   -> q34,
     "q35_fn_math"       -> q35,
@@ -268,6 +292,7 @@ object Functions {
 
   val oracleSql: Map[String, String] = Map(
     "q56_fn_generate"   -> q56Sql,
+    "q81_fn_try_safe"   -> q81Sql,
     "q33_fn_string"     -> q33Sql,
     "q34_fn_datetime"   -> q34Sql,
     "q35_fn_math"       -> q35Sql,

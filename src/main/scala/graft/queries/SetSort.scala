@@ -133,6 +133,25 @@ object SetSort {
       |FROM customer
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+
+  // ---------------------------------------------------------------- q80
+  /** LIMIT + OFFSET pagination (SQL:2008 OFFSET, Spark 4 `Dataset.offset`):
+    * plans as a global-limit(150) + local drop of the first 100 — Spark
+    * fetches offset+limit rows total, never materializing the full sort;
+    * deep pagination (huge offsets) would degrade, which is why keyset
+    * pagination exists — this op covers the standard page-N surface. */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .offset(100).limit(50)
+  }
+
+  val q80Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_setop_union_all"      -> q26,
     "q27_setop_union_distinct" -> q27,
@@ -140,7 +159,8 @@ object SetSort {
     "q29_setop_except_all"     -> q29,
     "q30_sort_topk"            -> q30,
     "q31_sort_nulls_last"      -> q31,
-    "q32_distinct"             -> q32)
+    "q32_distinct"             -> q32,
+    "q80_limit_offset"         -> q80)
 
   val oracleSql: Map[String, String] = Map(
     "q26_setop_union_all"      -> q26Sql,
@@ -149,5 +169,6 @@ object SetSort {
     "q29_setop_except_all"     -> q29Sql,
     "q30_sort_topk"            -> q30Sql,
     "q31_sort_nulls_last"      -> q31Sql,
-    "q32_distinct"             -> q32Sql)
+    "q32_distinct"             -> q32Sql,
+    "q80_limit_offset"         -> q80Sql)
 }
