@@ -106,12 +106,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
     // bucket key skip their exchange entirely (the bucketed-join layout;
     // schema evolution or MOR deletes simply fall back to the general path)
     GraftTable.bucketByOf(s.properties) match {
-      case Some((n, bcol)) if !needMeta && eqDels.isEmpty && schemaIdOverride.isEmpty &&
+      case Some((n, bcols)) if !needMeta && eqDels.isEmpty && schemaIdOverride.isEmpty &&
           fileSet.forall(_.schemaId == s.currentSchemaId) &&
           fileSet.forall(f => GraftTable.BucketSuffix.matcher(f.path).matches()) &&
-          out.fieldNames.contains(bcol) =>
+          bcols.forall(out.fieldNames.contains) =>
         return org.apache.spark.sql.graftglue.Bridge.bucketedParquetDf(
-          spark, fileSet.map(f => resolve(f.path)), out, n, Seq(bcol))
+          spark, fileSet.map(f => resolve(f.path)), out, n, bcols)
       case _ =>
     }
     // Equality-delete applicability buckets: a delete applies to files with
@@ -1334,8 +1334,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
       // hash (murmur3 pmod n) — partition index i becomes bucket file i.
       // Explicit numPartitions, so AQE never coalesces the layout away.
       if (GraftTable.bucketByOf(props).isDefined) {
-        val (n, c) = GraftTable.bucketByOf(props).get
-        df.repartition(n, col(c))
+        val (n, cs) = GraftTable.bucketByOf(props).get
+        df.repartition(n, cs.map(col): _*)
       }
       else if (sized && tcols.isEmpty) df.hint("rebalance")
       else if (sized) {
@@ -1509,13 +1509,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
 
 object GraftTable {
 
-  /** `write.bucket-by = "n,col"` — Spark-native co-located bucketing. */
-  private[table] def bucketByOf(props: Map[String, String]): Option[(Int, String)] =
+  /** `write.bucket-by = "n,col[,col2,...]"` — Spark-native co-located
+    * bucketing, single or COMPOSITE key (murmur3 over all key columns,
+    * matching Spark's own bucket hash). */
+  private[table] def bucketByOf(props: Map[String, String]): Option[(Int, Seq[String])] =
     props.get("write.bucket-by").map { s =>
       val parts = s.split(",").map(_.trim)
-      require(parts.length == 2 && parts(0).forall(_.isDigit) && parts(0).toInt > 0,
-        s"write.bucket-by must be 'numBuckets,column', got '$s'")
-      (parts(0).toInt, parts(1))
+      require(parts.length >= 2 && parts(0).forall(_.isDigit) && parts(0).toInt > 0 &&
+          parts.tail.forall(_.nonEmpty),
+        s"write.bucket-by must be 'numBuckets,column[,column...]', got '$s'")
+      (parts(0).toInt, parts.tail.toSeq)
     }
 
   /** Spark's bucket-file suffix (`..._00003.parquet`). */

@@ -75,6 +75,27 @@ class BucketedJoinSpec extends SparkSpec {
       s"SQL bucketed join still shuffles:\n${j.queryExecution.executedPlan}")
   }
 
+  test("COMPOSITE bucket key: join on both key columns plans zero exchanges") {
+    val cprops = Map("write.bucket-by" -> "4,k1,k2")
+    val a = GraftTable.create(spark, tmp("bk-c-a-"),
+      spark.range(0, 600).select(($"id" % 20).as("k1"), ($"id" % 7).as("k2"),
+        $"id".as("va")), cprops)
+    val b = GraftTable.create(spark, tmp("bk-c-b-"),
+      spark.range(0, 600).select(($"id" % 20).as("k1"), ($"id" % 7).as("k2"),
+        ($"id" * 2).as("vb")), cprops)
+    val joined = a.read.as("x").join(b.read.as("y"), Seq("k1", "k2"))
+    assert(exchanges(joined) == 0,
+      s"composite-bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+    // exact vs the unbucketed equivalent
+    val plainA = spark.range(0, 600).select(($"id" % 20).as("k1"), ($"id" % 7).as("k2"), $"id".as("va"))
+    val plainB = spark.range(0, 600).select(($"id" % 20).as("k1"), ($"id" % 7).as("k2"), ($"id" * 2).as("vb"))
+    assert(joined.count() == plainA.join(plainB, Seq("k1", "k2")).count())
+    // a join on only HALF the composite key must still shuffle (the layout
+    // is hashed on both columns — partial-key co-location would be wrong)
+    val half = a.read.groupBy($"k1").count()
+    assert(exchanges(half) > 0, "partial-key agg wrongly claimed co-location")
+  }
+
   test("MOR deletes and schema evolution fall back to the general path, correctly") {
     val path = tmp("bk-fb-")
     val t = GraftTable.create(spark, path,
