@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // loss-free widenings) in the first analyzer batch, while the merge is
     // still unresolved — star expansion then sees the evolved schema
     ext.injectHintResolutionRule(session => graft.catalog.GraftMergeEvolution(session))
+    // SQL views over the graft ViewCatalog (stock Spark 4 has no V2 view
+    // path — see graft.catalog.GraftViewSupport): DDL intercepted in the
+    // early batch, reads late-bound in the resolution batch
+    ext.injectHintResolutionRule(session => graft.catalog.GraftViewDdl(session))
+    ext.injectResolutionRule(session => graft.catalog.GraftViewRead(session))
     // metadata-only COUNT(*) from snapshot-log row counts — must be
     // injected BEFORE GraftNativeScan so it sees the un-swapped relation
     ext.injectOptimizerRule(session => graft.plans.GraftMetadataAggregate(session))

@@ -28,7 +28,8 @@ import graft.table.GraftTable
   * Layout: `<warehouse>/<namespace>/<table>/` — each table dir is a snapshot
   * log owned by [[graft.table.GraftTable]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+  with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -67,6 +68,104 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procedures.keys.toSeq.sorted.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // -------------------------------------------------------------- views
+
+  /** Iceberg-view-spec analogue (the reference stack's catalog also serves
+    * views): a persistent view stores the SQL TEXT plus the schema and
+    * session context captured at creation under `<ns>/_views/<name>.json`;
+    * Spark re-parses and re-resolves the text at read time — late binding,
+    * same as Iceberg/Trino views, so a view tracks table evolution. */
+  private case class StoredView(sql: String, currentCatalog: String,
+      currentNamespace: Seq[String], schemaJson: String,
+      queryColumnNames: Seq[String], columnAliases: Seq[String],
+      columnComments: Seq[String], properties: Map[String, String])
+
+  private implicit val jsonFmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def viewPath(ident: Identifier): java.nio.file.Path =
+    nsPath(ident.namespace()).resolve("_views").resolve(s"${ident.name()}.json")
+
+  private def toView(ident: Identifier, sv: StoredView): View = new View {
+    override def name(): String =
+      (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+    override def query(): String = sv.sql
+    override def currentCatalog(): String = sv.currentCatalog
+    override def currentNamespace(): Array[String] = sv.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(sv.schemaJson).asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = sv.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = sv.columnAliases.toArray
+    override def columnComments(): Array[String] = sv.columnComments.toArray
+    override def properties(): util.Map[String, String] = sv.properties.asJava
+  }
+
+  private def readStoredView(ident: Identifier): StoredView =
+    org.json4s.jackson.JsonMethods.parse(Files.readString(viewPath(ident)))
+      .extract[StoredView]
+
+  private def writeStoredView(ident: Identifier, sv: StoredView): Unit = {
+    Files.createDirectories(viewPath(ident).getParent)
+    Files.writeString(viewPath(ident), org.json4s.jackson.Serialization.write(sv))
+  }
+
+  override def viewExists(ident: Identifier): Boolean = Files.exists(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = nsPath(namespace.toArray).resolve("_views")
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".json")))
+      .toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    toView(ident, readStoredView(ident))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    if (!Files.isDirectory(nsPath(info.ident.namespace())))
+      throw new NoSuchNamespaceException(info.ident.namespace())
+    writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
+      info.columnAliases.toSeq, info.columnComments.toSeq,
+      info.properties.asScala.toMap))
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val updated = changes.foldLeft(readStoredView(ident)) { (sv, c) =>
+      c match {
+        case s: ViewChange.SetProperty =>
+          sv.copy(properties = sv.properties + (s.property() -> s.value()))
+        case r: ViewChange.RemoveProperty =>
+          sv.copy(properties = sv.properties - r.property())
+        case other =>
+          throw new IllegalArgumentException(s"unsupported view change $other")
+      }
+    }
+    writeStoredView(ident, updated)
+    toView(ident, updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    Files.createDirectories(viewPath(to).getParent)
+    Files.move(viewPath(from), viewPath(to))
+  }
 
   // ------------------------------------------------------------- tables
 

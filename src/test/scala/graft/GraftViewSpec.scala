@@ -1,0 +1,51 @@
+package graft
+
+/** Persistent catalog views (DSv2 ViewCatalog — the Iceberg view-spec
+  * analogue): view TEXT + creation context stored in the warehouse,
+  * re-resolved at read time (late binding). */
+class GraftViewSpec extends SparkSpec {
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vw")
+  }
+
+  test("CREATE VIEW / SELECT / late binding / DROP via SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.vw.base (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.vw.base VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql("CREATE VIEW graft.vw.big AS SELECT id, v FROM graft.vw.base WHERE v >= 20.0")
+    assert(spark.sql("SELECT id FROM graft.vw.big ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // late binding: new base rows appear through the view without refresh
+    spark.sql("INSERT INTO graft.vw.base VALUES (4, 40.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.vw.big").collect()(0).getLong(0) == 3L)
+    // the view is persisted in the warehouse, not session state: a second
+    // catalog instance pointed at the same warehouse resolves it
+    val cat2 = new graft.catalog.GraftCatalog
+    cat2.initialize("graft2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", SparkSpec.warehouse)))
+    assert(cat2.viewExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vw"), "big")))
+    assert(spark.sql("SHOW VIEWS IN graft.vw").collect().map(_.getString(1)).contains("big"))
+    spark.sql("DROP VIEW graft.vw.big")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.vw.big").collect() }
+  }
+
+  test("views of views and ALTER VIEW properties") {
+    init()
+    spark.sql("CREATE TABLE graft.vw.t2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.vw.t2 SELECT id FROM range(10)")
+    spark.sql("CREATE VIEW graft.vw.even AS SELECT id FROM graft.vw.t2 WHERE id % 2 = 0")
+    spark.sql("CREATE VIEW graft.vw.even_small AS SELECT id FROM graft.vw.even WHERE id < 6")
+    assert(spark.sql("SELECT id FROM graft.vw.even_small ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L))
+    spark.sql("ALTER VIEW graft.vw.even SET TBLPROPERTIES ('team' = 'pipeline')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val v = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vw"), "even"))
+    assert(v.properties().get("team") == "pipeline")
+  }
+}
