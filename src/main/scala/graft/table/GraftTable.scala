@@ -1203,6 +1203,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String) {
   private def touchedPaths(df: DataFrame): Seq[String] =
     df.select("_graft_path").distinct().collect().map(_.getString(0)).toSeq
 
+  /** Live rows (deletes applied) of only the given `_graft_path` files, with
+    * `_graft_path`/`_graft_pos` row identity — the second pass of the
+    * single-pass MERGE rescans exactly the touched files instead of
+    * re-evaluating the source join. */
+  private[table] def readTouchedWithMeta(s: Snapshot, touched: Seq[String]): DataFrame = {
+    val touchedSet = touched.map(toLocal).toSet
+    readFilesOf(s, s.files.filter(f => touchedSet.contains(resolve(f.path))), withMeta = true)
+  }
+
   /** Commit a copy-on-write rewrite: `touched` absolute paths are replaced
     * by the freshly-written `rewritten` rows; all other files carry over. */
   private[table] def replaceFiles(head: Snapshot, touched: Seq[String],

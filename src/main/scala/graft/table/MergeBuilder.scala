@@ -62,11 +62,17 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     * whole merge against the new head (Iceberg commit-retry semantics). */
   def execute(): Snapshot = table.retryOnConflict() { executeOnce() }
 
+  /** Single-pass execution: the full-outer join is evaluated exactly ONCE,
+    * into a projected cache holding only rows that influence the result
+    * (matched rows, clause-affected rows, inserts) with their output image
+    * already computed. The cardinality check, touched-file planning, insert
+    * set, and MOR delete/append sets all read the cache. The CoW rewrite's
+    * second pass rescans only the TOUCHED FILES and splices the cached
+    * images in by row identity — at 100 TB that is one target∪source join
+    * plus one touched-file scan, vs four full join evaluations before. */
   private def executeOnce(): Snapshot = {
-    val spark = table.spark
     val head = table.log.current
-    val cur = table.schema
-    val fields = cur.fields
+    val fields = table.schema.fields
 
     val target = table.readWithMeta(head).withColumn("_t_exists", lit(1)).alias("t")
     val src = source.withColumn("_s_exists", lit(1)).alias("s")
@@ -76,18 +82,6 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     val targetOnly = col("t._t_exists").isNotNull && col("s._s_exists").isNull
     val sourceOnly = col("t._t_exists").isNull && col("s._s_exists").isNotNull
 
-    // SQL-standard cardinality check: a target row hit by >1 source rows
-    if (matched.nonEmpty) {
-      val dup = joined.filter(isMatched)
-        .groupBy(col("t._graft_path"), col("t._graft_pos"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE cardinality violation: a target row matches multiple source rows")
-    }
-
-    def anyCond(cs: Vector[Clause], base: Column): Column =
-      cs.map(c => base && c.cond).reduceOption(_ || _).getOrElse(lit(false))
-
     // first applicable clause per row (SQL-standard order), -1 = untouched
     val all = matched.zipWithIndex.map { case (c, i) => (c, isMatched, i) } ++
       bySource.zipWithIndex.map { case (c, i) => (c, targetOnly, i + matched.size) }
@@ -95,43 +89,59 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
       when(base && c.cond, lit(i)).otherwise(els)
     }
     val deleteIdxs = all.collect { case (c, _, i) if c.kind == "delete" => i }
-
-    def newImage(rows: DataFrame): DataFrame = rows.select(fields.map { f =>
-      val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
-        (i, c.set(f.name)) }
-      updates.foldRight(col(s"t.${f.name}")) { case ((i, v), els) =>
-        when(col("_clause") === i, v.cast(f.dataType)).otherwise(els)
-      }.as(f.name)
-    }: _*)
-
-    // ---- inserts from source-only rows -----------------------------------
     val insIdx = notMatched.zipWithIndex.reverse.foldLeft(lit(-1): Column) {
       case (els, (c, i)) => when(c.cond, lit(i)).otherwise(els)
     }
-    val inserts = joined.filter(sourceOnly)
-      .withColumn("_ins", insIdx).filter(col("_ins") >= 0)
-      .select(fields.map { f =>
-        notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast(f.dataType): Column) {
-          case (els, (c, i)) =>
-            when(col("_ins") === i, c.set.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(els)
-        }.as(f.name)
-      }: _*)
 
-    // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
-    // falls back to write.delete.mode (the table-wide MOR switch)
-    val morMode = head.properties.get("write.merge.mode")
-      .orElse(head.properties.get("write.delete.mode")).contains("merge-on-read")
+    // per-field output image: insert values for source-only rows, update
+    // values (first matching clause wins) for clause-hit rows, the carried
+    // target value otherwise — evaluated once, into the cache
+    val img = fields.map { f =>
+      val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
+        (i, c.set(f.name)) }
+      val upd = updates.foldRight(col(s"t.${f.name}")) { case ((i, v), els) =>
+        when(col("_clause") === i, v.cast(f.dataType)).otherwise(els)
+      }
+      val ins = notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast(f.dataType): Column) {
+        case (els, (c, i)) =>
+          when(col("_ins") === i, c.set.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(els)
+      }
+      when(col("_ins") >= 0, ins).otherwise(upd).as(f.name)
+    }
+    val annotated = joined
+      .withColumn("_clause", idxCol)
+      .withColumn("_ins", when(sourceOnly, insIdx).otherwise(lit(-1)))
+      .withColumn("_m", isMatched)
+      .filter(col("_m") || col("_clause") >= 0 || col("_ins") >= 0)
+      .select(Seq(col("t._graft_path").as("_path"), col("t._graft_pos").as("_pos"),
+        col("_m"), col("_clause"), col("_ins")) ++ img: _*)
+      .cache()
+    try {
+      // SQL-standard cardinality check: a target row hit by >1 source rows
+      if (matched.nonEmpty) {
+        val dup = annotated.filter(col("_m"))
+          .groupBy(col("_path"), col("_pos"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "MERGE cardinality violation: a target row matches multiple source rows")
+      }
 
-    if (morMode) {
-      // ---- merge-on-read: positional-delete every affected target row,
-      // append the update images + inserts — one commit, O(affected rows)
-      // write cost instead of O(touched files) (Iceberg v2 MOR merge)
-      val affectedRows = joined.withColumn("_clause", idxCol)
-        .filter(col("_clause") >= 0).cache()
-      try {
-        val newDeletes = table.writeDeleteFiles(affectedRows.select(
-          col("t._graft_path").as("file_path"), col("t._graft_pos").as("pos")))
-        val updated = newImage(affectedRows.filter(!col("_clause").isin(deleteIdxs: _*)))
+      val outCols = fields.map(f => col(f.name))
+      val inserts = annotated.filter(col("_ins") >= 0).select(outCols: _*)
+
+      // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
+      // falls back to write.delete.mode (the table-wide MOR switch)
+      val morMode = head.properties.get("write.merge.mode")
+        .orElse(head.properties.get("write.delete.mode")).contains("merge-on-read")
+
+      if (morMode) {
+        // ---- merge-on-read: positional-delete every affected target row,
+        // append the update images + inserts — one commit, O(affected rows)
+        // write cost instead of O(touched files) (Iceberg v2 MOR merge)
+        val affected = annotated.filter(col("_clause") >= 0)
+        val newDeletes = table.writeDeleteFiles(affected.select(
+          col("_path").as("file_path"), col("_pos").as("pos")))
+        val updated = affected.filter(!col("_clause").isin(deleteIdxs: _*)).select(outCols: _*)
         val appendDf =
           if (notMatched.nonEmpty) updated.unionByName(inserts) else updated
         val newFiles = table.writeFiles(appendDf, head.currentSchemaId, head.properties)
@@ -141,18 +151,25 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
           timestampMs = System.currentTimeMillis(),
           operation = "merge", files = head.files ++ newFiles,
           deleteFiles = head.deleteFiles ++ newDeletes))
-      } finally affectedRows.unpersist()
-    } else {
-      // ---- copy-on-write: rewrite only the files containing affected rows
-      val affected = anyCond(matched, isMatched) || anyCond(bySource, targetOnly)
-      val touched = joined.filter(affected).select(col("t._graft_path"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      val rows = joined
-        .filter(col("t._graft_path").isin(touched: _*))
-        .withColumn("_clause", idxCol)
-        .filter(!col("_clause").isin(deleteIdxs: _*))
-      table.replaceFiles(head, touched, newImage(rows), "merge",
-        extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
-    }
+      } else {
+        // ---- copy-on-write: rewrite only the files containing affected
+        // rows. Second pass reads the touched files (NOT the join) and
+        // splices the cached images in by (path, pos) row identity —
+        // unmatched rows carry over, delete-clause rows drop out.
+        val touched = annotated.filter(col("_clause") >= 0).select("_path")
+          .distinct().collect().map(_.getString(0)).toSeq
+        val images = annotated.filter(col("_clause") >= 0).alias("n")
+        val rewritten = table.readTouchedWithMeta(head, touched).alias("o")
+          .join(images,
+            col("o._graft_path") === col("n._path") && col("o._graft_pos") === col("n._pos"),
+            "left_outer")
+          .filter(col("n._clause").isNull || !col("n._clause").isin(deleteIdxs: _*))
+          .select(fields.map(f =>
+            when(col("n._clause").isNotNull, col(s"n.${f.name}"))
+              .otherwise(col(s"o.${f.name}")).as(f.name)): _*)
+        table.replaceFiles(head, touched, rewritten, "merge",
+          extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
+      }
+    } finally annotated.unpersist()
   }
 }

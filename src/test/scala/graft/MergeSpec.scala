@@ -123,6 +123,27 @@ class MergeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("merge evaluates the source exactly once (single-pass CoW)") {
+    // The round-6 weakness: CoW MERGE re-evaluated the full-outer join for
+    // the cardinality check, touched-file collect, rewrite, and inserts —
+    // 4 source scans. The fused plan must read each source row ONCE (the
+    // join materializes into the cached decision set; the rewrite pass
+    // rescans only touched files, never the source).
+    val t = mk(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val acc = spark.sparkContext.longAccumulator("srcRows")
+    val seen = udf { (_: Long) => acc.add(1L); true }
+    val src = Seq((2L, "B", 200.0), (4L, "d", 40.0)).toDF("id", "name", "amount")
+      .filter(seen(col("id")))
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    assert(acc.value == 2L,
+      s"source was scanned ${acc.value / 2.0}x — the merge must evaluate the join once")
+  }
+
   test("merge into empty table acts as pure insert") {
     val t = GraftTable.createEmpty(spark, tmpDir(),
       Seq.empty[(Long, String, Double)].toDF("id", "name", "amount").schema)
