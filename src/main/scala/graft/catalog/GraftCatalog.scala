@@ -33,11 +33,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private var catalogName: String = _
   private var warehouse: String = _
+  // REST mode (reference `main.tf:795-801`): namespace/table DDL, table
+  // resolution, and the commit CAS route through the catalog server; the
+  // data plane (parquet + snapshot JSONs) stays on shared storage, whose
+  // root the server hands back in the /v1/config handshake.
+  private var rest: Option[graft.rest.RestCatalogClient] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(s"catalog $name requires the 'warehouse' option"))
+    Option(options.get("uri")) match {
+      case Some(uri) =>
+        val client = new graft.rest.RestCatalogClient(uri,
+          Option(options.get("credential")), Option(options.get("token")))
+        rest = Some(client)
+        warehouse = client.warehouse()
+      case None =>
+        warehouse = Option(options.get("warehouse")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name requires the 'warehouse' option (or 'uri' for REST mode)"))
+    }
     Files.createDirectories(Paths.get(warehouse))
   }
 
@@ -51,12 +65,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def isTable(p: java.nio.file.Path): Boolean =
     Files.exists(p.resolve("_graft").resolve("HEAD"))
 
+  /** Load a table with the mode-appropriate commit transport: local CAS, or
+    * [[graft.rest.RestSnapshotLog]] so every write CASes through the server. */
+  private def loadGraft(ident: Identifier): GraftTable = rest match {
+    case Some(c) => GraftTable.load(spark, tablePath(ident),
+      p => new graft.rest.RestSnapshotLog(p, c, ident.namespace().toSeq, ident.name()))
+    case None => GraftTable.load(spark, tablePath(ident))
+  }
+
   // --------------------------------------------------------- procedures
 
   /** `CALL graft.system.<proc>(...)` — Iceberg-style maintenance procedures
     * (SURVEY.md §2.8; see [[GraftProcedures]]). */
   private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
-    GraftProcedures.registry(name => (warehouse +: name.split("\\.").toSeq).mkString("/"))
+    GraftProcedures.registry(
+      name => (warehouse +: name.split("\\.").toSeq).mkString("/"),
+      (s, dotted) => {
+        val parts = dotted.split("\\.")
+        loadGraft(Identifier.of(parts.init, parts.last))
+      })
 
   override def loadProcedure(ident: Identifier):
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -169,17 +196,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   // ------------------------------------------------------------- tables
 
-  override def listTables(ns: Array[String]): Array[Identifier] = {
-    val p = nsPath(ns)
-    if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(ns)
-    Files.list(p).iterator().asScala
-      .filter(isTable)
-      .map(d => Identifier.of(ns, d.getFileName.toString))
-      .toArray
+  override def listTables(ns: Array[String]): Array[Identifier] = rest match {
+    case Some(c) =>
+      if (!c.namespaceExists(ns.toSeq)) throw new NoSuchNamespaceException(ns)
+      c.listTables(ns.toSeq).map(Identifier.of(ns, _)).toArray
+    case None =>
+      val p = nsPath(ns)
+      if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(ns)
+      Files.list(p).iterator().asScala
+        .filter(isTable)
+        .map(d => Identifier.of(ns, d.getFileName.toString))
+        .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    isTable(Paths.get(tablePath(ident)))
+  override def tableExists(ident: Identifier): Boolean = rest match {
+    case Some(c) => c.tableExists(ident.namespace().toSeq, ident.name())
+    case None => isTable(Paths.get(tablePath(ident)))
+  }
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: SELECT * FROM graft.db.`t$history` etc.
@@ -187,7 +220,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val Array(base, meta) = ident.name().split("\\$", 2)
       val baseIdent = Identifier.of(ident.namespace(), base)
       if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
-      val t = GraftTable.load(spark, tablePath(baseIdent))
+      val t = loadGraft(baseIdent)
       val df = meta match {
         case "history"    => t.history
         case "snapshots"  => t.snapshotsMeta
@@ -201,7 +234,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       return GraftMetadataTable(ident.toString, df)
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString)
+    GraftDsv2Table(loadGraft(ident), ident.toString)
   }
 
   /** Time travel: `VERSION AS OF <v>` — a numeric snapshot version, or a
@@ -209,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * forms; SURVEY.md §2.8). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, tablePath(ident))
+    val t = loadGraft(ident)
     val v = version.toLongOption.getOrElse(
       t.log.refs.getOrElse(version, throw new IllegalArgumentException(
         s"VERSION AS OF '$version': not a snapshot version and no branch/tag with that name"))
@@ -220,7 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** Time travel: `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftDsv2Table(GraftTable.load(spark, tablePath(ident)), ident.toString,
+    GraftDsv2Table(loadGraft(ident), ident.toString,
       asOfTimestampMs = Some(timestampMicros / 1000L))
   }
 
@@ -248,10 +281,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val specs = partitions.map(transformSpec).toSeq
     specs.foreach(s => graft.table.PartitionTransform.parse(s, schema)) // fail fast
     val props = properties.asScala.toMap ++
-      (if (specs.nonEmpty) Map("write.partition-by" -> specs.mkString(",")) else Map.empty)
-    val t = GraftTable.createEmpty(spark, tablePath(ident), schema,
-      props - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER)
-    GraftDsv2Table(t, ident.toString)
+      (if (specs.nonEmpty) Map("write.partition-by" -> specs.mkString(",")) else Map.empty) -
+      TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER
+    rest match {
+      case Some(c) =>
+        c.createTable(ident.namespace().toSeq, ident.name(), schema.json, props)
+        GraftDsv2Table(loadGraft(ident), ident.toString)
+      case None =>
+        val t = GraftTable.createEmpty(spark, tablePath(ident), schema, props)
+        GraftDsv2Table(t, ident.toString)
+    }
   }
 
   /** DEFAULT clauses on ADD COLUMN are accepted (initial-default reads). */
@@ -261,7 +300,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, tablePath(ident))
+    val t = loadGraft(ident)
     changes.foreach {
       case a: TableChange.AddColumn =>
         // DEFAULT clause → Iceberg-v3-style initial default (old files read
@@ -296,26 +335,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftDsv2Table(t, ident.toString)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val p = Paths.get(tablePath(ident))
-    if (!isTable(p)) return false
-    deleteRecursively(p)
-    true
+  override def dropTable(ident: Identifier): Boolean = rest match {
+    case Some(c) => c.dropTable(ident.namespace().toSeq, ident.name())
+    case None =>
+      val p = Paths.get(tablePath(ident))
+      if (!isTable(p)) return false
+      deleteRecursively(p)
+      true
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
-    Files.createDirectories(Paths.get(tablePath(to)).getParent)
-    Files.move(Paths.get(tablePath(from)), Paths.get(tablePath(to)))
+    rest match {
+      case Some(c) => c.renameTable(from.namespace().toSeq, from.name(),
+        to.namespace().toSeq, to.name())
+      case None =>
+        Files.createDirectories(Paths.get(tablePath(to)).getParent)
+        Files.move(Paths.get(tablePath(from)), Paths.get(tablePath(to)))
+    }
   }
 
   // --------------------------------------------------------- namespaces
 
-  override def listNamespaces(): Array[Array[String]] =
-    Files.list(Paths.get(warehouse)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray
+  override def listNamespaces(): Array[Array[String]] = rest match {
+    case Some(c) => c.listNamespaces().map(_.toArray).toArray
+    case None =>
+      Files.list(Paths.get(warehouse)).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTable(p))
+        .map(p => Array(p.getFileName.toString)).toArray
+  }
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
@@ -323,7 +372,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else throw new NoSuchNamespaceException(ns)
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    ns.isEmpty || (Files.isDirectory(nsPath(ns)) && !isTable(nsPath(ns)))
+    ns.isEmpty || (rest match {
+      case Some(c) => c.namespaceExists(ns.toSeq)
+      case None => Files.isDirectory(nsPath(ns)) && !isTable(nsPath(ns))
+    })
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
@@ -331,18 +383,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit =
-    Files.createDirectories(nsPath(ns))
+    rest match {
+      case Some(c) => c.createNamespace(ns.toSeq)
+      case None => Files.createDirectories(nsPath(ns))
+    }
 
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("namespace properties are immutable")
 
-  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
-    val p = nsPath(ns)
-    if (!Files.isDirectory(p)) return false
-    if (!cascade && Files.list(p).iterator().asScala.nonEmpty)
-      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-    deleteRecursively(p)
-    true
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = rest match {
+    case Some(c) =>
+      if (!c.namespaceExists(ns.toSeq)) false
+      else {
+        // server refuses non-empty namespaces; cascade drops tables first
+        if (cascade) c.listTables(ns.toSeq).foreach(t => c.dropTable(ns.toSeq, t))
+        c.dropNamespace(ns.toSeq)
+      }
+    case None =>
+      val p = nsPath(ns)
+      if (!Files.isDirectory(p)) return false
+      if (!cascade && Files.list(p).iterator().asScala.nonEmpty)
+        throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+      deleteRecursively(p)
+      true
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

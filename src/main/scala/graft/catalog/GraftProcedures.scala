@@ -46,10 +46,13 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  /** Build the procedure registry against a `db.table -> path` resolver. */
-  def registry(tablePathOf: String => String): Map[String, UnboundProcedure] = {
+  /** Build the procedure registry against a `db.table -> path` resolver and
+    * a table loader (the catalog passes its mode-appropriate loader, so in
+    * REST mode every maintenance commit CASes through the server too). */
+  def registry(tablePathOf: String => String,
+      loadOf: (SparkSession, String) => GraftTable): Map[String, UnboundProcedure] = {
     def load(spark: SparkSession, row: InternalRow): GraftTable =
-      GraftTable.load(spark, tablePathOf(row.getUTF8String(0).toString))
+      loadOf(spark, row.getUTF8String(0).toString)
     val tbl = in("table", StringType)
 
     val procs: Seq[UnboundProcedure] = Seq(

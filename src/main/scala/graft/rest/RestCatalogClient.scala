@@ -1,0 +1,170 @@
+package graft.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import graft.table.{CommitConflictException, Ref, Snapshot, SnapshotLog}
+
+/** HTTP client for [[RestCatalogServer]] — the engine side of the
+  * reference's REST-catalog wiring (`main.tf:795-801`): table resolution
+  * and commits go over HTTP with a bearer token; data and snapshot JSONs
+  * are read from shared storage directly. Built on `java.net.http` (JDK 11+,
+  * no extra dependency).
+  *
+  * Auth: pass either a pre-issued `token` or a `credential` of the form
+  * `client-id:client-secret` — the client then performs the OAuth2
+  * client-credentials grant against `/v1/oauth/tokens` at construction,
+  * mirroring Iceberg's `credential` catalog property (`main.tf:798-800`). */
+class RestCatalogClient(val baseUri: String, credential: Option[String],
+    presetToken: Option[String]) {
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val http = HttpClient.newHttpClient()
+
+  val token: String = presetToken.getOrElse {
+    val cred = credential.getOrElse(throw new IllegalArgumentException(
+      "REST catalog needs a 'token' or a 'credential' (client-id:client-secret) option"))
+    val Array(id, secret) = cred.split(":", 2)
+    val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}"
+    val resp = http.send(HttpRequest.newBuilder(URI.create(s"$baseUri/v1/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalArgumentException(s"OAuth token request failed (${resp.statusCode()}): ${resp.body()}")
+    (JsonMethods.parse(resp.body()) \ "access_token").extract[String]
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private val Sep = "\u001f" // Iceberg REST multipart-namespace separator
+  private def encNs(ns: Seq[String]): String = enc(ns.mkString(Sep))
+
+  private def send(method: String, path: String, body: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+      .header("Authorization", s"Bearer $token")
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+    }).build()
+    http.send(req, HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def expect(resp: HttpResponse[String], what: String,
+      casOp: Boolean = false): JValue = {
+    resp.statusCode() match {
+      case 200 => JsonMethods.parse(resp.body())
+      case 409 if casOp => throw new CommitConflictException(errMsg(resp))
+      case 400 => throw new IllegalArgumentException(s"$what: ${errMsg(resp)}")
+      case code => throw new IllegalStateException(s"$what failed ($code): ${errMsg(resp)}")
+    }
+  }
+  private def errMsg(resp: HttpResponse[String]): String =
+    try (JsonMethods.parse(resp.body()) \ "error").extract[String]
+    catch { case _: Exception => resp.body() }
+
+  // ---- config / namespaces -------------------------------------------------
+
+  /** The server's `warehouse` (shared-storage root) from `GET /v1/config` —
+    * the Iceberg REST config handshake that tells engines where the data
+    * plane lives. */
+  def warehouse(): String =
+    (expect(send("GET", "/v1/config"), "config") \ "overrides" \ "warehouse").extract[String]
+
+  def listNamespaces(): Seq[Seq[String]] =
+    (expect(send("GET", "/v1/namespaces"), "list namespaces") \ "namespaces")
+      .extract[Seq[Seq[String]]]
+
+  def createNamespace(ns: Seq[String]): Unit =
+    expect(send("POST", "/v1/namespaces", Some(Serialization.write(CreateNsReq(ns)))),
+      "create namespace")
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    send("GET", s"/v1/namespaces/${encNs(ns)}").statusCode() == 200
+
+  /** Returns false on 404; propagates 409 (non-empty). */
+  def dropNamespace(ns: Seq[String]): Boolean = {
+    val resp = send("DELETE", s"/v1/namespaces/${encNs(ns)}")
+    if (resp.statusCode() == 404) false
+    else { expect(resp, "drop namespace"); true }
+  }
+
+  // ---- tables --------------------------------------------------------------
+
+  def listTables(ns: Seq[String]): Seq[String] =
+    (expect(send("GET", s"/v1/namespaces/${encNs(ns)}/tables"), "list tables") \ "identifiers")
+      .extract[Seq[Map[String, Any]]].map(_("name").toString)
+
+  def tableExists(ns: Seq[String], table: String): Boolean =
+    send("GET", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}").statusCode() == 200
+
+  /** Table location on shared storage, or None if absent. */
+  def tableLocation(ns: Seq[String], table: String): Option[String] = {
+    val resp = send("GET", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}")
+    if (resp.statusCode() != 200) None
+    else Some((JsonMethods.parse(resp.body()) \ "location").extract[String])
+  }
+
+  def createTable(ns: Seq[String], table: String, schemaJson: String,
+      properties: Map[String, String]): String =
+    (expect(send("POST", s"/v1/namespaces/${encNs(ns)}/tables",
+      Some(Serialization.write(CreateTableReq(table, schemaJson, properties)))),
+      "create table") \ "location").extract[String]
+
+  def dropTable(ns: Seq[String], table: String): Boolean =
+    send("DELETE", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}").statusCode() == 200
+
+  def renameTable(fromNs: Seq[String], from: String, toNs: Seq[String], to: String): Unit =
+    expect(send("POST", "/v1/tables/rename",
+      Some(Serialization.write(RenameReq(fromNs, from, toNs, to)))), "rename table")
+
+  // ---- commit CAS / head / refs -------------------------------------------
+
+  def commit(ns: Seq[String], table: String, parentVersion: Long, version: Long,
+      storedJson: String, moveHead: Boolean): Unit =
+    expect(send("POST", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}/commit",
+      Some(Serialization.write(CommitReq(parentVersion, version, storedJson, moveHead)))),
+      "commit", casOp = true)
+
+  def setHead(ns: Seq[String], table: String, version: Long): Unit =
+    expect(send("POST", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}/head",
+      Some(Serialization.write(HeadReq(version)))), "set head")
+
+  def setRef(ns: Seq[String], table: String, name: String, ref: Ref): Unit =
+    expect(send("POST", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}/refs",
+      Some(Serialization.write(RefReq(name, ref.version, ref.refType)))), "set ref")
+
+  def dropRef(ns: Seq[String], table: String, name: String): Unit =
+    expect(send("DELETE", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}/refs/${enc(name)}"),
+      "drop ref")
+}
+
+/** Snapshot log whose WRITES go through the REST catalog server while reads
+  * stay on shared storage — the exact Iceberg REST-catalog split: the engine
+  * writes data files and manifest chunks itself, then asks the catalog to
+  * CAS the new snapshot in; rollback/branch/tag mutations are arbitrated the
+  * same way. Every [[graft.table.GraftTable]] operator works unchanged on
+  * top of this because all metadata mutations funnel through these five
+  * methods. */
+class RestSnapshotLog(tableRoot: String, client: RestCatalogClient,
+    ns: Seq[String], table: String) extends SnapshotLog(tableRoot) {
+
+  override def commit(parentVersion: Long, build: Long => Snapshot): Snapshot = {
+    val (snap, json) = prepare(parentVersion, build)
+    client.commit(ns, table, parentVersion, snap.version, json, moveHead = true)
+    snap
+  }
+
+  override def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
+    val (snap, json) = prepare(parentVersion, build)
+    client.commit(ns, table, parentVersion, snap.version, json, moveHead = false)
+    snap
+  }
+
+  override def setHead(v: Long): Unit = client.setHead(ns, table, v)
+  override def setRef(name: String, ref: Ref): Unit = client.setRef(ns, table, name, ref)
+  override def dropRef(name: String): Unit = client.dropRef(ns, table, name)
+}

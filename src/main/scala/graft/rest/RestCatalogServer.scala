@@ -1,0 +1,248 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.table.{CommitConflictException, GraftTable, Ref, Snapshot, SnapshotLog}
+
+/** Commit request: the client built and serialized the candidate snapshot
+  * (and already wrote its manifest chunks to shared storage); the server
+  * only arbitrates the compare-and-swap. */
+private[rest] case class CommitReq(parentVersion: Long, version: Long,
+    storedJson: String, moveHead: Boolean)
+private[rest] case class CreateTableReq(name: String, schemaJson: String,
+    properties: Map[String, String])
+private[rest] case class CreateNsReq(namespace: Seq[String])
+private[rest] case class HeadReq(version: Long)
+private[rest] case class RefReq(name: String, version: Long, refType: String)
+private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
+    toNamespace: Seq[String], toName: String)
+
+/** In-process REST catalog server — the engine's analogue of the reference
+  * stack's Iceberg REST catalog endpoint (reference `main.tf:795-801`: every
+  * EMR engine resolves tables and commits snapshots over HTTP against
+  * `uri = <catalog endpoint>`; Trino points at the same endpoint,
+  * `main.tf:812-816`). Serves the snapshot-log warehouse over JDK
+  * `com.sun.net.httpserver.HttpServer` with the same split of
+  * responsibilities as the Iceberg REST spec:
+  *
+  *   - DATA PLANE stays on shared storage: parquet files, immutable
+  *     snapshot JSONs, and manifest chunks are written by the ENGINE
+  *     (the S3 analogue — executors never talk to the catalog).
+  *   - CONTROL PLANE goes through HTTP: namespace/table DDL, table
+  *     resolution, and — critically — the commit CAS. The server is the
+  *     single arbiter of "which snapshot is HEAD", which is what makes
+  *     commits safe on stores with no atomic create (S3), multi-host.
+  *
+  * Auth mirrors the reference's OAuth2 wiring (`main.tf:798-800`
+  * client-id/secret): `POST /v1/oauth/tokens` with a client-credentials
+  * grant issues a bearer token; every other endpoint requires
+  * `Authorization: Bearer <token>` and answers 401 otherwise.
+  *
+  * Endpoints (Iceberg-REST-shaped, namespace parts joined with the spec's
+  * 0x1F unit separator):
+  * {{{
+  *   POST   /v1/oauth/tokens                         client_credentials -> token
+  *   GET    /v1/config                               {"overrides":{"warehouse":...}}
+  *   GET    /v1/namespaces                           list namespaces
+  *   POST   /v1/namespaces                           create namespace
+  *   GET    /v1/namespaces/{ns}                      namespace exists
+  *   DELETE /v1/namespaces/{ns}                      drop (409 if non-empty)
+  *   GET    /v1/namespaces/{ns}/tables               list tables
+  *   POST   /v1/namespaces/{ns}/tables               create table
+  *   GET    /v1/namespaces/{ns}/tables/{t}           location + current version
+  *   DELETE /v1/namespaces/{ns}/tables/{t}           drop table
+  *   POST   /v1/namespaces/{ns}/tables/{t}/commit    CAS commit (409 on conflict)
+  *   POST   /v1/namespaces/{ns}/tables/{t}/head      move HEAD (rollback)
+  *   POST   /v1/namespaces/{ns}/tables/{t}/refs      set a branch/tag
+  *   DELETE /v1/namespaces/{ns}/tables/{t}/refs/{r}  drop a ref
+  *   POST   /v1/tables/rename                        rename across namespaces
+  * }}}
+  */
+class RestCatalogServer(val warehouse: String,
+    credentials: Map[String, String], port: Int = 0) {
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val tokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private var server: HttpServer = _
+
+  def start(): RestCatalogServer = {
+    Files.createDirectories(Paths.get(warehouse))
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single dispatch thread: metadata ops are tiny
+    server.start()
+    this
+  }
+
+  def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // One SnapshotLog per table root, reused so manifest-chunk caches persist.
+  private val logs = scala.collection.concurrent.TrieMap.empty[String, SnapshotLog]
+  private def logOf(root: String): SnapshotLog =
+    logs.getOrElseUpdate(root, new SnapshotLog(root))
+
+  private val Sep = "\u001f" // Iceberg REST multipart-namespace separator
+  private def decNs(seg: String): Seq[String] =
+    java.net.URLDecoder.decode(seg, "UTF-8").split(Sep).toSeq
+  private def nsDir(ns: Seq[String]) = Paths.get((warehouse +: ns).mkString("/"))
+  private def tableRoot(ns: Seq[String], t: String): String =
+    (warehouse +: ns :+ t).mkString("/")
+  private def isTable(p: java.nio.file.Path): Boolean =
+    Files.exists(p.resolve("_graft").resolve("HEAD"))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+  private def ok(ex: HttpExchange, json: String = "{}"): Unit = respond(ex, 200, json)
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, Serialization.write(Map("error" -> msg)))
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    h.startsWith("Bearer ") && tokens.contains(h.stripPrefix("Bearer "))
+  }
+
+  /** OAuth2 client-credentials grant (form-encoded body, per RFC 6749 and
+    * the Iceberg REST spec's token endpoint). */
+  private def oauth(ex: HttpExchange): Unit = {
+    val form = readBody(ex).split("&").map(_.split("=", 2)).collect {
+      case Array(k, v) => java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    if (!form.get("grant_type").contains("client_credentials"))
+      return err(ex, 400, "unsupported grant_type")
+    val id = form.getOrElse("client_id", "")
+    if (!credentials.get(id).contains(form.getOrElse("client_secret", "")))
+      return err(ex, 401, "invalid client credentials")
+    val token = UUID.randomUUID().toString
+    tokens.add(token)
+    ok(ex, Serialization.write(Map(
+      "access_token" -> token, "token_type" -> "bearer", "expires_in" -> "3600")))
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("POST", "/v1/oauth/tokens") => oauth(ex)
+      case _ if !authorized(ex) => err(ex, 401, "missing or invalid bearer token")
+      case ("GET", "/v1/config") =>
+        ok(ex, Serialization.write(Map(
+          "overrides" -> Map("warehouse" -> warehouse),
+          "defaults" -> Map.empty[String, String])))
+      case (m, p) => route(ex, m, p.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList)
+    }
+  } catch {
+    case c: CommitConflictException => err(ex, 409, c.getMessage)
+    case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
+    case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
+    case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+  }
+
+  private def route(ex: HttpExchange, method: String, segs: List[String]): Unit =
+    (method, segs) match {
+      // ---- namespaces ----------------------------------------------------
+      case ("GET", "namespaces" :: Nil) =>
+        val all = Files.list(Paths.get(warehouse)).iterator().asScala
+          .filter(p => Files.isDirectory(p) && !isTable(p))
+          .map(p => Seq(p.getFileName.toString)).toSeq
+        ok(ex, Serialization.write(Map("namespaces" -> all)))
+      case ("POST", "namespaces" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[CreateNsReq]
+        Files.createDirectories(nsDir(req.namespace))
+        ok(ex)
+      case ("GET", "namespaces" :: ns :: Nil) =>
+        val dir = nsDir(decNs(ns))
+        if (Files.isDirectory(dir) && !isTable(dir))
+          ok(ex, Serialization.write(Map("namespace" -> decNs(ns))))
+        else err(ex, 404, s"no namespace $ns")
+      case ("DELETE", "namespaces" :: ns :: Nil) =>
+        val dir = nsDir(decNs(ns))
+        if (!Files.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
+        else if (Files.list(dir).iterator().asScala.nonEmpty)
+          err(ex, 409, s"namespace $ns is not empty")
+        else { Files.delete(dir); ok(ex) }
+
+      // ---- tables --------------------------------------------------------
+      case ("GET", "namespaces" :: ns :: "tables" :: Nil) =>
+        val dir = nsDir(decNs(ns))
+        if (!Files.isDirectory(dir)) return err(ex, 404, s"no namespace $ns")
+        val names = Files.list(dir).iterator().asScala.filter(isTable)
+          .map(_.getFileName.toString).toSeq
+        ok(ex, Serialization.write(Map("identifiers" ->
+          names.map(n => Map("namespace" -> decNs(ns), "name" -> n)))))
+      case ("POST", "namespaces" :: ns :: "tables" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[CreateTableReq]
+        val root = tableRoot(decNs(ns), req.name)
+        if (isTable(Paths.get(root))) return err(ex, 409, s"table ${req.name} exists")
+        if (!Files.isDirectory(nsDir(decNs(ns)))) return err(ex, 404, s"no namespace $ns")
+        val log = logOf(root)
+        log.initDirs()
+        val withIds = GraftTable.stampIds(
+          DataType.fromJson(req.schemaJson).asInstanceOf[StructType])
+        log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(), "create",
+          0, Map("0" -> withIds.json), Seq.empty, req.properties))
+        ok(ex, Serialization.write(Map("location" -> root)))
+      case ("GET", "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(Paths.get(root))) err(ex, 404, s"no table $t")
+        else ok(ex, Serialization.write(Map(
+          "location" -> root, "currentVersion" -> logOf(root).currentVersion)))
+      case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        val root = Paths.get(tableRoot(decNs(ns), t))
+        if (!isTable(root)) err(ex, 404, s"no table $t")
+        else { deleteRecursively(root); logs.remove(root.toString); ok(ex) }
+      case ("POST", "tables" :: "rename" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[RenameReq]
+        val from = Paths.get(tableRoot(req.fromNamespace, req.fromName))
+        val to = Paths.get(tableRoot(req.toNamespace, req.toName))
+        if (!isTable(from)) return err(ex, 404, s"no table ${req.fromName}")
+        if (isTable(to)) return err(ex, 409, s"table ${req.toName} exists")
+        Files.createDirectories(to.getParent)
+        Files.move(from, to)
+        logs.remove(from.toString)
+        ok(ex)
+
+      // ---- commit CAS + head + refs -------------------------------------
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "commit" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[CommitReq]
+        val root = tableRoot(decNs(ns), t)
+        if (!Files.isDirectory(Paths.get(root).resolve("_graft")))
+          return err(ex, 404, s"no table $t")
+        logOf(root).commitRaw(req.parentVersion, req.version, req.storedJson, req.moveHead)
+        ok(ex)
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "head" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[HeadReq]
+        logOf(tableRoot(decNs(ns), t)).setHead(req.version)
+        ok(ex)
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "refs" :: Nil) =>
+        val req = JsonMethods.parse(readBody(ex)).extract[RefReq]
+        logOf(tableRoot(decNs(ns), t)).setRef(req.name, Ref(req.version, req.refType))
+        ok(ex)
+      case ("DELETE", "namespaces" :: ns :: "tables" :: t :: "refs" :: r :: Nil) =>
+        logOf(tableRoot(decNs(ns), t)).dropRef(java.net.URLDecoder.decode(r, "UTF-8"))
+        ok(ex)
+
+      case _ => err(ex, 404, s"$method ${segs.mkString("/")}")
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

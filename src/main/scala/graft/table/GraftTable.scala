@@ -23,13 +23,17 @@ import org.apache.spark.sql.types._
   * entries, not rows. Copy-on-write touches only files that contain matched
   * rows; untouched files carry over by reference.
   */
-class GraftTable private (val spark: SparkSession, rawPath: String) {
+class GraftTable private (val spark: SparkSession, rawPath: String,
+    logFactory: String => SnapshotLog = p => new SnapshotLog(p)) {
 
   /** Absolute table root — `_metadata.file_path` comparisons and snapshot
     * entries must agree regardless of how the caller spelled the path. */
   val path: String = Paths.get(rawPath).toAbsolutePath.normalize.toString
 
-  val log = new SnapshotLog(path)
+  /** All commits funnel through here — swapping the factory swaps the
+    * commit transport (local filesystem CAS vs REST-catalog CAS) without
+    * touching any operator. */
+  val log: SnapshotLog = logFactory(path)
 
   // ------------------------------------------------------------------ reads
 
@@ -1540,8 +1544,9 @@ object GraftTable {
 
   /** Stamp a fresh, unique graft.id on EVERY field in the schema tree —
     * nested struct fields included, so nested rename/drop/add evolve by id
-    * exactly like top-level columns. */
-  private def stampIds(schema: StructType): StructType = {
+    * exactly like top-level columns. `private[graft]` so the REST catalog
+    * server can create tables without a SparkSession. */
+  private[graft] def stampIds(schema: StructType): StructType = {
     var id = -1
     def next(): Int = { id += 1; id }
     def walk(dt: DataType): DataType = dt match {
@@ -1585,6 +1590,16 @@ object GraftTable {
 
   def load(spark: SparkSession, path: String): GraftTable = {
     val t = new GraftTable(spark, path)
+    require(t.log.exists || t.log.listVersions.nonEmpty, s"no graft table at $path")
+    t
+  }
+
+  /** Load with a custom snapshot-log transport — the REST catalog client
+    * routes commits through the catalog server by passing a
+    * [[graft.rest.RestSnapshotLog]] factory here. */
+  def load(spark: SparkSession, path: String,
+      logFactory: String => SnapshotLog): GraftTable = {
+    val t = new GraftTable(spark, path, logFactory)
     require(t.log.exists || t.log.listVersions.nonEmpty, s"no graft table at $path")
     t
   }

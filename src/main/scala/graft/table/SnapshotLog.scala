@@ -226,6 +226,51 @@ class SnapshotLog(tableRoot: String) {
     vs.maxBy(_.version)
   }
 
+  /** Client-side half of a commit, shared by the local CAS and the REST
+    * client ([[graft.rest.RestSnapshotLog]]): allocate version max+1, run
+    * the builder, stamp data sequence numbers, split the file list into
+    * manifest chunks (written to shared storage — the engine writes
+    * manifests, the catalog only arbitrates the swap, exactly Iceberg's
+    * REST-catalog contract). Returns the in-memory snapshot plus its
+    * serialized stored form. */
+  protected def prepare(parentVersion: Long, build: Long => Snapshot): (Snapshot, String) = {
+    val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
+    val snap = stampNew(build(next), parentVersion)
+    require(snap.version == next)
+    (snap, Serialization.write(toStored(snap)))
+  }
+
+  /** Server-side half: publish a fully-built, serialized candidate. The
+    * exclusive create of `v<N>.json` IS the CAS (a plain move's
+    * exists-check-then-rename has a race window on POSIX); with `moveHead`
+    * the linear-head check runs first and HEAD advances on success. This is
+    * the REST server's commit entry point — and the local path funnels
+    * through it too, so both modes share one protocol. */
+  def commitRaw(parentVersion: Long, version: Long, storedJson: String,
+      moveHead: Boolean): Unit = {
+    if (moveHead) {
+      val headNow = if (Files.exists(metaDir.resolve("HEAD"))) currentVersion else -1L
+      if (headNow != parentVersion)
+        throw new CommitConflictException(
+          s"stale commit: parent v$parentVersion but head is v$headNow")
+    } else require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
+    val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
+    if (version != next)
+      throw new CommitConflictException(
+        s"candidate v$version is stale: next version is v$next; retry on the new head")
+    val tmp = metaDir.resolve(s".v$version.json.tmp${util.Random.nextLong().abs}")
+    Files.writeString(tmp, storedJson)
+    try Files.createLink(versionPath(version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"concurrent commit created v$version first; retry on the new head")
+    }
+    Files.deleteIfExists(tmp)
+    if (moveHead) writeHead(version)
+  }
+
   /** CAS commit: verify `parentVersion` is still the head, then atomically
     * create the next version file (always max(existing)+1, so a rollback's
     * HEAD move never collides with versions it left behind — Iceberg
@@ -236,23 +281,8 @@ class SnapshotLog(tableRoot: String) {
     if (headNow != parentVersion)
       throw new CommitConflictException(
         s"stale commit: parent v$parentVersion but head is v$headNow")
-    val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
-    val snap = stampNew(build(next), parentVersion)
-    require(snap.version == next)
-    val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, Serialization.write(toStored(snap)))
-    // Publish via hard link: fully-written content becomes visible in one
-    // atomic create-if-absent — the exclusive create IS the CAS (a plain
-    // move's exists-check-then-rename has a race window on POSIX).
-    try Files.createLink(versionPath(next), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new CommitConflictException(
-          s"concurrent commit created v$next first; retry on the new head")
-    }
-    Files.deleteIfExists(tmp)
-    writeHead(next)
+    val (snap, json) = prepare(parentVersion, build)
+    commitRaw(parentVersion, snap.version, json, moveHead = true)
     snap
   }
 
@@ -262,19 +292,8 @@ class SnapshotLog(tableRoot: String) {
     * globally unique via max+1 allocation). */
   def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
     require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
-    val next = listVersions.last + 1
-    val snap = stampNew(build(next), parentVersion)
-    require(snap.version == next)
-    val tmp = metaDir.resolve(s".v$next.json.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, Serialization.write(toStored(snap)))
-    try Files.createLink(versionPath(next), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new CommitConflictException(
-          s"concurrent commit created v$next first; retry")
-    }
-    Files.deleteIfExists(tmp)
+    val (snap, json) = prepare(parentVersion, build)
+    commitRaw(parentVersion, snap.version, json, moveHead = false)
     snap
   }
 
