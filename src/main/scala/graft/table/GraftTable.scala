@@ -615,17 +615,23 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val head = log.current
     if (head.deleteFiles.isEmpty) head
     else {
-      val liveB = spark.sparkContext.broadcast(head.files.map(f => resolve(f.path)).toSet)
-      // file_path is the parquet _metadata rendering (a file: URI) — map it
-      // back to the local path the snapshot stores before the liveness check
-      val isLive = udf((p: String) => {
-        val lp = if (p.contains(":")) new java.net.URI(p).getPath else p
-        liveB.value.contains(lp)
-      })
+      import spark.implicits._
+      // file_path is the parquet _metadata rendering (a `file:` URI) — strip
+      // the scheme with a codegen'd regexp (no UDF in the path), then keep
+      // only entries whose target data file is still in the snapshot, via a
+      // broadcast semi-join against the live file list (thousands of paths:
+      // too many for isin literals, trivially broadcastable as a frame).
+      val live = head.files.map(f => resolve(f.path)).toDF("live_path")
+      val targetBytes = head.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val parts = math.max(1,
+        (head.deleteFiles.map(_.bytes).sum / targetBytes).toInt)
       val kept = spark.read.schema(deleteSchema)
         .parquet(head.deleteFiles.map(f => resolve(f.path)): _*)
-        .filter(isLive(col("file_path")))
-        .repartition(1)
+        .join(broadcast(live),
+          regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+            === col("live_path"), "left_semi")
+        .repartition(parts)
       val newDeletes = writeDeleteFiles(kept)
       log.commit(head.version, v => head.copy(
         version = v, parent = head.version, timestampMs = now(),

@@ -1,0 +1,133 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.apache.spark.sql.functions._
+
+/** Multi-engine WRITE interop at the wire level (the reference's acceptance
+  * criterion: two engines reading AND writing the same table —
+  * `README.md:2`, `main.tf:809-820`). The "foreign engine" here uses NO
+  * graft classes: raw HTTP for the OAuth grant and the commit CAS, raw JSON
+  * manipulation of the snapshot metadata, and its own parquet writer —
+  * exactly what a Trino-style second engine implementing the catalog
+  * protocol would do. Carries the parent's manifest chunk list forward
+  * verbatim (chunks are immutable) and registers its file inline — the
+  * stored form supports both, which IS the compatibility path. */
+class ForeignWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def server = RestCatalogSpec.server
+  private val http = HttpClient.newHttpClient()
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def post(path: String, body: String, token: Option[String],
+      contentType: String = "application/json"): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.uri}$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def get(path: String, token: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"${server.uri}$path"))
+      .header("Authorization", s"Bearer $token").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def oauthRaw(): String = {
+    val resp = post("/v1/oauth/tokens",
+      "grant_type=client_credentials&client_id=engine-b&client_secret=secret-b",
+      None, "application/x-www-form-urlencoded")
+    assert(resp.statusCode() == 200, resp.body())
+    (JsonMethods.parse(resp.body()) \ "access_token").extract[String]
+  }
+
+  /** Foreign append: write a parquet file, splice it into the parent
+    * snapshot's JSON, POST the commit. Returns the HTTP status code. */
+  private def foreignAppend(token: String, table: String, ids: Seq[Long],
+      parentOverride: Option[Long] = None): Int = {
+    val loc = (JsonMethods.parse(
+      get(s"/v1/namespaces/db/tables/$table", token).body()) \ "location").extract[String]
+    val parentV = parentOverride.getOrElse((JsonMethods.parse(
+      get(s"/v1/namespaces/db/tables/$table", token).body()) \ "currentVersion").extract[Long])
+    // 1. write a data file with the engine's own parquet writer
+    val staging = Files.createTempDirectory(Paths.get("target"), "foreign-")
+    ids.toDF("id").coalesce(1).write.parquet(staging.resolve("out").toString)
+    val part = Files.list(staging.resolve("out")).iterator()
+    val parquet = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.toString.endsWith(".parquet")).get
+    val name = s"foreign-${java.util.UUID.randomUUID()}.parquet"
+    Files.move(parquet, Paths.get(loc, "data", name), StandardCopyOption.ATOMIC_MOVE)
+    val bytes = Files.size(Paths.get(loc, "data", name))
+    // 2. splice the new file into the parent snapshot's stored JSON
+    val parent = JsonMethods.parse(Files.readString(Paths.get(loc, "_graft", s"v$parentV.json")))
+    val next = parentV + 1
+    val newFile = JObject("path" -> JString(s"data/$name"),
+      "rows" -> JInt(ids.size), "bytes" -> JInt(BigInt(bytes)),
+      "schemaId" -> parent \ "currentSchemaId",
+      "stats" -> JObject(), "seq" -> JInt(BigInt(next)))
+    val inlineFiles = (parent \ "files") match {
+      case JArray(fs) => JArray(fs :+ newFile)
+      case _ => JArray(List(newFile))
+    }
+    val candidate = parent.asInstanceOf[JObject].obj.toMap ++ Map(
+      "version" -> JInt(BigInt(next)), "parent" -> JInt(BigInt(parentV)),
+      "timestampMs" -> JInt(BigInt(System.currentTimeMillis())),
+      "operation" -> JString("append"), "files" -> inlineFiles)
+    // 3. CAS it in over the wire
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      "parentVersion" -> JInt(BigInt(parentV)), "version" -> JInt(BigInt(next)),
+      "storedJson" -> JString(JsonMethods.compact(JsonMethods.render(JObject(candidate.toList)))),
+      "moveHead" -> JBool(true))))
+    post(s"/v1/namespaces/db/tables/$table/commit", body, Some(token)).statusCode()
+  }
+
+  test("foreign engine commits via raw HTTP+JSON; graft reads the result") {
+    RestCatalogSpec.server
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.interop (id BIGINT)")
+    spark.sql("INSERT INTO graftr.db.interop VALUES (1), (2)")
+
+    val token = oauthRaw()
+    assert(foreignAppend(token, "interop", Seq(10L, 11L)) == 200)
+    // graft sees the foreign rows through its normal read path
+    assert(spark.sql("SELECT * FROM graftr.db.interop ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 10L, 11L))
+    // and keeps writing on top of the foreign commit
+    spark.sql("INSERT INTO graftr.db.interop VALUES (20)")
+    assert(spark.sql("SELECT count(*) FROM graftr.db.interop").collect()(0).getLong(0) == 5)
+    // lineage is intact: history walks through the foreign snapshot
+    val ops = spark.sql("SELECT operation FROM graftr.db.`interop$history` ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append", "append"))
+  }
+
+  test("foreign stale commit gets a 409 from the CAS, then succeeds on retry") {
+    RestCatalogSpec.server
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.race (id BIGINT)")
+    spark.sql("INSERT INTO graftr.db.race VALUES (1)")
+
+    val token = oauthRaw()
+    val staleParent = 0L // head is already v1
+    assert(foreignAppend(token, "race", Seq(99L), Some(staleParent)) == 409)
+    // Iceberg commit-retry semantics: rebuild against the new head and win
+    assert(foreignAppend(token, "race", Seq(99L)) == 200)
+    assert(spark.sql("SELECT * FROM graftr.db.race ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 99L))
+  }
+
+  test("unauthenticated foreign commit is rejected") {
+    RestCatalogSpec.server
+    val resp = post("/v1/namespaces/db/tables/interop/commit", "{}", None)
+    assert(resp.statusCode() == 401)
+  }
+}
