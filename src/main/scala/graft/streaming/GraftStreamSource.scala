@@ -64,7 +64,12 @@ class GraftSourceProvider extends StreamSourceProvider
     require(schema.isEmpty,
       "graft-stream derives its schema from the table; .schema(...) is not supported")
     val t = GraftTable.load(ctx.sparkSession, parameters("path"))
-    (shortName(), strip(t.schema))
+    val base = strip(t.schema)
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        GraftStreamSource.withCdcColumns(base)
+      else base
+    (shortName(), out)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -73,7 +78,8 @@ class GraftSourceProvider extends StreamSourceProvider
     new GraftStreamSource(ctx, parameters("path"),
       parameters.get("fromVersion").map(_.toLong),
       parameters.get("skipRewrites").exists(_.toBoolean),
-      parameters.get("maxFilesPerTrigger").map(_.toInt))
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("readChangeFeed").exists(_.toBoolean))
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
     * counterpart: every micro-batch appends in ONE snapshot commit that also
@@ -114,20 +120,47 @@ private class SnapshotLogProbe(path: String) {
   def exists: Boolean = new graft.table.SnapshotLog(path).exists
 }
 
+object GraftStreamSource {
+  /** CDC output columns (Iceberg changelog / Delta CDF shape). */
+  private[streaming] def withCdcColumns(base: StructType): StructType =
+    StructType(base.fields
+      :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)
+      :+ org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+}
+
+/** `readChangeFeed = true` switches the source to CDC mode (Iceberg's
+  * changelog scan / Delta's Change Data Feed): each micro-batch is the
+  * per-commit changelog of `(start, end]` — inserts AND deletes as rows
+  * tagged `_change_type`/`_commit_version`/`_change_ordinal` — so
+  * UPDATE/MERGE/DELETE snapshots stream as change rows instead of failing
+  * the appends-only contract. Carryover rows rewritten by compaction are
+  * filtered by the per-commit bag diff, so maintenance on a tailed table
+  * emits nothing. Starts at the CURRENT version by default (changes from
+  * now); pass `fromVersion` to replay history. `_change_ordinal` is dense
+  * within a batch, not globally — order by `_commit_version` downstream. */
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
-    skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
+    skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
+    readChangeFeed: Boolean = false)
   extends Source {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
-  private val base: Long = fromVersion.getOrElse(-1L)
+  private val base: Long =
+    fromVersion.getOrElse(if (readChangeFeed) table.log.currentVersion else -1L)
   // Pin the schema ID at source creation: every batch is projected through
   // it (ID-based, so rename/widen-safe), keeping the running query plan —
   // which is bound once, at stream start — valid across mid-stream schema
   // evolution. New columns simply don't appear until the stream restarts.
   private val pinnedSchemaId: Int = table.log.current.currentSchemaId
+  private val pinnedNames: Seq[String] = table.schema.fieldNames.toSeq
 
-  override def schema: StructType =
-    StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
+  override def schema: StructType = {
+    val basic = StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
+    if (readChangeFeed) GraftStreamSource.withCdcColumns(basic) else basic
+  }
 
   // Highest version already handed to the engine; re-seeded by getBatch on
   // checkpoint recovery, so rate limiting survives restarts.
@@ -183,8 +216,16 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(base)
     planned = math.max(planned, ver(end))
-    Bridge.streamingDataFrame(ctx.sparkSession,
-      table.readAppended(from, ver(end), skipRewrites, Some(pinnedSchemaId)))
+    val batch =
+      if (readChangeFeed) {
+        import org.apache.spark.sql.functions.col
+        // per-commit CDC rows; project to the PINNED columns (a column added
+        // mid-stream must not widen a bound plan) plus the CDC metadata
+        table.changelogDetailed(from, ver(end))
+          .select((pinnedNames ++ Seq("_change_type", "_commit_version", "_change_ordinal"))
+            .map(col): _*)
+      } else table.readAppended(from, ver(end), skipRewrites, Some(pinnedSchemaId))
+    Bridge.streamingDataFrame(ctx.sparkSession, batch)
   }
 
   override def stop(): Unit = ()

@@ -181,6 +181,79 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("readChangeFeed streams DML as change rows: insert, update, delete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = tmp("stream-cdc-")
+    val t = GraftTable.create(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdc")
+      .option("checkpointLocation", s"$path/../ckpt-cdc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_cdc").count() == 0) // CDC starts at current head
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      t.update(col("id") === 1L, Map("v" -> lit("A"))) // rewrite snapshot
+      t.delete(col("id") === 2L)                       // delete snapshot
+      q.processAllAvailable()
+      val got = spark.table("graft_cdc")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(
+        (3L, "c", "insert"),               // plain append
+        (1L, "a", "delete"), (1L, "A", "insert"), // CoW update = delete + insert
+        (2L, "b", "delete")))              // CoW delete
+      // carryover rows rewritten unchanged by the DML never appear as changes
+      assert(spark.table("graft_cdc").count() == 4)
+      // commit versions are the snapshot lineage, usable for ordering
+      val versions = spark.table("graft_cdc").select("_commit_version")
+        .collect().map(_.getLong(0)).distinct.sorted.toSeq
+      assert(versions.size == 3)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed: compaction on a tailed table emits no change rows") {
+    import spark.implicits._
+    val path = tmp("stream-cdc-mx-")
+    val t = GraftTable.create(spark, path, Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdc_mx")
+      .option("checkpointLocation", s"$path/../ckpt-cdc-mx").start()
+    try {
+      q.processAllAvailable()
+      t.rewriteDataFiles(1) // pure rewrite: same rows, fewer files
+      q.processAllAvailable()
+      assert(spark.table("graft_cdc_mx").count() == 0,
+        "compaction carryovers leaked into the change feed")
+      t.append(Seq(4L).toDF("id"))
+      q.processAllAvailable()
+      assert(spark.table("graft_cdc_mx").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((4L, "insert")))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed with fromVersion replays history from that snapshot") {
+    import spark.implicits._
+    val path = tmp("stream-cdc-re-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id")) // v0
+    t.append(Seq(2L).toDF("id"))                               // v1
+    t.delete(org.apache.spark.sql.functions.col("id") === 1L)  // v2
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true")
+      .option("fromVersion", "0").load()
+      .writeStream.format("memory").queryName("graft_cdc_re")
+      .option("checkpointLocation", s"$path/../ckpt-cdc-re").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_cdc_re")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((2L, "insert", 1L), (1L, "delete", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming a table through an UPDATE with skipRewrites never duplicates rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
