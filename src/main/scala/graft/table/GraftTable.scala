@@ -27,8 +27,13 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     logFactory: String => SnapshotLog = p => new SnapshotLog(p)) {
 
   /** Absolute table root — `_metadata.file_path` comparisons and snapshot
-    * entries must agree regardless of how the caller spelled the path. */
-  val path: String = Paths.get(rawPath).toAbsolutePath.normalize.toString
+    * entries must agree regardless of how the caller spelled the path.
+    * URI-schemed roots (`file://…`, `hdfs://…`, `s3a://…`) pass through
+    * verbatim — the [[FileIO]] binding and Spark's parquet scan both
+    * resolve them via the Hadoop `FileSystem` API. */
+  val path: String =
+    if (rawPath.contains("://")) rawPath.stripSuffix("/")
+    else Paths.get(rawPath).toAbsolutePath.normalize.toString
 
   /** All commits funnel through here — swapping the factory swaps the
     * commit transport (local filesystem CAS vs REST-catalog CAS) without
@@ -61,11 +66,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   /** Resolve a DataFile path: table-relative (`data/x.parquet`) or absolute
     * (imported in place by [[GraftTable.importParquet]]). */
-  private def resolve(p: String): String = if (p.startsWith("/")) p else s"$path/$p"
+  private def resolve(p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
 
-  /** Normalize a `_metadata.file_path` URI to a plain filesystem path. */
-  private def toLocal(p: String): String =
-    if (p.contains(":")) new java.net.URI(p).getPath else p
+  /** Canonical comparison/IO form of a data-file location: the scheme
+    * prefix dropped (with or without `//`), so `_metadata.file_path` URIs
+    * (`file:/a`, `hdfs:/a`, `s3a://bucket/k`), raw paths, and [[resolve]]
+    * outputs all compare equal. Safe for [[FileIO]] calls too — the
+    * table's `FileSystem` is scheme-bound at construction, and a
+    * scheme-less path qualifies against it. Same normalization the
+    * codegen'd regexp in [[rewritePositionDeleteFiles]] applies row-side. */
+  private def canon(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
 
   private[table] def readWithMeta(s: Snapshot): DataFrame = readSnapshot(s, withMeta = true)
 
@@ -430,19 +442,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * arbitrary-keyed EQUALITY-delete files instead. */
   private[table] def writeDeleteFiles(df: DataFrame,
       schema: StructType = deleteSchema): Seq[DataFile] = {
-    val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val staging = s"${log.root}/_staging-${UUID.randomUUID()}"
+    df.write.parquet(staging)
+    val parts = log.io.listNames(staging).filter(_.endsWith(".parquet"))
     val moved = parts.map { p =>
       val name = s"${UUID.randomUUID()}-deletes.parquet"
-      Files.move(p, log.dataDir.resolve(name))
+      log.io.rename(s"$staging/$p", s"${log.dataDir}/$name")
       name
     }
-    deleteRecursively(staging)
+    log.io.deleteRecursive(staging)
     if (moved.isEmpty) return Seq.empty
     statFiles(moved.map(n => s"$path/data/$n"), schema, -1,
-      abs => s"data/${Paths.get(abs).getFileName}")
+      abs => s"data/${fileName(abs)}")
   }
 
   /** Overwrite only rows matching `cond` with `df`, in ONE snapshot commit
@@ -566,10 +577,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val s = log.snapshot(v)
       (s.files ++ s.deleteFiles ++ s.eqDeleteFiles.map(_.file)).map(_.path)
     }.toSet
-    val existing = Files.list(log.dataDir).iterator().asScala.toSeq
-    val orphans = existing.filterNot(p => referenced.contains(s"data/${p.getFileName}"))
-    orphans.foreach(Files.deleteIfExists)
-    orphans.map(_.getFileName.toString)
+    val existing = log.io.listNames(log.dataDir)
+    val orphans = existing.filterNot(n => referenced.contains(s"data/$n"))
+    orphans.foreach(n => log.io.delete(s"${log.dataDir}/$n"))
+    orphans
   }
 
   /** `CALL rewrite_data_files`: compaction — same rows, `target` files. */
@@ -621,7 +632,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       // only entries whose target data file is still in the snapshot, via a
       // broadcast semi-join against the live file list (thousands of paths:
       // too many for isin literals, trivially broadcastable as a frame).
-      val live = head.files.map(f => resolve(f.path)).toDF("live_path")
+      val live = head.files.map(f => canon(resolve(f.path))).toDF("live_path")
       val targetBytes = head.properties.get("write.target-file-size-bytes")
         .map(_.toLong).getOrElse(128L * 1024 * 1024)
       val parts = math.max(1,
@@ -1121,8 +1132,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     import spark.implicits._
     log.listVersions.map { v =>
       val s = log.snapshot(v)
-      val p = log.metaDir.resolve(s"v$v.json")
-      (s"_graft/v$v.json", Files.size(p), s.version, s.operation,
+      (s"_graft/v$v.json", log.io.size(s"${log.metaDir}/v$v.json"), s.version, s.operation,
         s.files.size, s.files.map(_.rows).sum, s.schemas.size)
     }.toDF("path", "length", "version", "operation", "n_files", "total_rows", "n_schemas")
   }
@@ -1169,7 +1179,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     Files.createDirectories(dir)
     val manifest = dir.resolve("manifest.txt")
     val tmp = dir.resolve(s".manifest.tmp${UUID.randomUUID()}")
-    val uris = log.current.files.map(f => s"file://${resolve(f.path)}")
+    val uris = log.current.files.map { f =>
+      val p = resolve(f.path)
+      if (p.contains("://")) p else s"file://$p" // schemed roots keep their URI
+    }
     Files.writeString(tmp, uris.mkString("\n") + (if (uris.isEmpty) "" else "\n"))
     Files.move(tmp, manifest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1218,8 +1231,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * single-pass MERGE rescans exactly the touched files instead of
     * re-evaluating the source join. */
   private[table] def readTouchedWithMeta(s: Snapshot, touched: Seq[String]): DataFrame = {
-    val touchedSet = touched.map(toLocal).toSet
-    readFilesOf(s, s.files.filter(f => touchedSet.contains(resolve(f.path))), withMeta = true)
+    val touchedSet = touched.map(canon).toSet
+    readFilesOf(s, s.files.filter(f => touchedSet.contains(canon(resolve(f.path)))),
+      withMeta = true)
   }
 
   /** Commit a copy-on-write rewrite: `touched` absolute paths are replaced
@@ -1228,8 +1242,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       rewritten: DataFrame, op: String, extraRows: Option[DataFrame] = None): Snapshot = {
     val out = extraRows.map(rewritten.unionByName(_)).getOrElse(rewritten)
     val newFiles = writeFiles(out, head.currentSchemaId, head.properties)
-    val touchedSet = touched.map(toLocal).toSet
-    val kept = head.files.filterNot(f => touchedSet.contains(resolve(f.path)))
+    val touchedSet = touched.map(canon).toSet
+    val kept = head.files.filterNot(f => touchedSet.contains(canon(resolve(f.path))))
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
       operation = op, files = kept ++ newFiles))
@@ -1243,7 +1257,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * filters on the source column. */
   private[table] def writeFiles(df: DataFrame, schemaId: Int,
       props: Map[String, String]): Seq[DataFile] = {
-    val staging = log.root.resolve(s"_staging-${UUID.randomUUID()}")
+    val staging = s"${log.root}/_staging-${UUID.randomUUID()}"
     // `write.bloom-filter-columns`: per-column parquet Bloom filters — the
     // point-lookup complement to min/max bounds. A random-id equality rarely
     // prunes on ranges (every file spans the id space); the Bloom filter
@@ -1253,24 +1267,23 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     withTargetFileSize(props) {
-      arrange(df, props).write.options(bloomOpts).parquet(staging.toString)
+      arrange(df, props).write.options(bloomOpts).parquet(staging)
     }
-    val parts = Files.list(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = log.io.listNames(staging).filter(_.endsWith(".parquet"))
     val bucketed = GraftTable.bucketByOf(props).isDefined
     val moved = parts.map { p =>
       // bucketed writes keep the task's partition index as Spark's
       // `_NNNNN` bucket suffix (partition i = bucket i under the
       // repartition(n, col) layout) so the read side can group by bucket
       val name = if (bucketed) {
-        val m = GraftTable.StagedPart.matcher(p.getFileName.toString)
-        require(m.find(), s"unexpected staged part name: ${p.getFileName}")
+        val m = GraftTable.StagedPart.matcher(p)
+        require(m.find(), s"unexpected staged part name: $p")
         f"${UUID.randomUUID()}_${m.group(1).toInt}%05d.parquet"
       } else s"${UUID.randomUUID()}.parquet"
-      Files.move(p, log.dataDir.resolve(name))
+      log.io.rename(s"$staging/$p", s"${log.dataDir}/$name")
       name
     }
-    deleteRecursively(staging)
+    log.io.deleteRecursive(staging)
     if (moved.isEmpty) return Seq.empty
     val absolute = moved.map(n => s"$path/data/$n")
     val derived = PartitionTransform
@@ -1278,10 +1291,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .filterNot(_.isInstanceOf[PartitionTransform.Identity])
       .map(t => (t.canonical, t.column(col(t.source)), t.numeric))
     val files = statFiles(absolute, stripIds(df.schema), schemaId,
-      abs => s"data/${Paths.get(abs).getFileName}", derived)
+      abs => s"data/${fileName(abs)}", derived)
     // GC physically-empty parts (parquet writers can emit 0-row files)
     val present = files.map(f => resolve(f.path)).toSet
-    absolute.filterNot(present.contains).foreach(a => Files.deleteIfExists(Paths.get(a)))
+    absolute.filterNot(present.contains).foreach(log.io.delete)
     files
   }
 
@@ -1307,7 +1320,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val local = toLocal(r.getString(0))
+        val local = canon(r.getString(0))
         val stats = statFields.flatMap { f =>
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
@@ -1326,7 +1339,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           else Some(key -> ColumnStats(mn, mx, if (num) "long" else "string"))
         }.toMap
         DataFile(storeAs(local), r.getAs[Long]("_rows"),
-          Files.size(Paths.get(local)), schemaId, stats ++ transformStats)
+          log.io.size(local), schemaId, stats ++ transformStats)
       }.toSeq
   }
 
@@ -1414,10 +1427,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     case _ => false
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  /** Last segment of a path or URI. */
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
     * can contain `value` for `column` (the `SupportsPushDownFilters` seed —
@@ -1621,8 +1632,9 @@ object GraftTable {
     t.log.initDirs()
     val df = spark.read.parquet(parquetDir)
     val withIds = stampIds(df.schema)
-    val absPaths = Files.list(Paths.get(parquetDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val srcIo = FileIO.forPath(parquetDir)
+    val absPaths = srcIo.listNames(parquetDir).filter(_.endsWith(".parquet"))
+      .map(n => s"${parquetDir.stripSuffix("/")}/$n")
     val files = t.statFiles(absPaths, df.schema, 0, identity)
     val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "import",
       0, Map("0" -> withIds.json), files, Map.empty)

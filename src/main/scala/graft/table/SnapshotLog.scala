@@ -1,7 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -87,18 +85,25 @@ private[table] case class StoredSnapshot(
   * SURVEY.md §2.8 "Branching/tagging"). */
 case class Ref(version: Long, refType: String) // refType: "tag" | "branch"
 
-/** Filesystem snapshot log with optimistic-concurrency commits.
+/** Snapshot log with optimistic-concurrency commits over a [[FileIO]]
+  * storage binding — Hadoop `FileSystem` underneath, so the same log runs
+  * on local disk, HDFS, or an object store by changing only the table-root
+  * URI (the reference keeps table data + metadata on S3,
+  * `main.tf:616-619`).
   *
   * Layout under the table root:
   * {{{
   *   data/<uuid>.parquet      immutable data files
   *   _graft/v<N>.json         immutable snapshot metadata
-  *   _graft/HEAD              current version (atomic rename on update)
-  *   _graft/refs.json         tags/branches (atomic rename on update)
+  *   _graft/HEAD              current version (atomic replace on update)
+  *   _graft/refs.json         tags/branches (atomic replace on update)
   * }}}
   *
   * Commit protocol (SURVEY.md §7 "hard parts" #2): the new `v<N+1>.json` is
-  * created with create-if-absent — the filesystem's compare-and-swap. Two
+  * published with [[FileIO.createExclusive]] — the filesystem's
+  * compare-and-swap (POSIX `link(2)` locally, exists-failing rename under
+  * the HDFS contract; see [[FileIO]] for the per-store mapping, including
+  * why S3 commits should arbitrate through the REST catalog instead). Two
   * racing writers both build their candidate snapshot; exactly one wins the
   * create, the loser gets [[CommitConflictException]] and must retry on the
   * new head. HEAD is then updated via write-temp + atomic rename, and is only
@@ -106,37 +111,37 @@ case class Ref(version: Long, refType: String) // refType: "tag" | "branch"
   * local-filesystem analogue of the Iceberg REST catalog's CAS `updateTable`
   * (reference `main.tf:795-801`; SURVEY.md §3 EP1 step 7).
   */
-class SnapshotLog(tableRoot: String) {
+class SnapshotLog(tableRoot: String, val io: FileIO) {
+  def this(tableRoot: String) = this(tableRoot, FileIO.forPath(tableRoot))
+
   private implicit val fmts: Formats = DefaultFormats
 
-  val root: Path = Paths.get(tableRoot)
-  val metaDir: Path = root.resolve("_graft")
-  val dataDir: Path = root.resolve("data")
+  val root: String = tableRoot
+  val metaDir: String = s"$tableRoot/_graft"
+  val dataDir: String = s"$tableRoot/data"
+  private val headPath: String = s"$metaDir/HEAD"
 
-  def initDirs(): Unit = { Files.createDirectories(metaDir); Files.createDirectories(dataDir) }
-  def exists: Boolean = Files.exists(metaDir.resolve("HEAD"))
+  def initDirs(): Unit = { io.mkdirs(metaDir); io.mkdirs(dataDir) }
+  def exists: Boolean = io.exists(headPath)
 
-  private def versionPath(v: Long): Path = metaDir.resolve(s"v$v.json")
+  private def versionPath(v: Long): String = s"$metaDir/v$v.json"
 
-  def currentVersion: Long = {
-    val head = metaDir.resolve("HEAD")
-    if (Files.exists(head)) Files.readString(head).trim.toLong
+  def currentVersion: Long =
+    if (io.exists(headPath)) io.readString(headPath).trim.toLong
     else listVersions.lastOption.getOrElse(
       throw new IllegalStateException(s"no graft table at $tableRoot"))
-  }
 
   /** All snapshot versions still present in the log (ascending). */
   def listVersions: Seq[Long] =
-    Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+    io.listNames(metaDir)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
 
   def snapshot(v: Long): Snapshot = {
     val p = versionPath(v)
-    require(Files.exists(p), s"snapshot v$v does not exist (expired or never committed)")
-    hydrate(JsonMethods.parse(Files.readString(p)).extract[StoredSnapshot])
+    require(io.exists(p), s"snapshot v$v does not exist (expired or never committed)")
+    hydrate(JsonMethods.parse(io.readString(p)).extract[StoredSnapshot])
   }
 
   // ---- manifest chunks ----------------------------------------------------
@@ -144,24 +149,19 @@ class SnapshotLog(tableRoot: String) {
   // the Iceberg manifest split. Cached in memory — a chunk never changes.
   private val chunkCache = scala.collection.concurrent.TrieMap.empty[String, Seq[DataFile]]
 
-  private def chunkPath(name: String): Path = metaDir.resolve(name)
+  private def chunkPath(name: String): String = s"$metaDir/$name"
 
   private def readChunk(name: String): Seq[DataFile] =
     chunkCache.getOrElseUpdate(name,
-      JsonMethods.parse(Files.readString(chunkPath(name))).extract[Seq[DataFile]])
+      JsonMethods.parse(io.readString(chunkPath(name))).extract[Seq[DataFile]])
 
   private def writeChunk(files: Seq[DataFile]): String = {
     val json = Serialization.write(files)
     val hash = java.security.MessageDigest.getInstance("SHA-256")
       .digest(json.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val name = s"m-$hash.json"
-    if (!Files.exists(chunkPath(name))) {
-      val tmp = metaDir.resolve(s".$name.tmp${util.Random.nextLong().abs}")
-      Files.writeString(tmp, json)
-      try Files.createLink(chunkPath(name), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () } // identical content
-      Files.deleteIfExists(tmp)
-    }
+    if (!io.exists(chunkPath(name)))
+      io.createExclusive(chunkPath(name), json) // losing the race is fine: identical content
     chunkCache.put(name, files)
     name
   }
@@ -172,8 +172,8 @@ class SnapshotLog(tableRoot: String) {
   private val ConsolidateAt = 32
 
   private def storedManifests(v: Long): Seq[String] =
-    if (!Files.exists(versionPath(v))) Seq.empty
-    else JsonMethods.parse(Files.readString(versionPath(v))).extract[StoredSnapshot].manifests
+    if (!io.exists(versionPath(v))) Seq.empty
+    else JsonMethods.parse(io.readString(versionPath(v))).extract[StoredSnapshot].manifests
 
   /** Split a snapshot's file list for storage: reuse every parent chunk whose
     * files all survive, write ONE fresh chunk for the rest. The version JSON
@@ -208,8 +208,8 @@ class SnapshotLog(tableRoot: String) {
     * "file.seq = version that introduced it" holds by construction. */
   private def stampNew(snap: Snapshot, parentVersion: Long): Snapshot = {
     val parentPaths =
-      if (parentVersion >= 0 && Files.exists(versionPath(parentVersion)))
-        hydrate(JsonMethods.parse(Files.readString(versionPath(parentVersion)))
+      if (parentVersion >= 0 && io.exists(versionPath(parentVersion)))
+        hydrate(JsonMethods.parse(io.readString(versionPath(parentVersion)))
           .extract[StoredSnapshot]).files.map(_.path).toSet
       else Set.empty[String]
     snap.copy(files = snap.files.map(f =>
@@ -242,32 +242,26 @@ class SnapshotLog(tableRoot: String) {
 
   /** Server-side half: publish a fully-built, serialized candidate. The
     * exclusive create of `v<N>.json` IS the CAS (a plain move's
-    * exists-check-then-rename has a race window on POSIX); with `moveHead`
-    * the linear-head check runs first and HEAD advances on success. This is
+    * exists-check-then-rename has a race window on POSIX; see [[FileIO]]
+    * for how each store provides the primitive); with `moveHead` the
+    * linear-head check runs first and HEAD advances on success. This is
     * the REST server's commit entry point — and the local path funnels
     * through it too, so both modes share one protocol. */
   def commitRaw(parentVersion: Long, version: Long, storedJson: String,
       moveHead: Boolean): Unit = {
     if (moveHead) {
-      val headNow = if (Files.exists(metaDir.resolve("HEAD"))) currentVersion else -1L
+      val headNow = if (io.exists(headPath)) currentVersion else -1L
       if (headNow != parentVersion)
         throw new CommitConflictException(
           s"stale commit: parent v$parentVersion but head is v$headNow")
-    } else require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
+    } else require(io.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
     val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
     if (version != next)
       throw new CommitConflictException(
         s"candidate v$version is stale: next version is v$next; retry on the new head")
-    val tmp = metaDir.resolve(s".v$version.json.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, storedJson)
-    try Files.createLink(versionPath(version), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new CommitConflictException(
-          s"concurrent commit created v$version first; retry on the new head")
-    }
-    Files.deleteIfExists(tmp)
+    if (!io.createExclusive(versionPath(version), storedJson))
+      throw new CommitConflictException(
+        s"concurrent commit created v$version first; retry on the new head")
     if (moveHead) writeHead(version)
   }
 
@@ -277,7 +271,7 @@ class SnapshotLog(tableRoot: String) {
     * likewise only ever appends metadata versions). Losing either check ->
     * [[CommitConflictException]], retry on the new head. */
   def commit(parentVersion: Long, build: Long => Snapshot): Snapshot = {
-    val headNow = if (Files.exists(metaDir.resolve("HEAD"))) currentVersion else -1L
+    val headNow = if (io.exists(headPath)) currentVersion else -1L
     if (headNow != parentVersion)
       throw new CommitConflictException(
         s"stale commit: parent v$parentVersion but head is v$headNow")
@@ -291,7 +285,7 @@ class SnapshotLog(tableRoot: String) {
     * not HEAD, so the linear-head check doesn't apply; version numbers stay
     * globally unique via max+1 allocation). */
   def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
-    require(Files.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
+    require(io.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
     val (snap, json) = prepare(parentVersion, build)
     commitRaw(parentVersion, snap.version, json, moveHead = false)
     snap
@@ -300,37 +294,28 @@ class SnapshotLog(tableRoot: String) {
   /** Move HEAD to an existing snapshot (rollback_to_snapshot /
     * set_current_snapshot — SURVEY.md §2.8 CALL procedures). */
   def setHead(v: Long): Unit = {
-    require(Files.exists(versionPath(v)), s"cannot set HEAD to missing v$v")
+    require(io.exists(versionPath(v)), s"cannot set HEAD to missing v$v")
     writeHead(v)
   }
 
-  private def writeHead(v: Long): Unit = {
-    val tmp = metaDir.resolve(s".HEAD.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, metaDir.resolve("HEAD"), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeHead(v: Long): Unit = io.writeAtomicReplace(headPath, v.toString)
 
   // ---- refs (tags / branches) --------------------------------------------
-  private def refsPath: Path = metaDir.resolve("refs.json")
+  private def refsPath: String = s"$metaDir/refs.json"
 
   def refs: Map[String, Ref] =
-    if (!Files.exists(refsPath)) Map.empty
-    else JsonMethods.parse(Files.readString(refsPath)).extract[Map[String, Ref]]
+    if (!io.exists(refsPath)) Map.empty
+    else JsonMethods.parse(io.readString(refsPath)).extract[Map[String, Ref]]
 
   def setRef(name: String, ref: Ref): Unit = {
-    require(Files.exists(versionPath(ref.version)), s"ref to missing v${ref.version}")
+    require(io.exists(versionPath(ref.version)), s"ref to missing v${ref.version}")
     writeRefs(refs + (name -> ref))
   }
 
   def dropRef(name: String): Unit = writeRefs(refs - name)
 
-  private def writeRefs(m: Map[String, Ref]): Unit = {
-    val tmp = metaDir.resolve(s".refs.tmp${util.Random.nextLong().abs}")
-    Files.writeString(tmp, Serialization.write(m))
-    Files.move(tmp, refsPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeRefs(m: Map[String, Ref]): Unit =
+    io.writeAtomicReplace(refsPath, Serialization.write(m))
 
   /** Delete snapshot JSONs strictly older than `keepFrom` (never HEAD or a
     * ref target), then GC manifest chunks no surviving snapshot references.
@@ -338,14 +323,11 @@ class SnapshotLog(tableRoot: String) {
   def expireMetadata(keepFrom: Long): Seq[Long] = {
     val protectedVs = refs.values.map(_.version).toSet + currentVersion
     val expired = listVersions.filter(v => v < keepFrom && !protectedVs.contains(v))
-    expired.foreach(v => Files.deleteIfExists(versionPath(v)))
+    expired.foreach(v => io.delete(versionPath(v)))
     val referenced = listVersions.flatMap(storedManifests).toSet
-    Files.list(metaDir).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("m-") && n.endsWith(".json") && !referenced.contains(n)
-      }
-      .foreach(Files.deleteIfExists(_))
+    io.listNames(metaDir)
+      .filter(n => n.startsWith("m-") && n.endsWith(".json") && !referenced.contains(n))
+      .foreach(n => io.delete(chunkPath(n)))
     expired
   }
 }

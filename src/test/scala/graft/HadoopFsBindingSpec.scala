@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+import graft.table.{CommitConflictException, GraftTable, HadoopFileIO, Snapshot, SnapshotLog}
+
+/** Local stand-in for an HDFS-contract store: bytes live on local disk, but
+  * the scheme is not `file`, so [[HadoopFileIO]] takes its generic (non-
+  * POSIX) code paths — and rename-onto-existing FAILS like HDFS's NameNode
+  * rename (RawLocalFileSystem would happily clobber via POSIX `rename(2)`,
+  * which is exactly the semantic difference the CAS depends on). */
+class HdfsContractFs extends RawLocalFileSystem {
+  override def getScheme: String = "hcfs"
+  override def getUri: java.net.URI = java.net.URI.create("hcfs:///")
+  override def rename(src: HPath, dst: HPath): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+}
+
+/** The object-store binding (VERDICT r6 next-step #3; reference
+  * `main.tf:616-619` keeps data + metadata on S3): all table IO routes
+  * through the Hadoop `FileSystem` API, so a non-local store is pure
+  * configuration. Proven two ways — the commit CAS + log protocol over an
+  * HDFS-contract scheme, and the full table layer over a `file://`-schemed
+  * root (and over `hcfs://` end-to-end through Spark itself). */
+class HadoopFsBindingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hcfsConf(): Configuration = {
+    val c = new Configuration()
+    c.set("fs.hcfs.impl", classOf[HdfsContractFs].getName)
+    c
+  }
+
+  private def tmpAbs(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).toAbsolutePath.toString
+
+  private def snap0 = Snapshot(0L, -1L, 1L, "create", 0, Map("0" -> "{}"), Seq.empty)
+
+  test("createExclusive is a CAS on an HDFS-contract scheme (rename-based)") {
+    val root = s"hcfs://${tmpAbs("graft-hcfs-io-")}"
+    val io = new HadoopFileIO(root, hcfsConf())
+    io.mkdirs(root)
+    assert(io.createExclusive(s"$root/x.json", "winner"))
+    assert(!io.createExclusive(s"$root/x.json", "loser"))
+    assert(io.readString(s"$root/x.json") == "winner") // loser never clobbers
+    // atomic-replace + list + size + rename round out the contract
+    io.writeAtomicReplace(s"$root/HEAD", "0")
+    io.writeAtomicReplace(s"$root/HEAD", "1")
+    assert(io.readString(s"$root/HEAD") == "1")
+    assert(io.listNames(root).toSet == Set("x.json", "HEAD"))
+    assert(io.size(s"$root/x.json") == "winner".length)
+    io.rename(s"$root/x.json", s"$root/y.json")
+    assert(!io.exists(s"$root/x.json") && io.readString(s"$root/y.json") == "winner")
+    assert(io.listNames(s"$root/nope").isEmpty)
+  }
+
+  test("snapshot-log commit protocol holds over an HDFS-contract scheme") {
+    val root = s"hcfs://${tmpAbs("graft-hcfs-log-")}"
+    val log = new SnapshotLog(root, new HadoopFileIO(root, hcfsConf()))
+    log.initDirs()
+    log.commit(-1L, v => snap0.copy(version = v))
+    log.commit(0L, v => snap0.copy(version = v, parent = 0L, operation = "append"))
+    assert(log.currentVersion == 1L && log.listVersions == Seq(0L, 1L))
+    assert(log.snapshot(1L).operation == "append")
+    // stale parent → conflict (head moved on)
+    intercept[CommitConflictException] {
+      log.commit(0L, v => snap0.copy(version = v, parent = 0L))
+    }
+    // racing publish of the same candidate version → exactly one wins
+    intercept[CommitConflictException] {
+      log.commitRaw(0L, 1L, "{}", moveHead = false)
+    }
+  }
+
+  test("expire through the binding deletes only unprotected versions") {
+    val root = s"hcfs://${tmpAbs("graft-hcfs-exp-")}"
+    val log = new SnapshotLog(root, new HadoopFileIO(root, hcfsConf()))
+    log.initDirs()
+    log.commit(-1L, v => snap0.copy(version = v))
+    log.commit(0L, v => snap0.copy(version = v, parent = 0L, operation = "append"))
+    log.commit(1L, v => snap0.copy(version = v, parent = 1L, operation = "append"))
+    log.setRef("keep", graft.table.Ref(0L, "tag"))
+    assert(log.expireMetadata(2L) == Seq(1L)) // v0 ref-protected, v2 is head
+    assert(log.listVersions == Seq(0L, 2L))
+  }
+
+  test("full table layer works on a file://-schemed root") {
+    val root = s"file://${tmpAbs("graft-furi-")}/tbl"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    assert(t.read.count() == 3)
+    t.delete(col("id") === 2L)
+    assert(t.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(t.readVersion(1).count() == 3) // time travel intact
+    assert(t.manifestsMeta.count() == t.log.listVersions.size) // io.size path
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read.count() == 2) // orphan GC didn't eat live files
+  }
+
+  test("full table layer works end-to-end over the HDFS-contract scheme through Spark") {
+    // Register the scheme with the session so Spark's own parquet read/write
+    // (scan, staging commit) resolves it too — the S3 story in miniature:
+    // table root swaps, zero code changes.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hcfs.impl", classOf[HdfsContractFs].getName)
+    val root = s"hcfs://${tmpAbs("graft-hcfs-tbl-")}/tbl"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "amount"))
+    assert(t.read.count() == 3)
+    t.delete(col("id") === 1L)
+    assert(t.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val conflictFree = t.log.currentVersion
+    assert(t.readVersion(conflictFree - 1).count() == 3)
+    t.removeOrphanFiles()
+    assert(t.read.count() == 2)
+  }
+}
