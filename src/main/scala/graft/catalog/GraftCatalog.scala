@@ -1,6 +1,5 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
@@ -9,7 +8,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.table.GraftTable
+import graft.table.{FileIO, GraftTable}
 
 /** DSv2 `TableCatalog` over graft tables — the Spark-native analogue of the
   * reference's catalog wiring (`spark.sql.catalog.<name> = SparkCatalog`,
@@ -21,9 +20,11 @@ import graft.table.GraftTable
   * and the full SQL surface works: CREATE NAMESPACE / CREATE TABLE / CTAS /
   * INSERT INTO / INSERT OVERWRITE / SELECT (incl. `VERSION AS OF` and
   * `TIMESTAMP AS OF` time travel via the loadTable overloads) / ALTER TABLE
-  * ADD|RENAME|DROP COLUMN / DROP TABLE — resolved against the local
-  * warehouse directory instead of a REST endpoint (SURVEY.md §2.1 scopes the
-  * HTTP client out for a single-process engine).
+  * ADD|RENAME|DROP COLUMN / DROP TABLE — resolved against a warehouse
+  * directory (any Hadoop-`FileSystem` URI via [[graft.table.FileIO]]), or
+  * against a REST catalog endpoint with `uri`/`credential` options
+  * ([[graft.rest.RestCatalogClient]] — the reference's `main.tf:795-801`
+  * wiring).
   *
   * Layout: `<warehouse>/<namespace>/<table>/` — each table dir is a snapshot
   * log owned by [[graft.table.GraftTable]].
@@ -33,6 +34,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private var catalogName: String = _
   private var warehouse: String = _
+  // Warehouse IO through the same Hadoop FileSystem seam as the table layer
+  // (graft.table.FileIO), so an object-store warehouse is pure config.
+  private var io: FileIO = _
   // REST mode (reference `main.tf:795-801`): namespace/table DDL, table
   // resolution, and the commit CAS route through the catalog server; the
   // data plane (parquet + snapshot JSONs) stays on shared storage, whose
@@ -52,18 +56,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           throw new IllegalArgumentException(
             s"catalog $name requires the 'warehouse' option (or 'uri' for REST mode)"))
     }
-    Files.createDirectories(Paths.get(warehouse))
+    io = FileIO.forPath(warehouse)
+    io.mkdirs(warehouse)
   }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
 
-  private def nsPath(ns: Array[String]) = Paths.get((warehouse +: ns).mkString("/"))
+  private def nsPath(ns: Array[String]): String = (warehouse +: ns).mkString("/")
   private def tablePath(ident: Identifier): String =
     (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
-  private def isTable(p: java.nio.file.Path): Boolean =
-    Files.exists(p.resolve("_graft").resolve("HEAD"))
+  private def isTable(p: String): Boolean = io.exists(s"$p/_graft/HEAD")
 
   /** Load a table with the mode-appropriate commit transport: local CAS, or
     * [[graft.rest.RestSnapshotLog]] so every write CASes through the server. */
@@ -110,8 +114,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private implicit val jsonFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
-  private def viewPath(ident: Identifier): java.nio.file.Path =
-    nsPath(ident.namespace()).resolve("_views").resolve(s"${ident.name()}.json")
+  private def viewPath(ident: Identifier): String =
+    s"${nsPath(ident.namespace())}/_views/${ident.name()}.json"
+  private def viewsDir(ns: Array[String]): String = s"${nsPath(ns)}/_views"
 
   private def toView(ident: Identifier, sv: StoredView): View = new View {
     override def name(): String =
@@ -128,24 +133,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private def readStoredView(ident: Identifier): StoredView =
-    org.json4s.jackson.JsonMethods.parse(Files.readString(viewPath(ident)))
+    org.json4s.jackson.JsonMethods.parse(io.readString(viewPath(ident)))
       .extract[StoredView]
 
   private def writeStoredView(ident: Identifier, sv: StoredView): Unit = {
-    Files.createDirectories(viewPath(ident).getParent)
-    Files.writeString(viewPath(ident), org.json4s.jackson.Serialization.write(sv))
+    io.mkdirs(viewsDir(ident.namespace()))
+    io.writeAtomicReplace(viewPath(ident), org.json4s.jackson.Serialization.write(sv))
   }
 
-  override def viewExists(ident: Identifier): Boolean = Files.exists(viewPath(ident))
+  override def viewExists(ident: Identifier): Boolean = io.exists(viewPath(ident))
 
-  override def listViews(namespace: String*): Array[Identifier] = {
-    val dir = nsPath(namespace.toArray).resolve("_views")
-    if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+  override def listViews(namespace: String*): Array[Identifier] =
+    io.listNames(viewsDir(namespace.toArray)).filter(_.endsWith(".json"))
       .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".json")))
       .toArray
-  }
 
   override def loadView(ident: Identifier): View = {
     if (!viewExists(ident))
@@ -156,7 +157,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def createView(info: ViewInfo): View = {
     if (viewExists(info.ident))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
-    if (!Files.isDirectory(nsPath(info.ident.namespace())))
+    if (!io.isDirectory(nsPath(info.ident.namespace())))
       throw new NoSuchNamespaceException(info.ident.namespace())
     writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
       info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
@@ -182,16 +183,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     toView(ident, updated)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    Files.deleteIfExists(viewPath(ident))
+  override def dropView(ident: Identifier): Boolean = io.delete(viewPath(ident))
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
     if (viewExists(to))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
-    Files.createDirectories(viewPath(to).getParent)
-    Files.move(viewPath(from), viewPath(to))
+    io.mkdirs(viewsDir(to.namespace()))
+    io.rename(viewPath(from), viewPath(to))
   }
 
   // ------------------------------------------------------------- tables
@@ -202,16 +202,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       c.listTables(ns.toSeq).map(Identifier.of(ns, _)).toArray
     case None =>
       val p = nsPath(ns)
-      if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(ns)
-      Files.list(p).iterator().asScala
-        .filter(isTable)
-        .map(d => Identifier.of(ns, d.getFileName.toString))
+      if (!io.isDirectory(p)) throw new NoSuchNamespaceException(ns)
+      io.listNames(p)
+        .filter(n => isTable(s"$p/$n"))
+        .map(n => Identifier.of(ns, n))
         .toArray
   }
 
   override def tableExists(ident: Identifier): Boolean = rest match {
     case Some(c) => c.tableExists(ident.namespace().toSeq, ident.name())
-    case None => isTable(Paths.get(tablePath(ident)))
+    case None => isTable(tablePath(ident))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -338,9 +338,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def dropTable(ident: Identifier): Boolean = rest match {
     case Some(c) => c.dropTable(ident.namespace().toSeq, ident.name())
     case None =>
-      val p = Paths.get(tablePath(ident))
+      val p = tablePath(ident)
       if (!isTable(p)) return false
-      deleteRecursively(p)
+      io.deleteRecursive(p)
       true
   }
 
@@ -351,8 +351,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case Some(c) => c.renameTable(from.namespace().toSeq, from.name(),
         to.namespace().toSeq, to.name())
       case None =>
-        Files.createDirectories(Paths.get(tablePath(to)).getParent)
-        Files.move(Paths.get(tablePath(from)), Paths.get(tablePath(to)))
+        io.mkdirs(nsPath(to.namespace()))
+        io.rename(tablePath(from), tablePath(to))
     }
   }
 
@@ -361,9 +361,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listNamespaces(): Array[Array[String]] = rest match {
     case Some(c) => c.listNamespaces().map(_.toArray).toArray
     case None =>
-      Files.list(Paths.get(warehouse)).iterator().asScala
-        .filter(p => Files.isDirectory(p) && !isTable(p))
-        .map(p => Array(p.getFileName.toString)).toArray
+      io.listNames(warehouse)
+        .filter(n => io.isDirectory(s"$warehouse/$n") && !isTable(s"$warehouse/$n"))
+        .map(n => Array(n)).toArray
   }
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
@@ -374,18 +374,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def namespaceExists(ns: Array[String]): Boolean =
     ns.isEmpty || (rest match {
       case Some(c) => c.namespaceExists(ns.toSeq)
-      case None => Files.isDirectory(nsPath(ns)) && !isTable(nsPath(ns))
+      case None => io.isDirectory(nsPath(ns)) && !isTable(nsPath(ns))
     })
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(ns).toString).asJava
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(ns)).asJava
   }
 
   override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit =
     rest match {
       case Some(c) => c.createNamespace(ns.toSeq)
-      case None => Files.createDirectories(nsPath(ns))
+      case None => io.mkdirs(nsPath(ns))
     }
 
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
@@ -401,15 +401,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     case None =>
       val p = nsPath(ns)
-      if (!Files.isDirectory(p)) return false
-      if (!cascade && Files.list(p).iterator().asScala.nonEmpty)
+      if (!io.isDirectory(p)) return false
+      if (!cascade && io.listNames(p).nonEmpty)
         throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-      deleteRecursively(p)
+      io.deleteRecursive(p)
       true
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

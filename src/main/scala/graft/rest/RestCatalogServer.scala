@@ -2,14 +2,12 @@ package graft.rest
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 import org.apache.spark.sql.types.{DataType, StructType}
-import graft.table.{CommitConflictException, GraftTable, Ref, Snapshot, SnapshotLog}
+import graft.table.{CommitConflictException, FileIO, GraftTable, Ref, Snapshot, SnapshotLog}
 
 /** Commit request: the client built and serialized the candidate snapshot
   * (and already wrote its manifest chunks to shared storage); the server
@@ -72,8 +70,13 @@ class RestCatalogServer(val warehouse: String,
   private val tokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private var server: HttpServer = _
 
+  // Warehouse IO through the Hadoop FileSystem seam — the catalog server
+  // arbitrates commits while metadata lives on any FS the URI names (the
+  // reference's warehouse is S3, `main.tf:616-619`).
+  private val io: FileIO = FileIO.forPath(warehouse)
+
   def start(): RestCatalogServer = {
-    Files.createDirectories(Paths.get(warehouse))
+    io.mkdirs(warehouse)
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null) // single dispatch thread: metadata ops are tiny
@@ -92,11 +95,10 @@ class RestCatalogServer(val warehouse: String,
   private val Sep = "\u001f" // Iceberg REST multipart-namespace separator
   private def decNs(seg: String): Seq[String] =
     java.net.URLDecoder.decode(seg, "UTF-8").split(Sep).toSeq
-  private def nsDir(ns: Seq[String]) = Paths.get((warehouse +: ns).mkString("/"))
+  private def nsDir(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
   private def tableRoot(ns: Seq[String], t: String): String =
     (warehouse +: ns :+ t).mkString("/")
-  private def isTable(p: java.nio.file.Path): Boolean =
-    Files.exists(p.resolve("_graft").resolve("HEAD"))
+  private def isTable(p: String): Boolean = io.exists(s"$p/_graft/HEAD")
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -158,39 +160,38 @@ class RestCatalogServer(val warehouse: String,
     (method, segs) match {
       // ---- namespaces ----------------------------------------------------
       case ("GET", "namespaces" :: Nil) =>
-        val all = Files.list(Paths.get(warehouse)).iterator().asScala
-          .filter(p => Files.isDirectory(p) && !isTable(p))
-          .map(p => Seq(p.getFileName.toString)).toSeq
+        val all = io.listNames(warehouse)
+          .filter(n => io.isDirectory(s"$warehouse/$n") && !isTable(s"$warehouse/$n"))
+          .map(Seq(_))
         ok(ex, Serialization.write(Map("namespaces" -> all)))
       case ("POST", "namespaces" :: Nil) =>
         val req = JsonMethods.parse(readBody(ex)).extract[CreateNsReq]
-        Files.createDirectories(nsDir(req.namespace))
+        io.mkdirs(nsDir(req.namespace))
         ok(ex)
       case ("GET", "namespaces" :: ns :: Nil) =>
         val dir = nsDir(decNs(ns))
-        if (Files.isDirectory(dir) && !isTable(dir))
+        if (io.isDirectory(dir) && !isTable(dir))
           ok(ex, Serialization.write(Map("namespace" -> decNs(ns))))
         else err(ex, 404, s"no namespace $ns")
       case ("DELETE", "namespaces" :: ns :: Nil) =>
         val dir = nsDir(decNs(ns))
-        if (!Files.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
-        else if (Files.list(dir).iterator().asScala.nonEmpty)
+        if (!io.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
+        else if (io.listNames(dir).nonEmpty)
           err(ex, 409, s"namespace $ns is not empty")
-        else { Files.delete(dir); ok(ex) }
+        else { io.delete(dir); ok(ex) }
 
       // ---- tables --------------------------------------------------------
       case ("GET", "namespaces" :: ns :: "tables" :: Nil) =>
         val dir = nsDir(decNs(ns))
-        if (!Files.isDirectory(dir)) return err(ex, 404, s"no namespace $ns")
-        val names = Files.list(dir).iterator().asScala.filter(isTable)
-          .map(_.getFileName.toString).toSeq
+        if (!io.isDirectory(dir)) return err(ex, 404, s"no namespace $ns")
+        val names = io.listNames(dir).filter(n => isTable(s"$dir/$n"))
         ok(ex, Serialization.write(Map("identifiers" ->
           names.map(n => Map("namespace" -> decNs(ns), "name" -> n)))))
       case ("POST", "namespaces" :: ns :: "tables" :: Nil) =>
         val req = JsonMethods.parse(readBody(ex)).extract[CreateTableReq]
         val root = tableRoot(decNs(ns), req.name)
-        if (isTable(Paths.get(root))) return err(ex, 409, s"table ${req.name} exists")
-        if (!Files.isDirectory(nsDir(decNs(ns)))) return err(ex, 404, s"no namespace $ns")
+        if (isTable(root)) return err(ex, 409, s"table ${req.name} exists")
+        if (!io.isDirectory(nsDir(decNs(ns)))) return err(ex, 404, s"no namespace $ns")
         val log = logOf(root)
         log.initDirs()
         val withIds = GraftTable.stampIds(
@@ -200,29 +201,29 @@ class RestCatalogServer(val warehouse: String,
         ok(ex, Serialization.write(Map("location" -> root)))
       case ("GET", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
-        if (!isTable(Paths.get(root))) err(ex, 404, s"no table $t")
+        if (!isTable(root)) err(ex, 404, s"no table $t")
         else ok(ex, Serialization.write(Map(
           "location" -> root, "currentVersion" -> logOf(root).currentVersion)))
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
-        val root = Paths.get(tableRoot(decNs(ns), t))
+        val root = tableRoot(decNs(ns), t)
         if (!isTable(root)) err(ex, 404, s"no table $t")
-        else { deleteRecursively(root); logs.remove(root.toString); ok(ex) }
+        else { io.deleteRecursive(root); logs.remove(root); ok(ex) }
       case ("POST", "tables" :: "rename" :: Nil) =>
         val req = JsonMethods.parse(readBody(ex)).extract[RenameReq]
-        val from = Paths.get(tableRoot(req.fromNamespace, req.fromName))
-        val to = Paths.get(tableRoot(req.toNamespace, req.toName))
+        val from = tableRoot(req.fromNamespace, req.fromName)
+        val to = tableRoot(req.toNamespace, req.toName)
         if (!isTable(from)) return err(ex, 404, s"no table ${req.fromName}")
         if (isTable(to)) return err(ex, 409, s"table ${req.toName} exists")
-        Files.createDirectories(to.getParent)
-        Files.move(from, to)
-        logs.remove(from.toString)
+        io.mkdirs(nsDir(req.toNamespace))
+        io.rename(from, to)
+        logs.remove(from)
         ok(ex)
 
       // ---- commit CAS + head + refs -------------------------------------
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "commit" :: Nil) =>
         val req = JsonMethods.parse(readBody(ex)).extract[CommitReq]
         val root = tableRoot(decNs(ns), t)
-        if (!Files.isDirectory(Paths.get(root).resolve("_graft")))
+        if (!io.isDirectory(s"$root/_graft"))
           return err(ex, 404, s"no table $t")
         logOf(root).commitRaw(req.parentVersion, req.version, req.storedJson, req.moveHead)
         ok(ex)
@@ -240,9 +241,4 @@ class RestCatalogServer(val warehouse: String,
 
       case _ => err(ex, 404, s"$method ${segs.mkString("/")}")
     }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
 }

@@ -49,7 +49,9 @@ trait FileIO {
   def createExclusive(p: String, content: String): Boolean
   /** Child names (not paths) of `dir`; empty if the directory is absent. */
   def listNames(dir: String): Seq[String]
-  def delete(p: String): Unit
+  def isDirectory(p: String): Boolean
+  /** Delete a file or empty directory; false if it did not exist. */
+  def delete(p: String): Boolean
   def deleteRecursive(p: String): Unit
   def size(p: String): Long
   /** Move `src` to a not-yet-existing `dst` (staging promote). */
@@ -136,7 +138,11 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
     try fs.listStatus(hp(dir)).toSeq.map(_.getPath.getName)
     catch { case _: java.io.FileNotFoundException => Seq.empty }
 
-  override def delete(p: String): Unit = fs.delete(hp(p), false)
+  override def isDirectory(p: String): Boolean =
+    try fs.getFileStatus(hp(p)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  override def delete(p: String): Boolean = fs.delete(hp(p), false)
   override def deleteRecursive(p: String): Unit = fs.delete(hp(p), true)
   override def size(p: String): Long = fs.getFileStatus(hp(p)).getLen
 
