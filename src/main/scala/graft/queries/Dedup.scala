@@ -256,17 +256,72 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Prefix length for the exact edit-distance check: levenshtein is
+    * O(len²) per pair, so production pipelines verify on a bounded prefix
+    * (near-dups diverge early; a 400-char window catches boilerplate +
+    * template dups without quadratic blowup on long docs). */
+  private val EditPrefix = 400
+
+  /** Edit-distance VERIFIED near-dup (the RefinedWeb/CCNet two-stage
+    * pattern): cheap candidate generation first — docs sharing a rare
+    * shingle, the q43 inverted-index join — then the expensive exact check
+    * (levenshtein similarity ≥ 0.8) runs ONLY on candidate pairs. At 100 TB
+    * the candidate join is a key-equality shuffle bounded by the
+    * hot-shingle cap; the O(len²) edit distance never sees a non-candidate
+    * pair, and texts join back to pairs by doc id (broadcast-or-shuffle by
+    * stats), never carried through the shingle explosion. */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+      .filter($"df" <= HotShingleCap).drop("df")
+    val cand = rare.as("a").join(rare.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val t = documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, EditPrefix).as("t"))
+    cand
+      .join(t.toDF("d1", "t1"), "d1")
+      .join(t.toDF("d2", "t2"), "d2")
+      .withColumn("edit_sim", round(
+        lit(1.0) - levenshtein($"t1", $"t2").cast("double") /
+          greatest(length($"t1"), length($"t2")), 4))
+      .filter($"edit_sim" >= 0.8)
+      .select($"d1", $"d2", $"edit_sim")
+      .orderBy($"d1", $"d2")
+  }
+
+  val q82Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= $HotShingleCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+       |t AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS t FROM documents)
+       |SELECT d1, d2,
+       |       round(1.0 - levenshtein(t1.t, t2.t)::DOUBLE / greatest(len(t1.t), len(t2.t)), 4) AS edit_sim
+       |FROM cand JOIN t t1 ON d1 = t1.doc_id JOIN t t2 ON d2 = t2.doc_id
+       |WHERE round(1.0 - levenshtein(t1.t, t2.t)::DOUBLE / greatest(len(t1.t), len(t2.t)), 4) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
     "q42_dedup_simhash"       -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
-    "q67_dedup_simhash_pairs" -> q67)
+    "q67_dedup_simhash_pairs" -> q67,
+    "q82_dedup_editdist"      -> q82)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
     "q41_dedup_minhash_lsh"   -> q41Sql,
     "q42_dedup_simhash"       -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
-    "q67_dedup_simhash_pairs" -> q67Sql)
+    "q67_dedup_simhash_pairs" -> q67Sql,
+    "q82_dedup_editdist"      -> q82Sql)
 }

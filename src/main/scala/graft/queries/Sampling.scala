@@ -67,11 +67,47 @@ object Sampling {
       |WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT < m.m::DOUBLE / cnt * 65536.0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Temperature-based data-mixing rebalance (α = 0.5): resample so the
+    * per-language share follows n^α instead of n — the multilingual-corpus
+    * standard (mBERT/XLM-R exponential smoothing) that keeps head languages
+    * dominant but lifts the tail. keep_rate(l) = sqrt(min_cnt / cnt_l): the
+    * rarest language keeps everything, a language k× larger keeps 1/√k of
+    * itself. Deterministic hash-uniform vs per-class threshold — same
+    * 100 TB shape as q58: one tiny per-class aggregate broadcast back, then
+    * a scan-shaped filter; no per-class window, so class skew never
+    * funnels through one task. sqrt/division are IEEE-exact in both
+    * engines, so the oracle verifies identical row selection. */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+      .withColumn("hv", conv(substring(
+        md5(concat(lit("mix|"), $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val floorCnt = counts.agg(min($"cnt").as("m"))
+    docs.join(broadcast(counts), "lang").crossJoin(broadcast(floorCnt))
+      .filter($"hv".cast("double") / 65536.0 < sqrt($"m".cast("double") / $"cnt"))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT min(cnt) AS m FROM counts)
+      |SELECT doc_id, lang
+      |FROM documents d JOIN counts USING (lang), m
+      |WHERE ('0x' || substr(md5('mix|' || doc_id), 1, 4))::BIGINT / 65536.0
+      |        < sqrt(m.m::DOUBLE / cnt)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hash_split"        -> q57,
-    "q58_stratified_sample" -> q58)
+    "q58_stratified_sample" -> q58,
+    "q83_mix_rebalance"     -> q83)
 
   val oracleSql: Map[String, String] = Map(
     "q57_hash_split"        -> q57Sql,
-    "q58_stratified_sample" -> q58Sql)
+    "q58_stratified_sample" -> q58Sql,
+    "q83_mix_rebalance"     -> q83Sql)
 }

@@ -173,17 +173,52 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Corpus vocabulary induction: top-k tokens by term frequency with
+    * document frequency and corpus share — the frequency table a
+    * BPE/unigram tokenizer trainer starts from. 100 TB shape: one
+    * token-keyed partial→final aggregate over the token scan (the heavy
+    * step, map-side combinable), a scalar total broadcast back, and the
+    * top-k plans as TakeOrderedAndProject — per-partition heaps, never a
+    * global sort of the vocabulary. Ties at the cut break on the token
+    * itself, so the selected set is deterministic on both engines. */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val stats = toks.groupBy($"tok")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    val total = stats.agg(sum($"tf").as("total"))
+    stats.crossJoin(broadcast(total))
+      .withColumn("share", round($"tf".cast("double") / $"total", 6))
+      .select($"tok", $"tf", $"df", $"share")
+      .orderBy($"tf".desc, $"tok")
+      .limit(200)
+  }
+
+  val q84Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |stats AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |          FROM toks WHERE length(tok) > 0 GROUP BY tok),
+      |total AS (SELECT sum(tf)::DOUBLE AS total FROM stats)
+      |SELECT tok, tf, df, round(tf::DOUBLE / total, 6) AS share
+      |FROM stats, total
+      |ORDER BY tf DESC, tok LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
     "q48_text_tokens"      -> q48,
     "q49_text_fingerprint" -> q49,
-    "q69_text_nfc"         -> q69)
+    "q69_text_nfc"         -> q69,
+    "q84_token_vocab"      -> q84)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
     "q47_text_langid"      -> q47Sql,
     "q48_text_tokens"      -> q48Sql,
     "q49_text_fingerprint" -> q49Sql,
-    "q69_text_nfc"         -> q69Sql)
+    "q69_text_nfc"         -> q69Sql,
+    "q84_token_vocab"      -> q84Sql)
 }

@@ -123,11 +123,24 @@ class PlanDisciplineSpec extends SparkSpec {
   }
 
   test("new pair-generation queries never degrade to cartesian products") {
-    Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf))
+    Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf),
+        graft.queries.Dedup.q82(spark, sf))
       .foreach { df =>
         val plan = planOf(df)
         assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
       }
+  }
+
+  test("q84: vocabulary top-k plans as TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(graft.queries.TextAnalysis.q84(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q83: mix rebalance is scan-shaped — the only exchanges serve the tiny per-class aggregate") {
+    val plan = planOf(graft.queries.Sampling.q83(spark, sf))
+    // docs side joins the per-class thresholds via broadcast; no doc-keyed shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("SELECT count(*) on a catalog table is metadata-only — no scan in the plan") {
