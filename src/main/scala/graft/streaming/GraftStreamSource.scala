@@ -82,22 +82,37 @@ class GraftSourceProvider extends StreamSourceProvider
       parameters.get("readChangeFeed").exists(_.toBoolean))
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
-    * counterpart: every micro-batch appends in ONE snapshot commit that also
+    * counterpart: every micro-batch lands in ONE snapshot commit that also
     * records the batch id, so a replayed batch after failure recovery is
     * detected and skipped (exactly-once on top of foreachBatch-style
     * at-least-once delivery). The table is created from the stream's schema
-    * on the first batch if absent. */
+    * on the first batch if absent.
+    *
+    * `.option("upsertKeys", "k1,k2")` switches the sink from append to
+    * UPSERT: each batch MERGEs on the key columns (matched rows update, new
+    * keys insert) — the Delta `foreachBatch`-merge idiom as a first-class
+    * sink mode, which is exactly what consuming a change feed into a
+    * mirror table needs. The batch id rides on the merge's own commit
+    * (one CAS — replay detection and the data change are atomic). Each
+    * batch must carry at most one row per key (pre-aggregate upstream
+    * otherwise); violations raise the MERGE cardinality error rather than
+    * silently picking a row. */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode):
       org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      "graft-stream sink is append-only (snapshots are immutable increments)")
-    new GraftStreamSink(parameters("path"))
+    val keys = parameters.get("upsertKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val append = org.apache.spark.sql.streaming.OutputMode.Append()
+    val update = org.apache.spark.sql.streaming.OutputMode.Update()
+    require(outputMode == append || (keys.nonEmpty && outputMode == update),
+      "graft-stream sink is append-only (snapshots are immutable increments); " +
+      "set upsertKeys for merge-per-batch upserts (Append or Update mode)")
+    new GraftStreamSink(parameters("path"), keys)
   }
 }
 
-class GraftStreamSink(path: String)
+class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -105,13 +120,24 @@ class GraftStreamSink(path: String)
     // the incoming frame is streaming-planned; re-tag it as batch so the
     // append's normal transformations can run over it
     val batch = Bridge.batchDataFrame(spark, data)
+    val exists = new SnapshotLogProbe(path).exists
     val t =
-      if (new SnapshotLogProbe(path).exists) GraftTable.load(spark, path)
+      if (exists) GraftTable.load(spark, path)
       else GraftTable.createEmpty(spark, path,
         StructType(batch.schema.fields.map(_.copy(metadata = Metadata.empty))))
     val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
     if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
-    t.append(batch, Map("stream.last-batch-id" -> batchId.toString))
+    val stamp = Map("stream.last-batch-id" -> batchId.toString)
+    if (upsertKeys.isEmpty || !exists) t.append(batch, stamp)
+    else {
+      import org.apache.spark.sql.functions.col
+      val cond = upsertKeys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      t.merge(batch, cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withCommitProperties(stamp)
+        .execute()
+    }
   }
 }
 

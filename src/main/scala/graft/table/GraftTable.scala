@@ -1239,14 +1239,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   /** Commit a copy-on-write rewrite: `touched` absolute paths are replaced
     * by the freshly-written `rewritten` rows; all other files carry over. */
   private[table] def replaceFiles(head: Snapshot, touched: Seq[String],
-      rewritten: DataFrame, op: String, extraRows: Option[DataFrame] = None): Snapshot = {
+      rewritten: DataFrame, op: String, extraRows: Option[DataFrame] = None,
+      props: Map[String, String] = Map.empty): Snapshot = {
     val out = extraRows.map(rewritten.unionByName(_)).getOrElse(rewritten)
     val newFiles = writeFiles(out, head.currentSchemaId, head.properties)
     val touchedSet = touched.map(canon).toSet
     val kept = head.files.filterNot(f => touchedSet.contains(canon(resolve(f.path))))
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
-      operation = op, files = kept ++ newFiles))
+      operation = op, files = kept ++ newFiles,
+      properties = head.properties ++ props))
   }
 
   /** Write rows as immutable data files + collect per-file stats in one

@@ -58,6 +58,12 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     bySource :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
   }
 
+  private var commitProps: Map[String, String] = Map.empty
+  /** Extra table properties recorded ATOMICALLY on the merge's snapshot
+    * commit — e.g. the streaming upsert sink's batch id, so exactly-once
+    * replay detection and the data change are one CAS. */
+  def withCommitProperties(p: Map[String, String]): this.type = { commitProps = p; this }
+
   /** Runs the merge; a lost commit CAS (concurrent writer) re-executes the
     * whole merge against the new head (Iceberg commit-retry semantics). */
   def execute(): Snapshot = table.retryOnConflict() { executeOnce() }
@@ -150,7 +156,8 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
           version = v, parent = head.version,
           timestampMs = System.currentTimeMillis(),
           operation = "merge", files = head.files ++ newFiles,
-          deleteFiles = head.deleteFiles ++ newDeletes))
+          deleteFiles = head.deleteFiles ++ newDeletes,
+          properties = head.properties ++ commitProps))
       } else {
         // ---- copy-on-write: rewrite only the files containing affected
         // rows. Second pass reads the touched files (NOT the join) and
@@ -168,7 +175,8 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
             when(col("n._clause").isNotNull, col(s"n.${f.name}"))
               .otherwise(col(s"o.${f.name}")).as(f.name)): _*)
         table.replaceFiles(head, touched, rewritten, "merge",
-          extraRows = if (notMatched.nonEmpty) Some(inserts) else None)
+          extraRows = if (notMatched.nonEmpty) Some(inserts) else None,
+          props = commitProps)
       }
     } finally annotated.unpersist()
   }

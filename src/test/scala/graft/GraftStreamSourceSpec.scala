@@ -92,6 +92,41 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink upsertKeys: each batch MERGEs on the key — updates in place, inserts new keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("stream-upsert-")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("path", path)
+      .option("upsertKeys", "id")
+      .option("checkpointLocation", s"$path/../ckpt-upsert")
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c")) // update id=2, insert id=3
+      q.processAllAvailable()
+      val t = GraftTable.load(spark, path)
+      val got = t.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      assert(t.log.current.operation == "merge")
+      // replayed batch id: no-op — the batch-id marker rode the merge commit
+      val before = t.log.currentVersion
+      new graft.streaming.GraftStreamSink(path, Seq("id"))
+        .addBatch(1L, Seq((9L, "z")).toDF("id", "v"))
+      assert(GraftTable.load(spark, path).log.currentVersion == before)
+      // a genuinely new batch id upserts
+      new graft.streaming.GraftStreamSink(path, Seq("id"))
+        .addBatch(2L, Seq((1L, "A2"), (4L, "d")).toDF("id", "v"))
+      val t2 = GraftTable.load(spark, path)
+      val got2 = t2.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got2 == Seq((1L, "A2"), (2L, "B"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
+
   test("a rewrite snapshot in the range fails the increment; skipRewrites streams appends only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
