@@ -394,11 +394,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = rest match {
     case Some(c) =>
       if (!c.namespaceExists(ns.toSeq)) false
-      else {
-        // server refuses non-empty namespaces; cascade drops tables first
-        if (cascade) c.listTables(ns.toSeq).foreach(t => c.dropTable(ns.toSeq, t))
-        c.dropNamespace(ns.toSeq)
-      }
+      // server-side cascade drops the whole tree (tables, stored views,
+      // nested namespaces); non-cascade lets the server 409 on non-empty
+      else c.dropNamespace(ns.toSeq, cascade)
     case None =>
       val p = nsPath(ns)
       if (!io.isDirectory(p)) return false

@@ -82,12 +82,29 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     expect(send("POST", "/v1/namespaces", Some(Serialization.write(CreateNsReq(ns)))),
       "create namespace")
 
-  def namespaceExists(ns: Seq[String]): Boolean =
-    send("GET", s"/v1/namespaces/${encNs(ns)}").statusCode() == 200
+  /** 200 → true, 404 → false; any OTHER status (401 auth, 500 server) is a
+    * real failure and raises — an existence probe must never report
+    * "absent" because the server errored (a caller would then e.g. attempt
+    * CREATE on an existing table). */
+  private def probe(path: String, what: String): Boolean = {
+    val resp = send("GET", path)
+    resp.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case _ => expect(resp, what); false // expect throws for non-200
+    }
+  }
 
-  /** Returns false on 404; propagates 409 (non-empty). */
-  def dropNamespace(ns: Seq[String]): Boolean = {
-    val resp = send("DELETE", s"/v1/namespaces/${encNs(ns)}")
+  def namespaceExists(ns: Seq[String]): Boolean =
+    probe(s"/v1/namespaces/${encNs(ns)}", "namespace existence check")
+
+  /** Returns false on 404; propagates 409 (non-empty). `cascade` asks the
+    * server to drop the whole namespace tree — tables, stored views, and
+    * nested namespaces — matching the local warehouse catalog's recursive
+    * CASCADE semantics. */
+  def dropNamespace(ns: Seq[String], cascade: Boolean = false): Boolean = {
+    val suffix = if (cascade) "?cascade=true" else ""
+    val resp = send("DELETE", s"/v1/namespaces/${encNs(ns)}$suffix")
     if (resp.statusCode() == 404) false
     else { expect(resp, "drop namespace"); true }
   }
@@ -99,7 +116,7 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       .extract[Seq[Map[String, Any]]].map(_("name").toString)
 
   def tableExists(ns: Seq[String], table: String): Boolean =
-    send("GET", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}").statusCode() == 200
+    probe(s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}", "table existence check")
 
   /** Table location on shared storage, or None if absent. */
   def tableLocation(ns: Seq[String], table: String): Option[String] = {
@@ -114,8 +131,13 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       Some(Serialization.write(CreateTableReq(table, schemaJson, properties)))),
       "create table") \ "location").extract[String]
 
-  def dropTable(ns: Seq[String], table: String): Boolean =
-    send("DELETE", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}").statusCode() == 200
+  /** Returns false only on 404 (no such table); auth/server errors raise
+    * instead of masquerading as "nothing to drop". */
+  def dropTable(ns: Seq[String], table: String): Boolean = {
+    val resp = send("DELETE", s"/v1/namespaces/${encNs(ns)}/tables/${enc(table)}")
+    if (resp.statusCode() == 404) false
+    else { expect(resp, "drop table"); true }
+  }
 
   def renameTable(fromNs: Seq[String], from: String, toNs: Seq[String], to: String): Unit =
     expect(send("POST", "/v1/tables/rename",

@@ -175,8 +175,15 @@ class RestCatalogServer(val warehouse: String,
         else err(ex, 404, s"no namespace $ns")
       case ("DELETE", "namespaces" :: ns :: Nil) =>
         val dir = nsDir(decNs(ns))
+        val cascade = Option(ex.getRequestURI.getQuery).getOrElse("").contains("cascade=true")
         if (!io.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
-        else if (io.listNames(dir).nonEmpty)
+        else if (cascade) {
+          // drop the whole tree — tables, stored views, nested namespaces —
+          // matching the warehouse catalog's recursive CASCADE
+          io.listNames(dir).filter(n => isTable(s"$dir/$n"))
+            .foreach(n => logs.remove(s"$dir/$n"))
+          io.deleteRecursive(dir); ok(ex)
+        } else if (io.listNames(dir).nonEmpty)
           err(ex, 409, s"namespace $ns is not empty")
         else { io.delete(dir); ok(ex) }
 

@@ -79,7 +79,8 @@ class GraftSourceProvider extends StreamSourceProvider
       parameters.get("fromVersion").map(_.toLong),
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
-      parameters.get("readChangeFeed").exists(_.toBoolean))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      metadataPath = Some(metadataPath))
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
     * counterpart: every micro-batch lands in ONE snapshot commit that also
@@ -95,8 +96,8 @@ class GraftSourceProvider extends StreamSourceProvider
     * mirror table needs. The batch id rides on the merge's own commit
     * (one CAS — replay detection and the data change are atomic). Each
     * batch must carry at most one row per key (pre-aggregate upstream
-    * otherwise); violations raise the MERGE cardinality error rather than
-    * silently picking a row. */
+    * otherwise); every batch is checked and violations fail the batch
+    * rather than silently inserting duplicate keys. */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode):
@@ -128,9 +129,19 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty)
     val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
     if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
     val stamp = Map("stream.last-batch-id" -> batchId.toString)
-    if (upsertKeys.isEmpty || !exists) t.append(batch, stamp)
+    if (upsertKeys.isEmpty) { t.append(batch, stamp); return }
+    // Enforce the at-most-one-row-per-key contract on EVERY batch — the
+    // MERGE cardinality check only catches duplicates that hit an existing
+    // target row; duplicates among fresh keys (or in the table-creating
+    // first batch) would otherwise insert silently and corrupt the mirror.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = batch.groupBy(upsertKeys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    if (dup > 0) throw new IllegalStateException(
+      s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
+      "pre-aggregate the stream to one row per key per batch")
+    if (!exists) t.append(batch, stamp)
     else {
-      import org.apache.spark.sql.functions.col
       val cond = upsertKeys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       t.merge(batch, cond)
         .whenMatchedUpdateAll()
@@ -170,18 +181,42 @@ object GraftStreamSource {
   * within a batch, not globally — order by `_commit_version` downstream. */
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
     skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false, metadataPath: Option[String] = None)
   extends Source {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
-  private val base: Long =
-    fromVersion.getOrElse(if (readChangeFeed) table.log.currentVersion else -1L)
+  /** Start offset. PERSISTED under the source's checkpoint metadata dir on
+    * first creation: the CDC default is "changes from the current version",
+    * and `currentVersion` moves — a restart recovering the first
+    * not-yet-committed micro-batch must replay `(base, end]` with the
+    * ORIGINAL base, or changes committed between stream start and the
+    * crash would be silently skipped (or the replay could even ask for a
+    * reversed range and die). create-exclusive means the first creation
+    * wins and every recovery reads the same value. */
+  private val base: Long = {
+    val chosen = fromVersion.getOrElse(if (readChangeFeed) table.log.currentVersion else -1L)
+    metadataPath match {
+      case Some(mp) =>
+        val io = graft.table.FileIO.forPath(mp)
+        io.mkdirs(mp)
+        io.createExclusive(s"$mp/graft-base", chosen.toString)
+        io.readString(s"$mp/graft-base").trim.toLong
+      case None => chosen
+    }
+  }
   // Pin the schema ID at source creation: every batch is projected through
   // it (ID-based, so rename/widen-safe), keeping the running query plan —
   // which is bound once, at stream start — valid across mid-stream schema
   // evolution. New columns simply don't appear until the stream restarts.
   private val pinnedSchemaId: Int = table.log.current.currentSchemaId
   private val pinnedNames: Seq[String] = table.schema.fieldNames.toSeq
+  // Pinned FIELD IDS for the CDC branch: changelog batches carry the END
+  // version's column names, so each batch re-resolves the pinned ids
+  // against that version's schema — a mid-stream RENAME keeps streaming
+  // under the original (bound-plan) names, same contract as the non-CDC
+  // path's pinnedSchemaId projection.
+  private val pinnedIds: Seq[(Int, String)] =
+    table.schema.fields.toSeq.map(f => (table.fieldId(f), f.name))
 
   override def schema: StructType = {
     val basic = StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
@@ -245,11 +280,20 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
     val batch =
       if (readChangeFeed) {
         import org.apache.spark.sql.functions.col
-        // per-commit CDC rows; project to the PINNED columns (a column added
-        // mid-stream must not widen a bound plan) plus the CDC metadata
+        // per-commit CDC rows; resolve the PINNED field ids against the END
+        // version's names and alias back (rename-safe; a column added
+        // mid-stream must not widen a bound plan). A pinned column DROPPED
+        // mid-stream cannot be represented — fail with the cause named.
+        val byId = table.schemaAtVersion(ver(end)).fields
+          .map(f => table.fieldId(f) -> f.name).toMap
+        val dataCols = pinnedIds.map { case (id, name) =>
+          col(byId.getOrElse(id, throw new IllegalStateException(
+            s"CDC stream: column '$name' (field id $id) was dropped mid-stream; " +
+            "restart the stream to bind the new schema"))).as(name)
+        }
         table.changelogDetailed(from, ver(end))
-          .select((pinnedNames ++ Seq("_change_type", "_commit_version", "_change_ordinal"))
-            .map(col): _*)
+          .select(dataCols ++
+            Seq("_change_type", "_commit_version", "_change_ordinal").map(col): _*)
       } else table.readAppended(from, ver(end), skipRewrites, Some(pinnedSchemaId))
     Bridge.streamingDataFrame(ctx.sparkSession, batch)
   }

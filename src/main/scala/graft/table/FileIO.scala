@@ -81,9 +81,12 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
   private val posix: Boolean = fs.getScheme == "file"
 
   private def hp(p: String) = new HPath(p)
-  /** Local filesystem view of a `file:`-schemed or schemeless path. */
+  /** Local filesystem view of a `file:`-schemed or schemeless path.
+    * String surgery, not java.net.URI — these are plain paths, not
+    * URI-encoded, so a space or bracket in a directory name must not
+    * throw URISyntaxException. */
   private def lp(p: String) =
-    Paths.get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+    Paths.get(if (p.startsWith("file:")) p.substring(5).replaceFirst("^/+", "/") else p)
   private def tmpName(p: String) = {
     val h = hp(p)
     new HPath(h.getParent, s".${h.getName}.tmp${util.Random.nextLong().abs}")
@@ -111,9 +114,20 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
     } else {
       val tmp = tmpName(p)
       writeFully(tmp, content)
-      fs.delete(hp(p), false)
-      if (!fs.rename(tmp, hp(p)))
-        throw new java.io.IOException(s"rename $tmp -> $p failed")
+      // Prefer FileContext rename-with-OVERWRITE: atomic on HDFS, so the
+      // target never transiently disappears. Schemes without an
+      // AbstractFileSystem binding fall back to delete+rename — a brief
+      // not-exists window, which [[SnapshotLog]] tolerates (existence and
+      // head checks recover by listing vN.json, see `exists`/`commitRaw`).
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(hp(p).toUri, conf)
+        fc.rename(hp(tmp.toString), hp(p), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(hp(p), false)
+          if (!fs.rename(tmp, hp(p)))
+            throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
     }
 
   override def createExclusive(p: String, content: String): Boolean =

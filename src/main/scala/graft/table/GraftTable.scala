@@ -62,22 +62,35 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private def schemaOf(s: Snapshot, id: Int): StructType =
     DataType.fromJson(s.schemas(id.toString)).asInstanceOf[StructType]
 
-  private def fieldId(f: StructField): Int = f.metadata.getLong("graft.id").toInt
+  private[graft] def fieldId(f: StructField): Int = f.metadata.getLong("graft.id").toInt
+
+  /** Schema (with field-id metadata) in effect at snapshot `v` — lets the
+    * streaming CDC source map its pinned field ids onto the column names a
+    * changelog batch carries. */
+  private[graft] def schemaAtVersion(v: Long): StructType = {
+    val s = log.snapshot(v)
+    schemaOf(s, s.currentSchemaId)
+  }
 
   /** Resolve a DataFile path: table-relative (`data/x.parquet`) or absolute
     * (imported in place by [[GraftTable.importParquet]]). */
   private def resolve(p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
 
-  /** Canonical comparison/IO form of a data-file location: the scheme
-    * prefix dropped (with or without `//`), so `_metadata.file_path` URIs
-    * (`file:/a`, `hdfs:/a`, `s3a://bucket/k`), raw paths, and [[resolve]]
-    * outputs all compare equal. Safe for [[FileIO]] calls too — the
-    * table's `FileSystem` is scheme-bound at construction, and a
-    * scheme-less path qualifies against it. Same normalization the
-    * codegen'd regexp in [[rewritePositionDeleteFiles]] applies row-side. */
+  /** Canonical comparison/IO form of a data-file location. The ONLY
+    * divergence between `_metadata.file_path` renderings (`file:/a`,
+    * `hcfs:/a` — Hadoop `Path.toString` collapses an EMPTY authority) and
+    * [[resolve]] outputs (`file:///a`, `hcfs:///a`) is the slash count
+    * after an empty authority, so canon strips `scheme:` / `scheme://`
+    * only when an absolute path follows. Authority-bearing URIs
+    * (`s3a://bucket/k`, `hdfs://nn:8020/a`) render identically on both
+    * sides and MUST pass through untouched — stripping them would leave a
+    * relative path that mis-resolves against the FileSystem working dir
+    * (or parses `nn:8020` as a scheme). The result stays directly usable
+    * for [[FileIO]] calls. Same normalization the codegen'd regexp in
+    * [[rewritePositionDeleteFiles]] applies row-side. */
   private def canon(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?(?=/)", "")
 
   private[table] def readWithMeta(s: Snapshot): DataFrame = readSnapshot(s, withMeta = true)
 
@@ -627,11 +640,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     if (head.deleteFiles.isEmpty) head
     else {
       import spark.implicits._
-      // file_path is the parquet _metadata rendering (a `file:` URI) — strip
-      // the scheme with a codegen'd regexp (no UDF in the path), then keep
-      // only entries whose target data file is still in the snapshot, via a
-      // broadcast semi-join against the live file list (thousands of paths:
-      // too many for isin literals, trivially broadcastable as a frame).
+      // file_path is the parquet _metadata rendering — normalize the
+      // empty-authority scheme prefix with a codegen'd regexp (no UDF in
+      // the path; same rule as canon), then keep only entries whose target
+      // data file is still in the snapshot, via a broadcast semi-join
+      // against the live file list (thousands of paths: too many for isin
+      // literals, trivially broadcastable as a frame).
       val live = head.files.map(f => canon(resolve(f.path))).toDF("live_path")
       val targetBytes = head.properties.get("write.target-file-size-bytes")
         .map(_.toLong).getOrElse(128L * 1024 * 1024)
@@ -640,7 +654,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val kept = spark.read.schema(deleteSchema)
         .parquet(head.deleteFiles.map(f => resolve(f.path)): _*)
         .join(broadcast(live),
-          regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+          regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?(?=/)", "")
             === col("live_path"), "left_semi")
         .repartition(parts)
       val newDeletes = writeDeleteFiles(kept)

@@ -122,7 +122,11 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   private val headPath: String = s"$metaDir/HEAD"
 
   def initDirs(): Unit = { io.mkdirs(metaDir); io.mkdirs(dataDir) }
-  def exists: Boolean = io.exists(headPath)
+  /** Table existence: HEAD, or any committed snapshot. The listing
+    * fallback matters on stores where the HEAD replace is delete+rename —
+    * a probe in that window must not conclude "no table" (a streaming sink
+    * acting on that would auto-create an empty table over a live one). */
+  def exists: Boolean = io.exists(headPath) || listVersions.nonEmpty
 
   private def versionPath(v: Long): String = s"$metaDir/v$v.json"
 
@@ -250,7 +254,10 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   def commitRaw(parentVersion: Long, version: Long, storedJson: String,
       moveHead: Boolean): Unit = {
     if (moveHead) {
-      val headNow = if (io.exists(headPath)) currentVersion else -1L
+      // `exists` (not a bare HEAD probe): during a non-posix HEAD replace
+      // the file is briefly absent, and a commit(-1) racing that window
+      // must still see the table as existing and fail the stale check.
+      val headNow = if (exists) currentVersion else -1L
       if (headNow != parentVersion)
         throw new CommitConflictException(
           s"stale commit: parent v$parentVersion but head is v$headNow")
@@ -271,7 +278,7 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * likewise only ever appends metadata versions). Losing either check ->
     * [[CommitConflictException]], retry on the new head. */
   def commit(parentVersion: Long, build: Long => Snapshot): Snapshot = {
-    val headNow = if (io.exists(headPath)) currentVersion else -1L
+    val headNow = if (exists) currentVersion else -1L
     if (headNow != parentVersion)
       throw new CommitConflictException(
         s"stale commit: parent v$parentVersion but head is v$headNow")

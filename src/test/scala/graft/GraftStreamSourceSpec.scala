@@ -216,6 +216,63 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("CDC start offset is persisted: batch-0 recovery replays from the ORIGINAL base") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val path = tmp("stream-cdcbase-")
+    val meta = tmp("stream-cdcbase-meta-")
+    val t = GraftTable.create(spark, path, Seq((1L, "a")).toDF("id", "v")) // v0
+    // first source instance pins base = current (v0) and persists it
+    val s1 = new graft.streaming.GraftStreamSource(spark.sqlContext, path,
+      fromVersion = None, readChangeFeed = true, metadataPath = Some(meta))
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    // crash before batch 0 commits: a NEW source instance recovers. Without
+    // persistence its base would re-evaluate to the CURRENT version (v2) —
+    // getOffset would return None and the replayed range (v0, v2] would be
+    // silently lost. With persistence it re-reads base = v0.
+    assert(graft.table.FileIO.forPath(meta).readString(s"$meta/graft-base").trim == "0")
+    val s2 = new graft.streaming.GraftStreamSource(spark.sqlContext, path,
+      fromVersion = None, readChangeFeed = true, metadataPath = Some(meta))
+    assert(s2.getOffset.contains(LongOffset(2L)),
+      "recovered source must still see (v0, v2] as pending")
+    s1.stop(); s2.stop()
+  }
+
+  test("CDC survives a mid-stream column rename — pinned ids resolve the new names") {
+    import spark.implicits._
+    val path = tmp("stream-cdcren-")
+    val t = GraftTable.create(spark, path, Seq((1L, "a")).toDF("id", "v")) // v0
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("graft_cdcren")
+      .option("checkpointLocation", s"$path/../ckpt-cdcren").start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      q.processAllAvailable()
+      t.renameColumn("v", "val") // metadata-only snapshot
+      GraftTable.load(spark, path).append(Seq((3L, "c")).toDF("id", "val"))
+      q.processAllAvailable() // pre-fix: AnalysisException (unresolved 'v') kills the query
+      // change rows keep arriving under the ORIGINAL (bound-plan) names
+      assert(spark.table("graft_cdcren").schema.fieldNames.take(2).toSeq == Seq("id", "v"))
+      val ins = spark.table("graft_cdcren")
+        .filter(org.apache.spark.sql.functions.col("_change_type") === "insert")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(ins == Seq((2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("upsert sink rejects a batch with duplicate keys instead of inserting both") {
+    import spark.implicits._
+    val path = tmp("stream-upsertdup-")
+    val sink = new graft.streaming.GraftStreamSink(path, Seq("id"))
+    val e = intercept[IllegalStateException] {
+      sink.addBatch(0L, Seq((5L, "a"), (5L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("multiple rows per"))
+  }
+
   test("readChangeFeed streams DML as change rows: insert, update, delete") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -12,10 +12,23 @@ import graft.table.{CommitConflictException, GraftTable, HadoopFileIO, Snapshot,
   * rename (RawLocalFileSystem would happily clobber via POSIX `rename(2)`,
   * which is exactly the semantic difference the CAS depends on). */
 class HdfsContractFs extends RawLocalFileSystem {
+  // keep the initialized authority in the FS URI, like real HDFS keeps
+  // hdfs://namenode:8020 — makeQualified then preserves it, so listings and
+  // input paths agree on the rendering (the local backing store ignores it)
+  private var fsUri: java.net.URI = java.net.URI.create("hcfs:///")
+  override def initialize(name: java.net.URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    fsUri = Option(name.getAuthority).filter(_.nonEmpty)
+      .map(a => java.net.URI.create(s"hcfs://$a"))
+      .getOrElse(java.net.URI.create("hcfs:///"))
+    super.initialize(name, conf)
+  }
   override def getScheme: String = "hcfs"
-  override def getUri: java.net.URI = java.net.URI.create("hcfs:///")
+  override def getUri: java.net.URI = // null-safe: super's ctor calls this pre-init
+    if (fsUri == null) java.net.URI.create("hcfs:///") else fsUri
   override def rename(src: HPath, dst: HPath): Boolean =
     if (exists(dst)) false else super.rename(src, dst)
+  // accept authority-less paths against an authority-bearing instance
+  override def checkPath(path: HPath): Unit = ()
 }
 
 /** The object-store binding (VERDICT r6 next-step #3; reference
@@ -98,6 +111,49 @@ class HadoopFsBindingSpec extends SparkSpec {
     assert(t.manifestsMeta.count() == t.log.listVersions.size) // io.size path
     t.expireSnapshots(keepLast = 1)
     assert(t.read.count() == 2) // orphan GC didn't eat live files
+  }
+
+  test("authority-bearing root (hcfs://ns1/...) — CoW DML matches files correctly") {
+    // regression: canon() must NOT strip scheme+authority (s3a://bucket/...,
+    // hdfs://nn:8020/...) — that left a relative path and every
+    // delete/update silently became a no-op
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hcfs.impl", classOf[HdfsContractFs].getName)
+    val root = s"hcfs://ns1${tmpAbs("graft-auth-")}/tbl"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "amount"))
+    t.delete(col("id") === 2L)
+    assert(t.read.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    t.update(col("id") === 3L, Map("amount" -> lit(99.0)))
+    assert(t.read.filter(col("id") === 3L).collect().head.getDouble(2) == 99.0)
+  }
+
+  test("local root with a space in the path — commits do not URI-parse") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft sp ").toAbsolutePath.toString
+    val root = s"file://$base/tbl"
+    val log = new SnapshotLog(root)
+    log.initDirs()
+    log.commit(-1L, v => snap0.copy(version = v))
+    log.commit(0L, v => snap0.copy(version = v, parent = 0L, operation = "append"))
+    assert(log.currentVersion == 1L)
+    assert(log.snapshot(1L).operation == "append")
+  }
+
+  test("missing HEAD with committed versions still counts as an existing table") {
+    // regression: during a non-posix HEAD replace the file briefly does not
+    // exist; probes must not conclude "no table" (a streaming sink would
+    // auto-create an empty table over a live one), and commit(-1) must fail
+    val root = s"hcfs://${tmpAbs("graft-nohead-")}"
+    val log = new SnapshotLog(root, new HadoopFileIO(root, hcfsConf()))
+    log.initDirs()
+    log.commit(-1L, v => snap0.copy(version = v))
+    log.io.delete(s"${log.metaDir}/HEAD") // simulate mid-replace window
+    assert(log.exists, "exists must fall back to listing vN.json")
+    assert(log.currentVersion == 0L)
+    intercept[CommitConflictException] {
+      log.commit(-1L, v => snap0.copy(version = v))
+    }
   }
 
   test("full table layer works end-to-end over the HDFS-contract scheme through Spark") {

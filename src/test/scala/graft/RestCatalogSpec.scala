@@ -104,6 +104,35 @@ class RestCatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW NAMESPACES IN graftr").collect().map(_.getString(0))
       .contains("tmpns"))
   }
+
+  test("CASCADE drops a namespace holding views, not just tables") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.vns")
+    spark.sql("CREATE TABLE graftr.vns.base (id BIGINT)")
+    spark.sql("CREATE VIEW graftr.vns.v AS SELECT id FROM graftr.vns.base")
+    // regression: the _views dir used to leave the namespace "non-empty"
+    // after cascade dropped the tables → server 409 → DDL failure
+    spark.sql("DROP NAMESPACE graftr.vns CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graftr").collect().map(_.getString(0))
+      .contains("vns"))
+  }
+
+  test("auth/server failures raise — never masquerade as 'does not exist'") {
+    init()
+    spark.sql("CREATE TABLE IF NOT EXISTS graftr.db.errmap (id BIGINT)")
+    val forged = new RestCatalogClient(server.uri, None, Some("not-a-real-token"))
+    // regression: these returned false/absent on 401, so a DROP against an
+    // auth failure reported success-as-no-op and probes reported "absent"
+    assert(intercept[IllegalStateException] {
+      forged.dropTable(Seq("db"), "errmap") }.getMessage.contains("401"))
+    assert(intercept[IllegalStateException] {
+      forged.tableExists(Seq("db"), "errmap") }.getMessage.contains("401"))
+    assert(intercept[IllegalStateException] {
+      forged.namespaceExists(Seq("db")) }.getMessage.contains("401"))
+    // the table is still there through a valid client
+    assert(client().tableExists(Seq("db"), "errmap"))
+    spark.sql("DROP TABLE graftr.db.errmap")
+  }
 }
 
 object RestCatalogSpec {
