@@ -181,7 +181,7 @@ class RestSnapshotLog(tableRoot: String, client: RestCatalogClient,
   }
 
   override def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
-    val (snap, json) = prepare(parentVersion, build)
+    val (snap, json) = prepare(parentVersion, build, mainLineage = false)
     client.commit(ns, table, parentVersion, snap.version, json, moveHead = false)
     snap
   }

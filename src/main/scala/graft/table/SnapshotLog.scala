@@ -60,7 +60,12 @@ case class Snapshot(
     deleteFiles: Seq[DataFile] = Seq.empty,
     // Iceberg-v2-style EQUALITY DELETE files — also few and small (a
     // compaction folds them into the data), stored inline.
-    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
+    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty,
+    // true = committed on the MAIN lineage (HEAD-moving commit); false =
+    // detached (branch write). Lets head recovery and commit arbitration
+    // tell an in-flight main commit apart from a branch child of the same
+    // parent. Legacy snapshots (field absent) default to true.
+    mainLineage: Boolean = true)
 
 /** On-disk snapshot form: `manifests` names immutable chunk files
   * (`_graft/m-<contenthash>.json`, each a JSON array of [[DataFile]]) that
@@ -79,7 +84,8 @@ private[table] case class StoredSnapshot(
     manifests: Seq[String] = Seq.empty,
     properties: Map[String, String] = Map.empty,
     deleteFiles: Seq[DataFile] = Seq.empty,
-    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
+    eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty,
+    mainLineage: Boolean = true)
 
 /** Named reference to a snapshot version (Iceberg branch/tag semantics,
   * SURVEY.md §2.8 "Branching/tagging"). */
@@ -129,11 +135,59 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   def exists: Boolean = io.exists(headPath) || listVersions.nonEmpty
 
   private def versionPath(v: Long): String = s"$metaDir/v$v.json"
+  private def fencePath: String = s"$metaDir/FENCE"
 
-  def currentVersion: Long =
-    if (io.exists(headPath)) io.readString(headPath).trim.toLong
-    else listVersions.lastOption.getOrElse(
-      throw new IllegalStateException(s"no graft table at $tableRoot"))
+  /** Versions at or below the fence predate the latest backward HEAD move
+    * (rollback / set_current_snapshot) — their lineage is dead for head
+    * recovery and commit arbitration, even where it shares parents with
+    * the live one. */
+  private def fence: Long =
+    if (io.exists(fencePath)) io.readString(fencePath).trim.toLong else -1L
+
+  /** The real head: the HEAD file, advanced along durable main-lineage
+    * children. A commit is durable the moment its vN.json wins the
+    * exclusive create — HEAD is only a cache of that fact, so a writer
+    * paused (or dead) between the create and the cache move must not make
+    * its committed snapshot unreachable, nor block the edge forever.
+    * Winner per edge = SMALLEST main-lineage child above the fence — the
+    * same total order [[commitRaw]]'s post-create validation enforces, so
+    * every process (and a foreign writer following the published protocol)
+    * agrees on the lineage. */
+  def currentVersion: Long = {
+    val anchor =
+      if (io.exists(headPath)) io.readString(headPath).trim.toLong
+      else listVersions.lastOption.getOrElse(
+        throw new IllegalStateException(s"no graft table at $tableRoot"))
+    val vs = listVersions
+    val f = fence
+    var cur = anchor
+    var advanced = true
+    while (advanced) {
+      mainChildOf(cur, vs, f) match {
+        case Some(c) => cur = c
+        case None    => advanced = false
+      }
+    }
+    cur
+  }
+
+  /** Smallest surviving main-lineage child of `v` above the fence. */
+  private def mainChildOf(v: Long, vs: Seq[Long], f: Long): Option[Long] =
+    vs.filter(c => c > v && c > f).sorted
+      .find(c => lineageOf(c).contains((v, true)))
+
+  // (parent, mainLineage) per version — immutable once committed, so cached
+  // forever; a version expired underneath just stops being consulted.
+  private val lineageCache = scala.collection.concurrent.TrieMap.empty[Long, (Long, Boolean)]
+  private def lineageOf(v: Long): Option[(Long, Boolean)] =
+    lineageCache.get(v).orElse {
+      try {
+        val st = JsonMethods.parse(io.readString(versionPath(v))).extract[StoredSnapshot]
+        val e = (st.parent, st.mainLineage)
+        lineageCache.put(v, e)
+        Some(e)
+      } catch { case _: Exception => None } // racing expiry: skip
+    }
 
   /** All snapshot versions still present in the log (ascending). */
   def listVersions: Seq[Long] =
@@ -186,7 +240,8 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   private def toStored(s: Snapshot): StoredSnapshot = {
     val base = StoredSnapshot(s.version, s.parent, s.timestampMs, s.operation,
       s.currentSchemaId, s.schemas, properties = s.properties,
-      deleteFiles = s.deleteFiles, eqDeleteFiles = s.eqDeleteFiles)
+      deleteFiles = s.deleteFiles, eqDeleteFiles = s.eqDeleteFiles,
+      mainLineage = s.mainLineage)
     val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
     val livePaths = s.files.map(_.path).toSet
     val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
@@ -203,7 +258,7 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   private def hydrate(st: StoredSnapshot): Snapshot =
     Snapshot(st.version, st.parent, st.timestampMs, st.operation, st.currentSchemaId,
       st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties,
-      st.deleteFiles, st.eqDeleteFiles)
+      st.deleteFiles, st.eqDeleteFiles, st.mainLineage)
 
   /** Stamp the Iceberg-style data sequence number: every file the commit
     * ADDS (path not in the parent) gets `seq =` the new version; carried
@@ -237,9 +292,10 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * manifests, the catalog only arbitrates the swap, exactly Iceberg's
     * REST-catalog contract). Returns the in-memory snapshot plus its
     * serialized stored form. */
-  protected def prepare(parentVersion: Long, build: Long => Snapshot): (Snapshot, String) = {
+  protected def prepare(parentVersion: Long, build: Long => Snapshot,
+      mainLineage: Boolean = true): (Snapshot, String) = {
     val next = (listVersions.lastOption.getOrElse(-1L) max parentVersion) + 1
-    val snap = stampNew(build(next), parentVersion)
+    val snap = stampNew(build(next), parentVersion).copy(mainLineage = mainLineage)
     require(snap.version == next)
     (snap, Serialization.write(toStored(snap)))
   }
@@ -257,6 +313,9 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
       // `exists` (not a bare HEAD probe): during a non-posix HEAD replace
       // the file is briefly absent, and a commit(-1) racing that window
       // must still see the table as existing and fail the stale check.
+      // currentVersion forward-walks to in-flight main commits, so a racer
+      // that already published its vN.json (but not yet the HEAD cache)
+      // surfaces here as a stale-parent conflict.
       val headNow = if (exists) currentVersion else -1L
       if (headNow != parentVersion)
         throw new CommitConflictException(
@@ -269,7 +328,24 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     if (!io.createExclusive(versionPath(version), storedJson))
       throw new CommitConflictException(
         s"concurrent commit created v$version first; retry on the new head")
-    if (moveHead) writeHead(version)
+    if (moveHead) {
+      // POST-CREATE validation, closing the remaining race: a rival main
+      // commit on the same parent that landed between the head check and
+      // our create holds a LOWER version (it was visible to our max+1
+      // allocation, we were not to its). Lowest version wins the edge —
+      // deterministically, in every process — so on seeing a lower rival
+      // we retract our own snapshot and lose; a higher rival retracts
+      // itself. Same-version racers already collided on the create above.
+      val rival = listVersions
+        .filter(c => c > fence && c < version)
+        .sorted.find(c => lineageOf(c).contains((parentVersion, true)))
+      if (rival.isDefined) {
+        io.delete(versionPath(version))
+        throw new CommitConflictException(
+          s"concurrent commit v${rival.get} won parent v$parentVersion; retry on the new head")
+      }
+      writeHead(version)
+    }
   }
 
   /** CAS commit: verify `parentVersion` is still the head, then atomically
@@ -293,15 +369,22 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * globally unique via max+1 allocation). */
   def commitDetached(parentVersion: Long, build: Long => Snapshot): Snapshot = {
     require(io.exists(versionPath(parentVersion)), s"no parent v$parentVersion")
-    val (snap, json) = prepare(parentVersion, build)
+    val (snap, json) = prepare(parentVersion, build, mainLineage = false)
     commitRaw(parentVersion, snap.version, json, moveHead = false)
     snap
   }
 
   /** Move HEAD to an existing snapshot (rollback_to_snapshot /
-    * set_current_snapshot — SURVEY.md §2.8 CALL procedures). */
+    * set_current_snapshot — SURVEY.md §2.8 CALL procedures). A BACKWARD
+    * move first fences at the current max version: the abandoned lineage's
+    * snapshots stay readable (time travel), but head recovery and commit
+    * arbitration ignore them — without the fence, an old main-lineage
+    * child of the rollback target would permanently win the target's
+    * commit edge. */
   def setHead(v: Long): Unit = {
     require(io.exists(versionPath(v)), s"cannot set HEAD to missing v$v")
+    val mx = listVersions.lastOption.getOrElse(-1L)
+    if (v < mx) io.writeAtomicReplace(fencePath, mx.toString)
     writeHead(v)
   }
 

@@ -156,6 +156,40 @@ class HadoopFsBindingSpec extends SparkSpec {
     }
   }
 
+  test("a durable commit whose HEAD move is pending still wins its edge (no lost update)") {
+    import spark.implicits._
+    val root = s"${tmpAbs("graft-inflight-")}/tbl"
+    val t = GraftTable.create(spark, root, Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "name", "amount")) // v1
+    // simulate writer A paused between publishing v1.json and moving HEAD:
+    // rewind only the HEAD cache
+    t.log.io.writeAtomicReplace(s"${t.log.metaDir}/HEAD", "0")
+    // the durable v1 is still the head (forward-walk), so a same-parent
+    // racer gets a conflict instead of silently forking the lineage
+    assert(t.log.currentVersion == 1L)
+    intercept[CommitConflictException] {
+      t.log.commit(0L, v => t.log.snapshot(0L).copy(version = v, parent = 0L))
+    }
+    assert(t.read.count() == 2) // nothing lost
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "name", "amount")) // retry on real head
+    assert(t.read.count() == 3 && t.log.currentVersion == 2L)
+  }
+
+  test("rollback fences the abandoned lineage: old children never re-win the edge") {
+    import spark.implicits._
+    val root = s"${tmpAbs("graft-fence-")}/tbl"
+    val t = GraftTable.create(spark, root, Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "name", "amount")) // v1
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "name", "amount")) // v2
+    t.log.setHead(0L) // rollback — v1/v2 remain readable but fenced
+    assert(t.log.currentVersion == 0L, "fenced children must not be followed")
+    assert(t.read.count() == 1)
+    t.append(Seq((9L, "z", 9.0)).toDF("id", "name", "amount")) // new lineage, v3
+    assert(t.log.currentVersion == 3L)
+    assert(t.read.count() == 2)
+    assert(t.readVersion(2L).count() == 3) // time travel into the old lineage intact
+  }
+
   test("full table layer works end-to-end over the HDFS-contract scheme through Spark") {
     // Register the scheme with the session so Spark's own parquet read/write
     // (scan, staging commit) resolves it too — the S3 story in miniature:
