@@ -67,7 +67,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def nsPath(ns: Array[String]): String = (warehouse +: ns).mkString("/")
   private def tablePath(ident: Identifier): String =
     (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
-  private def isTable(p: String): Boolean = io.exists(s"$p/_graft/HEAD")
+  // HEAD probe OR committed-snapshot listing — same hardening as
+  // SnapshotLog.exists: on stores where the HEAD replace is delete+rename,
+  // a probe mid-commit must not conclude "no table"
+  private def isTable(p: String): Boolean =
+    io.exists(s"$p/_graft/HEAD") ||
+      io.listNames(s"$p/_graft").exists(n => n.startsWith("v") && n.endsWith(".json"))
 
   /** Load a table with the mode-appropriate commit transport: local CAS, or
     * [[graft.rest.RestSnapshotLog]] so every write CASes through the server. */

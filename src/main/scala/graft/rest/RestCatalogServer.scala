@@ -98,7 +98,11 @@ class RestCatalogServer(val warehouse: String,
   private def nsDir(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
   private def tableRoot(ns: Seq[String], t: String): String =
     (warehouse +: ns :+ t).mkString("/")
-  private def isTable(p: String): Boolean = io.exists(s"$p/_graft/HEAD")
+  // HEAD probe OR committed-snapshot listing (SnapshotLog.exists semantics):
+  // a delete+rename HEAD replace must not make a live table 404 mid-commit
+  private def isTable(p: String): Boolean =
+    io.exists(s"$p/_graft/HEAD") ||
+      io.listNames(s"$p/_graft").exists(n => n.startsWith("v") && n.endsWith(".json"))
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -83,10 +83,20 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
   private def hp(p: String) = new HPath(p)
   /** Local filesystem view of a `file:`-schemed or schemeless path.
     * String surgery, not java.net.URI — these are plain paths, not
-    * URI-encoded, so a space or bracket in a directory name must not
-    * throw URISyntaxException. */
-  private def lp(p: String) =
-    Paths.get(if (p.startsWith("file:")) p.substring(5).replaceFirst("^/+", "/") else p)
+    * URI-encoded, so a space or bracket in a directory name must not throw
+    * URISyntaxException. A `file://authority` segment is dropped, matching
+    * Hadoop's RawLocalFileSystem (`path.toUri.getPath`) so the posix and
+    * Hadoop views of one path never diverge. */
+  private def lp(p: String) = Paths.get(
+    if (!p.startsWith("file:")) p
+    else {
+      val rest = p.substring(5)
+      if (!rest.startsWith("//")) rest
+      else {
+        val i = rest.indexOf('/', 2)
+        if (i < 0) "/" else rest.substring(i)
+      }
+    })
   private def tmpName(p: String) = {
     val h = hp(p)
     new HPath(h.getParent, s".${h.getName}.tmp${util.Random.nextLong().abs}")
@@ -119,16 +129,22 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
       // AbstractFileSystem binding fall back to delete+rename — a brief
       // not-exists window, which [[SnapshotLog]] tolerates (existence and
       // head checks recover by listing vN.json, see `exists`/`commitRaw`).
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(hp(p).toUri, conf)
-        fc.rename(hp(tmp.toString), hp(p), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+      fileContext match {
+        case Some(fc) =>
+          fc.rename(hp(tmp.toString), hp(p), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        case None =>
           fs.delete(hp(p), false)
           if (!fs.rename(tmp, hp(p)))
             throw new java.io.IOException(s"rename $tmp -> $p failed")
       }
     }
+
+  /** Resolved ONCE per instance — FileContext has no cache (each
+    * getFileContext builds a fresh AbstractFileSystem/client), so per-call
+    * resolution would pay connection churn on every HEAD move. */
+  private lazy val fileContext: Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(new HPath(rootSpec).toUri, conf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
 
   override def createExclusive(p: String, content: String): Boolean =
     if (posix) {

@@ -90,7 +90,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * for [[FileIO]] calls. Same normalization the codegen'd regexp in
     * [[rewritePositionDeleteFiles]] applies row-side. */
   private def canon(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?(?=/)", "")
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+    // (//)?+ is POSSESSIVE: on s3a://bucket the // must not backtrack to let
+    // the lookahead match the authority's leading slash — that would strip
+    // the scheme after all
 
   private[table] def readWithMeta(s: Snapshot): DataFrame = readSnapshot(s, withMeta = true)
 
@@ -654,7 +657,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val kept = spark.read.schema(deleteSchema)
         .parquet(head.deleteFiles.map(f => resolve(f.path)): _*)
         .join(broadcast(live),
-          regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?(?=/)", "")
+          regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
             === col("live_path"), "left_semi")
         .repartition(parts)
       val newDeletes = writeDeleteFiles(kept)
@@ -1623,7 +1626,7 @@ object GraftTable {
 
   def load(spark: SparkSession, path: String): GraftTable = {
     val t = new GraftTable(spark, path)
-    require(t.log.exists || t.log.listVersions.nonEmpty, s"no graft table at $path")
+    require(t.log.exists, s"no graft table at $path")
     t
   }
 
@@ -1633,7 +1636,7 @@ object GraftTable {
   def load(spark: SparkSession, path: String,
       logFactory: String => SnapshotLog): GraftTable = {
     val t = new GraftTable(spark, path, logFactory)
-    require(t.log.exists || t.log.listVersions.nonEmpty, s"no graft table at $path")
+    require(t.log.exists, s"no graft table at $path")
     t
   }
 

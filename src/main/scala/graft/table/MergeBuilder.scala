@@ -151,7 +151,10 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
         val appendDf =
           if (notMatched.nonEmpty) updated.unionByName(inserts) else updated
         val newFiles = table.writeFiles(appendDf, head.currentSchemaId, head.properties)
-        if (newDeletes.isEmpty && newFiles.isEmpty) head
+        // commitProps must land even for a no-op merge (the streaming upsert
+        // sink's batch-id marker rides here — dropping it would un-record a
+        // durable batch and break exactly-once replay detection)
+        if (newDeletes.isEmpty && newFiles.isEmpty && commitProps.isEmpty) head
         else table.log.commit(head.version, v => head.copy(
           version = v, parent = head.version,
           timestampMs = System.currentTimeMillis(),
