@@ -92,64 +92,111 @@ class GraftSourceProvider extends StreamSourceProvider
     * `.option("upsertKeys", "k1,k2")` switches the sink from append to
     * UPSERT: each batch MERGEs on the key columns (matched rows update, new
     * keys insert) — the Delta `foreachBatch`-merge idiom as a first-class
-    * sink mode, which is exactly what consuming a change feed into a
-    * mirror table needs. The batch id rides on the merge's own commit
-    * (one CAS — replay detection and the data change are atomic). Each
-    * batch must carry at most one row per key (pre-aggregate upstream
-    * otherwise); every batch is checked and violations fail the batch
-    * rather than silently inserting duplicate keys. */
+    * sink mode. The batch id rides on the merge's own commit (one CAS —
+    * replay detection and the data change are atomic). Each batch must
+    * carry at most one row per key; every batch is checked and violations
+    * fail the batch rather than silently inserting duplicate keys.
+    *
+    * `.option("applyChangeFeed", "true")` (with `upsertKeys`) makes the
+    * sink consume a `readChangeFeed` stream directly: change rows are
+    * REDUCED to each key's final state within the batch (latest
+    * `_commit_version`; an update's paired delete+insert collapses to the
+    * insert image) and applied as MERGE update/insert/DELETE — so deletes
+    * propagate to the mirror and a CoW update's two change rows don't trip
+    * the one-row-per-key contract. */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode):
       org.apache.spark.sql.execution.streaming.Sink = {
     val keys = parameters.get("upsertKeys").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val applyCdc = parameters.get("applyChangeFeed").exists(_.toBoolean)
+    require(!applyCdc || keys.nonEmpty, "applyChangeFeed requires upsertKeys")
     val append = org.apache.spark.sql.streaming.OutputMode.Append()
     val update = org.apache.spark.sql.streaming.OutputMode.Update()
     require(outputMode == append || (keys.nonEmpty && outputMode == update),
       "graft-stream sink is append-only (snapshots are immutable increments); " +
       "set upsertKeys for merge-per-batch upserts (Append or Update mode)")
-    new GraftStreamSink(parameters("path"), keys)
+    new GraftStreamSink(parameters("path"), keys, applyCdc)
   }
 }
 
-class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty)
+class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
+    applyChangeFeed: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.functions._
+
+  private def bq(alias: String, c: String) = col(s"$alias.`$c`") // dot-safe
+
+  /** Final state per key within one CDC batch: rows of the LATEST commit
+    * touching the key; an update's paired delete+insert (same commit)
+    * collapses to the insert image. One row per key by construction. */
+  private def reduceCdc(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(upsertKeys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 0).otherwise(1))
+    batch.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .withColumn("_cdc_delete", col("_change_type") === "delete")
+      .drop("_rk", "_change_type", "_commit_version", "_change_ordinal")
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     // the incoming frame is streaming-planned; re-tag it as batch so the
-    // append's normal transformations can run over it
-    val batch = Bridge.batchDataFrame(spark, data)
-    val exists = new SnapshotLogProbe(path).exists
-    val t =
-      if (exists) GraftTable.load(spark, path)
-      else GraftTable.createEmpty(spark, path,
-        StructType(batch.schema.fields.map(_.copy(metadata = Metadata.empty))))
-    val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
-    if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
-    val stamp = Map("stream.last-batch-id" -> batchId.toString)
-    if (upsertKeys.isEmpty) { t.append(batch, stamp); return }
-    // Enforce the at-most-one-row-per-key contract on EVERY batch — the
-    // MERGE cardinality check only catches duplicates that hit an existing
-    // target row; duplicates among fresh keys (or in the table-creating
-    // first batch) would otherwise insert silently and corrupt the mirror.
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val dup = batch.groupBy(upsertKeys.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-    if (dup > 0) throw new IllegalStateException(
-      s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
-      "pre-aggregate the stream to one row per key per batch")
-    if (!exists) t.append(batch, stamp)
-    else {
-      val cond = upsertKeys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      t.merge(batch, cond)
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
+    // append's normal transformations can run over it — and CACHE it: the
+    // row count, the duplicate-key check, and the merge's join must all see
+    // ONE evaluation of the upstream pipeline (a non-deterministic upstream
+    // evaluated twice could slip duplicates past the check)
+    val batch0 = Bridge.batchDataFrame(spark, data)
+    val batch = if (upsertKeys.isEmpty) batch0 else batch0.cache()
+    try {
+      val exists = new SnapshotLogProbe(path).exists
+      val t =
+        if (exists) GraftTable.load(spark, path)
+        else GraftTable.createEmpty(spark, path, StructType(
+          dataSchema(batch0.schema).fields.map(_.copy(metadata = Metadata.empty))))
+      val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
+      if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
+      val stamp = Map("stream.last-batch-id" -> batchId.toString)
+      if (upsertKeys.isEmpty) { t.append(batch, stamp); return }
+      val src = if (applyChangeFeed) reduceCdc(batch) else batch
+      // an empty batch (e.g. only maintenance commits upstream) records its
+      // batch id via an empty append — never a full-outer join of the table
+      if (src.isEmpty) { t.append(src.drop("_cdc_delete"), stamp); return }
+      if (!applyChangeFeed) {
+        // Enforce the at-most-one-row-per-key contract on EVERY batch — the
+        // MERGE cardinality check only catches duplicates hitting an
+        // existing target row; duplicates among fresh keys (or in the
+        // table-creating first batch) would otherwise insert silently.
+        val dup = src.groupBy(upsertKeys.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
+          "pre-aggregate the stream to one row per key per batch")
+      }
+      val cond = upsertKeys.map(k => bq("t", k) === bq("s", k)).reduce(_ && _)
+      val del = if (applyChangeFeed) col("s.`_cdc_delete`") else lit(false)
+      if (!exists) t.append( // auto-created empty table: pure insert set
+        (if (applyChangeFeed) src.filter(!col("_cdc_delete")).drop("_cdc_delete") else src),
+        stamp)
+      else t.merge(src, cond)
+        .whenMatchedDelete(Some(del))
+        .whenMatchedUpdateAll(Some(!del))
+        .whenNotMatchedInsertAll(Some(!del))
         .withCommitProperties(stamp)
         .execute()
+    } finally {
+      if (upsertKeys.nonEmpty) batch.unpersist()
     }
   }
+
+  /** Schema for table auto-creation: CDC metadata/flag columns are
+    * transport, not data. */
+  private def dataSchema(s: StructType): StructType =
+    StructType(s.fields.filterNot(f =>
+      Seq("_change_type", "_commit_version", "_change_ordinal").contains(f.name)))
 }
 
 /** Existence probe without requiring a committed table. */
@@ -210,13 +257,14 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
   // evolution. New columns simply don't appear until the stream restarts.
   private val pinnedSchemaId: Int = table.log.current.currentSchemaId
   private val pinnedNames: Seq[String] = table.schema.fieldNames.toSeq
-  // Pinned FIELD IDS for the CDC branch: changelog batches carry the END
-  // version's column names, so each batch re-resolves the pinned ids
-  // against that version's schema — a mid-stream RENAME keeps streaming
-  // under the original (bound-plan) names, same contract as the non-CDC
-  // path's pinnedSchemaId projection.
-  private val pinnedIds: Seq[(Int, String)] =
-    table.schema.fields.toSeq.map(f => (table.fieldId(f), f.name))
+  // Pinned FIELD IDS + TYPES for the CDC branch: changelog batches carry
+  // the END version's column names and types, so each batch re-resolves
+  // the pinned ids against that version's schema and casts back — a
+  // mid-stream RENAME or loss-free WIDEN keeps streaming under the
+  // original (bound-plan) shape, same contract as the non-CDC path's
+  // pinnedSchemaId projection.
+  private val pinnedIds: Seq[(Int, String, org.apache.spark.sql.types.DataType)] =
+    table.schema.fields.toSeq.map(f => (table.fieldId(f), f.name, f.dataType))
 
   override def schema: StructType = {
     val basic = StructType(table.schema.fields.map(_.copy(metadata = Metadata.empty)))
@@ -286,10 +334,12 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
         // mid-stream cannot be represented — fail with the cause named.
         val byId = table.schemaAtVersion(ver(end)).fields
           .map(f => table.fieldId(f) -> f.name).toMap
-        val dataCols = pinnedIds.map { case (id, name) =>
+        val dataCols = pinnedIds.map { case (id, name, dt) =>
+          // cast pins the TYPE too: a mid-stream widen (INT→BIGINT) must
+          // not feed 8-byte values into a plan bound to the old 4-byte slot
           col(byId.getOrElse(id, throw new IllegalStateException(
             s"CDC stream: column '$name' (field id $id) was dropped mid-stream; " +
-            "restart the stream to bind the new schema"))).as(name)
+            "restart the stream to bind the new schema"))).cast(dt).as(name)
         }
         table.changelogDetailed(from, ver(end))
           .select(dataCols ++

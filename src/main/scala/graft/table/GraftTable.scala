@@ -760,20 +760,28 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * bag diff. Each step reads only the files that changed in that commit —
     * never the whole table. */
   def changelogDetailed(fromV: Long, toV: Long): DataFrame = {
-    // ancestors of toV back to fromV, oldest first
+    // ancestors of toV back to fromV, oldest first; fromV < 0 replays from
+    // BEFORE the first snapshot (bootstrap: the root commit is a step whose
+    // every row is an insert)
     val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     var cur = log.snapshot(toV)
-    while (cur.version != fromV) {
-      require(cur.parent >= 0, s"v$fromV is not an ancestor of v$toV")
+    var atRoot = false
+    while (!atRoot && cur.version != fromV) {
       chain.prepend(cur)
-      cur = log.snapshot(cur.parent)
+      if (cur.parent < 0) {
+        require(fromV < 0, s"v$fromV is not an ancestor of v$toV")
+        atRoot = true
+      } else cur = log.snapshot(cur.parent)
     }
     // every step projects through toV's snapshot: its schema registry holds
     // all schemas ever written, so ID-wise projection lands each step's rows
     // on ONE common (end-of-range) schema regardless of mid-range evolution
     val to = log.snapshot(toV)
     val steps = chain.toSeq.zipWithIndex.map { case (s, ord) =>
-      val parent = log.snapshot(s.parent)
+      // a root step has no parent: everything it holds is an insert
+      val parent =
+        if (s.parent >= 0) log.snapshot(s.parent)
+        else s.copy(files = Seq.empty, deleteFiles = Seq.empty, eqDeleteFiles = Seq.empty)
       val parentPaths = parent.files.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
       // the END state's delete filter must not leak into intermediate steps

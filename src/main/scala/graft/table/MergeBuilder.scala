@@ -35,10 +35,11 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
   def whenMatchedUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
     matched :+= Clause("update", cond.getOrElse(lit(true)), set); this
   }
-  /** UPDATE SET * — every target column from the like-named source column. */
+  /** UPDATE SET * — every target column from the like-named source column
+    * (backtick-quoted: a column named `a.b` must not parse as a path). */
   def whenMatchedUpdateAll(cond: Option[Column] = None): this.type = {
     matched :+= Clause("update", cond.getOrElse(lit(true)),
-      table.schema.fieldNames.map(n => n -> col(s"s.$n")).toMap); this
+      table.schema.fieldNames.map(n => n -> col(s"s.`$n`")).toMap); this
   }
   def whenMatchedDelete(cond: Option[Column] = None): this.type = {
     matched :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
@@ -46,10 +47,11 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
   def whenNotMatchedInsert(values: Map[String, Column], cond: Option[Column] = None): this.type = {
     notMatched :+= Clause("insert", cond.getOrElse(lit(true)), values); this
   }
-  /** INSERT * — every target column from the like-named source column. */
+  /** INSERT * — every target column from the like-named source column
+    * (backtick-quoted, as in [[whenMatchedUpdateAll]]). */
   def whenNotMatchedInsertAll(cond: Option[Column] = None): this.type = {
     notMatched :+= Clause("insert", cond.getOrElse(lit(true)),
-      table.schema.fieldNames.map(n => n -> col(s"s.$n")).toMap); this
+      table.schema.fieldNames.map(n => n -> col(s"s.`$n`")).toMap); this
   }
   def whenNotMatchedBySourceUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
     bySource :+= Clause("update", cond.getOrElse(lit(true)), set); this

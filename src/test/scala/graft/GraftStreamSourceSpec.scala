@@ -127,6 +127,40 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangeFeed end-to-end: change feed of one table mirrors into another, deletes included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val srcPath = tmp("cdc-src-")
+    val mirror = tmp("cdc-mirror-")
+    val t = GraftTable.create(spark, srcPath, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", srcPath).option("readChangeFeed", "true")
+      .option("fromVersion", "-1") // replay from the start
+      .load()
+      .writeStream.format("graft-stream")
+      .option("path", mirror).option("upsertKeys", "id")
+      .option("applyChangeFeed", "true")
+      .option("checkpointLocation", s"$srcPath/../ckpt-cdcapply")
+      .start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.update(col("id") === 1L, Map("v" -> lit("A"))) // delete+insert change pair
+      t.delete(col("id") === 2L)
+      q.processAllAvailable()
+      val got = GraftTable.load(spark, mirror).read
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, "A"), (3L, "c"))) // update applied, delete applied
+      // maintenance upstream emits no change rows — the mirror records the
+      // batch id without scanning itself (empty-append, not a merge)
+      t.rewriteDataFiles(1)
+      q.processAllAvailable()
+      val got2 = GraftTable.load(spark, mirror).read
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got2 == Seq((1L, "A"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("a rewrite snapshot in the range fails the increment; skipRewrites streams appends only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
