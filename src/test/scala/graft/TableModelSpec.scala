@@ -23,11 +23,16 @@ class TableModelSpec extends SparkSpec {
 
   test("random op sequences: table state always equals the reference model") {
     val rnd = new scala.util.Random(20260812L)
-    for (trial <- 1 to 2) {
-      // trial 2 runs every DELETE as a merge-on-read positional delete —
-      // the model is oblivious, so divergence-freedom proves MOR ≡ COW
-      val props = if (trial == 2) Map("write.delete.mode" -> "merge-on-read")
-                  else Map.empty[String, String]
+    for (trial <- 1 to 3) {
+      // trial 2 runs every DELETE as a merge-on-read positional delete;
+      // trial 3 additionally runs every MERGE merge-on-read — the model is
+      // oblivious, so divergence-freedom proves MOR ≡ COW for both paths
+      val props = trial match {
+        case 2 => Map("write.delete.mode" -> "merge-on-read")
+        case 3 => Map("write.delete.mode" -> "merge-on-read",
+                      "write.merge.mode"  -> "merge-on-read")
+        case _ => Map.empty[String, String]
+      }
       val t = GraftTable.create(spark, tmpDir(),
         Seq((0L, 0.5), (1L, 1.5), (2L, 2.5)).toDF("id", "v"), properties = props)
       var model: Model = Map(0L -> 0.5, 1L -> 1.5, 2L -> 2.5)
