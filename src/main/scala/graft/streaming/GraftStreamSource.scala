@@ -128,13 +128,14 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
   import org.apache.spark.sql.functions._
 
   private def bq(alias: String, c: String) = col(s"$alias.`$c`") // dot-safe
+  private def kq(c: String) = col(s"`$c`")
 
   /** Final state per key within one CDC batch: rows of the LATEST commit
     * touching the key; an update's paired delete+insert (same commit)
     * collapses to the insert image. One row per key by construction. */
   private def reduceCdc(batch: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(upsertKeys.map(col): _*)
+      .partitionBy(upsertKeys.map(kq): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 0).otherwise(1))
     batch.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
@@ -170,7 +171,7 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
         // MERGE cardinality check only catches duplicates hitting an
         // existing target row; duplicates among fresh keys (or in the
         // table-creating first batch) would otherwise insert silently.
-        val dup = src.groupBy(upsertKeys.map(col): _*)
+        val dup = src.groupBy(upsertKeys.map(kq): _*)
           .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
         if (dup > 0) throw new IllegalStateException(
           s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
