@@ -132,13 +132,16 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
 
   /** Final state per key within one CDC batch: rows of the LATEST commit
     * touching the key; an update's paired delete+insert (same commit)
-    * collapses to the insert image. One row per key by construction. */
+    * collapses to the insert image. `rank()` (not row_number) so a GENUINE
+    * tie — the source commit carried several rows for one key, i.e. the
+    * source isn't keyed on upsertKeys — survives reduction and is caught
+    * by the duplicate check instead of an arbitrary row silently winning. */
   private def reduceCdc(batch: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(upsertKeys.map(kq): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 0).otherwise(1))
-    batch.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+    batch.withColumn("_rk", rank().over(w)).filter(col("_rk") === 1)
       .withColumn("_cdc_delete", col("_change_type") === "delete")
       .drop("_rk", "_change_type", "_commit_version", "_change_ordinal")
   }
@@ -152,31 +155,41 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
     // evaluated twice could slip duplicates past the check)
     val batch0 = Bridge.batchDataFrame(spark, data)
     val batch = if (upsertKeys.isEmpty) batch0 else batch0.cache()
+    var reduced: Option[DataFrame] = None // cached CDC reduction, if any
     try {
       val exists = new SnapshotLogProbe(path).exists
+      // CDC metadata columns are transport only in applyChangeFeed mode; a
+      // plain append/upsert of a raw change feed keeps them as data
+      val createSchema =
+        if (applyChangeFeed) dataSchema(batch0.schema) else batch0.schema
       val t =
         if (exists) GraftTable.load(spark, path)
         else GraftTable.createEmpty(spark, path, StructType(
-          dataSchema(batch0.schema).fields.map(_.copy(metadata = Metadata.empty))))
+          createSchema.fields.map(_.copy(metadata = Metadata.empty))))
       val last = t.log.current.properties.get("stream.last-batch-id").map(_.toLong)
       if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
       val stamp = Map("stream.last-batch-id" -> batchId.toString)
       if (upsertKeys.isEmpty) { t.append(batch, stamp); return }
-      val src = if (applyChangeFeed) reduceCdc(batch) else batch
+      // cache the REDUCED frame in CDC mode: the window shuffle must not
+      // re-run for the emptiness probe, the dup check, and the merge join
+      val src = if (applyChangeFeed) {
+        val r = reduceCdc(batch).cache(); reduced = Some(r); r
+      } else batch
       // an empty batch (e.g. only maintenance commits upstream) records its
       // batch id via an empty append — never a full-outer join of the table
       if (src.isEmpty) { t.append(src.drop("_cdc_delete"), stamp); return }
-      if (!applyChangeFeed) {
-        // Enforce the at-most-one-row-per-key contract on EVERY batch — the
-        // MERGE cardinality check only catches duplicates hitting an
-        // existing target row; duplicates among fresh keys (or in the
-        // table-creating first batch) would otherwise insert silently.
-        val dup = src.groupBy(upsertKeys.map(kq): _*)
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-        if (dup > 0) throw new IllegalStateException(
-          s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
-          "pre-aggregate the stream to one row per key per batch")
-      }
+      // Enforce the at-most-one-row-per-key contract on EVERY batch — the
+      // MERGE cardinality check only catches duplicates hitting an existing
+      // target row; duplicates among fresh keys (or in the table-creating
+      // first batch) would otherwise insert silently. In CDC mode this also
+      // catches reduction ties: a source commit carrying several rows per
+      // key means the source isn't keyed on upsertKeys.
+      val dup = src.groupBy(upsertKeys.map(kq): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        s"upsert batch $batchId has multiple rows per (${upsertKeys.mkString(", ")}); " +
+        (if (applyChangeFeed) "the change-feed source is not keyed on these columns"
+         else "pre-aggregate the stream to one row per key per batch"))
       val cond = upsertKeys.map(k => bq("t", k) === bq("s", k)).reduce(_ && _)
       val del = if (applyChangeFeed) col("s.`_cdc_delete`") else lit(false)
       if (!exists) t.append( // auto-created empty table: pure insert set
@@ -189,6 +202,7 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
         .withCommitProperties(stamp)
         .execute()
     } finally {
+      reduced.foreach(_.unpersist())
       if (upsertKeys.nonEmpty) batch.unpersist()
     }
   }
@@ -328,19 +342,32 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
     planned = math.max(planned, ver(end))
     val batch =
       if (readChangeFeed) {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions._
         // per-commit CDC rows; resolve the PINNED field ids against the END
         // version's names and alias back (rename-safe; a column added
         // mid-stream must not widen a bound plan). A pinned column DROPPED
         // mid-stream cannot be represented — fail with the cause named.
         val byId = table.schemaAtVersion(ver(end)).fields
-          .map(f => table.fieldId(f) -> f.name).toMap
+          .map(f => table.fieldId(f) -> f).toMap
         val dataCols = pinnedIds.map { case (id, name, dt) =>
           // cast pins the TYPE too: a mid-stream widen (INT→BIGINT) must
-          // not feed 8-byte values into a plan bound to the old 4-byte slot
-          col(byId.getOrElse(id, throw new IllegalStateException(
+          // not feed 8-byte values into a plan bound to the old 4-byte
+          // slot. A value that no longer FITS the pinned type (written
+          // after the widen) must fail the batch loudly — a silent wrap
+          // would merge corrupt images downstream.
+          val endField = byId.getOrElse(id, throw new IllegalStateException(
             s"CDC stream: column '$name' (field id $id) was dropped mid-stream; " +
-            "restart the stream to bind the new schema"))).cast(dt).as(name)
+            "restart the stream to bind the new schema"))
+          val raw = col(s"`${endField.name}`")
+          val casted = raw.cast(dt)
+          if (endField.dataType == dt) casted.as(name)
+          else when(raw.isNotNull &&
+              (casted.isNull || casted.cast(endField.dataType) =!= raw),
+              raise_error(concat(lit(s"CDC stream: value of column '$name' does not fit " +
+                s"the schema pinned at stream start ($dt); restart the stream " +
+                "to bind the widened schema; offending value: "), raw.cast("string")))
+                .cast(dt))
+            .otherwise(casted).as(name)
         }
         table.changelogDetailed(from, ver(end))
           .select(dataCols ++

@@ -162,7 +162,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         .parquet(files.map(f => resolve(f.path)): _*)
       val cols = cur.fields.map { f =>
         val ff = counterpart(fileSchema, f)
-        project(ff.map(x => col(x.name)), ff, f).as(f.name)
+        project(ff.map(x => qcol(x.name)), ff, f).as(f.name)
       }
       val metaCols =
         if (needMeta) Seq(col("_metadata.file_path").as("_graft_path"),
@@ -209,7 +209,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     dels.groupBy(d => (eqKeyNames(d, cur), d.cols)).toSeq
       .foldLeft(base) { case (acc, ((curNames, storedNames), ds)) =>
         val keys = spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
-          .select(storedNames.map(c => col(c).as(s"_eq_$c")): _*).dropDuplicates()
+          .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
         acc.join(keys,
           curNames.zip(storedNames)
             .map { case (cn, sn) => acc(cn) <=> keys(s"_eq_$sn") }.reduce(_ && _),
@@ -443,7 +443,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val keySchema = StructType(cols.map(c =>
       stripIds(curMeta)(curMeta.fieldIndex(c)).copy(nullable = true, metadata = Metadata.empty)))
     val typed = keys.select(cols.map(c =>
-      col(c).cast(keySchema(c).dataType).as(c)): _*).dropDuplicates()
+      qcol(c).cast(keySchema(c).dataType).as(c)): _*).dropDuplicates()
     val fs = writeDeleteFiles(typed, keySchema)
     if (fs.isEmpty) head
     else log.commit(head.version, v => head.copy(
@@ -507,7 +507,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           val updated = matched.select(cur.fields.map { f =>
             set.get(f.name) match {
               case Some(v) => v.cast(f.dataType).as(f.name)
-              case None    => col(f.name)
+              case None    => qcol(f.name)
             }
           }: _*)
           val newFiles = writeFiles(updated, head.currentSchemaId, head.properties)
@@ -525,8 +525,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         val rewritten = df.filter(col("_graft_path").isin(touched: _*))
           .select(cur.fields.map { f =>
             set.get(f.name) match {
-              case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-              case None    => col(f.name)
+              case Some(v) => when(hit, v.cast(f.dataType)).otherwise(qcol(f.name)).as(f.name)
+              case None    => qcol(f.name)
             }
           }: _*)
         replaceFiles(head, touched, rewritten, "update")
@@ -696,7 +696,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val (mn, mx) = bounds(c)
       val range = if (mx > mn) mx - mn else 1.0
       val nz = least(greatest(
-        floor((col(c).cast("double") - mn) / range * 65535.0), lit(0.0)), lit(65535.0))
+        floor((qcol(c).cast("double") - mn) / range * 65535.0), lit(0.0)), lit(65535.0))
         .cast("long")
       // spread bit b of column j to position b*k + j (disjoint positions, so
       // summing across columns IS the bitwise-or interleave)
@@ -733,7 +733,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val statCols = cur.fields.filter(f => isStatType(f.dataType)).map(_.name).toSeq
     if (statCols.isEmpty) head
     else {
-      val aggs = statCols.map(c => approx_count_distinct(col(c)).as(c))
+      val aggs = statCols.map(c => approx_count_distinct(qcol(c)).as(c))
       val row = readSnapshot(head).agg(aggs.head, aggs.tail: _*).collect()(0)
       val props = statCols.zipWithIndex
         .map { case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString }.toMap
@@ -1238,7 +1238,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val cur = schemaOf(head, head.currentSchemaId) // unstripped: defaults live in metadata
     val cols = cur.fields.map { f =>
       if (df.columns.contains(f.name))
-        col(f.name).cast(stripNested(f.dataType)).as(f.name)
+        qcol(f.name).cast(stripNested(f.dataType)).as(f.name)
       else if (f.metadata.contains("graft.default"))
         expr(f.metadata.getString("graft.default")).cast(stripNested(f.dataType)).as(f.name)
       else throw new IllegalArgumentException(s"append missing column ${f.name}")
@@ -1336,9 +1336,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val statFields = schema.fields.filter(f => isStatType(f.dataType))
     val aggs = Seq(count(lit(1)).as("_rows")) ++
       statFields.flatMap(f => Seq(
-        min(col(f.name)).cast("string").as(s"_min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"_max_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
+        min(qcol(f.name)).cast("string").as(s"_min_${f.name}"),
+        max(qcol(f.name)).cast("string").as(s"_max_${f.name}"),
+        sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
       derived.zipWithIndex.flatMap { case ((_, ex, _), i) => Seq(
         min(ex).cast("string").as(s"_tmin_$i"),
         max(ex).cast("string").as(s"_tmax_$i")) }
@@ -1456,6 +1456,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   /** Last segment of a path or URI. */
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Backtick-quoted top-level column reference — a column literally named
+    * "a.b" must never parse as a nested-field path. Every place a SCHEMA
+    * field name becomes a Column goes through here (user-supplied
+    * expressions are the user's to quote). */
+  private def qcol(n: String): Column = col(s"`$n`")
 
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
     * can contain `value` for `column` (the `SupportsPushDownFilters` seed —

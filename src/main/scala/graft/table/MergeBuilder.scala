@@ -107,7 +107,7 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     val img = fields.map { f =>
       val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
         (i, c.set(f.name)) }
-      val upd = updates.foldRight(col(s"t.${f.name}")) { case ((i, v), els) =>
+      val upd = updates.foldRight(col(s"t.`${f.name}`")) { case ((i, v), els) =>
         when(col("_clause") === i, v.cast(f.dataType)).otherwise(els)
       }
       val ins = notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast(f.dataType): Column) {
@@ -134,7 +134,9 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
           "MERGE cardinality violation: a target row matches multiple source rows")
       }
 
-      val outCols = fields.map(f => col(f.name))
+      // backtick-quoted everywhere a field name becomes a reference — a
+      // column literally named "a.b" must never parse as a path
+      val outCols = fields.map(f => col(s"`${f.name}`"))
       val inserts = annotated.filter(col("_ins") >= 0).select(outCols: _*)
 
       // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
@@ -177,8 +179,8 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
             "left_outer")
           .filter(col("n._clause").isNull || !col("n._clause").isin(deleteIdxs: _*))
           .select(fields.map(f =>
-            when(col("n._clause").isNotNull, col(s"n.${f.name}"))
-              .otherwise(col(s"o.${f.name}")).as(f.name)): _*)
+            when(col("n._clause").isNotNull, col(s"n.`${f.name}`"))
+              .otherwise(col(s"o.`${f.name}`")).as(f.name)): _*)
         table.replaceFiles(head, touched, rewritten, "merge",
           extraRows = if (notMatched.nonEmpty) Some(inserts) else None,
           props = commitProps)

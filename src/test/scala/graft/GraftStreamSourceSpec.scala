@@ -344,6 +344,19 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple rows per"))
   }
 
+  test("CDC-apply sink rejects a change feed that is not keyed on upsertKeys") {
+    import spark.implicits._
+    val path = tmp("stream-cdcdup-")
+    val sink = new graft.streaming.GraftStreamSink(path, Seq("id"), applyChangeFeed = true)
+    // one source commit carrying TWO inserts for the same key: reduction
+    // must not arbitrarily keep one — the contract violation surfaces
+    val feed = Seq(
+      (5L, "a", "insert", 1L, 0), (5L, "b", "insert", 1L, 0))
+      .toDF("id", "v", "_change_type", "_commit_version", "_change_ordinal")
+    val e = intercept[IllegalStateException] { sink.addBatch(0L, feed) }
+    assert(e.getMessage.contains("not keyed"))
+  }
+
   test("readChangeFeed streams DML as change rows: insert, update, delete") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

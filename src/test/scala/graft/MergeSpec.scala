@@ -17,6 +17,19 @@ class MergeSpec extends SparkSpec {
   private def mk(rows: Seq[(Long, String, Double)]): GraftTable =
     GraftTable.create(spark, tmpDir(), rows.toDF("id", "name", "amount"))
 
+  test("merge works on a table whose column name contains a dot") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "a.b"))
+    t.merge(Seq((2L, 99.0), (3L, 30.0)).toDF("id", "a.b"), expr("t.id = s.id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val got = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("delete is copy-on-write: untouched files carry over by reference") {
     val t = mk(Seq((1L, "a", 10.0)))
     t.append(Seq((100L, "b", 20.0)).toDF("id", "name", "amount"))
