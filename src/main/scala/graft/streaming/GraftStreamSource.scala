@@ -127,8 +127,8 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
 
   import org.apache.spark.sql.functions._
 
-  private def bq(alias: String, c: String) = col(s"$alias.`$c`") // dot-safe
-  private def kq(c: String) = col(s"`$c`")
+  private def bq(alias: String, c: String) = GraftTable.qref(alias, c) // dot-safe
+  private def kq(c: String) = GraftTable.qcol(c)
 
   /** Final state per key within one CDC batch: rows of the LATEST commit
     * touching the key; an update's paired delete+insert (same commit)
@@ -154,7 +154,10 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
     // ONE evaluation of the upstream pipeline (a non-deterministic upstream
     // evaluated twice could slip duplicates past the check)
     val batch0 = Bridge.batchDataFrame(spark, data)
-    val batch = if (upsertKeys.isEmpty) batch0 else batch0.cache()
+    // cache exactly ONE frame: in CDC mode the reduced frame is the single
+    // reader of batch0 and the thing read repeatedly, so caching the raw
+    // batch too would only double executor memory per micro-batch
+    val batch = if (upsertKeys.isEmpty || applyChangeFeed) batch0 else batch0.cache()
     var reduced: Option[DataFrame] = None // cached CDC reduction, if any
     try {
       val exists = new SnapshotLogProbe(path).exists
@@ -203,7 +206,7 @@ class GraftStreamSink(path: String, upsertKeys: Seq[String] = Seq.empty,
         .execute()
     } finally {
       reduced.foreach(_.unpersist())
-      if (upsertKeys.nonEmpty) batch.unpersist()
+      if (upsertKeys.nonEmpty && !applyChangeFeed) batch.unpersist()
     }
   }
 
@@ -220,6 +223,14 @@ private class SnapshotLogProbe(path: String) {
 }
 
 object GraftStreamSource {
+  /** Types whose values can't be compared with =!= (map anywhere inside). */
+  private[streaming] def hasMap(d: org.apache.spark.sql.types.DataType): Boolean = d match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case _ => false
+  }
+
   /** CDC output columns (Iceberg changelog / Delta CDF shape). */
   private[streaming] def withCdcColumns(base: StructType): StructType =
     StructType(base.fields
@@ -360,7 +371,11 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
             "restart the stream to bind the new schema"))
           val raw = col(s"`${endField.name}`")
           val casted = raw.cast(dt)
-          if (endField.dataType == dt) casted.as(name)
+          // the roundtrip fit-check needs =!=, which Spark rejects for
+          // unorderable types (anything containing a map) — numeric wrap is
+          // the real risk; map-bearing re-typings cast best-effort
+          if (endField.dataType == dt || GraftStreamSource.hasMap(endField.dataType))
+            casted.as(name)
           else when(raw.isNotNull &&
               (casted.isNull || casted.cast(endField.dataType) =!= raw),
               raise_error(concat(lit(s"CDC stream: value of column '$name' does not fit " +

@@ -212,7 +212,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
         acc.join(keys,
           curNames.zip(storedNames)
-            .map { case (cn, sn) => acc(cn) <=> keys(s"_eq_$sn") }.reduce(_ && _),
+            .map { case (cn, sn) => acc(s"`$cn`") <=> keys(s"`_eq_$sn`") }.reduce(_ && _),
           "left_anti")
       }
 
@@ -1316,7 +1316,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val derived = PartitionTransform
       .parseList(props.get("write.partition-by"), stripIds(df.schema))
       .filterNot(_.isInstanceOf[PartitionTransform.Identity])
-      .map(t => (t.canonical, t.column(col(t.source)), t.numeric))
+      .map(t => (t.canonical, t.column(qcol(t.source)), t.numeric))
     val files = statFiles(absolute, stripIds(df.schema), schemaId,
       abs => s"data/${fileName(abs)}", derived)
     // GC physically-empty parts (parquet writers can emit 0-row files)
@@ -1386,7 +1386,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private def arrange(df: DataFrame, props: Map[String, String]): DataFrame = {
     val transforms = PartitionTransform.parseList(
       props.get("write.partition-by"), stripIds(df.schema))
-    val tcols = transforms.map(t => t.column(col(t.source)))
+    val tcols = transforms.map(t => t.column(qcol(t.source)))
     val sized = props.get("write.target-file-size-bytes").isDefined
     val parted =
       // co-located bucketing first: repartition(n, col) IS Spark's bucket
@@ -1394,7 +1394,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       // Explicit numPartitions, so AQE never coalesces the layout away.
       if (GraftTable.bucketByOf(props).isDefined) {
         val (n, cs) = GraftTable.bucketByOf(props).get
-        df.repartition(n, cs.map(col): _*)
+        df.repartition(n, cs.map(qcol): _*)
       }
       else if (sized && tcols.isEmpty) df.hint("rebalance")
       else if (sized) {
@@ -1407,7 +1407,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       else if (transforms.isEmpty) df
       else df.repartition(tcols: _*)
     props.get("write.sort-by").filter(_.nonEmpty) match {
-      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => col(c.trim)): _*)
+      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => qcol(c.trim)): _*)
       case None => parted
     }
   }
@@ -1457,11 +1457,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   /** Last segment of a path or URI. */
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  /** Backtick-quoted top-level column reference — a column literally named
-    * "a.b" must never parse as a nested-field path. Every place a SCHEMA
-    * field name becomes a Column goes through here (user-supplied
-    * expressions are the user's to quote). */
-  private def qcol(n: String): Column = col(s"`$n`")
+  private def qcol(n: String): Column = GraftTable.qcol(n)
 
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
     * can contain `value` for `column` (the `SupportsPushDownFilters` seed —
@@ -1571,6 +1567,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 }
 
 object GraftTable {
+
+  /** Backtick-quoted top-level column reference — a column literally named
+    * "a.b" must never parse as a nested-field path. THE one place the
+    * dot-safety rule lives: every site that turns a SCHEMA field name into
+    * a Column (table layer, merge builder, streaming sink) goes through
+    * here or [[qref]]; user-supplied expressions are the user's to quote. */
+  private[graft] def qcol(n: String): Column = col(s"`$n`")
+
+  /** [[qcol]] with a dataset alias prefix (`t`.`a.b`). */
+  private[graft] def qref(alias: String, n: String): Column = col(s"$alias.`$n`")
 
   /** `write.bucket-by = "n,col[,col2,...]"` — Spark-native co-located
     * bucketing, single or COMPOSITE key (murmur3 over all key columns,

@@ -36,10 +36,10 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     matched :+= Clause("update", cond.getOrElse(lit(true)), set); this
   }
   /** UPDATE SET * — every target column from the like-named source column
-    * (backtick-quoted: a column named `a.b` must not parse as a path). */
+    * (quoted via [[GraftTable.qref]]: `a.b` must not parse as a path). */
   def whenMatchedUpdateAll(cond: Option[Column] = None): this.type = {
     matched :+= Clause("update", cond.getOrElse(lit(true)),
-      table.schema.fieldNames.map(n => n -> col(s"s.`$n`")).toMap); this
+      table.schema.fieldNames.map(n => n -> GraftTable.qref("s", n)).toMap); this
   }
   def whenMatchedDelete(cond: Option[Column] = None): this.type = {
     matched :+= Clause("delete", cond.getOrElse(lit(true)), Map.empty); this
@@ -48,10 +48,10 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     notMatched :+= Clause("insert", cond.getOrElse(lit(true)), values); this
   }
   /** INSERT * — every target column from the like-named source column
-    * (backtick-quoted, as in [[whenMatchedUpdateAll]]). */
+    * (quoted, as in [[whenMatchedUpdateAll]]). */
   def whenNotMatchedInsertAll(cond: Option[Column] = None): this.type = {
     notMatched :+= Clause("insert", cond.getOrElse(lit(true)),
-      table.schema.fieldNames.map(n => n -> col(s"s.`$n`")).toMap); this
+      table.schema.fieldNames.map(n => n -> GraftTable.qref("s", n)).toMap); this
   }
   def whenNotMatchedBySourceUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
     bySource :+= Clause("update", cond.getOrElse(lit(true)), set); this
@@ -107,7 +107,7 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
     val img = fields.map { f =>
       val updates = all.collect { case (c, _, i) if c.kind == "update" && c.set.contains(f.name) =>
         (i, c.set(f.name)) }
-      val upd = updates.foldRight(col(s"t.`${f.name}`")) { case ((i, v), els) =>
+      val upd = updates.foldRight(GraftTable.qref("t", f.name)) { case ((i, v), els) =>
         when(col("_clause") === i, v.cast(f.dataType)).otherwise(els)
       }
       val ins = notMatched.zipWithIndex.reverse.foldLeft(lit(null).cast(f.dataType): Column) {
@@ -134,9 +134,7 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
           "MERGE cardinality violation: a target row matches multiple source rows")
       }
 
-      // backtick-quoted everywhere a field name becomes a reference — a
-      // column literally named "a.b" must never parse as a path
-      val outCols = fields.map(f => col(s"`${f.name}`"))
+      val outCols = fields.map(f => GraftTable.qcol(f.name))
       val inserts = annotated.filter(col("_ins") >= 0).select(outCols: _*)
 
       // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
@@ -179,8 +177,8 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
             "left_outer")
           .filter(col("n._clause").isNull || !col("n._clause").isin(deleteIdxs: _*))
           .select(fields.map(f =>
-            when(col("n._clause").isNotNull, col(s"n.`${f.name}`"))
-              .otherwise(col(s"o.`${f.name}`")).as(f.name)): _*)
+            when(col("n._clause").isNotNull, GraftTable.qref("n", f.name))
+              .otherwise(GraftTable.qref("o", f.name)).as(f.name)): _*)
         table.replaceFiles(head, touched, rewritten, "merge",
           extraRows = if (notMatched.nonEmpty) Some(inserts) else None,
           props = commitProps)
