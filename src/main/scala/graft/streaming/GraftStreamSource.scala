@@ -372,8 +372,11 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
           val raw = col(s"`${endField.name}`")
           val casted = raw.cast(dt)
           // the roundtrip fit-check needs =!=, which Spark rejects for
-          // unorderable types (anything containing a map) — numeric wrap is
-          // the real risk; map-bearing re-typings cast best-effort
+          // unorderable types, so a column containing a map ANYWHERE takes
+          // the best-effort cast — a KNOWN limitation: a widened orderable
+          // field inside a map-bearing struct wraps silently. Top-level
+          // atomic/struct/array widens (the overwhelmingly common case)
+          // fail loudly.
           if (endField.dataType == dt || GraftStreamSource.hasMap(endField.dataType))
             casted.as(name)
           else when(raw.isNotNull &&

@@ -212,7 +212,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
         acc.join(keys,
           curNames.zip(storedNames)
-            .map { case (cn, sn) => acc(s"`$cn`") <=> keys(s"`_eq_$sn`") }.reduce(_ && _),
+            .map { case (cn, sn) => qcol(cn) <=> qcol(s"_eq_$sn") }.reduce(_ && _),
           "left_anti")
       }
 
@@ -1394,7 +1394,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       // Explicit numPartitions, so AQE never coalesces the layout away.
       if (GraftTable.bucketByOf(props).isDefined) {
         val (n, cs) = GraftTable.bucketByOf(props).get
-        df.repartition(n, cs.map(qcol): _*)
+        df.repartition(n, cs.map(c => qmaybe(df, c)): _*)
       }
       else if (sized && tcols.isEmpty) df.hint("rebalance")
       else if (sized) {
@@ -1407,7 +1407,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       else if (transforms.isEmpty) df
       else df.repartition(tcols: _*)
     props.get("write.sort-by").filter(_.nonEmpty) match {
-      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => qcol(c.trim)): _*)
+      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => qmaybe(df, c.trim)): _*)
       case None => parted
     }
   }
@@ -1458,6 +1458,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   private def qcol(n: String): Column = GraftTable.qcol(n)
+
+  /** Quote a USER-SUPPLIED name (write.sort-by / bucket-by values) only
+    * when it names a top-level column verbatim; nested paths or
+    * pre-backticked spellings pass through for the parser. */
+  private def qmaybe(df: DataFrame, c: String): Column =
+    if (df.columns.contains(c)) GraftTable.qcol(c) else col(c)
 
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
     * can contain `value` for `column` (the `SupportsPushDownFilters` seed —
