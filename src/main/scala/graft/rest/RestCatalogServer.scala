@@ -183,9 +183,11 @@ class RestCatalogServer(val warehouse: String,
         if (!io.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
         else if (cascade) {
           // drop the whole tree — tables, stored views, nested namespaces —
-          // matching the warehouse catalog's recursive CASCADE
-          io.listNames(dir).filter(n => isTable(s"$dir/$n"))
-            .foreach(n => logs.remove(s"$dir/$n"))
+          // matching the warehouse catalog's recursive CASCADE. Evict the
+          // SnapshotLog cache by PREFIX: tables under nested namespaces
+          // must not keep stale cached logs a same-path recreate would reuse.
+          logs.keys.filter(k => k == dir || k.startsWith(dir + "/"))
+            .foreach(logs.remove)
           io.deleteRecursive(dir); ok(ex)
         } else if (io.listNames(dir).nonEmpty)
           err(ex, 409, s"namespace $ns is not empty")

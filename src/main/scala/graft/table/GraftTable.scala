@@ -32,7 +32,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * verbatim — the [[FileIO]] binding and Spark's parquet scan both
     * resolve them via the Hadoop `FileSystem` API. */
   val path: String =
-    if (rawPath.contains("://")) rawPath.stripSuffix("/")
+    // Scheme detection matches canon's: any RFC-3986 scheme followed by a
+    // slash. `file:/tmp/t` (Hadoop Path.toString's single-slash rendering)
+    // is a URI too — a bare "://" test would send it through Paths.get and
+    // resolve to <cwd>/file:/tmp/t, creating the table in the wrong place.
+    if (rawPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) rawPath.stripSuffix("/")
     else Paths.get(rawPath).toAbsolutePath.normalize.toString
 
   /** All commits funnel through here — swapping the factory swaps the

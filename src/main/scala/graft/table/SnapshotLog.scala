@@ -154,12 +154,20 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * every process (and a foreign writer following the published protocol)
     * agrees on the lineage. */
   def currentVersion: Long = {
-    val anchor =
-      if (io.exists(headPath)) io.readString(headPath).trim.toLong
-      else listVersions.lastOption.getOrElse(
-        throw new IllegalStateException(s"no graft table at $tableRoot"))
     val vs = listVersions
     val f = fence
+    val anchor =
+      if (io.exists(headPath)) io.readString(headPath).trim.toLong
+      else {
+        // HEAD absent (non-posix delete+rename replace window, or a dead
+        // writer). Anchor at the highest MAIN-LINEAGE version above the
+        // fence — the bare max can be a detached branch tip or a fenced
+        // rolled-back lineage, and serving either as head is wrong data.
+        if (vs.isEmpty) throw new IllegalStateException(s"no graft table at $tableRoot")
+        vs.reverseIterator.find(v => v > f && lineageOf(v).exists(_._2))
+          .orElse(vs.reverseIterator.find(v => lineageOf(v).exists(_._2)))
+          .getOrElse(vs.max)
+      }
     var cur = anchor
     var advanced = true
     while (advanced) {
@@ -186,7 +194,15 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
         val e = (st.parent, st.mainLineage)
         lineageCache.put(v, e)
         Some(e)
-      } catch { case _: Exception => None } // racing expiry: skip
+      } catch {
+        // ONLY the racing-expiry signal (the file vanished between listing
+        // and read) may be skipped. A transient IO error or a corrupt JSON
+        // must propagate: silently treating a real committed child as
+        // absent would let two durable children win the same commit edge
+        // (lost update) — the exactly-one-winner invariant depends on every
+        // reader seeing every durable main-lineage child.
+        case _: java.io.FileNotFoundException => None
+      }
     }
 
   /** All snapshot versions still present in the log (ascending). */
