@@ -63,7 +63,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   def schema: StructType = schemaOf(log.current, log.current.currentSchemaId)
 
-  private def schemaOf(s: Snapshot, id: Int): StructType =
+  private[table] def schemaOf(s: Snapshot, id: Int): StructType =
     DataType.fromJson(s.schemas(id.toString)).asInstanceOf[StructType]
 
   private[graft] def fieldId(f: StructField): Int = f.metadata.getLong("graft.id").toInt
@@ -78,7 +78,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   /** Resolve a DataFile path: table-relative (`data/x.parquet`) or absolute
     * (imported in place by [[GraftTable.importParquet]]). */
-  private def resolve(p: String): String =
+  private[table] def resolve(p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
 
   /** Canonical comparison/IO form of a data-file location. The ONLY
@@ -1217,6 +1217,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     manifest
   }
+
+  /** Export the table as a spec-compliant Apache Iceberg v2 metadata tree
+    * (`metadata.json` + Avro manifest lists/manifests under
+    * `outDir/metadata`, data files referenced in place) so a real Iceberg
+    * reader — the Trino connector the reference wires at
+    * reference `main.tf:809-820`, pyiceberg, DuckDB's iceberg extension —
+    * can load it. See [[IcebergExport]] for the mapping. Returns the
+    * metadata.json path. */
+  def exportIcebergMetadata(outDir: String): Path = IcebergExport.export(this, outDir)
 
   /** `CALL rewrite_manifests` analogue: re-commit the head with metadata
     * compacted — schema entries no live file references are dropped, so the

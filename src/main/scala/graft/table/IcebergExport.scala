@@ -1,0 +1,432 @@
+package graft.table
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import scala.util.Try
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Iceberg-v2 metadata exporter: renders a graft table's snapshot log as a
+  * spec-compliant Apache Iceberg table — `metadata.json`, Avro
+  * manifest-list files, and Avro manifest files — so a REAL Iceberg reader
+  * (Trino's connector as wired by reference `main.tf:809-820`, pyiceberg's
+  * `StaticTable`, DuckDB's iceberg extension) can load the table without
+  * knowing anything about graft. Data files are referenced IN PLACE by
+  * absolute URI — nothing is copied or rewritten, matching the read-side
+  * half of the reference's multi-engine promise (reference `README.md:2`:
+  * several engines sharing one table on S3).
+  *
+  * The Avro container files are written by hand against the public Avro
+  * 1.x specification (header `Obj\x01`, metadata map carrying
+  * `avro.schema`, 16-byte sync marker, one null-codec block) — no Avro
+  * dependency, and the output is validated in IcebergExportSpec by the
+  * INDEPENDENT Avro implementation on Spark's classpath.
+  *
+  * Mapping choices (each the conservative, read-correct option):
+  *  - Exported as UNPARTITIONED (spec-id 0, no fields). Graft's hidden
+  *    partitioning buckets with xxhash64, which is NOT Iceberg's
+  *    murmur3 bucket transform — exporting a `bucket[N]` spec would make
+  *    foreign readers mis-prune. Unpartitioned loses pruning, never rows.
+  *  - Field ids are `graft.id + 1` (Iceberg ids are 1-based by
+  *    convention); list/map element ids are allocated above the maximum.
+  *  - `schema.name-mapping.default` is emitted so readers resolve parquet
+  *    columns BY NAME (graft's parquet carries no embedded field ids) —
+  *    the spec's sanctioned fallback for exactly this situation.
+  *  - Every entry is written status=EXISTING with its explicit data
+  *    sequence number (graft stamps `DataFile.seq` at commit), the state
+  *    a rewritten manifest has after Iceberg's own manifest compaction.
+  *  - Positional delete parquet files already use the spec's column names
+  *    (`file_path`, `pos`); equality deletes export their key field ids
+  *    as `equality_ids`.
+  */
+object IcebergExport {
+
+  // ------------------------------------------------------- Avro binary layer
+
+  /** Avro binary encoder (Avro spec "Binary encoding"): zig-zag varint
+    * ints/longs, length-prefixed strings/bytes, union branch indexes,
+    * single-block arrays. */
+  private final class AvroBuf {
+    val out = new ByteArrayOutputStream()
+    def long(v: Long): Unit = {
+      var n = (v << 1) ^ (v >> 63) // zig-zag
+      while ((n & ~0x7FL) != 0L) { out.write(((n & 0x7F) | 0x80).toInt); n >>>= 7 }
+      out.write(n.toInt)
+    }
+    def int(v: Int): Unit = long(v.toLong)
+    def bytes(b: Array[Byte]): Unit = { long(b.length.toLong); out.write(b) }
+    def str(s: String): Unit = bytes(s.getBytes(UTF_8))
+    def raw(b: Array[Byte]): Unit = out.write(b)
+    def none(): Unit = long(0) // union [null, T] branch 0
+    def some(): Unit = long(1) // union [null, T] branch 1
+    /** Array as one counted block + empty terminator block. */
+    def arrayBlock(n: Int)(body: => Unit): Unit = { if (n > 0) { long(n.toLong); body }; long(0) }
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Avro object-container file (Avro spec "Object Container Files"):
+    * magic, file-metadata map, sync marker, one null-codec data block.
+    * Returns the byte length (manifest lists record manifest_length). */
+  private def writeContainer(path: Path, schemaJson: String,
+      fileMeta: Map[String, String], records: Seq[Array[Byte]]): Long = {
+    val b = new AvroBuf
+    b.raw(Array[Byte]('O', 'b', 'j', 1))
+    val meta = fileMeta + ("avro.schema" -> schemaJson) + ("avro.codec" -> "null")
+    b.long(meta.size.toLong)
+    meta.foreach { case (k, v) => b.str(k); b.bytes(v.getBytes(UTF_8)) }
+    b.long(0)
+    // sync marker: any 16 bytes; derived from the path so re-export is stable
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getFileName.toString.getBytes(UTF_8))
+    b.raw(sync)
+    if (records.nonEmpty) {
+      val body = new ByteArrayOutputStream()
+      records.foreach(body.write)
+      b.long(records.size.toLong)
+      b.long(body.size.toLong)
+      b.raw(body.toByteArray)
+      b.raw(sync)
+    }
+    val all = b.toBytes
+    Files.write(path, all)
+    all.length.toLong
+  }
+
+  // --------------------------------------------------- schema + type mapping
+
+  /** Iceberg field id for a graft-stamped field: `graft.id + 1` (Iceberg
+    * ids start at 1). */
+  private def iid(f: StructField): Int =
+    if (f.metadata.contains("graft.id")) f.metadata.getLong("graft.id").toInt + 1 else -1
+
+  private def maxGraftId(dt: DataType): Int = dt match {
+    case st: StructType =>
+      (st.fields.map(f => math.max(iid(f), maxGraftId(f.dataType))) :+ 0).max
+    case ArrayType(e, _)   => maxGraftId(e)
+    case MapType(k, v, _)  => math.max(maxGraftId(k), maxGraftId(v))
+    case _                 => 0
+  }
+
+  /** Spark type -> Iceberg type JSON (spec "Schemas and Data Types").
+    * `nextId` allocates element/key/value ids for list/map nodes, which
+    * graft's per-struct-field id stamping has no slot for. */
+  private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
+    case st: StructType =>
+      ("type" -> "struct") ~ ("fields" -> JArray(st.fields.map { f =>
+        (("id" -> iid(f)) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
+          ("type" -> icebergType(f.dataType, nextId))): JValue
+      }.toList))
+    case ArrayType(e, containsNull) =>
+      ("type" -> "list") ~ ("element-id" -> nextId()) ~
+        ("element" -> icebergType(e, nextId)) ~ ("element-required" -> !containsNull)
+    case MapType(k, v, valueContainsNull) =>
+      ("type" -> "map") ~ ("key-id" -> nextId()) ~ ("key" -> icebergType(k, nextId)) ~
+        ("value-id" -> nextId()) ~ ("value" -> icebergType(v, nextId)) ~
+        ("value-required" -> !valueContainsNull)
+    case d: DecimalType     => JString(s"decimal(${d.precision}, ${d.scale})")
+    case IntegerType | ShortType | ByteType => JString("int")
+    case LongType           => JString("long")
+    case FloatType          => JString("float")
+    case DoubleType         => JString("double")
+    case StringType         => JString("string")
+    case BooleanType        => JString("boolean")
+    case DateType           => JString("date")
+    case TimestampType      => JString("timestamptz")
+    case TimestampNTZType   => JString("timestamp")
+    case BinaryType         => JString("binary")
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg mapping for Spark type ${other.typeName}")
+  }
+
+  /** `schema.name-mapping.default` (spec "Name Mapping Serialization"):
+    * lets readers resolve parquet columns lacking embedded field ids. */
+  private def nameMapping(st: StructType): JArray = JArray(st.fields.map { f =>
+    val base: JObject = ("field-id" -> iid(f)) ~ ("names" -> List(f.name))
+    (f.dataType match {
+      case s: StructType => base ~ ("fields" -> nameMapping(s))
+      case _             => base
+    }): JValue
+  }.toList)
+
+  // --------------------------------------------------------- bounds encoding
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  /** Iceberg single-value binary serialization for the stat types whose
+    * string form round-trips exactly; others are simply omitted (bounds
+    * are optional). */
+  private def boundBytes(typeName: String, v: String): Option[Array[Byte]] =
+    Try[Array[Byte]](typeName match {
+      case "integer" | "short" | "byte" => le(v.trim.toLong, 4)
+      case "long"    => le(v.trim.toLong, 8)
+      case "float"   => le(java.lang.Float.floatToIntBits(v.toFloat).toLong, 4)
+      case "double"  => le(java.lang.Double.doubleToLongBits(v.toDouble), 8)
+      case "string"  => v.getBytes(UTF_8)
+      case "date"    => le(java.time.LocalDate.parse(v.trim).toEpochDay, 4)
+      case _         => throw new IllegalArgumentException(typeName)
+    }).toOption
+
+  // ----------------------------------------------------- manifest avro forms
+
+  private val ManifestEntrySchema: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+      |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+      |]},"field-id":2}]}""".stripMargin.replace("\n", "")
+
+  private val ManifestFileSchema: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+      |{"name":"contains_null","type":"boolean","field-id":509},
+      |{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |]}}],"default":null,"field-id":507}]}""".stripMargin.replace("\n", "")
+
+  /** One manifest_entry record (data or delete file). All entries are
+    * EXISTING with explicit sequence numbers — see object doc. */
+  private def encodeEntry(addedBy: Long, seq: Long, content: Int, path: String,
+      rows: Long, sizeBytes: Long,
+      valueCounts: Seq[(Int, Long)], nullCounts: Seq[(Int, Long)],
+      lower: Seq[(Int, Array[Byte])], upper: Seq[(Int, Array[Byte])],
+      eqIds: Option[Seq[Int]]): Array[Byte] = {
+    val b = new AvroBuf
+    b.int(0)                    // status EXISTING
+    b.some(); b.long(addedBy)   // snapshot_id that added the file
+    b.some(); b.long(seq)       // data sequence number
+    b.some(); b.long(seq)       // file sequence number
+    b.int(content)              // 0 data, 1 position deletes, 2 equality deletes
+    b.str(path)
+    b.str("PARQUET")
+    // partition: empty r102 record — no bytes
+    b.long(rows)
+    b.long(sizeBytes)
+    def kvLongs(m: Seq[(Int, Long)]): Unit =
+      if (m.isEmpty) b.none()
+      else { b.some(); b.arrayBlock(m.size) { m.foreach { case (k, v) => b.int(k); b.long(v) } } }
+    def kvBytes(m: Seq[(Int, Array[Byte])]): Unit =
+      if (m.isEmpty) b.none()
+      else { b.some(); b.arrayBlock(m.size) { m.foreach { case (k, v) => b.int(k); b.bytes(v) } } }
+    kvLongs(valueCounts); kvLongs(nullCounts); kvBytes(lower); kvBytes(upper)
+    eqIds match {
+      case None      => b.none()
+      case Some(ids) => b.some(); b.arrayBlock(ids.size) { ids.foreach(b.int) }
+    }
+    b.toBytes
+  }
+
+  private def encodeManifestFile(manifestPath: String, length: Long,
+      content: Int, seq: Long, minSeq: Long, addedBy: Long,
+      fileCount: Int, rowCount: Long): Array[Byte] = {
+    val b = new AvroBuf
+    b.str(manifestPath)
+    b.long(length)
+    b.int(0)        // partition_spec_id
+    b.int(content)  // 0 data, 1 deletes
+    b.long(seq)
+    b.long(minSeq)
+    b.long(addedBy)
+    b.int(0); b.int(fileCount); b.int(0)   // added/existing/deleted files
+    b.long(0L); b.long(rowCount); b.long(0L) // added/existing/deleted rows
+    b.none()        // partitions (unpartitioned)
+    b.toBytes
+  }
+
+  // ----------------------------------------------------------------- export
+
+  /** Write the full Iceberg table-metadata tree for `table` under
+    * `outDir/metadata`, HadoopTables layout (`v1.metadata.json` +
+    * `version-hint.text`), and return the metadata.json path. */
+  def export(table: GraftTable, outDir: String): Path = {
+    val metaDir = Paths.get(outDir).resolve("metadata")
+    Files.createDirectories(metaDir)
+    val log = table.log
+
+    // main lineage = parent chain from the current head (oldest first)
+    val chain = {
+      var acc = List.empty[Snapshot]
+      var v = log.currentVersion
+      while (v >= 0 && Try(log.snapshot(v)).isSuccess) {
+        val s = log.snapshot(v); acc = s :: acc; v = s.parent
+      }
+      acc
+    }
+    val head = chain.last
+    val schemaWithIds = table.schemaOf(head, head.currentSchemaId)
+    var elementId = maxGraftId(schemaWithIds) + 1
+    val nextId = () => { elementId += 1; elementId }
+    val schemaJson: JValue =
+      icebergType(schemaWithIds, nextId).asInstanceOf[JObject] ~
+        ("schema-id" -> head.currentSchemaId)
+    val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
+
+    def fileUri(p: String): String = {
+      val abs = table.resolve(p)
+      if (abs.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) abs else s"file://$abs"
+    }
+
+    // name -> iceberg id, against the schema the file was WRITTEN with
+    def idsFor(schemaId: Int): Map[String, Int] = {
+      val st = Try(table.schemaOf(head, schemaId)).getOrElse(schemaWithIds)
+      st.fields.map(f => f.name -> iid(f)).toMap
+    }
+
+    def statsOf(f: DataFile): (Seq[(Int, Long)], Seq[(Int, Long)],
+        Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])]) = {
+      val ids = idsFor(f.schemaId)
+      val known = f.stats.toSeq.flatMap { case (name, cs) =>
+        ids.get(name).map(id => (id, cs))
+      }.sortBy(_._1)
+      val vc = known.map { case (id, _) => (id, f.rows) }
+      val nc = known.collect { case (id, cs) if cs.nullCount >= 0 => (id, cs.nullCount) }
+      val lo = known.flatMap { case (id, cs) => boundBytes(cs.dataType, cs.min).map((id, _)) }
+      val hi = known.flatMap { case (id, cs) => boundBytes(cs.dataType, cs.max).map((id, _)) }
+      (vc, nc, lo, hi)
+    }
+
+    // Manifests are content-addressed on their entry bytes, so unchanged
+    // file lists share one manifest across exported snapshots — the commit
+    // chain exports O(changed files), like the snapshot log itself.
+    val manifestCache = scala.collection.mutable.Map.empty[String, (String, Long, Long, Long, Int, Long)]
+    def writeManifest(entries: Seq[Array[Byte]], content: String, seqs: Seq[Long],
+        addedBy: Long, rows: Long): (String, Long, Long, Long, Int, Long) = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      entries.foreach(digest.update)
+      digest.update(content.getBytes(UTF_8))
+      val hash = digest.digest().take(10).map("%02x".format(_)).mkString
+      manifestCache.getOrElseUpdate(hash, {
+        val p = metaDir.resolve(s"m-$content-$hash.avro")
+        val len = writeContainer(p, ManifestEntrySchema, Map(
+          "schema" -> schemaJsonStr,
+          "schema-id" -> head.currentSchemaId.toString,
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> "0",
+          "format-version" -> "2",
+          "content" -> content), entries)
+        (p.toUri.toString, len, seqs.max, seqs.min, entries.size, rows)
+      })
+    }
+
+    val snapshotsJson = chain.map { s =>
+      val dataEntries = s.files.map { f =>
+        val (vc, nc, lo, hi) = statsOf(f)
+        encodeEntry(f.seq, f.seq, 0, fileUri(f.path), f.rows, f.bytes, vc, nc, lo, hi, None)
+      }
+      val deleteEntries =
+        s.deleteFiles.map(f =>
+          encodeEntry(f.seq, f.seq, 1, fileUri(f.path), f.rows, f.bytes,
+            Nil, Nil, Nil, Nil, None)) ++
+        s.eqDeleteFiles.map { e =>
+          val ids = idsFor(e.file.schemaId)
+          val eqIds = if (e.colIds.nonEmpty) e.colIds.map(_ + 1) else e.cols.flatMap(ids.get)
+          encodeEntry(e.seq, e.seq, 2, fileUri(e.file.path), e.file.rows, e.file.bytes,
+            Nil, Nil, Nil, Nil, Some(eqIds))
+        }
+      val manifests = Seq.newBuilder[Array[Byte]]
+      if (dataEntries.nonEmpty) {
+        val seqs = s.files.map(_.seq)
+        val (p, len, mx, mn, n, rows) =
+          writeManifest(dataEntries, "data", seqs, s.version, s.files.map(_.rows).sum)
+        manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows)
+      }
+      if (deleteEntries.nonEmpty) {
+        val seqs = s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq)
+        val rows = s.deleteFiles.map(_.rows).sum + s.eqDeleteFiles.map(_.file.rows).sum
+        val (p, len, mx, mn, n, r) =
+          writeManifest(deleteEntries, "deletes", seqs, s.version, rows)
+        manifests += encodeManifestFile(p, len, 1, mx, mn, s.version, n, r)
+      }
+      val listPath = metaDir.resolve(f"snap-${s.version}%d-manifest-list.avro")
+      writeContainer(listPath, ManifestFileSchema, Map(
+        "snapshot-id" -> s.version.toString,
+        "sequence-number" -> s.version.toString,
+        "parent-snapshot-id" -> (if (s.parent >= 0) s.parent.toString else "null"),
+        "format-version" -> "2"), manifests.result())
+      val op = s.operation match {
+        case "append" | "create" | "import"            => "append"
+        case "rewrite-data" | "rewrite-manifests"      => "replace"
+        case "delete"                                  => "delete"
+        case _                                         => "overwrite"
+      }
+      val base: JObject =
+        ("snapshot-id" -> s.version) ~
+        ("sequence-number" -> s.version) ~
+        ("timestamp-ms" -> s.timestampMs) ~
+        ("manifest-list" -> listPath.toUri.toString) ~
+        ("summary" -> (("operation" -> op): JObject)) ~
+        ("schema-id" -> head.currentSchemaId)
+      (if (s.parent >= 0) base ~ ("parent-snapshot-id" -> s.parent) else base): JValue
+    }
+
+    val tableProps = head.properties.view
+      .filterKeys(k => !k.startsWith("write.")).toMap +
+      ("schema.name-mapping.default" ->
+        JsonMethods.compact(JsonMethods.render(nameMapping(schemaWithIds)))) +
+      ("format-version" -> "2")
+
+    val locationUri =
+      if (table.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) table.path
+      else s"file://${table.path}"
+
+    val metadata: JObject =
+      ("format-version" -> 2) ~
+      ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(table.path.getBytes(UTF_8)).toString) ~
+      ("location" -> locationUri) ~
+      ("last-sequence-number" -> head.version) ~
+      ("last-updated-ms" -> head.timestampMs) ~
+      ("last-column-id" -> elementId) ~
+      ("current-schema-id" -> head.currentSchemaId) ~
+      ("schemas" -> JArray(List(schemaJson))) ~
+      ("default-spec-id" -> 0) ~
+      ("partition-specs" -> JArray(List(("spec-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
+      ("last-partition-id" -> 999) ~
+      ("default-sort-order-id" -> 0) ~
+      ("sort-orders" -> JArray(List(("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
+      ("properties" -> tableProps) ~
+      ("current-snapshot-id" -> head.version) ~
+      ("refs" -> (("main" -> (("snapshot-id" -> head.version) ~ ("type" -> "branch"))): JObject)) ~
+      ("snapshots" -> JArray(snapshotsJson)) ~
+      ("snapshot-log" -> JArray(chain.map(s =>
+        (("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.version)): JValue))) ~
+      ("metadata-log" -> JArray(Nil))
+
+    val metadataPath = metaDir.resolve("v1.metadata.json")
+    Files.writeString(metadataPath,
+      JsonMethods.pretty(JsonMethods.render(metadata)))
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    metadataPath
+  }
+}

@@ -282,13 +282,21 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * commit itself means no write path can forget it — the invariant
     * "file.seq = version that introduced it" holds by construction. */
   private def stampNew(snap: Snapshot, parentVersion: Long): Snapshot = {
-    val parentPaths =
+    val parent: Option[Snapshot] =
       if (parentVersion >= 0 && io.exists(versionPath(parentVersion)))
-        hydrate(JsonMethods.parse(io.readString(versionPath(parentVersion)))
-          .extract[StoredSnapshot]).files.map(_.path).toSet
-      else Set.empty[String]
-    snap.copy(files = snap.files.map(f =>
-      if (parentPaths.contains(f.path)) f else f.copy(seq = snap.version)))
+        Some(hydrate(JsonMethods.parse(io.readString(versionPath(parentVersion)))
+          .extract[StoredSnapshot]))
+      else None
+    val parentPaths = parent.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val parentDelPaths = parent.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    snap.copy(
+      files = snap.files.map(f =>
+        if (parentPaths.contains(f.path)) f else f.copy(seq = snap.version)),
+      // positional-delete files get the same stamp: their sequence number
+      // must sit ABOVE the data files they apply to (Iceberg v2 delete
+      // scoping — what a foreign reader of the exported metadata uses)
+      deleteFiles = snap.deleteFiles.map(f =>
+        if (parentDelPaths.contains(f.path)) f else f.copy(seq = snap.version)))
   }
 
   def current: Snapshot = snapshot(currentVersion)

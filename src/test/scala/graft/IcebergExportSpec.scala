@@ -1,0 +1,230 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.table.GraftTable
+
+/** Iceberg-v2 export validation (VERDICT r7 "Next round" #1). The Avro
+  * manifests graft writes BY HAND (pure-JDK encoder, [[graft.table.IcebergExport]])
+  * are parsed back here with the INDEPENDENT Apache Avro implementation on
+  * Spark's classpath — so a passing run means a real Iceberg reader's Avro
+  * layer accepts the files, not merely that our writer agrees with itself.
+  * metadata.json is checked for every spec-required v2 field, and the
+  * exported file inventory is reconciled row-for-row against the table. */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(Paths.get("target"), "iceberg-exp-").toString
+
+  /** Read every record of an Avro container file with the real Avro lib. */
+  private def readAvro(uri: String): (org.apache.avro.Schema, Map[String, String], Seq[GenericRecord]) = {
+    val f = new File(java.net.URI.create(uri).getPath)
+    val rdr = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try {
+      val recs = rdr.iterator().asScala.toList
+      val metaKeys = rdr.getMetaKeys.asScala.toList
+      val meta = metaKeys.map(k => k -> rdr.getMetaString(k)).toMap
+      (rdr.getSchema, meta, recs)
+    } finally rdr.close()
+  }
+
+  private def str(r: GenericRecord, f: String): String = String.valueOf(r.get(f))
+
+  test("export emits spec-required v2 metadata fields and real-Avro-parseable manifests") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "amount"))
+    t.append(Seq((4L, "d", 40.0), (5L, "e", 50.0)).toDF("id", "name", "amount"))
+    t.delete(col("id") === 2L) // copy-on-write: rewrites the touched file
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(metaPath))
+
+    // -- required metadata.json fields (Iceberg spec "Table Metadata Fields")
+    assert((json \ "format-version").extract[Int] == 2)
+    assert((json \ "table-uuid").extract[String].nonEmpty)
+    assert((json \ "location").extract[String].startsWith("file://"))
+    assert((json \ "last-sequence-number").extract[Long] == t.log.currentVersion)
+    assert((json \ "last-updated-ms").extract[Long] > 0)
+    assert((json \ "last-column-id").extract[Int] >= 3)
+    assert((json \ "current-schema-id").extract[Int] >= 0)
+    val schemas = (json \ "schemas").extract[List[JValue]]
+    assert(schemas.nonEmpty)
+    val fields = (schemas.head \ "fields").extract[List[JValue]]
+    assert(fields.map(f => (f \ "name").extract[String]) == List("id", "name", "amount"))
+    // field ids present, positive, unique
+    val ids = fields.map(f => (f \ "id").extract[Int])
+    assert(ids.forall(_ > 0) && ids.distinct.size == ids.size)
+    assert((json \ "partition-specs").extract[List[JValue]].nonEmpty)
+    assert((json \ "default-spec-id").extract[Int] == 0)
+    assert((json \ "sort-orders").extract[List[JValue]].nonEmpty)
+    assert((json \ "default-sort-order-id").extract[Int] == 0)
+    assert((json \ "current-snapshot-id").extract[Long] == t.log.currentVersion)
+    assert((json \ "refs" \ "main" \ "snapshot-id").extract[Long] == t.log.currentVersion)
+    // name mapping present for field-id-less parquet (spec "Name Mapping")
+    val nm = JsonMethods.parse(
+      (json \ "properties" \ "schema.name-mapping.default").extract[String])
+    assert(nm.extract[List[JValue]].map(e => (e \ "names").extract[List[String]].head)
+      == List("id", "name", "amount"))
+
+    // -- snapshot chain: one entry per commit, parent links intact
+    val snaps = (json \ "snapshots").extract[List[JValue]]
+    assert(snaps.size == 3) // create, append, delete
+    assert(snaps.map(s => (s \ "snapshot-id").extract[Long]) == List(0L, 1L, 2L))
+    assert((snaps(2) \ "parent-snapshot-id").extract[Long] == 1L)
+    val ops = snaps.map(s => (s \ "summary" \ "operation").extract[String])
+    assert(ops == List("append", "append", "delete"))
+    assert((json \ "snapshot-log").extract[List[JValue]].size == 3)
+
+    // -- manifest list of the head snapshot parses with REAL Avro
+    val headList = (snaps.last \ "manifest-list").extract[String]
+    val (listSchema, listMeta, manifests) = readAvro(headList)
+    assert(listSchema.getName == "manifest_file")
+    assert(listMeta("format-version") == "2")
+    // field-id props survived into the parsed schema (readers map by them)
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id").toString == "500")
+    assert(manifests.nonEmpty)
+
+    // -- data manifests parse; entries carry the spec fields and cover the table
+    val dataManifests = manifests.filter(m => str(m, "content") == "0")
+    val entries = dataManifests.flatMap { m =>
+      val (entSchema, entMeta, ents) = readAvro(str(m, "manifest_path"))
+      assert(entSchema.getName == "manifest_entry")
+      assert(entMeta("format-version") == "2" && entMeta("content") == "data")
+      // the embedded iceberg table schema is well-formed JSON with field ids
+      val emb = JsonMethods.parse(entMeta("schema"))
+      assert((emb \ "type").extract[String] == "struct")
+      ents
+    }
+    val dataFiles = entries.map(e => e.get("data_file").asInstanceOf[GenericRecord])
+    dataFiles.foreach { df =>
+      assert(str(df, "file_format") == "PARQUET")
+      assert(str(df, "content") == "0")
+      assert(str(df, "file_path").startsWith("file://"))
+      assert(df.get("record_count").asInstanceOf[Long] > 0)
+      assert(df.get("file_size_in_bytes").asInstanceOf[Long] > 0)
+    }
+    // rows-by-manifest == rows-by-table; file paths match the live snapshot
+    assert(dataFiles.map(_.get("record_count").asInstanceOf[Long]).sum == t.read.count())
+    val exportedPaths = dataFiles.map(df => str(df, "file_path")).toSet
+    assert(exportedPaths.size == t.log.current.files.size)
+
+    // -- the exported file list, read back as plain parquet, IS the table
+    // (the oracle-engine round-trip: DuckDB/Trino would scan these URIs)
+    val viaExport = spark.read.parquet(exportedPaths.toSeq.map(p =>
+      java.net.URI.create(p).getPath): _*)
+    assert(viaExport.exceptAll(t.read).count() == 0 &&
+      t.read.exceptAll(viaExport).count() == 0)
+  }
+
+  test("bounds round-trip: manifest lower/upper bounds decode to the table min/max") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((5L, "mm", 1.5), (9L, "zz", -2.0), (7L, "aa", 0.25)).toDF("id", "name", "amount"))
+    t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(
+      Paths.get(s"$dir/export/metadata/v1.metadata.json")))
+    val headList = ((json \ "snapshots").extract[List[JValue]].last \ "manifest-list").extract[String]
+    val (_, _, manifests) = readAvro(headList)
+    val (_, _, ents) = readAvro(str(manifests.head, "manifest_path"))
+    // rows may split across several files at local[32] — table-level bounds
+    // are the min/max across every entry's per-file bounds
+    val dfs = ents.map(_.get("data_file").asInstanceOf[GenericRecord])
+    val fieldIds = (((json \ "schemas").extract[List[JValue]].head \ "fields")
+      .extract[List[JValue]]).map(f => (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+
+    def boundsOf(rec: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      rec.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+        val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
+        (kv.get("key").asInstanceOf[Int], arr)
+      }.toMap
+    def leLong(b: Array[Byte]): Long =
+      b.zipWithIndex.map { case (x, i) => (x.toLong & 0xFF) << (8 * i) }.sum
+
+    val los = dfs.map(boundsOf(_, "lower_bounds")); val his = dfs.map(boundsOf(_, "upper_bounds"))
+    assert(los.map(m => leLong(m(fieldIds("id")))).min == 5L)
+    assert(his.map(m => leLong(m(fieldIds("id")))).max == 9L)
+    assert(los.map(m => new String(m(fieldIds("name")), "UTF-8")).min == "aa")
+    assert(los.map(m => java.lang.Double.longBitsToDouble(leLong(m(fieldIds("amount"))))).min == -2.0)
+    assert(his.map(m => java.lang.Double.longBitsToDouble(leLong(m(fieldIds("amount"))))).max == 1.5)
+    // value/null counts present and consistent: totals across files = 3 rows, 0 nulls
+    def countsOf(rec: GenericRecord, field: String): Map[Int, Long] =
+      rec.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala.map(kv =>
+        (kv.get("key").asInstanceOf[Int], kv.get("value").asInstanceOf[Long])).toMap
+    assert(dfs.map(d => countsOf(d, "value_counts")(fieldIds("id"))).sum == 3L)
+    assert(dfs.map(d => countsOf(d, "null_value_counts")(fieldIds("id"))).sum == 0L)
+  }
+
+  test("merge-on-read deletes export as a delete manifest with spec content codes") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") <= 10L)                     // positional delete file
+    t.deleteByEquality(Seq(11L, 12L).toDF("id")) // equality delete file
+
+    t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(
+      Paths.get(s"$dir/export/metadata/v1.metadata.json")))
+    val headList = ((json \ "snapshots").extract[List[JValue]].last \ "manifest-list").extract[String]
+    val (_, _, manifests) = readAvro(headList)
+
+    val deleteManifests = manifests.filter(m => str(m, "content") == "1")
+    assert(deleteManifests.size == 1, "one delete manifest expected")
+    val (_, dMeta, dEnts) = readAvro(str(deleteManifests.head, "manifest_path"))
+    assert(dMeta("content") == "deletes")
+    val byContent = dEnts.groupBy(e =>
+      str(e.get("data_file").asInstanceOf[GenericRecord], "content"))
+    assert(byContent.contains("1"), "positional delete entry (content=1)")
+    assert(byContent.contains("2"), "equality delete entry (content=2)")
+    // equality delete entry names its key field ids
+    val eq = byContent("2").head.get("data_file").asInstanceOf[GenericRecord]
+    val eqIds = eq.get("equality_ids").asInstanceOf[java.util.List[Int]].asScala
+    val idFieldId = (((json \ "schemas").extract[List[JValue]].head \ "fields")
+      .extract[List[JValue]])
+      .find(f => (f \ "name").extract[String] == "id").map(f => (f \ "id").extract[Int]).get
+    assert(eqIds.toSeq == Seq(idFieldId))
+
+    // delete sequence numbers are ABOVE the data files they apply to —
+    // the v2 scoping rule a foreign reader uses to apply them
+    val dataManifest = manifests.find(m => str(m, "content") == "0").get
+    val (_, _, dataEnts) = readAvro(str(dataManifest, "manifest_path"))
+    val maxDataSeq = dataEnts.map(_.get("sequence_number").asInstanceOf[Long]).max
+    val minDelSeq = dEnts.map(_.get("sequence_number").asInstanceOf[Long]).min
+    assert(minDelSeq > 0 && minDelSeq >= maxDataSeq,
+      s"delete seq $minDelSeq must be >= data seq $maxDataSeq")
+
+    // live rows = data rows - deleted rows (positional + equality all apply)
+    val dataRows = dataEnts.map(e =>
+      e.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    val delRows = dEnts.map(e =>
+      e.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum
+    assert(dataRows - delRows == t.read.count())
+  }
+
+  test("manifest reuse: unchanged file lists share one content-addressed manifest") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl", Seq((1L, "a")).toDF("id", "name"))
+    t.setProperties(Map("custom.tag" -> "x")) // metadata-only commit: same file list
+    t.exportIcebergMetadata(s"$dir/export")
+    val files = Files.list(Paths.get(s"$dir/export/metadata")).iterator().asScala
+      .map(_.getFileName.toString).toList
+    assert(files.count(_.startsWith("m-data-")) == 1,
+      s"both snapshots must share one data manifest, got $files")
+    assert(files.count(_.startsWith("snap-")) == 2)
+    assert(files.contains("version-hint.text"))
+  }
+}
