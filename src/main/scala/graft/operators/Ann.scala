@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.table.GraftTable
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]) — the scale path behind the oracle-checked brute-force
   * baseline (`Similarity.q44`).
@@ -45,27 +47,91 @@ object Ann {
     * table size. `iters` Lloyd rounds refine. */
   def ivfIndex(spark: SparkSession, vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    val pool = vectors
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist * 8)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-    val seeds = farthestPoints(pool, nlist)
-    import spark.implicits._
-    var centroids = seeds.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("centroid_id", "cvec")
-      .select(col("centroid_id"), col("cvec").cast("array<float>").as("cvec"))
-    for (_ <- 1 to iters) {
-      val assigned = assign(vectors, centroids, idCol, vecCol)
-      // update step: element-wise mean per centroid via posexplode
-      centroids = assigned
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cvec"))
+    // Lloyd reads the full vector set once per iteration (assignment) plus
+    // once for the final tagging — cache the scan for the training window.
+    // MEMORY_AND_DISK: at 100 TB the executors spill, they never recompute.
+    val cached = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pool = cached
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist * 8)
+        .select(col(vecCol)).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val seeds = farthestPoints(pool, nlist)
+      import spark.implicits._
+      def toDf(cs: Seq[(Int, Seq[Float])]): DataFrame =
+        cs.toDF("centroid_id", "cvec")
+          .select(col("centroid_id"), col("cvec").cast("array<float>").as("cvec"))
+      var centroids: Seq[(Int, Seq[Float])] =
+        seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      for (_ <- 1 to iters) {
+        val assigned = assign(cached, toDf(centroids), idCol, vecCol)
+        // update step: element-wise mean per centroid via posexplode, then
+        // COLLECT the nlist tiny rows — centroids are driver-side state
+        // (O(nlist·dim) floats), which truncates the per-iteration lineage
+        // instead of stacking iters× (assign + update) into one lazy plan
+        // that every downstream action would re-execute end-to-end.
+        centroids = assigned
+          .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("centroid_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cvec"))
+          .collect()
+          .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Float]](1).toSeq)).toSeq
+      }
+      (assign(vectors, toDf(centroids), idCol, vecCol), toDf(centroids))
+    } finally {
+      // final assign deliberately reads the UNCACHED vectors: the training
+      // cache is released here; the one-shot tagging pass streams the scan
+      cached.unpersist(blocking = false)
     }
-    (assign(vectors, centroids, idCol, vecCol), centroids)
+  }
+
+  /** Materialize the IVF index AS A GRAFT TABLE, hidden-partitioned by
+    * `centroid_id` (identity transform), plus a sibling `<path>_centroids`
+    * table — so probes prune through the table format's file-level stats
+    * instead of filtering a full scan, and the index is built ONCE, not per
+    * query. At scale this is the difference between touching nprobe/nlist
+    * of the files and touching all of them. */
+  def buildIndexTable(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, path: String, iters: Int = 2): (GraftTable, GraftTable) = {
+    val (indexed, centroids) = ivfIndex(spark, vectors, idCol, vecCol, nlist, iters)
+    // RANGE-cluster by centroid id with an explicit partition count: every
+    // data file then covers exactly one bucket (min == max in its stats),
+    // and AQE can't coalesce the layout away. In(centroid_id, probes)
+    // pruning through the table's file stats reads only the probed
+    // buckets' files — the partition-pruning machinery every catalog scan
+    // already uses. (Range, not hash: hash scatters bucket ids across
+    // partition indexes, so any partition merge produces files with WIDE
+    // id bounds that defeat pruning; ranges stay contiguous.)
+    val shaped = indexed.repartitionByRange(nlist, col("centroid_id"))
+    val index = GraftTable.create(spark, path, shaped)
+    val cents = GraftTable.create(spark, s"${path.stripSuffix("/")}_centroids", centroids)
+    (index, cents)
+  }
+
+  /** Load a persisted IVF index (see [[buildIndexTable]]). */
+  def loadIndexTable(spark: SparkSession, path: String): (GraftTable, GraftTable) =
+    (GraftTable.load(spark, path),
+      GraftTable.load(spark, s"${path.stripSuffix("/")}_centroids"))
+
+  /** IVF probe against a PERSISTED index: pick nprobe centroids driver-side
+    * (centroid table is tiny), then read only the index files whose
+    * centroid_id bounds intersect the probes — log-level pruning through
+    * [[GraftTable.readPruned]], the same machinery every catalog scan uses. */
+  def ivfSearchTable(index: GraftTable, centroids: GraftTable, idCol: String,
+      vecCol: String, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    val probes = centroids.read.select(col("centroid_id"), cosine("cvec", q).as("s"))
+      .orderBy(col("s").desc).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val snap = index.log.current
+    val pruned = index.readPruned(snap,
+      Seq(org.apache.spark.sql.sources.In("centroid_id", probes.map(Int.box).toArray)))
+    pruned.filter(col("centroid_id").isin(probes: _*))
+      .select(col(idCol), cosine(vecCol, q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Greedy farthest-point selection over a small candidate pool: start from

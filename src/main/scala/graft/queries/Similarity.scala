@@ -149,9 +149,17 @@ object Similarity {
     // single-row collect, metadata-grained
     val probe = vecs.filter(col("vec_id") === 0).select(col("embedding"))
       .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
-    val (index, centroids) = graft.operators.Ann.ivfIndex(
-      spark, vecs, "vec_id", "embedding", nlist = 4)
-    graft.operators.Ann.ivfSearch(index, centroids, "vec_id", "embedding",
+    // Index-once, probe-many: the IVF index is a PERSISTED graft table
+    // hidden-partitioned by centroid id (VERDICT r7 #3) — first call per
+    // dataset builds it, every later probe loads it and prunes to the
+    // nprobe buckets' files through the table format's stats.
+    val indexPath = s"target/ivf-index-v1-${Integer.toHexString(dir.hashCode)}"
+    val (index, cents) =
+      if (new java.io.File(s"$indexPath/_graft/HEAD").exists())
+        graft.operators.Ann.loadIndexTable(spark, indexPath)
+      else graft.operators.Ann.buildIndexTable(
+        spark, vecs, "vec_id", "embedding", nlist = 4, indexPath)
+    graft.operators.Ann.ivfSearchTable(index, cents, "vec_id", "embedding",
       probe, k = 10, nprobe = 2)
       .withColumn("cos_sim", rnd(col("cos_sim"), 4))
   }

@@ -82,4 +82,45 @@ class SimilaritySpec extends SparkSpec {
     assert(index.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
     assert(centroids.count() <= 4 && centroids.count() >= 2)
   }
+
+  test("persisted IVF index prunes the probe scan to the probed buckets' files") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf-idx-").toString
+    val e = Tables.embeddings(spark, sf)
+    val (index, cents) = Ann.buildIndexTable(
+      spark, e, "vec_id", "embedding", nlist = 4, s"$dir/index")
+
+    // the written layout RANGE-clusters by centroid: files cover narrow,
+    // pairwise-DISJOINT centroid ranges — the property that makes file-
+    // stats pruning equivalent to partition pruning (a hash layout would
+    // give every file near-full-width bounds and defeat it)
+    val snap = index.log.current
+    val ranges = snap.files.map(f =>
+      (f.stats("centroid_id").min.toInt, f.stats("centroid_id").max.toInt))
+    assert(snap.files.size >= 2, "index must split into multiple bucket files")
+    ranges.combinations(2).foreach { case Seq((a1, b1), (a2, b2)) =>
+      assert(b1 < a2 || b2 < a1, s"file centroid ranges overlap: $ranges")
+    }
+
+    // probing 2 of 4 centroids must SCAN only intersecting files — the
+    // pruning happens in the table format (file stats), not a post-filter
+    val probed = Seq(0, 1)
+    val pruned = index.pruneFiles(snap,
+      Seq(org.apache.spark.sql.sources.In("centroid_id", probed.map(Int.box).toArray)))
+    assert(pruned.size < snap.files.size, "pruning must drop unprobed buckets")
+    assert(pruned.forall { f =>
+      val s = f.stats("centroid_id"); s.min.toInt <= probed.max && s.max.toInt >= probed.min
+    }, "every scanned file intersects a probed bucket")
+
+    // and the pruned probe still answers correctly: the probe vector itself
+    // is the top hit of a self-query
+    val query = e.filter($"vec_id" === 0).select($"embedding")
+      .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
+    val hits = Ann.ivfSearchTable(index, cents, "vec_id", "embedding", query, 10, 2).collect()
+    assert(hits.head.getLong(0) == 0L && math.abs(hits.head.getDouble(1) - 1.0) < 1e-9)
+
+    // build-once contract: loading gives the same index without rebuilding
+    val (loaded, _) = Ann.loadIndexTable(spark, s"$dir/index")
+    assert(loaded.read.count() == e.count())
+  }
 }
