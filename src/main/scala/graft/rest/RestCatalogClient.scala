@@ -23,7 +23,10 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
   private implicit val fmts: Formats = DefaultFormats
   private val http = HttpClient.newHttpClient()
 
-  val token: String = presetToken.getOrElse {
+  /** OAuth2 client-credentials grant — run eagerly at construction (bad
+    * credentials fail fast) and again on token EXPIRY (a 401 mid-session
+    * triggers one re-grant + replay; see [[send]]). */
+  private def grantToken(): String = {
     val cred = credential.getOrElse(throw new IllegalArgumentException(
       "REST catalog needs a 'token' or a 'credential' (client-id:client-secret) option"))
     val Array(id, secret) = cred.split(":", 2)
@@ -37,13 +40,18 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     (JsonMethods.parse(resp.body()) \ "access_token").extract[String]
   }
 
+  @volatile private var cachedToken: String = presetToken.getOrElse(grantToken())
+
+  /** Current bearer token (refreshed in place on expiry). */
+  def token: String = cachedToken
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
   private val Sep = "\u001f" // Iceberg REST multipart-namespace separator
   private def encNs(ns: Seq[String]): String = enc(ns.mkString(Sep))
 
-  private def send(method: String, path: String, body: Option[String] = None): HttpResponse[String] = {
+  private def dispatch(method: String, path: String, body: Option[String]): HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
-      .header("Authorization", s"Bearer $token")
+      .header("Authorization", s"Bearer $cachedToken")
       .header("Content-Type", "application/json")
     val req = (method match {
       case "GET" => b.GET()
@@ -51,6 +59,49 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
     }).build()
     http.send(req, HttpResponse.BodyHandlers.ofString())
+  }
+
+  private val MaxAttempts = 3
+
+  /** Send with bounded retry on TRANSIENT failures and self-healing auth:
+    *
+    *  - connect/IO errors and 503 replay with linear backoff — 503 is the
+    *    one status a catalog emits only BEFORE dispatching a request
+    *    (maintenance/overload), so replaying it cannot double-apply a
+    *    commit;
+    *  - a 401 with a credential on hand means the bearer token EXPIRED:
+    *    re-run the client-credentials grant once and replay (Iceberg's
+    *    REST clients refresh the same way). Preset-token clients cannot
+    *    refresh — their 401 surfaces to the caller;
+    *  - CAS conflicts (409) and 4xx are NEVER retried here — commit retry
+    *    is the table layer's job (retryOnConflict rebuilds the candidate
+    *    against the new head; a blind HTTP replay of a 409 would push a
+    *    stale snapshot). */
+  private def send(method: String, path: String, body: Option[String] = None): HttpResponse[String] = {
+    var refreshed = false
+    var attempt = 1
+    while (true) {
+      val resp =
+        try Some(dispatch(method, path, body))
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= MaxAttempts) throw new IllegalStateException(
+              s"$method $path failed after $MaxAttempts attempts: ${e.getMessage}", e)
+            None
+        }
+      resp match {
+        case Some(r) if r.statusCode() == 503 && attempt < MaxAttempts => () // retry
+        case Some(r) if r.statusCode() == 401 && credential.isDefined && !refreshed =>
+          cachedToken = grantToken()
+          refreshed = true
+          attempt -= 1 // the refresh replay doesn't consume a transient-retry slot
+        case Some(r) => return r
+        case None => () // IOException mid-window: retry
+      }
+      Thread.sleep(50L * attempt)
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def expect(resp: HttpResponse[String], what: String,

@@ -64,10 +64,14 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   * }}}
   */
 class RestCatalogServer(val warehouse: String,
-    credentials: Map[String, String], port: Int = 0) {
+    credentials: Map[String, String], port: Int = 0,
+    tokenTtlMs: Long = 3600000L) {
 
   private implicit val fmts: Formats = DefaultFormats
-  private val tokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // token -> absolute expiry (epoch ms); expired entries fail auth with 401,
+  // which a credentialed client answers with a fresh client-credentials
+  // grant (RestCatalogClient.send) — the OAuth2 expiry/refresh loop
+  private val tokens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private var server: HttpServer = _
 
   // Warehouse IO through the Hadoop FileSystem seam — the catalog server
@@ -120,7 +124,11 @@ class RestCatalogServer(val warehouse: String,
 
   private def authorized(ex: HttpExchange): Boolean = {
     val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    h.startsWith("Bearer ") && tokens.contains(h.stripPrefix("Bearer "))
+    if (!h.startsWith("Bearer ")) false
+    else {
+      val exp = tokens.get(h.stripPrefix("Bearer "))
+      exp != null && System.currentTimeMillis() < exp
+    }
   }
 
   /** OAuth2 client-credentials grant (form-encoded body, per RFC 6749 and
@@ -136,9 +144,10 @@ class RestCatalogServer(val warehouse: String,
     if (!credentials.get(id).contains(form.getOrElse("client_secret", "")))
       return err(ex, 401, "invalid client credentials")
     val token = UUID.randomUUID().toString
-    tokens.add(token)
+    tokens.put(token, System.currentTimeMillis() + tokenTtlMs)
     ok(ex, Serialization.write(Map(
-      "access_token" -> token, "token_type" -> "bearer", "expires_in" -> "3600")))
+      "access_token" -> token, "token_type" -> "bearer",
+      "expires_in" -> (tokenTtlMs / 1000).toString)))
   }
 
   private def handle(ex: HttpExchange): Unit = try {

@@ -1,0 +1,140 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.rest.{RestCatalogClient, RestCatalogServer}
+
+/** VERDICT r7 "Next round" #4: the full DML/procedures battery against the
+  * REST-backed catalog (every commit CAS-arbitrated by the server over
+  * HTTP), plus client resilience — transient-5xx retry and OAuth2
+  * token-expiry refresh. */
+class RestDmlSpec extends SparkSpec {
+
+  private def server = RestCatalogSpec.server
+  private def init(): Unit = {
+    RestCatalogSpec.server
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.dml")
+  }
+
+  test("MERGE / UPDATE / DELETE run with server-arbitrated commits") {
+    init()
+    spark.sql("CREATE TABLE graftr.dml.batt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftr.dml.batt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""
+      MERGE INTO graftr.dml.batt t
+      USING (SELECT * FROM VALUES (2, 'B2'), (4, 'd') AS s(id, v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    spark.sql("UPDATE graftr.dml.batt SET v = 'A1' WHERE id = 1")
+    spark.sql("DELETE FROM graftr.dml.batt WHERE id = 3")
+    assert(spark.sql("SELECT id, v FROM graftr.dml.batt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A1"), (2L, "B2"), (4L, "d")))
+    // every one of those was a separate REST-arbitrated commit
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.`batt$history`")
+      .collect()(0).getLong(0) == 5)
+  }
+
+  test("time travel, rollback, branch/tag procedures through the REST catalog") {
+    init()
+    spark.sql("CREATE TABLE graftr.dml.tt (id BIGINT)")
+    spark.sql("INSERT INTO graftr.dml.tt VALUES (1)")
+    spark.sql("INSERT INTO graftr.dml.tt VALUES (2)")
+    // time travel reads the server-resolved snapshot log
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.tt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 1)
+    // refs: created/dropped via procedures, arbitrated by the server
+    spark.sql("CALL graftr.system.create_tag('dml.tt', 'v1', 1)")
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.tt VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) == 1)
+    // rollback moves HEAD server-side; a fresh read sees the old state
+    spark.sql("CALL graftr.system.rollback_to_snapshot('dml.tt', 1)")
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.tt").collect()(0).getLong(0) == 1)
+    spark.sql("CALL graftr.system.set_current_snapshot('dml.tt', 2)")
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.tt").collect()(0).getLong(0) == 2)
+    // expire keeps the table readable; the tag PROTECTS its snapshot
+    spark.sql("INSERT INTO graftr.dml.tt VALUES (3)")
+    spark.sql("CALL graftr.system.expire_snapshots(`table` => 'dml.tt', keep_last => 1)")
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.tt").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.`tt$history`")
+      .collect()(0).getLong(0) == 2, "HEAD + the tagged snapshot survive")
+    // dropping the ref releases it; a second expire prunes to HEAD only
+    spark.sql("CALL graftr.system.drop_ref('dml.tt', 'v1')")
+    spark.sql("CALL graftr.system.expire_snapshots(`table` => 'dml.tt', keep_last => 1)")
+    assert(spark.sql("SELECT count(*) FROM graftr.dml.`tt$history`")
+      .collect()(0).getLong(0) == 1)
+  }
+
+  test("client retries transient 503s and completes the operation") {
+    init()
+    // flaky reverse proxy: first N requests get 503, the rest forward to
+    // the real server — the maintenance-window shape a catalog LB presents
+    val failures = new AtomicInteger(2)
+    val http = HttpClient.newHttpClient()
+    val proxy = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    proxy.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (failures.getAndDecrement() > 0) {
+        val msg = "{\"error\":\"service unavailable\"}".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(503, msg.length); ex.getResponseBody.write(msg); ex.close()
+      } else {
+        val b = HttpRequest.newBuilder(java.net.URI.create(
+          s"${server.uri}${ex.getRequestURI}"))
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .foreach(a => b.header("Authorization", a))
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .foreach(c => b.header("Content-Type", c))
+        val req = (ex.getRequestMethod match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }).build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        val bytes = resp.body().getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(resp.statusCode(), if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    proxy.start()
+    try {
+      // token grant goes to the REAL server (no proxy flake in auth), then
+      // the first two catalog calls hit 503 and must be replayed
+      val direct = new RestCatalogClient(server.uri, Some("engine-a:secret-a"), None)
+      val flaky = new RestCatalogClient(
+        s"http://127.0.0.1:${proxy.getAddress.getPort}", None, Some(direct.token))
+      assert(failures.get() == 2)
+      assert(flaky.listNamespaces().nonEmpty) // retried through both 503s
+      assert(failures.get() <= 0, "the 503 responses must have been consumed by retries")
+    } finally proxy.stop(0)
+  }
+
+  test("expired bearer token is refreshed with a new grant, not surfaced") {
+    // dedicated server with a 300ms token TTL
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "rest-ttl-").toString
+    val ttlServer = new RestCatalogServer(wh, Map("eng" -> "pw"), tokenTtlMs = 300L).start()
+    try {
+      val c = new RestCatalogClient(ttlServer.uri, Some("eng:pw"), None)
+      val t0 = c.token
+      c.createNamespace(Seq("ns1"))
+      Thread.sleep(400L) // let the token expire server-side
+      // next call gets 401, client re-grants and replays transparently
+      assert(c.listNamespaces() == Seq(Seq("ns1")))
+      assert(c.token != t0, "a fresh token must have been granted")
+      // a preset-token client CANNOT refresh: expiry surfaces as 401
+      val preset = new RestCatalogClient(ttlServer.uri, None, Some(t0))
+      val e = intercept[IllegalStateException] { preset.listNamespaces() }
+      assert(e.getMessage.contains("401"))
+    } finally ttlServer.stop()
+  }
+}
