@@ -212,4 +212,73 @@ class PlanDisciplineSpec extends SparkSpec {
     assert("Exchange \\(\\d+\\)".r.findAllIn(plan).size <= 3,
       s"unexpected extra shuffle:\n$plan")
   }
+
+  test("MOR read: positional + equality deletes apply as BROADCAST anti-joins, zero shuffles") {
+    // The merge-on-read cost model (VERDICT r7 #5): read cost scales with
+    // the DELETE set, not the table — deletes ride to the data as
+    // broadcasts; a sort-merge anti-join would shuffle the full table on
+    // every read, which at 100 TB is a rewrite per query.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mor-plan-").toString
+    val t = graft.table.GraftTable.create(spark, dir + "/t",
+      (1L to 20000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete($"id" % 100 === 0)                       // positional deletes
+    t.deleteByEquality((1L to 50L).toDF("id"))        // equality deletes
+    val df = t.read
+    df.collect() // materialize so AQE's final plan is in place
+    val plan = df.queryExecution.executedPlan.toString
+    val antiJoins = "BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins >= 2, s"expected broadcast anti-joins for both delete kinds:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"delete application must never sort-merge the full table:\n$plan")
+    // the DATA side must stay shuffle-free: any Exchange in the plan may
+    // only move delete-side columns (the key dedup before its broadcast)
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(shuffles.forall(l => l.contains("_eq_") || l.contains("file_path")),
+      s"data-side shuffle found:\n$plan")
+    // correctness of the shape under both delete kinds at once:
+    // 200 positional (multiples of 100) + 50 equality (ids 1..50), disjoint
+    assert(df.count() == 20000L - 200L - 50L)
+  }
+
+  test("AQE splits the skewed partition of a PLAIN sort-merge join at runtime") {
+    // The engine-handled half of the skew story (VERDICT r7 #7): q61 proves
+    // the manual salt; this proves spark.sql.adaptive.skewJoin splits a hot
+    // key's partition on the UNsalted join, so users only reach for
+    // Skew.saltedJoin when the shape is one AQE can't split (agg-after-join,
+    // broadcast-ineligible stages) — exactly what Skew.scala's doc says.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, concat, lit}
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scale thresholds: the hot partition (~12 MB) is "skewed" next
+      // to the advisory 64k target, mirroring a hot key at cluster scale
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val big = spark.range(300000).select(
+        when($"id" < 250000, 0L).otherwise($"id" % 97).as("k"),
+        concat(lit("x"), $"id").as("pad"))
+      val dim = spark.range(97).select($"id".as("k"), concat(lit("d"), $"id").as("dv"))
+      val joined = big.join(dim, "k")
+      assert(joined.count() == 300000)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"setup must produce an SMJ:\n$plan")
+      assert(plan.contains("skewed"),
+        s"AQE skew split did not fire on the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
