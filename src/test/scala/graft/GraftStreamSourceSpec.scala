@@ -251,6 +251,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC bootstrap under maxFilesPerTrigger splits the backlog into multiple batches") {
+    // A mirror bootstrapping with readChangeFeed + fromVersion=-1 replays
+    // the table's WHOLE history — on a large table that must arrive as
+    // rate-limited micro-batches (checkpoint per step), never one giant
+    // first batch (VERDICT r7 #6). Same budget walk as the append path.
+    import spark.implicits._
+    val path = tmp("stream-cdc-rate-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id"))  // v0
+    t.append(Seq(2L).toDF("id"))                                // v1
+    t.append(Seq(3L).toDF("id"))                                // v2
+    t.append(Seq(4L).toDF("id"))                                // v3
+    t.delete(org.apache.spark.sql.functions.col("id") === 2L)   // v4
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true")
+      .option("fromVersion", "-1").option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("graft_cdc_rate")
+      .option("checkpointLocation", s"$path/../ckpt-cdc-rate").start()
+    try {
+      q.processAllAvailable()
+      // full-history replay: every change row exactly once, deletes included
+      val got = spark.table("graft_cdc_rate")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "insert", 0L), (2L, "insert", 1L), (3L, "insert", 2L),
+        (4L, "insert", 3L), (2L, "delete", 4L)))
+      // and the bootstrap was SPLIT: several data-bearing micro-batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"CDC backlog was not split: $dataBatches data batches")
+    } finally q.stop()
+  }
+
   test("mid-stream schema evolution keeps batches on the schema pinned at start") {
     import spark.implicits._
     val path = tmp("stream-evo-")
