@@ -262,6 +262,93 @@ object Multimodal {
     chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
   }
 
+  /** Track metadata parsed from an ISO-BMFF (mp4/mov) container. */
+  case class Mp4Meta(durationSec: Double, width: Int, height: Int,
+      codec: String, brand: String)
+
+  /** Minimal ISO-BMFF box walker (ISO/IEC 14496-12 public spec): descends
+    * `moov`→`trak`→`mdia`/`minf`/`stbl` containers and extracts what a
+    * cataloging pipeline needs WITHOUT a codec — movie duration (`mvhd`
+    * timescale/duration), visual track dimensions (`tkhd` 16.16 fixed
+    * point), the sample-entry codec fourcc (`stsd`, e.g. avc1/hvc1/mp4v),
+    * and the `ftyp` major brand. Pure byte parsing, safe per-row in a
+    * task; full DECODE still needs a codec library — that boundary is
+    * documented on [[frameSample]]. Returns None for non-BMFF payloads. */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+      ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 16 || fourcc(4) != "ftyp") return None
+    val brand = fourcc(8)
+    var duration = 0.0; var width = 0; var height = 0; var codec = ""
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val sz32 = be32(p)
+        val typ = fourcc(p + 4)
+        // size==1 → 64-bit largesize follows; size==0 → box runs to EOF
+        val (body, end) =
+          if (sz32 == 1 && p + 16 <= to) (p + 16, p + be64(p + 8))
+          else if (sz32 == 0) (p + 8, to.toLong)
+          else (p + 8, p + sz32)
+        if (end > to || end <= p) return // malformed: keep what's parsed
+        typ match {
+          case t if containers.contains(t) => walk(body, end.toInt)
+          case "mvhd" =>
+            val v = bytes(body) & 0xff
+            // v0: ctime/mtime 4+4, timescale 4, duration 4; v1: 8+8, 4, 8
+            val (ts, dur) =
+              if (v == 1) (be32(body + 20), be64(body + 24))
+              else (be32(body + 12), be32(body + 16))
+            if (ts > 0) duration = dur.toDouble / ts
+          case "tkhd" =>
+            val v = bytes(body) & 0xff
+            val o = body + (if (v == 1) 88 else 76) // offset of 16.16 width
+            if (o + 8 <= end) {
+              val w = (be32(o) >> 16).toInt; val h = (be32(o + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h } // visual track wins
+            }
+          case "stsd" =>
+            // ver/flags 4 + entry_count 4, then first sample entry:
+            // size 4 + format fourcc
+            if (body + 16 <= end && be32(body + 4) > 0 && codec.isEmpty)
+              codec = fourcc(body + 12)
+          case _ => ()
+        }
+        p = end.toInt
+      }
+    }
+    walk(0, bytes.length)
+    Some(Mp4Meta(duration, width, height, codec, brand))
+  }
+
+  /** Fixture generator: a minimal syntactically-valid mp4 (`ftyp` +
+    * `moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd)))))`) — the write-side
+    * counterpart of [[mp4Meta]] and its test fixture, like
+    * [[encodeMjpegAvi]] for the RIFF walker. */
+  def encodeMinimalMp4(durationSec: Double, w: Int, h: Int,
+      codec: String = "avc1", timescale: Int = 600): Array[Byte] = {
+    def be(n: Int): Array[Byte] =
+      Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd", Array.fill[Byte](12)(0) ++ // v0 + ctime + mtime
+      be(timescale) ++ be((durationSec * timescale).toInt) ++
+      Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++ // v0 header + matrix
+      be(w << 16) ++ be(h << 16))
+    val stsd = box("stsd", Array.fill[Byte](4)(0) ++ be(1) ++
+      box(codec, Array.fill[Byte](70)(0)))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stsd)))))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be(512) ++
+      "isomiso2".getBytes("US-ASCII")) ++ moov
+  }
+
   /** Frame sampling: one row per sampled frame. REAL for MJPEG AVI payloads
     * — the RIFF container is parsed ([[mjpegFrames]]) and `nFrames` evenly-
     * spaced frames are emitted, each a decodable JPEG. Payloads in a format

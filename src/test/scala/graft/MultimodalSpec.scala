@@ -170,4 +170,25 @@ class MultimodalSpec extends SparkSpec {
       spark.createDataset(Seq(Multimodal.Asset(8L, Array.fill(100)(42.toByte), "mp4", 0, 0))), 3)
     assert(fb.count() == 3)
   }
+
+  test("ISO-BMFF box walker extracts mp4 duration, track dims, codec fourcc, brand") {
+    val mp4 = Multimodal.encodeMinimalMp4(12.5, 1920, 1080, codec = "avc1")
+    val meta = Multimodal.mp4Meta(mp4)
+    assert(meta.isDefined, "generated mp4 must parse")
+    val m = meta.get
+    assert(m.brand == "isom")
+    assert(math.abs(m.durationSec - 12.5) < 0.01, s"duration ${m.durationSec}")
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.codec == "avc1")
+    // a different codec fourcc round-trips too
+    assert(Multimodal.mp4Meta(
+      Multimodal.encodeMinimalMp4(3.0, 640, 480, codec = "hvc1")).get.codec == "hvc1")
+    // non-BMFF payloads are None, not garbage
+    assert(Multimodal.mp4Meta(Array.fill(64)(7.toByte)).isEmpty)
+    assert(Multimodal.mp4Meta(Multimodal.encodeMjpegAvi(
+      Seq(new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)))).isEmpty)
+    // truncated/malformed input keeps whatever parsed cleanly, never throws
+    assert(Multimodal.mp4Meta(mp4.take(40)).isDefined)
+  }
 }
