@@ -322,13 +322,75 @@ object Dedup {
        |WHERE round(1.0 - levenshtein(t1.t, t2.t)::DOUBLE / greatest(len(t1.t), len(t2.t)), 4) >= 0.8
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Boilerplate prefix clusters (CCNet/RefinedWeb-style header dedup):
+    * documents sharing a whitespace-normalized 50-char prefix are one
+    * boilerplate family — the signal behind "strip the repeated site
+    * header before near-dup". Hash-groupBy on the md5 of the normalized
+    * prefix: partial→final aggregate, shuffle key is 16 bytes per doc
+    * regardless of document size. */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(regexp_replace(lower(substring($"text", 1, 50)), "\\s+", " ")
+          .cast("binary")).as("prefix_hash"))
+      .groupBy($"prefix_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"first_doc")
+  }
+
+  val q85Sql: String =
+    """SELECT md5(regexp_replace(lower(substr(text, 1, 50)), '\s+', ' ', 'g')) AS prefix_hash,
+      |       COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+      |       min(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY first_doc""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Cross-source duplication audit: for every pair of sources, how many
+    * boilerplate prefixes they share — the contamination matrix a corpus
+    * curator reads before mixing crawls (a hot pair means one crawl
+    * re-scraped the other). Inverted-index shape: distinct (prefix-hash,
+    * source) rows self-join on the HASH — a key-equality shuffle whose
+    * per-key fan-out is bounded by the source count, never all-pairs over
+    * docs. */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = documents(spark, dir)
+      .select(md5(regexp_replace(lower(substring($"text", 1, 50)), "\\s+", " ")
+        .cast("binary")).as("h"), $"source")
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("shared_prefixes"))
+      .orderBy($"src1", $"src2")
+  }
+
+  val q86Sql: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(substr(text, 1, 50)), '\s+', ' ', 'g')) AS h,
+      |         source
+      |  FROM documents)
+      |SELECT a.source AS src1, b.source AS src2, COUNT(*) AS shared_prefixes
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY src1, src2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
     "q42_dedup_simhash"       -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
     "q67_dedup_simhash_pairs" -> q67,
-    "q82_dedup_editdist"      -> q82)
+    "q82_dedup_editdist"      -> q82,
+    "q85_prefix_clusters"     -> q85,
+    "q86_cross_source_dups"   -> q86)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
@@ -336,5 +398,7 @@ object Dedup {
     "q42_dedup_simhash"       -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q67_dedup_simhash_pairs" -> q67Sql,
-    "q82_dedup_editdist"      -> q82Sql)
+    "q82_dedup_editdist"      -> q82Sql,
+    "q85_prefix_clusters"     -> q85Sql,
+    "q86_cross_source_dups"   -> q86Sql)
 }

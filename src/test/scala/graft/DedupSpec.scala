@@ -20,11 +20,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.oracleSql.keySet == Dedup.queries.keySet)
   }
 
-  test("no all-pairs: LSH and jaccard plans contain no cartesian product") {
-    Seq(Dedup.q41(spark, sf), Dedup.q43(spark, sf)).foreach { df =>
+  test("no all-pairs: LSH, jaccard, and cross-source plans contain no cartesian product") {
+    Seq(Dedup.q41(spark, sf), Dedup.q43(spark, sf), Dedup.q86(spark, sf)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
     }
+  }
+
+  test("prefix clusters and cross-source audit agree: every multi-source cluster is a pair") {
+    // q85's n_sources>1 clusters and q86's pair matrix are two views of the
+    // same boilerplate overlap — the pair counts must sum consistently
+    val clusters = Dedup.q85(spark, sf).collect()
+    val crossSourcePairs = Dedup.q86(spark, sf)
+      .collect().map(_.getLong(2)).sum
+    val expectedPairs = clusters.map { r =>
+      val s = r.getLong(2) // n_sources sharing this prefix -> C(s,2) pairs
+      s * (s - 1) / 2
+    }.sum
+    assert(crossSourcePairs == expectedPairs,
+      s"pair matrix total $crossSourcePairs != C(n_sources,2) sum $expectedPairs")
   }
 
   test("planted near-duplicates are caught by MinHash LSH banding") {
