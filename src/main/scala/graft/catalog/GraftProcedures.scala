@@ -109,6 +109,10 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,
           tablePathOf(r.getUTF8String(0).toString))),
+      new Proc("import_iceberg", "load a real Iceberg table (metadata.json or table root) as a new graft table, data files in place",
+        Seq(tbl, in("source", StringType)))((s, r) =>
+        graft.table.IcebergImport.importTable(s, r.getUTF8String(1).toString,
+          tablePathOf(r.getUTF8String(0).toString))),
       // branch/tag DDL rides the CALL surface instead of a parser extension:
       // same capability as Iceberg's ALTER TABLE ... CREATE BRANCH/TAG.
       // version defaults to -1 = "the current snapshot" (Iceberg's

@@ -107,6 +107,40 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private def stripIds(s: StructType): StructType =
     StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
 
+  /** Read schema for BY-FIELD-ID column resolution (tables imported from
+    * real Iceberg metadata, [[IcebergImport]]): every level carries
+    * `parquet.field.id` (= graft.id + 1, the import/export mapping), which
+    * makes Spark's parquet reader match file columns by the ids in their
+    * FOOTERS instead of by name. Iceberg writers always embed footer ids,
+    * so files written before a rename resolve correctly even though the
+    * import has no per-file schema history. Activated per-table by the
+    * `graft.read.by-field-id` property. */
+  private def fieldIdReadSchema(s: StructType): StructType = {
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val meta =
+          if (f.metadata.contains("graft.id"))
+            new MetadataBuilder().putLong("parquet.field.id",
+              f.metadata.getLong("graft.id") + 1).build()
+          else Metadata.empty
+        f.copy(dataType = walk(f.dataType), metadata = meta)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType   => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other        => other
+    }
+    walk(s).asInstanceOf[StructType]
+  }
+
+  /** True when snapshot `s` opts into footer-field-id column resolution;
+    * flips the session flag Spark gates id-matching behind (a no-op for
+    * every read whose schema carries no `parquet.field.id` metadata). */
+  private def byFieldId(s: Snapshot): Boolean = {
+    val on = s.properties.get("graft.read.by-field-id").contains("true")
+    if (on) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    on
+  }
+
   /** Normalized read of a snapshot: files are grouped by the schema they
     * were written with and projected, ID-wise, onto the current schema —
     * renamed columns map by field id, added columns null-fill, dropped
@@ -133,6 +167,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     }
     val mor = applyDeletes && s.deleteFiles.nonEmpty
     val eqDels = if (applyDeletes) s.eqDeleteFiles else Seq.empty
+    val idRead = byFieldId(s)
     val needMeta = withMeta || mor
     // Spark-native co-located bucketing fast path: when every file was
     // written under the CURRENT schema with a conforming `_NNNNN` bucket
@@ -159,10 +194,13 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     // by file count.
     val delSeqs = eqDels.map(_.seq).distinct.sorted
     def eqBucket(f: DataFile): Int = delSeqs.count(_ > f.seq)
-    val groups = fileSet.groupBy(f => (f.schemaId, eqBucket(f))).toSeq.map {
-      case ((sid, _), files) =>
+    val groups = fileSet.groupBy(f =>
+        (f.schemaId, eqBucket(f), idRead && f.footerIds)).toSeq.map {
+      case ((sid, _, useIds), files) =>
       val fileSchema = schemaOf(s, sid)
-      val df = spark.read.schema(stripIds(fileSchema))
+      val readSchema =
+        if (useIds) fieldIdReadSchema(fileSchema) else stripIds(fileSchema)
+      val df = spark.read.schema(readSchema)
         .parquet(files.map(f => resolve(f.path)): _*)
       val cols = cur.fields.map { f =>
         val ff = counterpart(fileSchema, f)
@@ -173,7 +211,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
                           col("_metadata.row_index").as("_graft_pos"))
         else Seq.empty
       val base = df.select(cols ++ metaCols: _*)
-      applyEqDeletes(base, eqDels.filter(_.seq > files.head.seq), cur)
+      applyEqDeletes(base, eqDels.filter(_.seq > files.head.seq), cur, idRead)
     }
     val unioned = groups.reduce(_ unionAll _)
     // merge-on-read: anti-join the positional deletes (small — broadcast by
@@ -181,8 +219,14 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val live = if (mor) {
       val dels = spark.read.schema(deleteSchema)
         .parquet(s.deleteFiles.map(f => resolve(f.path)): _*)
+      // canon BOTH path sides (same codegen'd regexp as canon() /
+      // rewritePositionDeleteFiles): graft-written deletes match verbatim,
+      // but IMPORTED Iceberg deletes may render the scheme differently
+      // (file:/ vs file:///) than Spark's _metadata.file_path does
+      def canonCol(c: Column): Column =
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
       unioned.join(dels,
-        unioned("_graft_path") === dels("file_path") &&
+        canonCol(unioned("_graft_path")) === canonCol(dels("file_path")) &&
           unioned("_graft_pos") === dels("pos"), "left_anti")
     } else unioned
     if (withMeta) live else live.drop("_graft_path", "_graft_pos")
@@ -209,11 +253,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * names but compare against the CURRENT names, so renames keep matching.
     * The key sets are small, so AQE broadcasts these joins. */
   private def applyEqDeletes(base: DataFrame, dels: Seq[EqDeleteFile],
-      cur: StructType): DataFrame =
-    dels.groupBy(d => (eqKeyNames(d, cur), d.cols)).toSeq
-      .foldLeft(base) { case (acc, ((curNames, storedNames), ds)) =>
-        val keys = spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
-          .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
+      cur: StructType, byId: Boolean = false): DataFrame =
+    dels.groupBy(d =>
+        (eqKeyNames(d, cur), d.cols, byId && d.file.footerIds)).toSeq
+      .foldLeft(base) { case (acc, ((curNames, storedNames, useIds), ds)) =>
+        val keys =
+          if (useIds && ds.head.colIds.nonEmpty) {
+            // imported tables: the delete parquet's own column names are
+            // unknown (written under whatever schema the foreign writer
+            // had) — resolve them by FOOTER id, like the data files
+            val schema = StructType(curNames.zip(ds.head.colIds).map {
+              case (cn, id) => cur.fields.find(_.name == cn).get.copy(
+                nullable = true, metadata = new MetadataBuilder()
+                  .putLong("parquet.field.id", id + 1L).build())
+            })
+            spark.read.schema(schema)
+              .parquet(ds.map(d => resolve(d.file.path)): _*)
+              .select(curNames.zip(storedNames).map { case (cn, sn) =>
+                qcol(cn).as(s"_eq_$sn") }: _*).dropDuplicates()
+          } else
+            spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
+              .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
         acc.join(keys,
           curNames.zip(storedNames)
             .map { case (cn, sn) => qcol(cn) <=> qcol(s"_eq_$sn") }.reduce(_ && _),
@@ -448,7 +508,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       stripIds(curMeta)(curMeta.fieldIndex(c)).copy(nullable = true, metadata = Metadata.empty)))
     val typed = keys.select(cols.map(c =>
       qcol(c).cast(keySchema(c).dataType).as(c)): _*).dropDuplicates()
-    val fs = writeDeleteFiles(typed, keySchema)
+    val fs = writeDeleteFiles(typed, keySchema,
+      fieldIds = cols.zip(colIds).map { case (c, id) => c -> (id + 1L) }.toMap)
     if (fs.isEmpty) head
     else log.commit(head.version, v => head.copy(
       version = v, parent = head.version, timestampMs = now(),
@@ -461,9 +522,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * application per data file). With an explicit `schema`, writes
     * arbitrary-keyed EQUALITY-delete files instead. */
   private[table] def writeDeleteFiles(df: DataFrame,
-      schema: StructType = deleteSchema): Seq[DataFile] = {
+      schema: StructType = deleteSchema,
+      // Iceberg's RESERVED field ids for positional-delete columns; equality
+      // deletes pass their key columns' table ids instead
+      fieldIds: Map[String, Long] =
+        Map("file_path" -> 2147483546L, "pos" -> 2147483545L)): Seq[DataFile] = {
     val staging = s"${log.root}/_staging-${UUID.randomUUID()}"
-    df.write.parquet(staging)
+    val tagged = StructType(df.schema.fields.map(f =>
+      fieldIds.get(f.name).map(id => f.copy(metadata =
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", id).build())).getOrElse(f)))
+    org.apache.spark.sql.graftglue.Bridge.withWriteSchema(spark, df, tagged)
+      .write.parquet(staging)
     val parts = log.io.listNames(staging).filter(_.endsWith(".parquet"))
     val moved = parts.map { p =>
       val name = s"${UUID.randomUUID()}-deletes.parquet"
@@ -559,7 +629,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val have = head.files.map(_.path).toSet
     log.commit(head.version, nv => head.copy(
       version = nv, parent = head.version, timestampMs = now(),
-      operation = "cherrypick", files = head.files ++ added.filterNot(f => have(f.path))))
+      operation = "cherrypick",
+      // donor files re-enter with a FRESH sequence number (seq 0 = let the
+      // commit stamp it) — Iceberg's cherry-pick likewise re-sequences, so
+      // equality deletes issued since the donor don't hit the re-applied rows
+      files = head.files ++ added.filterNot(f => have(f.path)).map(_.copy(seq = 0L))))
   }
 
   /** `CALL expire_snapshots`: drop all but the newest `keepLast` snapshot
@@ -1295,8 +1369,61 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * transforms additionally record their VALUE's bounds per file, keyed by
     * the canonical transform spec, so [[pruneFiles]] can skip files from
     * filters on the source column. */
+  /** Stamp `parquet.field.id` (= graft.id + 1, the same mapping
+    * [[IcebergExport]] publishes) into the write schema, at every nesting
+    * level, so Spark's parquet writer embeds REAL field ids in the file
+    * footers — an Iceberg reader then resolves columns by id directly; the
+    * exported name mapping stays only for files written before this.
+    * Best-effort: a frame whose names don't line up with the id-bearing
+    * table schema (imports, legacy paths) writes without ids, exactly as
+    * before. */
+  private def tagParquetFieldIds(df: DataFrame, schemaId: Int,
+      explicitIdSchema: Option[StructType] = None): DataFrame = {
+    def addIds(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val nested = f.copy(dataType = addIds(f.dataType))
+        if (f.metadata.contains("graft.id"))
+          nested.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("graft.id") + 1).build())
+        else nested
+      })
+      case a: ArrayType => a.copy(elementType = addIds(a.elementType))
+      case m: MapType   => m.copy(keyType = addIds(m.keyType), valueType = addIds(m.valueType))
+      case other        => other
+    }
+    val idSchema: Option[StructType] =
+      if (df.schema.fields.exists(_.metadata.contains("graft.id"))) Some(df.schema)
+      else explicitIdSchema.orElse( // create: first commit not published yet
+        scala.util.Try(schemaOf(log.current, schemaId)).toOption)
+        .filter(_.fieldNames.sameElements(df.schema.fieldNames))
+    // Merge: frame's structure/types/nullability (what the rows physically
+    // are), tagged schema's metadata (where names line up) — then re-root
+    // through [[graftglue.Bridge.withWriteSchema]]: a plain `.to(schema)`
+    // loses the metadata to RemoveRedundantAliases before the writer sees it.
+    def mergeMeta(frame: DataType, tagged: DataType): DataType = (frame, tagged) match {
+      case (fs: StructType, ts: StructType) => StructType(fs.fields.map { f =>
+        ts.fields.find(_.name == f.name) match {
+          case Some(t) => f.copy(dataType = mergeMeta(f.dataType, t.dataType),
+            metadata = t.metadata)
+          case None    => f
+        }
+      })
+      case (fa: ArrayType, ta: ArrayType) =>
+        fa.copy(elementType = mergeMeta(fa.elementType, ta.elementType))
+      case (fm: MapType, tm: MapType) => fm.copy(
+        keyType = mergeMeta(fm.keyType, tm.keyType),
+        valueType = mergeMeta(fm.valueType, tm.valueType))
+      case _ => frame
+    }
+    idSchema.map { s =>
+      val merged = mergeMeta(df.schema, addIds(s)).asInstanceOf[StructType]
+      org.apache.spark.sql.graftglue.Bridge.withWriteSchema(spark, df, merged)
+    }.getOrElse(df)
+  }
+
   private[table] def writeFiles(df: DataFrame, schemaId: Int,
-      props: Map[String, String]): Seq[DataFile] = {
+      props: Map[String, String],
+      idSchema: Option[StructType] = None): Seq[DataFile] = {
     val staging = s"${log.root}/_staging-${UUID.randomUUID()}"
     // `write.bloom-filter-columns`: per-column parquet Bloom filters — the
     // point-lookup complement to min/max bounds. A random-id equality rarely
@@ -1307,7 +1434,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     withTargetFileSize(props) {
-      arrange(df, props).write.options(bloomOpts).parquet(staging)
+      // arrange FIRST, tag LAST: the field-id tagger re-roots the frame as
+      // an internal-row relation, and an RDD boundary BELOW the rebalance
+      // would hide the upstream plan from AQE's file-sizing (and from
+      // CollapseRepartition), breaking target-file-size splits
+      tagParquetFieldIds(arrange(df, props), schemaId, idSchema)
+        .write.options(bloomOpts).parquet(staging)
     }
     val parts = log.io.listNames(staging).filter(_.endsWith(".parquet"))
     val bucketed = GraftTable.bucketByOf(props).isDefined
@@ -1642,7 +1774,7 @@ object GraftTable {
     require(!t.log.exists, s"graft table already exists at $path")
     t.log.initDirs()
     val withIds = stampIds(df.schema)
-    val files = t.writeFiles(df, 0, properties)
+    val files = t.writeFiles(df, 0, properties, idSchema = Some(withIds))
     val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "create",
       0, Map("0" -> withIds.json), files, properties)
     // first commit: version 0 has no parent; publish directly through the log

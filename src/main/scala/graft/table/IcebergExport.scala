@@ -35,8 +35,9 @@ import org.json4s.jackson.JsonMethods
   *  - Field ids are `graft.id + 1` (Iceberg ids are 1-based by
   *    convention); list/map element ids are allocated above the maximum.
   *  - `schema.name-mapping.default` is emitted so readers resolve parquet
-  *    columns BY NAME (graft's parquet carries no embedded field ids) —
-  *    the spec's sanctioned fallback for exactly this situation.
+  *    columns BY NAME for files written before graft embedded real
+  *    `parquet.field.id`s in its footers (imports, legacy files) — the
+  *    spec's sanctioned fallback; new files resolve by id directly.
   *  - Every entry is written status=EXISTING with its explicit data
   *    sequence number (graft stamps `DataFile.seq` at commit), the state
   *    a rewritten manifest has after Iceberg's own manifest compaction.

@@ -1,0 +1,395 @@
+package graft.table
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Iceberg table-metadata IMPORTER — the inverse of [[IcebergExport]]: load
+  * a real Apache Iceberg table (v1 or v2 `metadata.json` + Avro manifest
+  * lists + Avro manifests, the layout Spark/Trino/Flink writers produce —
+  * the reference stack's shared format, reference `README.md:2`,
+  * `main.tf:809-820`) into a graft table WITHOUT copying data: data files,
+  * positional-delete files, and equality-delete files are registered in
+  * place with their Iceberg sequence numbers, so graft's merge-on-read
+  * scoping (eq-deletes hit strictly-older files only) reproduces the
+  * Iceberg reader's semantics. A user of the reference can point graft at
+  * an existing warehouse table and keep querying.
+  *
+  * Reading uses the INDEPENDENT Apache Avro implementation on Spark's
+  * classpath (the container format's reference decoder), not graft's own
+  * encoder — so the import path is proven against the spec, not against
+  * [[IcebergExport]]'s writing habits.
+  *
+  * Mapping choices:
+  *  - graft field ids are `iceberg id - 1` (the exact inverse of the
+  *    export mapping, so export → import round-trips ids).
+  *  - All schemas in `metadata.json` are imported; each manifest's
+  *    `schema-id` file-metadata (written by Iceberg and by the export)
+  *    pins its files to the schema they were written with, preserving
+  *    rename-safe column resolution. Manifests without the annotation
+  *    fall back to the current schema.
+  *  - Partition specs are dropped (files are registered flat). Iceberg
+  *    partitioning is a write-layout concern; correctness never depends
+  *    on it. Min/max bounds ARE imported into graft's per-file stats, so
+  *    file pruning still works.
+  *  - The import is a snapshot of CURRENT state (one commit). History
+  *    stays in the source table; time travel starts fresh.
+  */
+object IcebergImport {
+
+  /** Import the current snapshot of the Iceberg table at `source` (a table
+    * root containing `metadata/`, or a direct path to a `*.metadata.json`)
+    * as a new graft table at `targetPath`. */
+  def importTable(spark: SparkSession, source: String, targetPath: String,
+      extraProps: Map[String, String] = Map.empty): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = resolveMetadataJson(source, conf)
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(new String(readAll(metaPath, conf), UTF_8))
+
+    val formatVersion = (meta \ "format-version").extractOpt[Int].getOrElse(1)
+    require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
+    // v2: schemas[] + current-schema-id; v1: single "schema" (id defaults 0)
+    val schemaList: Seq[(Int, StructType)] = (meta \ "schemas") match {
+      case JArray(ss) => ss.map { s =>
+        val id = (s \ "schema-id").extractOpt[Int].getOrElse(0)
+        id -> sparkSchema(s)
+      }
+      case _ => Seq(0 -> sparkSchema(meta \ "schema"))
+    }
+    val currentSchemaId = (meta \ "current-schema-id").extractOpt[Int]
+      .getOrElse(schemaList.head._1)
+    val schemas = schemaList.map { case (id, st) => id.toString -> st.json }.toMap
+    val currentSchema = schemaList.toMap.apply(currentSchemaId)
+    val idToName: Map[Int, String] = currentSchema.fields.map(f =>
+      f.metadata.getLong("graft.id").toInt -> f.name).toMap
+
+    val currentSnapId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+    val (files, posDeletes, eqDeletes) = currentSnapId match {
+      case None => (Seq.empty[DataFile], Seq.empty[DataFile], Seq.empty[EqDeleteFile])
+      case Some(snapId) =>
+        val snap = (meta \ "snapshots").children
+          .find(s => (s \ "snapshot-id").extractOpt[Long].contains(snapId))
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-snapshot-id $snapId not in snapshots list of $metaPath"))
+        val manifests: Seq[(String, Int, Long, Option[Int])] =
+          (snap \ "manifest-list").extractOpt[String] match {
+            case Some(listPath) => readManifestList(absolute(listPath, metaPath), conf)
+            case None => // v1 inline manifests (no content/sequence columns)
+              (snap \ "manifests").children.flatMap(_.extractOpt[String])
+                .map(p => (absolute(p, metaPath), 0, 0L, None))
+          }
+        readManifests(manifests, metaPath, conf, schemaList.toMap, currentSchemaId,
+          idToName)
+    }
+
+    // Per-file footer probe (a parquet metadata read, parallel on a small
+    // pool — the same O(files) pass Iceberg's own add_files does): files
+    // whose footers embed field ids resolve columns BY ID at read; files
+    // without (foreign add_files imports) fall back to name resolution.
+    def probed(fs: Seq[DataFile]): Seq[DataFile] = {
+      import scala.concurrent._
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(fs.map(f => Future(
+        f.copy(footerIds = footerHasIds(f.path, conf))))), Duration.Inf)
+      finally pool.shutdown()
+    }
+    val pFiles = probed(files)
+    val pEq = eqDeletes.zip(probed(eqDeletes.map(_.file)))
+      .map { case (e, pf) => e.copy(file = pf) }
+
+    // Rank-compress every imported sequence number into the NEGATIVE range
+    // (max rank -> -1): relative order among imported files and deletes is
+    // preserved exactly (delete scoping is purely ordinal), and every
+    // imported seq sorts BELOW every future graft commit (version >= 1) —
+    // so a later graft equality delete covers all imported data, and
+    // imported equality deletes never touch rows appended after the
+    // import. stampNew honors these explicit seqs (0 = unset sentinel).
+    val allSeqs = (files.map(_.seq) ++ posDeletes.map(_.seq) ++
+      eqDeletes.map(_.seq)).distinct.sorted
+    val rank: Map[Long, Long] = allSeqs.zipWithIndex.map { case (s, i) =>
+      s -> (i.toLong - allSeqs.size)
+    }.toMap
+    val rFiles = pFiles.map(f => f.copy(seq = rank(f.seq)))
+    val rPos = posDeletes.map(f => f.copy(seq = rank(f.seq)))
+    val rEq = pEq.map(e => e.copy(seq = rank(e.seq)))
+
+    // materialize through the standard create+commit protocol path.
+    // by-field-id: resolve columns against parquet FOOTER ids (Iceberg
+    // writers always embed them) — the import has no per-file schema
+    // history, so name-based resolution would null out pre-rename files.
+    val props = extraProps +
+      ("graft.imported-from" -> metaPath) +
+      ("graft.read.by-field-id" -> "true")
+    val t = GraftTable.createEmpty(spark, targetPath, currentSchema, props)
+    t.log.commit(0L, v => Snapshot(v, 0L, System.currentTimeMillis(),
+      "import-iceberg", currentSchemaId, schemas, rFiles,
+      props, rPos, rEq))
+    GraftTable.load(spark, targetPath)
+  }
+
+  // ------------------------------------------------------------- resolution
+
+  /** `source` may be a metadata.json itself, or a table root: then prefer
+    * `metadata/version-hint.text` (HadoopTables), else the newest
+    * `*.metadata.json` by embedded version number (REST/Glue layout
+    * `00042-<uuid>.metadata.json`, Hadoop layout `v42.metadata.json`). */
+  private def resolveMetadataJson(source: String, conf: Configuration): String = {
+    if (source.endsWith(".json")) return source
+    val metaDir = s"${source.stripSuffix("/")}/metadata"
+    val hintPath = s"$metaDir/version-hint.text"
+    val fs = new HPath(metaDir).getFileSystem(conf)
+    if (fs.exists(new HPath(hintPath))) {
+      val hint = new String(readAll(hintPath, conf), UTF_8).trim
+      val direct = s"$metaDir/v$hint.metadata.json"
+      if (fs.exists(new HPath(direct))) return direct
+    }
+    val candidates = fs.listStatus(new HPath(metaDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".metadata.json"))
+    require(candidates.nonEmpty, s"no *.metadata.json under $metaDir")
+    val best = candidates.maxBy(n =>
+      "\\d+".r.findFirstIn(n.stripSuffix(".metadata.json")).map(_.toLong).getOrElse(-1L))
+    s"$metaDir/$best"
+  }
+
+  /** Manifest paths inside metadata are absolute URIs in spec practice, but
+    * tolerate relative ones by anchoring at the metadata.json directory. */
+  private def absolute(p: String, metaPath: String): String =
+    if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/")) p
+    else s"${metaPath.substring(0, metaPath.lastIndexOf('/'))}/$p"
+
+  /** True iff the parquet file's footer schema carries field ids. */
+  private def footerHasIds(p: String, conf: Configuration): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
+    finally r.close()
+  }
+
+  private def readAll(p: String, conf: Configuration): Array[Byte] = {
+    val hp = new HPath(p)
+    val in = hp.getFileSystem(conf).open(hp)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------------- avro layer
+
+  private def avroRecords(bytes: Array[Byte]): (Seq[GenericRecord], Map[String, String]) = {
+    val rdr = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      val metaKeys = rdr.getMetaKeys.asScala.toSeq
+      val meta = metaKeys.filterNot(_.startsWith("avro."))
+        .map(k => k -> rdr.getMetaString(k)).toMap
+      (rdr.iterator().asScala.toVector, meta)
+    } finally rdr.close()
+  }
+
+  /** Schema-checked field access: v1 files simply lack v2 fields, and the
+    * Avro generic record throws (not nulls) on unknown names. */
+  private def opt(r: GenericRecord, f: String): Option[AnyRef] =
+    if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+  private def str(r: GenericRecord, f: String): Option[String] =
+    opt(r, f).map(_.toString)
+  private def lng(r: GenericRecord, f: String): Option[Long] =
+    opt(r, f).map(_.asInstanceOf[Number].longValue())
+
+  /** (manifestPath, content 0=data 1=deletes, sequenceNumber, schemaId). */
+  private def readManifestList(listPath: String,
+      conf: Configuration): Seq[(String, Int, Long, Option[Int])] = {
+    val (records, _) = avroRecords(readAll(listPath, conf))
+    records.map { r =>
+      (str(r, "manifest_path").getOrElse(
+         throw new IllegalArgumentException(s"manifest_path missing in $listPath")),
+       lng(r, "content").map(_.toInt).getOrElse(0), // v1: data only
+       lng(r, "sequence_number").getOrElse(0L),
+       None: Option[Int])
+    }
+  }
+
+  /** Decode every live manifest entry into graft's file model. */
+  private def readManifests(manifests: Seq[(String, Int, Long, Option[Int])],
+      metaPath: String, conf: Configuration,
+      schemasById: Map[Int, StructType], currentSchemaId: Int,
+      idToName: Map[Int, String])
+      : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
+    val data = Seq.newBuilder[DataFile]
+    val pos = Seq.newBuilder[DataFile]
+    val eq = Seq.newBuilder[EqDeleteFile]
+    manifests.foreach { case (mPath, _, manifestSeq, _) =>
+      val (entries, fileMeta) = avroRecords(readAll(absolute(mPath, metaPath), conf))
+      val schemaId = fileMeta.get("schema-id").flatMap(s => Try(s.toInt).toOption)
+        .filter(schemasById.contains).getOrElse(currentSchemaId)
+      val statNames = schemasById.getOrElse(schemaId, schemasById(currentSchemaId))
+        .fields.map(f => f.metadata.getLong("graft.id").toInt + 1 -> f).toMap
+      entries.foreach { e =>
+        val status = lng(e, "status").map(_.toInt).getOrElse(0)
+        if (status != 2) { // 2 = DELETED entry: file left the table
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = lng(df, "content").map(_.toInt).getOrElse(0)
+          val seq = lng(e, "sequence_number").getOrElse(manifestSeq)
+          val file = DataFile(
+            path = str(df, "file_path").get,
+            rows = lng(df, "record_count").getOrElse(0L),
+            bytes = lng(df, "file_size_in_bytes").getOrElse(0L),
+            schemaId = schemaId,
+            stats = if (content == 0) decodeStats(df, statNames) else Map.empty,
+            seq = seq)
+          content match {
+            case 0 => data += file
+            case 1 => pos += file
+            case 2 =>
+              val ids = opt(df, "equality_ids").toSeq
+                .flatMap(_.asInstanceOf[java.util.Collection[_]].asScala)
+                .map(_.asInstanceOf[Number].intValue())
+              // cols stay ALIGNED with colIds (eqKeyNames zips them); a key
+              // column no longer in the schema keeps a placeholder name and
+              // fails loudly at read, never silently skips the delete
+              eq += EqDeleteFile(file,
+                cols = ids.map(id => idToName.getOrElse(id - 1, s"_dropped_$id")),
+                seq = seq, colIds = ids.map(_ - 1))
+            case other => throw new IllegalArgumentException(
+              s"unknown manifest content code $other in $mPath")
+          }
+        }
+      }
+    }
+    (data.result(), pos.result(), eq.result())
+  }
+
+  // ------------------------------------------------------------------ stats
+
+  /** Iceberg k-v stat maps (avro array-of-record or map form) →
+    * graft [[ColumnStats]], decoding the spec's little-endian single-value
+    * binary form for the types graft tracks. Unknown types are skipped —
+    * stats only ever widen to "no pruning". */
+  private def decodeStats(df: GenericRecord,
+      statNames: Map[Int, StructField]): Map[String, ColumnStats] = {
+    def kv(field: String): Map[Int, Array[Byte]] =
+      opt(df, field).toSeq.flatMap {
+        case c: java.util.Collection[_] => c.asScala.toSeq.map { r0 =>
+          val r = r0.asInstanceOf[GenericRecord]
+          r.get("key").asInstanceOf[Number].intValue() -> byteArray(r.get("value"))
+        }
+        case m: java.util.Map[_, _] => m.asScala.toSeq.map { case (k, v) =>
+          k.asInstanceOf[Number].intValue() -> byteArray(v)
+        }
+        case _ => Seq.empty
+      }.toMap
+    def kvLong(field: String): Map[Int, Long] =
+      opt(df, field).toSeq.flatMap {
+        case c: java.util.Collection[_] => c.asScala.toSeq.map { r0 =>
+          val r = r0.asInstanceOf[GenericRecord]
+          r.get("key").asInstanceOf[Number].intValue() ->
+            r.get("value").asInstanceOf[Number].longValue()
+        }
+        case _ => Seq.empty
+      }.toMap
+    val lower = kv("lower_bounds"); val upper = kv("upper_bounds")
+    val nulls = kvLong("null_value_counts")
+    statNames.flatMap { case (icebergId, f) =>
+      for {
+        lo <- lower.get(icebergId).flatMap(b => decodeBound(f.dataType, b))
+        hi <- upper.get(icebergId).flatMap(b => decodeBound(f.dataType, b))
+      } yield f.name -> ColumnStats(lo, hi, f.dataType.typeName,
+        nulls.getOrElse(icebergId, -1L))
+    }
+  }
+
+  private def byteArray(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val c = b.duplicate(); val a = new Array[Byte](c.remaining()); c.get(a); a
+    case a: Array[Byte] => a
+    case other => other.toString.getBytes(UTF_8)
+  }
+
+  private def le(b: Array[Byte]): Long =
+    b.zipWithIndex.map { case (x, i) => (x.toLong & 0xFF) << (8 * i) }.sum
+
+  /** Inverse of [[IcebergExport.boundBytes]] — same string forms graft's
+    * own stats collection produces, so pruning comparisons stay uniform. */
+  private def decodeBound(dt: DataType, b: Array[Byte]): Option[String] =
+    Try[String](dt match {
+      case IntegerType | ShortType | ByteType => le(b).toInt.toString
+      case LongType   => le(b).toString
+      case FloatType  => java.lang.Float.intBitsToFloat(le(b).toInt).toString
+      case DoubleType => java.lang.Double.longBitsToDouble(le(b)).toString
+      case StringType => new String(b, UTF_8)
+      case DateType   => java.time.LocalDate.ofEpochDay(le(b)).toString
+      case _          => throw new IllegalArgumentException(dt.typeName)
+    }).toOption
+
+  // ---------------------------------------------------------- schema import
+
+  /** Iceberg schema JSON → Spark StructType with `graft.id = id - 1`
+    * metadata on every struct field (the inverse of the export mapping). */
+  private[table] def sparkSchema(schema: JValue): StructType =
+    sparkType(schema).asInstanceOf[StructType]
+
+  private def sparkType(t: JValue): DataType = t match {
+    case JString(s) => primitive(s)
+    case obj: JObject => (obj \ "type") match {
+      case JString("struct") =>
+        StructType((obj \ "fields").children.map { f =>
+          implicit val fmts: Formats = DefaultFormats
+          val id = (f \ "id").extract[Int]
+          val name = (f \ "name").extract[String]
+          val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
+          StructField(name, sparkType(f \ "type"), nullable = !required,
+            metadata = new MetadataBuilder().putLong("graft.id", id - 1L).build())
+        })
+      case JString("list") =>
+        implicit val fmts: Formats = DefaultFormats
+        ArrayType(sparkType(obj \ "element"),
+          containsNull = !(obj \ "element-required").extractOpt[Boolean].getOrElse(false))
+      case JString("map") =>
+        implicit val fmts: Formats = DefaultFormats
+        MapType(sparkType(obj \ "key"), sparkType(obj \ "value"),
+          valueContainsNull = !(obj \ "value-required").extractOpt[Boolean].getOrElse(false))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg complex type: $other")
+    }
+    case other => throw new IllegalArgumentException(s"bad Iceberg type node: $other")
+  }
+
+  private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val FixedRe = "fixed\\[(\\d+)\\]".r
+
+  private def primitive(s: String): DataType = s match {
+    case "boolean"        => BooleanType
+    case "int"            => IntegerType
+    case "long"           => LongType
+    case "float"          => FloatType
+    case "double"         => DoubleType
+    case "date"           => DateType
+    case "timestamp"      => TimestampNTZType
+    case "timestamptz"    => TimestampType
+    case "string"         => StringType
+    case "uuid"           => StringType // string round-trips the canonical form
+    case "binary"         => BinaryType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+    case FixedRe(_)       => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg primitive: $other")
+  }
+}

@@ -24,7 +24,13 @@ case class DataFile(
     bytes: Long,
     schemaId: Int,
     stats: Map[String, ColumnStats] = Map.empty,
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // true = the parquet footer embeds Iceberg field ids, so reads may
+    // resolve columns BY ID ([[GraftTable]] fieldIdReadSchema). Only set
+    // (and only meaningful) on tables imported from Iceberg metadata,
+    // where per-file schema history is unavailable; files a foreign
+    // writer added WITHOUT ids (Iceberg add_files) read by name.
+    footerIds: Boolean = false)
 
 /** Iceberg-v2-style EQUALITY DELETE file: a parquet file of key rows; any
   * data row in an OLDER file (data seq < `seq`) whose key-column values match
@@ -290,8 +296,13 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     val parentPaths = parent.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val parentDelPaths = parent.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
     snap.copy(
+      // seq 0 is the "unset" sentinel: new files get this commit's version.
+      // A caller-provided EXPLICIT seq is honored — [[graft.table.IcebergImport]]
+      // registers foreign files with their (rank-compressed, negative)
+      // Iceberg data sequence numbers so delete scoping survives the import.
       files = snap.files.map(f =>
-        if (parentPaths.contains(f.path)) f else f.copy(seq = snap.version)),
+        if (parentPaths.contains(f.path) || f.seq != 0L) f
+        else f.copy(seq = snap.version)),
       // positional-delete files get the same stamp: their sequence number
       // must sit ABOVE the data files they apply to (Iceberg v2 delete
       // scoping — what a foreign reader of the exported metadata uses)

@@ -38,6 +38,21 @@ object Bridge {
       df.schema, isStreaming = false)
   }
 
+  /** Re-root a frame as an internal-row relation carrying `schema` — which
+    * must match the frame's output in names, types, and (at least as wide)
+    * nullability; only METADATA may differ. Zero-copy: the relation iterates
+    * the original plan's own InternalRows. This is how schema metadata
+    * (parquet field ids) survives to the file writer: the optimizer strips
+    * Alias metadata (RemoveRedundantAliases/ConvertToLocalRelation), but a
+    * leaf relation's attribute metadata is kept. */
+  def withWriteSchema(spark: SparkSession, df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cls = spark.asInstanceOf[classic.SparkSession]
+    cls.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      schema, isStreaming = false)
+  }
+
   /** The session's catalog manager (`sessionState` is `private[sql]`). */
   def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager

@@ -215,6 +215,61 @@ class IcebergExportSpec extends SparkSpec {
     assert(dataRows - delRows == t.read.count())
   }
 
+  test("graft parquet files embed Iceberg field ids in their footers") {
+    // Written files carry parquet.field.id = graft.id + 1 (the exported
+    // mapping), so an Iceberg reader resolves columns BY ID on new files —
+    // name mapping remains only for pre-existing ones. Verified at the
+    // parquet FOOTER level with parquet-hadoop, not through Spark.
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a", 1.0)).toDF("id", "name", "amount"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 999L) // no-op match set; still exercises the path
+
+    def footerFields(p: String): Map[String, Integer] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(f => f.getName -> f.getId.intValue().asInstanceOf[Integer]).toMap
+      } finally r.close()
+    }
+
+    val dataFile = s"$dir/tbl/${t.log.current.files.head.path}"
+    val ids = footerFields(dataFile)
+    // ids are the export mapping: graft.id + 1, in schema order 1,2,3
+    assert(ids == Map("id" -> 1, "name" -> 2, "amount" -> 3), ids.toString)
+
+    // equality-delete files carry the KEY column's table id
+    t.deleteByEquality(Seq(1L).toDF("id"))
+    val eqFile = s"$dir/tbl/${t.log.current.eqDeleteFiles.head.file.path}"
+    assert(footerFields(eqFile) == Map("id" -> 1))
+
+    // positional-delete files carry Iceberg's RESERVED ids
+    val t2 = GraftTable.create(spark, s"$dir/tbl2",
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t2.delete(col("id") <= 5L)
+    val posFile = s"$dir/tbl2/${t2.log.current.deleteFiles.head.path}"
+    assert(footerFields(posFile) ==
+      Map("file_path" -> 2147483546, "pos" -> 2147483545))
+
+    // field-id STABILITY across rename — the reason ids exist at all: a
+    // renamed column's new files carry the ORIGINAL id under the new name,
+    // and a column added later gets a fresh id (never a reused one)
+    t.renameColumn("name", "title")
+    t.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    val t3 = GraftTable.load(spark, s"$dir/tbl")
+    val before = t3.log.current.files.map(_.path).toSet
+    t3.append(Seq((2L, "b", 2.0, 0.5)).toDF("id", "title", "amount", "score"))
+    val newFile = s"$dir/tbl/${
+      t3.log.current.files.map(_.path).filterNot(before).head}"
+    assert(footerFields(newFile) ==
+      Map("id" -> 1, "title" -> 2, "amount" -> 3, "score" -> 4))
+  }
+
   test("manifest reuse: unchanged file lists share one content-addressed manifest") {
     val dir = tmpDir()
     val t = GraftTable.create(spark, s"$dir/tbl", Seq((1L, "a")).toDF("id", "name"))

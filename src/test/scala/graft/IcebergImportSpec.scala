@@ -1,0 +1,168 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftTable, IcebergImport}
+
+/** Iceberg metadata IMPORT: the inverse interop direction of
+  * IcebergExportSpec. The round-trip test proves export → import is
+  * lossless (rows, deletes, sequence scoping, field ids, stats); the
+  * foreign-table test builds a v1 Iceberg tree from scratch with the REAL
+  * Apache Avro writer — a layout graft never wrote — and proves graft
+  * loads it, so the importer is coupled to the spec, not to graft's own
+  * export habits. */
+class IcebergImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(Paths.get("target"), "iceberg-imp-")
+      .toAbsolutePath.toString
+
+  test("export -> import round-trips rows, deletes, seq scoping, ids, and stats") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "amount"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(Seq((4L, "d", 40.0), (5L, "e", 50.0)).toDF("id", "name", "amount"))
+    t.delete(col("id") === 2L)            // positional delete (MOR)
+    t.deleteByEquality(Seq(4L).toDF("id")) // equality delete at seq S
+    // appended AFTER the eq delete: same key value must SURVIVE (seq scoping)
+    t.append(Seq((4L, "d2", 41.0)).toDF("id", "name", "amount"))
+    t.renameColumn("name", "title")
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported")
+
+    val expect = t.read.orderBy("id").collect().map(_.toSeq)
+    val got = imp.read.orderBy("id").collect().map(_.toSeq)
+    assert(imp.read.columns.toSeq == Seq("id", "title", "amount"))
+    assert(got.toSeq == expect.toSeq)
+    // the survivor row proves sequence scoping came through the round trip
+    assert(imp.read.filter(col("id") === 4L).count() == 1)
+    assert(imp.read.filter(col("id") === 2L).count() == 0)
+
+    // field ids round-trip exactly (iceberg id - 1 == original graft.id)
+    val origIds = t.schema.fields.map(f => f.name -> f.metadata.getLong("graft.id")).toMap
+    val impIds = imp.schema.fields.map(f => f.name -> f.metadata.getLong("graft.id")).toMap
+    assert(impIds == origIds, s"$impIds vs $origIds")
+
+    // per-file min/max stats imported from manifest bounds -> pruning works
+    val statted = imp.log.current.files.filter(_.stats.contains("id"))
+    assert(statted.nonEmpty, "no imported file carries id bounds")
+    val allIdMins = statted.map(_.stats("id").min.toLong)
+    assert(allIdMins.min == 1L)
+    // operation + provenance recorded
+    assert(imp.log.current.operation == "import-iceberg")
+    assert(imp.log.current.properties.contains("graft.imported-from"))
+  }
+
+  test("a foreign-written v1 Iceberg table (real Avro writer) imports and reads") {
+    val dir = tmpDir()
+    // -- data: one plain parquet file, written by Spark, registered in place
+    val dataDir = s"$dir/data"
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
+      .coalesce(1).write.parquet(dataDir)
+    val dataFile = new File(dataDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    val metaDir = s"$dir/tbl/metadata"
+    Files.createDirectories(Paths.get(metaDir))
+
+    // -- manifest (v1 layout: no content / sequence_number fields anywhere)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"default":{}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val dataFileRec = new GenericData.Record(entrySchema.getField("data_file").schema())
+    dataFileRec.put("file_path", s"file://$dataFile")
+    dataFileRec.put("file_format", "PARQUET")
+    dataFileRec.put("partition",
+      new GenericData.Record(entrySchema.getField("data_file").schema().getField("partition").schema()))
+    dataFileRec.put("record_count", 3L)
+    dataFileRec.put("file_size_in_bytes", new File(dataFile).length())
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1) // ADDED
+    entry.put("snapshot_id", 99L)
+    entry.put("data_file", dataFileRec)
+    val manifestPath = s"$metaDir/m1.avro"
+    writeAvro(manifestPath, entrySchema, Seq(entry))
+
+    // -- manifest list (v1 fields only)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", s"file://$manifestPath")
+    mf.put("manifest_length", new File(manifestPath).length())
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", 99L)
+    val listPath = s"$metaDir/snap-99.avro"
+    writeAvro(listPath, listSchema, Seq(mf))
+
+    // -- v1 metadata.json: single "schema", NON-CONTIGUOUS field ids (3, 7)
+    Files.writeString(Paths.get(s"$metaDir/v1.metadata.json"),
+      s"""{"format-version":1,
+         |"table-uuid":"11111111-2222-3333-4444-555555555555",
+         |"location":"file://$dir/tbl",
+         |"last-updated-ms":1700000000000,
+         |"last-column-id":7,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":3,"name":"id","required":true,"type":"long"},
+         |  {"id":7,"name":"name","required":false,"type":"string"}]},
+         |"partition-spec":[],
+         |"properties":{"owner":"someone-else"},
+         |"current-snapshot-id":99,
+         |"snapshots":[{"snapshot-id":99,"timestamp-ms":1700000000000,
+         |  "manifest-list":"file://$listPath"}]}""".stripMargin)
+    Files.writeString(Paths.get(s"$metaDir/version-hint.text"), "1")
+
+    // -- import from the TABLE ROOT (exercises version-hint resolution)
+    val imp = IcebergImport.importTable(spark, s"$dir/tbl", s"$dir/imported")
+    assert(imp.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    // foreign ids mapped: graft.id = iceberg id - 1, non-contiguous preserved
+    assert(imp.schema.fields.map(f => f.metadata.getLong("graft.id")).toSeq == Seq(2L, 6L))
+    // schema evolution keeps allocating ABOVE the imported ids
+    imp.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    val scoreId = imp.schema.fields.find(_.name == "score").get.metadata.getLong("graft.id")
+    assert(scoreId > 6L, s"fresh id $scoreId collides with imported ids")
+  }
+
+  test("CALL graft.system.import_iceberg loads an exported table through the catalog") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql(s"CALL graft.system.import_iceberg('imp.from_ice', '$metaPath')")
+    assert(spark.sql("SELECT count(*) FROM graft.imp.from_ice").collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT name FROM graft.imp.from_ice WHERE id = 2")
+      .collect()(0).getString(0) == "b")
+  }
+
+  private def writeAvro(path: String, schema: org.apache.avro.Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    try records.foreach(w.append) finally w.close()
+  }
+}
