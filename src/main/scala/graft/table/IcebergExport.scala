@@ -341,30 +341,40 @@ object IcebergExport {
       })
     }
 
+    // Iceberg sequence numbers must be non-negative; graft tables IMPORTED
+    // from Iceberg carry rank-compressed NEGATIVE seqs ([[IcebergImport]]).
+    // A uniform shift preserves scoping exactly (it is purely ordinal) and
+    // keeps the re-export spec-valid.
+    val seqShift = math.max(0L, -chain.flatMap(s =>
+      s.files.map(_.seq) ++ s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq))
+      .minOption.getOrElse(0L))
+
     val snapshotsJson = chain.map { s =>
+      val snapSeq = s.version + seqShift
       val dataEntries = s.files.map { f =>
         val (vc, nc, lo, hi) = statsOf(f)
-        encodeEntry(f.seq, f.seq, 0, fileUri(f.path), f.rows, f.bytes, vc, nc, lo, hi, None)
+        encodeEntry(f.seq + seqShift, f.seq + seqShift, 0, fileUri(f.path),
+          f.rows, f.bytes, vc, nc, lo, hi, None)
       }
       val deleteEntries =
         s.deleteFiles.map(f =>
-          encodeEntry(f.seq, f.seq, 1, fileUri(f.path), f.rows, f.bytes,
-            Nil, Nil, Nil, Nil, None)) ++
+          encodeEntry(f.seq + seqShift, f.seq + seqShift, 1, fileUri(f.path),
+            f.rows, f.bytes, Nil, Nil, Nil, Nil, None)) ++
         s.eqDeleteFiles.map { e =>
           val ids = idsFor(e.file.schemaId)
           val eqIds = if (e.colIds.nonEmpty) e.colIds.map(_ + 1) else e.cols.flatMap(ids.get)
-          encodeEntry(e.seq, e.seq, 2, fileUri(e.file.path), e.file.rows, e.file.bytes,
-            Nil, Nil, Nil, Nil, Some(eqIds))
+          encodeEntry(e.seq + seqShift, e.seq + seqShift, 2, fileUri(e.file.path),
+            e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds))
         }
       val manifests = Seq.newBuilder[Array[Byte]]
       if (dataEntries.nonEmpty) {
-        val seqs = s.files.map(_.seq)
+        val seqs = s.files.map(_.seq + seqShift)
         val (p, len, mx, mn, n, rows) =
           writeManifest(dataEntries, "data", seqs, s.version, s.files.map(_.rows).sum)
         manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows)
       }
       if (deleteEntries.nonEmpty) {
-        val seqs = s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq)
+        val seqs = (s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq)).map(_ + seqShift)
         val rows = s.deleteFiles.map(_.rows).sum + s.eqDeleteFiles.map(_.file.rows).sum
         val (p, len, mx, mn, n, r) =
           writeManifest(deleteEntries, "deletes", seqs, s.version, rows)
@@ -373,7 +383,7 @@ object IcebergExport {
       val listPath = metaDir.resolve(f"snap-${s.version}%d-manifest-list.avro")
       writeContainer(listPath, ManifestFileSchema, Map(
         "snapshot-id" -> s.version.toString,
-        "sequence-number" -> s.version.toString,
+        "sequence-number" -> snapSeq.toString,
         "parent-snapshot-id" -> (if (s.parent >= 0) s.parent.toString else "null"),
         "format-version" -> "2"), manifests.result())
       val op = s.operation match {
@@ -384,7 +394,7 @@ object IcebergExport {
       }
       val base: JObject =
         ("snapshot-id" -> s.version) ~
-        ("sequence-number" -> s.version) ~
+        ("sequence-number" -> snapSeq) ~
         ("timestamp-ms" -> s.timestampMs) ~
         ("manifest-list" -> listPath.toUri.toString) ~
         ("summary" -> (("operation" -> op): JObject)) ~
@@ -406,7 +416,7 @@ object IcebergExport {
       ("format-version" -> 2) ~
       ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(table.path.getBytes(UTF_8)).toString) ~
       ("location" -> locationUri) ~
-      ("last-sequence-number" -> head.version) ~
+      ("last-sequence-number" -> (head.version + seqShift)) ~
       ("last-updated-ms" -> head.timestampMs) ~
       ("last-column-id" -> elementId) ~
       ("current-schema-id" -> head.currentSchemaId) ~

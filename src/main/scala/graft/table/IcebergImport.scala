@@ -48,11 +48,15 @@ import org.json4s.jackson.JsonMethods
   */
 object IcebergImport {
 
-  /** Import the current snapshot of the Iceberg table at `source` (a table
-    * root containing `metadata/`, or a direct path to a `*.metadata.json`)
-    * as a new graft table at `targetPath`. */
+  /** Import the Iceberg table at `source` (a table root containing
+    * `metadata/`, or a direct path to a `*.metadata.json`) as a new graft
+    * table at `targetPath`. With `history = true` (default) the whole
+    * snapshot chain is replayed as graft versions, so time travel and
+    * changelog views work on the imported table; `false` imports current
+    * state only. */
   def importTable(spark: SparkSession, source: String, targetPath: String,
-      extraProps: Map[String, String] = Map.empty): GraftTable = {
+      extraProps: Map[String, String] = Map.empty,
+      history: Boolean = true): GraftTable = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = resolveMetadataJson(source, conf)
     implicit val fmts: Formats = DefaultFormats
@@ -76,23 +80,48 @@ object IcebergImport {
       f.metadata.getLong("graft.id").toInt -> f.name).toMap
 
     val currentSnapId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
-    val (files, posDeletes, eqDeletes) = currentSnapId match {
-      case None => (Seq.empty[DataFile], Seq.empty[DataFile], Seq.empty[EqDeleteFile])
-      case Some(snapId) =>
-        val snap = (meta \ "snapshots").children
-          .find(s => (s \ "snapshot-id").extractOpt[Long].contains(snapId))
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-snapshot-id $snapId not in snapshots list of $metaPath"))
-        val manifests: Seq[(String, Int, Long, Option[Int])] =
-          (snap \ "manifest-list").extractOpt[String] match {
-            case Some(listPath) => readManifestList(absolute(listPath, metaPath), conf)
-            case None => // v1 inline manifests (no content/sequence columns)
-              (snap \ "manifests").children.flatMap(_.extractOpt[String])
-                .map(p => (absolute(p, metaPath), 0, 0L, None))
-          }
-        readManifests(manifests, metaPath, conf, schemaList.toMap, currentSchemaId,
-          idToName)
+
+    // Snapshot CHAIN, oldest first: walk parent-snapshot-id links back from
+    // the current snapshot. History commits make time travel / TIMESTAMP AS
+    // OF / changelog work on the imported table; `history = false` imports
+    // only current state.
+    val byId2: Map[Long, JValue] = (meta \ "snapshots").children.flatMap(s =>
+      (s \ "snapshot-id").extractOpt[Long].map(_ -> s)).toMap
+    val chain: Seq[JValue] = currentSnapId match {
+      case None => Seq.empty
+      case Some(curId) =>
+        var acc = List.empty[JValue]
+        var id = Option(curId)
+        while (id.isDefined && byId2.contains(id.get)) {
+          val s = byId2(id.get)
+          acc = s :: acc
+          id = if (history) (s \ "parent-snapshot-id").extractOpt[Long] else None
+        }
+        acc
     }
+
+    // decode each chain snapshot's state (manifest reads cached — carried-
+    // over manifests are shared across snapshots, like the export writes them)
+    val manifestCache = scala.collection.mutable.Map
+      .empty[String, (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile])]
+    def stateOf(snap: JValue): (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
+      val manifests: Seq[(String, Int, Long, Option[Int])] =
+        (snap \ "manifest-list").extractOpt[String] match {
+          case Some(listPath) => readManifestList(absolute(listPath, metaPath), conf)
+          case None => // v1 inline manifests (no content/sequence columns)
+            (snap \ "manifests").children.flatMap(_.extractOpt[String])
+              .map(p => (absolute(p, metaPath), 0, 0L, None))
+        }
+      val parts = manifests.map { m =>
+        manifestCache.getOrElseUpdate(m._1,
+          readManifests(Seq(m), metaPath, conf, schemaList.toMap, currentSchemaId,
+            idToName))
+      }
+      (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
+    }
+    val states = chain.map(stateOf)
+    val (files, posDeletes, eqDeletes) = states.lastOption
+      .getOrElse((Seq.empty[DataFile], Seq.empty[DataFile], Seq.empty[EqDeleteFile]))
 
     // Per-file footer probe (a parquet metadata read, parallel on a small
     // pool — the same O(files) pass Iceberg's own add_files does): files
@@ -108,9 +137,12 @@ object IcebergImport {
         f.copy(footerIds = footerHasIds(f.path, conf))))), Duration.Inf)
       finally pool.shutdown()
     }
-    val pFiles = probed(files)
-    val pEq = eqDeletes.zip(probed(eqDeletes.map(_.file)))
-      .map { case (e, pf) => e.copy(file = pf) }
+    // probe each unique file once across the whole chain
+    val uniquePaths = (states.flatMap(_._1.map(_.path)) ++
+      states.flatMap(_._3.map(_.file.path))).distinct
+    val hasIds: Map[String, Boolean] =
+      uniquePaths.zip(probed(uniquePaths.map(p =>
+        DataFile(p, 0L, 0L, 0))).map(_.footerIds)).toMap
 
     // Rank-compress every imported sequence number into the NEGATIVE range
     // (max rank -> -1): relative order among imported files and deletes is
@@ -119,26 +151,44 @@ object IcebergImport {
     // so a later graft equality delete covers all imported data, and
     // imported equality deletes never touch rows appended after the
     // import. stampNew honors these explicit seqs (0 = unset sentinel).
-    val allSeqs = (files.map(_.seq) ++ posDeletes.map(_.seq) ++
-      eqDeletes.map(_.seq)).distinct.sorted
+    val allSeqs = states.flatMap { case (f, p, e) =>
+      f.map(_.seq) ++ p.map(_.seq) ++ e.map(_.seq)
+    }.distinct.sorted
     val rank: Map[Long, Long] = allSeqs.zipWithIndex.map { case (s, i) =>
       s -> (i.toLong - allSeqs.size)
     }.toMap
-    val rFiles = pFiles.map(f => f.copy(seq = rank(f.seq)))
-    val rPos = posDeletes.map(f => f.copy(seq = rank(f.seq)))
-    val rEq = pEq.map(e => e.copy(seq = rank(e.seq)))
 
-    // materialize through the standard create+commit protocol path.
+    // materialize through the standard create+commit protocol path, one
+    // graft version per imported snapshot (oldest first) — time travel,
+    // TIMESTAMP AS OF, and changelog views work on the imported table.
     // by-field-id: resolve columns against parquet FOOTER ids (Iceberg
-    // writers always embed them) — the import has no per-file schema
-    // history, so name-based resolution would null out pre-rename files.
+    // writers embed them) — the import has no per-file schema history, so
+    // name-based resolution would null out pre-rename files.
     val props = extraProps +
       ("graft.imported-from" -> metaPath) +
       ("graft.read.by-field-id" -> "true")
     val t = GraftTable.createEmpty(spark, targetPath, currentSchema, props)
-    t.log.commit(0L, v => Snapshot(v, 0L, System.currentTimeMillis(),
-      "import-iceberg", currentSchemaId, schemas, rFiles,
-      props, rPos, rEq))
+    chain.zip(states).zipWithIndex.foreach { case ((snapJson, (f, p, e)), i) =>
+      val rFiles = f.map(x => x.copy(seq = rank(x.seq),
+        footerIds = hasIds.getOrElse(x.path, false)))
+      val rPos = p.map(x => x.copy(seq = rank(x.seq)))
+      val rEq = e.map(x => x.copy(seq = rank(x.seq),
+        file = x.file.copy(footerIds = hasIds.getOrElse(x.file.path, false))))
+      val sid = (snapJson \ "schema-id").extractOpt[Int]
+        .filter(id => schemas.contains(id.toString)).getOrElse(currentSchemaId)
+      val ts = (snapJson \ "timestamp-ms").extractOpt[Long]
+        .getOrElse(System.currentTimeMillis())
+      val op = (snapJson \ "summary" \ "operation").extractOpt[String] match {
+        case Some("append")    => "append"
+        case Some("delete")    => "delete"
+        case Some("overwrite") => "overwrite"
+        case Some("replace")   => "rewrite-data" // compaction: CDC sources skip it
+        case _                 => "import-iceberg"
+      }
+      t.log.commit(i.toLong, v => Snapshot(v, i.toLong, ts,
+        if (i == chain.size - 1) "import-iceberg" else op,
+        sid, schemas, rFiles, props, rPos, rEq))
+    }
     GraftTable.load(spark, targetPath)
   }
 

@@ -59,6 +59,21 @@ class IcebergImportSpec extends SparkSpec {
     // operation + provenance recorded
     assert(imp.log.current.operation == "import-iceberg")
     assert(imp.log.current.properties.contains("graft.imported-from"))
+
+    // HISTORY import: the whole snapshot chain replays as graft versions
+    // (orig v0..v5 -> imported v1..v6), so time travel works on the import
+    assert(imp.log.currentVersion == t.log.currentVersion + 1)
+    val midOrig = t.readVersion(1).orderBy("id").collect().map(_.toSeq).toSeq
+    val midImp = imp.readVersion(2).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(midImp == midOrig, "time travel to a mid-chain version diverged")
+
+    // RE-EXPORT of the imported table: negative (rank-compressed) seqs are
+    // uniformly shifted back to spec-valid non-negative numbers; importing
+    // the re-export must preserve the same current state (scoping intact)
+    val meta2 = imp.exportIcebergMetadata(s"$dir/export2")
+    val imp2 = IcebergImport.importTable(spark, meta2.toString, s"$dir/imported2")
+    assert(imp2.read.orderBy("id").collect().map(_.toSeq).toSeq == expect.toSeq)
+    assert(imp2.log.current.files.forall(_.seq < 0)) // ranks again, by design
   }
 
   test("a foreign-written v1 Iceberg table (real Avro writer) imports and reads") {
