@@ -157,8 +157,10 @@ class RestCatalogServer(val warehouse: String,
       case ("POST", "/v1/oauth/tokens") => oauth(ex)
       case _ if !authorized(ex) => err(ex, 401, "missing or invalid bearer token")
       case ("GET", "/v1/config") =>
+        // `prefix` routes SPEC-conformant Iceberg REST clients to the
+        // /v1/iceberg/... surface below; graft's own protocol stays at /v1/
         ok(ex, Serialization.write(Map(
-          "overrides" -> Map("warehouse" -> warehouse),
+          "overrides" -> Map("warehouse" -> warehouse, "prefix" -> "iceberg"),
           "defaults" -> Map.empty[String, String])))
       case (m, p) => route(ex, m, p.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList)
     }
@@ -169,8 +171,58 @@ class RestCatalogServer(val warehouse: String,
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
+  /** SPEC-conformant Iceberg REST Catalog read surface (the role Unity
+    * Catalog's IRC plays in the reference, `main.tf:795-801`, `main.tf:812`):
+    * a real Iceberg REST client that fetched `/v1/config` gets
+    * `prefix = iceberg` and then loads tables here. `loadTable` renders the
+    * snapshot log as Iceberg v2 metadata on first request per version
+    * (cached under `<table>/_iceberg/v<N>/`) and returns the spec
+    * `LoadTableResult` with the metadata inlined — the engine IS the
+    * catalog the reference wires engines against. Read surface only:
+    * writes go through an engine (graft or a foreign writer on the
+    * documented commit contract), as with any warehouse catalog. */
+  private def icebergRoute(ex: HttpExchange, method: String, segs: List[String]): Unit =
+    (method, segs) match {
+      case ("GET", "namespaces" :: Nil) =>
+        val all = io.listNames(warehouse)
+          .filter(n => io.isDirectory(s"$warehouse/$n") && !isTable(s"$warehouse/$n"))
+          .map(Seq(_))
+        ok(ex, Serialization.write(Map("namespaces" -> all)))
+      case ("GET" | "HEAD", "namespaces" :: ns :: Nil) =>
+        if (!io.isDirectory(nsDir(decNs(ns)))) err(ex, 404, s"no namespace $ns")
+        else if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close() }
+        else ok(ex, Serialization.write(Map(
+          "namespace" -> decNs(ns), "properties" -> Map.empty[String, String])))
+      case ("GET", "namespaces" :: ns :: "tables" :: Nil) =>
+        val dir = nsDir(decNs(ns))
+        if (!io.isDirectory(dir)) return err(ex, 404, s"no namespace $ns")
+        val names = io.listNames(dir).filter(n => isTable(s"$dir/$n"))
+        ok(ex, Serialization.write(Map("identifiers" ->
+          names.map(n => Map("namespace" -> decNs(ns), "name" -> n)))))
+      case ("GET" | "HEAD", "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(root)) return err(ex, 404, s"no table $t")
+        if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
+        val log = logOf(root)
+        // absolutize a plain-path root: exported data-file URIs must be
+        // absolute (`file://<relative>` would parse the first segment as
+        // an authority)
+        val absRoot =
+          if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
+          else java.nio.file.Paths.get(root).toAbsolutePath.toString
+        val outDir = s"$absRoot/_iceberg/v${log.currentVersion}"
+        val metaFile = java.nio.file.Paths.get(s"$outDir/metadata/v1.metadata.json")
+        val metaPath =
+          if (java.nio.file.Files.exists(metaFile)) metaFile
+          else graft.table.IcebergExport.export(log, absRoot, outDir)
+        val metadataJson = java.nio.file.Files.readString(metaPath)
+        ok(ex, s"""{"metadata-location":"${metaPath.toUri}","metadata":$metadataJson,"config":{}}""")
+      case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
+    }
+
   private def route(ex: HttpExchange, method: String, segs: List[String]): Unit =
     (method, segs) match {
+      case (m, "iceberg" :: rest) => icebergRoute(ex, m, rest)
       // ---- namespaces ----------------------------------------------------
       case ("GET", "namespaces" :: Nil) =>
         val all = io.listNames(warehouse)

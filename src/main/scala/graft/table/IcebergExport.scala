@@ -271,10 +271,20 @@ object IcebergExport {
   /** Write the full Iceberg table-metadata tree for `table` under
     * `outDir/metadata`, HadoopTables layout (`v1.metadata.json` +
     * `version-hint.text`), and return the metadata.json path. */
-  def export(table: GraftTable, outDir: String): Path = {
+  def export(table: GraftTable, outDir: String): Path =
+    export(table.log, table.path, outDir)
+
+  /** Session-free form (only the snapshot log and the table root are
+    * needed): lets [[graft.rest.RestCatalogServer]] render and serve
+    * Iceberg metadata without a SparkSession. */
+  def export(log: SnapshotLog, tablePath: String, outDir: String): Path = {
     val metaDir = Paths.get(outDir).resolve("metadata")
     Files.createDirectories(metaDir)
-    val log = table.log
+    def schemaOfSnap(s: Snapshot, id: Int): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(s.schemas(id.toString))
+        .asInstanceOf[StructType]
+    def resolvePath(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
 
     // main lineage = parent chain from the current head (oldest first)
     val chain = {
@@ -286,7 +296,7 @@ object IcebergExport {
       acc
     }
     val head = chain.last
-    val schemaWithIds = table.schemaOf(head, head.currentSchemaId)
+    val schemaWithIds = schemaOfSnap(head, head.currentSchemaId)
     var elementId = maxGraftId(schemaWithIds) + 1
     val nextId = () => { elementId += 1; elementId }
     val schemaJson: JValue =
@@ -295,13 +305,13 @@ object IcebergExport {
     val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
 
     def fileUri(p: String): String = {
-      val abs = table.resolve(p)
+      val abs = resolvePath(p)
       if (abs.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) abs else s"file://$abs"
     }
 
     // name -> iceberg id, against the schema the file was WRITTEN with
     def idsFor(schemaId: Int): Map[String, Int] = {
-      val st = Try(table.schemaOf(head, schemaId)).getOrElse(schemaWithIds)
+      val st = Try(schemaOfSnap(head, schemaId)).getOrElse(schemaWithIds)
       st.fields.map(f => f.name -> iid(f)).toMap
     }
 
@@ -409,12 +419,12 @@ object IcebergExport {
       ("format-version" -> "2")
 
     val locationUri =
-      if (table.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) table.path
-      else s"file://${table.path}"
+      if (tablePath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) tablePath
+      else s"file://$tablePath"
 
     val metadata: JObject =
       ("format-version" -> 2) ~
-      ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(table.path.getBytes(UTF_8)).toString) ~
+      ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(tablePath.getBytes(UTF_8)).toString) ~
       ("location" -> locationUri) ~
       ("last-sequence-number" -> (head.version + seqShift)) ~
       ("last-updated-ms" -> head.timestampMs) ~

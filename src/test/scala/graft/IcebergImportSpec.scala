@@ -159,6 +159,29 @@ class IcebergImportSpec extends SparkSpec {
     assert(scoreId > 6L, s"fresh id $scoreId collides with imported ids")
   }
 
+  test("imported tables are streamable: tail picks up post-import appends exactly once") {
+    // an imported table is a full graft citizen — the incremental streaming
+    // source tails it (history snapshots + live appends) like any other
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported")
+
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$dir/imported").load()
+      .writeStream.format("memory").queryName("imp_tail")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("imp_tail").count() == 3)
+      imp.append(Seq((4L, "d")).toDF("id", "name"))
+      q.processAllAvailable()
+      assert(spark.table("imp_tail").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("CALL graft.system.import_iceberg loads an exported table through the catalog") {
     val dir = tmpDir()
     val t = GraftTable.create(spark, s"$dir/tbl",
