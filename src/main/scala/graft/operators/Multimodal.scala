@@ -297,14 +297,19 @@ object Multimodal {
         if (end > to || end <= p) return // malformed: keep what's parsed
         typ match {
           case t if containers.contains(t) => walk(body, end.toInt)
-          case "mvhd" =>
+          case "mvhd" if body < end =>
             val v = bytes(body) & 0xff
             // v0: ctime/mtime 4+4, timescale 4, duration 4; v1: 8+8, 4, 8
-            val (ts, dur) =
-              if (v == 1) (be32(body + 20), be64(body + 24))
-              else (be32(body + 12), be32(body + 16))
-            if (ts > 0) duration = dur.toDouble / ts
-          case "tkhd" =>
+            // — bounds-checked against the BOX end: a truncated/lying mvhd
+            // must degrade to "no duration", never read past the box
+            if (v == 1 && body + 32 <= end) {
+              val ts = be32(body + 20); val dur = be64(body + 24)
+              if (ts > 0) duration = dur.toDouble / ts
+            } else if (v != 1 && body + 20 <= end) {
+              val ts = be32(body + 12); val dur = be32(body + 16)
+              if (ts > 0) duration = dur.toDouble / ts
+            }
+          case "tkhd" if body < end =>
             val v = bytes(body) & 0xff
             val o = body + (if (v == 1) 88 else 76) // offset of 16.16 width
             if (o + 8 <= end) {

@@ -153,12 +153,26 @@ object Similarity {
     // hidden-partitioned by centroid id (VERDICT r7 #3) — first call per
     // dataset builds it, every later probe loads it and prunes to the
     // nprobe buckets' files through the table format's stats.
-    val indexPath = s"target/ivf-index-v1-${Integer.toHexString(dir.hashCode)}"
+    // Cache key = source CONTENT signature (file names/sizes/mtimes of the
+    // embeddings parquet), not just the dir name — regenerating the dataset
+    // at the same path invalidates the index instead of silently probing a
+    // stale one. Absolute path: cwd changes must not re-key the cache.
+    val sig = {
+      val parts = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      Integer.toHexString((dir + "#" + parts).hashCode)
+    }
+    val indexPath = new java.io.File(s"target/ivf-index-v1-$sig").getAbsolutePath
     val (index, cents) =
       if (new java.io.File(s"$indexPath/_graft/HEAD").exists())
         graft.operators.Ann.loadIndexTable(spark, indexPath)
-      else graft.operators.Ann.buildIndexTable(
-        spark, vecs, "vec_id", "embedding", nlist = 4, indexPath)
+      else scala.util.Try(graft.operators.Ann.buildIndexTable(
+          spark, vecs, "vec_id", "embedding", nlist = 4, indexPath))
+        // lost a concurrent build race ("table already exists"): load the
+        // winner's index instead
+        .getOrElse(graft.operators.Ann.loadIndexTable(spark, indexPath))
     graft.operators.Ann.ivfSearchTable(index, cents, "vec_id", "embedding",
       probe, k = 10, nprobe = 2)
       .withColumn("cos_sim", rnd(col("cos_sim"), 4))

@@ -206,13 +206,49 @@ object TextAnalysis {
       |FROM stats, total
       |ORDER BY tf DESC, tok LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training: fold the corpus to a word-frequency table first
+    * (BPE trains on (word, freq), never re-scanning raw text per round),
+    * then count adjacent symbol pairs weighted by word frequency and rank
+    * them — the top pair IS the next merge. Restricted to ASCII-lowercase
+    * words so the char semantics match the oracle exactly. Scan-shaped:
+    * word-freq groupBy, then a zip_with pair explode (no window, no
+    * self-join) into the final groupBy — two shuffles total at any scale. */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    wf.withColumn("cs", split($"w", ""))
+      .withColumn("pair", explode(zip_with(
+        slice($"cs", lit(1), size($"cs") - 1),
+        slice($"cs", lit(2), size($"cs") - 1),
+        (a, b) => concat(a, b))))
+      .groupBy($"pair").agg(sum($"freq").as("pair_count"))
+      .orderBy($"pair_count".desc, $"pair")
+      .limit(100)
+  }
+
+  val q87Sql: String =
+    """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM words
+      |       WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2 GROUP BY w),
+      |idx AS (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM wf),
+      |pairs AS (SELECT substring(w, i, 2) AS pair, freq FROM idx)
+      |SELECT pair, sum(freq)::BIGINT AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
     "q48_text_tokens"      -> q48,
     "q49_text_fingerprint" -> q49,
     "q69_text_nfc"         -> q69,
-    "q84_token_vocab"      -> q84)
+    "q84_token_vocab"      -> q84,
+    "q87_bpe_pairs"        -> q87)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
@@ -220,5 +256,6 @@ object TextAnalysis {
     "q48_text_tokens"      -> q48Sql,
     "q49_text_fingerprint" -> q49Sql,
     "q69_text_nfc"         -> q69Sql,
-    "q84_token_vocab"      -> q84Sql)
+    "q84_token_vocab"      -> q84Sql,
+    "q87_bpe_pairs"        -> q87Sql)
 }

@@ -84,6 +84,16 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       val resp =
         try Some(dispatch(method, path, body))
         catch {
+          // An IOException leaves the dispatch OUTCOME unknown — the server
+          // may have applied the request before the connection died. Blind
+          // replay is safe only for idempotent GETs; replaying a POST
+          // (commit!) that actually landed turns into a spurious 409, and
+          // the table layer's conflict retry would then re-apply the
+          // mutation on top of it (double append). Non-GETs fail loudly.
+          case e: java.io.IOException if method != "GET" =>
+            throw new IllegalStateException(
+              s"$method $path failed mid-flight (outcome unknown, not replayed): " +
+                s"${e.getMessage}", e)
           case e: java.io.IOException =>
             if (attempt >= MaxAttempts) throw new IllegalStateException(
               s"$method $path failed after $MaxAttempts attempts: ${e.getMessage}", e)

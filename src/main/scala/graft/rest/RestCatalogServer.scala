@@ -144,7 +144,12 @@ class RestCatalogServer(val warehouse: String,
     if (!credentials.get(id).contains(form.getOrElse("client_secret", "")))
       return err(ex, 401, "invalid client credentials")
     val token = UUID.randomUUID().toString
-    tokens.put(token, System.currentTimeMillis() + tokenTtlMs)
+    // sweep expired entries on grant so the map stays bounded by LIVE
+    // tokens (clients re-grant on 401, which would otherwise leak one
+    // entry per refresh on a long-lived server)
+    val now = System.currentTimeMillis()
+    tokens.entrySet().removeIf(e => e.getValue < now)
+    tokens.put(token, now + tokenTtlMs)
     ok(ex, Serialization.write(Map(
       "access_token" -> token, "token_type" -> "bearer",
       "expires_in" -> (tokenTtlMs / 1000).toString)))
@@ -210,13 +215,25 @@ class RestCatalogServer(val warehouse: String,
         val absRoot =
           if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
           else java.nio.file.Paths.get(root).toAbsolutePath.toString
-        val outDir = s"$absRoot/_iceberg/v${log.currentVersion}"
-        val metaFile = java.nio.file.Paths.get(s"$outDir/metadata/v1.metadata.json")
+        val icebergDir = s"$absRoot/_iceberg"
+        val outDir = s"$icebergDir/v${log.currentVersion}"
+        val metaFile = s"$outDir/metadata/v1.metadata.json"
         val metaPath =
-          if (java.nio.file.Files.exists(metaFile)) metaFile
-          else graft.table.IcebergExport.export(log, absRoot, outDir)
-        val metadataJson = java.nio.file.Files.readString(metaPath)
-        ok(ex, s"""{"metadata-location":"${metaPath.toUri}","metadata":$metadataJson,"config":{}}""")
+          if (io.exists(metaFile)) metaFile
+          else {
+            val p = graft.table.IcebergExport.export(log, absRoot, outDir)
+            // prune renders of superseded versions (kept only while they
+            // were current; the spec allows metadata-location to go stale)
+            io.listNames(icebergDir)
+              .filter(n => n.startsWith("v") && n != s"v${log.currentVersion}")
+              .foreach(n => io.deleteRecursive(s"$icebergDir/$n"))
+            p
+          }
+        val metadataJson = io.readString(metaFile)
+        val metaUri =
+          if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
+          else s"file://$metaPath"
+        ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
 

@@ -1299,7 +1299,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * reference `main.tf:809-820`, pyiceberg, DuckDB's iceberg extension —
     * can load it. See [[IcebergExport]] for the mapping. Returns the
     * metadata.json path. */
-  def exportIcebergMetadata(outDir: String): Path = IcebergExport.export(this, outDir)
+  def exportIcebergMetadata(outDir: String): String = IcebergExport.export(this, outDir)
 
   /** `CALL rewrite_manifests` analogue: re-commit the head with metadata
     * compacted — schema entries no live file references are dropped, so the

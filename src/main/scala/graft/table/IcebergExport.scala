@@ -2,7 +2,7 @@ package graft.table
 
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths}
+
 
 import scala.util.Try
 
@@ -70,11 +70,33 @@ object IcebergExport {
     def toBytes: Array[Byte] = out.toByteArray
   }
 
+  // All metadata writes go through the Hadoop FileSystem API — the export
+  // tree lands wherever the table root lives (local, hdfs://, s3a://),
+  // matching the table layer's own FileIO routing.
+  private def fsOf(p: String, conf: org.apache.hadoop.conf.Configuration) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+  /** Write via a temp file + rename so concurrent readers of a published
+    * path never observe a truncated file. */
+  private def writeAtomic(p: String, bytes: Array[Byte],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = fsOf(p, conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$p.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(p)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+  private def mkdirs(p: String, conf: org.apache.hadoop.conf.Configuration): Unit =
+    fsOf(p, conf).mkdirs(new org.apache.hadoop.fs.Path(p))
+
   /** Avro object-container file (Avro spec "Object Container Files"):
     * magic, file-metadata map, sync marker, one null-codec data block.
     * Returns the byte length (manifest lists record manifest_length). */
-  private def writeContainer(path: Path, schemaJson: String,
-      fileMeta: Map[String, String], records: Seq[Array[Byte]]): Long = {
+  private def writeContainer(path: String, schemaJson: String,
+      fileMeta: Map[String, String], records: Seq[Array[Byte]],
+      conf: org.apache.hadoop.conf.Configuration): Long = {
     val b = new AvroBuf
     b.raw(Array[Byte]('O', 'b', 'j', 1))
     val meta = fileMeta + ("avro.schema" -> schemaJson) + ("avro.codec" -> "null")
@@ -83,7 +105,7 @@ object IcebergExport {
     b.long(0)
     // sync marker: any 16 bytes; derived from the path so re-export is stable
     val sync = java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getFileName.toString.getBytes(UTF_8))
+      .digest(path.substring(path.lastIndexOf('/') + 1).getBytes(UTF_8))
     b.raw(sync)
     if (records.nonEmpty) {
       val body = new ByteArrayOutputStream()
@@ -94,7 +116,7 @@ object IcebergExport {
       b.raw(sync)
     }
     val all = b.toBytes
-    Files.write(path, all)
+    writeAtomic(path, all, conf)
     all.length.toLong
   }
 
@@ -271,15 +293,30 @@ object IcebergExport {
   /** Write the full Iceberg table-metadata tree for `table` under
     * `outDir/metadata`, HadoopTables layout (`v1.metadata.json` +
     * `version-hint.text`), and return the metadata.json path. */
-  def export(table: GraftTable, outDir: String): Path =
-    export(table.log, table.path, outDir)
+  def export(table: GraftTable, outDir: String): String =
+    export(table.log, table.path, outDir,
+      table.spark.sparkContext.hadoopConfiguration)
 
   /** Session-free form (only the snapshot log and the table root are
     * needed): lets [[graft.rest.RestCatalogServer]] render and serve
-    * Iceberg metadata without a SparkSession. */
-  def export(log: SnapshotLog, tablePath: String, outDir: String): Path = {
-    val metaDir = Paths.get(outDir).resolve("metadata")
-    Files.createDirectories(metaDir)
+    * Iceberg metadata without a SparkSession. Returns the metadata.json
+    * path (same filesystem as `outDir`). */
+  def export(log: SnapshotLog, tablePath: String, outDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): String = {
+    // absolutize a plain relative outDir: metadata URIs must be absolute
+    // (`file://<relative>` would parse its first segment as an authority)
+    val outAbs =
+      if (outDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || outDir.startsWith("/")) outDir
+      else new java.io.File(outDir).getAbsolutePath
+    val metaDir = s"${outAbs.stripSuffix("/")}/metadata"
+    mkdirs(metaDir, conf)
+    /** Absolute URI of a metadata file we write (manifest-list entries and
+      * snapshot manifest-list pointers are URIs per spec). */
+    def metaUri(name: String): String = {
+      val p = s"$metaDir/$name"
+      if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) p else s"file://$p"
+    }
     def schemaOfSnap(s: Snapshot, id: Int): StructType =
       org.apache.spark.sql.types.DataType.fromJson(s.schemas(id.toString))
         .asInstanceOf[StructType]
@@ -296,7 +333,28 @@ object IcebergExport {
       acc
     }
     val head = chain.last
-    val schemaWithIds = schemaOfSnap(head, head.currentSchemaId)
+    // Legacy nested fields written before nested id stamping can lack
+    // graft.id — allocate them fresh ids above the maximum rather than
+    // exporting the spec-invalid (and duplicate) id -1.
+    def fillMissingIds(root: StructType): StructType = {
+      var next = maxGraftId(root) // = max graft.id + 1, free as a graft.id
+      def walk(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map { f =>
+          val nd = f.copy(dataType = walk(f.dataType))
+          if (f.metadata.contains("graft.id")) nd
+          else {
+            val id = next; next += 1
+            nd.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("graft.id", id.toLong).build())
+          }
+        })
+        case a: ArrayType => a.copy(elementType = walk(a.elementType))
+        case m: MapType   => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+        case other        => other
+      }
+      walk(root).asInstanceOf[StructType]
+    }
+    val schemaWithIds = fillMissingIds(schemaOfSnap(head, head.currentSchemaId))
     var elementId = maxGraftId(schemaWithIds) + 1
     val nextId = () => { elementId += 1; elementId }
     val schemaJson: JValue =
@@ -309,10 +367,11 @@ object IcebergExport {
       if (abs.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) abs else s"file://$abs"
     }
 
-    // name -> iceberg id, against the schema the file was WRITTEN with
+    // name -> iceberg id, against the schema the file was WRITTEN with;
+    // id-less legacy fields are omitted (their stats just don't export)
     def idsFor(schemaId: Int): Map[String, Int] = {
       val st = Try(schemaOfSnap(head, schemaId)).getOrElse(schemaWithIds)
-      st.fields.map(f => f.name -> iid(f)).toMap
+      st.fields.map(f => f.name -> iid(f)).filter(_._2 > 0).toMap
     }
 
     def statsOf(f: DataFile): (Seq[(Int, Long)], Seq[(Int, Long)],
@@ -339,15 +398,15 @@ object IcebergExport {
       digest.update(content.getBytes(UTF_8))
       val hash = digest.digest().take(10).map("%02x".format(_)).mkString
       manifestCache.getOrElseUpdate(hash, {
-        val p = metaDir.resolve(s"m-$content-$hash.avro")
-        val len = writeContainer(p, ManifestEntrySchema, Map(
+        val name = s"m-$content-$hash.avro"
+        val len = writeContainer(s"$metaDir/$name", ManifestEntrySchema, Map(
           "schema" -> schemaJsonStr,
           "schema-id" -> head.currentSchemaId.toString,
           "partition-spec" -> "[]",
           "partition-spec-id" -> "0",
           "format-version" -> "2",
-          "content" -> content), entries)
-        (p.toUri.toString, len, seqs.max, seqs.min, entries.size, rows)
+          "content" -> content), entries, conf)
+        (metaUri(name), len, seqs.max, seqs.min, entries.size, rows)
       })
     }
 
@@ -390,12 +449,12 @@ object IcebergExport {
           writeManifest(deleteEntries, "deletes", seqs, s.version, rows)
         manifests += encodeManifestFile(p, len, 1, mx, mn, s.version, n, r)
       }
-      val listPath = metaDir.resolve(f"snap-${s.version}%d-manifest-list.avro")
-      writeContainer(listPath, ManifestFileSchema, Map(
+      val listName = f"snap-${s.version}%d-manifest-list.avro"
+      writeContainer(s"$metaDir/$listName", ManifestFileSchema, Map(
         "snapshot-id" -> s.version.toString,
         "sequence-number" -> snapSeq.toString,
         "parent-snapshot-id" -> (if (s.parent >= 0) s.parent.toString else "null"),
-        "format-version" -> "2"), manifests.result())
+        "format-version" -> "2"), manifests.result(), conf)
       val op = s.operation match {
         case "append" | "create" | "import"            => "append"
         case "rewrite-data" | "rewrite-manifests"      => "replace"
@@ -406,7 +465,7 @@ object IcebergExport {
         ("snapshot-id" -> s.version) ~
         ("sequence-number" -> snapSeq) ~
         ("timestamp-ms" -> s.timestampMs) ~
-        ("manifest-list" -> listPath.toUri.toString) ~
+        ("manifest-list" -> metaUri(listName)) ~
         ("summary" -> (("operation" -> op): JObject)) ~
         ("schema-id" -> head.currentSchemaId)
       (if (s.parent >= 0) base ~ ("parent-snapshot-id" -> s.parent) else base): JValue
@@ -444,10 +503,12 @@ object IcebergExport {
         (("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.version)): JValue))) ~
       ("metadata-log" -> JArray(Nil))
 
-    val metadataPath = metaDir.resolve("v1.metadata.json")
-    Files.writeString(metadataPath,
-      JsonMethods.pretty(JsonMethods.render(metadata)))
-    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    // metadata.json is published LAST and atomically (temp + rename): a
+    // reader that sees it can read every manifest it references
+    val metadataPath = s"$metaDir/v1.metadata.json"
+    writeAtomic(metadataPath,
+      JsonMethods.pretty(JsonMethods.render(metadata)).getBytes(UTF_8), conf)
+    writeAtomic(s"$metaDir/version-hint.text", "1".getBytes(UTF_8), conf)
     metadataPath
   }
 }

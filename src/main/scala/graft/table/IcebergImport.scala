@@ -120,8 +120,6 @@ object IcebergImport {
       (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
     }
     val states = chain.map(stateOf)
-    val (files, posDeletes, eqDeletes) = states.lastOption
-      .getOrElse((Seq.empty[DataFile], Seq.empty[DataFile], Seq.empty[EqDeleteFile]))
 
     // Per-file footer probe (a parquet metadata read, parallel on a small
     // pool — the same O(files) pass Iceberg's own add_files does): files

@@ -305,9 +305,12 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
         else f.copy(seq = snap.version)),
       // positional-delete files get the same stamp: their sequence number
       // must sit ABOVE the data files they apply to (Iceberg v2 delete
-      // scoping — what a foreign reader of the exported metadata uses)
+      // scoping — what a foreign reader of the exported metadata uses).
+      // Explicit (nonzero) seqs are honored here too, so an imported
+      // table's pos-delete ordering survives to a re-export.
       deleteFiles = snap.deleteFiles.map(f =>
-        if (parentDelPaths.contains(f.path)) f else f.copy(seq = snap.version)))
+        if (parentDelPaths.contains(f.path) || f.seq != 0L) f
+        else f.copy(seq = snap.version)))
   }
 
   def current: Snapshot = snapshot(currentVersion)

@@ -208,4 +208,35 @@ class HadoopFsBindingSpec extends SparkSpec {
     t.removeOrphanFiles()
     assert(t.read.count() == 2)
   }
+
+  test("Iceberg export writes its metadata tree through the FS seam (hcfs scheme)") {
+    // the export is Hadoop-FileSystem-routed like the table layer itself:
+    // pointing outDir at an HDFS-contract scheme must land the whole tree
+    // there, with URIs a reader on that filesystem can follow
+    val root = s"hcfs://${tmpAbs("graft-hcfs-ice-")}"
+    val io = new HadoopFileIO(root, hcfsConf())
+    val log = new SnapshotLog(root, io)
+    log.initDirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.id", 0L).build())))
+    log.commit(-1L, v => snap0.copy(version = v,
+      schemas = Map("0" -> schema.json),
+      files = Seq(graft.table.DataFile("data/f1.parquet", 10L, 100L, 0))))
+
+    val metaPath = graft.table.IcebergExport.export(
+      log, root, s"$root/_iceberg/v0", hcfsConf())
+    assert(metaPath.startsWith("hcfs://"), metaPath)
+    assert(io.exists(metaPath))
+    val json = org.json4s.jackson.JsonMethods.parse(io.readString(metaPath))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s.JsonDSL._
+    val listUri = (((json \ "snapshots")(0)) \ "manifest-list")
+      .extract[String]
+    assert(listUri.startsWith("hcfs://"), listUri)
+    assert(io.exists(listUri)) // the manifest list really lives on the FS
+    assert(io.exists(s"${metaPath.substring(0, metaPath.lastIndexOf('/'))}/version-hint.text"))
+  }
 }

@@ -50,7 +50,7 @@ class IcebergExportSpec extends SparkSpec {
     t.delete(col("id") === 2L) // copy-on-write: rewrites the touched file
 
     val metaPath = t.exportIcebergMetadata(s"$dir/export")
-    val json = JsonMethods.parse(Files.readString(metaPath))
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
 
     // -- required metadata.json fields (Iceberg spec "Table Metadata Fields")
     assert((json \ "format-version").extract[Int] == 2)

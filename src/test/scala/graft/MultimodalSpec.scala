@@ -190,5 +190,15 @@ class MultimodalSpec extends SparkSpec {
         java.awt.image.BufferedImage.TYPE_INT_RGB)))).isEmpty)
     // truncated/malformed input keeps whatever parsed cleanly, never throws
     assert(Multimodal.mp4Meta(mp4.take(40)).isDefined)
+    // an mvhd whose declared box size is too small for its own payload must
+    // degrade to "no duration", not read past the box / end of the array
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val lyingMvhd = be32(16) ++ "mvhd".getBytes ++ Array.fill[Byte](8)(0)
+    val truncated = be32(20) ++ "ftyp".getBytes ++ "isom".getBytes ++
+      Array.fill[Byte](8)(0) ++ be32(8 + lyingMvhd.length) ++ "moov".getBytes ++ lyingMvhd
+    val lm = Multimodal.mp4Meta(truncated)
+    assert(lm.isDefined && lm.get.durationSec == 0.0)
   }
 }

@@ -136,6 +136,13 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q87: BPE pair counting is two aggregates and a top-k — no window, no join") {
+    val plan = planOf(graft.queries.TextAnalysis.q87(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q83: mix rebalance is scan-shaped — the only exchanges serve the tiny per-class aggregate") {
     val plan = planOf(graft.queries.Sampling.q83(spark, sf))
     // docs side joins the per-class thresholds via broadcast; no doc-keyed shuffle
