@@ -79,6 +79,27 @@ object IcebergImport {
     val idToName: Map[Int, String] = currentSchema.fields.map(f =>
       f.metadata.getLong("graft.id").toInt -> f.name).toMap
 
+    // IDENTITY-transform partition fields per spec id: their per-file
+    // values become min==max stats when column metrics are absent.
+    // (Non-identity transforms — bucket/truncate/days — are dropped:
+    // deriving bounds from them is transform-specific; column bounds,
+    // when present, already cover those columns.)
+    def identityFields(fields: Seq[JValue]): Map[String, Int] =
+      fields.flatMap { f =>
+        for {
+          name <- (f \ "name").extractOpt[String]
+          tr <- (f \ "transform").extractOpt[String] if tr == "identity"
+          src <- (f \ "source-id").extractOpt[Int]
+        } yield name -> (src - 1)
+      }.toMap
+    val identitySpecs: Map[Int, Map[String, Int]] = (meta \ "partition-specs") match {
+      case JArray(specs) => specs.map(sp =>
+        (sp \ "spec-id").extractOpt[Int].getOrElse(0) ->
+          identityFields((sp \ "fields").children)).toMap
+      case _ => // v1: flat "partition-spec" array, implicit spec id 0
+        Map(0 -> identityFields((meta \ "partition-spec").children))
+    }
+
     val currentSnapId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
 
     // Snapshot CHAIN, oldest first: walk parent-snapshot-id links back from
@@ -115,7 +136,7 @@ object IcebergImport {
       val parts = manifests.map { m =>
         manifestCache.getOrElseUpdate(m._1,
           readManifests(Seq(m), metaPath, conf, schemaList.toMap, currentSchemaId,
-            idToName))
+            idToName, identitySpecs))
       }
       (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
     }
@@ -262,7 +283,7 @@ object IcebergImport {
   private def lng(r: GenericRecord, f: String): Option[Long] =
     opt(r, f).map(_.asInstanceOf[Number].longValue())
 
-  /** (manifestPath, content 0=data 1=deletes, sequenceNumber, schemaId). */
+  /** (manifestPath, content 0=data 1=deletes, sequenceNumber, partitionSpecId). */
   private def readManifestList(listPath: String,
       conf: Configuration): Seq[(String, Int, Long, Option[Int])] = {
     val (records, _) = avroRecords(readAll(listPath, conf))
@@ -271,25 +292,35 @@ object IcebergImport {
          throw new IllegalArgumentException(s"manifest_path missing in $listPath")),
        lng(r, "content").map(_.toInt).getOrElse(0), // v1: data only
        lng(r, "sequence_number").getOrElse(0L),
-       None: Option[Int])
+       lng(r, "partition_spec_id").map(_.toInt))
     }
   }
 
-  /** Decode every live manifest entry into graft's file model. */
+  /** Decode every live manifest entry into graft's file model.
+    * `identitySpecs`: partition-spec-id -> (partition field name ->
+    * source column graft.id) for IDENTITY-transform fields only. */
   private def readManifests(manifests: Seq[(String, Int, Long, Option[Int])],
       metaPath: String, conf: Configuration,
       schemasById: Map[Int, StructType], currentSchemaId: Int,
-      idToName: Map[Int, String])
+      idToName: Map[Int, String],
+      identitySpecs: Map[Int, Map[String, Int]] = Map.empty)
       : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
     val data = Seq.newBuilder[DataFile]
     val pos = Seq.newBuilder[DataFile]
     val eq = Seq.newBuilder[EqDeleteFile]
-    manifests.foreach { case (mPath, _, manifestSeq, _) =>
+    manifests.foreach { case (mPath, _, manifestSeq, specId) =>
       val (entries, fileMeta) = avroRecords(readAll(absolute(mPath, metaPath), conf))
       val schemaId = fileMeta.get("schema-id").flatMap(s => Try(s.toInt).toOption)
         .filter(schemasById.contains).getOrElse(currentSchemaId)
-      val statNames = schemasById.getOrElse(schemaId, schemasById(currentSchemaId))
+      val fileSchema = schemasById.getOrElse(schemaId, schemasById(currentSchemaId))
+      val statNames = fileSchema
         .fields.map(f => f.metadata.getLong("graft.id").toInt + 1 -> f).toMap
+      // identity spec for this manifest: manifest-list annotation first,
+      // manifest file metadata second (v1 inline manifests)
+      val identity: Map[String, Int] = specId
+        .orElse(fileMeta.get("partition-spec-id").flatMap(s => Try(s.toInt).toOption))
+        .flatMap(identitySpecs.get)
+        .getOrElse(identitySpecs.getOrElse(0, Map.empty))
       entries.foreach { e =>
         val status = lng(e, "status").map(_.toInt).getOrElse(0)
         if (status != 2) { // 2 = DELETED entry: file left the table
@@ -301,7 +332,14 @@ object IcebergImport {
             rows = lng(df, "record_count").getOrElse(0L),
             bytes = lng(df, "file_size_in_bytes").getOrElse(0L),
             schemaId = schemaId,
-            stats = if (content == 0) decodeStats(df, statNames) else Map.empty,
+            stats = if (content == 0) {
+              // IDENTITY partition values double as min==max bounds for
+              // columns whose metrics the writer didn't record — restores
+              // partition pruning on metrics-disabled imported tables
+              val bounds = decodeStats(df, statNames)
+              bounds ++ partitionStats(df, identity, fileSchema)
+                .filterNot { case (k, _) => bounds.contains(k) }
+            } else Map.empty,
             seq = seq)
           content match {
             case 0 => data += file
@@ -363,6 +401,38 @@ object IcebergImport {
         nulls.getOrElse(icebergId, -1L))
     }
   }
+
+  /** IDENTITY partition values of a data_file's `partition` record ->
+    * single-value [[ColumnStats]] for the source columns. */
+  private def partitionStats(df: GenericRecord, identity: Map[String, Int],
+      fileSchema: StructType): Map[String, ColumnStats] = {
+    if (identity.isEmpty) return Map.empty
+    opt(df, "partition").collect { case r: GenericRecord => r }.map { part =>
+      identity.flatMap { case (pname, gid) =>
+        for {
+          f <- fileSchema.fields.find(x => x.metadata.contains("graft.id") &&
+                 x.metadata.getLong("graft.id").toInt == gid)
+          raw <- if (part.getSchema.getField(pname) == null) None
+                 else Option(part.get(pname))
+          v <- renderPartValue(f.dataType, raw)
+        } yield f.name -> ColumnStats(v, v, f.dataType.typeName, -1L)
+      }
+    }.getOrElse(Map.empty)
+  }
+
+  private def renderPartValue(dt: DataType, raw: AnyRef): Option[String] =
+    Try[String](dt match {
+      case LongType => raw.asInstanceOf[Number].longValue().toString
+      case IntegerType | ShortType | ByteType =>
+        raw.asInstanceOf[Number].intValue().toString
+      case StringType => raw.toString
+      case DateType => raw match { // avro date logical type = int epoch days
+        case n: Number => java.time.LocalDate.ofEpochDay(n.longValue()).toString
+        case other     => other.toString
+      }
+      case DoubleType | FloatType => raw.asInstanceOf[Number].doubleValue().toString
+      case other => throw new IllegalArgumentException(other.typeName)
+    }).toOption
 
   private def byteArray(v: Any): Array[Byte] = v match {
     case b: java.nio.ByteBuffer =>

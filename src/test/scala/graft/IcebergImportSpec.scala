@@ -80,8 +80,8 @@ class IcebergImportSpec extends SparkSpec {
     val dir = tmpDir()
     // -- data: one plain parquet file, written by Spark, registered in place
     val dataDir = s"$dir/data"
-    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
-      .coalesce(1).write.parquet(dataDir)
+    Seq((1L, "x", "web"), (2L, "y", "web"), (3L, "z", "web"))
+      .toDF("id", "name", "src").coalesce(1).write.parquet(dataDir)
     val dataFile = new File(dataDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
 
@@ -96,15 +96,18 @@ class IcebergImportSpec extends SparkSpec {
         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
         |{"name":"file_path","type":"string"},
         |{"name":"file_format","type":"string"},
-        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"default":{}},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |  {"name":"src","type":["null","string"],"default":null}]},"default":{"src":null}},
         |{"name":"record_count","type":"long"},
         |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
         .stripMargin.replace("\n", ""))
     val dataFileRec = new GenericData.Record(entrySchema.getField("data_file").schema())
     dataFileRec.put("file_path", s"file://$dataFile")
     dataFileRec.put("file_format", "PARQUET")
-    dataFileRec.put("partition",
-      new GenericData.Record(entrySchema.getField("data_file").schema().getField("partition").schema()))
+    val partRec = new GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema())
+    partRec.put("src", "web") // identity partition value (no column metrics!)
+    dataFileRec.put("partition", partRec)
     dataFileRec.put("record_count", 3L)
     dataFileRec.put("file_size_in_bytes", new File(dataFile).length())
     val entry = new GenericData.Record(entrySchema)
@@ -139,8 +142,10 @@ class IcebergImportSpec extends SparkSpec {
          |"last-column-id":7,
          |"schema":{"type":"struct","fields":[
          |  {"id":3,"name":"id","required":true,"type":"long"},
-         |  {"id":7,"name":"name","required":false,"type":"string"}]},
-         |"partition-spec":[],
+         |  {"id":7,"name":"name","required":false,"type":"string"},
+         |  {"id":9,"name":"src","required":false,"type":"string"}]},
+         |"partition-spec":[{"name":"src","transform":"identity",
+         |  "source-id":9,"field-id":1000}],
          |"properties":{"owner":"someone-else"},
          |"current-snapshot-id":99,
          |"snapshots":[{"snapshot-id":99,"timestamp-ms":1700000000000,
@@ -152,7 +157,12 @@ class IcebergImportSpec extends SparkSpec {
     assert(imp.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "x"), (2L, "y"), (3L, "z")))
     // foreign ids mapped: graft.id = iceberg id - 1, non-contiguous preserved
-    assert(imp.schema.fields.map(f => f.metadata.getLong("graft.id")).toSeq == Seq(2L, 6L))
+    assert(imp.schema.fields.map(f => f.metadata.getLong("graft.id")).toSeq
+      == Seq(2L, 6L, 8L))
+    // the identity partition value became min==max stats (this v1 table
+    // writes NO column metrics — partition pruning is the only handle)
+    val srcStats = imp.log.current.files.head.stats.get("src")
+    assert(srcStats.exists(cs => cs.min == "web" && cs.max == "web"), srcStats.toString)
     // schema evolution keeps allocating ABOVE the imported ids
     imp.addColumn("score", org.apache.spark.sql.types.DoubleType)
     val scoreId = imp.schema.fields.find(_.name == "score").get.metadata.getLong("graft.id")
