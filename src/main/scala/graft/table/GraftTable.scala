@@ -219,12 +219,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val live = if (mor) {
       val dels = spark.read.schema(deleteSchema)
         .parquet(s.deleteFiles.map(f => resolve(f.path)): _*)
-      // canon BOTH path sides (same codegen'd regexp as canon() /
-      // rewritePositionDeleteFiles): graft-written deletes match verbatim,
-      // but IMPORTED Iceberg deletes may render the scheme differently
-      // (file:/ vs file:///) than Spark's _metadata.file_path does
+      // graft-written deletes record _metadata.file_path verbatim — plain
+      // equality, nothing extra in the per-row hot path. IMPORTED Iceberg
+      // deletes may render the scheme differently (file:/ vs file:///), so
+      // only imported tables pay the canon regexp (same pattern as canon()
+      // / rewritePositionDeleteFiles) on both sides.
       def canonCol(c: Column): Column =
-        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+        if (s.properties.contains("graft.imported-from"))
+          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+        else c
       unioned.join(dels,
         canonCol(unioned("_graft_path")) === canonCol(dels("file_path")) &&
           unioned("_graft_pos") === dels("pos"), "left_anti")

@@ -192,6 +192,37 @@ class IcebergImportSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imported tables emit CDC: a change-feed mirror tracks post-import DML") {
+    // the full pipeline a reference user runs after switching: import the
+    // Iceberg table, then mirror it elsewhere off its change feed
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported")
+
+    val mirror = s"$dir/mirror"
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$dir/imported").option("readChangeFeed", "true")
+      .option("fromVersion", "-1")
+      .load()
+      .writeStream.format("graft-stream")
+      .option("path", mirror).option("upsertKeys", "id")
+      .option("applyChangeFeed", "true")
+      .option("checkpointLocation", s"$dir/ckpt-impcdc")
+      .start()
+    try {
+      q.processAllAvailable()
+      imp.append(Seq((3L, "c")).toDF("id", "name"))
+      imp.delete(col("id") === 1L) // MOR positional delete on IMPORTED data
+      q.processAllAvailable()
+      val got = GraftTable.load(spark, mirror).read
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq((2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("CALL graft.system.import_iceberg loads an exported table through the catalog") {
     val dir = tmpDir()
     val t = GraftTable.create(spark, s"$dir/tbl",
