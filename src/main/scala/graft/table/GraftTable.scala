@@ -219,17 +219,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val live = if (mor) {
       val dels = spark.read.schema(deleteSchema)
         .parquet(s.deleteFiles.map(f => resolve(f.path)): _*)
-      // graft-written deletes record _metadata.file_path verbatim — plain
-      // equality, nothing extra in the per-row hot path. IMPORTED Iceberg
-      // deletes may render the scheme differently (file:/ vs file:///), so
-      // only imported tables pay the canon regexp (same pattern as canon()
-      // / rewritePositionDeleteFiles) on both sides.
-      def canonCol(c: Column): Column =
-        if (s.properties.contains("graft.imported-from"))
-          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
-        else c
+      // canon BOTH path sides (same codegen'd regexp as canon() /
+      // rewritePositionDeleteFiles): graft's own deletes record
+      // _metadata.file_path verbatim, but the published commit contract
+      // lets FOREIGN writers register delete files too, and imported
+      // Iceberg deletes render the scheme differently (file:/ vs
+      // file:///) — equality must be rendering-insensitive everywhere.
       unioned.join(dels,
-        canonCol(unioned("_graft_path")) === canonCol(dels("file_path")) &&
+        GraftTable.canonCol(unioned("_graft_path")) ===
+          GraftTable.canonCol(dels("file_path")) &&
           unioned("_graft_pos") === dels("pos"), "left_anti")
     } else unioned
     if (withMeta) live else live.drop("_graft_path", "_graft_pos")
@@ -890,8 +888,13 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           val dels = spark.read.schema(deleteSchema)
             .parquet(newDeletes.map(f => resolve(f.path)): _*)
           val data = readFilesOf(to, s.files, withMeta = true, applyDeletes = false)
+          // rendering-insensitive path equality, like the read-side MOR
+          // anti-join: imported/foreign delete files may render file: URIs
+          // differently than _metadata.file_path does
           val morDeleted = data.join(dels,
-            data("_graft_path") === dels("file_path") && data("_graft_pos") === dels("pos"),
+            GraftTable.canonCol(data("_graft_path")) ===
+              GraftTable.canonCol(dels("file_path")) &&
+              data("_graft_pos") === dels("pos"),
             "left_semi")
             .drop("_graft_path", "_graft_pos")
             .withColumn("_change_type", lit("delete"))
@@ -1728,6 +1731,13 @@ object GraftTable {
     * a Column (table layer, merge builder, streaming sink) goes through
     * here or [[qref]]; user-supplied expressions are the user's to quote. */
   private[graft] def qcol(n: String): Column = col(s"`$n`")
+
+  /** Column form of [[GraftTable.canon]]'s scheme-stripping (same anchored
+    * possessive regexp): canonical data-file path for join equality across
+    * URI renderings (`file:/a` vs `file:///a` vs `/a`); authority-bearing
+    * URIs pass through untouched. */
+  private[graft] def canonCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
 
   /** [[qcol]] with a dataset alias prefix (`t`.`a.b`). */
   private[graft] def qref(alias: String, n: String): Column = col(s"$alias.`$n`")

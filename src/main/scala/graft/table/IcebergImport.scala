@@ -316,11 +316,21 @@ object IcebergImport {
       val statNames = fileSchema
         .fields.map(f => f.metadata.getLong("graft.id").toInt + 1 -> f).toMap
       // identity spec for this manifest: manifest-list annotation first,
-      // manifest file metadata second (v1 inline manifests)
+      // manifest file metadata second (v1 inline manifests). With NO
+      // annotation, fall back to spec 0 only when it is the table's sole
+      // spec — guessing among evolved specs could stamp another spec's
+      // values as bounds for the wrong column (wrong pruning); no stats
+      // is the safe default.
       val identity: Map[String, Int] = specId
         .orElse(fileMeta.get("partition-spec-id").flatMap(s => Try(s.toInt).toOption))
         .flatMap(identitySpecs.get)
-        .getOrElse(identitySpecs.getOrElse(0, Map.empty))
+        .getOrElse(if (identitySpecs.size == 1) identitySpecs.head._2 else Map.empty)
+      // constant per manifest: partition field name -> source StructField
+      val identityFields: Map[String, StructField] = identity.flatMap {
+        case (pname, gid) => fileSchema.fields.find(x =>
+          x.metadata.contains("graft.id") &&
+            x.metadata.getLong("graft.id").toInt == gid).map(pname -> _)
+      }
       entries.foreach { e =>
         val status = lng(e, "status").map(_.toInt).getOrElse(0)
         if (status != 2) { // 2 = DELETED entry: file left the table
@@ -337,7 +347,7 @@ object IcebergImport {
               // columns whose metrics the writer didn't record — restores
               // partition pruning on metrics-disabled imported tables
               val bounds = decodeStats(df, statNames)
-              bounds ++ partitionStats(df, identity, fileSchema)
+              bounds ++ partitionStats(df, identityFields)
                 .filterNot { case (k, _) => bounds.contains(k) }
             } else Map.empty,
             seq = seq)
@@ -403,15 +413,14 @@ object IcebergImport {
   }
 
   /** IDENTITY partition values of a data_file's `partition` record ->
-    * single-value [[ColumnStats]] for the source columns. */
-  private def partitionStats(df: GenericRecord, identity: Map[String, Int],
-      fileSchema: StructType): Map[String, ColumnStats] = {
-    if (identity.isEmpty) return Map.empty
+    * single-value [[ColumnStats]] for the source columns. `identityFields`
+    * (partition field name -> source column) is precomputed per manifest. */
+  private def partitionStats(df: GenericRecord,
+      identityFields: Map[String, StructField]): Map[String, ColumnStats] = {
+    if (identityFields.isEmpty) return Map.empty
     opt(df, "partition").collect { case r: GenericRecord => r }.map { part =>
-      identity.flatMap { case (pname, gid) =>
+      identityFields.flatMap { case (pname, f) =>
         for {
-          f <- fileSchema.fields.find(x => x.metadata.contains("graft.id") &&
-                 x.metadata.getLong("graft.id").toInt == gid)
           raw <- if (part.getSchema.getField(pname) == null) None
                  else Option(part.get(pname))
           v <- renderPartValue(f.dataType, raw)

@@ -216,4 +216,46 @@ class ForeignWriterSpec extends SparkSpec {
       java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
     spark.sql("DROP TABLE graftr.db.ice_srv")
   }
+
+  test("positional deletes apply across URI renderings (foreign-writer contract)") {
+    // The snapshot-log contract lets a FOREIGN engine register delete
+    // files; nothing forces it to render file: URIs the way Spark's
+    // _metadata.file_path does. Rewrite a delete file into the
+    // triple-slash rendering and prove the read still applies it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "foreign-del-").toAbsolutePath.toString
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl",
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(org.apache.spark.sql.functions.col("id") <= 3L)
+    assert(t.read.count() == 7)
+
+    val delRel = t.log.current.deleteFiles.head.path
+    val delAbs = s"$dir/tbl/$delRel"
+    val rewritten = spark.read.parquet(delAbs)
+      .withColumn("file_path", org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("file_path"),
+        "^file:/{1,3}", "file:///"))
+    val tmpOut = s"$dir/rewrite"
+    rewritten.coalesce(1).write.parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(delAbs),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // in-place edit cleanup (a real foreign writer writes a NEW file):
+    // stale checksum sidecar + session FileStatusCache entry must go
+    val delFile = new java.io.File(delAbs)
+    java.nio.file.Files.deleteIfExists(
+      delFile.toPath.resolveSibling(s".${delFile.getName}.crc"))
+    spark.catalog.refreshByPath(delAbs)
+
+    // a fresh load (no cached plans): deletes must still bite
+    val t2 = graft.table.GraftTable.load(spark, s"$dir/tbl")
+    assert(t2.read.count() == 7, "renderings diverged and deletes were dropped")
+    // ...and the change feed sees the same delete rows
+    val cdc = t2.changelogDetailed(0L, t2.log.currentVersion)
+    assert(cdc.filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .count() == 3)
+  }
 }

@@ -200,8 +200,12 @@ class IcebergImportSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
       Map("write.delete.mode" -> "merge-on-read"))
     val metaPath = t.exportIcebergMetadata(s"$dir/export")
-    val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported")
-
+    // importTable intentionally carries no source write.* properties — set
+    // the delete mode explicitly so the post-import delete below really is
+    // a MOR positional delete against IMPORTED data files (exercising the
+    // canon'd changelog + read joins), not a CoW rewrite
+    val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported",
+      extraProps = Map("write.delete.mode" -> "merge-on-read"))
     val mirror = s"$dir/mirror"
     val q = spark.readStream.format("graft-stream")
       .option("path", s"$dir/imported").option("readChangeFeed", "true")
