@@ -67,6 +67,15 @@ class IcebergImportSpec extends SparkSpec {
     val midImp = imp.readVersion(2).orderBy("id").collect().map(_.toSeq).toSeq
     assert(midImp == midOrig, "time travel to a mid-chain version diverged")
 
+    // 100 TB plan shape: the imported read is still a vectorized parquet
+    // scan with the positional deletes riding as a BROADCAST anti-join —
+    // field-id resolution and path canon must not force a sort-merge join
+    // or disable codegen
+    val plan = imp.read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Scan parquet"), plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), "delete join must broadcast")
+
     // RE-EXPORT of the imported table: negative (rank-compressed) seqs are
     // uniformly shifted back to spec-valid non-negative numbers; importing
     // the re-export must preserve the same current state (scoping intact)
