@@ -497,7 +497,12 @@ object IcebergExport {
       ("sort-orders" -> JArray(List(("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
       ("properties" -> tableProps) ~
       ("current-snapshot-id" -> head.version) ~
-      ("refs" -> (("main" -> (("snapshot-id" -> head.version) ~ ("type" -> "branch"))): JObject)) ~
+      // main + every graft branch/tag whose snapshot survives in the chain
+      ("refs" -> log.refs.filter(r => chain.exists(_.version == r._2.version))
+        .foldLeft(("main" -> (("snapshot-id" -> head.version) ~
+            ("type" -> "branch"))): JObject) { case (acc, (name, r)) =>
+          acc ~ (name -> (("snapshot-id" -> r.version) ~ ("type" -> r.refType)))
+        }) ~
       ("snapshots" -> JArray(snapshotsJson)) ~
       ("snapshot-log" -> JArray(chain.map(s =>
         (("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.version)): JValue))) ~

@@ -208,6 +208,22 @@ object IcebergImport {
         if (i == chain.size - 1) "import-iceberg" else op,
         sid, schemas, rFiles, props, rPos, rEq))
     }
+
+    // branch/tag refs whose snapshot landed in the imported chain map onto
+    // graft refs (iceberg snapshot-id -> chain position + 1), so tag-based
+    // time travel keeps working after the switch. "main" IS the head.
+    val versionOf: Map[Long, Long] = chain.zipWithIndex.flatMap { case (s, i) =>
+      (s \ "snapshot-id").extractOpt[Long].map(_ -> (i + 1L))
+    }.toMap
+    (meta \ "refs") match {
+      case JObject(fields) => fields.foreach { case (name, r) =>
+        if (name != "main") for {
+          sid <- (r \ "snapshot-id").extractOpt[Long]
+          v <- versionOf.get(sid)
+        } t.log.setRef(name, Ref(v, (r \ "type").extractOpt[String].getOrElse("tag")))
+      }
+      case _ =>
+    }
     GraftTable.load(spark, targetPath)
   }
 

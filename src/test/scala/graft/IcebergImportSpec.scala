@@ -34,6 +34,7 @@ class IcebergImportSpec extends SparkSpec {
     // appended AFTER the eq delete: same key value must SURVIVE (seq scoping)
     t.append(Seq((4L, "d2", 41.0)).toDF("id", "name", "amount"))
     t.renameColumn("name", "title")
+    t.createTag("after-first-append", 1L)
 
     val metaPath = t.exportIcebergMetadata(s"$dir/export")
     val imp = IcebergImport.importTable(spark, metaPath.toString, s"$dir/imported")
@@ -66,6 +67,10 @@ class IcebergImportSpec extends SparkSpec {
     val midOrig = t.readVersion(1).orderBy("id").collect().map(_.toSeq).toSeq
     val midImp = imp.readVersion(2).orderBy("id").collect().map(_.toSeq).toSeq
     assert(midImp == midOrig, "time travel to a mid-chain version diverged")
+    // tags ride the export refs and remap onto the imported chain
+    assert(imp.log.refs.get("after-first-append").exists(_.version == 2L),
+      imp.log.refs.toString)
+    assert(imp.readRef("after-first-append").count() == t.readRef("after-first-append").count())
 
     // 100 TB plan shape: the imported read is still a vectorized parquet
     // scan with the positional deletes riding as a BROADCAST anti-join —
