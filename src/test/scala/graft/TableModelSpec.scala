@@ -23,19 +23,35 @@ class TableModelSpec extends SparkSpec {
 
   test("random op sequences: table state always equals the reference model") {
     val rnd = new scala.util.Random(20260812L)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 4) {
       // trial 2 runs every DELETE as a merge-on-read positional delete;
       // trial 3 additionally runs every MERGE merge-on-read — the model is
-      // oblivious, so divergence-freedom proves MOR ≡ COW for both paths
+      // oblivious, so divergence-freedom proves MOR ≡ COW for both paths.
+      // trial 4 starts from an IMPORTED Iceberg table carrying MOR deletes
+      // (rank-compressed NEGATIVE sequence numbers) and runs the same storm
+      // on top — post-import DML must scope correctly above imported state.
       val props = trial match {
         case 2 => Map("write.delete.mode" -> "merge-on-read")
-        case 3 => Map("write.delete.mode" -> "merge-on-read",
-                      "write.merge.mode"  -> "merge-on-read")
+        case 3 | 4 => Map("write.delete.mode" -> "merge-on-read",
+                          "write.merge.mode"  -> "merge-on-read")
         case _ => Map.empty[String, String]
       }
-      val t = GraftTable.create(spark, tmpDir(),
+      val t = if (trial == 4) {
+        val baseDir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), "model-imp-").toAbsolutePath.toString
+        val base = GraftTable.create(spark, s"$baseDir/src",
+          Seq((0L, 0.5), (1L, 1.5), (2L, 2.5), (90L, 9.0), (91L, 9.1))
+            .toDF("id", "v"), properties = props)
+        base.delete(col("id") === 90L)        // positional delete rides the import
+        base.deleteByEquality(Seq(91L).toDF("id")) // equality delete too
+        val meta = base.exportIcebergMetadata(s"$baseDir/export")
+        graft.table.IcebergImport.importTable(spark, meta, s"$baseDir/imported",
+          extraProps = props)
+      } else GraftTable.create(spark, tmpDir(),
         Seq((0L, 0.5), (1L, 1.5), (2L, 2.5)).toDF("id", "v"), properties = props)
-      var model: Model = Map(0L -> 0.5, 1L -> 1.5, 2L -> 2.5)
+      var model: Model = readState(t)
+      assert(model == Map(0L -> 0.5, 1L -> 1.5, 2L -> 2.5),
+        s"trial $trial starting state wrong: $model")
       var nextId = 3L
       val history = scala.collection.mutable.Buffer[(Long, Model)]()
       history += ((t.log.currentVersion, model))
