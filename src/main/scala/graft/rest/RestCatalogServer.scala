@@ -234,8 +234,92 @@ class RestCatalogServer(val warehouse: String,
           if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
           else s"file://$metaPath"
         ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        icebergCommit(ex, decNs(ns), t)
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
+
+  /** Spec Iceberg REST `updateTable` (commitTableResponse): accepts the
+    * `add-snapshot` (+ `set-snapshot-ref main`) shape every Iceberg writer
+    * produces for appends/overwrites. The new snapshot's manifest list —
+    * written by the FOREIGN engine in Iceberg format — is decoded with the
+    * importer's Avro reader into graft's file model; files already in the
+    * current snapshot keep their entry (sequence numbers, stats, schema
+    * pin) by canonical-path match, genuinely new files enter with this
+    * commit's sequence number, and `assert-ref-snapshot-id` maps onto the
+    * snapshot log's CAS (409 on conflict, like any graft commit). */
+  private def icebergCommit(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
+    val root = tableRoot(ns, t)
+    if (!isTable(root)) return err(ex, 404, s"no table $t")
+    val body = JsonMethods.parse(readBody(ex))
+    val log = logOf(root)
+    val head = log.current
+
+    (body \ "requirements").children.foreach { r =>
+      (r \ "type").extractOpt[String] match {
+        case Some("assert-ref-snapshot-id")
+            if (r \ "ref").extractOpt[String].forall(_ == "main") =>
+          val want = (r \ "snapshot-id").extractOpt[Long].getOrElse(-1L)
+          if (want != head.version) throw new CommitConflictException(
+            s"requirement failed: main is at snapshot ${head.version}, expected $want")
+        case _ => () // assert-table-uuid etc. — tolerated
+      }
+    }
+
+    val updates = (body \ "updates").children
+    val snapJson = updates
+      .find(u => (u \ "action").extractOpt[String].contains("add-snapshot"))
+      .map(_ \ "snapshot")
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported update set: only add-snapshot commits are accepted"))
+    val listPath = (snapJson \ "manifest-list").extractOpt[String]
+      .getOrElse(throw new IllegalArgumentException("snapshot has no manifest-list"))
+    val op = (snapJson \ "summary" \ "operation").extractOpt[String] match {
+      case Some("delete")    => "delete"
+      case Some("overwrite") => "overwrite"
+      case Some("replace")   => "rewrite-data"
+      case _                 => "append"
+    }
+
+    val schema = DataType.fromJson(head.schemas(head.currentSchemaId.toString))
+      .asInstanceOf[StructType]
+    val (files, posDels, eqDels) = graft.table.IcebergImport.decodeSnapshot(
+      listPath, new org.apache.hadoop.conf.Configuration(),
+      head.currentSchemaId, schema)
+
+    // carried-over entries keep their graft identity (seq, stats, schema
+    // pin); only genuinely new paths enter fresh. Foreign URIs may render
+    // schemes differently, so matching is canonical-path based.
+    def canonS(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+    def resolveIn(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+    val haveData = head.files.map(f => canonS(resolveIn(f.path)) -> f).toMap
+    val havePos = head.deleteFiles.map(f => canonS(resolveIn(f.path)) -> f).toMap
+    val haveEq = head.eqDeleteFiles.map(e => canonS(resolveIn(e.file.path)) -> e).toMap
+
+    val snap = log.commit(head.version, v => head.copy(
+      version = v, parent = head.version,
+      timestampMs = (snapJson \ "timestamp-ms").extractOpt[Long]
+        .getOrElse(System.currentTimeMillis()),
+      operation = op,
+      files = files.map(f => haveData.getOrElse(canonS(f.path), f.copy(seq = 0L))),
+      deleteFiles = posDels.map(f => havePos.getOrElse(canonS(f.path), f.copy(seq = 0L))),
+      // a NEW equality delete scopes to files strictly older than THIS
+      // commit — its seq is the version being created
+      eqDeleteFiles = eqDels.map(e => haveEq.getOrElse(canonS(e.file.path), e.copy(seq = v)))))
+
+    // spec commitTableResponse: fresh metadata for the committed state
+    val absRoot =
+      if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
+      else java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val metaPath = graft.table.IcebergExport.export(
+      log, absRoot, s"$absRoot/_iceberg/v${snap.version}")
+    val metaUri =
+      if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
+      else s"file://$metaPath"
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":${io.readString(metaPath)}}""")
+  }
 
   private def route(ex: HttpExchange, method: String, segs: List[String]): Unit =
     (method, segs) match {

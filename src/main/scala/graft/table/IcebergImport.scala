@@ -299,6 +299,20 @@ object IcebergImport {
   private def lng(r: GenericRecord, f: String): Option[Long] =
     opt(r, f).map(_.asInstanceOf[Number].longValue())
 
+  /** Decode ONE Iceberg snapshot's full file state from its manifest list,
+    * resolving stats and equality ids against the given (current) graft
+    * schema — the building block [[graft.rest.RestCatalogServer]] uses to
+    * accept a spec Iceberg REST `add-snapshot` commit from a foreign
+    * writer. */
+  private[graft] def decodeSnapshot(manifestListPath: String, conf: Configuration,
+      schemaId: Int, schema: StructType)
+      : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
+    val idToName = schema.fields.map(f =>
+      f.metadata.getLong("graft.id").toInt -> f.name).toMap
+    readManifests(readManifestList(manifestListPath, conf), manifestListPath,
+      conf, Map(schemaId -> schema), schemaId, idToName)
+  }
+
   /** (manifestPath, content 0=data 1=deletes, sequenceNumber, partitionSpecId). */
   private def readManifestList(listPath: String,
       conf: Configuration): Seq[(String, Int, Long, Option[Int])] = {

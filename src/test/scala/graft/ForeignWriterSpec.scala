@@ -258,4 +258,118 @@ class ForeignWriterSpec extends SparkSpec {
     assert(cdc.filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
       .count() == 3)
   }
+
+  test("a spec Iceberg REST writer commits an append through the catalog") {
+    // The full IRC write role: a foreign engine loads the table over the
+    // spec surface, writes its own parquet + Iceberg manifests, and POSTs
+    // an add-snapshot commit with an assert-ref-snapshot-id requirement.
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_w (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.ice_w VALUES (1, 'a'), (2, 'b')")
+    val token = oauthRaw()
+
+    // 1. load over the spec surface
+    val load = JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_w", token).body())
+    val curSnap = (load \ "metadata" \ "current-snapshot-id").extract[Long]
+    val curList = ((load \ "metadata" \ "snapshots").children
+      .find(sn => (sn \ "snapshot-id").extract[Long] == curSnap).get \ "manifest-list")
+      .extract[String]
+
+    // 2. foreign parquet data file
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ice-w-").toAbsolutePath.toString
+    Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1).write.parquet(s"$scratch/d")
+    val newData = new java.io.File(s"$scratch/d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    // 3. new manifest (minimal v1-style entry schema) for the new file
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("file_path", s"file://$newData")
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 2L)
+    dfr.put("file_size_in_bytes", new java.io.File(newData).length())
+    val ent = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    ent.put("status", 1)
+    ent.put("data_file", dfr)
+    val newManifest = s"$scratch/m-new.avro"
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.File(newManifest))
+      try w.append(ent) finally w.close()
+    }
+
+    // 4. new manifest list = existing entries (same writer schema) + ours
+    val rdr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](
+      new java.io.File(java.net.URI.create(curList).getPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val listSchema = rdr.getSchema
+    val existing = {
+      import scala.jdk.CollectionConverters._
+      try rdr.iterator().asScala.toList finally rdr.close()
+    }
+    val mf = new org.apache.avro.generic.GenericData.Record(listSchema)
+    mf.put("manifest_path", s"file://$newManifest")
+    mf.put("manifest_length", new java.io.File(newManifest).length())
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", 0L)
+    mf.put("min_sequence_number", 0L)
+    mf.put("added_snapshot_id", 9999L)
+    mf.put("added_files_count", 1); mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 2L); mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val newList = s"$scratch/snap-9999-list.avro"
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](listSchema))
+      w.create(listSchema, new java.io.File(newList))
+      try { existing.foreach(w.append); w.append(mf) } finally w.close()
+    }
+
+    // 5. spec commit: requirement + add-snapshot
+    val commitBody =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$curSnap}],
+         |"updates":[
+         |  {"action":"add-snapshot","snapshot":{
+         |    "snapshot-id":9999,"timestamp-ms":1700000001000,
+         |    "manifest-list":"file://$newList",
+         |    "summary":{"operation":"append"}}},
+         |  {"action":"set-snapshot-ref","ref-name":"main","snapshot-id":9999}
+         |]}""".stripMargin
+    val resp = post("/v1/iceberg/namespaces/db/tables/ice_w", commitBody, Some(token))
+    assert(resp.statusCode() == 200, resp.body())
+    assert((JsonMethods.parse(resp.body()) \ "metadata" \ "format-version").extract[Int] == 2)
+
+    // the graft engine sees the foreign rows
+    spark.sql("REFRESH TABLE graftr.db.ice_w")
+    assert(spark.sql("SELECT id FROM graftr.db.ice_w ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // replaying the commit with the now-stale requirement conflicts
+    val stale = post("/v1/iceberg/namespaces/db/tables/ice_w", commitBody, Some(token))
+    assert(stale.statusCode() == 409, s"${stale.statusCode()}: ${stale.body()}")
+    spark.sql("DROP TABLE graftr.db.ice_w")
+  }
 }
