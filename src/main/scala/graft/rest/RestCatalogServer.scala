@@ -208,36 +208,41 @@ class RestCatalogServer(val warehouse: String,
         val root = tableRoot(decNs(ns), t)
         if (!isTable(root)) return err(ex, 404, s"no table $t")
         if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
-        val log = logOf(root)
-        // absolutize a plain-path root: exported data-file URIs must be
-        // absolute (`file://<relative>` would parse the first segment as
-        // an authority)
-        val absRoot =
-          if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
-          else java.nio.file.Paths.get(root).toAbsolutePath.toString
-        val icebergDir = s"$absRoot/_iceberg"
-        val outDir = s"$icebergDir/v${log.currentVersion}"
-        val metaFile = s"$outDir/metadata/v1.metadata.json"
-        val metaPath =
-          if (io.exists(metaFile)) metaFile
-          else {
-            val p = graft.table.IcebergExport.export(log, absRoot, outDir)
-            // prune renders of superseded versions (kept only while they
-            // were current; the spec allows metadata-location to go stale)
-            io.listNames(icebergDir)
-              .filter(n => n.startsWith("v") && n != s"v${log.currentVersion}")
-              .foreach(n => io.deleteRecursive(s"$icebergDir/$n"))
-            p
-          }
-        val metadataJson = io.readString(metaFile)
-        val metaUri =
-          if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
-          else s"file://$metaPath"
+        val (metaUri, metadataJson) = renderIcebergMetadata(root)
         ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         icebergCommit(ex, decNs(ns), t)
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
+
+  /** Render (once per version, cached) the Iceberg metadata tree for the
+    * table at `root`, pruning superseded renders, and return
+    * (metadata-location URI, metadata JSON). Shared by loadTable and the
+    * commit response. */
+  private def renderIcebergMetadata(root: String): (String, String) = {
+    val log = logOf(root)
+    // absolutize a plain-path root: exported data-file URIs must be
+    // absolute (`file://<relative>` would parse the first segment as an
+    // authority)
+    val absRoot =
+      if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
+      else java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val icebergDir = s"$absRoot/_iceberg"
+    val outDir = s"$icebergDir/v${log.currentVersion}"
+    val metaFile = s"$outDir/metadata/v1.metadata.json"
+    val metaPath =
+      if (io.exists(metaFile)) metaFile
+      else graft.table.IcebergExport.export(log, absRoot, outDir, FileIO.activeConf())
+    // prune renders of superseded versions (kept only while they were
+    // current; the spec allows metadata-location to go stale)
+    io.listNames(icebergDir)
+      .filter(n => n.startsWith("v") && n != s"v${log.currentVersion}")
+      .foreach(n => io.deleteRecursive(s"$icebergDir/$n"))
+    val metaUri =
+      if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
+      else s"file://$metaPath"
+    (metaUri, io.readString(metaFile))
+  }
 
   /** Spec Iceberg REST `updateTable` (commitTableResponse): accepts the
     * `add-snapshot` (+ `set-snapshot-ref main`) shape every Iceberg writer
@@ -257,16 +262,37 @@ class RestCatalogServer(val warehouse: String,
 
     (body \ "requirements").children.foreach { r =>
       (r \ "type").extractOpt[String] match {
-        case Some("assert-ref-snapshot-id")
-            if (r \ "ref").extractOpt[String].forall(_ == "main") =>
+        case Some("assert-ref-snapshot-id") =>
+          val ref = (r \ "ref").extractOpt[String].getOrElse("main")
+          if (ref != "main") throw new IllegalArgumentException(
+            s"unsupported requirement: assert-ref-snapshot-id on ref '$ref' " +
+              "(only main commits are accepted)")
           val want = (r \ "snapshot-id").extractOpt[Long].getOrElse(-1L)
           if (want != head.version) throw new CommitConflictException(
             s"requirement failed: main is at snapshot ${head.version}, expected $want")
-        case _ => () // assert-table-uuid etc. — tolerated
+        case Some("assert-table-uuid" | "assert-create") => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported requirement type: ${other.getOrElse("<missing>")}")
       }
     }
 
+    // all-or-nothing: every update must be one we actually APPLY — a 200
+    // that silently dropped a co-update (add-schema, set-properties, a
+    // branch ref move, a stage-only WAP commit) would tell the writer its
+    // transaction succeeded when half of it didn't
     val updates = (body \ "updates").children
+    val unsupported = updates.flatMap(u => (u \ "action").extractOpt[String])
+      .filterNot(Set("add-snapshot", "set-snapshot-ref"))
+    if (unsupported.nonEmpty) throw new IllegalArgumentException(
+      s"unsupported update action(s): ${unsupported.mkString(", ")} " +
+        "(only add-snapshot + set-snapshot-ref main commits are accepted)")
+    val refMoves = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("set-snapshot-ref"))
+      .flatMap(u => (u \ "ref-name").extractOpt[String])
+    if (refMoves.exists(_ != "main")) throw new IllegalArgumentException(
+      s"unsupported set-snapshot-ref target(s): ${refMoves.filter(_ != "main").mkString(", ")}")
+    if (!refMoves.contains("main")) throw new IllegalArgumentException(
+      "stage-only (WAP) commits are not supported: the update set must move main")
     val snapJson = updates
       .find(u => (u \ "action").extractOpt[String].contains("add-snapshot"))
       .map(_ \ "snapshot")
@@ -284,41 +310,36 @@ class RestCatalogServer(val warehouse: String,
     val schema = DataType.fromJson(head.schemas(head.currentSchemaId.toString))
       .asInstanceOf[StructType]
     val (files, posDels, eqDels) = graft.table.IcebergImport.decodeSnapshot(
-      listPath, new org.apache.hadoop.conf.Configuration(),
-      head.currentSchemaId, schema)
+      listPath, FileIO.activeConf(), head.currentSchemaId, schema)
 
     // carried-over entries keep their graft identity (seq, stats, schema
     // pin); only genuinely new paths enter fresh. Foreign URIs may render
-    // schemes differently, so matching is canonical-path based.
-    def canonS(p: String): String =
-      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
-    def resolveIn(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
-    val haveData = head.files.map(f => canonS(resolveIn(f.path)) -> f).toMap
-    val havePos = head.deleteFiles.map(f => canonS(resolveIn(f.path)) -> f).toMap
-    val haveEq = head.eqDeleteFiles.map(e => canonS(resolveIn(e.file.path)) -> e).toMap
+    // schemes differently, so matching is canonical-path based (the ONE
+    // canon/resolve definition on the GraftTable companion).
+    def key(p: String): String = GraftTable.canonStr(GraftTable.resolveUnder(root, p))
+    val haveData = head.files.map(f => key(f.path) -> f).toMap
+    val havePos = head.deleteFiles.map(f => key(f.path) -> f).toMap
+    val haveEq = head.eqDeleteFiles.map(e => key(e.file.path) -> e).toMap
 
-    val snap = log.commit(head.version, v => head.copy(
+    // graft renumbers the snapshot to its version (ids ARE versions in the
+    // log); the writer's own id is kept as commit provenance
+    val foreignId = (snapJson \ "snapshot-id").extractOpt[Long]
+    log.commit(head.version, v => head.copy(
       version = v, parent = head.version,
       timestampMs = (snapJson \ "timestamp-ms").extractOpt[Long]
         .getOrElse(System.currentTimeMillis()),
       operation = op,
-      files = files.map(f => haveData.getOrElse(canonS(f.path), f.copy(seq = 0L))),
-      deleteFiles = posDels.map(f => havePos.getOrElse(canonS(f.path), f.copy(seq = 0L))),
+      files = files.map(f => haveData.getOrElse(key(f.path), f.copy(seq = 0L))),
+      deleteFiles = posDels.map(f => havePos.getOrElse(key(f.path), f.copy(seq = 0L))),
       // a NEW equality delete scopes to files strictly older than THIS
       // commit — its seq is the version being created
-      eqDeleteFiles = eqDels.map(e => haveEq.getOrElse(canonS(e.file.path), e.copy(seq = v)))))
+      eqDeleteFiles = eqDels.map(e => haveEq.getOrElse(key(e.file.path), e.copy(seq = v))),
+      properties = head.properties ++
+        foreignId.map(id => "graft.foreign-snapshot-id" -> id.toString)))
 
     // spec commitTableResponse: fresh metadata for the committed state
-    val absRoot =
-      if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
-      else java.nio.file.Paths.get(root).toAbsolutePath.toString
-    val metaPath = graft.table.IcebergExport.export(
-      log, absRoot, s"$absRoot/_iceberg/v${snap.version}")
-    val metaUri =
-      if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
-      else s"file://$metaPath"
-    ok(ex, s"""{"metadata-location":"$metaUri","metadata":${io.readString(metaPath)}}""")
+    val (metaUri, metadataJson) = renderIcebergMetadata(root)
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson}""")
   }
 
   private def route(ex: HttpExchange, method: String, segs: List[String]): Unit =

@@ -63,7 +63,7 @@ object FileIO {
     * log, scheme taken from the path (default FS for schemeless paths). */
   def forPath(p: String): FileIO = new HadoopFileIO(p)
 
-  private[table] def activeConf(): Configuration =
+  private[graft] def activeConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())

@@ -1739,6 +1739,15 @@ object GraftTable {
   private[graft] def canonCol(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
 
+  /** String form of the same canon — ONE definition for every path-match
+    * site outside the table instance (REST commit route). */
+  private[graft] def canonStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+
+  /** [[GraftTable.resolve]]'s rule for callers that hold only a root. */
+  private[graft] def resolveUnder(root: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+
   /** [[qcol]] with a dataset alias prefix (`t`.`a.b`). */
   private[graft] def qref(alias: String, n: String): Column = col(s"$alias.`$n`")
 

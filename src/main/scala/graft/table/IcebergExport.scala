@@ -498,7 +498,11 @@ object IcebergExport {
       ("properties" -> tableProps) ~
       ("current-snapshot-id" -> head.version) ~
       // main + every graft branch/tag whose snapshot survives in the chain
-      ("refs" -> log.refs.filter(r => chain.exists(_.version == r._2.version))
+      // (a user ref literally named "main" is dropped: the key must stay
+      // unique and main IS the head by definition)
+      ("refs" -> log.refs
+        .filter { case (name, r) =>
+          name != "main" && chain.exists(_.version == r.version) }
         .foldLeft(("main" -> (("snapshot-id" -> head.version) ~
             ("type" -> "branch"))): JObject) { case (acc, (name, r)) =>
           acc ~ (name -> (("snapshot-id" -> r.version) ~ ("type" -> r.refType)))

@@ -370,6 +370,29 @@ class ForeignWriterSpec extends SparkSpec {
     // replaying the commit with the now-stale requirement conflicts
     val stale = post("/v1/iceberg/namespaces/db/tables/ice_w", commitBody, Some(token))
     assert(stale.statusCode() == 409, s"${stale.statusCode()}: ${stale.body()}")
+
+    // negative cases need a FRESH requirement (requirements are validated
+    // first, per spec — a stale one would 409 before update validation)
+    val newSnap = (JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_w", token).body())
+      \\ "metadata" \\ "current-snapshot-id").extract[Long]
+    val freshBody = commitBody.replace(
+      s""""snapshot-id":$curSnap""", s""""snapshot-id":$newSnap""")
+    // all-or-nothing: a commit carrying an update we would DROP is
+    // rejected up front, never half-applied
+    val withSchema = freshBody.replace("\"updates\":[",
+      "\"updates\":[{\"action\":\"add-schema\",\"schema\":{}},")
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", withSchema, Some(token))
+      .statusCode() == 400)
+    // stage-only (WAP) and branch-targeted commits are rejected, not
+    // silently applied to main
+    val stageOnly = freshBody.replace(
+      ",\n  {\"action\":\"set-snapshot-ref\",\"ref-name\":\"main\",\"snapshot-id\":9999}", "")
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", stageOnly, Some(token))
+      .statusCode() == 400)
+    val toBranch = freshBody.replace("\"ref-name\":\"main\"", "\"ref-name\":\"audit\"")
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", toBranch, Some(token))
+      .statusCode() == 400)
     spark.sql("DROP TABLE graftr.db.ice_w")
   }
 }
