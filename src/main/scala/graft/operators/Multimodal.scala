@@ -266,6 +266,77 @@ object Multimodal {
   case class Mp4Meta(durationSec: Double, width: Int, height: Int,
       codec: String, brand: String)
 
+  case class WebpMeta(width: Int, height: Int, variant: String)
+
+  /** WebP container metadata without a codec (public WebP container +
+    * VP8/VP8L bitstream specs): a RIFF("WEBP") walker reading the
+    * dimensions and variant from `VP8X` (extended: 24-bit LE canvas
+    * size - 1), `VP8 ` (lossy: frame-tag + 9D 01 2A start code, 14-bit
+    * W/H), or `VP8L` (lossless: 0x2F signature, 14+14 bits LSB-first).
+    * What a curation pipeline filters on; full pixel decode still needs a
+    * codec library. Returns None for non-WebP or malformed payloads. */
+  private[graft] def webpMeta(bytes: Array[Byte]): Option[WebpMeta] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le24(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | ((bytes(o + 2) & 0xff) << 16)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 20 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val id = fourcc(p); val sz = le32(p + 4); val body = p + 8
+      if (sz < 0 || body + sz > bytes.length) return None
+      id match {
+        case "VP8X" if sz >= 10 =>
+          return Some(WebpMeta(le24(body + 4) + 1, le24(body + 7) + 1, "extended"))
+        case "VP8 " if sz >= 10 =>
+          return if ((bytes(body + 3) & 0xff) == 0x9d &&
+              (bytes(body + 4) & 0xff) == 0x01 && (bytes(body + 5) & 0xff) == 0x2a)
+            Some(WebpMeta(le16(body + 6) & 0x3fff, le16(body + 8) & 0x3fff, "lossy"))
+          else None
+        case "VP8L" if sz >= 5 =>
+          if ((bytes(body) & 0xff) != 0x2f) return None
+          val b1 = bytes(body + 1) & 0xff; val b2 = bytes(body + 2) & 0xff
+          val b3 = bytes(body + 3) & 0xff; val b4 = bytes(body + 4) & 0xff
+          return Some(WebpMeta(
+            (((b2 & 0x3f) << 8) | b1) + 1,
+            (((b4 & 0x0f) << 10) | (b3 << 2) | (b2 >> 6)) + 1, "lossless"))
+        case _ => () // ICCP/EXIF/ANIM/...: skip
+      }
+      p = body + sz + (sz & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Fixture generator for [[webpMeta]]'s three variants — the write-side
+    * counterpart, like [[encodeMinimalMp4]]. */
+  private[graft] def encodeMinimalWebp(w: Int, h: Int, variant: String): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val payload: Array[Byte] = variant match {
+      case "extended" => "VP8X".getBytes(ascii) ++ le32(10) ++
+        Array.fill[Byte](4)(0) ++ le24(w - 1) ++ le24(h - 1)
+      case "lossy" => "VP8 ".getBytes(ascii) ++ le32(10) ++
+        Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++ le16(w) ++ le16(h)
+      case "lossless" =>
+        val wm = w - 1; val hm = h - 1
+        "VP8L".getBytes(ascii) ++ le32(5) ++ Array[Byte](0x2f,
+          (wm & 0xff).toByte,
+          (((wm >> 8) & 0x3f) | ((hm & 0x03) << 6)).toByte,
+          ((hm >> 2) & 0xff).toByte,
+          ((hm >> 10) & 0x0f).toByte) ++ Array[Byte](0) // word-align pad
+      case other => throw new IllegalArgumentException(other)
+    }
+    "RIFF".getBytes(ascii) ++ le32(4 + payload.length) ++
+      "WEBP".getBytes(ascii) ++ payload
+  }
+
   /** Minimal ISO-BMFF box walker (ISO/IEC 14496-12 public spec): descends
     * `moov`→`trak`→`mdia`/`minf`/`stbl` containers and extracts what a
     * cataloging pipeline needs WITHOUT a codec — movie duration (`mvhd`

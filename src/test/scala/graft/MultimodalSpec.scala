@@ -201,4 +201,21 @@ class MultimodalSpec extends SparkSpec {
     val lm = Multimodal.mp4Meta(truncated)
     assert(lm.isDefined && lm.get.durationSec == 0.0)
   }
+
+  test("WebP RIFF walker reads dimensions and variant for all three forms") {
+    import Multimodal.{webpMeta, encodeMinimalWebp}
+    assert(webpMeta(encodeMinimalWebp(1920, 1080, "extended"))
+      .contains(Multimodal.WebpMeta(1920, 1080, "extended")))
+    assert(webpMeta(encodeMinimalWebp(640, 480, "lossy"))
+      .contains(Multimodal.WebpMeta(640, 480, "lossy")))
+    assert(webpMeta(encodeMinimalWebp(333, 7777, "lossless"))
+      .contains(Multimodal.WebpMeta(333, 7777, "lossless")))
+    // 14-bit boundary dims round-trip in the lossless packing
+    assert(webpMeta(encodeMinimalWebp(16384, 16384, "lossless"))
+      .contains(Multimodal.WebpMeta(16384, 16384, "lossless")))
+    // non-WebP and truncated payloads are None, never garbage or a throw
+    assert(webpMeta(Array.fill(64)(7.toByte)).isEmpty)
+    assert(webpMeta(Multimodal.encodeMinimalMp4(1.0, 64, 64, "avc1")).isEmpty)
+    assert(webpMeta(encodeMinimalWebp(640, 480, "lossy").take(16)).isEmpty)
+  }
 }
