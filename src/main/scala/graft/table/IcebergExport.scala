@@ -192,6 +192,14 @@ object IcebergExport {
       case "double"  => le(java.lang.Double.doubleToLongBits(v.toDouble), 8)
       case "string"  => v.getBytes(UTF_8)
       case "date"    => le(java.time.LocalDate.parse(v.trim).toEpochDay, 4)
+      case "boolean" => Array[Byte](if (v.trim.toBoolean) 1 else 0)
+      case "timestamp" => // graft stats render in UTC; Iceberg: LE micros
+        val ldt = java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
+        le(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+           ldt.getNano / 1000L, 8)
+      case d if d.startsWith("decimal") => // unscaled BE at the DECLARED scale
+        val scale = "\\d+".r.findAllIn(d).toSeq.last.toInt
+        new java.math.BigDecimal(v.trim).setScale(scale).unscaledValue().toByteArray
       case _         => throw new IllegalArgumentException(typeName)
     }).toOption
 

@@ -493,6 +493,23 @@ object IcebergImport {
       case DoubleType => java.lang.Double.longBitsToDouble(le(b)).toString
       case StringType => new String(b, UTF_8)
       case DateType   => java.time.LocalDate.ofEpochDay(le(b)).toString
+      case BooleanType => if (b.nonEmpty && b(0) != 0) "true" else "false"
+      case TimestampType => // LE micros -> the exact string form graft's
+        // own stats render (Spark cast in the UTC session: space separator,
+        // fraction only when non-zero, trailing zeros trimmed) so pruning's
+        // lexicographic comparison stays uniform across native + imported
+        val micros = le(b)
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+          f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+        val frac = ldt.getNano / 1000
+        if (frac == 0) base
+        else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+      case d: DecimalType =>
+        new java.math.BigDecimal(new java.math.BigInteger(b), d.scale).toPlainString
       case _          => throw new IllegalArgumentException(dt.typeName)
     }).toOption
 

@@ -183,6 +183,31 @@ class IcebergImportSpec extends SparkSpec {
     assert(scoreId > 6L, s"fresh id $scoreId collides with imported ids")
   }
 
+  test("timestamp and decimal bounds survive export -> import byte-for-byte") {
+    // event-time is the most common foreign pruning filter; decimal the most
+    // common measure — both bound encodings must round-trip to the EXACT
+    // string form graft's own stats use, or pruning comparisons drift
+    val dir = tmpDir()
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:30:00"),
+        new java.math.BigDecimal("12.50")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 23:59:59.123"),
+        new java.math.BigDecimal("-3.75")),
+      (3L, java.sql.Timestamp.valueOf("2023-12-31 00:00:01"),
+        new java.math.BigDecimal("99.99")))
+    val t = GraftTable.create(spark, s"$dir/tbl", rows.toDF("id", "ts", "amt"))
+    val imp = IcebergImport.importTable(spark,
+      t.exportIcebergMetadata(s"$dir/export").toString, s"$dir/imported")
+    val orig = t.log.current.files.head.stats
+    val got = imp.log.current.files.head.stats
+    for (c <- Seq("ts", "amt")) {
+      assert(orig.contains(c), s"native stats missing $c")
+      assert(got.get(c).map(s => (s.min, s.max)) ==
+             orig.get(c).map(s => (s.min, s.max)),
+        s"$c: ${got.get(c)} vs ${orig.get(c)}")
+    }
+  }
+
   test("imported tables are streamable: tail picks up post-import appends exactly once") {
     // an imported table is a full graft citizen — the incremental streaming
     // source tails it (history snapshots + live appends) like any other
