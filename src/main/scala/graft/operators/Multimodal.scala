@@ -287,7 +287,8 @@ object Multimodal {
     var p = 12
     while (p + 8 <= bytes.length) {
       val id = fourcc(p); val sz = le32(p + 4); val body = p + 8
-      if (sz < 0 || body + sz > bytes.length) return None
+      // overflow-safe bound: `body + sz` can wrap for a hostile sz
+      if (sz < 0 || sz > bytes.length - body) return None
       id match {
         case "VP8X" if sz >= 10 =>
           return Some(WebpMeta(le24(body + 4) + 1, le24(body + 7) + 1, "extended"))
@@ -313,6 +314,8 @@ object Multimodal {
   /** Fixture generator for [[webpMeta]]'s three variants — the write-side
     * counterpart, like [[encodeMinimalMp4]]. */
   private[graft] def encodeMinimalWebp(w: Int, h: Int, variant: String): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,
+      s"webp dims out of the 14-bit range: ${w}x$h")
     def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
     def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

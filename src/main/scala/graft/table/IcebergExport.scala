@@ -193,7 +193,7 @@ object IcebergExport {
       case "string"  => v.getBytes(UTF_8)
       case "date"    => le(java.time.LocalDate.parse(v.trim).toEpochDay, 4)
       case "boolean" => Array[Byte](if (v.trim.toBoolean) 1 else 0)
-      case "timestamp" => // graft stats render in UTC; Iceberg: LE micros
+      case "timestamp" | "timestamp_ntz" => // UTC strings; Iceberg: LE micros
         val ldt = java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
         le(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
            ldt.getNano / 1000L, 8)

@@ -493,8 +493,12 @@ object IcebergImport {
       case DoubleType => java.lang.Double.longBitsToDouble(le(b)).toString
       case StringType => new String(b, UTF_8)
       case DateType   => java.time.LocalDate.ofEpochDay(le(b)).toString
-      case BooleanType => if (b.nonEmpty && b(0) != 0) "true" else "false"
-      case TimestampType => // LE micros -> the exact string form graft's
+      case BooleanType =>
+        // empty bytes = malformed: must become None (a fabricated "false"
+        // upper bound would wrongly prune files), not a default
+        if (b.isEmpty) throw new IllegalArgumentException("empty boolean bound")
+        if (b(0) != 0) "true" else "false"
+      case TimestampType | TimestampNTZType => // LE micros -> the exact string form graft's
         // own stats render (Spark cast in the UTC session: space separator,
         // fraction only when non-zero, trailing zeros trimmed) so pruning's
         // lexicographic comparison stays uniform across native + imported
@@ -509,6 +513,10 @@ object IcebergImport {
         if (frac == 0) base
         else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
       case d: DecimalType =>
+        // PLAIN notation: Spark's Decimal cast-to-string never uses the
+        // scientific form (verified empirically — a scale-18 tiny value
+        // renders "0.000000012000000000"), so toPlainString matches the
+        // native stat strings exactly
         new java.math.BigDecimal(new java.math.BigInteger(b), d.scale).toPlainString
       case _          => throw new IllegalArgumentException(dt.typeName)
     }).toOption

@@ -194,7 +194,7 @@ class IcebergImportSpec extends SparkSpec {
       (2L, java.sql.Timestamp.valueOf("2024-03-02 23:59:59.123"),
         new java.math.BigDecimal("-3.75")),
       (3L, java.sql.Timestamp.valueOf("2023-12-31 00:00:01"),
-        new java.math.BigDecimal("99.99")))
+        new java.math.BigDecimal("0.000000012"))) // sci-notation rendering
     val t = GraftTable.create(spark, s"$dir/tbl", rows.toDF("id", "ts", "amt"))
     val imp = IcebergImport.importTable(spark,
       t.exportIcebergMetadata(s"$dir/export").toString, s"$dir/imported")

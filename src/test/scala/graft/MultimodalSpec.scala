@@ -217,5 +217,10 @@ class MultimodalSpec extends SparkSpec {
     assert(webpMeta(Array.fill(64)(7.toByte)).isEmpty)
     assert(webpMeta(Multimodal.encodeMinimalMp4(1.0, 64, 64, "avc1")).isEmpty)
     assert(webpMeta(encodeMinimalWebp(640, 480, "lossy").take(16)).isEmpty)
+    // hostile declared chunk size must not overflow the bounds check
+    val hostile = encodeMinimalWebp(64, 64, "extended")
+    hostile(16) = 0xf0.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0x7f.toByte // sz = 0x7ffffff0
+    assert(webpMeta(hostile).isEmpty)
   }
 }
