@@ -65,10 +65,12 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
 
   /** Send with bounded retry on TRANSIENT failures and self-healing auth:
     *
-    *  - connect/IO errors and 503 replay with linear backoff — 503 is the
-    *    one status a catalog emits only BEFORE dispatching a request
-    *    (maintenance/overload), so replaying it cannot double-apply a
-    *    commit;
+    *  - connect/IO errors and 503 replay with linear backoff — but ONLY for
+    *    idempotent GETs. Behind a proxy/LB a 503 can be returned AFTER the
+    *    backend applied the request (same outcome-unknown hazard as a
+    *    mid-flight IOException), so a replayed commit that actually landed
+    *    would 409 and the table layer's conflict retry would re-apply the
+    *    mutation (double append). Non-GET 503s surface to the caller;
     *  - a 401 with a credential on hand means the bearer token EXPIRED:
     *    re-run the client-credentials grant once and replay (Iceberg's
     *    REST clients refresh the same way). Preset-token clients cannot
@@ -100,7 +102,8 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
             None
         }
       resp match {
-        case Some(r) if r.statusCode() == 503 && attempt < MaxAttempts => () // retry
+        case Some(r) if r.statusCode() == 503 && method == "GET" &&
+            attempt < MaxAttempts => () // retry (idempotent read)
         case Some(r) if r.statusCode() == 401 && credential.isDefined && !refreshed =>
           cachedToken = grantToken()
           refreshed = true

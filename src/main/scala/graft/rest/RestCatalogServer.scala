@@ -215,29 +215,43 @@ class RestCatalogServer(val warehouse: String,
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
 
+  // absolutize a plain-path root: exported data-file URIs must be
+  // absolute (`file://<relative>` would parse the first segment as an
+  // authority). Every Iceberg-surface path comparison must use the SAME
+  // absolutized root as the renderer, or relative-warehouse keys never
+  // match the absolute URIs foreign writers echo back.
+  private def absolutize(root: String): String =
+    if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
+    else java.nio.file.Paths.get(root).toAbsolutePath.toString
+
+  /** Renders of superseded versions kept alive: a conformant client that
+    * loaded the table just before a commit holds manifest-list/manifest
+    * URIs under the PREVIOUS render — deleting it mid-scan fails that
+    * reader with FileNotFound. Real catalogs retain old metadata until
+    * explicit expiry; we keep the most recent N and prune older. */
+  private val retainedRenders = 3
+
   /** Render (once per version, cached) the Iceberg metadata tree for the
-    * table at `root`, pruning superseded renders, and return
-    * (metadata-location URI, metadata JSON). Shared by loadTable and the
-    * commit response. */
+    * table at `root`, pruning renders older than the retained window, and
+    * return (metadata-location URI, metadata JSON). Shared by loadTable and
+    * the commit response. */
   private def renderIcebergMetadata(root: String): (String, String) = {
     val log = logOf(root)
-    // absolutize a plain-path root: exported data-file URIs must be
-    // absolute (`file://<relative>` would parse the first segment as an
-    // authority)
-    val absRoot =
-      if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || root.startsWith("/")) root
-      else java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val absRoot = absolutize(root)
     val icebergDir = s"$absRoot/_iceberg"
     val outDir = s"$icebergDir/v${log.currentVersion}"
     val metaFile = s"$outDir/metadata/v1.metadata.json"
     val metaPath =
       if (io.exists(metaFile)) metaFile
       else graft.table.IcebergExport.export(log, absRoot, outDir, FileIO.activeConf())
-    // prune renders of superseded versions (kept only while they were
-    // current; the spec allows metadata-location to go stale)
-    io.listNames(icebergDir)
-      .filter(n => n.startsWith("v") && n != s"v${log.currentVersion}")
-      .foreach(n => io.deleteRecursive(s"$icebergDir/$n"))
+    // prune only renders older than the retained window (in-flight readers
+    // of a recent render keep their referenced files; see retainedRenders)
+    val rendered = io.listNames(icebergDir)
+      .filter(_.matches("v\\d+")).map(n => n.drop(1).toLong)
+      .sorted(Ordering[Long].reverse)
+    rendered.drop(retainedRenders)
+      .filter(_ != log.currentVersion)
+      .foreach(v => io.deleteRecursive(s"$icebergDir/v$v"))
     val metaUri =
       if (metaPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaPath
       else s"file://$metaPath"
@@ -315,8 +329,13 @@ class RestCatalogServer(val warehouse: String,
     // carried-over entries keep their graft identity (seq, stats, schema
     // pin); only genuinely new paths enter fresh. Foreign URIs may render
     // schemes differently, so matching is canonical-path based (the ONE
-    // canon/resolve definition on the GraftTable companion).
-    def key(p: String): String = GraftTable.canonStr(GraftTable.resolveUnder(root, p))
+    // canon/resolve definition on the GraftTable companion). The resolve
+    // base must be the ABSOLUTIZED root — exported manifests carry absolute
+    // URIs, and with a relative warehouse a verbatim-root key would never
+    // match them, re-entering every carried file with a reset seq (older
+    // equality deletes would then stop covering them).
+    val absRoot = absolutize(root)
+    def key(p: String): String = GraftTable.canonStr(GraftTable.resolveUnder(absRoot, p))
     val haveData = head.files.map(f => key(f.path) -> f).toMap
     val havePos = head.deleteFiles.map(f => key(f.path) -> f).toMap
     val haveEq = head.eqDeleteFiles.map(e => key(e.file.path) -> e).toMap

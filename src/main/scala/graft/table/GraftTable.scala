@@ -5,6 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types._
 
 /** Snapshot-versioned Parquet table with Iceberg semantics, Spark-native.
@@ -107,39 +108,20 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private def stripIds(s: StructType): StructType =
     StructType(s.fields.map(_.copy(metadata = Metadata.empty)))
 
-  /** Read schema for BY-FIELD-ID column resolution (tables imported from
-    * real Iceberg metadata, [[IcebergImport]]): every level carries
-    * `parquet.field.id` (= graft.id + 1, the import/export mapping), which
-    * makes Spark's parquet reader match file columns by the ids in their
-    * FOOTERS instead of by name. Iceberg writers always embed footer ids,
-    * so files written before a rename resolve correctly even though the
-    * import has no per-file schema history. Activated per-table by the
-    * `graft.read.by-field-id` property. */
-  private def fieldIdReadSchema(s: StructType): StructType = {
-    def walk(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map { f =>
-        val meta =
-          if (f.metadata.contains("graft.id"))
-            new MetadataBuilder().putLong("parquet.field.id",
-              f.metadata.getLong("graft.id") + 1).build()
-          else Metadata.empty
-        f.copy(dataType = walk(f.dataType), metadata = meta)
-      })
-      case a: ArrayType => a.copy(elementType = walk(a.elementType))
-      case m: MapType   => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
-      case other        => other
-    }
-    walk(s).asInstanceOf[StructType]
-  }
-
-  /** True when snapshot `s` opts into footer-field-id column resolution;
-    * flips the session flag Spark gates id-matching behind (a no-op for
-    * every read whose schema carries no `parquet.field.id` metadata). */
-  private def byFieldId(s: Snapshot): Boolean = {
-    val on = s.properties.get("graft.read.by-field-id").contains("true")
-    if (on) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    on
-  }
+  /** True when snapshot `s` opts into footer-field-id column resolution
+    * (tables imported from real Iceberg metadata, [[IcebergImport]]): files
+    * written before a rename resolve correctly even though the import has
+    * no per-file schema history. Resolution reads each flagged file's own
+    * FOOTER (driver-side metadata, cached for the JVM — data files are
+    * immutable once committed) and renames the read schema to the footer's
+    * physical names by parquet field id ([[GraftTable.physicalize]]). Never
+    * flips Spark's session-global `spark.sql.parquet.fieldId.read.enabled`
+    * gate: that would change column-resolution semantics for unrelated
+    * parquet reads in the same session, and a per-read option cannot scope
+    * it (DataFrameReader options are case-insensitively lowercased, so a
+    * camelCase SQLConf key never survives into the scan's hadoopConf). */
+  private def byFieldId(s: Snapshot): Boolean =
+    s.properties.get("graft.read.by-field-id").contains("true")
 
   /** Normalized read of a snapshot: files are grouped by the schema they
     * were written with and projected, ID-wise, onto the current schema —
@@ -194,17 +176,40 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     // by file count.
     val delSeqs = eqDels.map(_.seq).distinct.sorted
     def eqBucket(f: DataFile): Int = delSeqs.count(_ > f.seq)
+    val conf = if (idRead) FileIO.activeConf() else null
+    // id-resolved files further subgroup by the PHYSICAL schema their
+    // footers give the recorded field ids — post-rename files read under
+    // the names actually in the file, pre-rename ones under theirs. One
+    // signature (and so one scan branch) per distinct physical naming,
+    // which only multiplies when a rename actually happened.
     val groups = fileSet.groupBy(f =>
-        (f.schemaId, eqBucket(f), idRead && f.footerIds)).toSeq.map {
+        (f.schemaId, eqBucket(f), idRead && f.footerIds)).toSeq.flatMap {
       case ((sid, _, useIds), files) =>
-      val fileSchema = schemaOf(s, sid)
-      val readSchema =
-        if (useIds) fieldIdReadSchema(fileSchema) else stripIds(fileSchema)
+        val fileSchema = schemaOf(s, sid)
+        if (!useIds) Seq((fileSchema, None, files))
+        else files.groupBy(f => GraftTable.physicalize(fileSchema,
+            GraftTable.footerSchema(resolve(f.path), conf))).toSeq
+          .map { case (phys, fs) => (fileSchema, Some(phys), fs) }
+    }.map { case (fileSchema, physOpt, files) =>
+      val readSchema = physOpt.getOrElse(stripIds(fileSchema))
       val df = spark.read.schema(readSchema)
         .parquet(files.map(f => resolve(f.path)): _*)
+      // physical field aligned (positionally) with each recorded field
+      val physByName = physOpt.map(p =>
+        fileSchema.fields.zip(p.fields).map { case (rf, pf) => rf.name -> pf }.toMap)
       val cols = cur.fields.map { f =>
         val ff = counterpart(fileSchema, f)
-        project(ff.map(x => qcol(x.name)), ff, f).as(f.name)
+        val src = ff.map { x =>
+          physByName.flatMap(_.get(x.name)) match {
+            // a positional cast back to the RECORDED shape renames nested
+            // struct fields too, so [[project]]'s name-wise recursion below
+            // keeps resolving against recorded names
+            case Some(pf) if pf.name != x.name || pf.dataType != stripNested(x.dataType) =>
+              qcol(pf.name).cast(stripNested(x.dataType))
+            case _ => qcol(x.name)
+          }
+        }
+        project(src, ff, f).as(f.name)
       }
       val metaCols =
         if (needMeta) Seq(col("_metadata.file_path").as("_graft_path"),
@@ -258,23 +263,35 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     dels.groupBy(d =>
         (eqKeyNames(d, cur), d.cols, byId && d.file.footerIds)).toSeq
       .foldLeft(base) { case (acc, ((curNames, storedNames, useIds), ds)) =>
+        // dedup of the key sets goes through Bridge.distinctRows: this plan
+        // can be grafted into a catalog read during operator optimization,
+        // where a `Deduplicate` node would no longer be rewritten
         val keys =
           if (useIds && ds.head.colIds.nonEmpty) {
             // imported tables: the delete parquet's own column names are
             // unknown (written under whatever schema the foreign writer
-            // had) — resolve them by FOOTER id, like the data files
-            val schema = StructType(curNames.zip(ds.head.colIds).map {
-              case (cn, id) => cur.fields.find(_.name == cn).get.copy(
-                nullable = true, metadata = new MetadataBuilder()
-                  .putLong("parquet.field.id", id + 1L).build())
-            })
-            spark.read.schema(schema)
-              .parquet(ds.map(d => resolve(d.file.path)): _*)
-              .select(curNames.zip(storedNames).map { case (cn, sn) =>
-                qcol(cn).as(s"_eq_$sn") }: _*).dropDuplicates()
+            // had) — resolve each file's physical key names from its FOOTER
+            // by field id, like the data files (no session-global flag)
+            val conf = FileIO.activeConf()
+            val ids = ds.head.colIds
+            val curFields = curNames.map(cn => cur.fields.find(_.name == cn).get)
+            val parts = ds.groupBy { d =>
+              val footer = GraftTable.footerSchema(resolve(d.file.path), conf)
+              ids.zip(storedNames).map { case (id, sn) =>
+                GraftTable.topLevelNameById(footer, id + 1).getOrElse(sn) }
+            }.toSeq.map { case (physNames, dsub) =>
+              val schema = StructType(physNames.zip(curFields).map { case (pn, cf) =>
+                StructField(pn, stripNested(cf.dataType), nullable = true) })
+              spark.read.schema(schema)
+                .parquet(dsub.map(d => resolve(d.file.path)): _*)
+                .select(physNames.zip(storedNames).map { case (pn, sn) =>
+                  qcol(pn).as(s"_eq_$sn") }: _*)
+            }
+            Bridge.distinctRows(parts.reduce(_ unionAll _))
           } else
-            spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
-              .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*).dropDuplicates()
+            Bridge.distinctRows(
+              spark.read.parquet(ds.map(d => resolve(d.file.path)): _*)
+                .select(storedNames.map(c => qcol(c).as(s"_eq_$c")): _*))
         acc.join(keys,
           curNames.zip(storedNames)
             .map { case (cn, sn) => qcol(cn) <=> qcol(s"_eq_$sn") }.reduce(_ && _),
@@ -1750,6 +1767,89 @@ object GraftTable {
 
   /** [[qcol]] with a dataset alias prefix (`t`.`a.b`). */
   private[graft] def qref(alias: String, n: String): Column = col(s"$alias.`$n`")
+
+  // ------------- footer-field-id resolution (imported-Iceberg reads) ------
+
+  /** JVM-lifetime cache of parquet footer schemas for id-resolved reads.
+    * Data files are immutable once committed (rewrites create NEW paths),
+    * so the path is a stable key; one driver-side footer read per file,
+    * ever — the same O(metadata) probe [[IcebergImport]] pays per file at
+    * import time. */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.schema.MessageType]()
+
+  private[table] def footerSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.schema.MessageType =
+    footerCache.computeIfAbsent(path, p => {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    })
+
+  /** Physical top-level column name the footer records for field id `fid`. */
+  private[table] def topLevelNameById(footer: org.apache.parquet.schema.GroupType,
+      fid: Long): Option[String] =
+    footer.getFields.asScala.find(t => t.getId != null && t.getId.intValue == fid)
+      .map(_.getName)
+
+  /** `schema` with every field (at any nesting level) renamed to the
+    * PHYSICAL name the footer records for its parquet field id
+    * (`graft.id` + 1 — the import/export mapping); recorded names kept
+    * where the footer lacks the id (a column added after the file was
+    * written null-fills by name, as before). Metadata is cleared
+    * throughout: the result is a plain name-matched read schema, which is
+    * how by-id resolution works WITHOUT Spark's session-global
+    * `parquet.fieldId.read.enabled` gate (a per-read option can't scope
+    * that gate — DataFrameReader options lowercase their keys, so the
+    * camelCase conf key never reaches the scan's hadoopConf). A structural
+    * surprise in the footer (exotic legacy list/map encodings) falls back
+    * to recorded names — never worse than the name-matched read. */
+  private[table] def physicalize(schema: StructType,
+      footer: org.apache.parquet.schema.GroupType): StructType = {
+    import org.apache.parquet.schema.{GroupType => PGroup, Type => PT}
+    def pick(g: PGroup, fid: Long, name: String): Option[PT] =
+      g.getFields.asScala.find(t => fid > 0 && t.getId != null && t.getId.intValue == fid)
+        .orElse(g.getFields.asScala.find(_.getName == name))
+    def fidOf(f: StructField): Long =
+      if (f.metadata.contains("graft.id")) f.metadata.getLong("graft.id") + 1 else -1
+    def clearMeta(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, clearMeta(f.dataType), f.nullable)))
+      case ArrayType(e, n)  => ArrayType(clearMeta(e), n)
+      case MapType(k, v, n) => MapType(clearMeta(k), clearMeta(v), n)
+      case o                => o
+    }
+    def walkType(dt: DataType, pt: PT): DataType = (dt, pt) match {
+      case (st: StructType, g) if !g.isPrimitive => walkStruct(st, g.asGroupType)
+      case (a: ArrayType, g) if !g.isPrimitive =>
+        // standard 3-level LIST (`group (LIST) { repeated group list
+        // { element } }`), tolerating 2-level legacy (repeated element)
+        val og = g.asGroupType
+        val elem =
+          if (og.getFieldCount == 1 && !og.getType(0).isPrimitive &&
+              og.getType(0).isRepetition(PT.Repetition.REPEATED) &&
+              og.getType(0).asGroupType.getFieldCount == 1)
+            og.getType(0).asGroupType.getType(0)
+          else og.getType(0)
+        a.copy(elementType = walkType(a.elementType, elem))
+      case (m: MapType, g) if !g.isPrimitive =>
+        val kv = g.asGroupType.getType(0).asGroupType
+        m.copy(keyType = walkType(m.keyType, kv.getType(0)),
+          valueType = walkType(m.valueType, kv.getType(1)))
+      case (other, _) => other
+    }
+    def walkStruct(st: StructType, g: PGroup): StructType = StructType(st.fields.map { f =>
+      pick(g, fidOf(f), f.name) match {
+        case Some(pt) => StructField(pt.getName, walkType(f.dataType, pt), f.nullable)
+        case None     => StructField(f.name, clearMeta(f.dataType), f.nullable)
+      }
+    })
+    try walkStruct(schema, footer)
+    catch { case scala.util.control.NonFatal(_) =>
+      StructType(schema.fields.map(f => StructField(f.name, clearMeta(f.dataType), f.nullable)))
+    }
+  }
 
   /** `write.bucket-by = "n,col[,col2,...]"` — Spark-native co-located
     * bucketing, single or COMPOSITE key (murmur3 over all key columns,

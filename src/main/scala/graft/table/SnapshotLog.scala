@@ -26,7 +26,7 @@ case class DataFile(
     stats: Map[String, ColumnStats] = Map.empty,
     seq: Long = 0L,
     // true = the parquet footer embeds Iceberg field ids, so reads may
-    // resolve columns BY ID ([[GraftTable]] fieldIdReadSchema). Only set
+    // resolve columns BY ID ([[GraftTable]] physicalize). Only set
     // (and only meaningful) on tables imported from Iceberg metadata,
     // where per-file schema history is unavailable; files a foreign
     // writer added WITHOUT ids (Iceberg add_files) read by name.

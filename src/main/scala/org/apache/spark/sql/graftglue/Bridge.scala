@@ -53,6 +53,21 @@ object Bridge {
       schema, isStreaming = false)
   }
 
+  /** DISTINCT built directly as `Aggregate(output, output, plan)`.
+    * `Dataset.dropDuplicates` plans a `Deduplicate` node that only the
+    * optimizer's replace-operators batch (which runs BEFORE operator
+    * optimization) rewrites to an aggregate — so a plan grafted into the
+    * tree DURING operator optimization ([[graft.plans.GraftNativeScan]]'s
+    * relation swap) would reach physical planning with `Deduplicate`
+    * intact and crash with an internal error. The Aggregate form is what
+    * that rewrite produces anyway, and is valid at every optimizer stage. */
+  def distinctRows(df: DataFrame): DataFrame = {
+    val plan = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+    ofRows(df.sparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate(plan.output, plan.output, plan))
+  }
+
   /** The session's catalog manager (`sessionState` is `private[sql]`). */
   def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager

@@ -259,22 +259,18 @@ class ForeignWriterSpec extends SparkSpec {
       .count() == 3)
   }
 
-  test("a spec Iceberg REST writer commits an append through the catalog") {
-    // The full IRC write role: a foreign engine loads the table over the
-    // spec surface, writes its own parquet + Iceberg manifests, and POSTs
-    // an add-snapshot commit with an assert-ref-snapshot-id requirement.
+  /** The steps a spec Iceberg REST writer performs for an append: load the
+    * table over the spec surface, write a foreign parquet data file,
+    * hand-write an Iceberg manifest for it, a manifest list carrying every
+    * existing entry forward verbatim (same writer schema), and build the
+    * add-snapshot commit body with an assert-ref-snapshot-id requirement
+    * pinned to the loaded snapshot. Returns (loaded snapshot id, body). */
+  private def buildSpecAppendBody(token: String, table: String,
+      rows: Seq[(Long, String)]): (Long, String) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
-    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
-    spark.sql("CREATE TABLE graftr.db.ice_w (id BIGINT, name STRING)")
-    spark.sql("INSERT INTO graftr.db.ice_w VALUES (1, 'a'), (2, 'b')")
-    val token = oauthRaw()
-
     // 1. load over the spec surface
     val load = JsonMethods.parse(
-      get("/v1/iceberg/namespaces/db/tables/ice_w", token).body())
+      get(s"/v1/iceberg/namespaces/db/tables/$table", token).body())
     val curSnap = (load \ "metadata" \ "current-snapshot-id").extract[Long]
     val curList = ((load \ "metadata" \ "snapshots").children
       .find(sn => (sn \ "snapshot-id").extract[Long] == curSnap).get \ "manifest-list")
@@ -283,7 +279,7 @@ class ForeignWriterSpec extends SparkSpec {
     // 2. foreign parquet data file
     val scratch = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "ice-w-").toAbsolutePath.toString
-    Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1).write.parquet(s"$scratch/d")
+    rows.toDF("id", "name").coalesce(1).write.parquet(s"$scratch/d")
     val newData = new java.io.File(s"$scratch/d").listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
 
@@ -301,7 +297,7 @@ class ForeignWriterSpec extends SparkSpec {
       entrySchema.getField("data_file").schema())
     dfr.put("file_path", s"file://$newData")
     dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", 2L)
+    dfr.put("record_count", rows.size.toLong)
     dfr.put("file_size_in_bytes", new java.io.File(newData).length())
     val ent = new org.apache.avro.generic.GenericData.Record(entrySchema)
     ent.put("status", 1)
@@ -336,7 +332,7 @@ class ForeignWriterSpec extends SparkSpec {
     mf.put("added_snapshot_id", 9999L)
     mf.put("added_files_count", 1); mf.put("existing_files_count", 0)
     mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", 2L); mf.put("existing_rows_count", 0L)
+    mf.put("added_rows_count", rows.size.toLong); mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
     val newList = s"$scratch/snap-9999-list.avro"
     locally {
@@ -358,6 +354,23 @@ class ForeignWriterSpec extends SparkSpec {
          |    "summary":{"operation":"append"}}},
          |  {"action":"set-snapshot-ref","ref-name":"main","snapshot-id":9999}
          |]}""".stripMargin
+    (curSnap, commitBody)
+  }
+
+  test("a spec Iceberg REST writer commits an append through the catalog") {
+    // The full IRC write role: a foreign engine loads the table over the
+    // spec surface, writes its own parquet + Iceberg manifests, and POSTs
+    // an add-snapshot commit with an assert-ref-snapshot-id requirement.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_w (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.ice_w VALUES (1, 'a'), (2, 'b')")
+    val token = oauthRaw()
+
+    val (curSnap, commitBody) =
+      buildSpecAppendBody(token, "ice_w", Seq((3L, "c"), (4L, "d")))
     val resp = post("/v1/iceberg/namespaces/db/tables/ice_w", commitBody, Some(token))
     assert(resp.statusCode() == 200, resp.body())
     assert((JsonMethods.parse(resp.body()) \ "metadata" \ "format-version").extract[Int] == 2)
@@ -394,5 +407,44 @@ class ForeignWriterSpec extends SparkSpec {
     assert(post("/v1/iceberg/namespaces/db/tables/ice_w", toBranch, Some(token))
       .statusCode() == 400)
     spark.sql("DROP TABLE graftr.db.ice_w")
+  }
+
+  test("foreign spec commit on a table carrying an equality delete keeps the delete biting") {
+    // Regression for the relative-warehouse key-matching bug: icebergCommit
+    // used to key carried-over files against the VERBATIM root while the
+    // exported manifests carry absolutized URIs, so with a relative
+    // warehouse (exactly this suite's layout) every carried data file
+    // re-entered as "new" with a reset sequence number — older equality
+    // deletes then stopped covering them and deleted rows resurfaced after
+    // ANY foreign commit. Carried files must keep their graft identity.
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_eq (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.ice_eq VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val token = oauthRaw()
+
+    // an equality delete registered the CDC-writer way (no data rewrite)
+    val loc = (JsonMethods.parse(
+      get("/v1/namespaces/db/tables/ice_eq", token).body()) \ "location").extract[String]
+    graft.table.GraftTable.load(spark, loc).deleteByEquality(Seq(2L).toDF("id"))
+    spark.sql("REFRESH TABLE graftr.db.ice_eq")
+    assert(spark.sql("SELECT id FROM graftr.db.ice_eq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
+    // a foreign writer appends through the spec IRC surface
+    val (_, commitBody) = buildSpecAppendBody(token, "ice_eq", Seq((4L, "d")))
+    val resp = post("/v1/iceberg/namespaces/db/tables/ice_eq", commitBody, Some(token))
+    assert(resp.statusCode() == 200, resp.body())
+
+    // the equality delete still covers the pre-delete data files, and the
+    // foreign row (appended AFTER the delete) is untouched by it
+    spark.sql("REFRESH TABLE graftr.db.ice_eq")
+    assert(spark.sql("SELECT id FROM graftr.db.ice_eq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      "an equality-deleted row resurfaced after a foreign spec commit")
+    spark.sql("DROP TABLE graftr.db.ice_eq")
   }
 }

@@ -118,6 +118,34 @@ class RestDmlSpec extends SparkSpec {
     } finally proxy.stop(0)
   }
 
+  test("a 503 on a non-idempotent POST is surfaced, never replayed") {
+    init()
+    // behind a proxy/LB a 503 can arrive AFTER the backend applied the
+    // commit — outcome unknown, same hazard as a mid-flight IOException.
+    // The client must fail loudly instead of replaying (a replay that
+    // landed would 409 and the table layer's conflict retry would then
+    // double-apply the mutation).
+    val hits = new AtomicInteger(0)
+    val proxy = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    proxy.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      hits.incrementAndGet()
+      val msg = "{\"error\":\"service unavailable\"}".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(503, msg.length); ex.getResponseBody.write(msg); ex.close()
+    })
+    proxy.start()
+    try {
+      val direct = new RestCatalogClient(server.uri, Some("engine-a:secret-a"), None)
+      val always503 = new RestCatalogClient(
+        s"http://127.0.0.1:${proxy.getAddress.getPort}", None, Some(direct.token))
+      val e = intercept[IllegalStateException] {
+        always503.createNamespace(Seq("post503"))
+      }
+      assert(e.getMessage.contains("503"))
+      assert(hits.get() == 1, "the POST must have been dispatched exactly once (no replay)")
+    } finally proxy.stop(0)
+  }
+
   test("expired bearer token is refreshed with a new grant, not surfaced") {
     // dedicated server with a 300ms token TTL
     val wh = java.nio.file.Files.createTempDirectory(
