@@ -28,10 +28,18 @@ import org.json4s.jackson.JsonMethods
   * INDEPENDENT Avro implementation on Spark's classpath.
   *
   * Mapping choices (each the conservative, read-correct option):
-  *  - Exported as UNPARTITIONED (spec-id 0, no fields). Graft's hidden
-  *    partitioning buckets with xxhash64, which is NOT Iceberg's
-  *    murmur3 bucket transform — exporting a `bucket[N]` spec would make
-  *    foreign readers mis-prune. Unpartitioned loses pruning, never rows.
+  *  - Partition specs EXPORT for the spec-expressible transforms —
+  *    identity, truncate, years/months/days/hours ([[PartitionTransform]]
+  *    maps 1:1 onto the Iceberg transforms). A data file carries a
+  *    partition TUPLE only when its recorded stats PROVE it single-valued
+  *    (transform min == max and zero source nulls — graft hash-distributes
+  *    rather than fanning out one file per partition, so a file CAN span
+  *    values); proven files go into a spec-1 manifest with tuples and
+  *    field summaries (foreign readers prune them), unproven ones into a
+  *    spec-0 unpartitioned manifest (scanned, never wrong). `bucket(n)` is
+  *    NOT exported: graft buckets with xxhash64, which is not Iceberg's
+  *    murmur3 `bucket[N]` — a spec claim would make foreign readers
+  *    mis-prune. Unpartitioned loses pruning, never rows.
   *  - Field ids are `graft.id + 1` (Iceberg ids are 1-based by
   *    convention); list/map element ids are allocated above the maximum.
   *  - `schema.name-mapping.default` is emitted so readers resolve parquet
@@ -62,6 +70,7 @@ object IcebergExport {
     def int(v: Int): Unit = long(v.toLong)
     def bytes(b: Array[Byte]): Unit = { long(b.length.toLong); out.write(b) }
     def str(s: String): Unit = bytes(s.getBytes(UTF_8))
+    def bool(v: Boolean): Unit = out.write(if (v) 1 else 0)
     def raw(b: Array[Byte]): Unit = out.write(b)
     def none(): Unit = long(0) // union [null, T] branch 0
     def some(): Unit = long(1) // union [null, T] branch 1
@@ -203,10 +212,167 @@ object IcebergExport {
       case _         => throw new IllegalArgumentException(typeName)
     }).toOption
 
+  // ------------------------------------------------- partition-spec export
+
+  /** A PROVEN single partition value of one data file — typed for the Avro
+    * tuple encoding and the manifest-list field-summary bounds (Iceberg
+    * single-value binary). Strings order by unsigned UTF-8 bytes, the
+    * spec's comparison, so summaries always contain their values. */
+  private sealed trait PartVal extends Ordered[PartVal] {
+    def write(b: AvroBuf): Unit
+    def bound: Array[Byte]
+  }
+  private final case class PInt(v: Int) extends PartVal {
+    def write(b: AvroBuf): Unit = { b.some(); b.int(v) }
+    def bound: Array[Byte] = le(v.toLong, 4)
+    def compare(o: PartVal): Int = java.lang.Integer.compare(v, o.asInstanceOf[PInt].v)
+  }
+  private final case class PLong(v: Long) extends PartVal {
+    def write(b: AvroBuf): Unit = { b.some(); b.long(v) }
+    def bound: Array[Byte] = le(v, 8)
+    def compare(o: PartVal): Int = java.lang.Long.compare(v, o.asInstanceOf[PLong].v)
+  }
+  private final case class PStr(v: String) extends PartVal {
+    def write(b: AvroBuf): Unit = { b.some(); b.str(v) }
+    def bound: Array[Byte] = v.getBytes(UTF_8)
+    def compare(o: PartVal): Int = {
+      val (a, c) = (bound, o.asInstanceOf[PStr].bound)
+      val n = math.min(a.length, c.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xFF) - (c(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - c.length
+    }
+  }
+  private final case class PBool(v: Boolean) extends PartVal {
+    def write(b: AvroBuf): Unit = { b.some(); b.bool(v) }
+    def bound: Array[Byte] = Array[Byte](if (v) 1 else 0)
+    def compare(o: PartVal): Int =
+      java.lang.Boolean.compare(v, o.asInstanceOf[PBool].v)
+  }
+
+  /** One exportable partition-spec field: the spec JSON bits, the Avro type
+    * of its tuple slot, and the per-file prover — Some(value) only when the
+    * file's recorded stats PROVE every row shares that partition value. */
+  private final case class SpecField(name: String, transform: String,
+      sourceId: Int, fieldId: Int, avroType: String,
+      prove: DataFile => Option[PartVal])
+
+  /** ISO "yyyy-MM-dd HH:mm:ss[.ffffff]" (graft's stat string form) →
+    * epoch micros, same mapping as [[boundBytes]]'s timestamp case. */
+  private def isoMicros(v: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
+  /** Avro schema fragment for an identity partition slot of this type;
+    * None = not exportable as a partition value. */
+  private def avroTypeOf(dt: DataType): Option[String] = dt match {
+    case IntegerType | ShortType | ByteType => Some("\"int\"")
+    case LongType      => Some("\"long\"")
+    case StringType    => Some("\"string\"")
+    case BooleanType   => Some("\"boolean\"")
+    case DateType      => Some("""{"type":"int","logicalType":"date"}""")
+    case TimestampType =>
+      Some("""{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}""")
+    case TimestampNTZType =>
+      Some("""{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":false}""")
+    case _             => None
+  }
+
+  private def identityVal(dt: DataType, v: String): Option[PartVal] =
+    Try[PartVal](dt match {
+      case IntegerType | ShortType | ByteType => PInt(v.trim.toInt)
+      case LongType    => PLong(v.trim.toLong)
+      case StringType  => PStr(v)
+      case BooleanType => PBool(v.trim.toBoolean)
+      case DateType    => PInt(java.time.LocalDate.parse(v.trim).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType => PLong(isoMicros(v))
+      case _ => throw new IllegalArgumentException(dt.typeName)
+    }).toOption
+
+  /** Avro record field names are [A-Za-z_][A-Za-z0-9_]* — a partition field
+    * whose name can't be an Avro name is dropped from the exported spec
+    * (files just lose that pruning dimension, never rows). */
+  private val AvroName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Exportable spec fields for the table's `write.partition-by` transforms.
+    * `bucket(n)` never exports (graft buckets with xxhash64, not Iceberg's
+    * murmur3 `bucket[N]` — a spec claim would make foreign readers
+    * mis-prune); the rest map 1:1 onto Iceberg spec transforms. */
+  private def specFieldsOf(head: Snapshot, schema: StructType): Seq[SpecField] = {
+    val parsed = Try(PartitionTransform.parseList(
+      head.properties.get("write.partition-by"), schema)).getOrElse(Seq.empty)
+    def src(name: String): Option[StructField] = schema.fields.find(_.name == name)
+    // single-valued proof: transform bounds collapse AND the source column
+    // has zero nulls (transforms are null-preserving, and min/max aggs skip
+    // nulls — a null-source row would carry a NULL partition value the
+    // collapsed bounds can't see)
+    def noNulls(f: DataFile, col: String): Boolean =
+      f.stats.get(col).exists(_.nullCount == 0)
+    def single(f: DataFile, key: String): Option[String] =
+      f.stats.get(key).filter(cs => cs.min == cs.max).map(_.min)
+    parsed.flatMap {
+      case PartitionTransform.Identity(s0) =>
+        for {
+          sf <- src(s0)
+          if iid(sf) > 0 && AvroName.matches(s0)
+          at <- avroTypeOf(sf.dataType)
+        } yield SpecField(s0, "identity", iid(sf), 0, at,
+          f => f.stats.get(s0)
+            .filter(cs => cs.min == cs.max && cs.nullCount == 0)
+            .flatMap(cs => identityVal(sf.dataType, cs.min)))
+      case tr @ PartitionTransform.Truncate(s0, w, isString) =>
+        for {
+          sf <- src(s0)
+          if iid(sf) > 0 && AvroName.matches(s0)
+          at <- sf.dataType match {
+            case StringType                         => Some("\"string\"")
+            case IntegerType | ShortType | ByteType => Some("\"int\"")
+            case LongType                           => Some("\"long\"")
+            case _                                  => None
+          }
+        } yield SpecField(s"${s0}_trunc", s"truncate[$w]", iid(sf), 0, at,
+          f => single(f, tr.canonical).filter(_ => noNulls(f, s0)).flatMap(v =>
+            if (isString) Some(PStr(v))
+            else Try[PartVal](sf.dataType match {
+              case LongType => PLong(v.trim.toLong)
+              case _        => PInt(v.trim.toInt)
+            }).toOption))
+      case tt @ PartitionTransform.TimeTrunc(s0, fn) =>
+        val (tname, at) = fn match {
+          case "years"  => ("year", "\"int\"")
+          case "months" => ("month", "\"int\"")
+          case "days"   => ("day", """{"type":"int","logicalType":"date"}""")
+          case "hours"  => ("hour", "\"int\"")
+        }
+        for { sf <- src(s0) if iid(sf) > 0 && AvroName.matches(s0) } yield
+          SpecField(s"${s0}_$tname", tname, iid(sf), 0, at,
+            f => single(f, tt.canonical).filter(_ => noNulls(f, s0)).flatMap(v =>
+              Try[PartVal] {
+                val ldt = java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
+                fn match {
+                  case "years"  => PInt(ldt.getYear - 1970)
+                  case "months" => PInt((ldt.getYear - 1970) * 12 + ldt.getMonthValue - 1)
+                  case "days"   => PInt(ldt.toLocalDate.toEpochDay.toInt)
+                  case "hours"  => PInt(Math.floorDiv(
+                    ldt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toInt)
+                }
+              }.toOption))
+      case _: PartitionTransform.Bucket => None
+    }.zipWithIndex.map { case (sf, i) => sf.copy(fieldId = 1000 + i) }
+  }
+
   // ----------------------------------------------------- manifest avro forms
 
-  private val ManifestEntrySchema: String =
-    """{"type":"record","name":"manifest_entry","fields":[
+  /** Manifest-entry Avro schema; `partitionFields` injects the typed slots
+    * of the manifest's partition spec into the r102 record (empty for
+    * spec-0 / unpartitioned manifests). */
+  private def manifestEntrySchema(partitionFields: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -215,7 +381,7 @@ object IcebergExport {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[$partitionFields]},"field-id":102},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
@@ -253,7 +419,7 @@ object IcebergExport {
       rows: Long, sizeBytes: Long,
       valueCounts: Seq[(Int, Long)], nullCounts: Seq[(Int, Long)],
       lower: Seq[(Int, Array[Byte])], upper: Seq[(Int, Array[Byte])],
-      eqIds: Option[Seq[Int]]): Array[Byte] = {
+      eqIds: Option[Seq[Int]], partition: Seq[PartVal] = Nil): Array[Byte] = {
     val b = new AvroBuf
     b.int(0)                    // status EXISTING
     b.some(); b.long(addedBy)   // snapshot_id that added the file
@@ -262,7 +428,9 @@ object IcebergExport {
     b.int(content)              // 0 data, 1 position deletes, 2 equality deletes
     b.str(path)
     b.str("PARQUET")
-    // partition: empty r102 record — no bytes
+    // partition r102 record: the manifest spec's tuple slots in order
+    // (empty record = no bytes for unpartitioned manifests)
+    partition.foreach(_.write(b))
     b.long(rows)
     b.long(sizeBytes)
     def kvLongs(m: Seq[(Int, Long)]): Unit =
@@ -279,20 +447,36 @@ object IcebergExport {
     b.toBytes
   }
 
+  /** One manifest_file record. `summaries` (per spec field: lower/upper
+    * bound bytes) is emitted for partitioned manifests so readers prune
+    * whole manifests before opening them; contains_null is always false —
+    * only files PROVEN null-free carry partition tuples. */
   private def encodeManifestFile(manifestPath: String, length: Long,
       content: Int, seq: Long, minSeq: Long, addedBy: Long,
-      fileCount: Int, rowCount: Long): Array[Byte] = {
+      fileCount: Int, rowCount: Long, specId: Int = 0,
+      summaries: Seq[(Array[Byte], Array[Byte])] = Nil): Array[Byte] = {
     val b = new AvroBuf
     b.str(manifestPath)
     b.long(length)
-    b.int(0)        // partition_spec_id
+    b.int(specId)
     b.int(content)  // 0 data, 1 deletes
     b.long(seq)
     b.long(minSeq)
     b.long(addedBy)
     b.int(0); b.int(fileCount); b.int(0)   // added/existing/deleted files
     b.long(0L); b.long(rowCount); b.long(0L) // added/existing/deleted rows
-    b.none()        // partitions (unpartitioned)
+    if (summaries.isEmpty) b.none()
+    else {
+      b.some()
+      b.arrayBlock(summaries.size) {
+        summaries.foreach { case (lo, hi) =>
+          b.bool(false)             // contains_null
+          b.none()                  // contains_nan unknown
+          b.some(); b.bytes(lo)
+          b.some(); b.bytes(hi)
+        }
+      }
+    }
     b.toBytes
   }
 
@@ -395,23 +579,36 @@ object IcebergExport {
       (vc, nc, lo, hi)
     }
 
+    // ---- partition spec: the spec-expressible transforms of
+    // write.partition-by (spec-id 1); spec-id 0 stays unpartitioned for
+    // files the stats can't prove single-valued
+    val specFields = specFieldsOf(head, schemaWithIds)
+    val specFieldsJsonStr = JsonMethods.compact(JsonMethods.render(JArray(
+      specFields.map(sf => (("name" -> sf.name) ~ ("transform" -> sf.transform) ~
+        ("source-id" -> sf.sourceId) ~ ("field-id" -> sf.fieldId)): JValue).toList)))
+    val partitionAvroFields = specFields.map(sf =>
+      s"""{"name":"${sf.name}","type":["null",${sf.avroType}],"default":null,"field-id":${sf.fieldId}}""")
+      .mkString(",")
+
     // Manifests are content-addressed on their entry bytes, so unchanged
     // file lists share one manifest across exported snapshots — the commit
     // chain exports O(changed files), like the snapshot log itself.
     val manifestCache = scala.collection.mutable.Map.empty[String, (String, Long, Long, Long, Int, Long)]
     def writeManifest(entries: Seq[Array[Byte]], content: String, seqs: Seq[Long],
-        addedBy: Long, rows: Long): (String, Long, Long, Long, Int, Long) = {
+        addedBy: Long, rows: Long,
+        specId: Int = 0): (String, Long, Long, Long, Int, Long) = {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       entries.foreach(digest.update)
-      digest.update(content.getBytes(UTF_8))
+      digest.update(s"$content-$specId".getBytes(UTF_8))
       val hash = digest.digest().take(10).map("%02x".format(_)).mkString
       manifestCache.getOrElseUpdate(hash, {
         val name = s"m-$content-$hash.avro"
-        val len = writeContainer(s"$metaDir/$name", ManifestEntrySchema, Map(
+        val len = writeContainer(s"$metaDir/$name",
+          manifestEntrySchema(if (specId == 0) "" else partitionAvroFields), Map(
           "schema" -> schemaJsonStr,
           "schema-id" -> head.currentSchemaId.toString,
-          "partition-spec" -> "[]",
-          "partition-spec-id" -> "0",
+          "partition-spec" -> (if (specId == 0) "[]" else specFieldsJsonStr),
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "2",
           "content" -> content), entries, conf)
         (metaUri(name), len, seqs.max, seqs.min, entries.size, rows)
@@ -428,10 +625,20 @@ object IcebergExport {
 
     val snapshotsJson = chain.map { s =>
       val snapSeq = s.version + seqShift
-      val dataEntries = s.files.map { f =>
+      // partition tuples proven from per-file stats: those files export in
+      // a spec-1 manifest (pruned by foreign readers), the rest in the
+      // spec-0 unpartitioned manifest (scanned, never wrong)
+      val tuples: Map[String, Seq[PartVal]] =
+        if (specFields.isEmpty) Map.empty
+        else s.files.flatMap { f =>
+          val vs = specFields.map(_.prove(f))
+          if (vs.forall(_.isDefined)) Some(f.path -> vs.map(_.get)) else None
+        }.toMap
+      val (partFiles, plainFiles) = s.files.partition(f => tuples.contains(f.path))
+      def dataEntry(f: DataFile, tuple: Seq[PartVal]): Array[Byte] = {
         val (vc, nc, lo, hi) = statsOf(f)
         encodeEntry(f.seq + seqShift, f.seq + seqShift, 0, fileUri(f.path),
-          f.rows, f.bytes, vc, nc, lo, hi, None)
+          f.rows, f.bytes, vc, nc, lo, hi, None, tuple)
       }
       val deleteEntries =
         s.deleteFiles.map(f =>
@@ -444,11 +651,24 @@ object IcebergExport {
             e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds))
         }
       val manifests = Seq.newBuilder[Array[Byte]]
-      if (dataEntries.nonEmpty) {
-        val seqs = s.files.map(_.seq + seqShift)
-        val (p, len, mx, mn, n, rows) =
-          writeManifest(dataEntries, "data", seqs, s.version, s.files.map(_.rows).sum)
+      if (plainFiles.nonEmpty) {
+        val seqs = plainFiles.map(_.seq + seqShift)
+        val (p, len, mx, mn, n, rows) = writeManifest(
+          plainFiles.map(dataEntry(_, Nil)), "data", seqs,
+          s.version, plainFiles.map(_.rows).sum)
         manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows)
+      }
+      if (partFiles.nonEmpty) {
+        val seqs = partFiles.map(_.seq + seqShift)
+        val (p, len, mx, mn, n, rows) = writeManifest(
+          partFiles.map(f => dataEntry(f, tuples(f.path))), "datap", seqs,
+          s.version, partFiles.map(_.rows).sum, specId = 1)
+        val summaries = specFields.indices.map { i =>
+          val vals = partFiles.map(f => tuples(f.path)(i))
+          (vals.min.bound, vals.max.bound)
+        }
+        manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows,
+          specId = 1, summaries = summaries)
       }
       if (deleteEntries.nonEmpty) {
         val seqs = (s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq)).map(_ + seqShift)
@@ -498,9 +718,16 @@ object IcebergExport {
       ("last-column-id" -> elementId) ~
       ("current-schema-id" -> head.currentSchemaId) ~
       ("schemas" -> JArray(List(schemaJson))) ~
-      ("default-spec-id" -> 0) ~
-      ("partition-specs" -> JArray(List(("spec-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
-      ("last-partition-id" -> 999) ~
+      ("default-spec-id" -> (if (specFields.nonEmpty) 1 else 0)) ~
+      ("partition-specs" -> JArray(
+        (("spec-id" -> 0) ~ ("fields" -> JArray(Nil))) ::
+          (if (specFields.nonEmpty)
+            List(("spec-id" -> 1) ~ ("fields" -> JArray(
+              specFields.map(sf => (("name" -> sf.name) ~
+                ("transform" -> sf.transform) ~ ("source-id" -> sf.sourceId) ~
+                ("field-id" -> sf.fieldId)): JValue).toList)))
+          else Nil))) ~
+      ("last-partition-id" -> (999 + specFields.size)) ~
       ("default-sort-order-id" -> 0) ~
       ("sort-orders" -> JArray(List(("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
       ("properties" -> tableProps) ~

@@ -79,25 +79,26 @@ object IcebergImport {
     val idToName: Map[Int, String] = currentSchema.fields.map(f =>
       f.metadata.getLong("graft.id").toInt -> f.name).toMap
 
-    // IDENTITY-transform partition fields per spec id: their per-file
-    // values become min==max stats when column metrics are absent.
-    // (Non-identity transforms — bucket/truncate/days — are dropped:
-    // deriving bounds from them is transform-specific; column bounds,
-    // when present, already cover those columns.)
-    def identityFields(fields: Seq[JValue]): Map[String, Int] =
+    // Partition fields per spec id — (field name, transform, source
+    // graft.id). Identity values become min==max column stats; truncate /
+    // year/month/day/hour values become graft TRANSFORM stats under the
+    // canonical `write.partition-by` key, so hidden-partition pruning
+    // works on the imported table exactly as on a native one. bucket[n]
+    // is decoded but never translated (murmur3 ≠ graft's xxhash64).
+    def specFields(fields: Seq[JValue]): Seq[(String, String, Int)] =
       fields.flatMap { f =>
         for {
           name <- (f \ "name").extractOpt[String]
-          tr <- (f \ "transform").extractOpt[String] if tr == "identity"
+          tr <- (f \ "transform").extractOpt[String]
           src <- (f \ "source-id").extractOpt[Int]
-        } yield name -> (src - 1)
-      }.toMap
-    val identitySpecs: Map[Int, Map[String, Int]] = (meta \ "partition-specs") match {
+        } yield (name, tr, src - 1)
+      }
+    val partSpecs: Map[Int, Seq[(String, String, Int)]] = (meta \ "partition-specs") match {
       case JArray(specs) => specs.map(sp =>
         (sp \ "spec-id").extractOpt[Int].getOrElse(0) ->
-          identityFields((sp \ "fields").children)).toMap
+          specFields((sp \ "fields").children)).toMap
       case _ => // v1: flat "partition-spec" array, implicit spec id 0
-        Map(0 -> identityFields((meta \ "partition-spec").children))
+        Map(0 -> specFields((meta \ "partition-spec").children))
     }
 
     val currentSnapId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
@@ -136,7 +137,7 @@ object IcebergImport {
       val parts = manifests.map { m =>
         manifestCache.getOrElseUpdate(m._1,
           readManifests(Seq(m), metaPath, conf, schemaList.toMap, currentSchemaId,
-            idToName, identitySpecs))
+            idToName, partSpecs))
       }
       (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
     }
@@ -183,7 +184,26 @@ object IcebergImport {
     // by-field-id: resolve columns against parquet FOOTER ids (Iceberg
     // writers embed them) — the import has no per-file schema history, so
     // name-based resolution would null out pre-rename files.
-    val props = extraProps +
+    // Reconstruct `write.partition-by` from the DEFAULT spec's translatable
+    // transforms: future writes keep the table's layout and the pruner
+    // engages the transform stats decoded below. Each candidate is
+    // validated through PartitionTransform.parse — a field whose source
+    // column/type no longer fits is skipped, and bucket[n] never maps
+    // (murmur3 ≠ xxhash64).
+    val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val writePartitionBy = partSpecs.getOrElse(defaultSpecId, Seq.empty).flatMap {
+      case (_, "identity", gid)    => idToName.get(gid)
+      case (_, TruncRe2(w), gid)   => idToName.get(gid).map(n => s"truncate($w,$n)")
+      case (_, "year", gid)        => idToName.get(gid).map(n => s"years($n)")
+      case (_, "month", gid)       => idToName.get(gid).map(n => s"months($n)")
+      case (_, "day", gid)         => idToName.get(gid).map(n => s"days($n)")
+      case (_, "hour", gid)        => idToName.get(gid).map(n => s"hours($n)")
+      case _                       => None
+    }.filter(spec => Try(PartitionTransform.parse(spec, currentSchema)).isSuccess)
+    val props = extraProps ++
+      (if (writePartitionBy.nonEmpty)
+        Map("write.partition-by" -> writePartitionBy.mkString(","))
+      else Map.empty) +
       ("graft.imported-from" -> metaPath) +
       ("graft.read.by-field-id" -> "true")
     val t = GraftTable.createEmpty(spark, targetPath, currentSchema, props)
@@ -327,13 +347,13 @@ object IcebergImport {
   }
 
   /** Decode every live manifest entry into graft's file model.
-    * `identitySpecs`: partition-spec-id -> (partition field name ->
-    * source column graft.id) for IDENTITY-transform fields only. */
+    * `partSpecs`: partition-spec-id -> (field name, transform, source
+    * column graft.id) for every spec field. */
   private def readManifests(manifests: Seq[(String, Int, Long, Option[Int])],
       metaPath: String, conf: Configuration,
       schemasById: Map[Int, StructType], currentSchemaId: Int,
       idToName: Map[Int, String],
-      identitySpecs: Map[Int, Map[String, Int]] = Map.empty)
+      partSpecs: Map[Int, Seq[(String, String, Int)]] = Map.empty)
       : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
     val data = Seq.newBuilder[DataFile]
     val pos = Seq.newBuilder[DataFile]
@@ -345,21 +365,21 @@ object IcebergImport {
       val fileSchema = schemasById.getOrElse(schemaId, schemasById(currentSchemaId))
       val statNames = fileSchema
         .fields.map(f => f.metadata.getLong("graft.id").toInt + 1 -> f).toMap
-      // identity spec for this manifest: manifest-list annotation first,
+      // partition spec for this manifest: manifest-list annotation first,
       // manifest file metadata second (v1 inline manifests). With NO
       // annotation, fall back to spec 0 only when it is the table's sole
       // spec — guessing among evolved specs could stamp another spec's
       // values as bounds for the wrong column (wrong pruning); no stats
       // is the safe default.
-      val identity: Map[String, Int] = specId
+      val spec: Seq[(String, String, Int)] = specId
         .orElse(fileMeta.get("partition-spec-id").flatMap(s => Try(s.toInt).toOption))
-        .flatMap(identitySpecs.get)
-        .getOrElse(if (identitySpecs.size == 1) identitySpecs.head._2 else Map.empty)
-      // constant per manifest: partition field name -> source StructField
-      val identityFields: Map[String, StructField] = identity.flatMap {
-        case (pname, gid) => fileSchema.fields.find(x =>
+        .flatMap(partSpecs.get)
+        .getOrElse(if (partSpecs.size == 1) partSpecs.head._2 else Seq.empty)
+      // constant per manifest: (field name, transform, source StructField)
+      val partFields: Seq[(String, String, StructField)] = spec.flatMap {
+        case (pname, tr, gid) => fileSchema.fields.find(x =>
           x.metadata.contains("graft.id") &&
-            x.metadata.getLong("graft.id").toInt == gid).map(pname -> _)
+            x.metadata.getLong("graft.id").toInt == gid).map((pname, tr, _))
       }
       entries.foreach { e =>
         val status = lng(e, "status").map(_.toInt).getOrElse(0)
@@ -373,11 +393,12 @@ object IcebergImport {
             bytes = lng(df, "file_size_in_bytes").getOrElse(0L),
             schemaId = schemaId,
             stats = if (content == 0) {
-              // IDENTITY partition values double as min==max bounds for
-              // columns whose metrics the writer didn't record — restores
-              // partition pruning on metrics-disabled imported tables
+              // partition values double as min==max stats — identity ones
+              // as column bounds (restores pruning on metrics-disabled
+              // tables), transform ones under the canonical
+              // write.partition-by key graft's own pruner consults
               val bounds = decodeStats(df, statNames)
-              bounds ++ partitionStats(df, identityFields)
+              bounds ++ partitionStats(df, partFields)
                 .filterNot { case (k, _) => bounds.contains(k) }
             } else Map.empty,
             seq = seq)
@@ -442,22 +463,58 @@ object IcebergImport {
     }
   }
 
-  /** IDENTITY partition values of a data_file's `partition` record ->
-    * single-value [[ColumnStats]] for the source columns. `identityFields`
-    * (partition field name -> source column) is precomputed per manifest. */
+  private[table] val TruncRe2 = "truncate\\[(\\d+)\\]".r
+
+  /** Partition values of a data_file's `partition` record -> single-value
+    * [[ColumnStats]]. Identity values key on the SOURCE column (they are
+    * real bounds); truncate / year/month/day/hour values key on graft's
+    * canonical transform string, rendered exactly as the native stats
+    * collector renders them (`date_trunc(..).cast("string")` →
+    * "yyyy-MM-dd HH:mm:ss") so pruning comparisons stay uniform.
+    * `partFields` (field name, transform, source column) is precomputed
+    * per manifest; untranslatable transforms (bucket, void) are skipped. */
   private def partitionStats(df: GenericRecord,
-      identityFields: Map[String, StructField]): Map[String, ColumnStats] = {
-    if (identityFields.isEmpty) return Map.empty
+      partFields: Seq[(String, String, StructField)]): Map[String, ColumnStats] = {
+    if (partFields.isEmpty) return Map.empty
+    def iso(ldt: java.time.LocalDateTime): String =
+      f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
     opt(df, "partition").collect { case r: GenericRecord => r }.map { part =>
-      identityFields.flatMap { case (pname, f) =>
-        for {
-          raw <- if (part.getSchema.getField(pname) == null) None
-                 else Option(part.get(pname))
-          v <- renderPartValue(f.dataType, raw)
-        } yield f.name -> ColumnStats(v, v, f.dataType.typeName, -1L)
-      }
+      partFields.flatMap { case (pname, transform, f) =>
+        val raw: Option[AnyRef] =
+          if (part.getSchema.getField(pname) == null) None
+          else Option(part.get(pname))
+        def intVal: Option[Int] =
+          raw.collect { case n: Number => n.intValue() }
+        (transform, raw) match {
+          case (_, None) => None
+          case ("identity", Some(v)) =>
+            renderPartValue(f.dataType, v).map(s =>
+              f.name -> ColumnStats(s, s, f.dataType.typeName, -1L))
+          case (TruncRe2(w), Some(v)) =>
+            val isString = f.dataType == StringType
+            Try[String](if (isString) v.toString
+              else v.asInstanceOf[Number].longValue().toString).toOption
+              .map(s => s"truncate($w,${f.name})" ->
+                ColumnStats(s, s, if (isString) "string" else "long", -1L))
+          case ("year", _) => intVal.map(y =>
+            s"years(${f.name})" -> stat1(iso(java.time.LocalDateTime.of(1970 + y, 1, 1, 0, 0))))
+          case ("month", _) => intVal.map(m =>
+            s"months(${f.name})" -> stat1(iso(java.time.LocalDateTime.of(
+              1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1, 0, 0))))
+          case ("day", _) => intVal.map(d =>
+            s"days(${f.name})" -> stat1(
+              java.time.LocalDate.ofEpochDay(d.toLong).toString + " 00:00:00"))
+          case ("hour", _) => intVal.map(h =>
+            s"hours(${f.name})" -> stat1(iso(java.time.LocalDateTime.ofEpochSecond(
+              h.toLong * 3600L, 0, java.time.ZoneOffset.UTC))))
+          case _ => None
+        }
+      }.toMap
     }.getOrElse(Map.empty)
   }
+
+  private def stat1(v: String): ColumnStats = ColumnStats(v, v, "string", -1L)
 
   private def renderPartValue(dt: DataType, raw: AnyRef): Option[String] =
     Try[String](dt match {

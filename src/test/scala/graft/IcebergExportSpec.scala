@@ -282,4 +282,141 @@ class IcebergExportSpec extends SparkSpec {
     assert(files.count(_.startsWith("snap-")) == 2)
     assert(files.contains("version-hint.text"))
   }
+
+  test("partition specs export: tuples + summaries decode with real Avro; pruning survives re-import") {
+    val dir = tmpDir()
+    // one append per (cat, day): every file is PROVABLY single-valued in
+    // both spec fields (transform min==max, zero nulls), so all data lands
+    // in spec-1 manifests with real partition tuples
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    def batch(i: Int) = spark.sql(
+      s"SELECT id, 'c$i' AS cat, timestamp'${days(i)} 0$i:30:00' AS ts " +
+        s"FROM range(${10 * (i + 1)})")
+    val t = GraftTable.create(spark, s"$dir/tbl", batch(0),
+      Map("write.partition-by" -> "cat,days(ts)"))
+    (1 to 3).foreach(i => t.append(batch(i)))
+    val all = t.log.current.files
+    assert(all.size >= 4, s"need one file per day, got ${all.size}")
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+
+    // ---- spec JSON: real transforms; the partitioned spec is the default
+    assert((json \ "default-spec-id").extract[Int] == 1)
+    val specs = (json \ "partition-specs").extract[List[JValue]]
+    assert(specs.map(s => (s \ "spec-id").extract[Int]) == List(0, 1))
+    val sf = (specs(1) \ "fields").extract[List[JValue]]
+    assert(sf.map(f => ((f \ "name").extract[String], (f \ "transform").extract[String],
+        (f \ "field-id").extract[Int]))
+      == List(("cat", "identity", 1000), ("ts_day", "day", 1001)))
+    assert(sf.map(f => (f \ "source-id").extract[Int]).forall(_ > 0))
+    assert((json \ "last-partition-id").extract[Int] == 1001)
+
+    // ---- current snapshot's manifest list: a spec-1 data manifest whose
+    // field summaries the REAL Avro reader decodes to the expected bounds
+    val cur = (json \ "current-snapshot-id").extract[Long]
+    val listUri = ((json \ "snapshots").children
+      .find(s => (s \ "snapshot-id").extract[Long] == cur).get
+      \ "manifest-list").extract[String]
+    val (_, _, mfs) = readAvro(listUri)
+    val partMfs = mfs.filter(m =>
+      str(m, "partition_spec_id") == "1" && str(m, "content") == "0")
+    assert(partMfs.nonEmpty, "no spec-1 data manifest in the manifest list")
+    def bytesOf(v: Any): Array[Byte] = {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    }
+    def leInt(b: Array[Byte]): Int =
+      b.zipWithIndex.map { case (x, i) => (x.toInt & 0xFF) << (8 * i) }.sum
+    val sums = partMfs.head.get("partitions").asInstanceOf[java.util.Collection[_]]
+      .asScala.toList.map(_.asInstanceOf[GenericRecord])
+    assert(sums.size == 2)
+    assert(new String(bytesOf(sums(0).get("lower_bound")), "UTF-8") == "c0")
+    assert(new String(bytesOf(sums(0).get("upper_bound")), "UTF-8") == "c3")
+    assert(leInt(bytesOf(sums(1).get("lower_bound"))) ==
+      java.time.LocalDate.parse(days.head).toEpochDay.toInt)
+    assert(leInt(bytesOf(sums(1).get("upper_bound"))) ==
+      java.time.LocalDate.parse(days.last).toEpochDay.toInt)
+    assert(sums.forall(s => String.valueOf(s.get("contains_null")) == "false"))
+
+    // ---- manifest entries: typed partition tuples decode per file
+    val allTuples = partMfs.flatMap { m =>
+      val (_, mmeta, entries) = readAvro(str(m, "manifest_path"))
+      assert(mmeta("partition-spec-id") == "1")
+      assert(mmeta("partition-spec").contains("\"transform\":\"day\""))
+      entries.map { e =>
+        val part = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord]
+        (String.valueOf(part.get("cat")),
+          part.get("ts_day").asInstanceOf[Number].intValue())
+      }
+    }
+    val expected = days.zipWithIndex.map { case (d, i) =>
+      (s"c$i", java.time.LocalDate.parse(d).toEpochDay.toInt) }.toSet
+    assert(allTuples.toSet == expected, s"tuples: $allTuples")
+
+    // ---- pruning survives a real-metadata round trip: same pruned-file
+    // count on the re-imported table for identity and time-range filters
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/imp")
+    assert(imp.log.current.properties.get("write.partition-by")
+      .contains("cat,days(ts)"))
+    Seq(Seq(EqualTo("cat", "c2")),
+        Seq(GreaterThanOrEqual("ts",
+          java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))).foreach { fl =>
+      val orig = t.pruneFiles(t.log.current, fl).size
+      val impd = imp.pruneFiles(imp.log.current, fl).size
+      assert(orig < all.size, s"original table didn't prune for $fl")
+      assert(impd == orig, s"pruned-file count changed on import for $fl: $impd != $orig")
+    }
+    // ...and the data is identical
+    assert(imp.read.orderBy("id", "cat").collect().toSeq ==
+      t.read.orderBy("id", "cat").collect().toSeq)
+  }
+
+  test("a file the stats cannot prove single-valued stays in the unpartitioned manifest") {
+    val dir = tmpDir()
+    // spec evolution, the Iceberg way files get mixed layouts: the first
+    // write predates the partition field (no transform stats — unprovable),
+    // the second is written under it (single day — proven)
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      spark.sql("SELECT id, timestamp'2024-01-01 12:00:00' AS ts FROM range(5)")
+        .union(spark.sql("SELECT id, timestamp'2024-01-02 12:00:00' AS ts FROM range(5, 10)")))
+    t.addPartitionField("days(ts)")
+    t.append(spark.sql("SELECT id, timestamp'2024-02-01 08:00:00' AS ts FROM range(10, 15)"))
+    val unproven = t.log.current.files.filter(f => !f.stats.contains("days(ts)"))
+    val proven = t.log.current.files.filter(f =>
+      f.stats.get("days(ts)").exists(cs => cs.min == cs.max))
+    assert(unproven.nonEmpty && proven.nonEmpty,
+      s"setup: want both layouts, got ${t.log.current.files.map(_.stats.keySet)}")
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+    val cur = (json \ "current-snapshot-id").extract[Long]
+    val listUri = ((json \ "snapshots").children
+      .find(s => (s \ "snapshot-id").extract[Long] == cur).get
+      \ "manifest-list").extract[String]
+    val (_, _, mfs) = readAvro(listUri)
+    def filesUnderSpec(specId: String): Set[String] =
+      mfs.filter(m => str(m, "partition_spec_id") == specId && str(m, "content") == "0")
+        .flatMap { m =>
+          val (_, _, entries) = readAvro(str(m, "manifest_path"))
+          entries.map(e => String.valueOf(
+            e.get("data_file").asInstanceOf[GenericRecord].get("file_path")))
+        }.toSet
+    val spec0 = filesUnderSpec("0")
+    val spec1 = filesUnderSpec("1")
+    unproven.foreach(f => assert(spec0.exists(_.endsWith(f.path.stripPrefix("data/"))),
+      s"unprovable file ${f.path} must export tuple-less (spec 0)"))
+    proven.foreach(f => assert(spec1.exists(_.endsWith(f.path.stripPrefix("data/"))),
+      s"proven file ${f.path} must export with a tuple (spec 1)"))
+
+    // a real importer still sees every row, and never a wrong prune
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/imp")
+    assert(imp.read.count() == t.read.count())
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val fl = Seq(GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(imp.pruneFiles(imp.log.current, fl).size == t.pruneFiles(t.log.current, fl).size)
+    assert(imp.read.where("ts >= timestamp'2024-02-01 00:00:00'").count() == 5)
+  }
 }
