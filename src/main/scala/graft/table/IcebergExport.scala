@@ -176,14 +176,22 @@ object IcebergExport {
   }
 
   /** `schema.name-mapping.default` (spec "Name Mapping Serialization"):
-    * lets readers resolve parquet columns lacking embedded field ids. */
-  private def nameMapping(st: StructType): JArray = JArray(st.fields.map { f =>
-    val base: JObject = ("field-id" -> iid(f)) ~ ("names" -> List(f.name))
-    (f.dataType match {
-      case s: StructType => base ~ ("fields" -> nameMapping(s))
-      case _             => base
-    }): JValue
-  }.toList)
+    * lets readers resolve parquet columns lacking embedded field ids. The
+    * `names` array carries every name a field id has EVER had across the
+    * exported schemas (current name first) — a file without footer ids
+    * written before a rename still resolves by its as-written column name
+    * instead of silently nulling out. */
+  private def nameMapping(st: StructType, history: Seq[StructType]): JArray =
+    JArray(st.fields.map { f =>
+      val counterparts = history.flatMap(h => h.fields.find(x => iid(x) == iid(f)))
+      val names = (f.name +: counterparts.map(_.name)).distinct.toList
+      val base: JObject = ("field-id" -> iid(f)) ~ ("names" -> names)
+      (f.dataType match {
+        case s: StructType => base ~ ("fields" -> nameMapping(s,
+          counterparts.map(_.dataType).collect { case x: StructType => x }))
+        case _             => base
+      }): JValue
+    }.toList)
 
   // --------------------------------------------------------- bounds encoding
 
@@ -525,17 +533,22 @@ object IcebergExport {
       acc
     }
     val head = chain.last
+    // EVERY schema in the head exports (files pin to the schema they were
+    // written under — a foreign reader or re-import must resolve pre-rename
+    // files by their own schema, not silently null renamed columns).
     // Legacy nested fields written before nested id stamping can lack
-    // graft.id — allocate them fresh ids above the maximum rather than
-    // exporting the spec-invalid (and duplicate) id -1.
+    // graft.id — allocate them fresh ids above the GLOBAL maximum (one
+    // counter across all schemas, so filled ids never collide between
+    // schemas or with ids a later evolution takes).
+    val allSchemaIds = head.schemas.keys.map(_.toInt).toSeq.sorted
+    var fillNext = allSchemaIds.map(id => maxGraftId(schemaOfSnap(head, id))).max
     def fillMissingIds(root: StructType): StructType = {
-      var next = maxGraftId(root) // = max graft.id + 1, free as a graft.id
       def walk(dt: DataType): DataType = dt match {
         case s: StructType => StructType(s.fields.map { f =>
           val nd = f.copy(dataType = walk(f.dataType))
           if (f.metadata.contains("graft.id")) nd
           else {
-            val id = next; next += 1
+            val id = fillNext; fillNext += 1
             nd.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
               .putLong("graft.id", id.toLong).build())
           }
@@ -546,13 +559,17 @@ object IcebergExport {
       }
       walk(root).asInstanceOf[StructType]
     }
-    val schemaWithIds = fillMissingIds(schemaOfSnap(head, head.currentSchemaId))
-    var elementId = maxGraftId(schemaWithIds) + 1
+    val schemasWithIds: Map[Int, StructType] =
+      allSchemaIds.map(id => id -> fillMissingIds(schemaOfSnap(head, id))).toMap
+    val schemaWithIds = schemasWithIds(head.currentSchemaId)
+    var elementId = schemasWithIds.values.map(maxGraftId).max + 1
     val nextId = () => { elementId += 1; elementId }
-    val schemaJson: JValue =
-      icebergType(schemaWithIds, nextId).asInstanceOf[JObject] ~
-        ("schema-id" -> head.currentSchemaId)
-    val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
+    val schemaJsonById: Map[Int, JValue] = allSchemaIds.map(id =>
+      id -> (icebergType(schemasWithIds(id), nextId).asInstanceOf[JObject] ~
+        ("schema-id" -> id): JValue)).toMap
+    val schemaJson: JValue = schemaJsonById(head.currentSchemaId)
+    val schemaJsonStrById: Map[Int, String] = schemaJsonById.view
+      .mapValues(j => JsonMethods.compact(JsonMethods.render(j))).toMap
 
     def fileUri(p: String): String = {
       val abs = resolvePath(p)
@@ -562,7 +579,7 @@ object IcebergExport {
     // name -> iceberg id, against the schema the file was WRITTEN with;
     // id-less legacy fields are omitted (their stats just don't export)
     def idsFor(schemaId: Int): Map[String, Int] = {
-      val st = Try(schemaOfSnap(head, schemaId)).getOrElse(schemaWithIds)
+      val st = schemasWithIds.getOrElse(schemaId, schemaWithIds)
       st.fields.map(f => f.name -> iid(f)).filter(_._2 > 0).toMap
     }
 
@@ -595,18 +612,22 @@ object IcebergExport {
     // chain exports O(changed files), like the snapshot log itself.
     val manifestCache = scala.collection.mutable.Map.empty[String, (String, Long, Long, Long, Int, Long)]
     def writeManifest(entries: Seq[Array[Byte]], content: String, seqs: Seq[Long],
-        addedBy: Long, rows: Long,
-        specId: Int = 0): (String, Long, Long, Long, Int, Long) = {
+        addedBy: Long, rows: Long, specId: Int = 0,
+        schemaId: Int = head.currentSchemaId): (String, Long, Long, Long, Int, Long) = {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       entries.foreach(digest.update)
-      digest.update(s"$content-$specId".getBytes(UTF_8))
+      digest.update(s"$content-$specId-$schemaId".getBytes(UTF_8))
       val hash = digest.digest().take(10).map("%02x".format(_)).mkString
       manifestCache.getOrElseUpdate(hash, {
         val name = s"m-$content-$hash.avro"
+        val sid = if (schemaJsonStrById.contains(schemaId)) schemaId
+                  else head.currentSchemaId
         val len = writeContainer(s"$metaDir/$name",
           manifestEntrySchema(if (specId == 0) "" else partitionAvroFields), Map(
-          "schema" -> schemaJsonStr,
-          "schema-id" -> head.currentSchemaId.toString,
+          // the schema this manifest's files were WRITTEN under: importers
+          // and name-mapping-less readers pin per-file resolution to it
+          "schema" -> schemaJsonStrById(sid),
+          "schema-id" -> sid.toString,
           "partition-spec" -> (if (specId == 0) "[]" else specFieldsJsonStr),
           "partition-spec-id" -> specId.toString,
           "format-version" -> "2",
@@ -640,41 +661,55 @@ object IcebergExport {
         encodeEntry(f.seq + seqShift, f.seq + seqShift, 0, fileUri(f.path),
           f.rows, f.bytes, vc, nc, lo, hi, None, tuple)
       }
-      val deleteEntries =
-        s.deleteFiles.map(f =>
-          encodeEntry(f.seq + seqShift, f.seq + seqShift, 1, fileUri(f.path),
-            f.rows, f.bytes, Nil, Nil, Nil, Nil, None)) ++
-        s.eqDeleteFiles.map { e =>
-          val ids = idsFor(e.file.schemaId)
-          val eqIds = if (e.colIds.nonEmpty) e.colIds.map(_ + 1) else e.cols.flatMap(ids.get)
-          encodeEntry(e.seq + seqShift, e.seq + seqShift, 2, fileUri(e.file.path),
-            e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds))
-        }
       val manifests = Seq.newBuilder[Array[Byte]]
-      if (plainFiles.nonEmpty) {
-        val seqs = plainFiles.map(_.seq + seqShift)
+      // one manifest per (written-under schema, spec): each manifest is
+      // stamped with ITS files' schema-id — a reader resolving files
+      // without footer ids must use the schema they were written under,
+      // not the current one (a rename would silently null the column)
+      for ((sid, files) <- plainFiles.groupBy(_.schemaId).toSeq.sortBy(_._1)) {
+        val seqs = files.map(_.seq + seqShift)
         val (p, len, mx, mn, n, rows) = writeManifest(
-          plainFiles.map(dataEntry(_, Nil)), "data", seqs,
-          s.version, plainFiles.map(_.rows).sum)
+          files.map(dataEntry(_, Nil)), "data", seqs,
+          s.version, files.map(_.rows).sum, schemaId = sid)
         manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows)
       }
-      if (partFiles.nonEmpty) {
-        val seqs = partFiles.map(_.seq + seqShift)
+      for ((sid, files) <- partFiles.groupBy(_.schemaId).toSeq.sortBy(_._1)) {
+        val seqs = files.map(_.seq + seqShift)
         val (p, len, mx, mn, n, rows) = writeManifest(
-          partFiles.map(f => dataEntry(f, tuples(f.path))), "datap", seqs,
-          s.version, partFiles.map(_.rows).sum, specId = 1)
+          files.map(f => dataEntry(f, tuples(f.path))), "datap", seqs,
+          s.version, files.map(_.rows).sum, specId = 1, schemaId = sid)
         val summaries = specFields.indices.map { i =>
-          val vals = partFiles.map(f => tuples(f.path)(i))
+          val vals = files.map(f => tuples(f.path)(i))
           (vals.min.bound, vals.max.bound)
         }
         manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows,
           specId = 1, summaries = summaries)
       }
-      if (deleteEntries.nonEmpty) {
-        val seqs = (s.deleteFiles.map(_.seq) ++ s.eqDeleteFiles.map(_.seq)).map(_ + seqShift)
-        val rows = s.deleteFiles.map(_.rows).sum + s.eqDeleteFiles.map(_.file.rows).sum
+      val deleteGroups =
+        (s.deleteFiles.map(f => (f.schemaId, Left(f): Either[DataFile, EqDeleteFile])) ++
+         s.eqDeleteFiles.map(e => (e.file.schemaId, Right(e): Either[DataFile, EqDeleteFile])))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+      for ((sid, group) <- deleteGroups) {
+        val entries = group.map {
+          case (_, Left(f)) =>
+            encodeEntry(f.seq + seqShift, f.seq + seqShift, 1, fileUri(f.path),
+              f.rows, f.bytes, Nil, Nil, Nil, Nil, None)
+          case (_, Right(e)) =>
+            val ids = idsFor(e.file.schemaId)
+            val eqIds = if (e.colIds.nonEmpty) e.colIds.map(_ + 1) else e.cols.flatMap(ids.get)
+            encodeEntry(e.seq + seqShift, e.seq + seqShift, 2, fileUri(e.file.path),
+              e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds))
+        }
+        val seqs = group.map {
+          case (_, Left(f)) => f.seq + seqShift
+          case (_, Right(e)) => e.seq + seqShift
+        }
+        val rows = group.map {
+          case (_, Left(f)) => f.rows
+          case (_, Right(e)) => e.file.rows
+        }.sum
         val (p, len, mx, mn, n, r) =
-          writeManifest(deleteEntries, "deletes", seqs, s.version, rows)
+          writeManifest(entries, "deletes", seqs, s.version, rows, schemaId = sid)
         manifests += encodeManifestFile(p, len, 1, mx, mn, s.version, n, r)
       }
       val listName = f"snap-${s.version}%d-manifest-list.avro"
@@ -695,14 +730,16 @@ object IcebergExport {
         ("timestamp-ms" -> s.timestampMs) ~
         ("manifest-list" -> metaUri(listName)) ~
         ("summary" -> (("operation" -> op): JObject)) ~
-        ("schema-id" -> head.currentSchemaId)
+        ("schema-id" -> (if (schemasWithIds.contains(s.currentSchemaId))
+          s.currentSchemaId else head.currentSchemaId))
       (if (s.parent >= 0) base ~ ("parent-snapshot-id" -> s.parent) else base): JValue
     }
 
     val tableProps = head.properties.view
       .filterKeys(k => !k.startsWith("write.")).toMap +
       ("schema.name-mapping.default" ->
-        JsonMethods.compact(JsonMethods.render(nameMapping(schemaWithIds)))) +
+        JsonMethods.compact(JsonMethods.render(nameMapping(schemaWithIds,
+          (schemasWithIds - head.currentSchemaId).values.toSeq)))) +
       ("format-version" -> "2")
 
     val locationUri =
@@ -717,7 +754,7 @@ object IcebergExport {
       ("last-updated-ms" -> head.timestampMs) ~
       ("last-column-id" -> elementId) ~
       ("current-schema-id" -> head.currentSchemaId) ~
-      ("schemas" -> JArray(List(schemaJson))) ~
+      ("schemas" -> JArray(allSchemaIds.map(schemaJsonById).toList)) ~
       ("default-spec-id" -> (if (specFields.nonEmpty) 1 else 0)) ~
       ("partition-specs" -> JArray(
         (("spec-id" -> 0) ~ ("fields" -> JArray(Nil))) ::

@@ -419,4 +419,55 @@ class IcebergExportSpec extends SparkSpec {
     assert(imp.pruneFiles(imp.log.current, fl).size == t.pruneFiles(t.log.current, fl).size)
     assert(imp.read.where("ts >= timestamp'2024-02-01 00:00:00'").count() == 5)
   }
+
+  test("renamed tables export every schema, per-schema manifests, and historical name-mapping") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.renameColumn("name", "title")
+    t.append(Seq((3L, "c")).toDF("id", "title"))
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+
+    // every schema exports, same field id across generations
+    val schemas = (json \ "schemas").extract[List[JValue]]
+    assert(schemas.size == 2, s"want pre- and post-rename schemas, got ${schemas.size}")
+    def fieldNamed(s: JValue, n: String): Option[Int] = (s \ "fields").children
+      .find(f => (f \ "name").extractOpt[String].contains(n))
+      .map(f => (f \ "id").extract[Int])
+    val oldId = schemas.flatMap(fieldNamed(_, "name")).headOption
+    val newId = schemas.flatMap(fieldNamed(_, "title")).headOption
+    assert(oldId.isDefined && oldId == newId,
+      s"rename must keep the field id: name=$oldId title=$newId")
+
+    // name-mapping: both names for the renamed field id, current first
+    val nm = JsonMethods.parse(
+      (json \ "properties" \ "schema.name-mapping.default").extract[String])
+    val entry = nm.children.find(e => (e \ "field-id").extractOpt[Int] == newId).get
+    assert((entry \ "names").extract[List[String]] == List("title", "name"))
+
+    // data manifests are stamped with the schema their files were WRITTEN
+    // under, and embed that schema
+    val cur = (json \ "current-snapshot-id").extract[Long]
+    val listUri = ((json \ "snapshots").children
+      .find(s => (s \ "snapshot-id").extract[Long] == cur).get
+      \ "manifest-list").extract[String]
+    val (_, _, mfs) = readAvro(listUri)
+    val metas = mfs.filter(m => str(m, "content") == "0")
+      .map(m => readAvro(str(m, "manifest_path"))._2)
+    assert(metas.map(_("schema-id")).toSet.size == 2,
+      s"want one manifest per write schema, got ${metas.map(_("schema-id"))}")
+    metas.foreach { mm =>
+      val hasOld = mm("schema").contains("\"name\":\"name\"")
+      val hasNew = mm("schema").contains("\"name\":\"title\"")
+      assert(hasOld != hasNew, "each manifest embeds exactly its own write schema")
+    }
+
+    // re-import resolves BOTH generations of files (per-file schema pin)
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/imp")
+    assert(imp.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
