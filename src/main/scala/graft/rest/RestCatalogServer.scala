@@ -186,13 +186,39 @@ class RestCatalogServer(val warehouse: String,
     * catalog the reference wires engines against. Read surface only:
     * writes go through an engine (graft or a foreign writer on the
     * documented commit contract), as with any warehouse catalog. */
+  /** Spec list pagination (`pageToken` / `pageSize`): the token is the last
+    * name of the previous page — a stable EXCLUSIVE cursor over the sorted
+    * listing, so pages stay consistent even when entries are created or
+    * dropped between requests (a positional offset would skip or repeat).
+    * Returns the page and the `next-page-token` to emit, if any. */
+  private def paged(ex: HttpExchange, names: Seq[String]): (Seq[String], Option[String]) = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val sorted = names.sorted
+    val after = params.get("pageToken") match {
+      case Some(t) => sorted.dropWhile(_ <= t)
+      case None    => sorted
+    }
+    params.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0) match {
+      case None    => (after, None)
+      case Some(n) => (after.take(n), if (after.size > n) Some(after(n - 1)) else None)
+    }
+  }
+
+  private def withNextToken(base: Map[String, Any], next: Option[String]): String =
+    Serialization.write(base ++ next.map("next-page-token" -> _))
+
   private def icebergRoute(ex: HttpExchange, method: String, segs: List[String]): Unit =
     (method, segs) match {
       case ("GET", "namespaces" :: Nil) =>
         val all = io.listNames(warehouse)
           .filter(n => io.isDirectory(s"$warehouse/$n") && !isTable(s"$warehouse/$n"))
-          .map(Seq(_))
-        ok(ex, Serialization.write(Map("namespaces" -> all)))
+        val (page, next) = paged(ex, all)
+        ok(ex, withNextToken(Map("namespaces" -> page.map(Seq(_))), next))
       case ("GET" | "HEAD", "namespaces" :: ns :: Nil) =>
         if (!io.isDirectory(nsDir(decNs(ns)))) err(ex, 404, s"no namespace $ns")
         else if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close() }
@@ -202,8 +228,9 @@ class RestCatalogServer(val warehouse: String,
         val dir = nsDir(decNs(ns))
         if (!io.isDirectory(dir)) return err(ex, 404, s"no namespace $ns")
         val names = io.listNames(dir).filter(n => isTable(s"$dir/$n"))
-        ok(ex, Serialization.write(Map("identifiers" ->
-          names.map(n => Map("namespace" -> decNs(ns), "name" -> n)))))
+        val (page, next) = paged(ex, names)
+        ok(ex, withNextToken(Map("identifiers" ->
+          page.map(n => Map("namespace" -> decNs(ns), "name" -> n))), next))
       case ("GET" | "HEAD", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
         if (!isTable(root)) return err(ex, 404, s"no table $t")
@@ -291,40 +318,85 @@ class RestCatalogServer(val warehouse: String,
     }
 
     // all-or-nothing: every update must be one we actually APPLY — a 200
-    // that silently dropped a co-update (add-schema, set-properties, a
-    // branch ref move, a stage-only WAP commit) would tell the writer its
-    // transaction succeeded when half of it didn't
+    // that silently dropped a co-update (set-properties, a branch ref
+    // move, a stage-only WAP commit) would tell the writer its transaction
+    // succeeded when half of it didn't
     val updates = (body \ "updates").children
     val unsupported = updates.flatMap(u => (u \ "action").extractOpt[String])
-      .filterNot(Set("add-snapshot", "set-snapshot-ref"))
+      .filterNot(Set("add-snapshot", "set-snapshot-ref",
+        "add-schema", "set-current-schema-id"))
     if (unsupported.nonEmpty) throw new IllegalArgumentException(
       s"unsupported update action(s): ${unsupported.mkString(", ")} " +
-        "(only add-snapshot + set-snapshot-ref main commits are accepted)")
+        "(add-snapshot / set-snapshot-ref main / add-schema / " +
+        "set-current-schema-id commits are accepted)")
     val refMoves = updates
       .filter(u => (u \ "action").extractOpt[String].contains("set-snapshot-ref"))
       .flatMap(u => (u \ "ref-name").extractOpt[String])
     if (refMoves.exists(_ != "main")) throw new IllegalArgumentException(
       s"unsupported set-snapshot-ref target(s): ${refMoves.filter(_ != "main").mkString(", ")}")
-    if (!refMoves.contains("main")) throw new IllegalArgumentException(
-      "stage-only (WAP) commits are not supported: the update set must move main")
-    val snapJson = updates
+    val snapJsonOpt = updates
       .find(u => (u \ "action").extractOpt[String].contains("add-snapshot"))
       .map(_ \ "snapshot")
-      .getOrElse(throw new IllegalArgumentException(
-        "unsupported update set: only add-snapshot commits are accepted"))
-    val listPath = (snapJson \ "manifest-list").extractOpt[String]
-      .getOrElse(throw new IllegalArgumentException("snapshot has no manifest-list"))
-    val op = (snapJson \ "summary" \ "operation").extractOpt[String] match {
-      case Some("delete")    => "delete"
-      case Some("overwrite") => "overwrite"
-      case Some("replace")   => "rewrite-data"
-      case _                 => "append"
+    if (snapJsonOpt.isDefined && !refMoves.contains("main"))
+      throw new IllegalArgumentException(
+        "stage-only (WAP) commits are not supported: the update set must move main")
+
+    // ---- foreign schema evolution (ALTER TABLE): add-schema registers the
+    // schema under a server-assigned id; set-current-schema-id (-1 = the
+    // one just added, per spec) switches resolution. graft.ids = id - 1,
+    // the ONE import mapping, so round-tripping stays exact.
+    val schemaAdds = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("add-schema"))
+      .map(_ \ "schema")
+    val setCurrentReq = updates
+      .find(u => (u \ "action").extractOpt[String].contains("set-current-schema-id"))
+      .map(u => (u \ "schema-id").extractOpt[Int].getOrElse(
+        throw new IllegalArgumentException("set-current-schema-id needs schema-id")))
+    if (snapJsonOpt.isEmpty && schemaAdds.isEmpty && setCurrentReq.isEmpty)
+      throw new IllegalArgumentException(
+        "unsupported update set: nothing to apply")
+    val nextSchemaId = (head.schemas.keys.map(_.toInt).toSeq :+ -1).max + 1
+    val addedSchemas: Seq[(Int, StructType)] = schemaAdds.zipWithIndex.map {
+      case (sj, i) =>
+        val st = graft.table.IcebergImport.sparkSchema(sj)
+        require(st.fields.nonEmpty, "add-schema: empty schema")
+        (nextSchemaId + i) -> st
+    }
+    val newSchemas = head.schemas ++
+      addedSchemas.map { case (id, st) => id.toString -> st.json }
+    val newCurrentId = setCurrentReq match {
+      case None => head.currentSchemaId
+      case Some(-1) =>
+        addedSchemas.lastOption.map(_._1).getOrElse(throw new IllegalArgumentException(
+          "set-current-schema-id -1 needs an add-schema in the same commit"))
+      case Some(id) =>
+        if (!newSchemas.contains(id.toString)) throw new IllegalArgumentException(
+          s"set-current-schema-id: unknown schema-id $id")
+        id
     }
 
+    val op = snapJsonOpt match {
+      case None => "add-schema" // metadata-only ALTER TABLE commit
+      case Some(snapJson) => (snapJson \ "summary" \ "operation").extractOpt[String] match {
+        case Some("delete")    => "delete"
+        case Some("overwrite") => "overwrite"
+        case Some("replace")   => "rewrite-data"
+        case _                 => "append"
+      }
+    }
+
+    // decode the new file state against the PRE-commit current schema (the
+    // snapshot's files were written before any schema added alongside it)
     val schema = DataType.fromJson(head.schemas(head.currentSchemaId.toString))
       .asInstanceOf[StructType]
-    val (files, posDels, eqDels) = graft.table.IcebergImport.decodeSnapshot(
-      listPath, FileIO.activeConf(), head.currentSchemaId, schema)
+    val (files, posDels, eqDels) = snapJsonOpt match {
+      case None => (head.files, head.deleteFiles, head.eqDeleteFiles)
+      case Some(snapJson) =>
+        val listPath = (snapJson \ "manifest-list").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException("snapshot has no manifest-list"))
+        graft.table.IcebergImport.decodeSnapshot(
+          listPath, FileIO.activeConf(), head.currentSchemaId, schema)
+    }
 
     // carried-over entries keep their graft identity (seq, stats, schema
     // pin); only genuinely new paths enter fresh. Foreign URIs may render
@@ -342,12 +414,14 @@ class RestCatalogServer(val warehouse: String,
 
     // graft renumbers the snapshot to its version (ids ARE versions in the
     // log); the writer's own id is kept as commit provenance
-    val foreignId = (snapJson \ "snapshot-id").extractOpt[Long]
+    val foreignId = snapJsonOpt.flatMap(sj => (sj \ "snapshot-id").extractOpt[Long])
     log.commit(head.version, v => head.copy(
       version = v, parent = head.version,
-      timestampMs = (snapJson \ "timestamp-ms").extractOpt[Long]
+      timestampMs = snapJsonOpt.flatMap(sj => (sj \ "timestamp-ms").extractOpt[Long])
         .getOrElse(System.currentTimeMillis()),
       operation = op,
+      currentSchemaId = newCurrentId,
+      schemas = newSchemas,
       files = files.map(f => haveData.getOrElse(key(f.path), f.copy(seq = 0L))),
       deleteFiles = posDels.map(f => havePos.getOrElse(key(f.path), f.copy(seq = 0L))),
       // a NEW equality delete scopes to files strictly older than THIS

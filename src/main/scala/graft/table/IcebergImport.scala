@@ -581,8 +581,10 @@ object IcebergImport {
   // ---------------------------------------------------------- schema import
 
   /** Iceberg schema JSON → Spark StructType with `graft.id = id - 1`
-    * metadata on every struct field (the inverse of the export mapping). */
-  private[table] def sparkSchema(schema: JValue): StructType =
+    * metadata on every struct field (the inverse of the export mapping).
+    * `private[graft]`: the REST catalog server converts foreign add-schema
+    * commits through the same single mapping. */
+  private[graft] def sparkSchema(schema: JValue): StructType =
     sparkType(schema).asInstanceOf[StructType]
 
   private def sparkType(t: JValue): DataType = t match {

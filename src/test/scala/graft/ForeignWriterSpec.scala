@@ -393,9 +393,14 @@ class ForeignWriterSpec extends SparkSpec {
       s""""snapshot-id":$curSnap""", s""""snapshot-id":$newSnap""")
     // all-or-nothing: a commit carrying an update we would DROP is
     // rejected up front, never half-applied
-    val withSchema = freshBody.replace("\"updates\":[",
+    val withProps = freshBody.replace("\"updates\":[",
+      "\"updates\":[{\"action\":\"set-properties\",\"updates\":{\"k\":\"v\"}},")
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", withProps, Some(token))
+      .statusCode() == 400)
+    // ...including a malformed add-schema (invalid schema json)
+    val badSchema = freshBody.replace("\"updates\":[",
       "\"updates\":[{\"action\":\"add-schema\",\"schema\":{}},")
-    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", withSchema, Some(token))
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", badSchema, Some(token))
       .statusCode() == 400)
     // stage-only (WAP) and branch-targeted commits are rejected, not
     // silently applied to main
@@ -407,6 +412,187 @@ class ForeignWriterSpec extends SparkSpec {
     assert(post("/v1/iceberg/namespaces/db/tables/ice_w", toBranch, Some(token))
       .statusCode() == 400)
     spark.sql("DROP TABLE graftr.db.ice_w")
+  }
+
+  test("foreign ALTER TABLE: add-schema + set-current-schema-id through the spec IRC surface") {
+    // The reference's promise is full read/write interop (`README.md:2`):
+    // a foreign engine's ALTER TABLE arrives as a metadata-only commit
+    // carrying add-schema + set-current-schema-id and no snapshot.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_alter (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.ice_alter VALUES (1, 'a'), (2, 'b')")
+    val token = oauthRaw()
+
+    val load = JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_alter", token).body())
+    val curSnap = (load \ "metadata" \ "current-snapshot-id").extract[Long]
+    // current schema + a new "note" column, ids carried over (a real client
+    // builds this from the loaded metadata's schema)
+    val curSchema = (load \ "metadata" \ "schemas").children
+      .find(s => (s \ "schema-id").extractOpt[Int] ==
+        (load \ "metadata" \ "current-schema-id").extractOpt[Int]).get
+    val maxFieldId = (curSchema \ "fields").children
+      .map(f => (f \ "id").extract[Int]).max
+    val newFields = JsonMethods.compact(JsonMethods.render(
+      (curSchema \ "fields"))).stripSuffix("]") +
+      s""",{"id":${maxFieldId + 1},"name":"note","required":false,"type":"string"}]"""
+    val alterBody =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$curSnap}],
+         |"updates":[
+         |  {"action":"add-schema","schema":{"type":"struct","schema-id":-1,"fields":$newFields}},
+         |  {"action":"set-current-schema-id","schema-id":-1}
+         |]}""".stripMargin
+    val resp = post("/v1/iceberg/namespaces/db/tables/ice_alter", alterBody, Some(token))
+    assert(resp.statusCode() == 200, resp.body())
+    // the response metadata reflects the new current schema
+    val meta2 = JsonMethods.parse(resp.body()) \ "metadata"
+    val cur2 = (meta2 \ "current-schema-id").extract[Int]
+    val names2 = (meta2 \ "schemas").children
+      .find(s => (s \ "schema-id").extractOpt[Int].contains(cur2)).get
+    assert((names2 \ "fields").children.map(f => (f \ "name").extract[String])
+      == List("id", "name", "note"))
+
+    // graft reads the evolved table: old rows null-fill, writes carry it
+    spark.sql("REFRESH TABLE graftr.db.ice_alter")
+    assert(spark.table("graftr.db.ice_alter").columns.toSeq == Seq("id", "name", "note"))
+    spark.sql("INSERT INTO graftr.db.ice_alter VALUES (3, 'c', 'hello')")
+    assert(spark.sql(
+      "SELECT id, note FROM graftr.db.ice_alter ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, null), (2L, null), (3L, "hello")))
+    spark.sql("DROP TABLE graftr.db.ice_alter")
+  }
+
+  test("foreign positional-delete commit through the spec IRC surface") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_del (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.ice_del VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val token = oauthRaw()
+
+    // 1. load; find a data file and its manifest list
+    val load = JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_del", token).body())
+    val curSnap = (load \ "metadata" \ "current-snapshot-id").extract[Long]
+    val curList = ((load \ "metadata" \ "snapshots").children
+      .find(sn => (sn \ "snapshot-id").extract[Long] == curSnap).get \ "manifest-list")
+      .extract[String]
+    val listFile = new java.io.File(java.net.URI.create(curList).getPath)
+    val listRdr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](listFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val listSchema = listRdr.getSchema
+    val existing = try listRdr.iterator().asScala.toList finally listRdr.close()
+    val dataManifestPath = existing.find(m =>
+      String.valueOf(m.get("content")) == "0").map(m =>
+      java.net.URI.create(String.valueOf(m.get("manifest_path"))).getPath).get
+    val mRdr = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](new java.io.File(dataManifestPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val firstDataFile = try {
+      mRdr.iterator().asScala.toList.map(e =>
+        String.valueOf(e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord].get("file_path")))
+        .minBy(identity)
+    } finally mRdr.close()
+
+    // which row is physically first in that file? (positional deletes
+    // target (path, row ordinal))
+    val victim = spark.read.parquet(java.net.URI.create(firstDataFile).getPath)
+      .limit(1).collect()(0).getLong(0)
+
+    // 2. the foreign engine writes a positional-delete parquet (spec
+    // column names file_path/pos) and a delete manifest (content=1)
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ice-del-").toAbsolutePath.toString
+    Seq((firstDataFile, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(s"$scratch/d")
+    val delParquet = new java.io.File(s"$scratch/d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("content", 1)
+    dfr.put("file_path", s"file://$delParquet")
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 1L)
+    dfr.put("file_size_in_bytes", new java.io.File(delParquet).length())
+    val ent = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    ent.put("status", 1)
+    ent.put("data_file", dfr)
+    val delManifest = s"$scratch/m-del.avro"
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.File(delManifest))
+      try w.append(ent) finally w.close()
+    }
+
+    // 3. new manifest list = existing entries + the delete manifest
+    val mf = new org.apache.avro.generic.GenericData.Record(listSchema)
+    mf.put("manifest_path", s"file://$delManifest")
+    mf.put("manifest_length", new java.io.File(delManifest).length())
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
+    mf.put("sequence_number", 0L)
+    mf.put("min_sequence_number", 0L)
+    mf.put("added_snapshot_id", 7777L)
+    mf.put("added_files_count", 1); mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 1L); mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val newList = s"$scratch/snap-7777-list.avro"
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](listSchema))
+      w.create(listSchema, new java.io.File(newList))
+      try { existing.foreach(w.append); w.append(mf) } finally w.close()
+    }
+
+    // 4. spec delete commit
+    val commitBody =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$curSnap}],
+         |"updates":[
+         |  {"action":"add-snapshot","snapshot":{
+         |    "snapshot-id":7777,"timestamp-ms":1700000002000,
+         |    "manifest-list":"file://$newList",
+         |    "summary":{"operation":"delete"}}},
+         |  {"action":"set-snapshot-ref","ref-name":"main","snapshot-id":7777}
+         |]}""".stripMargin
+    val resp = post("/v1/iceberg/namespaces/db/tables/ice_del", commitBody, Some(token))
+    assert(resp.statusCode() == 200, resp.body())
+
+    // graft applies the foreign delete: the victim row is gone, others stay
+    spark.sql("REFRESH TABLE graftr.db.ice_del")
+    assert(spark.sql("SELECT id FROM graftr.db.ice_del ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L).filterNot(_ == victim),
+      s"victim $victim should be deleted")
+    val hist = spark.sql(
+      "SELECT operation FROM graftr.db.`ice_del$history` ORDER BY version DESC LIMIT 1")
+      .collect()(0).getString(0)
+    assert(hist == "delete")
+    spark.sql("DROP TABLE graftr.db.ice_del")
   }
 
   test("foreign spec commit on a table carrying an equality delete keeps the delete biting") {
