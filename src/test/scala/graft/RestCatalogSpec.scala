@@ -133,6 +133,54 @@ class RestCatalogSpec extends SparkSpec {
     assert(client().tableExists(Seq("db"), "errmap"))
     spark.sql("DROP TABLE graftr.db.errmap")
   }
+
+  test("spec IRC list pagination: a conformant client pages tables with pageToken/pageSize") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.pg")
+    (0 until 7).foreach(i =>
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graftr.pg.t$i (id BIGINT)"))
+    val http = java.net.http.HttpClient.newHttpClient()
+    val token = client().token
+    def listPage(tok: Option[String]): org.json4s.JValue = {
+      val q = "pageSize=3" + tok.map(t =>
+        s"&pageToken=${java.net.URLEncoder.encode(t, "UTF-8")}").getOrElse("")
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/v1/iceberg/namespaces/pg/tables?$q"))
+        .header("Authorization", s"Bearer $token").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      org.json4s.jackson.JsonMethods.parse(resp.body())
+    }
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // the conformant loop: follow next-page-token until absent
+    var tok: Option[String] = None
+    var pages = 0
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    var done = false
+    while (!done) {
+      val page = listPage(tok)
+      val names = (page \ "identifiers").children.map(i => (i \ "name").extract[String])
+      assert(names.size <= 3)
+      seen ++= names
+      pages += 1
+      (page \ "next-page-token").extractOpt[String] match {
+        case some @ Some(_) => tok = some
+        case None           => done = true
+      }
+      assert(pages <= 10, "runaway pagination loop")
+    }
+    assert(pages >= 3, s"7 tables at pageSize=3 must take >=3 pages, took $pages")
+    assert(seen.toList == (0 until 7).map(i => s"t$i").toList,
+      s"pages must cover every table exactly once in order, got $seen")
+    // an unpaged request still returns everything (pageSize optional)
+    val all = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${server.uri}/v1/iceberg/namespaces/pg/tables"))
+      .header("Authorization", s"Bearer $token").GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert((org.json4s.jackson.JsonMethods.parse(all.body()) \ "identifiers")
+      .children.size == 7)
+    spark.sql("DROP NAMESPACE graftr.pg CASCADE")
+  }
 }
 
 object RestCatalogSpec {
