@@ -47,6 +47,52 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // Scaling-slope self-check (`SPARK_GRAFT_SCALE_CHECK=smallDir,bigDir`):
+    // time every query at both scale factors and report the per-query
+    // ratio. A plan that is linear-ish in the input should scale ≲ the
+    // 10× data growth; anything past the 15× gate on a non-trivial
+    // baseline (big-side time ≥ 0.5 s, so sub-100 ms jitter can't flag)
+    // is a superlinearity alarm — the all-pairs joins and global sorts
+    // this engine's plans are audited against. One JSON line, consumed
+    // as the committed SCALING.json artifact.
+    sys.env.get("SPARK_GRAFT_SCALE_CHECK") match {
+      case Some(spec) =>
+        val Array(smallDir, bigDir) = spec.split(",").map(_.trim)
+        def timeAll(dir: String): Map[String, Double] = {
+          def runAt(name: String): Double = {
+            System.gc()
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => return -1.0 }
+            (System.nanoTime() - t0) / 1e9
+          }
+          names.foreach(runAt) // warmup at this SF
+          names.map(n => n -> median((1 to 3).map(_ => runAt(n)))).toMap
+        }
+        val small = timeAll(smallDir)
+        val big = timeAll(bigDir)
+        val rows = names.map { n =>
+          val (s, b) = (small(n), big(n))
+          val ratio = if (s > 0 && b > 0) b / s else -1.0
+          n -> (s, b, ratio)
+        }
+        val flagged = rows.collect {
+          case (n, (_, b, r)) if r > 15.0 && b >= 0.5 => n
+        }
+        val qs = rows.map { case (n, (s, b, r)) =>
+          f""""$n":{"small":$s%.4f,"big":$b%.4f,"ratio":$r%.2f}"""
+        }.mkString("{", ",", "}")
+        println(
+          s"""{"metric":"scaling_slope","small_sf":"$smallDir","big_sf":"$bigDir",""" +
+          s""""gate":15.0,"min_big_sec":0.5,"queries":$qs,""" +
+          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+        spark.stop()
+        return
+      case None =>
+    }
+
     names.foreach(run) // warmup
     val results: Seq[(String, Double)] =
       names.map(n => n -> median((1 to 3).map(_ => run(n))))

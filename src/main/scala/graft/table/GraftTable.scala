@@ -219,8 +219,13 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       applyEqDeletes(base, eqDels.filter(_.seq > files.head.seq), cur, idRead)
     }
     val unioned = groups.reduce(_ unionAll _)
-    // merge-on-read: anti-join the positional deletes (small — broadcast by
-    // AQE) so deleted rows vanish without their data files being rewritten
+    // merge-on-read: anti-join the positional deletes so deleted rows
+    // vanish without their data files being rewritten. SIZE-GATED: a small
+    // delete set (the maintained steady state) rides to the data as an
+    // explicit broadcast — read cost scales with the DELETE set, not the
+    // table. Past the threshold a broadcast would OOM the driver/executors,
+    // so the plan degrades to a shuffled hash anti-join (correct, heavy)
+    // and logs the cure: rewrite_position_delete_files.
     val live = if (mor) {
       val dels = spark.read.schema(deleteSchema)
         .parquet(s.deleteFiles.map(f => resolve(f.path)): _*)
@@ -230,13 +235,37 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       // lets FOREIGN writers register delete files too, and imported
       // Iceberg deletes render the scheme differently (file:/ vs
       // file:///) — equality must be rendering-insensitive everywhere.
-      unioned.join(dels,
-        GraftTable.canonCol(unioned("_graft_path")) ===
-          GraftTable.canonCol(dels("file_path")) &&
-          unioned("_graft_pos") === dels("pos"), "left_anti")
+      val cond = GraftTable.canonCol(unioned("_graft_path")) ===
+        GraftTable.canonCol(dels("file_path")) &&
+        unioned("_graft_pos") === dels("pos")
+      val delBytes = s.deleteFiles.map(_.bytes).sum
+      if (delBytes <= morBroadcastThreshold(s))
+        unioned.join(broadcast(dels), cond, "left_anti")
+      else {
+        GraftTable.logger.warn(
+          s"table $path carries $delBytes bytes of positional-delete files " +
+            s"(threshold ${morBroadcastThreshold(s)}): applying deletes as a " +
+            "SHUFFLED anti-join — run rewrite_position_delete_files to " +
+            "compact them and restore the broadcast plan")
+        unioned.join(dels.hint("shuffle_hash"), cond, "left_anti")
+      }
     } else unioned
     if (withMeta) live else live.drop("_graft_path", "_graft_pos")
   }
+
+  /** Broadcast ceiling for merge-on-read delete application, in bytes of
+    * accumulated positional-delete files: the table property wins, else
+    * Spark's own auto-broadcast threshold (disabled → never broadcast). */
+  private def morBroadcastThreshold(s: Snapshot): Long =
+    s.properties.get("graft.mor.broadcast-threshold-bytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse {
+        val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+        if (conf.startsWith("-")) 0L
+        else scala.util.Try(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf))
+          .getOrElse(10L * 1024 * 1024)
+      }
 
   /** Current-schema column name of an equality-delete key: resolved by
     * FIELD ID (rename-proof — Iceberg's equality_ids) when recorded, by the
@@ -1741,6 +1770,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 }
 
 object GraftTable {
+
+  private[table] val logger = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
 
   /** Backtick-quoted top-level column reference — a column literally named
     * "a.b" must never parse as a nested-field path. THE one place the

@@ -250,6 +250,36 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(df.count() == 20000L - 200L - 50L)
   }
 
+  test("MOR read past the delete-bytes threshold degrades to a SHUFFLED anti-join, same result") {
+    // A 100 TB table with heavy MOR churn can accumulate more delete-file
+    // bytes than a broadcast can hold: above the gate the plan must
+    // degrade to a shuffled hash anti-join (correct, heavy, and logged
+    // with the rewrite_position_delete_files cure) instead of OOMing the
+    // broadcast. Results must be identical either way.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mor-gate-").toString
+    val t = graft.table.GraftTable.create(spark, dir + "/t",
+      (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete($"id" % 10 === 0)
+    val broadcastRows = t.read.orderBy("id").collect()
+
+    // shrink the gate below the accumulated delete bytes: the same
+    // snapshot must now plan the shuffled fallback
+    t.setProperties(Map("graft.mor.broadcast-threshold-bytes" -> "1"))
+    val t2 = graft.table.GraftTable.load(spark, dir + "/t")
+    val df = t2.read
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"gate ignored — still broadcasting:\n$plan")
+    assert("ShuffledHashJoin .*LeftAnti".r.findAllIn(plan).nonEmpty,
+      s"expected a shuffled hash anti-join past the gate:\n$plan")
+    assert(df.orderBy("id").collect().toSeq == broadcastRows.toSeq,
+      "shuffled fallback changed the result")
+  }
+
   test("AQE splits the skewed partition of a PLAIN sort-merge join at runtime") {
     // The engine-handled half of the skew story (VERDICT r7 #7): q61 proves
     // the manual salt; this proves spark.sql.adaptive.skewJoin splits a hot
