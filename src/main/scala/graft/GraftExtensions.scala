@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, NormalizeText}
+import graft.functions.{CosineSimilarity, IcebergBucket, MinHashSignature, NormalizeText}
 
 /** Session-extensions hook — the engine's analogue of the reference's
   * `spark.sql.extensions = IcebergSparkSessionExtensions` line
@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize(string)")
         NormalizeText(args(0))
+      }))
+    // Iceberg's system.bucket, SQL-callable (the spec murmur3 — lets users
+    // precompute/debug the partition value of `iceberg_bucket(n, col)`)
+    ext.injectFunction((
+      FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "iceberg_bucket(n, col)")
+        val n = args(0) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket n must be an int literal, got $other")
+        }
+        IcebergBucket(args(1), n)
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

@@ -272,9 +272,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
     }.getOrElse(throw new IllegalArgumentException(s"transform $t needs a literal argument"))
     t.name match {
-      case "identity" => col
-      case "bucket"   => s"bucket($firstLiteral,$col)"
-      case "truncate" => s"truncate($firstLiteral,$col)"
+      case "identity"       => col
+      case "bucket"         => s"bucket($firstLiteral,$col)"
+      case "iceberg_bucket" => s"iceberg_bucket($firstLiteral,$col)"
+      case "truncate"       => s"truncate($firstLiteral,$col)"
       case fn @ ("years" | "months" | "days" | "hours") => s"$fn($col)"
       case other => throw new UnsupportedOperationException(s"partition transform $other")
     }

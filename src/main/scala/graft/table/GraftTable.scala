@@ -203,9 +203,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           physByName.flatMap(_.get(x.name)) match {
             // a positional cast back to the RECORDED shape renames nested
             // struct fields too, so [[project]]'s name-wise recursion below
-            // keeps resolving against recorded names
-            case Some(pf) if pf.name != x.name || pf.dataType != stripNested(x.dataType) =>
-              qcol(pf.name).cast(stripNested(x.dataType))
+            // keeps resolving against recorded names (nullability widened:
+            // footer schemas report optional containers and the required
+            // form would be an illegal downcast)
+            case Some(pf) if pf.name != x.name ||
+                wideNullable(pf.dataType) != wideNullable(stripNested(x.dataType)) =>
+              qcol(pf.name).cast(wideNullable(stripNested(x.dataType)))
             case _ => qcol(x.name)
           }
         }
@@ -350,13 +353,19 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         project(nff.map(x => fc.getField(x.name)), nff, nf).as(nf.name)
       }
       when(fc.isNotNull, struct(children: _*))
-    case (Some(fc), Some(_), dt) => fc.cast(dt)
+    case (Some(fc), Some(fsDt), dt) =>
+      // cast targets are nullability-WIDENED: a scan schema rebuilt from a
+      // parquet footer reports optional containers, and Spark refuses the
+      // (value-preserving) cast down to a required one — nullability flags
+      // never need a cast, only the value type does
+      if (wideNullable(stripNested(fsDt)) == wideNullable(stripNested(dt))) fc
+      else fc.cast(wideNullable(stripNested(dt)))
     case _ =>
       // column absent from the file: initial default if one was declared
       // when the column was added (Iceberg v3), else null
       if (curF.metadata.contains("graft.default"))
-        expr(curF.metadata.getString("graft.default")).cast(stripNested(curF.dataType))
-      else lit(null).cast(stripNested(curF.dataType))
+        expr(curF.metadata.getString("graft.default")).cast(wideNullable(stripNested(curF.dataType)))
+      else lit(null).cast(wideNullable(stripNested(curF.dataType)))
   }
 
   private def stripNested(dt: DataType): DataType = dt match {
@@ -364,6 +373,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       f.copy(dataType = stripNested(f.dataType), metadata = Metadata.empty)))
     case ArrayType(e, n) => ArrayType(stripNested(e), n)
     case MapType(k, v, n) => MapType(stripNested(k), stripNested(v), n)
+    case other => other
+  }
+
+  /** Same shape with every nullability flag widened to nullable — the cast
+    * target for read-side projections (see [[project]]). */
+  private def wideNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = wideNullable(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(wideNullable(e), containsNull = true)
+    case MapType(k, v, _) => MapType(wideNullable(k), wideNullable(v), valueContainsNull = true)
     case other => other
   }
 

@@ -39,9 +39,14 @@ import org.json4s.jackson.JsonMethods
   *    spec-0 unpartitioned manifest (scanned, never wrong). `bucket(n)` is
   *    NOT exported: graft buckets with xxhash64, which is not Iceberg's
   *    murmur3 `bucket[N]` — a spec claim would make foreign readers
-  *    mis-prune. Unpartitioned loses pruning, never rows.
+  *    mis-prune. Unpartitioned loses pruning, never rows. The opt-in
+  *    `iceberg_bucket(n, col)` transform ([[graft.functions.IcebergMurmur3]],
+  *    the spec hash bit-for-bit) DOES export as a true `bucket[n]` field.
   *  - Field ids are `graft.id + 1` (Iceberg ids are 1-based by
-  *    convention); list/map element ids are allocated above the maximum.
+  *    convention); list/map element/key/value ids are DETERMINISTIC, in a
+  *    high band keyed by the owning field's id — stable across schemas and
+  *    re-renders, and never reachable by later schema evolution (which
+  *    allocates `maxId + 1` in the struct band).
   *  - `schema.name-mapping.default` is emitted so readers resolve parquet
   *    columns BY NAME for files written before graft embedded real
   *    `parquet.field.id`s in its footers (imports, legacy files) — the
@@ -144,14 +149,67 @@ object IcebergExport {
     case _                 => 0
   }
 
+  /** Element/key/value ids for list/map nodes (which graft's per-struct-
+    * field id stamping has no slot for) live in a HIGH BAND disjoint from
+    * struct-field ids: `BASE + ownerFieldId * STRIDE + chainIndex`, where
+    * `owner` is the nearest enclosing id-carrying struct field and
+    * `chainIndex` enumerates the pure container chain under it in traversal
+    * order. DETERMINISTIC, not a render counter — so the same column keeps
+    * the SAME element id in every schema and every re-render, and a column
+    * added later (`maxId + 1` in the struct band) can never collide with an
+    * element id an earlier render already published to foreign readers. */
+  private val ElementIdBase = 1 << 27
+  private val ElementIdStride = 32
+
+  /** Fresh per-owner chain allocator for the container nodes under one
+    * struct field. Fails loudly past the stride (pure array/map nesting 16+
+    * levels deep) instead of colliding with the next field's band. */
+  private def elementIdsFor(f: StructField): () => Int = {
+    val owner = iid(f)
+    require(owner >= 0, s"field ${f.name} has no graft.id — fillMissingIds must run first")
+    require(owner < (Int.MaxValue - ElementIdBase) / ElementIdStride,
+      s"field id $owner too large for the element-id band")
+    var chain = 0
+    () => {
+      require(chain < ElementIdStride,
+        s"container nesting under ${f.name} exceeds $ElementIdStride nodes")
+      val v = ElementIdBase + owner * ElementIdStride + chain
+      chain += 1
+      v
+    }
+  }
+
+  /** Container nodes on the pure array/map chain of one field's type
+    * (stops at struct boundaries — nested struct fields own their own
+    * chains). Mirrors [[icebergType]]'s allocation order for last-column-id. */
+  private def chainLen(dt: DataType): Int = dt match {
+    case ArrayType(e, _)  => 1 + chainLen(e)
+    case MapType(k, v, _) => 2 + chainLen(k) + chainLen(v)
+    case _                => 0
+  }
+
+  /** Largest field OR element id the exported schema uses (spec
+    * `last-column-id` must dominate every id ever assigned). */
+  private def maxUsedId(dt: DataType): Int = dt match {
+    case st: StructType => (st.fields.map { f =>
+      val chain = chainLen(f.dataType)
+      val elemMax =
+        if (chain > 0) ElementIdBase + iid(f) * ElementIdStride + chain - 1 else 0
+      Seq(iid(f), elemMax, maxUsedId(f.dataType)).max
+    } :+ 0).max
+    case ArrayType(e, _)   => maxUsedId(e)
+    case MapType(k, v, _)  => math.max(maxUsedId(k), maxUsedId(v))
+    case _                 => 0
+  }
+
   /** Spark type -> Iceberg type JSON (spec "Schemas and Data Types").
-    * `nextId` allocates element/key/value ids for list/map nodes, which
-    * graft's per-struct-field id stamping has no slot for. */
+    * `nextId` allocates this node's container chain (see [[elementIdsFor]]);
+    * struct fields start fresh chains keyed by their own ids. */
   private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
     case st: StructType =>
       ("type" -> "struct") ~ ("fields" -> JArray(st.fields.map { f =>
         (("id" -> iid(f)) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
-          ("type" -> icebergType(f.dataType, nextId))): JValue
+          ("type" -> icebergType(f.dataType, elementIdsFor(f)))): JValue
       }.toList))
     case ArrayType(e, containsNull) =>
       ("type" -> "list") ~ ("element-id" -> nextId()) ~
@@ -370,6 +428,13 @@ object IcebergExport {
                     ldt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toInt)
                 }
               }.toOption))
+      case tb @ PartitionTransform.IcebergBucket(s0, n) =>
+        // spec-hash bucket (murmur3, IcebergMurmur3): the claim is TRUE for
+        // foreign readers, so it exports — unlike the xxhash64 `bucket` below
+        for { sf <- src(s0) if iid(sf) > 0 && AvroName.matches(s0) } yield
+          SpecField(s"${s0}_bucket", s"bucket[$n]", iid(sf), 0, "\"int\"",
+            f => single(f, tb.canonical).filter(_ => noNulls(f, s0)).flatMap(v =>
+              Try[PartVal](PInt(v.trim.toInt)).toOption))
       case _: PartitionTransform.Bucket => None
     }.zipWithIndex.map { case (sf, i) => sf.copy(fieldId = 1000 + i) }
   }
@@ -562,10 +627,13 @@ object IcebergExport {
     val schemasWithIds: Map[Int, StructType] =
       allSchemaIds.map(id => id -> fillMissingIds(schemaOfSnap(head, id))).toMap
     val schemaWithIds = schemasWithIds(head.currentSchemaId)
-    var elementId = schemasWithIds.values.map(maxGraftId).max + 1
-    val nextId = () => { elementId += 1; elementId }
+    // root is a struct, so the root-level allocator can never fire; every
+    // container node inside draws from its owning field's deterministic band
+    val rootNextId: () => Int =
+      () => throw new IllegalStateException("schema root must be a struct")
+    val lastColumnId = allSchemaIds.map(id => maxUsedId(schemasWithIds(id))).max
     val schemaJsonById: Map[Int, JValue] = allSchemaIds.map(id =>
-      id -> (icebergType(schemasWithIds(id), nextId).asInstanceOf[JObject] ~
+      id -> (icebergType(schemasWithIds(id), rootNextId).asInstanceOf[JObject] ~
         ("schema-id" -> id): JValue)).toMap
     val schemaJson: JValue = schemaJsonById(head.currentSchemaId)
     val schemaJsonStrById: Map[Int, String] = schemaJsonById.view
@@ -752,7 +820,7 @@ object IcebergExport {
       ("location" -> locationUri) ~
       ("last-sequence-number" -> (head.version + seqShift)) ~
       ("last-updated-ms" -> head.timestampMs) ~
-      ("last-column-id" -> elementId) ~
+      ("last-column-id" -> lastColumnId) ~
       ("current-schema-id" -> head.currentSchemaId) ~
       ("schemas" -> JArray(allSchemaIds.map(schemaJsonById).toList)) ~
       ("default-spec-id" -> (if (specFields.nonEmpty) 1 else 0)) ~

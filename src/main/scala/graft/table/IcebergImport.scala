@@ -81,10 +81,11 @@ object IcebergImport {
 
     // Partition fields per spec id — (field name, transform, source
     // graft.id). Identity values become min==max column stats; truncate /
-    // year/month/day/hour values become graft TRANSFORM stats under the
-    // canonical `write.partition-by` key, so hidden-partition pruning
-    // works on the imported table exactly as on a native one. bucket[n]
-    // is decoded but never translated (murmur3 ≠ graft's xxhash64).
+    // year/month/day/hour / bucket[n] values become graft TRANSFORM stats
+    // under the canonical `write.partition-by` key, so hidden-partition
+    // pruning works on the imported table exactly as on a native one.
+    // bucket[n] maps to graft's spec-hash `iceberg_bucket` (murmur3 —
+    // IcebergMurmur3 — bit-identical to the foreign writer's).
     def specFields(fields: Seq[JValue]): Seq[(String, String, Int)] =
       fields.flatMap { f =>
         for {
@@ -188,12 +189,14 @@ object IcebergImport {
     // transforms: future writes keep the table's layout and the pruner
     // engages the transform stats decoded below. Each candidate is
     // validated through PartitionTransform.parse — a field whose source
-    // column/type no longer fits is skipped, and bucket[n] never maps
-    // (murmur3 ≠ xxhash64).
+    // column/type no longer fits is skipped. bucket[n] maps to
+    // `iceberg_bucket` (the spec murmur3, bit-identical), so future graft
+    // writes keep the foreign bucket layout AND bucket pruning engages.
     val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
     val writePartitionBy = partSpecs.getOrElse(defaultSpecId, Seq.empty).flatMap {
       case (_, "identity", gid)    => idToName.get(gid)
       case (_, TruncRe2(w), gid)   => idToName.get(gid).map(n => s"truncate($w,$n)")
+      case (_, BucketRe(b), gid)   => idToName.get(gid).map(n => s"iceberg_bucket($b,$n)")
       case (_, "year", gid)        => idToName.get(gid).map(n => s"years($n)")
       case (_, "month", gid)       => idToName.get(gid).map(n => s"months($n)")
       case (_, "day", gid)         => idToName.get(gid).map(n => s"days($n)")
@@ -464,6 +467,7 @@ object IcebergImport {
   }
 
   private[table] val TruncRe2 = "truncate\\[(\\d+)\\]".r
+  private[table] val BucketRe = "bucket\\[(\\d+)\\]".r
 
   /** Partition values of a data_file's `partition` record -> single-value
     * [[ColumnStats]]. Identity values key on the SOURCE column (they are
@@ -472,7 +476,9 @@ object IcebergImport {
     * collector renders them (`date_trunc(..).cast("string")` →
     * "yyyy-MM-dd HH:mm:ss") so pruning comparisons stay uniform.
     * `partFields` (field name, transform, source column) is precomputed
-    * per manifest; untranslatable transforms (bucket, void) are skipped. */
+    * per manifest; bucket[n] keys on `iceberg_bucket` (the spec murmur3
+    * graft reproduces bit-for-bit); untranslatable transforms (void) are
+    * skipped. */
   private def partitionStats(df: GenericRecord,
       partFields: Seq[(String, String, StructField)]): Map[String, ColumnStats] = {
     if (partFields.isEmpty) return Map.empty
@@ -508,6 +514,11 @@ object IcebergImport {
           case ("hour", _) => intVal.map(h =>
             s"hours(${f.name})" -> stat1(iso(java.time.LocalDateTime.ofEpochSecond(
               h.toLong * 3600L, 0, java.time.ZoneOffset.UTC))))
+          // spec bucket value = murmur3 bucket id — graft's iceberg_bucket
+          // computes the identical value, so it prunes as a transform stat
+          case (BucketRe(b), _) => intVal.map(v =>
+            s"iceberg_bucket($b,${f.name})" ->
+              ColumnStats(v.toString, v.toString, "int", -1L))
           case _ => None
         }
       }.toMap

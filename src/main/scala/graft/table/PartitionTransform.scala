@@ -54,6 +54,20 @@ object PartitionTransform {
     val orderPreserving = false
   }
 
+  /** `iceberg_bucket(n, col)`: the Iceberg-SPEC bucket — murmur3 x86-32
+    * (seed 0) over the spec's type-specific byte encodings
+    * ([[graft.functions.IcebergMurmur3]]), `(hash & Int.MaxValue) % n`.
+    * Same pruning behavior as [[Bucket]] (equality/IN, not ranges), but
+    * because the hash matches the spec bit-for-bit, tables partitioned with
+    * it EXPORT a true `bucket[n]` Iceberg partition spec that Trino/Spark
+    * prune with — the opt-in interop variant of graft's xxhash64 bucket. */
+  case class IcebergBucket(source: String, n: Int) extends PartitionTransform {
+    val canonical = s"iceberg_bucket($n,$source)"
+    def column(c: Column): Column = graft.functions.IcebergBucket(c, n)
+    val numeric = true
+    val orderPreserving = false
+  }
+
   /** `truncate(w, col)`: strings → first w chars; integers → floor to a
     * multiple of w (v - pmod(v, w), Iceberg's definition — correct for
     * negatives). Order-preserving either way. */
@@ -98,6 +112,16 @@ object PartitionTransform {
           case "bucket" =>
             require(args.length == 2, s"bucket takes (n, col): $spec")
             Bucket(field(args(1)).name, args.head.toInt)
+          case "iceberg_bucket" =>
+            require(args.length == 2, s"iceberg_bucket takes (n, col): $spec")
+            val f = field(args(1))
+            require(f.dataType match {
+              case IntegerType | LongType | ShortType | ByteType | DateType |
+                   TimestampType | TimestampNTZType | StringType | BinaryType |
+                   _: DecimalType => true
+              case _ => false
+            }, s"iceberg_bucket cannot bucket a ${f.dataType.simpleString} column: $spec")
+            IcebergBucket(f.name, args.head.toInt)
           case "truncate" =>
             require(args.length == 2, s"truncate takes (w, col): $spec")
             val f = field(args(1))

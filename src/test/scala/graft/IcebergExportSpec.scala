@@ -374,6 +374,69 @@ class IcebergExportSpec extends SparkSpec {
       t.read.orderBy("id", "cat").collect().toSeq)
   }
 
+  test("iceberg_bucket tables export a true bucket[N] spec; buckets survive re-import") {
+    val dir = tmpDir()
+    // one append per bucket: every file is provably single-valued in the
+    // transform, so all data exports with real bucket tuples
+    val base = spark.range(400).select($"id", ($"id" % 7).as("v"))
+    val withB = base.withColumn("b", graft.functions.IcebergBucket($"id", 4))
+    val t = GraftTable.create(spark, s"$dir/tbl", withB.filter($"b" === 0).drop("b"),
+      Map("write.partition-by" -> "iceberg_bucket(4,id)"))
+    (1 to 3).foreach(b => t.append(withB.filter($"b" === b).drop("b")))
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+
+    // spec JSON claims the true murmur3 bucket transform
+    assert((json \ "default-spec-id").extract[Int] == 1)
+    val sfields = ((json \ "partition-specs").extract[List[JValue]].apply(1) \ "fields")
+      .extract[List[JValue]]
+    assert(sfields.map(f => ((f \ "name").extract[String],
+        (f \ "transform").extract[String]))
+      == List(("id_bucket", "bucket[4]")))
+
+    // every data file's tuple decodes to ITS rows' murmur3 bucket
+    val cur = (json \ "current-snapshot-id").extract[Long]
+    val listUri = ((json \ "snapshots").children
+      .find(s => (s \ "snapshot-id").extract[Long] == cur).get
+      \ "manifest-list").extract[String]
+    val (_, _, mfs) = readAvro(listUri)
+    val partMfs = mfs.filter(m =>
+      str(m, "partition_spec_id") == "1" && str(m, "content") == "0")
+    assert(partMfs.nonEmpty, "no spec-1 data manifest — bucket proof failed")
+    val tuples = partMfs.flatMap { m =>
+      val (_, _, entries) = readAvro(str(m, "manifest_path"))
+      entries.map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (str(df, "file_path"),
+          df.get("partition").asInstanceOf[GenericRecord]
+            .get("id_bucket").asInstanceOf[Number].intValue())
+      }
+    }
+    assert(tuples.map(_._2).toSet == Set(0, 1, 2, 3), s"tuples: $tuples")
+    tuples.foreach { case (path, b) =>
+      val ids = spark.read.parquet(java.net.URI.create(path).getPath)
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.forall(id => graft.functions.IcebergMurmur3.bucketOf(
+        graft.functions.IcebergMurmur3.hashLong(id), 4) == b),
+        s"file $path claims bucket $b but holds foreign rows")
+    }
+
+    // re-import: the layout AND bucket pruning survive the round trip
+    import org.apache.spark.sql.sources.EqualTo
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/imp")
+    assert(imp.log.current.properties.get("write.partition-by")
+      .contains("iceberg_bucket(4,id)"))
+    val all = t.log.current.files.size
+    Seq(17L, 123L, 399L).foreach { id =>
+      val orig = t.pruneFiles(t.log.current, Seq(EqualTo("id", id))).size
+      val impd = imp.pruneFiles(imp.log.current, Seq(EqualTo("id", id))).size
+      assert(orig < all, s"original didn't prune id=$id")
+      assert(impd == orig, s"import lost bucket pruning for id=$id: $impd != $orig")
+      assert(imp.read.filter($"id" === id).count() == 1L)
+    }
+  }
+
   test("a file the stats cannot prove single-valued stays in the unpartitioned manifest") {
     val dir = tmpDir()
     // spec evolution, the Iceberg way files get mixed layouts: the first
@@ -418,6 +481,86 @@ class IcebergExportSpec extends SparkSpec {
     val fl = Seq(GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
     assert(imp.pruneFiles(imp.log.current, fl).size == t.pruneFiles(t.log.current, fl).size)
     assert(imp.read.where("ts >= timestamp'2024-02-01 00:00:00'").count() == 5)
+  }
+
+  test("nested-evolution fixpoint: export → import → add column → re-export keeps ids stable and collision-free") {
+    val dir = tmpDir()
+    import org.apache.spark.sql.types._
+
+    // every id (struct field ids at any depth + list element / map key/value
+    // ids) across every schema of one metadata.json — collisions here mean
+    // two columns claim one id and a foreign reader silently mis-binds
+    def allIds(json: JValue): List[(String, Int)] = {
+      def walk(t: JValue, path: String): List[(String, Int)] = (t \ "type") match {
+        case JString("struct") => (t \ "fields").children.flatMap { f =>
+          val n = s"$path.${(f \ "name").extract[String]}"
+          (n, (f \ "id").extract[Int]) :: walk(f \ "type", n)
+        }
+        case JString("list") =>
+          (s"$path<elem>", (t \ "element-id").extract[Int]) :: walk(t \ "element", s"$path<elem>")
+        case JString("map") =>
+          List((s"$path<key>", (t \ "key-id").extract[Int]),
+            (s"$path<val>", (t \ "value-id").extract[Int])) :::
+            walk(t \ "key", s"$path<key>") ::: walk(t \ "value", s"$path<val>")
+        case _ => Nil
+      }
+      (json \ "schemas").children.flatMap(s =>
+        walk(s, s"s${(s \ "schema-id").extract[Int]}"))
+    }
+    def assertUniquePerSchema(json: JValue): Unit =
+      (json \ "schemas").children.foreach { s =>
+        val ids = allIds(JObject(List("schemas" -> JArray(List(s))))).map(_._2)
+        assert(ids.distinct.size == ids.size,
+          s"duplicate ids within schema: ${ids.groupBy(identity).filter(_._2.size > 1).keys}")
+      }
+    // one column = one id, across ALL schemas and renders: same path ⇒ same id
+    def idsByPath(json: JValue): Map[String, Set[Int]] =
+      allIds(json).groupBy(_._1.dropWhile(_ != '.')).view.mapValues(_.map(_._2).toSet).toMap
+
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      spark.sql("""SELECT id, named_struct('a', CAST(id AS INT)) AS meta,
+                   array(CAST(id AS STRING)) AS tags,
+                   map('k', CAST(id AS INT)) AS m FROM range(3)"""))
+    t.addColumn(Seq("meta", "b"), StringType) // nested evolution pre-export
+
+    val metaPath1 = t.exportIcebergMetadata(s"$dir/export1")
+    val meta1 = JsonMethods.parse(Files.readString(Paths.get(metaPath1)))
+    assertUniquePerSchema(meta1)
+    val by1 = idsByPath(meta1)
+    by1.foreach { case (p, ids) => assert(ids.size == 1,
+      s"column $p changes id across schemas of one render: $ids") }
+
+    // round-trip through real metadata, then evolve AGAIN on the import:
+    // top-level add + a second nested add
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath1, s"$dir/imp")
+    imp.addColumn("extra", LongType)
+    imp.addColumn(Seq("meta", "c"), DoubleType)
+    imp.append(spark.sql(
+      """SELECT id, named_struct('a', CAST(id AS INT), 'b', 'x', 'c', 1.5) AS meta,
+         array(CAST(id AS STRING)) AS tags, map('k', CAST(id AS INT)) AS m,
+         id AS extra FROM range(3, 6)"""))
+
+    val meta2 = JsonMethods.parse(Files.readString(Paths.get(
+      imp.exportIcebergMetadata(s"$dir/export2"))))
+    assertUniquePerSchema(meta2)
+    val by2 = idsByPath(meta2)
+    by2.foreach { case (p, ids) => assert(ids.size == 1,
+      s"column $p changes id across schemas after re-export: $ids") }
+
+    // FIXPOINT: every column surviving the round trip keeps its exact id —
+    // including list/map element ids — and the added columns took ids no
+    // earlier render ever used
+    by1.foreach { case (p, ids) =>
+      assert(by2.get(p).contains(ids), s"column $p moved: $ids -> ${by2.get(p)}")
+    }
+    val newIds = (by2.keySet -- by1.keySet).flatMap(by2)
+    val oldIds = by1.values.flatten.toSet
+    assert(newIds.nonEmpty && newIds.intersect(oldIds).isEmpty,
+      s"evolution reused published ids: ${newIds.intersect(oldIds)}")
+
+    // and the data itself round-trips
+    assert(imp.read.count() == 6)
+    assert(imp.read.filter($"id" < 3).select("meta.b").collect().forall(_.isNullAt(0)))
   }
 
   test("renamed tables export every schema, per-schema manifests, and historical name-mapping") {
