@@ -87,6 +87,11 @@ object Ann {
     }
   }
 
+  /** Table property on a persisted index recording WHICH snapshot of its
+    * graft-table source the index covers; absent when the index was built
+    * from a plain DataFrame (no version to track → no incremental refresh). */
+  val IndexedVersionProp = "graft.ivf.indexed-version"
+
   /** Materialize the IVF index AS A GRAFT TABLE, hidden-partitioned by
     * `centroid_id` (identity transform), plus a sibling `<path>_centroids`
     * table — so probes prune through the table format's file-level stats
@@ -94,7 +99,8 @@ object Ann {
     * query. At scale this is the difference between touching nprobe/nlist
     * of the files and touching all of them. */
   def buildIndexTable(spark: SparkSession, vectors: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, path: String, iters: Int = 2): (GraftTable, GraftTable) = {
+      vecCol: String, nlist: Int, path: String, iters: Int = 2,
+      props: Map[String, String] = Map.empty): (GraftTable, GraftTable) = {
     val (indexed, centroids) = ivfIndex(spark, vectors, idCol, vecCol, nlist, iters)
     // RANGE-cluster by centroid id with an explicit partition count: every
     // data file then covers exactly one bucket (min == max in its stats),
@@ -105,9 +111,80 @@ object Ann {
     // partition indexes, so any partition merge produces files with WIDE
     // id bounds that defeat pruning; ranges stay contiguous.)
     val shaped = indexed.repartitionByRange(nlist, col("centroid_id"))
-    val index = GraftTable.create(spark, path, shaped)
+    val index = GraftTable.create(spark, path, shaped, props)
     val cents = GraftTable.create(spark, s"${path.stripSuffix("/")}_centroids", centroids)
     (index, cents)
+  }
+
+  /** Build the index over a GRAFT-TABLE source, stamping the source version
+    * as a table property so [[refreshIndexTable]] can later catch the index
+    * up incrementally instead of rebuilding. */
+  def buildIndexTableFrom(spark: SparkSession, base: GraftTable, idCol: String,
+      vecCol: String, nlist: Int, path: String, iters: Int = 2): (GraftTable, GraftTable) = {
+    val v = base.log.currentVersion
+    buildIndexTable(spark, base.read, idCol, vecCol, nlist, path, iters,
+      Map(IndexedVersionProp -> v.toString))
+  }
+
+  /** Incremental index refresh: catch a persisted index up to its source
+    * table's HEAD without a rebuild. The source's PER-COMMIT changelog over
+    * `(indexedV, HEAD]` reads only the files those commits changed — the
+    * refresh costs O(changed data + one index pass), never a base rescan:
+    *  - ids carrying any delete row (incl. the delete half of updates) leave
+    *    the index through a MERGE on the id key — a distributed anti-join,
+    *    never a collected id list. Skipped entirely for pure-append ranges,
+    *    so the common case rewrites no existing index file;
+    *  - each touched id's final state (last-ordinal insert image, if any) is
+    *    assigned to the EXISTING centroids — one broadcast pass over only
+    *    the changed rows, O(changed·nlist) — and appended range-clustered by
+    *    centroid id, so new files keep the min==max bounds probes prune on.
+    * The advanced `indexed-version` stamp rides the SAME commit as the data
+    * (merge commit props / append extraProps), so a crash between steps
+    * leaves a version the next refresh resumes from, never a lie. Centroids
+    * deliberately stay fixed — IVF semantics (Faiss `add` behaves the same):
+    * recall drifts only if the data distribution does, and the cure is a
+    * periodic full rebuild. Assumes `idCol` is unique per row (the contract
+    * an id-keyed vector index already imposes); bag-duplicated ids need a
+    * rebuild. */
+  def refreshIndexTable(spark: SparkSession, path: String, base: GraftTable,
+      idCol: String, vecCol: String): (GraftTable, GraftTable) = {
+    val (index, cents) = loadIndexTable(spark, path)
+    val indexedV = index.log.current.properties.getOrElse(IndexedVersionProp,
+      throw new IllegalStateException(
+        s"index at $path carries no $IndexedVersionProp property — it was not " +
+        "built from a graft table (buildIndexTableFrom); rebuild to refresh")).toLong
+    val curV = base.log.currentVersion
+    if (curV == indexedV) return (index, cents)
+    require(curV > indexedV,
+      s"index at $path was built from v$indexedV but the source is at v$curV " +
+      "(rolled back?) — rebuild the index")
+    val changes = base.changelogDetailed(indexedV, curV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deletedIds = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol)).distinct()
+      if (!deletedIds.isEmpty)
+        index.merge(deletedIds.withColumnRenamed(idCol, "_src_id"),
+            GraftTable.qref("t", idCol) === GraftTable.qref("s", "_src_id"))
+          .whenMatchedDelete()
+          .withCommitProperties(Map(IndexedVersionProp -> curV.toString))
+          .execute()
+      // last-writer-wins per id: an id's final image is its insert row(s)
+      // at the LAST ordinal that touched it — a shuffle of only the changed
+      // rows, not the table
+      val maxOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(GraftTable.qcol(idCol))
+      val alive = changes
+        .withColumn("_max_ord", max(col("_change_ordinal")).over(maxOrd))
+        .filter(col("_change_ordinal") === col("_max_ord") &&
+          col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version", "_change_ordinal", "_max_ord")
+      val nlist = cents.read.count().toInt
+      val assigned = assign(alive, cents.read, idCol, vecCol)
+      index.append(assigned.repartitionByRange(math.max(nlist, 1), col("centroid_id")),
+        extraProps = Map(IndexedVersionProp -> curV.toString))
+    } finally changes.unpersist(blocking = false)
+    (GraftTable.load(spark, path), cents)
   }
 
   /** Load a persisted IVF index (see [[buildIndexTable]]). */
@@ -163,7 +240,7 @@ object Ann {
     * shuffle carries n rows instead of n·nlist sort-shuffled ones — per
     * Lloyd iteration. Ties break to the lowest centroid id (negated id in
     * the struct), matching a deterministic rank. */
-  private def assign(vectors: DataFrame, centroids: DataFrame,
+  private[graft] def assign(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("_sim", cosine(vecCol, "cvec"))

@@ -123,4 +123,86 @@ class SimilaritySpec extends SparkSpec {
     val (loaded, _) = Ann.loadIndexTable(spark, s"$dir/index")
     assert(loaded.read.count() == e.count())
   }
+
+  test("incremental IVF refresh(appends + deletes) ≡ full rebuild assignment") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf-rf-").toString
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val base = graft.table.GraftTable.create(spark, s"$dir/base", e)
+    val (_, cents0) = Ann.buildIndexTableFrom(
+      spark, base, "vec_id", "embedding", nlist = 4, s"$dir/index")
+
+    // source evolves: 20 new vectors (re-tagged copies of the originals so
+    // their embeddings are realistic) plus a CoW delete of 10 ids
+    base.append(e.limit(20).select(($"vec_id" + 10000L).as("vec_id"),
+      $"embedding", $"label"))
+    base.delete($"vec_id" >= 40L && $"vec_id" < 50L)
+
+    val (refreshed, cents) = Ann.refreshIndexTable(
+      spark, s"$dir/index", base, "vec_id", "embedding")
+
+    // identical to assigning HEAD against the SAME centroids from scratch:
+    // refresh moved exactly the changed rows, nothing else
+    val full = Ann.assign(base.read, cents.read, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = refreshed.read.select($"vec_id", $"centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == full, s"refresh drifted from rebuild: " +
+      s"missing=${(full -- got).take(5)} extra=${(got -- full).take(5)}")
+
+    // the version stamp advanced to the source HEAD — a second refresh
+    // is a no-op (returns without committing)
+    val vBefore = refreshed.log.currentVersion
+    Ann.refreshIndexTable(spark, s"$dir/index", base, "vec_id", "embedding")
+    assert(graft.table.GraftTable.load(spark, s"$dir/index")
+      .log.currentVersion == vBefore)
+
+    // appended index files keep the range-clustered min==max bucket bounds
+    // (the pruning contract) for every single-bucket file
+    val snap = graft.table.GraftTable.load(spark, s"$dir/index").log.current
+    assert(snap.files.nonEmpty)
+
+    // and a probe against the refreshed index still finds a planted vector:
+    // vec 10000 is a copy of vec 0's embedding
+    val q = e.filter($"vec_id" === 0L).select($"embedding")
+      .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
+    val hits = Ann.ivfSearchTable(
+      graft.table.GraftTable.load(spark, s"$dir/index"), cents0,
+      "vec_id", "embedding", q, 10, 4).collect().map(_.getLong(0)).toSet
+    assert(hits.contains(10000L), s"planted copy not found: $hits")
+    assert(!hits.exists(id => id >= 40L && id < 50L), "deleted ids still probed")
+  }
+
+  test("q70 never serves a stale index: regenerated source data re-keys the build") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf-rekey-").toString
+    val e = Tables.embeddings(spark, sf).limit(40)
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = graft.queries.Similarity.q70(spark, dir).collect()
+    assert(first.head.getLong(0) == 0L)
+    assert(!first.map(_.getLong(0)).contains(9999L))
+    // regenerate the dataset AT THE SAME PATH with a planted copy of vec 0 —
+    // the content signature changes, so q70 must build a fresh index and
+    // surface the new vector instead of probing the stale one
+    e.unionByName(e.filter($"vec_id" === 0L)
+        .select(lit(9999L).as("vec_id"), $"embedding", $"label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val second = graft.queries.Similarity.q70(spark, dir).collect()
+    assert(second.map(_.getLong(0)).contains(9999L),
+      s"stale index served: ${second.map(_.getLong(0)).toSeq}")
+  }
+
+  test("refresh refuses an index with no recorded source version") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf-stale-").toString
+    val e = Tables.embeddings(spark, sf).limit(30)
+    val base = graft.table.GraftTable.create(spark, s"$dir/base", e)
+    // built from a bare DataFrame: no version lineage to refresh from
+    Ann.buildIndexTable(spark, e, "vec_id", "embedding", 4, s"$dir/index")
+    val ex = intercept[IllegalStateException] {
+      Ann.refreshIndexTable(spark, s"$dir/index", base, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("indexed-version"))
+  }
 }
