@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftglue.Bridge
@@ -34,6 +35,11 @@ import graft.table.GraftTable
   * `.option("maxFilesPerTrigger", n)` rate-limits catch-up: each micro-batch
   * ends at the snapshot where the accumulated added-file count crosses `n`
   * (Iceberg's streaming-max-files-per-micro-batch).
+  * `Trigger.AvailableNow` composes with it as a BOUNDED BACKFILL: the head
+  * version is captured at query start, the backlog up to it drains in
+  * rate-limited micro-batches (each checkpointed), and the query stops —
+  * the production pattern for bootstrapping a derived table from a 100 TB
+  * source without an unbounded first batch.
   *
   * Design note — why the V1 `Source` API and not DSv2 `MicroBatchStream`:
   * `getBatch` returns a full DataFrame, so each micro-batch plans through
@@ -255,7 +261,7 @@ object GraftStreamSource {
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
     skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
     readChangeFeed: Boolean = false, metadataPath: Option[String] = None)
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
   /** Start offset. PERSISTED under the source's checkpoint metadata dir on
@@ -310,13 +316,20 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
     * always at least one version, so progress is guaranteed even when a
     * single commit exceeds the cap. Snapshot-log metadata only — no file IO. */
   override def getOffset: Option[Offset] = {
-    val head = table.log.currentVersion
     val from = math.max(planned, base)
-    if (head <= from) return None
-    val end = maxFilesPerTrigger match {
+    val end = nextEnd(from, table.log.currentVersion, maxFilesPerTrigger)
+    if (end <= from) None else Some(LongOffset(end))
+  }
+
+  /** Budget-capped batch end: walk the parent chain head→from, then replay
+    * forward accumulating per-snapshot added-file counts until the budget is
+    * crossed; always at least one version, so progress is guaranteed even
+    * when a single commit exceeds the cap. Snapshot-log metadata only. */
+  private def nextEnd(from: Long, head: Long, budget: Option[Int]): Long = {
+    if (head <= from) return from
+    budget match {
       case None => head
-      case Some(budget) =>
-        // walk the parent chain head→from, then replay forward under budget
+      case Some(cap) =>
         val chain = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
         var cur = table.log.snapshot(head)
         var atRoot = false
@@ -335,12 +348,54 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
         var stop = false
         while (it.hasNext && !stop) {
           val (v, added) = it.next()
-          if (last != from && acc + added > budget) stop = true
+          if (last != from && acc + added > cap) stop = true
           else { acc += added; last = v }
         }
         last
     }
-    if (end <= from) None else Some(LongOffset(end))
+  }
+
+  // ---- Admission control (SupportsAdmissionControl + TriggerAvailableNow).
+  // Spark plans batches through latestOffset(start, limit) when a source
+  // declares these — the same contract FileStreamSource and the Kafka source
+  // use. Without them, Trigger.AvailableNow wraps a V1 source in
+  // AvailableNowSourceWrapper, which captures ONE getOffset result as "all
+  // available data" — under maxFilesPerTrigger that is the first capped
+  // batch end, so an AvailableNow backfill would silently stop after one
+  // batch instead of draining the backlog. Declaring the interfaces makes
+  // AvailableNow the bounded-backfill it should be: drain everything up to
+  // the version captured at query start, in rate-limited batches, then stop.
+
+  /** HEAD version captured when an AvailableNow run starts; batches never
+    * plan past it, so commits racing the backfill wait for the next run. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(table.log.currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = math.max(math.max(planned, base),
+      Option(startOffset).map(verV2).getOrElse(base))
+    val head0 = table.log.currentVersion
+    val head = availableNowBound.fold(head0)(math.min(head0, _))
+    val budget = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case _               => maxFilesPerTrigger
+    }
+    val end = nextEnd(from, head, budget)
+    if (end <= from) null else LongOffset(end)
+  }
+
+  /** True head for progress metrics, independent of rate limiting and the
+    * AvailableNow bound (drives the UI's backlog gauge). */
+  override def reportLatestOffset(): OffsetV2 = LongOffset(table.log.currentVersion)
+
+  private def verV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
   }
 
   private def ver(o: Offset): Long = o match {

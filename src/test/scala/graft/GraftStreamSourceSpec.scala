@@ -281,6 +281,68 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow + maxFilesPerTrigger: bounded backfill drains in rate-limited batches, then stops") {
+    // Without SupportsTriggerAvailableNow, Spark wraps a V1 source in
+    // AvailableNowSourceWrapper, which captures ONE getOffset result as "all
+    // available data" — under maxFilesPerTrigger that is the FIRST capped
+    // batch, so the backfill would silently stop at 1/4 of the backlog.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("stream-avnow-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.append(Seq(4L).toDF("id")) // 4-version backlog before the run
+    // sink = a graft table (exactly-once across restarts — the memory sink
+    // cannot recover a checkpoint, and run-2 must resume run-1's)
+    val mirror = s"$path/../mirror"
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-stream")
+        .option("path", path).option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("graft-stream").option("path", mirror)
+        .option("checkpointLocation", s"$path/../ckpt-avnow")
+        .trigger(Trigger.AvailableNow()).start()
+    val q = run()
+    assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    // the WHOLE backlog drained (not just the first capped batch) …
+    assert(GraftTable.load(spark, mirror).read
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // … in several rate-limited batches, each its own checkpoint
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2, s"backfill was not split: $dataBatches data batches")
+
+    // a second run resumes from the checkpoint and delivers ONLY the commits
+    // that landed after the first run's captured bound
+    t.append(Seq(5L).toDF("id"))
+    val q2 = run()
+    assert(q2.awaitTermination(120000), "second AvailableNow run did not terminate")
+    assert(GraftTable.load(spark, mirror).read
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("Trigger.AvailableNow bounded CDC bootstrap: full history, rate-limited, terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("stream-avnow-cdc-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id"))  // v0
+    t.append(Seq(2L).toDF("id"))                                // v1
+    t.append(Seq(3L).toDF("id"))                                // v2
+    t.delete(org.apache.spark.sql.functions.col("id") === 2L)   // v3
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("readChangeFeed", "true")
+      .option("fromVersion", "-1").option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("graft_avnow_cdc")
+      .option("checkpointLocation", s"$path/../ckpt-avnow-cdc")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow CDC run did not terminate")
+    val got = spark.table("graft_avnow_cdc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "insert", 0L), (2L, "insert", 1L), (3L, "insert", 2L),
+      (2L, "delete", 3L)))
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2, s"CDC bootstrap was not split: $dataBatches data batches")
+  }
+
   test("mid-stream schema evolution keeps batches on the schema pinned at start") {
     import spark.implicits._
     val path = tmp("stream-evo-")
