@@ -61,6 +61,7 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   POST   /v1/namespaces/{ns}/tables/{t}/refs      set a branch/tag
   *   DELETE /v1/namespaces/{ns}/tables/{t}/refs/{r}  drop a ref
   *   POST   /v1/tables/rename                        rename across namespaces
+  *   POST   /v1/iceberg/transactions/commit          spec multi-table commit
   * }}}
   */
 class RestCatalogServer(val warehouse: String,
@@ -239,6 +240,8 @@ class RestCatalogServer(val warehouse: String,
         ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         icebergCommit(ex, decNs(ns), t)
+      case ("POST", "transactions" :: "commit" :: Nil) =>
+        icebergTransaction(ex)
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
 
@@ -297,10 +300,16 @@ class RestCatalogServer(val warehouse: String,
   private def icebergCommit(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
     val root = tableRoot(ns, t)
     if (!isTable(root)) return err(ex, 404, s"no table $t")
-    val body = JsonMethods.parse(readBody(ex))
-    val log = logOf(root)
-    val head = log.current
+    applyIcebergTableChange(root, JsonMethods.parse(readBody(ex)))
+    // spec commitTableResponse: fresh metadata for the committed state
+    val (metaUri, metadataJson) = renderIcebergMetadata(root)
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson}""")
+  }
 
+  /** The spec commit REQUIREMENTS of one table change, validated against
+    * `head` — shared by the single-table commit and the transaction
+    * endpoint's all-tables-first validation pass. */
+  private def checkIcebergRequirements(head: graft.table.Snapshot, body: JValue): Unit =
     (body \ "requirements").children.foreach { r =>
       (r \ "type").extractOpt[String] match {
         case Some("assert-ref-snapshot-id") =>
@@ -316,6 +325,14 @@ class RestCatalogServer(val warehouse: String,
           s"unsupported requirement type: ${other.getOrElse("<missing>")}")
       }
     }
+
+  /** Validate + apply ONE table's spec commit (requirements, updates,
+    * manifest-list decode, CAS) without writing the HTTP response — the
+    * shared core of [[icebergCommit]] and [[icebergTransaction]]. */
+  private def applyIcebergTableChange(root: String, body: JValue): Unit = {
+    val log = logOf(root)
+    val head = log.current
+    checkIcebergRequirements(head, body)
 
     // all-or-nothing: every update must be one we actually APPLY — a 200
     // that silently dropped a co-update (set-properties, a branch ref
@@ -429,10 +446,58 @@ class RestCatalogServer(val warehouse: String,
       eqDeleteFiles = eqDels.map(e => haveEq.getOrElse(key(e.file.path), e.copy(seq = v))),
       properties = head.properties ++
         foreignId.map(id => "graft.foreign-snapshot-id" -> id.toString)))
+    ()
+  }
 
-    // spec commitTableResponse: fresh metadata for the committed state
-    val (metaUri, metadataJson) = renderIcebergMetadata(root)
-    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson}""")
+  /** Spec Iceberg REST `commitTransaction` (`POST {prefix}/transactions/
+    * commit`): one atomic commit spanning several tables — the multi-table
+    * guarantee engines use for consistent fact+summary or data+audit
+    * publishes. Atomicity here rests on three legs: (1) the server's single
+    * dispatch thread means no other catalog-routed commit interleaves
+    * mid-transaction; (2) EVERY change's requirements are validated against
+    * the current heads before ANY table is touched, so a stale expectation
+    * rejects the whole transaction side-effect-free; (3) if a CAS still
+    * fails mid-apply (a direct-storage writer raced the catalog), the
+    * already-applied tables roll back via the fenced HEAD move — catalog
+    * readers never see a half-applied transaction linger. Response: 204, per
+    * spec. */
+  private def icebergTransaction(ex: HttpExchange): Unit = {
+    val body = JsonMethods.parse(readBody(ex))
+    val changes = (body \ "table-changes").children
+    if (changes.isEmpty)
+      throw new IllegalArgumentException("transaction has no table-changes")
+    val resolved = changes.map { c =>
+      val ns = (c \ "identifier" \ "namespace").extract[Seq[String]]
+      val t = (c \ "identifier" \ "name").extractOpt[String].getOrElse(
+        throw new IllegalArgumentException("table-change without identifier.name"))
+      val root = tableRoot(ns, t)
+      (root, s"${ns.mkString(".")}.$t", c)
+    }
+    resolved.find { case (root, _, _) => !isTable(root) } match {
+      case Some((_, name, _)) => return err(ex, 404, s"no table $name")
+      case None => ()
+    }
+    // phase 1: all requirements, no side effects
+    resolved.foreach { case (root, _, c) =>
+      checkIcebergRequirements(logOf(root).current, c) }
+    // phase 2: apply in order; unwind on any failure
+    val applied = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try {
+      resolved.foreach { case (root, _, c) =>
+        val pre = logOf(root).currentVersion
+        applyIcebergTableChange(root, c)
+        applied += ((root, pre))
+      }
+    } catch {
+      case e: Throwable =>
+        applied.reverseIterator.foreach { case (root, pre) =>
+          try logOf(root).setHead(pre)
+          catch { case roll: Exception =>
+            e.addSuppressed(roll) } // surface but keep the original cause
+        }
+        throw e
+    }
+    ex.sendResponseHeaders(204, -1); ex.close()
   }
 
   private def route(ex: HttpExchange, method: String, segs: List[String]): Unit =

@@ -633,4 +633,83 @@ class ForeignWriterSpec extends SparkSpec {
       "an equality-deleted row resurfaced after a foreign spec commit")
     spark.sql("DROP TABLE graftr.db.ice_eq")
   }
+
+  /** Wrap a single-table commit body as one entry of a spec
+    * CommitTransactionRequest's `table-changes`. */
+  private def txChange(table: String, commitBody: String): String =
+    s"""{"identifier":{"namespace":["db"],"name":"$table"},""" +
+      commitBody.trim.stripPrefix("{")
+
+  test("spec commitTransaction applies a multi-table commit atomically") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.tx_a (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.tx_a VALUES (1, 'a')")
+    spark.sql("CREATE TABLE graftr.db.tx_b (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftr.db.tx_b VALUES (10, 'x')")
+    val token = oauthRaw()
+
+    // one transaction appending to BOTH tables (fact + summary publish)
+    val (_, bodyA) = buildSpecAppendBody(token, "tx_a", Seq((2L, "b")))
+    val (snapB, bodyB) = buildSpecAppendBody(token, "tx_b", Seq((11L, "y")))
+    val resp = post("/v1/iceberg/transactions/commit",
+      s"""{"table-changes":[${txChange("tx_a", bodyA)},${txChange("tx_b", bodyB)}]}""",
+      Some(token))
+    assert(resp.statusCode() == 204, s"${resp.statusCode()}: ${resp.body()}")
+    spark.sql("REFRESH TABLE graftr.db.tx_a")
+    spark.sql("REFRESH TABLE graftr.db.tx_b")
+    assert(spark.sql("SELECT id FROM graftr.db.tx_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT id FROM graftr.db.tx_b ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 11L))
+
+    // a STALE requirement on ANY table rejects the WHOLE transaction before
+    // any side effect: bodyB still pins tx_b's PRE-commit snapshot ($snapB)
+    val (_, freshA) = buildSpecAppendBody(token, "tx_a", Seq((3L, "c")))
+    val conflict = post("/v1/iceberg/transactions/commit",
+      s"""{"table-changes":[${txChange("tx_a", freshA)},${txChange("tx_b", bodyB)}]}""",
+      Some(token))
+    assert(conflict.statusCode() == 409, s"${conflict.statusCode()}: ${conflict.body()}")
+    spark.sql("REFRESH TABLE graftr.db.tx_a")
+    spark.sql("REFRESH TABLE graftr.db.tx_b")
+    assert(spark.sql("SELECT count(*) FROM graftr.db.tx_a").collect()(0).getLong(0) == 2,
+      "a table change from a rejected transaction was applied")
+    assert(spark.sql("SELECT count(*) FROM graftr.db.tx_b").collect()(0).getLong(0) == 2)
+
+    // a mid-apply failure (update validation happens per table, AFTER
+    // earlier tables applied) unwinds the applied prefix: tx_a must roll
+    // back when tx_b's change carries an unsupported update action
+    val (_, freshA2) = buildSpecAppendBody(token, "tx_a", Seq((4L, "d")))
+    val (_, freshB2) = buildSpecAppendBody(token, "tx_b", Seq((12L, "z")))
+    val badB = txChange("tx_b", freshB2.replace("\"updates\":[",
+      "\"updates\":[{\"action\":\"set-properties\",\"updates\":{\"k\":\"v\"}},"))
+    val halfFail = post("/v1/iceberg/transactions/commit",
+      s"""{"table-changes":[${txChange("tx_a", freshA2)},$badB]}""", Some(token))
+    assert(halfFail.statusCode() == 400, s"${halfFail.statusCode()}: ${halfFail.body()}")
+    spark.sql("REFRESH TABLE graftr.db.tx_a")
+    assert(spark.sql("SELECT id FROM graftr.db.tx_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "applied prefix of a failed transaction was not rolled back")
+
+    // the rolled-back table accepts future commits (fenced head, clean CAS)
+    val (_, freshA3) = buildSpecAppendBody(token, "tx_a", Seq((5L, "e")))
+    assert(post("/v1/iceberg/namespaces/db/tables/tx_a", freshA3, Some(token))
+      .statusCode() == 200)
+    spark.sql("REFRESH TABLE graftr.db.tx_a")
+    assert(spark.sql("SELECT id FROM graftr.db.tx_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+
+    // unknown table → 404, nothing applied
+    val (_, freshA4) = buildSpecAppendBody(token, "tx_a", Seq((6L, "f")))
+    assert(post("/v1/iceberg/transactions/commit",
+      s"""{"table-changes":[${txChange("tx_a", freshA4)},${txChange("tx_nope", freshA4)}]}""",
+      Some(token)).statusCode() == 404)
+    spark.sql("REFRESH TABLE graftr.db.tx_a")
+    assert(spark.sql("SELECT count(*) FROM graftr.db.tx_a").collect()(0).getLong(0) == 3)
+
+    spark.sql("DROP TABLE graftr.db.tx_a")
+    spark.sql("DROP TABLE graftr.db.tx_b")
+  }
 }
