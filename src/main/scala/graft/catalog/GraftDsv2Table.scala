@@ -76,7 +76,20 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) required = requiredSchema
 
-      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+      override def build(): Scan = {
+        // Opt-in scale path: a runtime-filterable DSv2 batch scan (join-time
+        // file pruning via DPP — see [[graft.table.GraftRuntimeScan]]) for
+        // snapshots a bare parquet scan serves exactly; everything else (and
+        // the default) takes the projection-aware V1 path below.
+        val runtime =
+          if (GraftDsv2Table.runtimeFilteringEnabled(t.spark))
+            graft.table.GraftRuntimeScan.forSnapshot(t, snapshotForRead, pushed, required)
+          else None
+        runtime.getOrElse(v1Scan(pushed, required))
+      }
+
+      private def v1Scan(pushed: Array[Filter], required: StructType): Scan =
+        new V1Scan with SupportsReportStatistics {
         private val filters = pushed
         private val outSchema = required
         override def readSchema(): StructType = outSchema
@@ -226,4 +239,14 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
           }
       }
     }
+}
+
+object GraftDsv2Table {
+  /** `spark.graft.runtime-filtering=true` turns on the join-time file
+    * pruning scan ([[graft.table.GraftRuntimeScan]]) for eligible
+    * snapshots — the star-join scale profile. Off by default: the
+    * projection-aware default path serves every snapshot shape. */
+  private[graft] def runtimeFilteringEnabled(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.runtime-filtering").exists(_.toBoolean)
 }

@@ -36,11 +36,22 @@ case class GraftNativeScan(spark: SparkSession) extends Rule[LogicalPlan] {
     case d: DeleteFromTable => d
     case u: UpdateTable     => u
     case m: MergeIntoTable  => m
-    case f @ Filter(cond, r: DataSourceV2Relation) if graftOf(r).isDefined =>
+    case f @ Filter(cond, r: DataSourceV2Relation) if swappable(r) =>
       f.copy(child = swap(r, conjuncts(cond).flatMap(Bridge.translateFilter)))
-    case r: DataSourceV2Relation if graftOf(r).isDefined =>
+    case r: DataSourceV2Relation if swappable(r) =>
       swap(r, Seq.empty)
     case other => other.mapChildren(rewrite)
+  }
+
+  /** Leave the relation on the DSv2 path when the runtime-filtering scan
+    * would serve it ([[graft.table.GraftRuntimeScan]] — join-time file
+    * pruning needs `BatchScanExec`, which only a real DSv2 scan plans);
+    * swap to the pruned-parquet logical plan otherwise. */
+  private def swappable(r: DataSourceV2Relation): Boolean = graftOf(r) match {
+    case None => false
+    case Some(g) =>
+      !(graft.catalog.GraftDsv2Table.runtimeFilteringEnabled(spark) &&
+        graft.table.GraftRuntimeScan.eligible(g.t, g.snapshotForRead))
   }
 
   private def graftOf(r: DataSourceV2Relation): Option[GraftDsv2Table] = r.table match {
