@@ -109,14 +109,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   /** Iceberg-view-spec analogue (the reference stack's catalog also serves
     * views): a persistent view stores the SQL TEXT plus the schema and
-    * session context captured at creation under `<ns>/_views/<name>.json`;
-    * Spark re-parses and re-resolves the text at read time — late binding,
-    * same as Iceberg/Trino views, so a view tracks table evolution. */
-  private case class StoredView(sql: String, currentCatalog: String,
-      currentNamespace: Seq[String], schemaJson: String,
-      queryColumnNames: Seq[String], columnAliases: Seq[String],
-      columnComments: Seq[String], properties: Map[String, String])
-
+    * session context captured at creation under `<ns>/_views/<name>.json`
+    * ([[StoredView]] — shared with the REST catalog server, which renders
+    * the same file as spec Iceberg view metadata); Spark re-parses and
+    * re-resolves the text at read time — late binding, same as
+    * Iceberg/Trino views, so a view tracks table evolution. */
   private implicit val jsonFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
   private def viewPath(ident: Identifier): String =
@@ -138,13 +135,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private def readStoredView(ident: Identifier): StoredView =
-    org.json4s.jackson.JsonMethods.parse(io.readString(viewPath(ident)))
-      .extract[StoredView]
+    ViewStore.read(io, viewPath(ident))
 
-  private def writeStoredView(ident: Identifier, sv: StoredView): Unit = {
-    io.mkdirs(viewsDir(ident.namespace()))
-    io.writeAtomicReplace(viewPath(ident), org.json4s.jackson.Serialization.write(sv))
-  }
+  private def writeStoredView(ident: Identifier, sv: StoredView): Unit =
+    ViewStore.write(io, viewsDir(ident.namespace()), viewPath(ident), sv)
 
   override def viewExists(ident: Identifier): Boolean = io.exists(viewPath(ident))
 
@@ -164,10 +158,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
     if (!io.isDirectory(nsPath(info.ident.namespace())))
       throw new NoSuchNamespaceException(info.ident.namespace())
+    val now = System.currentTimeMillis()
+    val v1 = StoredViewVersion(1, now, info.sql, info.schema.json,
+      info.currentCatalog, info.currentNamespace.toSeq)
     writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
       info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
       info.columnAliases.toSeq, info.columnComments.toSeq,
-      info.properties.asScala.toMap))
+      info.properties.asScala.toMap,
+      viewUuid = Some(java.util.UUID.randomUUID().toString),
+      versions = Some(Seq(v1))))
+    loadView(info.ident)
+  }
+
+  /** CREATE OR REPLACE VIEW on an existing view: the Iceberg view spec
+    * models this as ADDING a view version under the SAME view-uuid (the
+    * `versions` / `version-log` history a catalog serves), not as
+    * drop-and-recreate — so replace appends to the stored history and the
+    * spec REST surface's `current-version-id` advances. */
+  private[graft] def replaceView(info: ViewInfo): View = {
+    val prev = readStoredView(info.ident)
+    val history = prev.allVersions
+    val now = System.currentTimeMillis()
+    val next = StoredViewVersion(history.map(_.versionId).max + 1, now,
+      info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
+    writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
+      info.columnAliases.toSeq, info.columnComments.toSeq,
+      info.properties.asScala.toMap,
+      viewUuid = prev.viewUuid.orElse(Some(ViewStore.fallbackUuid(
+        info.ident.namespace().toSeq :+ info.ident.name()))),
+      versions = Some(history :+ next)))
     loadView(info.ident)
   }
 

@@ -128,18 +128,20 @@ case class GraftCreateViewCommand(cat: GraftCatalog, ident: Identifier,
     text: String, query: LogicalPlan, allowExisting: Boolean, replace: Boolean)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (cat.viewExists(ident)) {
-      if (allowExisting) return Nil
-      if (replace) cat.dropView(ident)
-      else throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
-    }
+    val exists = cat.viewExists(ident)
+    if (exists && allowExisting) return Nil
+    if (exists && !replace)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     // analyze the view body now to capture the schema at creation (the read
     // path still re-resolves the TEXT — the schema is metadata, not binding)
     val analyzed = spark.sessionState.executePlan(query).analyzed
     val cm = spark.sessionState.catalogManager
-    cat.createView(new ViewInfo(ident, text, cm.currentCatalog.name,
+    val info = new ViewInfo(ident, text, cm.currentCatalog.name,
       cm.currentNamespace, analyzed.schema, analyzed.schema.fieldNames,
-      Array.empty, Array.empty, java.util.Collections.emptyMap()))
+      Array.empty, Array.empty, java.util.Collections.emptyMap())
+    // REPLACE of an existing view appends a view VERSION under the same
+    // view-uuid (Iceberg view spec semantics) instead of drop-and-recreate
+    if (exists) cat.replaceView(info) else cat.createView(info)
     Nil
   }
 }

@@ -233,6 +233,69 @@ object IcebergExport {
       s"no Iceberg mapping for Spark type ${other.typeName}")
   }
 
+  /** Iceberg view-spec schema JSON for a Spark schema that carries no graft
+    * field ids (a view's schema comes from the analyzed defining query, not
+    * from a table's id-stamped metadata): fields get sequential ids in
+    * traversal order; container nodes draw from the same deterministic
+    * element-id bands as table exports, so re-renders are byte-stable. */
+  private[graft] def viewSchemaJson(st: StructType, schemaId: Int): JValue = {
+    var next = maxGraftId(st)
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val nd = f.copy(dataType = walk(f.dataType))
+        if (f.metadata.contains("graft.id")) nd
+        else {
+          val id = next; next += 1
+          nd.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("graft.id", id.toLong).build())
+        }
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType   => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other        => other
+    }
+    val stamped = walk(st).asInstanceOf[StructType]
+    icebergType(stamped, () => throw new IllegalStateException(
+      "schema root must be a struct")).asInstanceOf[JObject] ~ ("schema-id" -> schemaId)
+  }
+
+  /** Render a stored graft view as Iceberg VIEW SPEC v1 metadata JSON: one
+    * spec `version` + `schema` per stored view version (schema-id =
+    * version-id — each replace may change the projected schema, so schemas
+    * are never shared across versions), `version-log` from the stored
+    * timestamps, and the defining SQL as a `spark`-dialect representation.
+    * This is the document a conformant Iceberg REST client receives from
+    * `loadView` — the Unity-Catalog-serves-views-to-Trino role in the
+    * reference stack (`main.tf:812-816`). */
+  private[graft] def renderViewMetadata(sv: graft.catalog.StoredView,
+      uuid: String, location: String): String = {
+    val versions = sv.allVersions
+    val versionsJson = JArray(versions.map { v =>
+      (("version-id" -> v.versionId) ~
+        ("timestamp-ms" -> v.timestampMs) ~
+        ("schema-id" -> v.versionId) ~
+        ("summary" -> (("engine-name" -> "graft") ~
+          ("engine-version" -> org.apache.spark.SPARK_VERSION))) ~
+        ("default-catalog" -> v.currentCatalog) ~
+        ("default-namespace" -> v.currentNamespace.toList) ~
+        ("representations" -> JArray(List(
+          ("type" -> "sql") ~ ("sql" -> v.sql) ~ ("dialect" -> "spark"))))): JValue
+    }.toList)
+    val schemasJson = JArray(versions.map(v => viewSchemaJson(
+      DataType.fromJson(v.schemaJson).asInstanceOf[StructType], v.versionId)).toList)
+    val meta: JValue =
+      ("view-uuid" -> uuid) ~
+      ("format-version" -> 1) ~
+      ("location" -> location) ~
+      ("current-version-id" -> sv.currentVersionId) ~
+      ("versions" -> versionsJson) ~
+      ("version-log" -> JArray(versions.map(v =>
+        (("timestamp-ms" -> v.timestampMs) ~ ("version-id" -> v.versionId)): JValue).toList)) ~
+      ("schemas" -> schemasJson) ~
+      ("properties" -> sv.properties)
+    JsonMethods.compact(JsonMethods.render(meta))
+  }
+
   /** `schema.name-mapping.default` (spec "Name Mapping Serialization"):
     * lets readers resolve parquet columns lacking embedded field ids. The
     * `names` array carries every name a field id has EVER had across the
