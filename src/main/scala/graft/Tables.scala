@@ -14,16 +14,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as a raw long (nanos since epoch) and
-    * truncate to a microsecond TimestampType — the same truncation DuckDB
-    * applies when it maps parquet ns to its µs TIMESTAMP, so both engines
-    * see identical values. Integer `div` (not `/`) — ns values ~1.7e18
-    * exceed exact double range. */
+  /** `events.ts` has shipped as both parquet timestamp[ns] (rounds ≤8) and
+    * timestamp[us] (round 9+ fixtures); adapt on the observed read schema so
+    * either works.
+    *   - ns: Spark 4 rejects ns parquet outright (PARQUET_TYPE_ILLEGAL), so
+    *     read as raw long via `nanosAsLong` and truncate to µs — the same
+    *     truncation DuckDB applies mapping ns → its µs TIMESTAMP. Integer
+    *     `div` (not `/`): ns values ~1.7e18 exceed exact double range.
+    *   - µs: Spark reads it as TIMESTAMP_NTZ (no UTC-adjusted flag); cast to
+    *     TimestampType — the UTC session timezone makes the NTZ→LTZ cast
+    *     instant-identical, matching DuckDB's µs TIMESTAMP. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -135,7 +135,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private def readStoredView(ident: Identifier): StoredView =
-    ViewStore.read(io, viewPath(ident))
+    try ViewStore.read(io, viewPath(ident)) catch {
+      // a concurrent DROP between the caller's existence check and this
+      // read surfaces as the catalog-level exception, not a raw IO error
+      case _: java.io.FileNotFoundException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    }
 
   private def writeStoredView(ident: Identifier, sv: StoredView): Unit =
     ViewStore.write(io, viewsDir(ident.namespace()), viewPath(ident), sv)
@@ -176,19 +181,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * drop-and-recreate — so replace appends to the stored history and the
     * spec REST surface's `current-version-id` advances. */
   private[graft] def replaceView(info: ViewInfo): View = {
-    val prev = readStoredView(info.ident)
-    val history = prev.allVersions
-    val now = System.currentTimeMillis()
-    val next = StoredViewVersion(history.map(_.versionId).max + 1, now,
-      info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
-    writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
-      info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
-      info.columnAliases.toSeq, info.columnComments.toSeq,
-      info.properties.asScala.toMap,
-      viewUuid = prev.viewUuid.orElse(Some(ViewStore.fallbackUuid(
-        info.ident.namespace().toSeq :+ info.ident.name()))),
-      versions = Some(history :+ next)))
-    loadView(info.ident)
+    // Optimistic CAS: exclusive-create of a per-(uuid, target-version)
+    // marker arbitrates concurrent replacers (same trick as SnapshotLog's
+    // v<N>.json commit CAS) — without it, two replacers reading the same
+    // prior history both write version N+1 and one update vanishes. The
+    // uuid in the marker name scopes arbitration to THIS incarnation of
+    // the view, so a drop-and-recreate never collides with stale markers.
+    var attempts = 0
+    while (true) {
+      val prev = readStoredView(info.ident) // NoSuchViewException on concurrent drop
+      val uuid = prev.viewUuid.getOrElse(ViewStore.fallbackUuid(
+        info.ident.namespace().toSeq :+ info.ident.name()))
+      val history = prev.allVersions
+      val now = System.currentTimeMillis()
+      val nextId = history.map(_.versionId).max + 1
+      val next = StoredViewVersion(nextId, now,
+        info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
+      if (io.createExclusive(s"${viewPath(info.ident)}.$uuid.v$nextId", "")) {
+        writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
+          info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
+          info.columnAliases.toSeq, info.columnComments.toSeq,
+          info.properties.asScala.toMap,
+          viewUuid = Some(uuid),
+          versions = Some(history :+ next)))
+        return loadView(info.ident)
+      }
+      // lost the marker race: the winner's main-file write may still be in
+      // flight, so back off briefly before re-reading the new history
+      attempts += 1
+      if (attempts >= 50) throw new IllegalStateException(
+        s"replaceView ${info.ident}: lost the version CAS $attempts times")
+      Thread.sleep(10)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
@@ -208,7 +233,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     toView(ident, updated)
   }
 
-  override def dropView(ident: Identifier): Boolean = io.delete(viewPath(ident))
+  override def dropView(ident: Identifier): Boolean = {
+    val won = io.delete(viewPath(ident))
+    // sweep this view's CAS markers (harmless if left — arbitration is
+    // uuid-scoped — but they'd otherwise accumulate forever)
+    if (won) {
+      val dir = viewsDir(ident.namespace())
+      io.listNames(dir).filter(_.startsWith(s"${ident.name()}.json."))
+        .foreach(n => io.delete(s"$dir/$n"))
+    }
+    won
+  }
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from))

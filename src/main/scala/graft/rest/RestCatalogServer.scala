@@ -62,6 +62,8 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   DELETE /v1/namespaces/{ns}/tables/{t}/refs/{r}  drop a ref
   *   POST   /v1/tables/rename                        rename across namespaces
   *   POST   /v1/iceberg/transactions/commit          spec multi-table commit
+  *   GET    /v1/iceberg/namespaces/{ns}/views        spec listViews
+  *   GET    /v1/iceberg/namespaces/{ns}/views/{v}    spec loadView (view metadata)
   * }}}
   */
 class RestCatalogServer(val warehouse: String,
@@ -242,8 +244,45 @@ class RestCatalogServer(val warehouse: String,
         icebergCommit(ex, decNs(ns), t)
       case ("POST", "transactions" :: "commit" :: Nil) =>
         icebergTransaction(ex)
+      case ("GET", "namespaces" :: ns :: "views" :: Nil) =>
+        if (!io.isDirectory(nsDir(decNs(ns)))) return err(ex, 404, s"no namespace $ns")
+        val dir = s"${nsDir(decNs(ns))}/_views"
+        val names =
+          if (io.isDirectory(dir))
+            io.listNames(dir).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+          else Nil
+        val (page, next) = paged(ex, names)
+        ok(ex, withNextToken(Map("identifiers" ->
+          page.map(n => Map("namespace" -> decNs(ns), "name" -> n))), next))
+      case ("GET" | "HEAD", "namespaces" :: ns :: "views" :: v :: Nil) =>
+        val path = s"${nsDir(decNs(ns))}/_views/$v.json"
+        if (!io.exists(path)) return err(ex, 404, s"no view $v")
+        if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
+        val (metaUri, metadataJson) = renderViewMeta(decNs(ns), v, path)
+        ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
+
+  /** Spec Iceberg REST `loadView`: renders the stored graft view
+    * ([[graft.catalog.ViewStore]] JSON, the same file GraftCatalog reads)
+    * as Iceberg VIEW SPEC v1 metadata — the Unity-Catalog-serves-views-to-
+    * Trino role in the reference stack (`main.tf:812-816`). Rendered fresh
+    * on every load (views are tiny and ALTER VIEW SET PROPERTIES changes
+    * state without advancing the version-id, so a version-keyed cache
+    * would serve stale properties); the render itself is deterministic, so
+    * the written metadata file is byte-stable for unchanged views. */
+  private def renderViewMeta(ns: Seq[String], name: String, path: String): (String, String) = {
+    val sv = graft.catalog.ViewStore.read(io, path)
+    val uuid = sv.viewUuid.getOrElse(graft.catalog.ViewStore.fallbackUuid(ns :+ name))
+    val absDir = absolutize(s"${nsDir(ns)}/_views/_iceberg/$name")
+    val metaFile = s"$absDir/v${sv.currentVersionId}.metadata.json"
+    io.mkdirs(absDir)
+    io.writeAtomicReplace(metaFile,
+      graft.table.IcebergExport.renderViewMetadata(sv, uuid, absDir))
+    val metaUri =
+      if (metaFile.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) metaFile else s"file://$metaFile"
+    (metaUri, io.readString(metaFile))
+  }
 
   // absolutize a plain-path root: exported data-file URIs must be
   // absolute (`file://<relative>` would parse the first segment as an
@@ -341,11 +380,14 @@ class RestCatalogServer(val warehouse: String,
     val updates = (body \ "updates").children
     val unsupported = updates.flatMap(u => (u \ "action").extractOpt[String])
       .filterNot(Set("add-snapshot", "set-snapshot-ref",
-        "add-schema", "set-current-schema-id"))
+        "add-schema", "set-current-schema-id",
+        "set-properties", "remove-properties",
+        "add-spec", "set-default-spec-id"))
     if (unsupported.nonEmpty) throw new IllegalArgumentException(
       s"unsupported update action(s): ${unsupported.mkString(", ")} " +
         "(add-snapshot / set-snapshot-ref main / add-schema / " +
-        "set-current-schema-id commits are accepted)")
+        "set-current-schema-id / set-properties / remove-properties / " +
+        "add-spec / set-default-spec-id commits are accepted)")
     val refMoves = updates
       .filter(u => (u \ "action").extractOpt[String].contains("set-snapshot-ref"))
       .flatMap(u => (u \ "ref-name").extractOpt[String])
@@ -369,7 +411,47 @@ class RestCatalogServer(val warehouse: String,
       .find(u => (u \ "action").extractOpt[String].contains("set-current-schema-id"))
       .map(u => (u \ "schema-id").extractOpt[Int].getOrElse(
         throw new IllegalArgumentException("set-current-schema-id needs schema-id")))
-    if (snapJsonOpt.isEmpty && schemaAdds.isEmpty && setCurrentReq.isEmpty)
+    // ---- foreign table-property changes (Trino `ALTER TABLE SET
+    // PROPERTIES`, reference `main.tf:809-820`): applied over the head's
+    // map in update order; reserved graft.* keys are commit provenance the
+    // server owns, so a foreign writer may not set or remove them.
+    val propSets: Map[String, String] = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("set-properties"))
+      .flatMap(u => (u \ "updates").extractOpt[Map[String, String]].getOrElse(
+        throw new IllegalArgumentException("set-properties needs an updates map")))
+      .toMap
+    val propRemovals: Seq[String] = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("remove-properties"))
+      .flatMap(u => (u \ "removals").extractOpt[Seq[String]].getOrElse(
+        throw new IllegalArgumentException("remove-properties needs a removals list")))
+    (propSets.keys ++ propRemovals).find(_.startsWith("graft.")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"property '$k' is reserved (graft.* keys are server-owned provenance)"))
+
+    // ---- foreign partition-spec evolution (Trino `ALTER TABLE SET
+    // PROPERTIES partitioning = ...`, reference `main.tf:803-820`):
+    // `add-spec` + `set-default-spec-id` rewrite `write.partition-by` — in
+    // graft (as in Iceberg) existing files keep their layout, the spec only
+    // steers FUTURE writes and stats-key derivation, so translating the
+    // spec fields to transform strings IS the whole change. graft keeps
+    // only the current spec, so the new default must be the spec added in
+    // this same commit (-1 per spec, or an explicit id with one add-spec).
+    val specAdds = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("add-spec"))
+      .map(_ \ "spec")
+    val setDefaultSpec = updates
+      .find(u => (u \ "action").extractOpt[String].contains("set-default-spec-id"))
+      .map(u => (u \ "spec-id").extractOpt[Int].getOrElse(
+        throw new IllegalArgumentException("set-default-spec-id needs spec-id")))
+    if (setDefaultSpec.isDefined && specAdds.isEmpty)
+      throw new IllegalArgumentException(
+        "set-default-spec-id without add-spec: historical spec ids are not retained")
+    if (specAdds.nonEmpty && setDefaultSpec.isEmpty)
+      throw new IllegalArgumentException(
+        "add-spec without set-default-spec-id: staged specs are not retained")
+
+    if (snapJsonOpt.isEmpty && schemaAdds.isEmpty && setCurrentReq.isEmpty &&
+        propSets.isEmpty && propRemovals.isEmpty && specAdds.isEmpty)
       throw new IllegalArgumentException(
         "unsupported update set: nothing to apply")
     val nextSchemaId = (head.schemas.keys.map(_.toInt).toSeq :+ -1).max + 1
@@ -392,8 +474,54 @@ class RestCatalogServer(val warehouse: String,
         id
     }
 
+    // Translate the added Iceberg spec's fields to graft transform strings
+    // (source-id resolves through graft.id = field-id - 1, the one import
+    // mapping; `bucket[N]` maps to murmur3 `iceberg_bucket` so foreign
+    // semantics are preserved bit-for-bit; `void` fields are retired and
+    // simply dropped). Round-trips through graft's parser NOW so a bad
+    // spec 400s this commit instead of breaking every later write.
+    val newPartitionBy: Option[String] = specAdds.lastOption.map { sj =>
+      val specSchema = DataType.fromJson(newSchemas(newCurrentId.toString))
+        .asInstanceOf[StructType]
+      def colOf(srcId: Int): String = specSchema.fields.find(f =>
+        f.metadata.contains("graft.id") && f.metadata.getLong("graft.id") == srcId - 1L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"add-spec: no top-level field with field-id $srcId")).name
+      val Bucketed = """bucket\[(\d+)\]""".r
+      val Truncated = """truncate\[(\d+)\]""".r
+      val parts = (sj \ "fields").children.flatMap { f =>
+        val srcId = (f \ "source-id").extractOpt[Int].getOrElse(
+          throw new IllegalArgumentException("spec field needs source-id"))
+        (f \ "transform").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException("spec field needs transform")) match {
+          case "void"       => None
+          case "identity"   => Some(colOf(srcId))
+          case Bucketed(n)  => Some(s"iceberg_bucket($n,${colOf(srcId)})")
+          case Truncated(w) => Some(s"truncate($w,${colOf(srcId)})")
+          case "year"       => Some(s"years(${colOf(srcId)})")
+          case "month"      => Some(s"months(${colOf(srcId)})")
+          case "day"        => Some(s"days(${colOf(srcId)})")
+          case "hour"       => Some(s"hours(${colOf(srcId)})")
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition transform '$other'")
+        }
+      }
+      graft.table.PartitionTransform.parseList(
+        Some(parts.mkString(",")).filter(_.nonEmpty), specSchema)
+      parts.mkString(",")
+    }
+    val applySpec: Map[String, String] => Map[String, String] = m =>
+      newPartitionBy match {
+        case None     => m
+        case Some("") => m - "write.partition-by" // spec of only-void/no fields = unpartition
+        case Some(p)  => m + ("write.partition-by" -> p)
+      }
+
     val op = snapJsonOpt match {
-      case None => "add-schema" // metadata-only ALTER TABLE commit
+      case None => // metadata-only ALTER TABLE commit
+        if (schemaAdds.nonEmpty || setCurrentReq.nonEmpty) "add-schema"
+        else if (specAdds.nonEmpty) "set-partition-spec"
+        else "set-properties"
       case Some(snapJson) => (snapJson \ "summary" \ "operation").extractOpt[String] match {
         case Some("delete")    => "delete"
         case Some("overwrite") => "overwrite"
@@ -444,7 +572,7 @@ class RestCatalogServer(val warehouse: String,
       // a NEW equality delete scopes to files strictly older than THIS
       // commit — its seq is the version being created
       eqDeleteFiles = eqDels.map(e => haveEq.getOrElse(key(e.file.path), e.copy(seq = v))),
-      properties = head.properties ++
+      properties = applySpec((head.properties -- propRemovals) ++ propSets) ++
         foreignId.map(id => "graft.foreign-snapshot-id" -> id.toString)))
     ()
   }

@@ -233,22 +233,23 @@ object IcebergExport {
       s"no Iceberg mapping for Spark type ${other.typeName}")
   }
 
-  /** Iceberg view-spec schema JSON for a Spark schema that carries no graft
-    * field ids (a view's schema comes from the analyzed defining query, not
-    * from a table's id-stamped metadata): fields get sequential ids in
-    * traversal order; container nodes draw from the same deterministic
-    * element-id bands as table exports, so re-renders are byte-stable. */
+  /** Iceberg view-spec schema JSON for a Spark view schema. Any `graft.id`
+    * metadata the analyzer propagated from scanned tables is DISCARDED and
+    * every field is re-stamped with a fresh sequential id in traversal
+    * order: a view joining two graft tables would otherwise carry each
+    * table's ids (both starting at 0) into one schema — duplicate ids,
+    * violating the view spec's uniqueness requirement. Fresh stamping is
+    * still deterministic (same schema → same ids → byte-stable re-renders),
+    * and container nodes draw from the same element-id bands as table
+    * exports. */
   private[graft] def viewSchemaJson(st: StructType, schemaId: Int): JValue = {
-    var next = maxGraftId(st)
+    var next = 0
     def walk(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map { f =>
-        val nd = f.copy(dataType = walk(f.dataType))
-        if (f.metadata.contains("graft.id")) nd
-        else {
-          val id = next; next += 1
-          nd.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        val id = next; next += 1
+        f.copy(dataType = walk(f.dataType),
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putLong("graft.id", id.toLong).build())
-        }
       })
       case a: ArrayType => a.copy(elementType = walk(a.elementType))
       case m: MapType   => m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
