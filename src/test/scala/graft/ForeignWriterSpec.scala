@@ -393,9 +393,9 @@ class ForeignWriterSpec extends SparkSpec {
       s""""snapshot-id":$curSnap""", s""""snapshot-id":$newSnap""")
     // all-or-nothing: a commit carrying an update we would DROP is
     // rejected up front, never half-applied
-    val withProps = freshBody.replace("\"updates\":[",
-      "\"updates\":[{\"action\":\"set-properties\",\"updates\":{\"k\":\"v\"}},")
-    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", withProps, Some(token))
+    val withUnsupported = freshBody.replace("\"updates\":[",
+      "\"updates\":[{\"action\":\"remove-snapshots\",\"snapshot-ids\":[1]},")
+    assert(post("/v1/iceberg/namespaces/db/tables/ice_w", withUnsupported, Some(token))
       .statusCode() == 400)
     // ...including a malformed add-schema (invalid schema json)
     val badSchema = freshBody.replace("\"updates\":[",
@@ -465,6 +465,124 @@ class ForeignWriterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, null), (2L, null), (3L, "hello")))
     spark.sql("DROP TABLE graftr.db.ice_alter")
+  }
+
+  test("foreign SET PROPERTIES + partition-spec evolution through the spec IRC surface") {
+    // Trino `ALTER TABLE SET PROPERTIES` / `partitioning = ARRAY[...]`
+    // (reference `main.tf:803-820`) arrives as metadata-only commits with
+    // set-properties / remove-properties / add-spec + set-default-spec-id.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_props (id BIGINT, name STRING, ts TIMESTAMP)")
+    spark.sql(
+      "INSERT INTO graftr.db.ice_props VALUES (1, 'a', TIMESTAMP '2024-01-01 00:00:00')")
+    val token = oauthRaw()
+    def headSnap(): Long = (JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_props", token).body())
+      \ "metadata" \ "current-snapshot-id").extract[Long]
+    def alter(updates: String): HttpResponse[String] =
+      post("/v1/iceberg/namespaces/db/tables/ice_props",
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":${headSnap()}}],
+           |"updates":[$updates]}""".stripMargin, Some(token))
+
+    // set-properties + spec evolution in one commit: day(ts) + bucket[8](id)
+    // (source-ids are Iceberg field ids = graft.id + 1 → id=1, ts=3)
+    val resp = alter(
+      """{"action":"set-properties","updates":{"owner":"trino","commit.retry.num-retries":"4"}},
+        |{"action":"add-spec","spec":{"spec-id":-1,"fields":[
+        |  {"name":"ts_day","transform":"day","source-id":3,"field-id":1000},
+        |  {"name":"id_bucket","transform":"bucket[8]","source-id":1,"field-id":1001}]}},
+        |{"action":"set-default-spec-id","spec-id":-1}""".stripMargin)
+    assert(resp.statusCode() == 200, resp.body())
+    val meta2 = JsonMethods.parse(resp.body()) \ "metadata"
+    assert((meta2 \ "properties" \ "owner").extractOpt[String].contains("trino"))
+
+    // the translated spec steers graft's OWN write path from now on
+    val log = new graft.table.SnapshotLog(
+      Paths.get(server.warehouse, "db", "ice_props").toString)
+    assert(log.current.properties.get("write.partition-by")
+      .contains("days(ts),iceberg_bucket(8,id)"))
+    assert(log.current.properties.get("owner").contains("trino"))
+
+    // remove-properties drops a key; the other survives
+    assert(alter(
+      """{"action":"remove-properties","removals":["commit.retry.num-retries"]}""")
+      .statusCode() == 200)
+    assert(!log.current.properties.contains("commit.retry.num-retries"))
+    assert(log.current.properties.get("owner").contains("trino"))
+
+    // reserved graft.* provenance keys are server-owned: 400, not applied
+    assert(alter(
+      """{"action":"set-properties","updates":{"graft.foreign-snapshot-id":"7"}}""")
+      .statusCode() == 400)
+    // spec referencing an unknown source-id: 400, nothing applied
+    assert(alter(
+      """{"action":"add-spec","spec":{"spec-id":-1,"fields":[
+        |  {"name":"x","transform":"identity","source-id":99,"field-id":1002}]}},
+        |{"action":"set-default-spec-id","spec-id":-1}""".stripMargin)
+      .statusCode() == 400)
+    // add-spec without set-default-spec-id (staged spec): 400, per our
+    // retained-state contract
+    assert(alter(
+      """{"action":"add-spec","spec":{"spec-id":-1,"fields":[]}}""")
+      .statusCode() == 400)
+    spark.sql("DROP TABLE graftr.db.ice_props")
+  }
+
+  test("spec IRC view surface: listViews + loadView serve Iceberg view metadata") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.vb1 (id BIGINT, v DOUBLE)")
+    spark.sql("CREATE TABLE graftr.db.vb2 (id BIGINT, w DOUBLE)")
+    // a view JOINING two graft tables: the analyzer propagates BOTH tables'
+    // graft.id field metadata (each starting at 0) into the view schema —
+    // the rendered Iceberg schema must re-stamp to unique ids
+    spark.sql(
+      """CREATE VIEW graftr.db.vjoin AS
+        |SELECT a.id AS aid, b.id AS bid, a.v, b.w
+        |FROM graftr.db.vb1 a JOIN graftr.db.vb2 b ON a.id = b.id""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE VIEW graftr.db.vjoin AS
+        |SELECT a.id AS aid, b.id AS bid, a.v + b.w AS s
+        |FROM graftr.db.vb1 a JOIN graftr.db.vb2 b ON a.id = b.id""".stripMargin)
+    val token = oauthRaw()
+
+    val list = get("/v1/iceberg/namespaces/db/views", token)
+    assert(list.statusCode() == 200, list.body())
+    assert((JsonMethods.parse(list.body()) \ "identifiers").children
+      .map(i => (i \ "name").extract[String]).contains("vjoin"))
+
+    val resp = get("/v1/iceberg/namespaces/db/views/vjoin", token)
+    assert(resp.statusCode() == 200, resp.body())
+    val body = JsonMethods.parse(resp.body())
+    val metaLoc = (body \ "metadata-location").extract[String]
+    assert(metaLoc.startsWith("file://") && metaLoc.endsWith(".metadata.json"))
+    val meta = body \ "metadata"
+    assert((meta \ "format-version").extract[Int] == 1)
+    assert((meta \ "view-uuid").extract[String].nonEmpty)
+    // replace appended a version under the same uuid: 2 versions, 2 schemas
+    assert((meta \ "current-version-id").extract[Int] == 2)
+    val versions = (meta \ "versions").children
+    assert(versions.map(v => (v \ "version-id").extract[Int]) == List(1, 2))
+    val reps = versions.last \ "representations"
+    assert(reps.children.exists(r => (r \ "dialect").extractOpt[String].contains("spark")
+      && (r \ "sql").extract[String].toLowerCase.contains("join")))
+    // every schema's field ids are unique (the duplicate-id regression)
+    (meta \ "schemas").children.foreach { s =>
+      val ids = (s \ "fields").children.map(f => (f \ "id").extract[Int])
+      assert(ids.distinct.size == ids.size, s"duplicate field ids: $ids")
+    }
+    // HEAD + 404 behavior
+    assert(get("/v1/iceberg/namespaces/db/views/nope", token).statusCode() == 404)
+    spark.sql("DROP VIEW graftr.db.vjoin")
+    assert(get("/v1/iceberg/namespaces/db/views/vjoin", token).statusCode() == 404)
+    spark.sql("DROP TABLE graftr.db.vb1")
+    spark.sql("DROP TABLE graftr.db.vb2")
   }
 
   test("foreign positional-delete commit through the spec IRC surface") {
@@ -684,7 +802,7 @@ class ForeignWriterSpec extends SparkSpec {
     val (_, freshA2) = buildSpecAppendBody(token, "tx_a", Seq((4L, "d")))
     val (_, freshB2) = buildSpecAppendBody(token, "tx_b", Seq((12L, "z")))
     val badB = txChange("tx_b", freshB2.replace("\"updates\":[",
-      "\"updates\":[{\"action\":\"set-properties\",\"updates\":{\"k\":\"v\"}},"))
+      "\"updates\":[{\"action\":\"remove-snapshots\",\"snapshot-ids\":[1]},"))
     val halfFail = post("/v1/iceberg/transactions/commit",
       s"""{"table-changes":[${txChange("tx_a", freshA2)},$badB]}""", Some(token))
     assert(halfFail.statusCode() == 400, s"${halfFail.statusCode()}: ${halfFail.body()}")

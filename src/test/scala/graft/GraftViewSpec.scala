@@ -48,4 +48,34 @@ class GraftViewSpec extends SparkSpec {
       Array("vw"), "even"))
     assert(v.properties().get("team") == "pipeline")
   }
+
+  test("concurrent CREATE OR REPLACE VIEW: CAS keeps every version (none dropped)") {
+    init()
+    spark.sql("CREATE TABLE graft.vw.casbase (id BIGINT)")
+    spark.sql("CREATE VIEW graft.vw.casv AS SELECT id FROM graft.vw.casbase")
+    // 4 threads × 5 replaces race on the same view; without the marker CAS
+    // two replacers could read the same history, both write version N+1,
+    // and one update would vanish
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 20).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = spark.sql(
+            s"CREATE OR REPLACE VIEW graft.vw.casv AS " +
+              s"SELECT id, $i AS tag FROM graft.vw.casbase")
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val sv = graft.catalog.ViewStore.read(
+      graft.table.FileIO.forPath(SparkSpec.warehouse),
+      s"${SparkSpec.warehouse}/vw/_views/casv.json")
+    // 1 create + 20 replaces, version ids gapless and strictly increasing
+    assert(sv.allVersions.map(_.versionId) == (1 to 21),
+      s"got versions ${sv.allVersions.map(_.versionId)}")
+    assert(sv.currentVersionId == 21)
+    // the current top-level state matches the last version in the history
+    assert(sv.sql == sv.allVersions.last.sql)
+    spark.sql("DROP VIEW graft.vw.casv")
+  }
 }
