@@ -62,6 +62,10 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   DELETE /v1/namespaces/{ns}/tables/{t}/refs/{r}  drop a ref
   *   POST   /v1/tables/rename                        rename across namespaces
   *   POST   /v1/iceberg/transactions/commit          spec multi-table commit
+  *   POST   /v1/iceberg/namespaces                   spec createNamespace
+  *   DELETE /v1/iceberg/namespaces/{ns}              spec dropNamespace
+  *   POST   /v1/iceberg/namespaces/{ns}/tables       spec createTable
+  *   DELETE /v1/iceberg/namespaces/{ns}/tables/{t}   spec dropTable
   *   GET    /v1/iceberg/namespaces/{ns}/views        spec listViews
   *   GET    /v1/iceberg/namespaces/{ns}/views/{v}    spec loadView (view metadata)
   * }}}
@@ -240,6 +244,33 @@ class RestCatalogServer(val warehouse: String,
         if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
         val (metaUri, metadataJson) = renderIcebergMetadata(root)
         ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+      case ("POST", "namespaces" :: Nil) =>
+        val body = JsonMethods.parse(readBody(ex))
+        val nsSeq = (body \ "namespace").extractOpt[Seq[String]].getOrElse(
+          throw new IllegalArgumentException("createNamespace needs namespace"))
+        require(nsSeq.nonEmpty, "createNamespace: empty namespace")
+        if (io.isDirectory(nsDir(nsSeq)))
+          return err(ex, 409, s"namespace ${nsSeq.mkString(".")} exists")
+        io.mkdirs(nsDir(nsSeq))
+        ok(ex, Serialization.write(Map(
+          "namespace" -> nsSeq, "properties" -> Map.empty[String, String])))
+      case ("DELETE", "namespaces" :: ns :: Nil) =>
+        val dir = nsDir(decNs(ns))
+        if (!io.isDirectory(dir)) err(ex, 404, s"no namespace $ns")
+        else if (io.listNames(dir).nonEmpty)
+          err(ex, 409, s"namespace $ns is not empty")
+        else { io.delete(dir); ex.sendResponseHeaders(204, -1); ex.close() }
+      case ("POST", "namespaces" :: ns :: "tables" :: Nil) =>
+        icebergCreateTable(ex, decNs(ns))
+      case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(root)) err(ex, 404, s"no table $t")
+        else {
+          // purgeRequested or not, the whole tree goes: graft tables keep
+          // data under the table root, so drop == purge here
+          io.deleteRecursive(root); logs.remove(root)
+          ex.sendResponseHeaders(204, -1); ex.close()
+        }
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         icebergCommit(ex, decNs(ns), t)
       case ("POST", "transactions" :: "commit" :: Nil) =>
@@ -365,6 +396,102 @@ class RestCatalogServer(val warehouse: String,
       }
     }
 
+  /** Iceberg partition-spec JSON → graft `write.partition-by` transform
+    * list. Source-ids resolve through graft.id = field-id - 1 (the one
+    * import mapping); `bucket[N]` maps to murmur3 `iceberg_bucket` so
+    * foreign semantics are preserved bit-for-bit; `void` fields are retired
+    * and simply dropped. Round-trips through graft's parser HERE so a bad
+    * spec 400s the carrying request instead of breaking every later write.
+    * Shared by foreign `add-spec` commits and spec `createTable`. */
+  private def specToPartitionBy(sj: JValue, specSchema: StructType): String = {
+    def colOf(srcId: Int): String = specSchema.fields.find(f =>
+      f.metadata.contains("graft.id") && f.metadata.getLong("graft.id") == srcId - 1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition spec: no top-level field with field-id $srcId")).name
+    val Bucketed = """bucket\[(\d+)\]""".r
+    val Truncated = """truncate\[(\d+)\]""".r
+    val parts = (sj \ "fields").children.flatMap { f =>
+      val srcId = (f \ "source-id").extractOpt[Int].getOrElse(
+        throw new IllegalArgumentException("spec field needs source-id"))
+      (f \ "transform").extractOpt[String].getOrElse(
+        throw new IllegalArgumentException("spec field needs transform")) match {
+        case "void"       => None
+        case "identity"   => Some(colOf(srcId))
+        case Bucketed(n)  => Some(s"iceberg_bucket($n,${colOf(srcId)})")
+        case Truncated(w) => Some(s"truncate($w,${colOf(srcId)})")
+        case "year"       => Some(s"years(${colOf(srcId)})")
+        case "month"      => Some(s"months(${colOf(srcId)})")
+        case "day"        => Some(s"days(${colOf(srcId)})")
+        case "hour"       => Some(s"hours(${colOf(srcId)})")
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other'")
+      }
+    }
+    graft.table.PartitionTransform.parseList(
+      Some(parts.mkString(",")).filter(_.nonEmpty), specSchema)
+    parts.mkString(",")
+  }
+
+  /** Iceberg sort-order JSON → graft `write.sort-by` column list (identity
+    * transforms only — graft's write order sorts on columns). */
+  private def orderToSortBy(wo: JValue, specSchema: StructType): String =
+    (wo \ "fields").children.map { f =>
+      val tr = (f \ "transform").extractOpt[String].getOrElse("identity")
+      if (tr != "identity") throw new IllegalArgumentException(
+        s"write-order transform '$tr' is not supported (identity only)")
+      val srcId = (f \ "source-id").extractOpt[Int].getOrElse(
+        throw new IllegalArgumentException("sort field needs source-id"))
+      specSchema.fields.find(x => x.metadata.contains("graft.id") &&
+        x.metadata.getLong("graft.id") == srcId - 1L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"sort order: no top-level field with field-id $srcId")).name
+    }.mkString(",")
+
+  /** Spec Iceberg REST `createTable` (CreateTableRequest → LoadTableResult):
+    * schema arrives as Iceberg schema JSON (field ids preserved through the
+    * graft.id = id - 1 mapping so later exports render the SAME ids back),
+    * partition-spec and write-order translate to the `write.partition-by` /
+    * `write.sort-by` table properties that steer graft's write path. The
+    * foreign-engine CREATE TABLE role of the reference's UC IRC
+    * (`main.tf:803` Trino DDL against the catalog). */
+  private def icebergCreateTable(ex: HttpExchange, ns: Seq[String]): Unit = {
+    val body = JsonMethods.parse(readBody(ex))
+    val name = (body \ "name").extractOpt[String].getOrElse(
+      throw new IllegalArgumentException("createTable needs name"))
+    if ((body \ "stage-create").extractOpt[Boolean].contains(true))
+      throw new IllegalArgumentException("stage-create is not supported")
+    if ((body \ "location").extractOpt[String].exists(_.nonEmpty))
+      throw new IllegalArgumentException(
+        "custom location is not supported: tables live under the warehouse")
+    if (!io.isDirectory(nsDir(ns)))
+      return err(ex, 404, s"no namespace ${ns.mkString(".")}")
+    val root = tableRoot(ns, name)
+    if (isTable(root)) return err(ex, 409, s"table $name exists")
+    val st = graft.table.IcebergImport.sparkSchema(body \ "schema")
+    require(st.fields.nonEmpty, "createTable: empty schema")
+    val props = (body \ "properties").extractOpt[Map[String, String]]
+      .getOrElse(Map.empty)
+    props.keys.find(_.startsWith("graft.")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"property '$k' is reserved (graft.* keys are server-owned provenance)"))
+    val partBy = (body \ "partition-spec") match {
+      case JNothing | JNull => None
+      case sj => Some(specToPartitionBy(sj, st)).filter(_.nonEmpty)
+    }
+    val sortBy = (body \ "write-order") match {
+      case JNothing | JNull => None
+      case wo => Some(orderToSortBy(wo, st)).filter(_.nonEmpty)
+    }
+    val log = logOf(root)
+    log.initDirs()
+    log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(), "create",
+      0, Map("0" -> st.json), Seq.empty,
+      props ++ partBy.map("write.partition-by" -> _)
+            ++ sortBy.map("write.sort-by" -> _)))
+    val (metaUri, metadataJson) = renderIcebergMetadata(root)
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+  }
+
   /** Validate + apply ONE table's spec commit (requirements, updates,
     * manifest-list decode, CAS) without writing the HTTP response — the
     * shared core of [[icebergCommit]] and [[icebergTransaction]]. */
@@ -382,12 +509,42 @@ class RestCatalogServer(val warehouse: String,
       .filterNot(Set("add-snapshot", "set-snapshot-ref",
         "add-schema", "set-current-schema-id",
         "set-properties", "remove-properties",
-        "add-spec", "set-default-spec-id"))
+        "add-spec", "set-default-spec-id", "remove-snapshots"))
     if (unsupported.nonEmpty) throw new IllegalArgumentException(
       s"unsupported update action(s): ${unsupported.mkString(", ")} " +
         "(add-snapshot / set-snapshot-ref main / add-schema / " +
         "set-current-schema-id / set-properties / remove-properties / " +
-        "add-spec / set-default-spec-id commits are accepted)")
+        "add-spec / set-default-spec-id / remove-snapshots commits are accepted)")
+
+    // ---- foreign snapshot expiry (Iceberg's expireSnapshots emits
+    // `remove-snapshots`): graft retention is prefix-based and never drops
+    // HEAD or a ref target, so the requested set must be EXACTLY the prefix
+    // the log would expire — holes, HEAD, or a ref target reject the whole
+    // commit with nothing deleted. Metadata-only by design: in the IRC
+    // split the CLIENT engine deletes the unreferenced data files it
+    // computed; the server owns only the metadata tree. Must be the sole
+    // action in its commit (as Iceberg's RemoveSnapshots produces it).
+    val removeIds: Seq[Long] = updates
+      .filter(u => (u \ "action").extractOpt[String].contains("remove-snapshots"))
+      .flatMap(u => (u \ "snapshot-ids").extractOpt[Seq[Long]].getOrElse(
+        throw new IllegalArgumentException("remove-snapshots needs snapshot-ids")))
+    if (removeIds.nonEmpty) {
+      if (!updates.flatMap(u => (u \ "action").extractOpt[String])
+          .forall(_ == "remove-snapshots"))
+        throw new IllegalArgumentException(
+          "remove-snapshots must be the only update action in its commit")
+      val want = removeIds.toSet
+      val candidates = log.expireCandidates(removeIds.max + 1).toSet
+      if (candidates != want) throw new IllegalArgumentException(
+        s"remove-snapshots [${want.toSeq.sorted.mkString(",")}] is not an expirable " +
+          s"prefix (would expire [${candidates.toSeq.sorted.mkString(",")}]; " +
+          "HEAD and ref targets are always retained)")
+      log.expireMetadata(removeIds.max + 1)
+      // the cached Iceberg render for the (unchanged) current version still
+      // lists the expired snapshots — drop it so the next load re-renders
+      io.deleteRecursive(s"${absolutize(root)}/_iceberg/v${log.currentVersion}")
+      return
+    }
     val refMoves = updates
       .filter(u => (u \ "action").extractOpt[String].contains("set-snapshot-ref"))
       .flatMap(u => (u \ "ref-name").extractOpt[String])
@@ -474,42 +631,9 @@ class RestCatalogServer(val warehouse: String,
         id
     }
 
-    // Translate the added Iceberg spec's fields to graft transform strings
-    // (source-id resolves through graft.id = field-id - 1, the one import
-    // mapping; `bucket[N]` maps to murmur3 `iceberg_bucket` so foreign
-    // semantics are preserved bit-for-bit; `void` fields are retired and
-    // simply dropped). Round-trips through graft's parser NOW so a bad
-    // spec 400s this commit instead of breaking every later write.
-    val newPartitionBy: Option[String] = specAdds.lastOption.map { sj =>
-      val specSchema = DataType.fromJson(newSchemas(newCurrentId.toString))
-        .asInstanceOf[StructType]
-      def colOf(srcId: Int): String = specSchema.fields.find(f =>
-        f.metadata.contains("graft.id") && f.metadata.getLong("graft.id") == srcId - 1L)
-        .getOrElse(throw new IllegalArgumentException(
-          s"add-spec: no top-level field with field-id $srcId")).name
-      val Bucketed = """bucket\[(\d+)\]""".r
-      val Truncated = """truncate\[(\d+)\]""".r
-      val parts = (sj \ "fields").children.flatMap { f =>
-        val srcId = (f \ "source-id").extractOpt[Int].getOrElse(
-          throw new IllegalArgumentException("spec field needs source-id"))
-        (f \ "transform").extractOpt[String].getOrElse(
-          throw new IllegalArgumentException("spec field needs transform")) match {
-          case "void"       => None
-          case "identity"   => Some(colOf(srcId))
-          case Bucketed(n)  => Some(s"iceberg_bucket($n,${colOf(srcId)})")
-          case Truncated(w) => Some(s"truncate($w,${colOf(srcId)})")
-          case "year"       => Some(s"years(${colOf(srcId)})")
-          case "month"      => Some(s"months(${colOf(srcId)})")
-          case "day"        => Some(s"days(${colOf(srcId)})")
-          case "hour"       => Some(s"hours(${colOf(srcId)})")
-          case other => throw new IllegalArgumentException(
-            s"unsupported partition transform '$other'")
-        }
-      }
-      graft.table.PartitionTransform.parseList(
-        Some(parts.mkString(",")).filter(_.nonEmpty), specSchema)
-      parts.mkString(",")
-    }
+    val newPartitionBy: Option[String] = specAdds.lastOption.map(sj =>
+      specToPartitionBy(sj,
+        DataType.fromJson(newSchemas(newCurrentId.toString)).asInstanceOf[StructType]))
     val applySpec: Map[String, String] => Map[String, String] = m =>
       newPartitionBy match {
         case None     => m

@@ -448,9 +448,17 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   /** Delete snapshot JSONs strictly older than `keepFrom` (never HEAD or a
     * ref target), then GC manifest chunks no surviving snapshot references.
     * Data files are handled by removeOrphanFiles. */
-  def expireMetadata(keepFrom: Long): Seq[Long] = {
+  /** The versions [[expireMetadata]] would delete for `keepFrom`, with no
+    * side effects — lets a caller handed an EXPLICIT expiry set (the spec
+    * IRC `remove-snapshots` action) validate it up front instead of
+    * discovering mid-delete that it doesn't match the retention rules. */
+  def expireCandidates(keepFrom: Long): Seq[Long] = {
     val protectedVs = refs.values.map(_.version).toSet + currentVersion
-    val expired = listVersions.filter(v => v < keepFrom && !protectedVs.contains(v))
+    listVersions.filter(v => v < keepFrom && !protectedVs.contains(v))
+  }
+
+  def expireMetadata(keepFrom: Long): Seq[Long] = {
+    val expired = expireCandidates(keepFrom)
     expired.foreach(v => io.delete(versionPath(v)))
     val referenced = listVersions.flatMap(storedManifests).toSet
     io.listNames(metaDir)

@@ -36,6 +36,10 @@ class ForeignWriterSpec extends SparkSpec {
     http.send(HttpRequest.newBuilder(URI.create(s"${server.uri}$path"))
       .header("Authorization", s"Bearer $token").GET().build(),
       HttpResponse.BodyHandlers.ofString())
+  private def del(path: String, token: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"${server.uri}$path"))
+      .header("Authorization", s"Bearer $token").DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
 
   private def oauthRaw(): String = {
     val resp = post("/v1/oauth/tokens",
@@ -530,6 +534,101 @@ class ForeignWriterSpec extends SparkSpec {
       """{"action":"add-spec","spec":{"spec-id":-1,"fields":[]}}""")
       .statusCode() == 400)
     spark.sql("DROP TABLE graftr.db.ice_props")
+  }
+
+  test("foreign CREATE/DROP TABLE and namespace DDL through the spec IRC surface") {
+    // A Trino-style engine's CREATE TABLE against the catalog (reference
+    // `main.tf:803`): spec createNamespace + createTable (schema with the
+    // CLIENT's field ids, partition-spec, write-order) → LoadTableResult.
+    val token = oauthRaw()
+    assert(post("/v1/iceberg/namespaces",
+      """{"namespace":["icens"],"properties":{}}""", Some(token)).statusCode() == 200)
+    assert(post("/v1/iceberg/namespaces",
+      """{"namespace":["icens"]}""", Some(token)).statusCode() == 409)
+
+    val createBody =
+      """{"name":"ct","schema":{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":true,"type":"long"},
+        |  {"id":2,"name":"cat","required":false,"type":"string"},
+        |  {"id":3,"name":"ts","required":false,"type":"timestamptz"}]},
+        |"partition-spec":{"spec-id":0,"fields":[
+        |  {"name":"cat","transform":"identity","source-id":2,"field-id":1000}]},
+        |"write-order":{"order-id":1,"fields":[
+        |  {"transform":"identity","source-id":1,"direction":"asc","null-order":"nulls-first"}]},
+        |"properties":{"owner":"trino"}}""".stripMargin
+    val create = post("/v1/iceberg/namespaces/icens/tables", createBody, Some(token))
+    assert(create.statusCode() == 200, create.body())
+    val meta = JsonMethods.parse(create.body()) \ "metadata"
+    assert((meta \ "format-version").extract[Int] == 2)
+    // the client's field ids survive the round-trip into served metadata
+    val fields = ((meta \ "schemas").children.head \ "fields").children
+    assert(fields.map(f => (f \ "id").extract[Int]) == List(1, 2, 3))
+    assert(post("/v1/iceberg/namespaces/icens/tables", createBody, Some(token))
+      .statusCode() == 409)
+
+    // the translated partition-spec + write-order steer graft's write path
+    val log = new graft.table.SnapshotLog(
+      Paths.get(server.warehouse, "icens", "ct").toString)
+    assert(log.current.properties.get("write.partition-by").contains("cat"))
+    assert(log.current.properties.get("write.sort-by").contains("id"))
+    assert(log.current.properties.get("owner").contains("trino"))
+
+    // graft reads and writes the foreign-created table through its catalog
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql(
+      "INSERT INTO graftr.icens.ct VALUES (1, 'a', TIMESTAMP '2024-01-01 00:00:00')")
+    assert(spark.sql("SELECT id, cat FROM graftr.icens.ct").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+
+    // spec dropTable / dropNamespace; non-empty namespace rejects
+    assert(del("/v1/iceberg/namespaces/icens", token).statusCode() == 409)
+    assert(del("/v1/iceberg/namespaces/icens/tables/ct", token).statusCode() == 204)
+    assert(get("/v1/iceberg/namespaces/icens/tables/ct", token).statusCode() == 404)
+    assert(del("/v1/iceberg/namespaces/icens", token).statusCode() == 204)
+    assert(get("/v1/iceberg/namespaces/icens", token).statusCode() == 404)
+  }
+
+  test("foreign expire: remove-snapshots through the spec IRC surface") {
+    // Iceberg's expireSnapshots emits a metadata-only remove-snapshots
+    // commit; the client engine deletes unreferenced data files itself.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.ice_exp (id BIGINT)")
+    spark.sql("INSERT INTO graftr.db.ice_exp VALUES (1)")
+    spark.sql("INSERT INTO graftr.db.ice_exp VALUES (2)")
+    val token = oauthRaw()
+    def snapIds(): Seq[Long] = (JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/tables/ice_exp", token).body())
+      \ "metadata" \ "snapshots").children
+      .map(s => (s \ "snapshot-id").extract[Long]).sorted
+    def expire(ids: Seq[Long]): HttpResponse[String] =
+      post("/v1/iceberg/namespaces/db/tables/ice_exp",
+        s"""{"requirements":[],"updates":[
+           |  {"action":"remove-snapshots","snapshot-ids":[${ids.mkString(",")}]}]}"""
+          .stripMargin, Some(token))
+
+    val before = snapIds()
+    assert(before.size >= 3, s"expected >=3 snapshots, got $before")
+    val head = before.max
+    // HEAD is always retained: 400, nothing deleted
+    assert(expire(Seq(head)).statusCode() == 400)
+    // a non-prefix set (newest non-head only, skipping older) is rejected
+    if (before.size > 2)
+      assert(expire(Seq(before(before.size - 2))).statusCode() == 400)
+    assert(snapIds() == before, "a rejected expire deleted metadata")
+    // the exact expirable prefix succeeds; served metadata drops them
+    val resp = expire(before.filter(_ != head))
+    assert(resp.statusCode() == 200, resp.body())
+    assert(snapIds() == Seq(head))
+    // graft still reads the surviving table state
+    spark.sql("REFRESH TABLE graftr.db.ice_exp")
+    assert(spark.sql("SELECT id FROM graftr.db.ice_exp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spark.sql("DROP TABLE graftr.db.ice_exp")
   }
 
   test("spec IRC view surface: listViews + loadView serve Iceberg view metadata") {
