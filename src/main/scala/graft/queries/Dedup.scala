@@ -19,7 +19,11 @@ import graft.Tables._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles per document: (doc_id, shingle). */
+  /** Distinct 3-word shingles per document: (doc_id, shingle). The
+    * post-explode DISTINCT partial-aggregates map-side, so consumers that
+    * immediately re-aggregate (q41's signature groupBy, q49's fingerprint
+    * groupBy) pay almost nothing extra for it — measured FASTER than the
+    * [[shinglesN]] per-row array_distinct for those shapes. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     documents(spark, dir)
@@ -29,6 +33,27 @@ object Dedup {
         explode(expr("transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' '))"))
           .as("shingle"))
       .distinct()
+  }
+
+  /** Distinct shingles WITH the per-doc count riding along: (doc_id, n,
+    * shingle). Distinctness is per-row `array_distinct` BEFORE the explode
+    * (map-local — one doc's shingles never straddle rows) instead of a
+    * post-explode DISTINCT, and `size` on the deduped array is the per-doc
+    * count — no shuffle for distinctness, no second aggregation, no sizes
+    * join. For the inverted-index SELF-JOIN consumers (q43, q82) this is
+    * the winning shape: the count unlocks size-ratio/threshold prefilters
+    * at the widest point of the plan, where at 100 TB the candidate-pair
+    * stream is many times the corpus. (Aggregate-only consumers keep
+    * [[shingles]] — measured faster there.) */
+  private[graft] def shinglesN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' ')))")
+        .as("sh"))
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
   }
 
   private val shinglesSql: String =
@@ -151,25 +176,26 @@ object Dedup {
     * that survives 100 TB; join cost is Σ_shingle df² with df <= the cap. */
   def q43(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached: used three times (self-join both sides + per-doc sizes)
-    val sh = shingles(spark, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // inverted-index frequency cap: drop stop-shingles before the self-join.
     // A count-over-shingle window (not groupBy+join) computes the frequency
     // in the SAME hash(shingle) shuffle the self-join needs — the window's
     // output partitioning satisfies the join requirement, so the cap adds
-    // zero extra exchanges.
-    val rare = sh
+    // zero extra exchanges. Cached: both self-join sides read it.
+    val rare = shinglesN(spark, dir)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= HotShingleCap).drop("df")
-    val shared = rare.as("a").join(rare.as("b"), "shingle")
+      .cache()
+    rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
+      // size-ratio prefilter: c ≤ min(n1,n2) gives J ≤ min/max, so a pair
+      // with min·10 < max·4 can never reach 0.4 — pruned BEFORE the pair
+      // aggregation, where the candidate set is at its widest. The per-doc
+      // counts ride the shingle rows (computed pre-explode), so this costs
+      // zero extra joins.
+      .filter(least($"a.n", $"b.n") * 10 >= greatest($"a.n", $"b.n") * 4)
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("c"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .agg(count(lit(1)).as("c"), max($"a.n").as("n1"), max($"b.n").as("n2"))
       .withColumn("jaccard", round($"c".cast("double") / ($"n1" + $"n2" - $"c"), 4))
       .filter($"jaccard" >= 0.4)
       .select($"d1", $"d2", $"jaccard")
@@ -283,13 +309,17 @@ object Dedup {
     * shingle explosion. */
   def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
+    val sh = shinglesN(spark, dir)
     val rare = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= HotShingleCap).drop("df")
     val cand = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
+      // c ≤ min(n1,n2): a pair whose smaller doc has fewer distinct
+      // shingles than the threshold can never produce c ≥ threshold —
+      // pruned before the pair aggregation (n rides the shingle rows free)
+      .filter(least($"a.n", $"b.n") >= MinSharedShingles)
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= MinSharedShingles)
