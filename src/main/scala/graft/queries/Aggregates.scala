@@ -49,15 +49,19 @@ object Aggregates {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q14
-  /** ROLLUP with grouping_id: per (status, priority), per status, grand total. */
+  /** ROLLUP with grouping_id: per (status, priority), per status, grand
+    * total. Pre-aggregated to the full key before the rollup's 3× Expand —
+    * see [[q15]]'s scale note. */
   def q14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("pn"), sum(dec2($"o_totalprice")).as("ps"))
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(
         grouping_id().as("gid"),
-        count(lit(1)).as("n_orders"),
-        msum($"o_totalprice").as("total_price"))
+        sum($"pn").as("n_orders"),
+        sum($"ps").cast("double").as("total_price"))
       .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -71,15 +75,27 @@ object Aggregates {
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q15
-  /** CUBE over two keys: all 2^2 grouping combinations in one pass. */
+  /** CUBE over two keys: all 2^2 grouping combinations in one pass.
+    *
+    * Pre-aggregated before the cube: CUBE's Expand multiplies its INPUT 4×
+    * (every grouping-set combination), so cubing the raw table pushes 4×|T|
+    * rows through the aggregate. Rolling up to the full key first shrinks
+    * the input to the distinct key combinations (a handful here, bounded by
+    * |flag|×|status| always), and the cube re-aggregates those partials —
+    * COUNT becomes SUM of partial counts, the DECIMAL SUM of sums stays
+    * exact, grouping_id is computed over the same keys. At 100 TB this is
+    * the difference between expanding 4× the fact table and expanding 4× a
+    * few hundred rows. */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("pn"), sum(dec2($"l_quantity")).as("ps"))
       .cube($"l_returnflag", $"l_linestatus")
       .agg(
         grouping_id().as("gid"),
-        count(lit(1)).as("n_items"),
-        msum($"l_quantity").as("sum_qty"))
+        sum($"pn").as("n_items"),
+        sum($"ps").cast("double").as("sum_qty"))
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -93,17 +109,20 @@ object Aggregates {
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q16
-  /** Explicit GROUPING SETS (a strict subset of cube): ((seg,nation),(seg),()). */
+  /** Explicit GROUPING SETS (a strict subset of cube): ((seg,nation),(seg),()).
+    * Pre-aggregated to the finest set before the 3× Expand — see [[q15]]. */
   def q16(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     customer(spark, dir)
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("pn"), sum(dec2($"c_acctbal")).as("ps"))
       .groupingSets(
         Seq(Seq($"c_mktsegment", $"c_nationkey"), Seq($"c_mktsegment"), Seq.empty),
         $"c_mktsegment", $"c_nationkey")
       .agg(
         grouping_id().as("gid"),
-        count(lit(1)).as("n_customers"),
-        msum($"c_acctbal").as("total_bal"))
+        sum($"pn").as("n_customers"),
+        sum($"ps").cast("double").as("total_bal"))
       .orderBy($"gid", $"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
   }
 
