@@ -178,12 +178,71 @@ object Similarity {
       .withColumn("cos_sim", rnd(col("cos_sim"), 4))
   }
 
+  // ---------------------------------------------------------------- q88
+  private val SemSeeds = 16
+
+  /** SemDedup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then prune near-duplicate pairs WITHIN
+    * clusters only — the trick that makes semantic dedup tractable at
+    * corpus scale, because pair generation is Σ cluster² (K grows with n,
+    * clusters stay bounded) instead of global n². Here the clustering is
+    * one deterministic assignment step: K seed vectors chosen by md5 order
+    * (reproducible in any engine, unlike a kmeans fit), every vector
+    * assigned to its max-cosine seed via `max_by` over a BROADCAST 16-row
+    * seed table — one scan, no shuffle for the assignment itself. The
+    * within-cluster pair join is cluster-id equality (shuffle join on cid),
+    * never a cartesian. Cosine is the codegen'd native expression; the
+    * DuckDB oracle runs the identical fold, so assignments and scores
+    * hash-match, not just counts. */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val seeds = e
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+      .limit(SemSeeds)
+      .select($"vec_id".as("sid"), $"embedding".as("sv"))
+    // argmax over the broadcast seeds: round(cos, 6) then smallest sid wins
+    // ties — the same total order the oracle's window enforces
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("c", round(cos($"embedding", $"sv"), 6))
+      .groupBy($"vec_id")
+      .agg(max_by($"sid", struct($"c", -$"sid")).as("cid"),
+        first($"embedding").as("embedding"))
+    assign.as("a").join(assign.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos_sim", round(cos($"a.embedding", $"b.embedding"), 3))
+      .filter($"cos_sim" >= 0.4)
+      .select($"a.cid".as("cid"), $"a.vec_id".as("d1"), $"b.vec_id".as("d2"), $"cos_sim")
+      .orderBy($"cid", $"d1", $"d2")
+  }
+
+  val q88Sql: String = {
+    def dcos(a: String, b: String): String =
+      s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings
+       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $SemSeeds),
+       |assign AS (
+       |  SELECT vec_id, sid AS cid, embedding FROM (
+       |    SELECT e.vec_id, s.sid, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dcos("e.embedding", "s.sv")}, 6) DESC, s.sid) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1)
+       |SELECT a.cid AS cid, a.vec_id AS d1, b.vec_id AS d2,
+       |  round(${dcos("a.embedding", "b.embedding")}, 3) AS cos_sim
+       |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE round(${dcos("a.embedding", "b.embedding")}, 3) >= 0.4
+       |ORDER BY cid, d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embed_cosine_topk" -> q44,
     "q45_embed_neardup_lsh" -> q45,
-    "q70_ann_ivf"           -> q70)
+    "q70_ann_ivf"           -> q70,
+    "q88_semantic_dedup"    -> q88)
 
   val oracleSql: Map[String, String] = Map(
     "q44_embed_cosine_topk" -> q44Sql,
-    "q45_embed_neardup_lsh" -> q45Sql)
+    "q45_embed_neardup_lsh" -> q45Sql,
+    "q88_semantic_dedup"    -> q88Sql)
 }

@@ -30,6 +30,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q88 semantic dedup: valid assignment, within-cluster pairs only, no cartesian pair join") {
+    val df = Similarity.q88(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the ONLY unconditioned join is the 16-row broadcast seed table (the
+    // assignment argmax); the pair join must be a cluster-id equality join
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pairs not canonical d1 < d2")
+      assert(r.getDouble(3) >= 0.4)
+    }
+    // every emitted pair's members were assigned the SAME cluster, and the
+    // assignment is a function (one cluster per vector)
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+      .limit(16).select($"vec_id".as("sid"), $"embedding".as("sv"))
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("c", round(graft.functions.CosineSimilarity($"embedding", $"sv"), 6))
+      .groupBy($"vec_id").agg(max_by($"sid", struct($"c", -$"sid")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(assign(r.getLong(1)) == r.getLong(0) && assign(r.getLong(2)) == r.getLong(0),
+        s"pair (${r.getLong(1)}, ${r.getLong(2)}) not in cluster ${r.getLong(0)}")
+    }
+  }
+
   test("planted duplicate vector is recovered by LSH near-dup pairs") {
     val vecs = Tables.embeddings(spark, sf).limit(20)
     // plant: vec 9001 = copy of vec 0 (cos = 1.0)
