@@ -729,7 +729,18 @@ class RestCatalogServer(val warehouse: String,
       case Some((_, name, _)) => return err(ex, 404, s"no table $name")
       case None => ()
     }
-    // phase 1: all requirements, no side effects
+    // phase 1: all requirements, no side effects. remove-snapshots is
+    // barred from transactions outright: expiry DELETES snapshot JSONs,
+    // which the fenced-HEAD rollback of a mid-apply failure cannot
+    // restore — accepting it would let a failed transaction leave one
+    // table expired. (Iceberg's expireSnapshots commits it standalone.)
+    resolved.foreach { case (_, name, c) =>
+      if ((c \ "updates").children.exists(u =>
+          (u \ "action").extractOpt[String].contains("remove-snapshots")))
+        throw new IllegalArgumentException(
+          s"remove-snapshots on $name: snapshot expiry is not transactional " +
+            "(deleted metadata cannot roll back) — commit it standalone")
+    }
     resolved.foreach { case (root, _, c) =>
       checkIcebergRequirements(logOf(root).current, c) }
     // phase 2: apply in order; unwind on any failure

@@ -628,6 +628,14 @@ class ForeignWriterSpec extends SparkSpec {
     spark.sql("REFRESH TABLE graftr.db.ice_exp")
     assert(spark.sql("SELECT id FROM graftr.db.ice_exp ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // expiry is barred from multi-table transactions: a mid-apply failure
+    // could not roll deleted metadata back
+    val tx = post("/v1/iceberg/transactions/commit",
+      """{"table-changes":[{"identifier":{"namespace":["db"],"name":"ice_exp"},
+        |"requirements":[],"updates":[
+        |  {"action":"remove-snapshots","snapshot-ids":[9]}]}]}""".stripMargin,
+      Some(token))
+    assert(tx.statusCode() == 400, s"${tx.statusCode()}: ${tx.body()}")
     spark.sql("DROP TABLE graftr.db.ice_exp")
   }
 
