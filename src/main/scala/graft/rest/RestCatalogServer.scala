@@ -190,9 +190,9 @@ class RestCatalogServer(val warehouse: String,
     * snapshot log as Iceberg v2 metadata on first request per version
     * (cached under `<table>/_iceberg/v<N>/`) and returns the spec
     * `LoadTableResult` with the metadata inlined — the engine IS the
-    * catalog the reference wires engines against. Read surface only:
-    * writes go through an engine (graft or a foreign writer on the
-    * documented commit contract), as with any warehouse catalog. */
+    * catalog the reference wires engines against. The write half lives in
+    * [[icebergCommit]]/[[icebergTransaction]]/[[icebergCreateTable]]:
+    * spec updateTable commits, multi-table transactions, and DDL. */
   /** Spec list pagination (`pageToken` / `pageSize`): the token is the last
     * name of the previous page — a stable EXCLUSIVE cursor over the sorted
     * listing, so pages stay consistent even when entries are created or
