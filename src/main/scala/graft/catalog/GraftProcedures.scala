@@ -113,6 +113,13 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("source", StringType)))((s, r) =>
         graft.table.IcebergImport.importTable(s, r.getUTF8String(1).toString,
           tablePathOf(r.getUTF8String(0).toString))),
+      // the migration-out counterpart of import_iceberg: write the full
+      // Iceberg v2 metadata tree (HadoopTables layout, real Avro manifests,
+      // version-hint.text) for a graft table so any Iceberg reader opens it
+      // in place — no REST server required
+      new Proc("export_iceberg", "render the table as Iceberg v2 metadata under out_dir (HadoopTables layout); data files referenced in place",
+        Seq(tbl, in("out_dir", StringType)))((s, r) =>
+        graft.table.IcebergExport.export(load(s, r), r.getUTF8String(1).toString)),
       // branch/tag DDL rides the CALL surface instead of a parser extension:
       // same capability as Iceberg's ALTER TABLE ... CREATE BRANCH/TAG.
       // version defaults to -1 = "the current snapshot" (Iceberg's

@@ -68,6 +68,23 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.proc.imported").collect()(0).getLong(0) == 5)
   }
 
+  test("CALL export_iceberg writes metadata import_iceberg round-trips (migration out and back)") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.exp (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.proc.exp VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("INSERT INTO graft.proc.exp VALUES (3, 3.5)")
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "export-ice-").toString
+    spark.sql(s"CALL graft.system.export_iceberg('proc.exp', '$out')")
+    // HadoopTables layout a foreign Iceberg reader expects
+    assert(new java.io.File(s"$out/metadata/v1.metadata.json").exists())
+    assert(new java.io.File(s"$out/metadata/version-hint.text").exists())
+    // the exported tree round-trips through the independent importer
+    spark.sql(s"CALL graft.system.import_iceberg('proc.exp_back', '$out')")
+    assert(spark.sql("SELECT id FROM graft.proc.exp_back ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("CALL create_branch / create_tag / drop_ref manage refs via SQL") {
     init()
     spark.sql("CREATE TABLE graft.proc.br (id BIGINT)")
