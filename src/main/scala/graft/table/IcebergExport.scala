@@ -878,6 +878,19 @@ object IcebergExport {
       if (tablePath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) tablePath
       else s"file://$tablePath"
 
+    // `write.sort-by` (WRITE ORDERED BY — identity columns) exports as a
+    // true Iceberg sort order so foreign writers see and can keep the
+    // declared clustering — the mirror of the IRC createTable path, which
+    // translates an incoming write-order INTO write.sort-by. Columns that
+    // no longer resolve in the current schema (dropped after the order was
+    // set) are skipped rather than exporting a dangling source-id.
+    val sortFields: Seq[JValue] = head.properties.get("write.sort-by").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => schemaWithIds.fields.find(_.name == c))
+      .filter(f => iid(f) > 0)
+      .map(f => (("transform" -> "identity") ~ ("source-id" -> iid(f)) ~
+        ("direction" -> "asc") ~ ("null-order" -> "nulls-first")): JValue)
+
     val metadata: JObject =
       ("format-version" -> 2) ~
       ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(tablePath.getBytes(UTF_8)).toString) ~
@@ -897,8 +910,12 @@ object IcebergExport {
                 ("field-id" -> sf.fieldId)): JValue).toList)))
           else Nil))) ~
       ("last-partition-id" -> (999 + specFields.size)) ~
-      ("default-sort-order-id" -> 0) ~
-      ("sort-orders" -> JArray(List(("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
+      ("default-sort-order-id" -> (if (sortFields.nonEmpty) 1 else 0)) ~
+      ("sort-orders" -> JArray(
+        (("order-id" -> 0) ~ ("fields" -> JArray(Nil))) ::
+          (if (sortFields.nonEmpty)
+            List(("order-id" -> 1) ~ ("fields" -> JArray(sortFields.toList)))
+          else Nil))) ~
       ("properties" -> tableProps) ~
       ("current-snapshot-id" -> head.version) ~
       // main + every graft branch/tag whose snapshot survives in the chain

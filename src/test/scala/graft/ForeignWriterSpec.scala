@@ -563,6 +563,12 @@ class ForeignWriterSpec extends SparkSpec {
     // the client's field ids survive the round-trip into served metadata
     val fields = ((meta \ "schemas").children.head \ "fields").children
     assert(fields.map(f => (f \ "id").extract[Int]) == List(1, 2, 3))
+    // ...and so does the write-order, re-exported as a true Iceberg sort
+    // order (identity on field id 1)
+    assert((meta \ "default-sort-order-id").extract[Int] == 1)
+    val so = (meta \ "sort-orders").children
+      .find(o => (o \ "order-id").extractOpt[Int].contains(1)).get
+    assert((so \ "fields").children.map(f => (f \ "source-id").extract[Int]) == List(1))
     assert(post("/v1/iceberg/namespaces/icens/tables", createBody, Some(token))
       .statusCode() == 409)
 
