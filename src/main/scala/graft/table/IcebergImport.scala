@@ -203,9 +203,27 @@ object IcebergImport {
       case (_, "hour", gid)        => idToName.get(gid).map(n => s"hours($n)")
       case _                       => None
     }.filter(spec => Try(PartitionTransform.parse(spec, currentSchema)).isSuccess)
+    // Reconstruct `write.sort-by` from the default sort order's identity
+    // fields (the mirror of the exporter publishing write.sort-by as sort
+    // order 1) — future graft writes keep the foreign table's declared
+    // clustering. Non-identity sort transforms have no graft sort-by
+    // equivalent and are skipped.
+    val defaultSortId = (meta \ "default-sort-order-id").extractOpt[Int].getOrElse(0)
+    val writeSortBy = (meta \ "sort-orders").children
+      .find(o => (o \ "order-id").extractOpt[Int].contains(defaultSortId))
+      .map(o => (o \ "fields").children.flatMap { f =>
+        if ((f \ "transform").extractOpt[String].contains("identity"))
+          // idToName is keyed by graft.id = Iceberg field-id - 1
+          (f \ "source-id").extractOpt[Int].flatMap(id => idToName.get(id - 1))
+        else None
+      }).getOrElse(Seq.empty)
+      .filter(n => currentSchema.fields.exists(_.name == n))
     val props = extraProps ++
       (if (writePartitionBy.nonEmpty)
         Map("write.partition-by" -> writePartitionBy.mkString(","))
+      else Map.empty) ++
+      (if (writeSortBy.nonEmpty)
+        Map("write.sort-by" -> writeSortBy.mkString(","))
       else Map.empty) +
       ("graft.imported-from" -> metaPath) +
       ("graft.read.by-field-id" -> "true")

@@ -73,6 +73,9 @@ class GraftProceduresSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.proc.exp (id BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO graft.proc.exp VALUES (1, 1.5), (2, 2.5)")
     spark.sql("INSERT INTO graft.proc.exp VALUES (3, 3.5)")
+    // declared write order must survive export -> import (sort-order 1)
+    graft.table.GraftTable.load(spark,
+      s"${SparkSpec.warehouse}/proc/exp").writeOrderedBy("id")
     val out = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "export-ice-").toString
     spark.sql(s"CALL graft.system.export_iceberg('proc.exp', '$out')")
@@ -83,6 +86,9 @@ class GraftProceduresSpec extends SparkSpec {
     spark.sql(s"CALL graft.system.import_iceberg('proc.exp_back', '$out')")
     assert(spark.sql("SELECT id FROM graft.proc.exp_back ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val back = graft.table.GraftTable.load(spark,
+      s"${SparkSpec.warehouse}/proc/exp_back")
+    assert(back.log.current.properties.get("write.sort-by").contains("id"))
   }
 
   test("CALL create_branch / create_tag / drop_ref manage refs via SQL") {
