@@ -107,6 +107,14 @@ object Streams {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** STREAM-STATIC equi-join: enrich each micro-batch against a dimension
+    * table. The static side is a plain bounded DataFrame (here typically a
+    * graft catalog table) joined per micro-batch; with DSv2 row/byte stats
+    * on a small graft dim, every batch's join auto-broadcasts — no state
+    * store, no watermark, the standard dimension-enrichment shape. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key))
+
   /** Streaming sink into a graft table (the Iceberg Structured Streaming
     * sink equivalent — the declared stack ships one in the Iceberg 1.9.1
     * runtime, reference `README.md:36`). Use with foreachBatch:

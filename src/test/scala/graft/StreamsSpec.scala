@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
 
@@ -134,6 +135,33 @@ class StreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
       assert(rows.contains((1L, Some(10L), 1L)), s"matched row missing: $rows")
       assert(rows.contains((2L, None, 2L)), s"null-extended unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches a stream against a graft dim table per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.stream.user_dim (user_id BIGINT, tier STRING)")
+    spark.sql("DELETE FROM graft.stream.user_dim WHERE true")
+    spark.sql("INSERT INTO graft.stream.user_dim VALUES (1, 'gold'), (2, 'basic')")
+    val ms = MemoryStream[Event]
+    val q = Streams.enrichWithDim(ms.toDF(), spark.table("graft.stream.user_dim"), "user_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 10, 1, "click"), ev(2, 11, 2, "view"), ev(3, 12, 3, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // user 3 has no dim row: inner join drops it
+      assert(rows == Set((1L, 1L, "gold"), (2L, 2L, "basic")))
+      // a second micro-batch joins again (per-batch join, no state store)
+      ms.addData(ev(4, 13, 2, "click"))
+      q.processAllAvailable()
+      assert(spark.table("enriched_out").count() == 3)
     } finally q.stop()
   }
 
