@@ -41,8 +41,11 @@ trait FileIO {
   def mkdirs(dir: String): Unit
   def exists(p: String): Boolean
   def readString(p: String): String
+  def readBytes(p: String): Array[Byte]
   /** Write-temp + rename-over: replaces any existing file. */
   def writeAtomicReplace(p: String, content: String): Unit
+  /** Binary form of [[writeAtomicReplace]] (puffin stats files). */
+  def writeBytesAtomicReplace(p: String, content: Array[Byte]): Unit
   /** Compare-and-swap create: true iff this call created `p`; the full
     * content is visible as soon as the file is. See the trait doc for the
     * per-store contract. */
@@ -113,6 +116,32 @@ class HadoopFileIO(rootSpec: String, conf: Configuration = FileIO.activeConf())
     val in = fs.open(hp(p))
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
+
+  override def readBytes(p: String): Array[Byte] = {
+    val in = fs.open(hp(p))
+    try in.readAllBytes() finally in.close()
+  }
+
+  override def writeBytesAtomicReplace(p: String, content: Array[Byte]): Unit =
+    if (posix) {
+      val target = lp(p)
+      val tmp = target.resolveSibling(s".${target.getFileName}.tmp${util.Random.nextLong().abs}")
+      Files.write(tmp, content)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = tmpName(p)
+      val out = fs.create(tmp, true)
+      try out.write(content) finally out.close()
+      fileContext match {
+        case Some(fc) =>
+          fc.rename(hp(tmp.toString), hp(p), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        case None =>
+          fs.delete(hp(p), false)
+          if (!fs.rename(tmp, hp(p)))
+            throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
+    }
 
   override def writeAtomicReplace(p: String, content: String): Unit =
     if (posix) {

@@ -873,17 +873,49 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * merge from the per-file manifest bounds the writes already keep. */
   def computeColumnStats(): Snapshot = retryOnConflict() {
     val head = log.current
-    val cur = stripIds(schemaOf(head, head.currentSchemaId))
+    val stamped = schemaOf(head, head.currentSchemaId)
+    val cur = stripIds(stamped)
     val statCols = cur.fields.filter(f => isStatType(f.dataType)).map(_.name).toSeq
     if (statCols.isEmpty) head
     else {
-      val aggs = statCols.map(c => approx_count_distinct(qcol(c)).as(c))
+      // ONE distributed pass computes both stat families: HLL NDV (the
+      // DSv2/CBO numbers) and a theta-family KMV sketch per column — the
+      // payload of the Iceberg Puffin statistics file the declared stack's
+      // ANALYZE writes. Both are map-side-combinable aggregates, so the
+      // pass shuffles sketch state, never rows.
+      val sketchCols = cur.fields
+        .filter(f => graft.functions.ThetaSketch.supports(f.dataType))
+        .map(_.name).toSeq
+      val aggs = statCols.map(c => approx_count_distinct(qcol(c)).as(c)) ++
+        sketchCols.map(c => graft.functions.ThetaSketch(qcol(c)).as(s"__sk_$c"))
       val row = readSnapshot(head).agg(aggs.head, aggs.tail: _*).collect()(0)
       val props = statCols.zipWithIndex
         .map { case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString }.toMap
+
+      // Puffin file: one theta blob per sketched column, stamped with the
+      // ANALYZED snapshot (stats describe the data as of `head`) and the
+      // Iceberg field id (graft.id + 1 — what the exported schema renders)
+      val fieldIdOf = stamped.fields.map(f =>
+        f.name -> (f.metadata.getLong("graft.id").toInt + 1)).toMap
+      val blobs = sketchCols.zipWithIndex.map { case (c, j) =>
+        val payload = row.getAs[Array[Byte]](statCols.size + j)
+        Puffin.Blob(Puffin.ThetaBlobType, Seq(fieldIdOf(c)),
+          snapshotId = head.version, sequenceNumber = head.version,
+          payload = payload,
+          properties = Map("ndv" -> math.round(
+            graft.functions.ThetaSketch.estimateFrom(payload)).toString))
+      }
+      val (bytes, _) = Puffin.write(blobs,
+        Map("created-by" -> s"graft ${org.apache.spark.SPARK_VERSION}"))
+      val rel = s"_graft/stats/puffin-v${head.version + 1}.bin"
+      log.io.mkdirs(s"$path/_graft/stats")
+      log.io.writeBytesAtomicReplace(s"$path/$rel", bytes)
+
       log.commit(head.version, v => head.copy(
         version = v, parent = head.version, timestampMs = now(),
-        operation = "analyze", properties = head.properties ++ props))
+        operation = "analyze", properties = head.properties ++ props +
+          ("stats.puffin.path" -> rel) +
+          ("stats.puffin.snapshot-id" -> head.version.toString)))
     }
   }
 

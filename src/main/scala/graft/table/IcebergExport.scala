@@ -878,6 +878,39 @@ object IcebergExport {
       if (tablePath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) tablePath
       else s"file://$tablePath"
 
+    // ANALYZE's Puffin statistics file (written by computeColumnStats)
+    // surfaces through the spec `statistics` field: path + footer size +
+    // per-blob metadata, so a foreign engine reads NDV sketches without
+    // scanning. Skipped when the analyzed snapshot has been expired out of
+    // the exported chain (a statistics entry must reference a live
+    // snapshot) or the file is unreadable — stats are advisory, never a
+    // reason to fail the metadata render.
+    val statisticsJson: List[JValue] =
+      head.properties.get("stats.puffin.path").toList.flatMap { rel =>
+        try {
+          val statSnap = head.properties.get("stats.puffin.snapshot-id")
+            .map(_.toLong).getOrElse(head.version)
+          if (!chain.exists(_.version == statSnap)) Nil
+          else {
+            val bytes = log.io.readBytes(s"$tablePath/$rel")
+            val (blobMetas, _, _) = Puffin.read(bytes)
+            val payloadSize = java.nio.ByteBuffer
+              .wrap(bytes, bytes.length - 12, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            List((("snapshot-id" -> statSnap) ~
+              ("statistics-path" -> s"$locationUri/$rel") ~
+              ("file-size-in-bytes" -> bytes.length.toLong) ~
+              ("file-footer-size-in-bytes" -> (payloadSize + 16).toLong) ~
+              ("blob-metadata" -> JArray(blobMetas.map(m =>
+                (("type" -> m.blobType) ~
+                  ("snapshot-id" -> m.snapshotId) ~
+                  ("sequence-number" -> m.sequenceNumber) ~
+                  ("fields" -> m.fields.toList) ~
+                  ("properties" -> m.properties)): JValue).toList))): JValue)
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+
     // `write.sort-by` (WRITE ORDERED BY — identity columns) exports as a
     // true Iceberg sort order so foreign writers see and can keep the
     // declared clustering — the mirror of the IRC createTable path, which
@@ -931,7 +964,8 @@ object IcebergExport {
       ("snapshots" -> JArray(snapshotsJson)) ~
       ("snapshot-log" -> JArray(chain.map(s =>
         (("timestamp-ms" -> s.timestampMs) ~ ("snapshot-id" -> s.version)): JValue))) ~
-      ("metadata-log" -> JArray(Nil))
+      ("metadata-log" -> JArray(Nil)) ~
+      ("statistics" -> JArray(statisticsJson))
 
     // metadata.json is published LAST and atomically (temp + rename): a
     // reader that sees it can read every manifest it references
