@@ -218,7 +218,23 @@ object IcebergImport {
         else None
       }).getOrElse(Seq.empty)
       .filter(n => currentSchema.fields.exists(_.name == n))
-    val props = extraProps ++
+    // Statistics (Puffin) blob metadata carries per-column `ndv`
+    // properties; fold them into graft's stats.ndv.* so the CBO sees
+    // cardinalities on the imported table without a re-analyze. Only the
+    // newest statistics entry (highest snapshot-id) is consulted — the
+    // sketch files themselves stay with the source table.
+    val ndvProps: Map[String, String] = (meta \ "statistics").children
+      .sortBy(e => (e \ "snapshot-id").extractOpt[Long].getOrElse(-1L))
+      .lastOption.toSeq
+      .flatMap(e => (e \ "blob-metadata").children)
+      .flatMap { b =>
+        for {
+          fid <- (b \ "fields").extractOpt[Seq[Int]].flatMap(_.headOption)
+          name <- idToName.get(fid - 1)
+          ndv <- (b \ "properties" \ "ndv").extractOpt[String]
+        } yield s"stats.ndv.$name" -> ndv
+      }.toMap
+    val props = extraProps ++ ndvProps ++
       (if (writePartitionBy.nonEmpty)
         Map("write.partition-by" -> writePartitionBy.mkString(","))
       else Map.empty) ++

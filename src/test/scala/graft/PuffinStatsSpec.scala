@@ -151,5 +151,13 @@ class PuffinStatsSpec extends SparkSpec {
     val statPath = (entry \ "statistics-path").extract[String].stripPrefix("file://")
     val reread = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(statPath))
     assert(Puffin.read(reread)._1.size == metas.size)
+
+    // the importer folds the statistics blobs' ndv back into stats.ndv.*,
+    // so an imported table plans with cardinalities without re-analyzing
+    val back = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/t_back")
+    val bp = back.log.current.properties
+    assert(bp.get("stats.ndv.id").contains("1000"))
+    assert(bp.get("stats.ndv.cat").contains("37"))
+    assert(bp.get("stats.ndv.name").contains("250"))
   }
 }
