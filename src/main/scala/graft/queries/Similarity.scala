@@ -179,35 +179,57 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q88
-  private val SemSeeds = 16
+  /** Cluster count for SemDedup, derived from corpus size: K = max(16, ⌈√n⌉).
+    * With K ∝ √n the expected cluster size m = n/K = √n, so per-cluster pair
+    * work m² grows LINEARLY with n (10× data → ~10× per-cluster pairs), and
+    * total pair work is n^1.5 instead of the n² a fixed K degrades to. The
+    * floor of 16 keeps tiny fixtures from collapsing to a handful of giant
+    * clusters. Computed identically in the DuckDB oracle (count(*) OVER ()
+    * inside the seed ranking), so both engines pick the same seed set.
+    * SimilaritySpec asserts the linear-per-cluster property at 10× data. */
+  private[graft] def semK(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** SemDedup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space, then prune near-duplicate pairs WITHIN
     * clusters only — the trick that makes semantic dedup tractable at
     * corpus scale, because pair generation is Σ cluster² (K grows with n,
     * clusters stay bounded) instead of global n². Here the clustering is
-    * one deterministic assignment step: K seed vectors chosen by md5 order
-    * (reproducible in any engine, unlike a kmeans fit), every vector
-    * assigned to its max-cosine seed via `max_by` over a BROADCAST 16-row
-    * seed table — one scan, no shuffle for the assignment itself. The
+    * one deterministic assignment step: K = max(16, ⌈√n⌉) seed vectors
+    * chosen by md5 order (reproducible in any engine, unlike a kmeans fit),
+    * every vector assigned to its max-cosine seed via `max_by` over a
+    * BROADCAST K-row seed table — one scan, no shuffle for the assignment
+    * itself, and K ∝ √n keeps the broadcast tiny (√10⁹ ≈ 32k rows). The
     * within-cluster pair join is cluster-id equality (shuffle join on cid),
     * never a cartesian. Cosine is the codegen'd native expression; the
     * DuckDB oracle runs the identical fold, so assignments and scores
     * hash-match, not just counts. */
-  def q88(spark: SparkSession, dir: String): DataFrame = {
+  /** The SemDedup cluster-assignment step, shared by q88 and SimilaritySpec's
+    * 10×-growth property test: K = semK(n) md5-ordered seeds, argmax-cosine
+    * assignment over the broadcast seed table. Returns (vec_id, cid,
+    * embedding). */
+  private[graft] def semAssign(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = embeddings(spark, dir)
+    // one scalar to the driver (parquet metadata count — no data scan) to
+    // size K; seed selection itself stays a distributed TakeOrderedAndProject
+    val k = semK(e.count())
     val seeds = e
       .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
-      .limit(SemSeeds)
+      .limit(k)
       .select($"vec_id".as("sid"), $"embedding".as("sv"))
     // argmax over the broadcast seeds: round(cos, 6) then smallest sid wins
     // ties — the same total order the oracle's window enforces
-    val assign = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .withColumn("c", round(cos($"embedding", $"sv"), 6))
       .groupBy($"vec_id")
       .agg(max_by($"sid", struct($"c", -$"sid")).as("cid"),
         first($"embedding").as("embedding"))
+  }
+
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assign = semAssign(embeddings(spark, dir))
     assign.as("a").join(assign.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos_sim", round(cos($"a.embedding", $"b.embedding"), 3))
@@ -220,8 +242,12 @@ object Similarity {
     def dcos(a: String, b: String): String =
       s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
     s"""WITH seeds AS (
-       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings
-       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $SemSeeds),
+       |  SELECT sid, sv FROM (
+       |    SELECT vec_id AS sid, embedding AS sv,
+       |      row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+       |      count(*) OVER () AS n
+       |    FROM embeddings)
+       |  WHERE rn <= greatest(16, CAST(ceil(sqrt(n)) AS BIGINT))),
        |assign AS (
        |  SELECT vec_id, sid AS cid, embedding FROM (
        |    SELECT e.vec_id, s.sid, e.embedding,

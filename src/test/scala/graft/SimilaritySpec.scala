@@ -33,7 +33,7 @@ class SimilaritySpec extends SparkSpec {
   test("q88 semantic dedup: valid assignment, within-cluster pairs only, no cartesian pair join") {
     val df = Similarity.q88(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    // the ONLY unconditioned join is the 16-row broadcast seed table (the
+    // the ONLY unconditioned join is the K-row broadcast seed table (the
     // assignment argmax); the pair join must be a cluster-id equality join
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
     val rows = df.collect()
@@ -47,7 +47,8 @@ class SimilaritySpec extends SparkSpec {
     val e = graft.Tables.embeddings(spark, sf)
     val seeds = e
       .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
-      .limit(16).select($"vec_id".as("sid"), $"embedding".as("sv"))
+      .limit(Similarity.semK(e.count()))
+      .select($"vec_id".as("sid"), $"embedding".as("sv"))
     val assign = e.crossJoin(broadcast(seeds))
       .withColumn("c", round(graft.functions.CosineSimilarity($"embedding", $"sv"), 6))
       .groupBy($"vec_id").agg(max_by($"sid", struct($"c", -$"sid")).as("cid"))
@@ -56,6 +57,32 @@ class SimilaritySpec extends SparkSpec {
       assert(assign(r.getLong(1)) == r.getLong(0) && assign(r.getLong(2)) == r.getLong(0),
         s"pair (${r.getLong(1)}, ${r.getLong(2)}) not in cluster ${r.getLong(0)}")
     }
+  }
+
+  test("q88 cluster count scales with corpus size: per-cluster pair work stays ~linear at 10× data") {
+    // K = max(16, ⌈√n⌉): 10× data → √10 ≈ 3.16× more clusters, so mean
+    // cluster size (and hence per-cluster pair work m²) grows ~√10× (~10×
+    // in pairs) instead of the 100× a fixed K degrades to. Verify on
+    // synthetic-but-deterministic vectors at n and 10n.
+    assert(Similarity.semK(256) == 16)
+    assert(Similarity.semK(10000) == 100)
+    assert(Similarity.semK(1000000) == 1000)
+    def synth(n: Int) = spark.range(n).select(
+      $"id".as("vec_id"),
+      array((0 until 64).map(i => sin($"id" * (i * 7 + 1)).cast("float")): _*)
+        .as("embedding"))
+    def pairWork(n: Int): (Long, Long) = {
+      val sizes = Similarity.semAssign(synth(n))
+        .groupBy($"cid").count().select($"count").collect().map(_.getLong(0))
+      (sizes.map(m => m * m).sum, sizes.length.toLong)
+    }
+    val (w1, k1) = pairWork(1500)
+    val (w10, k10) = pairWork(15000)
+    assert(k10 > k1 * 2, s"cluster count must grow with n: $k1 -> $k10")
+    // total pair work Σm² must grow far below quadratic (100×); the n^1.5
+    // design predicts ~31.6×, allow skew slack up to 60×
+    assert(w10 < w1 * 60,
+      s"pair work grew ${w10.toDouble / w1}x for 10x data (quadratic shape): w1=$w1 w10=$w10")
   }
 
   test("planted duplicate vector is recovered by LSH near-dup pairs") {
