@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-drift canary: name the drifted table/column loudly up front
+    // (round 9 lost 10 queries to a silent ts re-vintage) but keep running —
+    // one drifted table should cost its own queries, not the whole round
+    FixtureContract.drift(spark, sfDir)
+      .foreach(m => System.err.println(s"[fixture-drift] $m"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -180,6 +180,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * `versions` / `version-log` history a catalog serves), not as
     * drop-and-recreate — so replace appends to the stored history and the
     * spec REST surface's `current-version-id` advances. */
+  /** Grace period before a CAS marker with no corresponding history advance
+    * is considered orphaned (crash between marker create and view write) and
+    * reclaimable. Tests lower it to exercise takeover without the wait. */
+  private[graft] var replaceGraceMs: Long = 30000L
+
   private[graft] def replaceView(info: ViewInfo): View = {
     // Optimistic CAS: exclusive-create of a per-(uuid, target-version)
     // marker arbitrates concurrent replacers (same trick as SnapshotLog's
@@ -187,6 +192,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // prior history both write version N+1 and one update vanishes. The
     // uuid in the marker name scopes arbitration to THIS incarnation of
     // the view, so a drop-and-recreate never collides with stale markers.
+    // The marker carries its creation timestamp: a crash between marker
+    // create and writeStoredView would otherwise wedge the view forever
+    // (markers are only swept on DROP VIEW), so a loser that sees the
+    // marker older than `replaceGraceMs` while the stored history still
+    // hasn't advanced to the marker's version reclaims it and retries.
     var attempts = 0
     while (true) {
       val prev = readStoredView(info.ident) // NoSuchViewException on concurrent drop
@@ -197,7 +207,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val nextId = history.map(_.versionId).max + 1
       val next = StoredViewVersion(nextId, now,
         info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
-      if (io.createExclusive(s"${viewPath(info.ident)}.$uuid.v$nextId", "")) {
+      val marker = s"${viewPath(info.ident)}.$uuid.v$nextId"
+      if (!io.createExclusive(marker, now.toString)) {
+        // CAS loss with NO history advance: either a racing replacer whose
+        // write is in flight, or an orphan. Age decides — an unparseable /
+        // pre-timestamp marker counts as infinitely old.
+        val stamp = scala.util.Try(io.readString(marker).trim.toLong).getOrElse(0L)
+        if (now - stamp > replaceGraceMs) { io.delete(marker) }
+      } else {
         writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
           info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
           info.columnAliases.toSeq, info.columnComments.toSeq,

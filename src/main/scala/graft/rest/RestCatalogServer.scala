@@ -65,7 +65,7 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   POST   /v1/iceberg/namespaces                   spec createNamespace
   *   DELETE /v1/iceberg/namespaces/{ns}              spec dropNamespace
   *   POST   /v1/iceberg/namespaces/{ns}/tables       spec createTable
-  *   DELETE /v1/iceberg/namespaces/{ns}/tables/{t}   spec dropTable
+  *   DELETE /v1/iceberg/namespaces/{ns}/tables/{t}   spec dropTable (?purgeRequested=true deletes data)
   *   GET    /v1/iceberg/namespaces/{ns}/views        spec listViews
   *   GET    /v1/iceberg/namespaces/{ns}/views/{v}    spec loadView (view metadata)
   * }}}
@@ -264,11 +264,19 @@ class RestCatalogServer(val warehouse: String,
         icebergCreateTable(ex, decNs(ns))
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
+        val purge = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").contains("purgeRequested=true")
         if (!isTable(root)) err(ex, 404, s"no table $t")
         else {
-          // purgeRequested or not, the whole tree goes: graft tables keep
-          // data under the table root, so drop == purge here
-          io.deleteRecursive(root); logs.remove(root)
+          // spec default (purgeRequested=false) is a METADATA-ONLY drop: a
+          // foreign engine's plain DROP TABLE expects data files to survive.
+          // Remove the catalog trees (_graft snapshot log + _iceberg export)
+          // so the table 404s, but leave data files in place; only an
+          // explicit ?purgeRequested=true takes the whole tree.
+          if (purge) io.deleteRecursive(root)
+          else Seq(s"$root/_graft", s"$root/_iceberg")
+            .filter(io.isDirectory).foreach(io.deleteRecursive)
+          logs.remove(root)
           ex.sendResponseHeaders(204, -1); ex.close()
         }
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -432,8 +440,12 @@ class RestCatalogServer(val warehouse: String,
     parts.mkString(",")
   }
 
-  /** Iceberg sort-order JSON → graft `write.sort-by` column list (identity
-    * transforms only — graft's write order sorts on columns). */
+  /** Iceberg sort-order JSON → graft `write.sort-by` list (identity
+    * transforms only — graft's write order sorts on columns). Direction and
+    * null-order are preserved via [[graft.table.SortField]]'s
+    * `name[:desc[:nulls-first]]` encoding, so a desc / nulls-last
+    * write-order survives the round-trip back out of IcebergExport instead
+    * of being misrepresented as asc/nulls-first (ADVICE r10). */
   private def orderToSortBy(wo: JValue, specSchema: StructType): String =
     (wo \ "fields").children.map { f =>
       val tr = (f \ "transform").extractOpt[String].getOrElse("identity")
@@ -441,10 +453,14 @@ class RestCatalogServer(val warehouse: String,
         s"write-order transform '$tr' is not supported (identity only)")
       val srcId = (f \ "source-id").extractOpt[Int].getOrElse(
         throw new IllegalArgumentException("sort field needs source-id"))
-      specSchema.fields.find(x => x.metadata.contains("graft.id") &&
+      val name = specSchema.fields.find(x => x.metadata.contains("graft.id") &&
         x.metadata.getLong("graft.id") == srcId - 1L)
         .getOrElse(throw new IllegalArgumentException(
           s"sort order: no top-level field with field-id $srcId")).name
+      val dir = (f \ "direction").extractOpt[String].getOrElse("asc")
+      val nul = (f \ "null-order").extractOpt[String].getOrElse(
+        if (dir == "desc") "nulls-last" else "nulls-first")
+      graft.table.SortField(name, dir, nul).render
     }.mkString(",")
 
   /** Spec Iceberg REST `createTable` (CreateTableRequest → LoadTableResult):

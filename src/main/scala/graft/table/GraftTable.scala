@@ -731,16 +731,24 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   }
 
   /** `CALL remove_orphan_files`: delete data files not referenced by any
-    * live snapshot. */
+    * live snapshot, plus Puffin statistics files under `_graft/stats` that
+    * no retained snapshot's `stats.puffin.path` points at (each ANALYZE
+    * writes a fresh versioned stats file, and a retryOnConflict re-run can
+    * orphan an unreferenced one — without this sweep they accumulate
+    * forever, ADVICE r10). */
   def removeOrphanFiles(): Seq[String] = {
-    val referenced = log.listVersions.flatMap { v =>
-      val s = log.snapshot(v)
+    val snaps = log.listVersions.map(log.snapshot)
+    val referenced = snaps.flatMap { s =>
       (s.files ++ s.deleteFiles ++ s.eqDeleteFiles.map(_.file)).map(_.path)
     }.toSet
     val existing = log.io.listNames(log.dataDir)
     val orphans = existing.filterNot(n => referenced.contains(s"data/$n"))
     orphans.foreach(n => log.io.delete(s"${log.dataDir}/$n"))
-    orphans
+    val liveStats = snaps.flatMap(_.properties.get("stats.puffin.path")).toSet
+    val statOrphans = log.io.listNames(s"$path/_graft/stats")
+      .filterNot(n => liveStats.contains(s"_graft/stats/$n"))
+    statOrphans.foreach(n => log.io.delete(s"$path/_graft/stats/$n"))
+    orphans ++ statOrphans.map(n => s"_graft/stats/$n")
   }
 
   /** `CALL rewrite_data_files`: compaction — same rows, `target` files. */
@@ -1655,7 +1663,15 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       else if (transforms.isEmpty) df
       else df.repartition(tcols: _*)
     props.get("write.sort-by").filter(_.nonEmpty) match {
-      case Some(cols) => parted.sortWithinPartitions(cols.split(",").map(c => qmaybe(df, c.trim)): _*)
+      case Some(cols) => parted.sortWithinPartitions(SortField.parseList(cols).map { sf =>
+        val c = qmaybe(df, sf.name)
+        (sf.desc, sf.nullsLast) match {
+          case (false, false) => c.asc_nulls_first
+          case (false, true)  => c.asc_nulls_last
+          case (true, false)  => c.desc_nulls_first
+          case (true, true)   => c.desc_nulls_last
+        }
+      }: _*)
       case None => parted
     }
   }

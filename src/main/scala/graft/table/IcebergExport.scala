@@ -918,11 +918,12 @@ object IcebergExport {
     // no longer resolve in the current schema (dropped after the order was
     // set) are skipped rather than exporting a dangling source-id.
     val sortFields: Seq[JValue] = head.properties.get("write.sort-by").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .flatMap(c => schemaWithIds.fields.find(_.name == c))
-      .filter(f => iid(f) > 0)
-      .map(f => (("transform" -> "identity") ~ ("source-id" -> iid(f)) ~
-        ("direction" -> "asc") ~ ("null-order" -> "nulls-first")): JValue)
+      .flatMap(SortField.parseList)
+      .flatMap(sf => schemaWithIds.fields.find(_.name == sf.name).map(sf -> _))
+      .filter { case (_, f) => iid(f) > 0 }
+      .map { case (sf, f) =>
+        (("transform" -> "identity") ~ ("source-id" -> iid(f)) ~
+          ("direction" -> sf.direction) ~ ("null-order" -> sf.nullOrder)): JValue }
 
     val metadata: JObject =
       ("format-version" -> 2) ~

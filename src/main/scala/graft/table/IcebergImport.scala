@@ -206,8 +206,10 @@ object IcebergImport {
     // Reconstruct `write.sort-by` from the default sort order's identity
     // fields (the mirror of the exporter publishing write.sort-by as sort
     // order 1) — future graft writes keep the foreign table's declared
-    // clustering. Non-identity sort transforms have no graft sort-by
-    // equivalent and are skipped.
+    // clustering, INCLUDING its direction and null-order (SortField's
+    // suffix encoding; ADVICE r10 — a desc order must not silently flip to
+    // asc). Non-identity sort transforms have no graft sort-by equivalent
+    // and are skipped.
     val defaultSortId = (meta \ "default-sort-order-id").extractOpt[Int].getOrElse(0)
     val writeSortBy = (meta \ "sort-orders").children
       .find(o => (o \ "order-id").extractOpt[Int].contains(defaultSortId))
@@ -215,9 +217,16 @@ object IcebergImport {
         if ((f \ "transform").extractOpt[String].contains("identity"))
           // idToName is keyed by graft.id = Iceberg field-id - 1
           (f \ "source-id").extractOpt[Int].flatMap(id => idToName.get(id - 1))
+            .map { n =>
+              val dir = (f \ "direction").extractOpt[String].getOrElse("asc")
+              val nul = (f \ "null-order").extractOpt[String].getOrElse(
+                if (dir == "desc") "nulls-last" else "nulls-first")
+              SortField(n, dir, nul)
+            }
         else None
       }).getOrElse(Seq.empty)
-      .filter(n => currentSchema.fields.exists(_.name == n))
+      .filter(sf => currentSchema.fields.exists(_.name == sf.name))
+      .map(_.render)
     // Statistics (Puffin) blob metadata carries per-column `ndv`
     // properties; fold them into graft's stats.ndv.* so the CBO sees
     // cardinalities on the imported table without a re-analyze. Only the

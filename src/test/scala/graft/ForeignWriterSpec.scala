@@ -590,10 +590,57 @@ class ForeignWriterSpec extends SparkSpec {
 
     // spec dropTable / dropNamespace; non-empty namespace rejects
     assert(del("/v1/iceberg/namespaces/icens", token).statusCode() == 409)
+    // spec default (no purgeRequested) is a METADATA-ONLY drop: the table
+    // 404s but its data files survive — a foreign engine's plain DROP TABLE
+    // must not silently destroy data (ADVICE r10)
+    val ctRoot = Paths.get(server.warehouse, "icens", "ct")
     assert(del("/v1/iceberg/namespaces/icens/tables/ct", token).statusCode() == 204)
     assert(get("/v1/iceberg/namespaces/icens/tables/ct", token).statusCode() == 404)
+    assert(java.nio.file.Files.exists(ctRoot.resolve("data")),
+      "non-purge dropTable must leave data files in place")
+    assert(!java.nio.file.Files.exists(ctRoot.resolve("_graft")),
+      "non-purge dropTable must remove the catalog metadata tree")
+    // recreate at the same identifier, then an explicit purgeRequested=true
+    // takes the whole tree including data
+    assert(post("/v1/iceberg/namespaces/icens/tables", createBody, Some(token))
+      .statusCode() == 200)
+    assert(del("/v1/iceberg/namespaces/icens/tables/ct?purgeRequested=true", token)
+      .statusCode() == 204)
+    assert(!java.nio.file.Files.exists(ctRoot), "purge drop must delete the table tree")
     assert(del("/v1/iceberg/namespaces/icens", token).statusCode() == 204)
     assert(get("/v1/iceberg/namespaces/icens", token).statusCode() == 404)
+  }
+
+  test("desc / nulls-last write-order survives the IRC round-trip intact") {
+    // ADVICE r10: orderToSortBy used to silently collapse direction and
+    // null-order to asc/nulls-first. Now the SortField suffix encoding
+    // carries them through write.sort-by and back out of IcebergExport.
+    val token = oauthRaw()
+    assert(post("/v1/iceberg/namespaces",
+      """{"namespace":["sortns"],"properties":{}}""", Some(token)).statusCode() == 200)
+    val body =
+      """{"name":"st","schema":{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":true,"type":"long"},
+        |  {"id":2,"name":"cat","required":false,"type":"string"}]},
+        |"write-order":{"order-id":1,"fields":[
+        |  {"transform":"identity","source-id":1,"direction":"desc","null-order":"nulls-last"},
+        |  {"transform":"identity","source-id":2,"direction":"asc","null-order":"nulls-last"}]},
+        |"properties":{}}""".stripMargin
+    val create = post("/v1/iceberg/namespaces/sortns/tables", body, Some(token))
+    assert(create.statusCode() == 200, create.body())
+    val log = new graft.table.SnapshotLog(
+      Paths.get(server.warehouse, "sortns", "st").toString)
+    assert(log.current.properties.get("write.sort-by")
+      .contains("id:desc,cat:asc:nulls-last"))
+    // served metadata re-exports the TRUE direction/null-order per field
+    val so = ((JsonMethods.parse(create.body()) \ "metadata" \ "sort-orders").children
+      .find(o => (o \ "order-id").extractOpt[Int].contains(1)).get \ "fields").children
+    assert(so.map(f => ((f \ "direction").extract[String],
+      (f \ "null-order").extract[String])) ==
+      List(("desc", "nulls-last"), ("asc", "nulls-last")))
+    assert(del("/v1/iceberg/namespaces/sortns/tables/st?purgeRequested=true", token)
+      .statusCode() == 204)
+    assert(del("/v1/iceberg/namespaces/sortns", token).statusCode() == 204)
   }
 
   test("foreign expire: remove-snapshots through the spec IRC surface") {

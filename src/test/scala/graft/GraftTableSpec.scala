@@ -275,4 +275,30 @@ class GraftTableSpec extends SparkSpec {
     // hash distribution on 4 groups with 4 shuffle partitions -> <= 4 files
     assert(t.log.current.files.size <= 4)
   }
+
+  test("write.sort-by honors direction and null-order suffixes in the written files") {
+    import graft.table.SortField
+    // parse/render round-trip, defaults omitted (existing property values
+    // stay byte-stable), Iceberg DDL null defaults (asc→first, desc→last)
+    assert(SortField.parse("id") == SortField("id", desc = false, nullsLast = false))
+    assert(SortField.parse("id:desc") == SortField("id", desc = true, nullsLast = true))
+    assert(SortField.parse("id:asc:nulls-last").render == "id:asc:nulls-last")
+    assert(SortField.parse("id:desc:nulls-first").render == "id:desc:nulls-first")
+    assert(SortField("id", desc = true, nullsLast = true).render == "id:desc")
+    assert(SortField.parseList("a, b:desc ,c:asc:nulls-last").map(_.render) ==
+      Seq("a", "b:desc", "c:asc:nulls-last"))
+    intercept[IllegalArgumentException](SortField.parse("id:sideways"))
+
+    val path = tmpDir()
+    val rows = Seq((1L, Some(3.0)), (2L, None), (3L, Some(1.0)), (4L, Some(2.0)))
+      .toDF("id", "v")
+    val t = GraftTable.create(spark, path, rows.coalesce(1),
+      properties = Map("write.sort-by" -> "v:desc:nulls-first"))
+    // within the single written file: nulls first, then values descending
+    val file = t.log.current.files.head.path
+    val got = spark.read.parquet(s"$path/$file").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    assert(got == Seq(None, Some(3.0), Some(2.0), Some(1.0)),
+      s"file row order not desc/nulls-first: $got")
+  }
 }

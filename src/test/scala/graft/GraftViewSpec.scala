@@ -78,4 +78,41 @@ class GraftViewSpec extends SparkSpec {
     assert(sv.sql == sv.allVersions.last.sql)
     spark.sql("DROP VIEW graft.vw.casv")
   }
+
+  test("orphaned replace marker (crash between marker create and write) is reclaimed") {
+    init()
+    spark.sql("CREATE TABLE graft.vw.orphbase (id BIGINT)")
+    spark.sql("CREATE VIEW graft.vw.orphv AS SELECT id FROM graft.vw.orphbase")
+    val io = graft.table.FileIO.forPath(SparkSpec.warehouse)
+    val path = s"${SparkSpec.warehouse}/vw/_views/orphv.json"
+    val sv = graft.catalog.ViewStore.read(io, path)
+    val uuid = sv.viewUuid.get
+    val nextId = sv.allVersions.map(_.versionId).max + 1
+    // simulate a replacer that crashed between its marker create and the
+    // view write: pre-timestamp (empty-content) marker counts as infinitely
+    // old, so the very next replace reclaims it instead of wedging forever
+    assert(io.createExclusive(s"$path.$uuid.v$nextId", ""))
+    spark.sql("CREATE OR REPLACE VIEW graft.vw.orphv AS SELECT id, 1 AS t FROM graft.vw.orphbase")
+    val after = graft.catalog.ViewStore.read(io, path)
+    assert(after.currentVersionId == nextId, s"takeover failed: ${after.currentVersionId}")
+
+    // a FRESH marker (a live racer mid-write) must NOT be stolen within the
+    // grace period — the replace loses the CAS and reports it
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val next2 = after.allVersions.map(_.versionId).max + 1
+    assert(io.createExclusive(s"$path.$uuid.v$next2", System.currentTimeMillis().toString))
+    val ex = intercept[Throwable] {
+      spark.sql("CREATE OR REPLACE VIEW graft.vw.orphv AS SELECT id, 2 AS t FROM graft.vw.orphbase")
+    }
+    assert(ex.getMessage.contains("lost the version CAS"), ex.getMessage)
+    // once the grace period elapses without a history advance, takeover wins
+    cat.replaceGraceMs = 1L
+    try {
+      Thread.sleep(5)
+      spark.sql("CREATE OR REPLACE VIEW graft.vw.orphv AS SELECT id, 3 AS t FROM graft.vw.orphbase")
+      assert(graft.catalog.ViewStore.read(io, path).currentVersionId == next2)
+    } finally cat.replaceGraceMs = 30000L
+    spark.sql("DROP VIEW graft.vw.orphv")
+  }
 }

@@ -160,4 +160,33 @@ class PuffinStatsSpec extends SparkSpec {
     assert(bp.get("stats.ndv.cat").contains("37"))
     assert(bp.get("stats.ndv.name").contains("250"))
   }
+
+  test("superseded puffin stats files are swept by remove_orphan_files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "puffin-gc-").toString
+    val t = GraftTable.create(spark, s"$dir/t",
+      spark.range(100).select($"id", ($"id" % 7).as("cat")))
+    t.computeColumnStats()
+    val firstRel = t.log.current.properties("stats.puffin.path")
+    t.append(spark.range(100, 200).select($"id", ($"id" % 7).as("cat")))
+    t.computeColumnStats()
+    val secondRel = t.log.current.properties("stats.puffin.path")
+    assert(firstRel != secondRel)
+    // plus a retry-orphan: a stats file written by an attempt whose commit
+    // lost the CAS (never referenced by any snapshot)
+    t.log.io.writeBytesAtomicReplace(
+      s"$dir/t/_graft/stats/puffin-v999.bin", Array[Byte](1, 2, 3))
+    def statFiles() = t.log.io.listNames(s"$dir/t/_graft/stats").sorted
+
+    // while the older snapshot is retained, its stats file is NOT an orphan
+    // (time travel to it still resolves stats.puffin.path)...
+    val sweep1 = t.removeOrphanFiles()
+    assert(sweep1.contains("_graft/stats/puffin-v999.bin"), sweep1)
+    assert(statFiles().map(n => s"_graft/stats/$n").toSet ==
+      Set(firstRel, secondRel))
+    // ...and once history is expired down to HEAD, the superseded file goes
+    t.expireSnapshots(1)
+    assert(statFiles().map(n => s"_graft/stats/$n") == Seq(secondRel),
+      s"superseded stats file not swept: ${statFiles()}")
+  }
 }
