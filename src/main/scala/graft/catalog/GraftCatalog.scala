@@ -186,51 +186,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private[graft] var replaceGraceMs: Long = 30000L
 
   private[graft] def replaceView(info: ViewInfo): View = {
-    // Optimistic CAS: exclusive-create of a per-(uuid, target-version)
-    // marker arbitrates concurrent replacers (same trick as SnapshotLog's
-    // v<N>.json commit CAS) — without it, two replacers reading the same
-    // prior history both write version N+1 and one update vanishes. The
-    // uuid in the marker name scopes arbitration to THIS incarnation of
-    // the view, so a drop-and-recreate never collides with stale markers.
-    // The marker carries its creation timestamp: a crash between marker
-    // create and writeStoredView would otherwise wedge the view forever
-    // (markers are only swept on DROP VIEW), so a loser that sees the
-    // marker older than `replaceGraceMs` while the stored history still
-    // hasn't advanced to the marker's version reclaims it and retries.
-    var attempts = 0
-    while (true) {
-      val prev = readStoredView(info.ident) // NoSuchViewException on concurrent drop
-      val uuid = prev.viewUuid.getOrElse(ViewStore.fallbackUuid(
-        info.ident.namespace().toSeq :+ info.ident.name()))
-      val history = prev.allVersions
-      val now = System.currentTimeMillis()
-      val nextId = history.map(_.versionId).max + 1
-      val next = StoredViewVersion(nextId, now,
-        info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
-      val marker = s"${viewPath(info.ident)}.$uuid.v$nextId"
-      if (!io.createExclusive(marker, now.toString)) {
-        // CAS loss with NO history advance: either a racing replacer whose
-        // write is in flight, or an orphan. Age decides — an unparseable /
-        // pre-timestamp marker counts as infinitely old.
-        val stamp = scala.util.Try(io.readString(marker).trim.toLong).getOrElse(0L)
-        if (now - stamp > replaceGraceMs) { io.delete(marker) }
-      } else {
-        writeStoredView(info.ident, StoredView(info.sql, info.currentCatalog,
+    // Optimistic CAS via the SHARED ViewStore marker protocol — the same
+    // files the REST server's spec commitView arbitrates through, so a
+    // Spark CREATE OR REPLACE VIEW racing a foreign engine's replaceView
+    // resolves exactly like two Spark sessions racing each other. The uuid
+    // in the marker name scopes arbitration to THIS incarnation of the
+    // view, so a drop-and-recreate never collides with stale markers.
+    ViewStore.replaceWithCas(io, viewsDir(info.ident.namespace()),
+        viewPath(info.ident),
+        info.ident.namespace().toSeq :+ info.ident.name(), replaceGraceMs)(
+        () => readStoredView(info.ident) /* NoSuchViewException on concurrent drop */) {
+      (prev, uuid) =>
+        val history = prev.allVersions
+        val nextId = history.map(_.versionId).max + 1
+        val next = StoredViewVersion(nextId, System.currentTimeMillis(),
+          info.sql, info.schema.json, info.currentCatalog, info.currentNamespace.toSeq)
+        StoredView(info.sql, info.currentCatalog,
           info.currentNamespace.toSeq, info.schema.json, info.queryColumnNames.toSeq,
           info.columnAliases.toSeq, info.columnComments.toSeq,
           info.properties.asScala.toMap,
           viewUuid = Some(uuid),
-          versions = Some(history :+ next)))
-        return loadView(info.ident)
-      }
-      // lost the marker race: the winner's main-file write may still be in
-      // flight, so back off briefly before re-reading the new history
-      attempts += 1
-      if (attempts >= 50) throw new IllegalStateException(
-        s"replaceView ${info.ident}: lost the version CAS $attempts times")
-      Thread.sleep(10)
+          versions = Some(history :+ next))
     }
-    throw new IllegalStateException("unreachable")
+    loadView(info.ident)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {

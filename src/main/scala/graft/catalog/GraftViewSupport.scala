@@ -117,10 +117,54 @@ case class GraftViewRead(spark: SparkSession) extends Rule[LogicalPlan] {
       target(spark, u.multipartIdentifier) match {
         case Some((cat, ident)) if cat.viewExists(ident) =>
           val v = cat.loadView(ident)
+          // CTESubstitution lives in the analyzer's Substitution batch,
+          // which already ran by the time this resolution rule splices the
+          // parsed body in — a WITH clause inside the view text would
+          // otherwise never substitute (its refs would mis-resolve as
+          // catalog tables). Run it on the fragment here; the resulting
+          // CTERelationDef/Ref nodes resolve normally downstream.
           SubqueryAlias(ident.name(),
-            spark.sessionState.sqlParser.parsePlan(v.query))
+            org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+              applyViewContext(
+                spark.sessionState.sqlParser.parsePlan(v.query),
+                v.currentCatalog, v.currentNamespace)))
         case _ => u
       }
+  }
+
+  /** Qualify unresolved relations in a freshly parsed view body with the
+    * catalog/namespace captured when the view was DEFINED (the Iceberg view
+    * spec's `default-catalog` / `default-namespace`; what Spark's
+    * session-catalog views persist as `viewCatalogAndNamespace`). Without
+    * this, `FROM t` inside a view binds to the READER's current namespace —
+    * not late binding but wrong binding, and the reason a foreign-created
+    * spec view with unqualified references would fail to resolve. Names
+    * that already lead with a registered catalog are left as written, and
+    * CTE names defined inside the view body are never qualified (they are
+    * not catalog objects). Runs on the just-parsed subtree, so plain
+    * transform (not resolveOperators) is correct, and
+    * `transformUpWithSubqueries` reaches relations inside scalar/EXISTS
+    * subqueries too. */
+  private def applyViewContext(body: LogicalPlan, defCat: String,
+      defNs: Array[String]): LogicalPlan = {
+    if (defCat.isEmpty && defNs.isEmpty) return body
+    val cm = spark.sessionState.catalogManager
+    val cteNames = body.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    body.transformUpWithSubqueries {
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier
+        val qualified =
+          if (parts.size == 1 && cteNames.contains(
+            parts.head.toLowerCase(java.util.Locale.ROOT))) parts
+          else if (parts.size > 1 && cm.isCatalogRegistered(parts.head)) parts
+          else if (defCat.isEmpty) parts
+          else if (parts.size == 1) (defCat +: defNs.toSeq) ++ parts
+          else defCat +: parts
+        if (qualified == parts) u else u.copy(multipartIdentifier = qualified)
+    }
   }
 }
 

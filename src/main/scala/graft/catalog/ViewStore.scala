@@ -63,4 +63,52 @@ private[graft] object ViewStore {
   def fallbackUuid(nsAndName: Seq[String]): String =
     java.util.UUID.nameUUIDFromBytes(
       ("graft-view:" + nsAndName.mkString("\u0000")).getBytes("UTF-8")).toString
+
+  /** Optimistic replace via a per-(uuid, target-version) exclusive-create
+    * marker (`<view>.json.<uuid>.v<N>`), the view analogue of SnapshotLog's
+    * v<N>.json commit CAS. SHARED between [[GraftCatalog]]'s replaceView
+    * (Spark `CREATE OR REPLACE VIEW`) and the REST server's spec
+    * `commitView` endpoint, so graft-native and foreign replacers arbitrate
+    * through the SAME files — two engines replacing concurrently can never
+    * both land version N+1 with one update vanishing.
+    *
+    * The marker carries its creation timestamp: a crash between marker
+    * create and the main-file write would otherwise wedge the view forever
+    * (markers are only swept on DROP VIEW), so a loser that still sees no
+    * history advance after `graceMs` reclaims the orphan and retries.
+    *
+    * @param readPrev re-read the CURRENT stored view each attempt (throws
+    *                 the caller's no-such-view error on concurrent drop)
+    * @param next     build the replacement from (prev, resolved uuid); its
+    *                 `currentVersionId` names the CAS target version
+    */
+  def replaceWithCas(io: FileIO, dir: String, path: String,
+      fallbackIds: Seq[String], graceMs: Long)(readPrev: () => StoredView)(
+      next: (StoredView, String) => StoredView): StoredView = {
+    var attempts = 0
+    while (true) {
+      val prev = readPrev()
+      val uuid = prev.viewUuid.getOrElse(fallbackUuid(fallbackIds))
+      val now = System.currentTimeMillis()
+      val candidate = next(prev, uuid)
+      val marker = s"$path.$uuid.v${candidate.currentVersionId}"
+      if (!io.createExclusive(marker, now.toString)) {
+        // CAS loss with NO history advance: either a racing replacer whose
+        // write is in flight, or an orphan. Age decides — an unparseable /
+        // pre-timestamp marker counts as infinitely old.
+        val stamp = scala.util.Try(io.readString(marker).trim.toLong).getOrElse(0L)
+        if (now - stamp > graceMs) io.delete(marker)
+      } else {
+        write(io, dir, path, candidate)
+        return candidate
+      }
+      // lost the marker race: the winner's main-file write may still be in
+      // flight, so back off briefly before re-reading the new history
+      attempts += 1
+      if (attempts >= 50) throw new IllegalStateException(
+        s"replaceView $path: lost the version CAS $attempts times")
+      Thread.sleep(10)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -68,6 +68,11 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   DELETE /v1/iceberg/namespaces/{ns}/tables/{t}   spec dropTable (?purgeRequested=true deletes data)
   *   GET    /v1/iceberg/namespaces/{ns}/views        spec listViews
   *   GET    /v1/iceberg/namespaces/{ns}/views/{v}    spec loadView (view metadata)
+  *   POST   /v1/iceberg/namespaces/{ns}/views        spec createView
+  *   POST   /v1/iceberg/namespaces/{ns}/views/{v}    spec view commit (replace / set-properties)
+  *   DELETE /v1/iceberg/namespaces/{ns}/views/{v}    spec dropView
+  *   POST   /v1/iceberg/tables/rename                spec renameTable (history preserved)
+  *   POST   /v1/iceberg/views/rename                 spec renameView
   * }}}
   */
 class RestCatalogServer(val warehouse: String,
@@ -299,8 +304,233 @@ class RestCatalogServer(val warehouse: String,
         if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
         val (metaUri, metadataJson) = renderViewMeta(decNs(ns), v, path)
         ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+      case ("POST", "namespaces" :: ns :: "views" :: Nil) =>
+        icebergCreateView(ex, decNs(ns))
+      case ("POST", "namespaces" :: ns :: "views" :: v :: Nil) =>
+        icebergCommitView(ex, decNs(ns), v)
+      case ("DELETE", "namespaces" :: ns :: "views" :: v :: Nil) =>
+        val dir = s"${nsDir(decNs(ns))}/_views"
+        if (!io.exists(s"$dir/$v.json")) return err(ex, 404, s"no view $v")
+        io.delete(s"$dir/$v.json")
+        // sweep this view's CAS markers and its rendered spec metadata —
+        // arbitration is uuid-scoped so leftovers are harmless, but they'd
+        // accumulate forever (same sweep as GraftCatalog.dropView)
+        io.listNames(dir).filter(_.startsWith(s"$v.json."))
+          .foreach(n => io.delete(s"$dir/$n"))
+        if (io.isDirectory(s"$dir/_iceberg/$v")) io.deleteRecursive(s"$dir/_iceberg/$v")
+        ex.sendResponseHeaders(204, -1); ex.close()
+      case ("POST", "tables" :: "rename" :: Nil) =>
+        icebergRename(ex, view = false)
+      case ("POST", "views" :: "rename" :: Nil) =>
+        icebergRename(ex, view = true)
       case _ => err(ex, 404, s"$method iceberg/${segs.mkString("/")}")
     }
+
+  /** Spec `renameTable` / `renameView` (`POST /v1/{prefix}/tables/rename`,
+    * `…/views/rename`): move the whole table tree (snapshot log INCLUDED —
+    * history, branches and time travel survive the rename) or the stored
+    * view file (full version history in one JSON). The reference's UC
+    * serves the same rename surface to Trino/Spark (`main.tf:795-820`). */
+  private def icebergRename(ex: HttpExchange, view: Boolean): Unit = {
+    val body = JsonMethods.parse(readBody(ex))
+    def ident(key: String): (Seq[String], String) = {
+      val ns = (body \ key \ "namespace").extractOpt[Seq[String]].getOrElse(
+        throw new IllegalArgumentException(s"rename needs $key.namespace"))
+      val n = (body \ key \ "name").extractOpt[String].getOrElse(
+        throw new IllegalArgumentException(s"rename needs $key.name"))
+      (ns, n)
+    }
+    val (srcNs, srcName) = ident("source")
+    val (dstNs, dstName) = ident("destination")
+    if (!io.isDirectory(nsDir(dstNs)))
+      return err(ex, 404, s"no namespace ${dstNs.mkString(".")}")
+    if (view) {
+      val from = s"${nsDir(srcNs)}/_views/$srcName.json"
+      val to = s"${nsDir(dstNs)}/_views/$dstName.json"
+      if (!io.exists(from)) return err(ex, 404, s"no view $srcName")
+      if (io.exists(to)) return err(ex, 409, s"view $dstName exists")
+      io.mkdirs(s"${nsDir(dstNs)}/_views")
+      io.rename(from, to)
+      // the rendered spec metadata under the OLD name is a stale cache now
+      val stale = s"${nsDir(srcNs)}/_views/_iceberg/$srcName"
+      if (io.isDirectory(stale)) io.deleteRecursive(stale)
+    } else {
+      val from = tableRoot(srcNs, srcName)
+      val to = tableRoot(dstNs, dstName)
+      if (!isTable(from)) return err(ex, 404, s"no table $srcName")
+      if (isTable(to)) return err(ex, 409, s"table $dstName exists")
+      io.rename(from, to)
+      logs.remove(from)
+    }
+    ex.sendResponseHeaders(204, -1); ex.close()
+  }
+
+  /** `view-version` JSON (CreateViewRequest / add-view-version) → the SQL
+    * text and session context a graft [[graft.catalog.StoredViewVersion]]
+    * stores. The spark-dialect SQL representation is preferred; any SQL
+    * representation is accepted otherwise (graft re-parses the text with
+    * Spark's parser at read time — late binding, so a Trino-dialect view
+    * that is also valid Spark SQL still resolves). */
+  private def parseViewVersion(vv: JValue, versionId: Int, schemaJson: String):
+      graft.catalog.StoredViewVersion = {
+    val sqlReprs = (vv \ "representations").children
+      .filter(r => (r \ "type").extractOpt[String].contains("sql"))
+    val pick = sqlReprs.find(r => (r \ "dialect").extractOpt[String].contains("spark"))
+      .orElse(sqlReprs.headOption).getOrElse(throw new IllegalArgumentException(
+        "view-version needs at least one representation of type 'sql'"))
+    val sql = (pick \ "sql").extractOpt[String].getOrElse(
+      throw new IllegalArgumentException("sql representation needs 'sql' text"))
+    graft.catalog.StoredViewVersion(versionId,
+      (vv \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
+      sql, schemaJson,
+      (vv \ "default-catalog").extractOpt[String].getOrElse(""),
+      (vv \ "default-namespace").extractOpt[Seq[String]].getOrElse(Nil))
+  }
+
+  /** Spec Iceberg REST `createView` (CreateViewRequest → LoadViewResult):
+    * the foreign-engine CREATE VIEW role of the reference's UC IRC
+    * (`main.tf:809-820` — Trino creating views other engines then read).
+    * Stores the same [[graft.catalog.ViewStore]] JSON GraftCatalog writes,
+    * so the created view is immediately usable from a graft `SELECT`. */
+  private def icebergCreateView(ex: HttpExchange, ns: Seq[String]): Unit = {
+    val body = JsonMethods.parse(readBody(ex))
+    val name = (body \ "name").extractOpt[String].getOrElse(
+      throw new IllegalArgumentException("createView needs name"))
+    if ((body \ "location").extractOpt[String].exists(_.nonEmpty))
+      throw new IllegalArgumentException(
+        "custom location is not supported: views live under the namespace")
+    if (!io.isDirectory(nsDir(ns)))
+      return err(ex, 404, s"no namespace ${ns.mkString(".")}")
+    val dir = s"${nsDir(ns)}/_views"
+    val path = s"$dir/$name.json"
+    if (io.exists(path)) return err(ex, 409, s"view $name exists")
+    val st = graft.table.IcebergImport.sparkSchema(body \ "schema")
+    require(st.fields.nonEmpty, "createView: empty schema")
+    val vv = body \ "view-version"
+    if (vv == JNothing) throw new IllegalArgumentException("createView needs view-version")
+    val v1 = parseViewVersion(vv,
+      (vv \ "version-id").extractOpt[Int].filter(_ >= 1).getOrElse(1), st.json)
+    val sv = graft.catalog.StoredView(v1.sql, v1.currentCatalog, v1.currentNamespace,
+      st.json, Nil, Nil, Nil,
+      (body \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      viewUuid = Some(UUID.randomUUID().toString),
+      versions = Some(Seq(v1)))
+    // exclusive-create arbitrates concurrent creators of the same name:
+    // the loser sees the winner's file and 409s instead of overwriting it
+    io.mkdirs(dir)
+    if (!io.createExclusive(path, org.json4s.jackson.Serialization.write(sv)))
+      return err(ex, 409, s"view $name exists")
+    val (metaUri, metadataJson) = renderViewMeta(ns, name, path)
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+  }
+
+  /** Spec Iceberg REST view commit (`POST …/views/{view}`, the surface
+    * Iceberg's replaceView/ALTER VIEW emits): `add-view-version` +
+    * `set-current-view-version` replace the definition (appending to the
+    * stored history through the SAME ViewStore CAS GraftCatalog's
+    * CREATE OR REPLACE VIEW uses, so foreign and graft replacers arbitrate
+    * against each other); `set-properties`/`remove-properties` alone are a
+    * property-only update (ALTER VIEW semantics — no version advance). The
+    * catalog REASSIGNS version ids monotonically (history-max + 1), which
+    * the view spec explicitly allows; `set-current-view-version` must
+    * therefore be -1 ("the version just added") or echo the request's own
+    * version-id — making an OLDER version current again is not supported.
+    * All-or-nothing: any unsupported update action 400s the whole commit. */
+  private def icebergCommitView(ex: HttpExchange, ns: Seq[String], name: String): Unit = {
+    val dir = s"${nsDir(ns)}/_views"
+    val path = s"$dir/$name.json"
+    if (!io.exists(path)) return err(ex, 404, s"no view $name")
+    val body = JsonMethods.parse(readBody(ex))
+    val updates = (body \ "updates").children
+    def actionsOf(a: String) = updates.filter(u =>
+      (u \ "action").extractOpt[String].contains(a))
+    val unsupported = updates.flatMap(u => (u \ "action").extractOpt[String])
+      .filterNot(Set("add-schema", "add-view-version", "set-current-view-version",
+        "set-properties", "remove-properties"))
+    if (unsupported.nonEmpty) throw new IllegalArgumentException(
+      s"unsupported view update action(s): ${unsupported.mkString(", ")} " +
+        "(add-schema / add-view-version / set-current-view-version / " +
+        "set-properties / remove-properties are accepted)")
+
+    def checkRequirements(sv: graft.catalog.StoredView): Unit =
+      (body \ "requirements").children.foreach { r =>
+        (r \ "type").extractOpt[String] match {
+          case Some("assert-view-uuid") =>
+            val want = (r \ "uuid").extractOpt[String].getOrElse("")
+            val have = sv.viewUuid.getOrElse(
+              graft.catalog.ViewStore.fallbackUuid(ns :+ name))
+            if (want != have) throw new CommitConflictException(
+              s"requirement failed: view-uuid is $have, expected $want")
+          case other => throw new IllegalArgumentException(
+            s"unsupported view requirement type: ${other.getOrElse("<missing>")}")
+        }
+      }
+
+    def props(base: Map[String, String]): Map[String, String] = {
+      val set = actionsOf("set-properties").flatMap(u =>
+        (u \ "updates").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      val removed = actionsOf("remove-properties").flatMap(u =>
+        (u \ "removals").extractOpt[Seq[String]].getOrElse(Nil))
+      base ++ set -- removed
+    }
+
+    val addedVersion = actionsOf("add-view-version") match {
+      case Nil => None
+      case v :: Nil => Some(v \ "view-version")
+      case many => throw new IllegalArgumentException(
+        s"one add-view-version per commit (got ${many.size})")
+    }
+    actionsOf("set-current-view-version").foreach { u =>
+      val want = (u \ "view-version-id").extractOpt[Int].getOrElse(
+        throw new IllegalArgumentException("set-current-view-version needs view-version-id"))
+      val requested = addedVersion.flatMap(vv =>
+        (vv \ "version-id").extractOpt[Int]).getOrElse(-1)
+      if (addedVersion.isEmpty || (want != -1 && want != requested))
+        throw new IllegalArgumentException(
+          "set-current-view-version must name the version added in this commit " +
+            "(-1 or its version-id); making an older version current is not supported")
+    }
+
+    val result = addedVersion match {
+      case Some(vv) =>
+        // schema for the new version: the commit's add-schema (schema-id -1
+        // or matching), else a prior version's schema by id (render stamps
+        // schema-id = version-id), else 400
+        val addedSchemas = actionsOf("add-schema").map { u =>
+          ((u \ "schema" \ "schema-id").extractOpt[Int].getOrElse(-1),
+            graft.table.IcebergImport.sparkSchema(u \ "schema"))
+        }
+        val sid = (vv \ "schema-id").extractOpt[Int].getOrElse(-1)
+        graft.catalog.ViewStore.replaceWithCas(io, dir, path, ns :+ name,
+            30000L)(() => graft.catalog.ViewStore.read(io, path)) { (prev, _) =>
+          checkRequirements(prev)
+          val schemaJson =
+            addedSchemas.find(_._1 == sid).orElse(addedSchemas.lastOption.filter(_ => sid == -1))
+              .map(_._2.json)
+              .orElse(prev.allVersions.find(_.versionId == sid).map(_.schemaJson))
+              .getOrElse(throw new IllegalArgumentException(
+                s"add-view-version: no schema with id $sid (add-schema it in this commit)"))
+          val history = prev.allVersions
+          val next = parseViewVersion(vv, history.map(_.versionId).max + 1, schemaJson)
+          prev.copy(sql = next.sql, currentCatalog = next.currentCatalog,
+            currentNamespace = next.currentNamespace, schemaJson = schemaJson,
+            properties = props(prev.properties),
+            versions = Some(history :+ next))
+        }
+      case None =>
+        // property-only commit: read-modify-write, same non-versioned
+        // semantics as GraftCatalog.alterView (ALTER VIEW SET PROPERTIES
+        // changes state without advancing current-version-id)
+        val prev = graft.catalog.ViewStore.read(io, path)
+        checkRequirements(prev)
+        val next = prev.copy(properties = props(prev.properties))
+        graft.catalog.ViewStore.write(io, dir, path, next)
+        next
+    }
+    val _ = result
+    val (metaUri, metadataJson) = renderViewMeta(ns, name, path)
+    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+  }
 
   /** Spec Iceberg REST `loadView`: renders the stored graft view
     * ([[graft.catalog.ViewStore]] JSON, the same file GraftCatalog reads)

@@ -990,4 +990,154 @@ class ForeignWriterSpec extends SparkSpec {
     spark.sql("DROP TABLE graftr.db.tx_a")
     spark.sql("DROP TABLE graftr.db.tx_b")
   }
+
+  test("foreign createView / view commit / dropView through the spec IRC surface") {
+    // The write half of the UC-serves-views role (reference `main.tf:809-820`:
+    // Trino creating views other engines then read): a foreign engine with
+    // nothing but HTTP+JSON creates a view, graft SELECTs it, the foreign
+    // engine replaces it through the spec view commit (arbitrated by the
+    // SAME ViewStore CAS graft's CREATE OR REPLACE VIEW uses), and drops it.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.fvt (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graftr.db.fvt VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val token = oauthRaw()
+
+    val schema2 =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"double"}]}""".stripMargin
+    val created = post("/v1/iceberg/namespaces/db/views",
+      s"""{"name":"fview","schema":$schema2,
+         |"view-version":{"version-id":1,"timestamp-ms":1723600000000,
+         |  "schema-id":0,"summary":{"engine-name":"foreign"},
+         |  "representations":[{"type":"sql",
+         |    "sql":"SELECT id, v FROM fvt WHERE id > 1","dialect":"spark"}],
+         |  "default-catalog":"graftr","default-namespace":["db"]},
+         |"properties":{"comment":"made by a foreign engine"}}""".stripMargin,
+      Some(token))
+    assert(created.statusCode() == 200, s"${created.statusCode()}: ${created.body()}")
+    val cMeta = JsonMethods.parse(created.body()) \ "metadata"
+    val uuid = (cMeta \ "view-uuid").extract[String]
+    assert(uuid.nonEmpty && (cMeta \ "current-version-id").extract[Int] == 1)
+
+    // duplicate create loses the exclusive-create and 409s
+    assert(post("/v1/iceberg/namespaces/db/views",
+      s"""{"name":"fview","schema":$schema2,
+         |"view-version":{"version-id":1,"representations":[
+         |  {"type":"sql","sql":"SELECT 1","dialect":"spark"}]}}""".stripMargin,
+      Some(token)).statusCode() == 409)
+
+    // graft reads the FOREIGN-created view through its normal SELECT path:
+    // the SQL text re-resolves late-bound against default-catalog/namespace
+    assert(spark.sql("SELECT id FROM graftr.db.fview ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+    // spec view commit: replace the definition (add-schema + add-view-version
+    // + set-current-view-version -1), guarded by assert-view-uuid
+    val schema1 =
+      """{"type":"struct","schema-id":7,"fields":[
+        |{"id":1,"name":"total","required":false,"type":"double"}]}""".stripMargin
+    def replaceBody(assertUuid: String) =
+      s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$assertUuid"}],
+         |"updates":[
+         |  {"action":"add-schema","schema":$schema1},
+         |  {"action":"add-view-version","view-version":{"version-id":2,
+         |    "timestamp-ms":1723600001000,"schema-id":7,"summary":{},
+         |    "representations":[{"type":"sql",
+         |      "sql":"SELECT sum(v) AS total FROM fvt","dialect":"spark"}],
+         |    "default-catalog":"graftr","default-namespace":["db"]}},
+         |  {"action":"set-current-view-version","view-version-id":-1}
+         |]}""".stripMargin
+    // wrong uuid: the requirement rejects the commit, nothing changes
+    assert(post("/v1/iceberg/namespaces/db/views/fview",
+      replaceBody("00000000-0000-0000-0000-000000000000"), Some(token))
+      .statusCode() == 409)
+    val replaced = post("/v1/iceberg/namespaces/db/views/fview",
+      replaceBody(uuid), Some(token))
+    assert(replaced.statusCode() == 200, s"${replaced.statusCode()}: ${replaced.body()}")
+    val rMeta = JsonMethods.parse(replaced.body()) \ "metadata"
+    // history preserved under the same uuid, current advanced
+    assert((rMeta \ "view-uuid").extract[String] == uuid)
+    assert((rMeta \ "current-version-id").extract[Int] == 2)
+    assert((rMeta \ "versions").children.map(v => (v \ "version-id").extract[Int])
+      == List(1, 2))
+    assert(spark.sql("SELECT total FROM graftr.db.fview").collect()(0).getDouble(0)
+      == 7.5)
+
+    // property-only commit: ALTER VIEW semantics, no version advance
+    val propped = post("/v1/iceberg/namespaces/db/views/fview",
+      """{"updates":[{"action":"set-properties","updates":{"owner":"trino"}},
+        |{"action":"remove-properties","removals":["comment"]}]}""".stripMargin,
+      Some(token))
+    assert(propped.statusCode() == 200, propped.body())
+    val pMeta = JsonMethods.parse(propped.body()) \ "metadata"
+    assert((pMeta \ "current-version-id").extract[Int] == 2)
+    assert((pMeta \ "properties" \ "owner").extract[String] == "trino")
+    assert((pMeta \ "properties" \ "comment").extractOpt[String].isEmpty)
+
+    // unsupported update action 400s the whole commit all-or-nothing
+    assert(post("/v1/iceberg/namespaces/db/views/fview",
+      """{"updates":[{"action":"set-location","location":"/elsewhere"}]}""",
+      Some(token)).statusCode() == 400)
+
+    // spec dropView: gone from graft and from the spec surface
+    assert(del("/v1/iceberg/namespaces/db/views/fview", token).statusCode() == 204)
+    assert(get("/v1/iceberg/namespaces/db/views/fview", token).statusCode() == 404)
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graftr.db.fview")).getMessage.toLowerCase
+      .contains("fview"))
+    assert(del("/v1/iceberg/namespaces/db/views/fview", token).statusCode() == 404)
+    spark.sql("DROP TABLE graftr.db.fvt")
+  }
+
+  test("spec renameTable moves the table with its whole history; renameView keeps versions") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.rt (id BIGINT)")
+    spark.sql("INSERT INTO graftr.db.rt VALUES (1), (2)")
+    spark.sql("INSERT INTO graftr.db.rt VALUES (3)")
+    val token = oauthRaw()
+
+    def renameReq(kind: String, from: String, to: String) = post(
+      s"/v1/iceberg/$kind/rename",
+      s"""{"source":{"namespace":["db"],"name":"$from"},
+         |"destination":{"namespace":["db"],"name":"$to"}}""".stripMargin,
+      Some(token))
+
+    assert(renameReq("tables", "nope", "rt2").statusCode() == 404)
+    assert(renameReq("tables", "rt", "rt").statusCode() == 409) // dest exists
+    assert(renameReq("tables", "rt", "rt2").statusCode() == 204)
+
+    // the RENAMED table serves its full pre-rename history: data, snapshot
+    // lineage, and time travel all walk the moved snapshot log
+    assert(spark.sql("SELECT id FROM graftr.db.rt2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT operation FROM graftr.db.`rt2$history` ORDER BY version")
+      .collect().map(_.getString(0)).toSeq == Seq("create", "append", "append"))
+    assert(spark.sql("SELECT count(*) FROM graftr.db.rt2 VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2)
+    // the old name is gone
+    assert(get("/v1/iceberg/namespaces/db/tables/rt", token).statusCode() == 404)
+    // and the moved table keeps accepting commits
+    spark.sql("INSERT INTO graftr.db.rt2 VALUES (4)")
+    assert(spark.sql("SELECT count(*) FROM graftr.db.rt2").collect()(0).getLong(0) == 4)
+
+    // view rename: version history travels with the file
+    spark.sql("CREATE VIEW graftr.db.rv AS SELECT id FROM graftr.db.rt2")
+    spark.sql("CREATE OR REPLACE VIEW graftr.db.rv AS SELECT id * 10 AS id10 FROM graftr.db.rt2")
+    assert(renameReq("views", "rv", "rv2").statusCode() == 204)
+    assert(get("/v1/iceberg/namespaces/db/views/rv", token).statusCode() == 404)
+    val meta = JsonMethods.parse(
+      get("/v1/iceberg/namespaces/db/views/rv2", token).body()) \ "metadata"
+    assert((meta \ "current-version-id").extract[Int] == 2)
+    assert(spark.sql("SELECT max(id10) FROM graftr.db.rv2").collect()(0).getLong(0) == 40)
+
+    spark.sql("DROP VIEW graftr.db.rv2")
+    spark.sql("DROP TABLE graftr.db.rt2")
+  }
 }

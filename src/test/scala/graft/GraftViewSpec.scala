@@ -115,4 +115,41 @@ class GraftViewSpec extends SparkSpec {
     } finally cat.replaceGraceMs = 30000L
     spark.sql("DROP VIEW graft.vw.orphv")
   }
+
+  test("unqualified view references bind to the DEFINITION namespace, not the reader's") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctxa")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctxb")
+    spark.sql("CREATE TABLE graft.ctxa.src (id BIGINT)")
+    spark.sql("INSERT INTO graft.ctxa.src VALUES (1), (2)")
+    // decoy with the SAME name in a different namespace: if the view body's
+    // unqualified `src` bound to the READER's context, it would read this
+    spark.sql("CREATE TABLE graft.ctxb.src (id BIGINT)")
+    spark.sql("INSERT INTO graft.ctxb.src VALUES (100)")
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql("USE graft.ctxa")
+      spark.sql("CREATE VIEW graft.ctxa.ctxv AS SELECT id FROM src")
+      // read with a DIFFERENT current namespace (where the decoy lives):
+      // late binding must re-resolve `src` against ctxa, captured at
+      // definition time — Iceberg view-spec default-namespace semantics
+      spark.sql("USE graft.ctxb")
+      assert(spark.sql("SELECT max(id) FROM graft.ctxa.ctxv").collect()(0).getLong(0) == 2L)
+      // CTE names inside a view body are NOT namespace objects and must
+      // never be qualified into the definition namespace
+      spark.sql("USE graft.ctxa")
+      spark.sql(
+        """CREATE VIEW graft.ctxa.ctev AS
+          |WITH src AS (SELECT 42 AS id) SELECT id FROM src""".stripMargin)
+      spark.sql("USE graft.ctxb")
+      assert(spark.sql("SELECT id FROM graft.ctxa.ctev").collect()(0).getInt(0) == 42)
+    } finally {
+      spark.sql(s"USE $prevCat.$prevDb")
+      spark.sql("DROP VIEW graft.ctxa.ctxv")
+      spark.sql("DROP VIEW graft.ctxa.ctev")
+      spark.sql("DROP TABLE graft.ctxa.src")
+      spark.sql("DROP TABLE graft.ctxb.src")
+    }
+  }
 }
