@@ -135,17 +135,63 @@ object Temporal {
       |  ON err.user_id = c.user_id AND c.ts <= err.ts
       |ORDER BY err.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Session window with a DYNAMIC gap (a per-event gap expression —
+    * Spark's `session_window(ts, gapCol)`, the second half of the §2.9
+    * session surface beyond q52's static gap): clicks time out after 2
+    * hours, everything else after 4. Each event spans `[ts, ts+gap)`;
+    * sessions merge while the next event starts before the MERGED window's
+    * end (a running max — a later short-gap event must not shrink a bound
+    * already extended by an earlier long-gap one), and the session end is
+    * the max of member ends — which the oracle reproduces with a
+    * cumulative-max gaps-and-islands instead of q52's lag-difference. */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gap = when($"event_type" === "click", lit("2 hours")).otherwise(lit("4 hours"))
+    events(spark, dir)
+      .groupBy(session_window($"ts", gap).as("s"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"s.start".as("session_start"),
+        $"s.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q89Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    ts + CASE WHEN event_type = 'click' THEN INTERVAL 2 HOUR
+      |              ELSE INTERVAL 4 HOUR END AS w_end
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, w_end,
+      |    max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_end
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts, w_end,
+      |    SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |      AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start, max(w_end) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
     "q52_window_session"  -> q52,
     "q53_dedup_first"     -> q53,
-    "q54_asof_join"       -> q54)
+    "q54_asof_join"       -> q54,
+    "q89_session_dynamic_gap" -> q89)
 
   val oracleSql: Map[String, String] = Map(
     "q50_window_tumbling" -> q50Sql,
     "q51_window_sliding"  -> q51Sql,
     "q52_window_session"  -> q52Sql,
     "q53_dedup_first"     -> q53Sql,
-    "q54_asof_join"       -> q54Sql)
+    "q54_asof_join"       -> q54Sql,
+    "q89_session_dynamic_gap" -> q89Sql)
 }
