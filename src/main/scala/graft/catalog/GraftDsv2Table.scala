@@ -210,6 +210,52 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     case _             => t.readPruned(t.log.current, filters.toIndexedSeq)
   }
 
+  /** Catalog-statistics rendering of the (file-pruned) snapshot for plan
+    * paths that LEAVE DSv2 — the [[graft.plans.GraftNativeScan]] parquet
+    * swap: the same metadata-only numbers `estimateStatistics` reports
+    * (manifest row/byte totals, merged null counts and exact-numeric
+    * bounds, ANALYZE's `stats.ndv.*` distinct counts), repackaged as a
+    * `CatalogStatistics` the spliced `LogicalRelation.computeStats` serves
+    * to the CBO. Without this the swap silently drops column statistics
+    * and cost-based filter/join estimation never sees an analyzed graft
+    * table on the hot (vectorized) read path. Zero file IO. */
+  private[graft] def catalogStatistics(filters: Array[Filter]):
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val snap = snapshotForRead
+    val files = t.pruneFiles(snap, filters.toIndexedSeq)
+    val rows = files.map(_.rows).sum
+    val colStats = schema().fields.flatMap { f =>
+      val perFile = files.map(_.stats.get(f.name))
+      val nulls: Option[BigInt] =
+        if (files.nonEmpty && perFile.forall(_.exists(_.nullCount >= 0)))
+          Some(BigInt(perFile.flatMap(_.map(_.nullCount)).sum))
+        else None
+      // bounds only for exact numerics whose string form round-trips into
+      // CatalogColumnStat's external representation losslessly
+      val numeric = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType => true
+        case _ => false
+      }
+      def bound(pick: graft.table.ColumnStats => String, wantMin: Boolean): Option[String] =
+        if (!numeric) None
+        else scala.util.Try {
+          val vals = perFile.flatten.map(v => BigDecimal(pick(v).trim))
+          if (vals.isEmpty) None
+          else Some((if (wantMin) vals.min else vals.max).underlying.toPlainString)
+        }.toOption.flatten
+      val mn = bound(_.min, wantMin = true)
+      val mx = bound(_.max, wantMin = false)
+      val ndv = snap.properties.get(s"stats.ndv.${f.name}")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .map(n => BigInt(math.max(1L, math.min(n, math.max(rows, 1L)))))
+      if (nulls.isEmpty && ndv.isEmpty && mn.isEmpty) None
+      else Some(f.name -> CatalogColumnStat(distinctCount = ndv,
+        min = mn, max = mx, nullCount = nulls))
+    }.toMap
+    CatalogStatistics(BigInt(files.map(_.bytes).sum), Some(BigInt(rows)), colStats)
+  }
+
   /** Writes: plain append, TRUNCATE-overwrite, and Iceberg-style
     * overwrite-by-filter (`df.writeTo(t).overwrite(cond)` / static
     * `INSERT OVERWRITE`): the filter rewrite commits matching-row removal

@@ -66,14 +66,34 @@ case class GraftNativeScan(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Replace the relation with the pruned parquet read's analyzed plan,
     * aliasing its output back to the relation's attribute ids so every
-    * reference above keeps resolving. */
+    * reference above keeps resolving. The table's statistics ride along:
+    * the spliced plan is a bare parquet `LogicalRelation` whose stats
+    * would otherwise be just file bytes, so the snapshot's manifest
+    * row/byte totals and per-column NDV/null/bounds are attached as a
+    * synthetic `CatalogTable` — `LogicalRelation.computeStats` then serves
+    * the CBO the same numbers the DSv2 `estimateStatistics` reports, and
+    * an ANALYZEd low-cardinality filter can still flip a join to
+    * broadcast on the vectorized path. */
   private def swap(r: DataSourceV2Relation, filters: Seq[Filter]): LogicalPlan = {
     val g = graftOf(r).get
     val child = g.prunedDf(filters.toArray).queryExecution.analyzed
-    val byName = child.output.map(a => a.name -> a).toMap
+    val stats = g.catalogStatistics(filters.toArray)
+    val statsTable = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(g.name()),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+      schema = child.schema,
+      provider = Some("parquet"),
+      stats = Some(stats))
+    val withStats = child.transformUp {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(statsTable))
+    }
+    val byName = withStats.output.map(a => a.name -> a).toMap
     val proj = r.output.map { attr =>
       Alias(byName(attr.name), attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
     }
-    Project(proj, child)
+    Project(proj, withStats)
   }
 }

@@ -76,4 +76,62 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(t.log.current.properties.contains("stats.ndv.id"))
     assert(math.abs(t.log.current.properties("stats.ndv.tag").toLong - 5L) <= 1)
   }
+
+  test("the CBO consumes analyzed NDVs: an equality filter's estimate flips the join to broadcast") {
+    // The end-to-end proof that ANALYZE's stats.ndv.* properties change
+    // PLANS, not just get reported: with cost-based optimization on, an
+    // equality filter over a low-cardinality column estimates 1/ndv
+    // selectivity — but ONLY once ANALYZE has recorded the column's
+    // distinct count. Same query, same data, same thresholds: un-analyzed
+    // the filtered dimension still looks bigger than the broadcast
+    // threshold (no column stats -> no selectivity -> child-size
+    // passthrough) and the join shuffles; analyzed, the 1/ndv estimate
+    // drops it under the threshold and the planner broadcasts.
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cbo_fact")
+    spark.sql("CREATE TABLE graft.db.cbo_dim (k BIGINT, grp BIGINT, pad STRING)")
+    // incompressible payload so the manifest byte size tracks the row count
+    spark.sql(
+      """INSERT INTO graft.db.cbo_dim
+        |SELECT id AS k, id % 10 AS grp, sha2(cast(id AS STRING), 512) AS pad
+        |FROM range(20000)""".stripMargin)
+    spark.sql("CREATE TABLE graft.db.cbo_fact (k BIGINT, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_fact
+        |SELECT id % 20000 AS k, id * 1.0 AS v FROM range(200000)""".stripMargin)
+
+    val query =
+      """SELECT f.k, f.v, d.pad FROM graft.db.cbo_fact f
+        |JOIN graft.db.cbo_dim d ON f.k = d.k
+        |WHERE d.grp = 3""".stripMargin
+    def joins: String = spark.sql(query).queryExecution.sparkPlan.toString
+
+    val prior = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      // CBO row-size arithmetic: the dim join side projects (k, pad) —
+      // ~36 B/row estimated (8 overhead + 8 long + 20 default string). At
+      // 20k rows the un-analyzed estimate is ~720 KB; the analyzed 1/10
+      // equality estimate is ~72 KB. 200 KB sits between with >3x margin.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "200000")
+
+      assert(!joins.contains("BroadcastHashJoin"),
+        s"un-analyzed dim must NOT broadcast (no NDV, no selectivity):\n$joins")
+
+      spark.sql("CALL graft.system.analyze_table('db.cbo_dim')")
+      spark.sql("REFRESH TABLE graft.db.cbo_dim")
+      assert(joins.contains("BroadcastHashJoin"),
+        s"analyzed dim must broadcast (ndv(grp)=10 -> 1/10 selectivity):\n$joins")
+    } finally {
+      prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP TABLE graft.db.cbo_dim")
+      spark.sql("DROP TABLE graft.db.cbo_fact")
+    }
+  }
 }
