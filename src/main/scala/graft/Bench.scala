@@ -59,6 +59,12 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SCALE_CHECK") match {
       case Some(spec) =>
         val Array(smallDir, bigDir) = spec.split(",").map(_.trim)
+        // Gate scales with the measured span: 1.5x the data growth (the
+        // 10x default gate was 15). SPARK_GRAFT_SCALE_GATE overrides, so a
+        // 100x run (sf0.001 -> sf0.1) gates at 150 — the slope claim
+        // measured over two decades instead of one.
+        val gate = sys.env.get("SPARK_GRAFT_SCALE_GATE")
+          .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(15.0)
         def timeAll(dir: String): Map[String, Double] = {
           def runAt(name: String): Double = {
             System.gc()
@@ -79,14 +85,14 @@ object Bench {
           n -> (s, b, ratio)
         }
         val flagged = rows.collect {
-          case (n, (_, b, r)) if r > 15.0 && b >= 0.5 => n
+          case (n, (_, b, r)) if r > gate && b >= 0.5 => n
         }
         val qs = rows.map { case (n, (s, b, r)) =>
           f""""$n":{"small":$s%.4f,"big":$b%.4f,"ratio":$r%.2f}"""
         }.mkString("{", ",", "}")
         println(
           s"""{"metric":"scaling_slope","small_sf":"$smallDir","big_sf":"$bigDir",""" +
-          s""""gate":15.0,"min_big_sec":0.5,"queries":$qs,""" +
+          s""""gate":$gate,"min_big_sec":0.5,"queries":$qs,""" +
           s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
         spark.stop()
         return
