@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for every format the JDK ships a codec for — PNG, JPEG,
   * BMP, GIF via `javax.imageio`, WAV/PCM via `javax.sound.sampled`, and
   * MJPEG-AVI video (own RIFF container walker + per-frame JDK JPEG decode)
-  * — pixels and samples actually parsed from the payload bytes, dimensions
-  * recovered from the data (not trusted from metadata), features computed
-  * from a decoded grayscale thumbnail. Formats with no JDK codec (webp,
-  * mp4/webm) fall back to a clearly-marked deterministic byte-derived path
-  * so the pipeline shape stays testable end-to-end; swapping the fallback
-  * for a native codec changes only the marked function bodies. */
+  * — plus lossless WebP through the engine's own [[Vp8l]] bitstream
+  * decoder: pixels and samples actually parsed from the payload bytes,
+  * dimensions recovered from the data (not trusted from metadata),
+  * features computed from a decoded grayscale thumbnail. Formats still
+  * without any decoder here (lossy webp, mp4/webm) fall back to a
+  * clearly-marked deterministic byte-derived path so the pipeline shape
+  * stays testable end-to-end; swapping the fallback for a native codec
+  * changes only the marked function bodies. */
 object Multimodal {
 
   /** One media asset: opaque payload + typed metadata. */
@@ -47,8 +49,20 @@ object Multimodal {
   // ---------------------------------------------------------------- codecs
 
   private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case NonFatal(_) => None }
+    (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+     catch { case NonFatal(_) => None }).orElse(vp8lImage(bytes))
+
+  /** Lossless-WebP fallback: no JDK codec exists for WebP, so payloads
+    * ImageIO rejects get a second chance through the engine's own [[Vp8l]]
+    * bitstream decoder — real pixels for `webp` (lossless) assets instead
+    * of the metadata-only path. */
+  private def vp8lImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Vp8l.decode(bytes).map { im =>
+      val bi = new java.awt.image.BufferedImage(
+        im.width, im.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      bi.setRGB(0, 0, im.width, im.height, im.argb, 0, im.width)
+      bi
+    }
 
   /** n×n grayscale thumbnail of a decoded image, row-major, in [0,1]. */
   private def grayThumb(img: java.awt.image.BufferedImage, n: Int): Array[Float] = {

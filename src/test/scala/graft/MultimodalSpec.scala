@@ -223,4 +223,32 @@ class MultimodalSpec extends SparkSpec {
     hostile(18) = 0xff.toByte; hostile(19) = 0x7f.toByte // sz = 0x7ffffff0
     assert(webpMeta(hostile).isEmpty)
   }
+
+  test("decodeImages and resize handle lossless WebP through the Vp8l decoder") {
+    // a real VP8L payload (predictor + subtract-green transforms, encoded
+    // by the independent test codec) flows through the SAME decode stage
+    // as PNG/JPEG: dimensions and features come from actual pixels, and
+    // resize re-encodes instead of taking the metadata-only fallback
+    val w = 33; val h = 21
+    val argb = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      0xff000000 | ((x * 7 & 0xff) << 16) | ((y * 11 & 0xff) << 8) | ((x ^ y) & 0xff)
+    }
+    val webp = Vp8lTestCodec.encode(argb, w, h,
+      transforms = Seq(Vp8lTestCodec.SubtractGreen, Vp8lTestCodec.Predictor(7, bits = 4)))
+    val rows = Seq(
+      Multimodal.Asset(1L, webp, "webp", 0, 0), // metadata lies (0x0)
+      Multimodal.Asset(2L, Multimodal.encodeMinimalWebp(64, 48, "lossy"), "webp", 64, 48))
+    val decoded = Multimodal.decodeImages(spark.createDataset(rows))
+      .collect().sortBy(_.asset_id)
+    assert(decoded.map(_.asset_id).toSeq == Seq(1L), "lossy webp must still drop")
+    assert(decoded(0).width == w && decoded(0).height == h,
+      "dimensions must come from decoded VP8L pixels")
+    assert(decoded(0).channels == 4)
+    // resize takes the REAL pixel path: PNG re-encode at the new size
+    val resized = Multimodal.resize(spark.createDataset(rows.take(1)), 16, 12).collect()(0)
+    assert(resized.format == "png")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.media))
+    assert(back != null && back.getWidth == 16 && back.getHeight == 12)
+  }
 }
