@@ -412,6 +412,59 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY src1, src2""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Fixed-offset block length for aligned exact-substring dedup. */
+  private[graft] val BlockLen = 40
+  /** Stop-block frequency cap, same role as [[HotShingleCap]]. */
+  private[graft] val HotBlockCap = 50L
+
+  /** ALIGNED-BLOCK exact-substring dedup (the fixed-offset block dedup
+    * big web-corpus pipelines run as the cheap first pass of exact
+    * substring dedup a la Lee et al.): each document is cut into
+    * consecutive [[BlockLen]]-char blocks at fixed offsets (ragged tail
+    * dropped), and any two documents sharing an identical complete block
+    * are reported with the count of distinct shared blocks. Catches exact
+    * duplicates and shared boilerplate prefixes that token-level Jaccard
+    * (q43) blurs and MinHash (q41) only catches probabilistically.
+    *
+    * Scale shape: identical to q43 — explode to (doc, block), ONE shuffle
+    * on the block, stop-block cap bounds the self-join fanout at
+    * Σ_block df² with df <= [[HotBlockCap]]; never all-pairs. */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocks = documents(spark, dir)
+      .filter(length($"text") >= BlockLen)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, CAST(floor(length(text) / $BlockLen) AS INT) - 1)," +
+          s" i -> substring(text, i * $BlockLen + 1, $BlockLen))")).as("block"))
+      .distinct() // a block repeated inside one doc counts once
+    // stop-block cap rides the same hash(block) shuffle the self-join needs
+    val rare = blocks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"block")))
+      .filter($"df" <= HotBlockCap).drop("df")
+      .cache()
+    rare.as("a").join(rare.as("b"), "block")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("shared_blocks"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val q90Sql: String =
+    s"""WITH blk AS (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) * $BlockLen + 1, $BlockLen) AS block
+       |  FROM documents CROSS JOIN UNNEST(range(CAST(floor(length(text) / $BlockLen) AS BIGINT))) AS t(i)
+       |  WHERE length(text) >= $BlockLen),
+       |rare AS (SELECT doc_id, block FROM
+       |         (SELECT doc_id, block, COUNT(*) OVER (PARTITION BY block) AS df FROM blk)
+       |         WHERE df <= $HotBlockCap)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_blocks
+       |FROM rare a JOIN rare b USING (block)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
@@ -420,7 +473,8 @@ object Dedup {
     "q67_dedup_simhash_pairs" -> q67,
     "q82_dedup_editdist"      -> q82,
     "q85_prefix_clusters"     -> q85,
-    "q86_cross_source_dups"   -> q86)
+    "q86_cross_source_dups"   -> q86,
+    "q90_block_dedup"         -> q90)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
@@ -430,5 +484,6 @@ object Dedup {
     "q67_dedup_simhash_pairs" -> q67Sql,
     "q82_dedup_editdist"      -> q82Sql,
     "q85_prefix_clusters"     -> q85Sql,
-    "q86_cross_source_dups"   -> q86Sql)
+    "q86_cross_source_dups"   -> q86Sql,
+    "q90_block_dedup"         -> q90Sql)
 }
