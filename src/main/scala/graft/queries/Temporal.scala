@@ -262,6 +262,84 @@ object Temporal {
       |WHERE g IS NOT NULL AND pv IS NOT NULL AND nv IS NOT NULL
       |ORDER BY user_id, grid_ts""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** ORDERED FUNNEL (view -> click -> purchase): per user, the first view,
+    * the first click STRICTLY AFTER that view, and the first purchase
+    * strictly after that click. Two stacked running-min windows carry the
+    * stage state down the per-user timeline, so the whole funnel costs ONE
+    * shuffle on user_id (the following groupBy reuses the window's
+    * partitioning) — no self-join per stage, which at 100 TB would be
+    * |events|² on hot users. Tie-safe: strict `>` comparisons make the
+    * result independent of sort order among same-timestamp events. */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s1 = events(spark, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("mv", min(when($"event_type" === "view", $"ts")).over(w))
+    val s2 = s1.withColumn("mc",
+      min(when($"event_type" === "click" && $"ts" > $"mv", $"ts")).over(w))
+    s2.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click" && $"ts" > $"mv", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase" && $"ts" > $"mc", $"ts")).as("t_purchase"))
+      .filter($"t_view".isNotNull)
+      .orderBy($"user_id")
+  }
+
+  val q92Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS mv
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > mv THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS mc
+      |  FROM s1)
+      |SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |  min(CASE WHEN event_type = 'click' AND ts > mv THEN ts END) AS t_click,
+      |  min(CASE WHEN event_type = 'purchase' AND ts > mc THEN ts END) AS t_purchase
+      |FROM s2 GROUP BY user_id
+      |HAVING t_view IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** COHORT RETENTION: users grouped by the week of their first event;
+    * for each (cohort week, week offset), how many of that cohort were
+    * active. The cohort assignment is a full-partition min window (no
+    * extra join), distinct (user, week) pairs collapse map-side, and the
+    * final count is an exact distinct over an already-narrow set — the
+    * standard product-analytics shape, one shuffle on user then one on
+    * the (cohort, offset) key. */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"),
+        date_trunc("week",
+          min($"ts").over(Window.partitionBy($"user_id"))).as("cohort_week"))
+      .distinct()
+      .groupBy($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q93Sql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk,
+      |    date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort_week
+      |  FROM events)
+      |SELECT cohort_week, date_diff('day', cohort_week, wk) // 7 AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
@@ -269,7 +347,9 @@ object Temporal {
     "q53_dedup_first"     -> q53,
     "q54_asof_join"       -> q54,
     "q89_session_dynamic_gap" -> q89,
-    "q91_resample_interpolate" -> q91)
+    "q91_resample_interpolate" -> q91,
+    "q92_funnel"          -> q92,
+    "q93_cohort_retention" -> q93)
 
   val oracleSql: Map[String, String] = Map(
     "q50_window_tumbling" -> q50Sql,
@@ -278,5 +358,7 @@ object Temporal {
     "q53_dedup_first"     -> q53Sql,
     "q54_asof_join"       -> q54Sql,
     "q89_session_dynamic_gap" -> q89Sql,
-    "q91_resample_interpolate" -> q91Sql)
+    "q91_resample_interpolate" -> q91Sql,
+    "q92_funnel"          -> q92Sql,
+    "q93_cohort_retention" -> q93Sql)
 }

@@ -122,6 +122,17 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q92 funnel: stage windows and the final aggregate share ONE user shuffle") {
+    // the funnel's scale claim: two stacked running-min windows plus the
+    // per-user aggregate all ride a single hashpartitioning(user_id)
+    // exchange (the only other exchange is the final ORDER BY range
+    // partitioning) — a per-stage self-join shape would add one per stage
+    val plan = planOf(graft.queries.Temporal.q92(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
   test("new pair-generation queries never degrade to cartesian products") {
     Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf),
         graft.queries.Dedup.q82(spark, sf), graft.queries.Dedup.q90(spark, sf),
