@@ -340,6 +340,41 @@ object Temporal {
       |FROM a GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** EVENT TRANSITION MATRIX (first-order Markov estimate): for each
+    * per-user consecutive event pair, count (from, to) transitions and
+    * their conditional probability. `lead` over (ts, event_id) — the
+    * unique id breaks same-timestamp ties, so the sequence (and therefore
+    * the matrix) is deterministic. One shuffle on user for the sequencing
+    * window; the count and the per-from normalization ride the tiny
+    * |types|² aggregate. */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seq = events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"next_type".isNotNull)
+    seq.groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")), 4))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q94Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
@@ -349,7 +384,8 @@ object Temporal {
     "q89_session_dynamic_gap" -> q89,
     "q91_resample_interpolate" -> q91,
     "q92_funnel"          -> q92,
-    "q93_cohort_retention" -> q93)
+    "q93_cohort_retention" -> q93,
+    "q94_event_transitions" -> q94)
 
   val oracleSql: Map[String, String] = Map(
     "q50_window_tumbling" -> q50Sql,
@@ -360,5 +396,6 @@ object Temporal {
     "q89_session_dynamic_gap" -> q89Sql,
     "q91_resample_interpolate" -> q91Sql,
     "q92_funnel"          -> q92Sql,
-    "q93_cohort_retention" -> q93Sql)
+    "q93_cohort_retention" -> q93Sql,
+    "q94_event_transitions" -> q94Sql)
 }
