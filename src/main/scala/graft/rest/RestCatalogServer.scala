@@ -68,6 +68,7 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   *   DELETE /v1/iceberg/namespaces/{ns}/tables/{t}   spec dropTable (?purgeRequested=true deletes data)
   *   GET    /v1/iceberg/namespaces/{ns}/views        spec listViews
   *   GET    /v1/iceberg/namespaces/{ns}/views/{v}    spec loadView (view metadata)
+  *   POST   /v1/iceberg/namespaces/{ns}/register     spec registerTable (existing Iceberg metadata)
   *   POST   /v1/iceberg/namespaces/{ns}/views        spec createView
   *   POST   /v1/iceberg/namespaces/{ns}/views/{v}    spec view commit (replace / set-properties)
   *   DELETE /v1/iceberg/namespaces/{ns}/views/{v}    spec dropView
@@ -267,6 +268,25 @@ class RestCatalogServer(val warehouse: String,
         else { io.delete(dir); ex.sendResponseHeaders(204, -1); ex.close() }
       case ("POST", "namespaces" :: ns :: "tables" :: Nil) =>
         icebergCreateTable(ex, decNs(ns))
+      case ("POST", "namespaces" :: ns :: "register" :: Nil) =>
+        // spec registerTable: a foreign engine hands over an EXISTING
+        // Iceberg table by metadata location (the migration-in counterpart
+        // of dropTable's metadata-only default). The import replays the
+        // full snapshot chain through IcebergImport's Spark-free core, so
+        // the registered table time-travels from day one.
+        val body = JsonMethods.parse(readBody(ex))
+        val name = (body \ "name").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException("register needs name"))
+        val metaLoc = (body \ "metadata-location").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException("register needs metadata-location"))
+        if (!io.isDirectory(nsDir(decNs(ns))))
+          return err(ex, 404, s"no namespace $ns")
+        val root = tableRoot(decNs(ns), name)
+        if (isTable(root)) return err(ex, 409, s"table $name exists")
+        graft.table.IcebergImport.importIntoPath(
+          new org.apache.hadoop.conf.Configuration(), metaLoc, root)
+        val (metaUri, metadataJson) = renderIcebergMetadata(root)
+        ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
         val purge = Option(ex.getRequestURI.getQuery).getOrElse("")

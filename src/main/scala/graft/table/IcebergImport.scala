@@ -57,7 +57,20 @@ object IcebergImport {
   def importTable(spark: SparkSession, source: String, targetPath: String,
       extraProps: Map[String, String] = Map.empty,
       history: Boolean = true): GraftTable = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    importIntoPath(spark.sparkContext.hadoopConfiguration, source, targetPath,
+      extraProps, history)
+    GraftTable.load(spark, targetPath)
+  }
+
+  /** The Spark-free core of [[importTable]]: everything happens through
+    * the Hadoop `FileSystem` API and the target's [[SnapshotLog]], so the
+    * REST catalog server can serve the spec `register` endpoint (a foreign
+    * engine handing over an existing Iceberg metadata location) without a
+    * SparkSession in the server process. */
+  private[graft] def importIntoPath(conf: org.apache.hadoop.conf.Configuration,
+      source: String, targetPath: String,
+      extraProps: Map[String, String] = Map.empty,
+      history: Boolean = true): Unit = {
     val metaPath = resolveMetadataJson(source, conf)
     implicit val fmts: Formats = DefaultFormats
     val meta = JsonMethods.parse(new String(readAll(metaPath, conf), UTF_8))
@@ -252,7 +265,14 @@ object IcebergImport {
       else Map.empty) +
       ("graft.imported-from" -> metaPath) +
       ("graft.read.by-field-id" -> "true")
-    val t = GraftTable.createEmpty(spark, targetPath, currentSchema, props)
+    // createEmpty, minus the SparkSession: init the log and publish the
+    // "create" snapshot directly (the create-schema ids are cosmetic —
+    // every history commit below carries the IMPORTED schema map)
+    val log = new SnapshotLog(targetPath)
+    require(!log.exists, s"graft table already exists at $targetPath")
+    log.initDirs()
+    log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(), "create",
+      0, Map("0" -> GraftTable.stampIds(currentSchema).json), Seq.empty, props))
     chain.zip(states).zipWithIndex.foreach { case ((snapJson, (f, p, e)), i) =>
       val rFiles = f.map(x => x.copy(seq = rank(x.seq),
         footerIds = hasIds.getOrElse(x.path, false)))
@@ -270,7 +290,7 @@ object IcebergImport {
         case Some("replace")   => "rewrite-data" // compaction: CDC sources skip it
         case _                 => "import-iceberg"
       }
-      t.log.commit(i.toLong, v => Snapshot(v, i.toLong, ts,
+      log.commit(i.toLong, v => Snapshot(v, i.toLong, ts,
         if (i == chain.size - 1) "import-iceberg" else op,
         sid, schemas, rFiles, props, rPos, rEq))
     }
@@ -286,11 +306,10 @@ object IcebergImport {
         if (name != "main") for {
           sid <- (r \ "snapshot-id").extractOpt[Long]
           v <- versionOf.get(sid)
-        } t.log.setRef(name, Ref(v, (r \ "type").extractOpt[String].getOrElse("tag")))
+        } log.setRef(name, Ref(v, (r \ "type").extractOpt[String].getOrElse("tag")))
       }
       case _ =>
     }
-    GraftTable.load(spark, targetPath)
   }
 
   // ------------------------------------------------------------- resolution

@@ -1140,4 +1140,50 @@ class ForeignWriterSpec extends SparkSpec {
     spark.sql("DROP VIEW graftr.db.rv2")
     spark.sql("DROP TABLE graftr.db.rt2")
   }
+
+  test("spec registerTable: an exported Iceberg table registers with full history") {
+    // migration-in over the wire: graft exports REAL Iceberg v2 metadata,
+    // a foreign engine POSTs just the metadata location to /register, and
+    // the catalog replays the snapshot chain — rows, lineage, and time
+    // travel all work on the registered name. No data was copied.
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE graftr.db.regsrc (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graftr.db.regsrc VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graftr.db.regsrc VALUES (3, 3.0)")
+    val token = oauthRaw()
+    val srcRoot = (JsonMethods.parse(
+      get("/v1/namespaces/db/tables/regsrc", token).body()) \ "location").extract[String]
+    val metaJson = graft.table.GraftTable.load(spark, srcRoot)
+      .exportIcebergMetadata(java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "reg-ice-").toString)
+
+    def registerReq(name: String) = post("/v1/iceberg/namespaces/db/register",
+      s"""{"name":"$name","metadata-location":"$metaJson"}""", Some(token))
+    val resp = registerReq("regdst")
+    assert(resp.statusCode() == 200, s"${resp.statusCode()}: ${resp.body()}")
+    assert((JsonMethods.parse(resp.body()) \ "metadata" \ "current-snapshot-id")
+      .extractOpt[Long].nonEmpty)
+    // the registered table serves the same rows...
+    assert(spark.sql("SELECT id FROM graftr.db.regdst ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ...and the replayed history: the version before head is the state
+    // after the FIRST append (the replayed chain also carries the SQL
+    // CREATE's empty snapshot, so anchor on head-1 rather than v1)
+    val dstRoot = (JsonMethods.parse(
+      get("/v1/namespaces/db/tables/regdst", token).body()) \ "location").extract[String]
+    val head = graft.table.GraftTable.load(spark, dstRoot).log.currentVersion
+    assert(spark.sql(s"SELECT count(*) FROM graftr.db.regdst VERSION AS OF ${head - 1}")
+      .collect()(0).getLong(0) == 2)
+    // existing name -> 409; bad location -> error, no half-registered table
+    assert(registerReq("regdst").statusCode() == 409)
+    assert(post("/v1/iceberg/namespaces/db/register",
+      """{"name":"regbad","metadata-location":"/nope/metadata.json"}""",
+      Some(token)).statusCode() >= 400)
+    assert(get("/v1/iceberg/namespaces/db/tables/regbad", token).statusCode() == 404)
+    spark.sql("DROP TABLE graftr.db.regsrc")
+    spark.sql("DROP TABLE graftr.db.regdst")
+  }
 }
