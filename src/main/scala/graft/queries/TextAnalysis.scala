@@ -241,6 +241,65 @@ object TextAnalysis {
       |FROM pairs GROUP BY pair
       |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** CORPUS BIGRAM LANGUAGE-MODEL SCORING (the KenLM-style perplexity
+    * filter of web-corpus pipelines, self-trained): estimate P(w2|w1) =
+    * c(w1,w2)/c(w1·) from the whole corpus, then score each document by
+    * its mean bigram log-likelihood — documents whose word sequences are
+    * atypical for the corpus score low and become filter candidates.
+    *
+    * Scale shape: per-doc bigram counts aggregate BEFORE the model join
+    * (the join key stream is distinct (doc,bigram), not every token), the
+    * model is two further aggregations of that same stream, and scoring is
+    * one equality join on the bigram — no per-doc model state, no driver
+    * collection. The log-likelihood terms are summed as DECIMAL so the
+    * total is independent of aggregation order (a double sum would differ
+    * in the last ulp between engines and partitionings). */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size($"w") >= 2)
+    val docBg = toks
+      .select($"doc_id", explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+      .cache() // feeds the model build AND the scoring join
+    val corpusBg = docBg.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+    val corpusUni = corpusBg.groupBy($"w1").agg(sum($"c12").as("c1"))
+    docBg
+      .join(corpusBg, Seq("w1", "w2"))
+      .join(corpusUni, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(
+        round(
+          sum(($"c" * (log($"c12") - log($"c1"))).cast("decimal(28,12)"))
+            .cast("double") / sum($"c"), 4).as("avg_logp"),
+        sum($"c").as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  val q95Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT * FROM toks WHERE len(w) >= 2)
+      |  CROSS JOIN UNNEST(range(1, len(w))) AS t(i)),
+      |docbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |cbg AS (SELECT w1, w2, SUM(c)::BIGINT AS c12 FROM docbg GROUP BY 1, 2),
+      |cuni AS (SELECT w1, SUM(c12)::BIGINT AS c1 FROM cbg GROUP BY 1)
+      |SELECT d.doc_id,
+      |  round(CAST(SUM(CAST(d.c * (ln(m.c12) - ln(u.c1)) AS DECIMAL(28,12))) AS DOUBLE)
+      |        / SUM(d.c), 4) AS avg_logp,
+      |  SUM(d.c)::BIGINT AS n_bigrams
+      |FROM docbg d JOIN cbg m USING (w1, w2) JOIN cuni u USING (w1)
+      |GROUP BY d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -248,7 +307,8 @@ object TextAnalysis {
     "q49_text_fingerprint" -> q49,
     "q69_text_nfc"         -> q69,
     "q84_token_vocab"      -> q84,
-    "q87_bpe_pairs"        -> q87)
+    "q87_bpe_pairs"        -> q87,
+    "q95_bigram_lm"        -> q95)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
@@ -257,5 +317,6 @@ object TextAnalysis {
     "q49_text_fingerprint" -> q49Sql,
     "q69_text_nfc"         -> q69Sql,
     "q84_token_vocab"      -> q84Sql,
-    "q87_bpe_pairs"        -> q87Sql)
+    "q87_bpe_pairs"        -> q87Sql,
+    "q95_bigram_lm"        -> q95Sql)
 }
