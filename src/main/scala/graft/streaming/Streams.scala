@@ -39,6 +39,23 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("s.start").as("session_start"), col("n_events"))
 
+  /** Session windows per user with a DYNAMIC per-event gap (clicks time
+    * out after 1 hour, everything else after 4) — the streaming run of the
+    * same merged-interval semantics the batch q89 oracle-checks: each
+    * event spans `[ts, ts+gap)`, sessions merge while the next event
+    * starts before the MERGED end (a running max — a later short-gap
+    * event must not shrink a bound an earlier long-gap event extended). */
+  def sessionCountsDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "click", lit("1 hour"))
+          .otherwise(lit("4 hours"))).as("s"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
+
   /** Stateful dedup: first event per (user, type) within the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

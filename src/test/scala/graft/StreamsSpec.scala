@@ -56,6 +56,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dynamic-gap session window: merged end is a running max") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.sessionCountsDynamic(ms.toDF())
+      .writeStream.format("memory").queryName("dynsession_out")
+      .outputMode("complete").start()
+    try {
+      // user 1: click@0:00 (1h gap -> end 1:00), view@0:30 (4h gap -> end
+      // 4:30, session end EXTENDS), click@2:00 (starts before the merged
+      // 4:30 end, so it merges even though the click-gap alone had expired
+      // at 1:00; its own 3:00 end must NOT shrink the 4:30 bound), then
+      // view@5:00 (>= 4:30 -> NEW session).
+      // user 2: two clicks 2h apart — the 1h click gap separates them.
+      ms.addData(
+        ev(1, 0, 1, "click"), ev(2, 30, 1, "view"), ev(3, 120, 1, "click"),
+        ev(4, 300, 1, "view"),
+        ev(5, 0, 2, "click"), ev(6, 120, 2, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("dynsession_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 04:30:00.0", 3L),
+        (1L, "2024-01-01 05:00:00.0", "2024-01-01 09:00:00.0", 1L),
+        (2L, "2024-01-01 00:00:00.0", "2024-01-01 01:00:00.0", 1L),
+        (2L, "2024-01-01 02:00:00.0", "2024-01-01 03:00:00.0", 1L)), rows)
+      // batch path over the same rows produces the same sessions (the
+      // q89 semantics the DuckDB oracle verifies)
+      val batch = Streams.sessionCountsDynamic(
+        Seq(ev(1, 0, 1, "click"), ev(2, 30, 1, "view"), ev(3, 120, 1, "click"),
+          ev(4, 300, 1, "view"), ev(5, 0, 2, "click"), ev(6, 120, 2, "click")).toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one event per (user, type)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
