@@ -31,6 +31,12 @@ object Vp8l {
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Decode-size guard: a hostile 5-byte header can declare up to
+    * 16384x16384 (the 14-bit max — a 1 GiB pixel buffer). Corpus ingestion
+    * decodes untrusted bytes inside executors, so anything above this cap
+    * (64M pixels, ~256 MB) is refused rather than allocated. */
+  private val MaxPixels = 1 << 26
+
   private def decodeOpt(bytes: Array[Byte]): Option[Image] = {
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -53,6 +59,7 @@ object Vp8l {
         val h = br.read(14) + 1
         br.read(1) // alpha hint (informational)
         if (br.read(3) != 0) None // version must be 0
+        else if (w.toLong * h > MaxPixels) None // see MaxPixels
         else Some(new Decoder(br).decodeMain(w, h))
       }
     }

@@ -476,4 +476,33 @@ class Vp8lSpec extends org.scalatest.funsuite.AnyFunSuite {
     val lossy = graft.operators.Multimodal.encodeMinimalWebp(64, 48, "lossy")
     assert(Vp8l.decode(lossy).isEmpty)
   }
+
+  test("fuzz: single-byte corruptions of a valid stream never throw or hang") {
+    // corpus ingestion decodes UNTRUSTED bytes inside executors — every
+    // malformed variant must come back as None (or garbage pixels), never
+    // an escaped exception, infinite loop, or giant allocation. Bytes
+    // before offset 26 are left alone so the declared dimensions stay
+    // sane; the dimension guard itself is asserted separately below.
+    val good = encode(randImage(24, 16, 77, colors = 8), 24, 16,
+      cacheBits = 4, lzDistances = Seq(1, 24))
+    val rnd = new scala.util.Random(99)
+    (1 to 300).foreach { _ =>
+      val b = good.clone()
+      b(26 + rnd.nextInt(b.length - 26)) = rnd.nextInt(256).toByte
+      Vp8l.decode(b) // must return, whatever the Option holds
+    }
+    (1 to 100).foreach { _ =>
+      val n = 30 + rnd.nextInt(200)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      System.arraycopy("RIFF".getBytes, 0, junk, 0, 4)
+      System.arraycopy("WEBPVP8L".getBytes, 0, junk, 8, 8)
+      Vp8l.decode(junk)
+    }
+    // a hostile header declaring the 14-bit maximum (16384x16384 = 1 GiB
+    // of pixels) is refused by the size guard, not allocated
+    val huge = good.clone()
+    huge(21) = 0xff.toByte; huge(22) = 0xff.toByte
+    huge(23) = 0xff.toByte; huge(24) = 0xff.toByte
+    assert(Vp8l.decode(huge).isEmpty)
+  }
 }
