@@ -56,7 +56,7 @@ object Dedup {
       .select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
   }
 
-  private val shinglesSql: String =
+  private[queries] val shinglesSql: String =
     """SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |CROSS JOIN UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)""".stripMargin
@@ -465,6 +465,69 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Sliding-window length (tokens) for any-offset exact-substring dedup. */
+  private[graft] val WinLen = 8
+
+  /** ANY-OFFSET exact-substring duplication coverage (the full
+    * suffix-array-style pass of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed relationally): emit
+    * every [[WinLen]]-token sliding window (stride 1) of every document,
+    * mark windows that occur in >= 2 distinct documents, and report per
+    * document how much of it is covered by cross-document duplicated
+    * substrings. Unlike q90's fixed-offset blocks this catches duplicated
+    * spans at ANY alignment — the metric pipelines threshold on to drop or
+    * trim documents.
+    *
+    * Scale shape: strictly better than a pair join — there is NO pair
+    * generation at all. Per-doc window distinctness is map-local
+    * (`array_distinct` before the explode, the q43 lesson), the
+    * document-frequency count rides ONE shuffle on the window key, and the
+    * coverage rollup is one more shuffle on doc_id. Total work is
+    * O(tokens × WinLen) bytes shuffled, linear in corpus size — the paper
+    * needs a distributed suffix array for the same result only because it
+    * wants arbitrary-length matches; fixing the window length makes the
+    * problem a hash aggregation. */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size($"w") >= WinLen)
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${WinLen - 1})," +
+          s" i -> array_join(slice(w, i, $WinLen), ' ')))")).as("win"))
+    // (doc_id, win) is distinct, so a plain COUNT over the win partition is
+    // the window's document frequency — no COUNT(DISTINCT) needed
+    val flagged = wins.withColumn("ndocs", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"win")))
+    flagged.groupBy($"doc_id")
+      .agg(
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("dup_windows"),
+        count(lit(1)).as("total_windows"))
+      .filter($"dup_windows" > 0)
+      .select($"doc_id", $"dup_windows", $"total_windows",
+        round($"dup_windows".cast("double") / $"total_windows", 4).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q96Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + ${WinLen - 1}), ' ') AS win
+       |  FROM (SELECT * FROM toks WHERE len(w) >= $WinLen)
+       |  CROSS JOIN UNNEST(range(1, len(w) - ${WinLen - 2})) AS t(i)),
+       |flag AS (SELECT doc_id, win, COUNT(*) OVER (PARTITION BY win) AS ndocs FROM win),
+       |cov AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows,
+       |    COUNT(*)::BIGINT AS total_windows
+       |  FROM flag GROUP BY doc_id)
+       |SELECT doc_id, dup_windows, total_windows,
+       |  round(dup_windows::DOUBLE / total_windows, 4) AS dup_ratio
+       |FROM cov WHERE dup_windows > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
@@ -474,7 +537,8 @@ object Dedup {
     "q82_dedup_editdist"      -> q82,
     "q85_prefix_clusters"     -> q85,
     "q86_cross_source_dups"   -> q86,
-    "q90_block_dedup"         -> q90)
+    "q90_block_dedup"         -> q90,
+    "q96_substring_dedup"     -> q96)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
@@ -485,5 +549,6 @@ object Dedup {
     "q82_dedup_editdist"      -> q82Sql,
     "q85_prefix_clusters"     -> q85Sql,
     "q86_cross_source_dups"   -> q86Sql,
-    "q90_block_dedup"         -> q90Sql)
+    "q90_block_dedup"         -> q90Sql,
+    "q96_substring_dedup"     -> q96Sql)
 }

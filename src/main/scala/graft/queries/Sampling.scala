@@ -101,13 +101,91 @@ object Sampling {
       |        < sqrt(m.m::DOUBLE / cnt)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Feature-hash bucket count for DSIR importance weights. */
+  private[graft] val DsirBuckets = 1024L
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hash every bigram into
+    * [[DsirBuckets]] buckets, estimate a Laplace-smoothed bucket
+    * distribution for the TARGET domain (here: the `lang = 'en'` slice)
+    * and for the RAW corpus, and weight each document by its mean
+    * log-likelihood ratio ln p_target(b) − ln p_raw(b). High-weight docs
+    * look like the target domain; resampling by this weight is the paper's
+    * domain-upweighting step. The bucket hash is md5-derived so the oracle
+    * verifies identical feature hashing, not just similar scores.
+    *
+    * Scale shape: this is the BEST-scaling model in the repo — both
+    * distributions are aggregates over at most [[DsirBuckets]] keys, so the
+    * model table is ≤1024 rows and BROADCASTS to the scoring join. Per-doc
+    * bucket counts aggregate before any join (token stream collapses to at
+    * most |doc|×min(len,1024) rows), and the weight terms sum as DECIMAL
+    * (q95 rule) for order-independent totals. One data-sized shuffle
+    * total. */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", $"lang",
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size($"w") >= 2)
+    val bg = toks.select($"doc_id", $"lang", explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("bgm"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"bgm".cast("binary")), 1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
+    val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c")).cache()
+    val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
+    val raw = db.groupBy($"b").agg(sum($"c").as("cr"))
+    val tot = db.agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"),
+      sum($"c").as("nr"))
+    val model = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+      .select($"b",
+        (log((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"nt" + DsirBuckets)) -
+          log(($"cr" + 1).cast("double") / ($"nr" + DsirBuckets))).as("lr"))
+    db.join(broadcast(model), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        round(sum(($"c" * $"lr").cast("decimal(28,12)")).cast("double") / sum($"c"), 4)
+          .as("dsir_logw"),
+        sum($"c").as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  val q98Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 4))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT * FROM toks WHERE len(w) >= 2)
+       |  CROSS JOIN UNNEST(range(1, len(w))) AS t(i)),
+       |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+       |tgt AS (SELECT b, SUM(c)::BIGINT AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+       |raw AS (SELECT b, SUM(c)::BIGINT AS cr FROM db GROUP BY 1),
+       |tot AS (SELECT SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS nt,
+       |               SUM(c)::BIGINT AS nr FROM db),
+       |model AS (
+       |  SELECT raw.b,
+       |    ln((COALESCE(ct, 0) + 1)::DOUBLE / (nt + $DsirBuckets))
+       |      - ln((cr + 1)::DOUBLE / (nr + $DsirBuckets)) AS lr
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+       |SELECT d.doc_id, d.lang,
+       |  round(CAST(SUM(CAST(d.c * m.lr AS DECIMAL(28,12))) AS DOUBLE) / SUM(d.c), 4) AS dsir_logw,
+       |  SUM(d.c)::BIGINT AS n_bigrams
+       |FROM db d JOIN model m USING (b)
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hash_split"        -> q57,
     "q58_stratified_sample" -> q58,
-    "q83_mix_rebalance"     -> q83)
+    "q83_mix_rebalance"     -> q83,
+    "q98_dsir_weights"      -> q98)
 
   val oracleSql: Map[String, String] = Map(
     "q57_hash_split"        -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
-    "q83_mix_rebalance"     -> q83Sql)
+    "q83_mix_rebalance"     -> q83Sql,
+    "q98_dsir_weights"      -> q98Sql)
 }

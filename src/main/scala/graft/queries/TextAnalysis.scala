@@ -300,6 +300,134 @@ object TextAnalysis {
       |GROUP BY d.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** SELF-TRAINED MULTICLASS NAIVE BAYES language classifier (the in-
+    * pipeline analogue of the fastText lang-ID pass big corpus pipelines
+    * run; here both trained and applied on the corpus itself): per-language
+    * word likelihoods with Laplace smoothing, log-prior from language
+    * frequency, argmax over classes. Closed-form training — counts only,
+    * no gradient loop — which is exactly what makes it expressible as four
+    * aggregations and two joins, and verifiable against the SQL oracle.
+    *
+    * Scale shape: the model is aggregates of the token stream — class-word
+    * counts (vocab × |classes| rows, key-equality join back on
+    * (class, word)) and a |classes|-row prior/total table that BROADCASTS.
+    * The only expansion is per-doc-word × |classes| (bounded factor 5), and
+    * scoring re-aggregates immediately. Log-likelihood terms sum as DECIMAL
+    * (the q95 rule: order-independent totals) and the argmax ranks the
+    * ROUNDED score with a class-name tie-break, so the winner is identical
+    * across engines and partitionings. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", $"lang",
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+    // per-doc word counts (true lang rides along — no join back later)
+    val dw = toks.groupBy($"doc_id", $"lang", $"word")
+      .agg(count(lit(1)).as("c")).cache()
+    val cw = toks.groupBy($"lang".as("cls"), $"word")
+      .agg(count(lit(1)).as("cw"))
+    val ct = cw.groupBy($"cls").agg(sum($"cw").as("ctot"))
+    val vocab = toks.agg(countDistinct($"word").as("v"))
+    val docs = documents(spark, dir)
+    val pri = docs.groupBy($"lang".as("cls")).agg(count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cls = ct.join(pri, "cls").crossJoin(vocab).crossJoin(n)
+      .select($"cls", $"ctot", $"v", log($"nd".cast("double") / $"n").as("prior_ln"))
+    val cand = dw.crossJoin(broadcast(cls))
+      .join(cw, Seq("cls", "word"), "left")
+      .select($"doc_id", $"lang", $"cls", $"prior_ln",
+        ($"c" * (log(coalesce($"cw", lit(0L)) + 1) - log($"ctot" + $"v")))
+          .cast("decimal(28,12)").as("term"))
+    val sc = cand.groupBy($"doc_id", $"lang", $"cls", $"prior_ln")
+      .agg(round($"prior_ln" + sum($"term").cast("double"), 4).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s".desc, $"cls".asc)
+    sc.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"cls".as("pred_lang"), $"s".as("nb_logp"),
+        ($"lang" === $"cls").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val q97Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+      |  FROM documents),
+      |dw AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+      |cw AS (SELECT lang AS cls, word, COUNT(*) AS cw FROM toks GROUP BY 1, 2),
+      |ct AS (SELECT cls, SUM(cw)::BIGINT AS ctot FROM cw GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+      |pri AS (SELECT lang AS cls, COUNT(*) AS nd FROM documents GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |cls AS (SELECT ct.cls, ctot, v, ln(nd::DOUBLE / n.n) AS prior_ln
+      |        FROM ct JOIN pri USING (cls) CROSS JOIN voc CROSS JOIN n),
+      |cand AS (
+      |  SELECT dw.doc_id, dw.lang, cls.cls, cls.prior_ln,
+      |         CAST(dw.c * (ln(COALESCE(cw.cw, 0) + 1) - ln(cls.ctot + cls.v)) AS DECIMAL(28,12)) AS term
+      |  FROM dw CROSS JOIN cls
+      |  LEFT JOIN cw ON cw.cls = cls.cls AND cw.word = dw.word),
+      |sc AS (SELECT doc_id, lang, cls, round(prior_ln + CAST(SUM(term) AS DOUBLE), 4) AS s
+      |       FROM cand GROUP BY doc_id, lang, cls, prior_ln),
+      |best AS (SELECT doc_id, lang, cls, s,
+      |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+      |         FROM sc)
+      |SELECT doc_id, lang, cls AS pred_lang, s AS nb_logp, (lang = cls) AS correct
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** Keywords kept per document. */
+  private[graft] val TfIdfTopK = 3
+
+  /** TF-IDF KEYWORD EXTRACTION: score every (doc, word) by
+    * tf × ln(N / df) and keep the top-[[TfIdfTopK]] terms per document —
+    * the classic per-document topic signature used for corpus exploration,
+    * domain tagging, and cluster labeling. Ranking uses the ROUNDED score
+    * with a lexicographic tie-break so the kept set is engine- and
+    * partitioning-independent (round-tied words are common: every word
+    * appearing once in one doc with equal df ties exactly).
+    *
+    * Scale shape: tf is the per-doc word aggregate, df is a second
+    * aggregate OF that stream (never re-reads the corpus), the join back is
+    * key-equality on the word, and the per-doc top-k is a window over the
+    * doc partition — thousands of small partitions, no global sort, no
+    * single-partition funnel. */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dw = documents(spark, dir)
+      .select($"doc_id",
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      .cache() // feeds df AND the score join
+    val df = dw.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = dw.join(df, "word").crossJoin(broadcast(n))
+      .select($"doc_id", $"word",
+        round($"tf" * log($"n".cast("double") / $"df"), 4).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"word".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfIdfTopK)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"word", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val q99Sql: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM dw GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, word, round(tf * ln(n.n::DOUBLE / df), 4) AS tfidf
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, word, tfidf,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, word, tfidf FROM ranked
+       |WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -308,7 +436,9 @@ object TextAnalysis {
     "q69_text_nfc"         -> q69,
     "q84_token_vocab"      -> q84,
     "q87_bpe_pairs"        -> q87,
-    "q95_bigram_lm"        -> q95)
+    "q95_bigram_lm"        -> q95,
+    "q97_nb_langid"        -> q97,
+    "q99_tfidf_keywords"   -> q99)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
@@ -318,5 +448,7 @@ object TextAnalysis {
     "q69_text_nfc"         -> q69Sql,
     "q84_token_vocab"      -> q84Sql,
     "q87_bpe_pairs"        -> q87Sql,
-    "q95_bigram_lm"        -> q95Sql)
+    "q95_bigram_lm"        -> q95Sql,
+    "q97_nb_langid"        -> q97Sql,
+    "q99_tfidf_keywords"   -> q99Sql)
 }

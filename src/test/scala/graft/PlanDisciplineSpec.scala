@@ -136,7 +136,7 @@ class PlanDisciplineSpec extends SparkSpec {
   test("new pair-generation queries never degrade to cartesian products") {
     Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf),
         graft.queries.Dedup.q82(spark, sf), graft.queries.Dedup.q90(spark, sf),
-        graft.queries.Temporal.q91(spark, sf))
+        graft.queries.Temporal.q91(spark, sf), graft.queries.Pipeline.q100(spark, sf))
       .foreach { df =>
         val plan = planOf(df)
         assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
@@ -153,6 +153,38 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
+  }
+
+  test("q96: substring-coverage dedup is joinless — window df + rollup, no pair generation") {
+    val plan = planOf(graft.queries.Dedup.q96(spark, sf))
+    assert(!plan.contains("Join"), s"coverage metric must not generate pairs:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q97/q98: NB and DSIR scoring never degrade to cartesian data joins") {
+    // the deliberate tiny-side expansions (|classes|-row, 1-row totals,
+    // <=1024-row model) must plan as BROADCAST nested-loop/hash joins;
+    // a CartesianProduct would mean a data-sized side slipped into one
+    Seq(graft.queries.TextAnalysis.q97(spark, sf),
+        graft.queries.Sampling.q98(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+      }
+  }
+
+  test("q98: the DSIR model joins back by broadcast — no shuffle of the doc-bucket stream for scoring") {
+    val plan = planOf(graft.queries.Sampling.q98(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"model join should broadcast:\n$plan")
+  }
+
+  test("q99: per-doc TF-IDF top-k is a doc-partitioned window with group-limit pushdown") {
+    val plan = planOf(graft.queries.TextAnalysis.q99(spark, sf))
+    // rk <= K must reach the window operator as a WindowGroupLimit (each
+    // partition keeps K rows pre-shuffle) and the window itself must
+    // partition by doc_id — thousands of small partitions, no funnel
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed into the window:\n$plan")
+    assert(plan.matches("(?s).*hashpartitioning\\(doc_id.*"), plan)
   }
 
   test("q83: mix rebalance is scan-shaped — the only exchanges serve the tiny per-class aggregate") {
