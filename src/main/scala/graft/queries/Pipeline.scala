@@ -274,13 +274,99 @@ object Pipeline {
       |       ELSE 'test' END AS split
       |FROM capped WHERE rk <= 5 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** PageRank probability scale: ranks live in [0, Scale] as BIGINTs. */
+  private[graft] val PrScale = 1000000000000L
+  private[graft] val PrIters = 3
+
+  /** PAGERANK over the document similarity graph (fixed [[PrIters]]
+    * iterations, damping 0.85): rank documents by centrality in the graph
+    * whose edges connect docs sharing a rare 3-shingle (df ≤ 10 — the q43
+    * inverted-index candidate graph, which is non-regular: hub documents
+    * sharing boilerplate with many others get high degree). This is the
+    * shape of every link-graph quality score a web-corpus pipeline carries
+    * (Common Crawl harmonic centrality, site-level PageRank features), and
+    * a centrality-based canonical-representative signal for dup clusters
+    * when "min doc_id" (q62) is too arbitrary. (The q41 LSH dup graph is a
+    * union of cliques — uniform PageRank by symmetry — so the shingle
+    * graph is also the stronger correctness probe.)
+    *
+    * All arithmetic is INTEGER: ranks are BIGINT micro-probabilities
+    * (×[[PrScale]]) and every divide is an integer `div`, so the result is
+    * bit-exact across engines and aggregation orders — no DECIMAL rounding
+    * contract needed, the oracle compares raw BIGINTs. (Float PageRank
+    * would differ in the last ulp per Σ-order; the pipelines that ship
+    * PageRank features quantize them anyway.)
+    *
+    * Scale shape: per-iteration work is ONE key-equality join
+    * (edges ⋈ ranks on src) + partial→final SUM by dst — the classic
+    * Pregel/GraphX superstep as a DataFrame loop. `localCheckpoint` per
+    * round truncates lineage (q62 discipline); the driver sees one scalar
+    * count (node total for the teleport constant), never row data. Dangling
+    * mass: absent by construction — the graph is symmetrized, every node
+    * has out-degree ≥ 1. */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // rare-shingle inverted-index pairs (q43/q90 shape: stop-shingle cap
+    // bounds the self-join fanout; never all-pairs)
+    val sh = Dedup.shingles(spark, dir)
+    val rare = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+      .filter($"df" <= 10).drop("df").cache()
+    val pairs = rare.as("a").join(rare.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct().cache()
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .toDF("src", "dst").cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count() // one scalar: the teleport term 0.15/N
+    val base = PrScale * 15L / 100L / n
+    var pr = deg.select($"src".as("node"), lit(PrScale / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      pr = edges.join(pr, edges("src") === pr("node"))
+        .join(deg, "src")
+        .select($"dst", expr("pr div deg").as("contrib"))
+        .groupBy($"dst")
+        .agg((lit(base) + expr("sum(contrib) * 85 div 100")).as("pr"))
+        .select($"dst".as("node"), $"pr")
+        .localCheckpoint()
+    }
+    pr.select($"node".as("doc_id"), $"pr".as("pr_scaled")).orderBy($"doc_id")
+  }
+
+  /** Oracle: the same [[PrIters]] supersteps as chained CTEs — fixed
+    * iteration count makes recursion unnecessary and keeps every divide an
+    * integer `//`, matching Spark's `div` exactly. */
+  val q100Sql: String = {
+    def step(k: Int): String =
+      s"""pr$k AS (
+         |  SELECT e.dst AS node,
+         |    ((${PrScale} * 15 // 100) // n.n + (SUM(p.pr // d.deg) * 85) // 100)::BIGINT AS pr
+         |  FROM edges e JOIN pr${k - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src CROSS JOIN n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |rare AS (SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= 10),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (SELECT src AS node, ($PrScale // n.n)::BIGINT AS pr FROM deg CROSS JOIN n),
+       |${(1 to PrIters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, pr AS pr_scaled FROM pr$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_dedup_clusters"  -> q62,
     "q63_text_bm25"       -> q63,
     "q64_domain_cap"      -> q64,
     "q65_embed_quantize"  -> q65,
     "q66_pack_sequences"  -> q66,
-    "q68_curation_chain"  -> q68)
+    "q68_curation_chain"  -> q68,
+    "q100_pagerank"       -> q100)
 
   val oracleSql: Map[String, String] = Map(
     "q62_dedup_clusters"  -> q62Sql,
@@ -288,5 +374,6 @@ object Pipeline {
     "q64_domain_cap"      -> q64Sql,
     "q65_embed_quantize"  -> q65Sql,
     "q66_pack_sequences"  -> q66Sql,
-    "q68_curation_chain"  -> q68Sql)
+    "q68_curation_chain"  -> q68Sql,
+    "q100_pagerank"       -> q100Sql)
 }
