@@ -359,6 +359,45 @@ object Pipeline {
        |SELECT node AS doc_id, pr AS pr_scaled FROM pr$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q102
+  /** RAG chunk geometry: 200-char windows every 150 chars (50 overlap). */
+  private[graft] val ChunkLen = 200
+  private[graft] val ChunkStride = 150
+
+  /** OVERLAPPING-CHUNK SPLITTING for retrieval/embedding pipelines: cut
+    * every document into [[ChunkLen]]-char windows at [[ChunkStride]]
+    * offsets (trailing chunk ragged), emitting stable chunk ids and exact
+    * char offsets — the unit-of-embedding transform every RAG corpus and
+    * long-context training mix runs before vectorization. Content rides as
+    * md5 so the oracle proves byte-identical chunk EXTRACTION (offset
+    * arithmetic included) without hauling text through the compare.
+    *
+    * Scale shape: scan-shaped generate — sequence + transform + posexplode
+    * inline with the parquet scan, zero shuffle before the presentation
+    * sort (q56 discipline). Chunk count per doc is ⌈(len−overlap)/stride⌉,
+    * linear in corpus bytes. */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        posexplode(expr(
+          s"transform(sequence(0, CAST(floor((length(text) - 1) / $ChunkStride) AS INT))," +
+            s" i -> substring(text, i * $ChunkStride + 1, $ChunkLen))")).as(Seq("idx", "chunk")))
+      .select($"doc_id", $"idx".cast("long").as("chunk_idx"),
+        ($"idx".cast("long") * ChunkStride + 1).as("start_char"),
+        length($"chunk").cast("long").as("chunk_len"),
+        md5($"chunk".cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q102Sql: String =
+    s"""SELECT doc_id, i AS chunk_idx, i * $ChunkStride + 1 AS start_char,
+       |  length(substr(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkLen))::BIGINT AS chunk_len,
+       |  md5(substr(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkLen)) AS chunk_md5
+       |FROM documents
+       |CROSS JOIN UNNEST(range(CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT) + 1)) AS t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_dedup_clusters"  -> q62,
     "q63_text_bm25"       -> q63,
@@ -366,7 +405,8 @@ object Pipeline {
     "q65_embed_quantize"  -> q65,
     "q66_pack_sequences"  -> q66,
     "q68_curation_chain"  -> q68,
-    "q100_pagerank"       -> q100)
+    "q100_pagerank"       -> q100,
+    "q102_rag_chunks"     -> q102)
 
   val oracleSql: Map[String, String] = Map(
     "q62_dedup_clusters"  -> q62Sql,
@@ -375,5 +415,6 @@ object Pipeline {
     "q65_embed_quantize"  -> q65Sql,
     "q66_pack_sequences"  -> q66Sql,
     "q68_curation_chain"  -> q68Sql,
-    "q100_pagerank"       -> q100Sql)
+    "q100_pagerank"       -> q100Sql,
+    "q102_rag_chunks"     -> q102Sql)
 }

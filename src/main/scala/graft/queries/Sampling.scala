@@ -177,15 +177,53 @@ object Sampling {
        |FROM db d JOIN model m USING (b)
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Sample size for weighted sampling. */
+  private[graft] val AesK = 50
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis A-ES,
+    * 2006): each row draws a deterministic hash-uniform u ∈ (0,1] and
+    * competes with key ln(u)/w (order-equivalent to the paper's u^(1/w));
+    * the global top-[[AesK]] keys are the sample. Weight = `n_chars`, so
+    * longer documents are proportionally likelier — the standard way to
+    * sample a fixed-size corpus slice with probability ∝ size in ONE
+    * distributed pass, no per-partition reservoir state, no second scan.
+    *
+    * Scale shape: scan-shaped projection + TakeOrderedAndProject — the
+    * same no-global-sort top-k discipline as q30/q84. Key is ROUNDED
+    * before ranking with doc_id tie-break (q63 rule) so selection is
+    * engine-exact. u comes from 32 md5 bits: u = (hv+1)/2^32 ∈ (0,1],
+    * ln defined everywhere. */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hv = conv(substring(
+      md5(concat(lit("aes|"), $"doc_id".cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("weight"),
+        round(log((hv + 1).cast("double") / 4294967296.0) / $"n_chars", 8).as("aes_key"))
+      .orderBy($"aes_key".desc, $"doc_id")
+      .limit(AesK)
+  }
+
+  val q101Sql: String =
+    s"""SELECT doc_id, n_chars AS weight,
+       |  round(ln((('0x' || substr(md5('aes|' || doc_id), 1, 8))::BIGINT + 1) / 4294967296.0)
+       |        / n_chars, 8) AS aes_key
+       |FROM documents
+       |ORDER BY aes_key DESC, doc_id LIMIT $AesK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hash_split"        -> q57,
     "q58_stratified_sample" -> q58,
     "q83_mix_rebalance"     -> q83,
-    "q98_dsir_weights"      -> q98)
+    "q98_dsir_weights"      -> q98,
+    "q101_weighted_sample"  -> q101)
 
   val oracleSql: Map[String, String] = Map(
     "q57_hash_split"        -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q83_mix_rebalance"     -> q83Sql,
-    "q98_dsir_weights"      -> q98Sql)
+    "q98_dsir_weights"      -> q98Sql,
+    "q101_weighted_sample"  -> q101Sql)
 }

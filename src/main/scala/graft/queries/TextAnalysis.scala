@@ -428,6 +428,50 @@ object TextAnalysis {
        |SELECT doc_id, rk, word, tfidf FROM ranked
        |WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** CHARACTER-ENTROPY quality signal: Shannon entropy of the per-doc
+    * character distribution, H = ln(n) − (Σ c·ln c)/n nats. Low-entropy
+    * documents are repeated-character junk / padding / template spam (a
+    * C4-style heuristic filter axis complementary to q75's word-level
+    * repetition metrics); implausibly high entropy flags binary-ish noise.
+    * The algebraic form avoids per-char probabilities: only counts are
+    * divided, ONCE, after the DECIMAL sum (q95 rule — order-independent
+    * totals, engine-exact to 4 decimals).
+    *
+    * Scale shape: chars explode to |text| rows but immediately collapse to
+    * per-(doc, char) counts — partial aggregation eats the expansion
+    * map-side; then one per-doc rollup. Two shuffles of count-sized rows,
+    * linear in corpus bytes. */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cc = documents(spark, dir)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    cc.groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n"),
+        sum(($"c" * log($"c")).cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("distinct_chars"))
+      .select($"doc_id",
+        round(log($"n") - $"s".cast("double") / $"n", 4).as("char_entropy"),
+        $"distinct_chars", $"n".as("n_chars_total"))
+      .orderBy($"doc_id")
+  }
+
+  val q103Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents CROSS JOIN UNNEST(range(1, length(text) + 1)) AS t(i)),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, SUM(c)::BIGINT AS n,
+      |               SUM(CAST(c * ln(c) AS DECIMAL(28,12))) AS s,
+      |               COUNT(*)::BIGINT AS distinct_chars
+      |        FROM cc GROUP BY doc_id)
+      |SELECT doc_id, round(ln(n) - CAST(s AS DOUBLE) / n, 4) AS char_entropy,
+      |       distinct_chars, n AS n_chars_total
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -438,7 +482,8 @@ object TextAnalysis {
     "q87_bpe_pairs"        -> q87,
     "q95_bigram_lm"        -> q95,
     "q97_nb_langid"        -> q97,
-    "q99_tfidf_keywords"   -> q99)
+    "q99_tfidf_keywords"   -> q99,
+    "q103_char_entropy"    -> q103)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
@@ -450,5 +495,6 @@ object TextAnalysis {
     "q87_bpe_pairs"        -> q87Sql,
     "q95_bigram_lm"        -> q95Sql,
     "q97_nb_langid"        -> q97Sql,
-    "q99_tfidf_keywords"   -> q99Sql)
+    "q99_tfidf_keywords"   -> q99Sql,
+    "q103_char_entropy"    -> q103Sql)
 }
