@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.KllSketch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KLL quantile sketch: exactness below capacity, rank-error bounds at
+  * 100k values, merge associativity bounds, byte round-trip, and the
+  * partial→final Spark aggregation plan. */
+class KllSketchSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshState(values: Seq[Double], k: Int = KllSketch.DefaultK): KllSketch.State = {
+    val s = new KllSketch.State(k)
+    values.foreach(s.update)
+    s
+  }
+
+  test("below capacity the sketch is exact") {
+    val vals = new scala.util.Random(7).shuffle((1 to 100).toVector).map(_.toDouble)
+    val s = freshState(vals)
+    for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val exact = (1 to 100).map(_.toDouble).apply(math.max(1, math.ceil(p * 100).toInt) - 1)
+      assert(s.quantile(p) == exact, s"p=$p")
+    }
+  }
+
+  test("rank error stays bounded at 100k values (uniform and skewed)") {
+    val n = 100000
+    val uniform = new scala.util.Random(42).shuffle((1 to n).toVector).map(_.toDouble)
+    // skewed: 90% mass in [0,1), long tail to 10^6
+    val skewed = new scala.util.Random(43).shuffle(
+      (1 to n).toVector.map(i => if (i % 10 == 0) i.toDouble * 10 else i.toDouble / n))
+    def rankOf(sorted: Vector[Double], v: Double): Int = {
+      // count of elements <= v
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    for ((data, label) <- Seq((uniform, "uniform"), (skewed, "skewed"))) {
+      val s = freshState(data)
+      val sorted = data.sorted
+      for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val est = s.quantile(p)
+        val err = math.abs(rankOf(sorted, est) - p * n)
+        assert(err <= 0.04 * n, s"$label p=$p est=$est rank-err=$err")
+      }
+    }
+  }
+
+  test("merging partial sketches stays within the same bound, any merge order") {
+    val n = 100000
+    val data = new scala.util.Random(44).shuffle((1 to n).toVector).map(_.toDouble)
+    val parts = data.grouped(n / 16 + 1).map(c => freshState(c)).toVector
+    def mergeAll(ps: Seq[KllSketch.State]): KllSketch.State = {
+      val acc = new KllSketch.State(KllSketch.DefaultK)
+      ps.foreach(p => acc.mergeIn(KllSketch.deserialize(KllSketch.serialize(p))))
+      acc
+    }
+    val fwd = mergeAll(parts)
+    val rev = mergeAll(parts.reverse)
+    assert(fwd.n == n && rev.n == n)
+    for (m <- Seq(fwd, rev); p <- Seq(0.1, 0.5, 0.9)) {
+      val err = math.abs(m.quantile(p) - p * n)
+      assert(err <= 0.04 * n, s"p=$p merged est=${m.quantile(p)}")
+    }
+  }
+
+  test("serialized bytes round-trip exactly") {
+    val s = freshState((1 to 5000).map(_.toDouble * 1.5))
+    val bytes = KllSketch.serialize(s)
+    val back = KllSketch.deserialize(bytes)
+    assert(java.util.Arrays.equals(KllSketch.serialize(back), bytes))
+    assert(KllSketch.countFrom(bytes) == 5000)
+    assert(KllSketch.quantileFrom(bytes, 0.5) == s.quantile(0.5))
+  }
+
+  test("Spark aggregate: per-group quantiles via partial->final combine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 100000)
+      .select(($"id" % 4).as("g"), $"id".cast("double").as("v"))
+      .repartition(8)
+    val agged = df.groupBy($"g").agg(KllSketch($"v").as("sk"))
+    // map-side combine: the physical plan must carry a partial kll_sketch
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kll_sketch"), s"no partial aggregation:\n$plan")
+    val rows = agged.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      val med = KllSketch.quantileFrom(r.getAs[Array[Byte]]("sk"), 0.5)
+      // group g holds {g, g+4, g+8, ...}: true median ~ 50000 + g
+      assert(math.abs(med - 50000.0) <= 4000.0, s"g=$g med=$med")
+      assert(KllSketch.countFrom(r.getAs[Array[Byte]]("sk")) == 25000)
+    }
+  }
+}
