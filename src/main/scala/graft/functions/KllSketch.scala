@@ -157,6 +157,29 @@ object KllSketch {
   import org.apache.spark.sql.graftglue.Bridge
   def apply(child: Column, k: Int = DefaultK): Column =
     Bridge.column(KllSketchAgg(Bridge.expression(child), k).toAggregateExpression())
+
+  /** Column API: extract a quantile from a sketch blob column. */
+  def quantile(sketch: Column, p: Double): Column =
+    Bridge.column(KllQuantile(Bridge.expression(sketch), p))
+}
+
+/** Scalar extractor: quantile p of a serialized KLL blob. Runs at
+  * aggregate-result grain (one row per group), so the eval-mode
+  * implementation (CodegenFallback) costs nothing measurable — the hot
+  * path is the aggregate, not the extraction. */
+case class KllQuantile(child: Expression, p: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0,1], got $p")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantile"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = KllSketch.deserialize(input.asInstanceOf[Array[Byte]])
+    if (s.n == 0) null else s.quantile(p)
+  }
+  override protected def withNewChildInternal(newChild: Expression): KllQuantile =
+    copy(child = newChild)
 }
 
 /** One-pass quantile-sketch aggregate producing the serialized KLL blob;

@@ -245,6 +245,29 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q104
+  /** KLL-sketch percentiles per event type ([[graft.functions.KllSketch]]
+    * — SURVEY.md §2.10): the scalable form of q19's exact percentiles.
+    * Exact percentiles must co-locate every value of a group; the sketch
+    * ships O(k log n/k) doubles per group through the partial→final
+    * combine, so the same query holds at 100 TB. No DuckDB oracle (graft's
+    * own sketch construction — a different implementation estimates
+    * differently); KllSketchSpec bounds the rank error against exact
+    * percentiles instead, and the driver records the rows-only check. */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KllSketch
+    events(spark, dir)
+      .groupBy($"event_type")
+      .agg(KllSketch($"value").as("sk"), count(lit(1)).as("n"))
+      .select($"event_type",
+        round(KllSketch.quantile($"sk", 0.5), 4).as("p50"),
+        round(KllSketch.quantile($"sk", 0.9), 4).as("p90"),
+        round(KllSketch.quantile($"sk", 0.99), 4).as("p99"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------- q55
   /** PIVOT: rows→columns over the (known, bounded) `l_linestatus` domain —
     * Catalyst's `PivotFirst` path. Values are listed explicitly (`Seq("F",
@@ -301,6 +324,7 @@ object Aggregates {
     "q19_agg_percentiles"    -> q19,
     "q20_agg_stats"          -> q20,
     "q21_agg_approx_distinct" -> q21,
+    "q104_kll_percentiles"    -> q104,
     "q55_agg_pivot"          -> q55,
     "q79_agg_bitwise_bool"   -> q79)
 
