@@ -46,7 +46,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q103,q100 times a subset
+    // (the driver never sets it, so its runs stay total)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(qs) =>
+        val want = qs.split(",").map(_.trim).toSet
+        SparkEntry.queries.keys.toSeq.sorted.filter(n => want.exists(n.startsWith))
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
 
     // Scaling-slope self-check (`SPARK_GRAFT_SCALE_CHECK=smallDir,bigDir`):
     // time every query at both scale factors and report the per-query
