@@ -79,6 +79,32 @@ object Streams {
   /** Output mode for [[runningCountsPerUser]] sinks. */
   val updateMode: OutputMode = OutputMode.Update()
 
+  case class TypeQuantiles(event_type: String, n: Long, p50: Double, p90: Double)
+
+  /** STREAMING QUANTILES per key: the [[graft.functions.KllSketch]]
+    * mergeable sketch as `mapGroupsWithState` state — each micro-batch
+    * folds its values into the key's sketch (serialized KLL blob in the
+    * state store, O(k log n/k) bytes per key, never the values) and emits
+    * refreshed p50/p90 estimates. This is the streaming twin of batch
+    * q104: the SAME sketch bytes, so a bootstrap-from-batch handoff is a
+    * state initialization away, and the estimates carry the sketch's
+    * rank-error bound at any stream length — unbounded-stream percentiles
+    * with bounded state, which no windowed aggregate gives. */
+  def streamingQuantiles(events: Dataset[Event]): Dataset[TypeQuantiles] = {
+    import events.sparkSession.implicits._
+    import graft.functions.KllSketch
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], TypeQuantiles](GroupStateTimeout.NoTimeout()) {
+        (et: String, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption.map(KllSketch.deserialize)
+            .getOrElse(new KllSketch.State(KllSketch.DefaultK))
+          batch.foreach(e => sk.update(e.value))
+          state.update(KllSketch.serialize(sk))
+          TypeQuantiles(et, sk.n, sk.quantile(0.5), sk.quantile(0.9))
+      }
+  }
+
   /** Watermarked STREAM-STREAM INNER JOIN (the click-attribution shape):
     * join clicks to the impression they followed within 30 minutes, per
     * user. Both sides carry watermarks and the join condition bounds

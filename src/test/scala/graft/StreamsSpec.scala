@@ -219,4 +219,27 @@ class StreamsSpec extends SparkSpec {
       assert(latest == Map(7L -> 3L))
     } finally q.stop()
   }
+
+  test("streaming KLL quantiles: sketch state accumulates, estimates stay rank-bounded") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.streamingQuantiles(ms.toDS())
+      .writeStream.format("memory").queryName("kll_out")
+      .outputMode("update").start()
+    try {
+      // two micro-batches of values 1..600 and 601..1000 for one key — the
+      // state-store sketch must carry across batches, not restart
+      ms.addData((1 to 600).map(i => Event(i.toLong, ts(0), 1L, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      ms.addData((601 to 1000).map(i => Event(i.toLong, ts(1), 1L, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      val last = spark.table("kll_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .maxBy(_._2)
+      assert(last._1 == "m" && last._2 == 1000L, s"state restarted: $last")
+      // same rank-error contract as the batch sketch (KllSketchSpec)
+      assert(math.abs(last._3 - 500.0) <= 40.0, s"p50=${last._3}")
+      assert(math.abs(last._4 - 900.0) <= 40.0, s"p90=${last._4}")
+    } finally q.stop()
+  }
 }
