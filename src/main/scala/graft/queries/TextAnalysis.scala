@@ -475,6 +475,30 @@ object TextAnalysis {
       |       distinct_chars, n AS n_chars_total
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** FULL BPE TOKENIZER LIFECYCLE ([[graft.operators.Bpe]]): train 200
+    * merges over the corpus word-frequency table (ONE distributed
+    * aggregation; the bounded top-2000-word slice trains driver-side,
+    * exactly how production tokenizer trainers work), then tokenize every
+    * document with the learned merges through a codegen'd native
+    * expression. This is what q87's pair counting is FOR — the applied
+    * tokenizer yields the real token counts that q66's packing and every
+    * token-budget decision consume. No DuckDB oracle (iterative training
+    * has no SQL twin); BpeSpec pins the merge algebra and the driver
+    * records the rows-only check. */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = graft.operators.Bpe.trainFromCorpus(documents(spark, dir), 2000, 200)
+    documents(spark, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_calc"),
+        expr("size(filter(split(text, ' '), x -> length(x) > 0))").cast("long").as("ws_tokens"),
+        graft.operators.Bpe.tokenCount($"text", model).cast("long").as("bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        round($"n_chars_calc".cast("double") / $"bpe_tokens", 4))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -486,7 +510,8 @@ object TextAnalysis {
     "q95_bigram_lm"        -> q95,
     "q97_nb_langid"        -> q97,
     "q99_tfidf_keywords"   -> q99,
-    "q103_char_entropy"    -> q103)
+    "q103_char_entropy"    -> q103,
+    "q105_bpe_encode"      -> q105)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,

@@ -11,9 +11,9 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
-  test("every aggregate query except the HLL sketch has an oracle") {
+  test("every aggregate query except the sketches (HLL, KLL) has an oracle") {
     assert(Aggregates.queries.keySet -- Aggregates.oracleSql.keySet ==
-      Set("q21_agg_approx_distinct"))
+      Set("q21_agg_approx_distinct", "q104_kll_percentiles"))
   }
 
   test("q21 HLL estimates are within relative-error bounds of exact counts") {
