@@ -375,6 +375,49 @@ object Temporal {
       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** EVENT-PATTERN MATCHING (the SQL:2016 MATCH_RECOGNIZE / CEP surface,
+    * re-expressed relationally): detect the browse-then-buy pattern
+    * `view+ click+ purchase` in each user's time-ordered event sequence.
+    * Each user's history folds to a string of type initials (all five
+    * fixture event types have distinct initials) and the PATTERN clause
+    * becomes a regex over it — count of non-overlapping matches and the
+    * longest match per user. Greedy leftmost-non-overlapping regex
+    * semantics agree between engines, so the oracle verifies identical
+    * match sets, and tie-breaking the event order by (ts, event_id) makes
+    * the sequence itself deterministic.
+    *
+    * Scale shape: ONE shuffle (groupBy user) building a per-user sequence —
+    * the same state a streaming CEP operator keys by — then scan-shaped
+    * regex evaluation. A pathologically hot user makes a long string, the
+    * standard sessionization caveat; the collect_list is map-side partial
+    * so the shuffle carries per-partition slices, not rows. */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> substring(x.event_type, 1, 1)), '')").as("seq"))
+      .select($"user_id",
+        length($"seq").cast("long").as("seq_len"),
+        expr("size(regexp_extract_all(seq, 'v+c+p', 0))").cast("long").as("n_matches"),
+        coalesce(expr(
+          "array_max(transform(regexp_extract_all(seq, 'v+c+p', 0), x -> length(x)))"), lit(0))
+          .cast("long").as("longest_match"))
+      .orderBy($"user_id")
+  }
+
+  val q106Sql: String =
+    """WITH seqs AS (
+      |  SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, length(seq)::BIGINT AS seq_len,
+      |  len(regexp_extract_all(seq, 'v+c+p'))::BIGINT AS n_matches,
+      |  COALESCE(list_max(list_transform(regexp_extract_all(seq, 'v+c+p'), x -> length(x))), 0)::BIGINT
+      |    AS longest_match
+      |FROM seqs ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
@@ -385,7 +428,8 @@ object Temporal {
     "q91_resample_interpolate" -> q91,
     "q92_funnel"          -> q92,
     "q93_cohort_retention" -> q93,
-    "q94_event_transitions" -> q94)
+    "q94_event_transitions" -> q94,
+    "q106_pattern_match"  -> q106)
 
   val oracleSql: Map[String, String] = Map(
     "q50_window_tumbling" -> q50Sql,
@@ -397,5 +441,6 @@ object Temporal {
     "q91_resample_interpolate" -> q91Sql,
     "q92_funnel"          -> q92Sql,
     "q93_cohort_retention" -> q93Sql,
-    "q94_event_transitions" -> q94Sql)
+    "q94_event_transitions" -> q94Sql,
+    "q106_pattern_match"  -> q106Sql)
 }
