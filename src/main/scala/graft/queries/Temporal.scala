@@ -418,6 +418,39 @@ object Temporal {
       |    AS longest_match
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** OHLC BAR DOWNSAMPLING: open/high/low/close of `value` per
+    * (event_type, hour) — the canonical time-series compaction (metrics
+    * rollups, market bars, telemetry downsampling). Open/close are argmin/
+    * argmax by event time expressed as MIN/MAX over (ts, event_id, value)
+    * structs: the struct's lexicographic order is decided by the unique
+    * (ts, event_id) prefix, so the picked value is deterministic and both
+    * engines agree without a window function or self-join. One partial→
+    * final hash aggregate — O(bars) out of O(events), scan-shaped at any
+    * scale. */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bar_ts"))
+      .agg(
+        min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"bar_ts")
+  }
+
+  val q107Sql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+      |  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, bar_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
@@ -429,7 +462,8 @@ object Temporal {
     "q92_funnel"          -> q92,
     "q93_cohort_retention" -> q93,
     "q94_event_transitions" -> q94,
-    "q106_pattern_match"  -> q106)
+    "q106_pattern_match"  -> q106,
+    "q107_ohlc_bars"      -> q107)
 
   val oracleSql: Map[String, String] = Map(
     "q50_window_tumbling" -> q50Sql,
@@ -442,5 +476,6 @@ object Temporal {
     "q92_funnel"          -> q92Sql,
     "q93_cohort_retention" -> q93Sql,
     "q94_event_transitions" -> q94Sql,
-    "q106_pattern_match"  -> q106Sql)
+    "q106_pattern_match"  -> q106Sql,
+    "q107_ohlc_bars"      -> q107Sql)
 }
