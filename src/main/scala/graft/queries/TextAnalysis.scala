@@ -499,6 +499,28 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q108
+  /** HEAVY-HITTER WORDS PER LANGUAGE through the Misra–Gries sketch
+    * ([[graft.functions.FreqSketch]] — SURVEY.md §2.10): the one-pass,
+    * bounded-memory form of q84's exact vocabulary top-k. The exact form
+    * must aggregate every (group, word) pair before ranking; the sketch
+    * ships ≤ k (word, count) pairs per language through the partial→final
+    * combine — the shape that holds when the vocabulary itself no longer
+    * fits a shuffle. No DuckDB oracle (approximate, own construction);
+    * FreqSketchSpec pins the deterministic n/(k+1) MG guarantee, and the
+    * driver records the rows-only check. */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.FreqSketch
+    documents(spark, dir)
+      .select($"lang",
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy($"lang")
+      .agg(FreqSketch($"word").as("sk"), count(lit(1)).as("n_tokens"))
+      .select($"lang", $"n_tokens", FreqSketch.top($"sk", 5).as("top_words"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -511,7 +533,8 @@ object TextAnalysis {
     "q97_nb_langid"        -> q97,
     "q99_tfidf_keywords"   -> q99,
     "q103_char_entropy"    -> q103,
-    "q105_bpe_encode"      -> q105)
+    "q105_bpe_encode"      -> q105,
+    "q108_heavy_hitters"   -> q108)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
