@@ -442,16 +442,77 @@ object Multimodal {
       "isomiso2".getBytes("US-ASCII")) ++ moov
   }
 
+  /** ANIMATED-GIF frame extraction: every frame of a GIF87a/89a payload
+    * through the JDK's GIF ImageReader, each re-encoded as a standalone
+    * PNG. Fixture GIFs carry full frames (disposal "none"), so per-frame
+    * reads are complete images; a delta-composited GIF would need
+    * disposal-aware compositing on top of the same reader loop. */
+  private[graft] def gifFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    val magic87 = "GIF87a".getBytes("US-ASCII")
+    val magic89 = "GIF89a".getBytes("US-ASCII")
+    def hasMagic(m: Array[Byte]) =
+      bytes.length >= 6 && (0 until 6).forall(i => bytes(i) == m(i))
+    if (!hasMagic(magic87) && !hasMagic(magic89)) return None
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else Some((0 until n).map { i =>
+          val img = reader.read(i)
+          val bos = new java.io.ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }.toVector)
+      } finally { reader.dispose(); iis.close() }
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Animated-GIF encoder for test fixtures: ImageIO's GIF sequence writer
+    * with a per-frame GraphicControlExtension (disposal "none" → every
+    * frame complete, matching [[gifFrames]]'s read contract). */
+  def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage],
+                        delayCs: Int = 10): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      val wp = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(f), wp)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), wp)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   /** Frame sampling: one row per sampled frame. REAL for MJPEG AVI payloads
     * — the RIFF container is parsed ([[mjpegFrames]]) and `nFrames` evenly-
-    * spaced frames are emitted, each a decodable JPEG. Payloads in a format
-    * with no JDK codec (mp4/webm/…) fall back to deterministic byte slices
-    * (FALLBACK — keeps the explode shape testable; a native codec would
-    * replace only that branch). */
+    * spaced frames are emitted, each a decodable JPEG — and for ANIMATED
+    * GIFs ([[gifFrames]]: every frame decoded via the JDK GIF reader,
+    * re-encoded PNG). Payloads in a format with no JDK codec (mp4/webm/…)
+    * fall back to deterministic byte slices (FALLBACK — keeps the explode
+    * shape testable; a native codec would replace only that branch). */
   def frameSample(assets: Dataset[Asset], nFrames: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      mjpegFrames(a.media) match {
+      mjpegFrames(a.media).orElse(gifFrames(a.media)) match {
         case Some(fs) =>
           (0 until nFrames).iterator.map { i =>
             val idx =

@@ -171,6 +171,39 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.count() == 3)
   }
 
+  test("frame sampling REALLY extracts animated-GIF frames: every frame decodes losslessly") {
+    import javax.imageio.ImageIO
+    // 8 frames, index planted in the green channel — GIF is palette-exact,
+    // so decoded pixels must match EXACTLY (unlike the lossy MJPEG test)
+    val srcFrames = (0 until 8).map { i =>
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(40, i * 30, 200)); g.fillRect(0, 0, 16, 16) }
+      finally g.dispose()
+      img
+    }
+    val gif = Multimodal.encodeAnimatedGif(srcFrames)
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val frames = Multimodal.gifFrames(gif)
+    assert(frames.exists(_.length == 8), s"expected 8 frames, got ${frames.map(_.length)}")
+    frames.get.zipWithIndex.foreach { case (png, i) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+      assert(((img.getRGB(8, 8) >> 8) & 0xff) == i * 30, s"frame $i green channel")
+    }
+    // the frameSample operator routes GIF payloads through the real decode
+    val ds = spark.createDataset(Seq(Multimodal.Asset(9L, gif, "gif", 16, 16)))
+    val sampled = Multimodal.frameSample(ds, nFrames = 3).collect().sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    val greens = sampled.map { f =>
+      (ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes)).getRGB(8, 8) >> 8) & 0xff
+    }
+    assert(greens.toSeq == Seq(0, 3 * 30 /* floor(1*7/2)=3 */, 7 * 30), greens.toSeq.toString)
+    // truncated payload degrades to None (byte-slice fallback), never throws
+    assert(Multimodal.gifFrames(gif.take(20)).isEmpty ||
+      Multimodal.gifFrames(gif.take(20)).exists(_.nonEmpty))
+  }
+
   test("ISO-BMFF box walker extracts mp4 duration, track dims, codec fourcc, brand") {
     val mp4 = Multimodal.encodeMinimalMp4(12.5, 1920, 1080, codec = "avc1")
     val meta = Multimodal.mp4Meta(mp4)
