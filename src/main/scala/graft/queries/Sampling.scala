@@ -213,17 +213,62 @@ object Sampling {
        |FROM documents
        |ORDER BY aes_key DESC, doc_id LIMIT $AesK""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Exact per-stratum sample size. */
+  private[graft] val StratumK = 20
+
+  /** EXACT-SIZE STRATIFIED WEIGHTED SAMPLE: per language, exactly
+    * min([[StratumK]], stratum size) documents drawn without replacement
+    * with probability ∝ n_chars — q101's A-ES keys ranked per stratum
+    * instead of globally. This is the complement of q58: q58's
+    * hash-threshold form trades exact sizes for a scan-shaped plan; here
+    * the per-stratum row_number window delivers EXACT sizes, and the
+    * rank filter pushes down as WindowGroupLimit so each partition keeps
+    * its running top-k before the shuffle — per-group top-k, never a
+    * global sort. Ranking uses the ROUNDED key with doc_id tie-break
+    * (q63 rule) for engine-exact selection. */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hv = conv(substring(
+      md5(concat(lit("aes2|"), $"doc_id".cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val keyed = documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        round(log((hv + 1).cast("double") / 4294967296.0) / $"n_chars", 8).as("aes_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"aes_key".desc, $"doc_id")
+    keyed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= StratumK)
+      .select($"lang", $"rk", $"doc_id", $"n_chars", $"aes_key")
+      .orderBy($"lang", $"rk")
+  }
+
+  val q109Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    round(ln((('0x' || substr(md5('aes2|' || doc_id), 1, 8))::BIGINT + 1) / 4294967296.0)
+       |          / n_chars, 8) AS aes_key
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, n_chars, aes_key,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rk
+       |  FROM keyed)
+       |SELECT lang, rk, doc_id, n_chars, aes_key
+       |FROM ranked WHERE rk <= $StratumK ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hash_split"        -> q57,
     "q58_stratified_sample" -> q58,
     "q83_mix_rebalance"     -> q83,
     "q98_dsir_weights"      -> q98,
-    "q101_weighted_sample"  -> q101)
+    "q101_weighted_sample"  -> q101,
+    "q109_stratified_exact" -> q109)
 
   val oracleSql: Map[String, String] = Map(
     "q57_hash_split"        -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q83_mix_rebalance"     -> q83Sql,
     "q98_dsir_weights"      -> q98Sql,
-    "q101_weighted_sample"  -> q101Sql)
+    "q101_weighted_sample"  -> q101Sql,
+    "q109_stratified_exact" -> q109Sql)
 }

@@ -135,15 +135,48 @@ object Windows {
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** NTILE bucketing: per-source size quartiles of documents, rolled up to
+    * quartile stats — the standard equal-frequency binning step (feature
+    * bucketing, per-domain size tiers). The window is PARTITIONED by
+    * source, so no single-partition funnel; a GLOBAL ntile at 100 TB would
+    * instead bucket scan-shaped against approximate boundaries from the
+    * KLL sketch (`functions/KllSketch.scala`) — the window form here is
+    * the per-group semantics oracle. Tie-break on doc_id keeps bucket
+    * assignment engine-exact (NTILE's ceil/floor bucket sizing is
+    * SQL-standard in both engines). */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy($"source").orderBy($"n_chars", $"doc_id"))
+          .cast("long"))
+      .groupBy($"source", $"quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"source", $"quartile")
+  }
+
+  val q110Sql: String =
+    """SELECT source, quartile, COUNT(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM (SELECT source, n_chars,
+      |        ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS quartile
+      |      FROM documents)
+      |GROUP BY source, quartile
+      |ORDER BY source, quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_window_ranking"     -> q22,
     "q23_window_analytic"    -> q23,
     "q24_window_rows_frame"  -> q24,
-    "q25_window_range_frame" -> q25)
+    "q25_window_range_frame" -> q25,
+    "q110_ntile_buckets"     -> q110)
 
   val oracleSql: Map[String, String] = Map(
     "q22_window_ranking"     -> q22Sql,
     "q23_window_analytic"    -> q23Sql,
     "q24_window_rows_frame"  -> q24Sql,
-    "q25_window_range_frame" -> q25Sql)
+    "q25_window_range_frame" -> q25Sql,
+    "q110_ntile_buckets"     -> q110Sql)
 }
