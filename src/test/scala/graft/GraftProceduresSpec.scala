@@ -59,6 +59,22 @@ class GraftProceduresSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "insert")))
   }
 
+  test("CALL materialize_agg + refresh_agg maintain a grouped aggregate through SQL") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.magg_src (id BIGINT, grp STRING, amount DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.proc.magg_src VALUES (1, 'a', 1.5), (2, 'a', 2.5), (3, 'b', 4.0)")
+    spark.sql("CALL graft.system.materialize_agg('proc.magg_src', 'proc.magg', 'grp', 'amount')")
+    val v0 = spark.sql("SELECT grp, cnt, CAST(sum_amount AS DOUBLE) FROM graft.proc.magg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(v0 == Seq(("a", 2L, 4.0), ("b", 1L, 4.0)))
+    spark.sql("INSERT INTO graft.proc.magg_src VALUES (4, 'b', 6.0), (5, 'c', 9.0)")
+    spark.sql("DELETE FROM graft.proc.magg_src WHERE id = 1")
+    spark.sql("CALL graft.system.refresh_agg('proc.magg_src', 'proc.magg')")
+    val v1 = spark.sql("SELECT grp, cnt, CAST(sum_amount AS DOUBLE) FROM graft.proc.magg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(v1 == Seq(("a", 1L, 2.5), ("b", 2L, 10.0), ("c", 1L, 9.0)), v1.toString)
+  }
+
   test("CALL import_parquet registers an existing parquet dir as a table (migrate)") {
     init()
     val dir = java.nio.file.Files
