@@ -178,6 +178,12 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"model join should broadcast:\n$plan")
   }
 
+  test("q109: per-stratum sampling ranks through WindowGroupLimit, partitioned by lang") {
+    val plan = planOf(graft.queries.Sampling.q109(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed into the window:\n$plan")
+    assert(plan.matches("(?s).*hashpartitioning\\(lang.*"), plan)
+  }
+
   test("q99: per-doc TF-IDF top-k is a doc-partitioned window with group-limit pushdown") {
     val plan = planOf(graft.queries.TextAnalysis.q99(spark, sf))
     // rk <= K must reach the window operator as a WindowGroupLimit (each
