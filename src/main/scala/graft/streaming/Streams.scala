@@ -81,6 +81,30 @@ object Streams {
 
   case class TypeQuantiles(event_type: String, n: Long, p50: Double, p90: Double)
 
+  case class UserHotItems(user_id: Long, n: Long, top: String)
+
+  /** STREAMING HEAVY HITTERS per key: the [[graft.functions.FreqSketch]]
+    * Misra–Gries blob as `mapGroupsWithState` state — each micro-batch
+    * folds its items into the key's sketch (≤ k (item, count) pairs in the
+    * state store) and emits the refreshed top items. The MG guarantee is
+    * deterministic (any item above n/(k+1) frequency is present), so a
+    * trending-items stream holds its contract at any stream length with
+    * bounded state — the streaming twin of batch q108, same blob. */
+  def streamingHeavyHitters(events: Dataset[Event], topK: Int): Dataset[UserHotItems] = {
+    import events.sparkSession.implicits._
+    import graft.functions.FreqSketch
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Array[Byte], UserHotItems](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption.map(FreqSketch.deserialize)
+            .getOrElse(new FreqSketch.State(FreqSketch.DefaultK))
+          batch.foreach(e => sk.update(e.event_type))
+          state.update(FreqSketch.serialize(sk))
+          UserHotItems(user, sk.n, sk.top.take(topK).map { case (i, c) => s"$i:$c" }.mkString(","))
+      }
+  }
+
   /** STREAMING QUANTILES per key: the [[graft.functions.KllSketch]]
     * mergeable sketch as `mapGroupsWithState` state — each micro-batch
     * folds its values into the key's sketch (serialized KLL blob in the

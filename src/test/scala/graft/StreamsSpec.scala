@@ -220,6 +220,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG state accumulates, dominant item surfaces exactly") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.streamingHeavyHitters(ms.toDS(), topK = 2)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: 30 "hot" + 10 distinct cold types; batch 2: 20 more "hot"
+      ms.addData((1 to 30).map(i => Event(i.toLong, ts(0), 5L, "hot", 1.0)) ++
+        (31 to 40).map(i => Event(i.toLong, ts(0), 5L, s"cold$i", 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((41 to 60).map(i => Event(i.toLong, ts(1), 5L, "hot", 1.0)): _*)
+      q.processAllAvailable()
+      val last = spark.table("hh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).maxBy(_._2)
+      assert(last._1 == 5L && last._2 == 60L, s"state restarted: $last")
+      // 60 events fit in k=64 counters: MG is EXACT here — hot:50 leads
+      assert(last._3.startsWith("hot:50"), last._3)
+    } finally q.stop()
+  }
+
   test("streaming KLL quantiles: sketch state accumulates, estimates stay rank-bounded") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
