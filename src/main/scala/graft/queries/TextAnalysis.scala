@@ -521,6 +521,40 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q111
+  /** HEAPS'-LAW FIT via SQL:2016 linear-regression aggregates (the regr_*
+    * family — §2.4's last uncovered aggregate group): regress
+    * ln(distinct words) on ln(tokens) across documents. Heaps' law says
+    * types ≈ K·tokens^β, so the slope IS β and the intercept is ln K —
+    * the corpus-statistics sanity check (β far from ~0.4-0.6 flags
+    * synthetic/degenerate text) computed in ONE partial→final aggregate
+    * pass, no per-doc state. Rounded to 4 decimals (q20's float rule). */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size($"w") >= 1)
+      .select(log(size($"w").cast("double")).as("lx"),
+        log(expr("size(array_distinct(w))").cast("double")).as("ly"))
+      .agg(
+        round(expr("regr_slope(ly, lx)"), 4).as("heaps_beta"),
+        round(expr("regr_intercept(ly, lx)"), 4).as("heaps_ln_k"),
+        round(expr("regr_r2(ly, lx)"), 4).as("r2"),
+        expr("regr_count(ly, lx)").cast("long").as("n_docs"))
+  }
+
+  val q111Sql: String =
+    """WITH d AS (
+      |  SELECT ln(len(w)::DOUBLE) AS lx, ln(len(list_distinct(w))::DOUBLE) AS ly
+      |  FROM (SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 1)
+      |SELECT round(regr_slope(ly, lx), 4) AS heaps_beta,
+      |       round(regr_intercept(ly, lx), 4) AS heaps_ln_k,
+      |       round(regr_r2(ly, lx), 4) AS r2,
+      |       regr_count(ly, lx)::BIGINT AS n_docs
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_text_stats"       -> q46,
     "q47_text_langid"      -> q47,
@@ -534,7 +568,8 @@ object TextAnalysis {
     "q99_tfidf_keywords"   -> q99,
     "q103_char_entropy"    -> q103,
     "q105_bpe_encode"      -> q105,
-    "q108_heavy_hitters"   -> q108)
+    "q108_heavy_hitters"   -> q108,
+    "q111_heaps_law"       -> q111)
 
   val oracleSql: Map[String, String] = Map(
     "q46_text_stats"       -> q46Sql,
@@ -547,5 +582,6 @@ object TextAnalysis {
     "q95_bigram_lm"        -> q95Sql,
     "q97_nb_langid"        -> q97Sql,
     "q99_tfidf_keywords"   -> q99Sql,
-    "q103_char_entropy"    -> q103Sql)
+    "q103_char_entropy"    -> q103Sql,
+    "q111_heaps_law"       -> q111Sql)
 }
