@@ -268,6 +268,37 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q112
+  /** Equal-WIDTH histogram via SQL `width_bucket`: 20 buckets over
+    * events.value per event type — the fixed-bin histogram every metrics
+    * dashboard draws (vs q110's equal-FREQUENCY ntile bins). width_bucket's
+    * bin arithmetic is integral-identical across engines (floor of a single
+    * division), so the oracle verifies exact bucket assignment; one
+    * partial→final aggregate, scan-shaped at any scale — histograms are the
+    * textbook map-side-combine win. */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type",
+        expr("width_bucket(value, 0.0, 200.0, 20)").cast("long").as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** This DuckDB build has no width_bucket; the oracle spells out the SQL
+    * bucket arithmetic Spark's WidthBucket implements — overflow bucket
+    * n+1 for v ≥ hi, else floor(n·(v−lo)/(hi−lo)) + 1, multiply-first
+    * (the parenthesization matters for boundary ulps). */
+  val q112Sql: String =
+    """SELECT event_type,
+      |  CASE WHEN value < 0.0 THEN 0
+      |       WHEN value >= 200.0 THEN 21
+      |       ELSE FLOOR(20.0 * (value - 0.0) / (200.0 - 0.0))::BIGINT + 1 END AS bucket,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** PIVOT: rows→columns over the (known, bounded) `l_linestatus` domain —
     * Catalyst's `PivotFirst` path. Values are listed explicitly (`Seq("F",
@@ -325,6 +356,7 @@ object Aggregates {
     "q20_agg_stats"          -> q20,
     "q21_agg_approx_distinct" -> q21,
     "q104_kll_percentiles"    -> q104,
+    "q112_histogram"          -> q112,
     "q55_agg_pivot"          -> q55,
     "q79_agg_bitwise_bool"   -> q79)
 
@@ -338,5 +370,6 @@ object Aggregates {
     "q19_agg_percentiles"   -> q19Sql,
     "q20_agg_stats"         -> q20Sql,
     "q55_agg_pivot"         -> q55Sql,
+    "q112_histogram"        -> q112Sql,
     "q79_agg_bitwise_bool"  -> q79Sql)
 }
