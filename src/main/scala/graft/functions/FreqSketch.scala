@@ -168,6 +168,15 @@ case class FreqSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "freq_sketch"
+  // analysis-time type check (the ExpectsInputTypes convention; its
+  // AbstractDataType signature is private[sql], so check directly) —
+  // without it a non-string child would ClassCastException at execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"freq_sketch requires a STRING input, got ${other.catalogString}")
+    }
 
   override def createAggregationBuffer(): FreqSketch.State = new FreqSketch.State(k)
 

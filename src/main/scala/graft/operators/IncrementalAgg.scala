@@ -26,7 +26,16 @@ import graft.table.GraftTable
   * version stamp rides the SAME commit as the data (merge commit
   * properties), so a crash between steps leaves a consistent
   * (data, stamp) pair and refresh is safely re-runnable — never a
-  * double-applied delta. */
+  * double-applied delta.
+  *
+  * NULL discipline: SQL `sum` ignores NULLs and returns NULL for an
+  * all-NULL group, so a maintained sum must track the NON-NULL value
+  * count per sum column (hidden `nn_<c>` columns in the materialization).
+  * Deltas accumulate `coalesce(c, 0) * sign` (a NULL-only delta batch
+  * contributes 0, never clobbers the sum to NULL) and the exposed
+  * `sum_<c>` flips back to NULL exactly when `nn_<c>` hits zero — so
+  * deleting the last non-null value restores NULL, matching the
+  * recompute bit-for-bit (IncrementalAggSpec null-workload test). */
 object IncrementalAgg {
   val SourceVersionProp = "incragg.source-version"
   val KeysProp = "incragg.keys"
@@ -40,11 +49,22 @@ object IncrementalAgg {
     df.groupBy(keys.map(col): _*).agg(es.head, es.tail: _*)
   }
 
+  /** The stored shape: `aggregate` plus one hidden non-null value count
+    * per sum column (`nn_<c>`), the state that keeps NULL sums exact
+    * under deletes. */
+  private def aggregateWithNn(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val es = count(lit(1)).as("cnt") +:
+      (sumCols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")) ++
+        sumCols.map(c => count(col(c)).as(s"nn_$c")))
+    df.groupBy(keys.map(col): _*).agg(es.head, es.tail: _*)
+  }
+
   /** CTAS the materialized aggregate at the source's current version. */
   def materialize(spark: SparkSession, source: GraftTable, path: String,
       keys: Seq[String], sumCols: Seq[String]): GraftTable = {
     val v = source.log.currentVersion
-    GraftTable.create(spark, path, aggregate(source.read, keys, sumCols),
+    GraftTable.create(spark, path, aggregateWithNn(source.read, keys, sumCols),
       Map(SourceVersionProp -> v.toString,
         KeysProp -> keys.mkString(","), SumsProp -> sumCols.mkString(",")))
   }
@@ -69,9 +89,14 @@ object IncrementalAgg {
     // row, -1 per delete; per-group deltas aggregate BEFORE the merge, so
     // the merge source is |touched groups| rows, not |changed rows|
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    // NULL values contribute 0 to the sum delta (sum ignores NULLs) and 0
+    // to the non-null count delta; non-null values carry their sign
     val deltaExprs = sum(sign).as("d_cnt") +:
-      sumCols.map(c => sum((col(c).cast("decimal(28,6)") * sign)
-        .cast("decimal(28,6)")).as(s"d_sum_$c"))
+      (sumCols.map(c => sum((coalesce(col(c).cast("decimal(28,6)"),
+          lit(java.math.BigDecimal.ZERO)) * sign)
+        .cast("decimal(28,6)")).as(s"d_sum_$c")) ++
+        sumCols.map(c =>
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"d_nn_$c")))
     val deltas = source.changelog(fromV, curV)
       .groupBy(keys.map(col): _*).agg(deltaExprs.head, deltaExprs.tail: _*)
     def t(n: String): Column = GraftTable.qref("t", n)
@@ -79,12 +104,19 @@ object IncrementalAgg {
     val cond = keys.map(k => t(k) === s(k)).reduce(_ && _)
     val updates: Map[String, Column] =
       Map("cnt" -> (t("cnt") + s("d_cnt"))) ++
-        sumCols.map(c => s"sum_$c" ->
-          (t(s"sum_$c") + s(s"d_sum_$c")).cast("decimal(28,6)"))
+        sumCols.map { c =>
+          val nn = t(s"nn_$c") + s(s"d_nn_$c")
+          s"sum_$c" -> when(nn === 0, lit(null))
+            .otherwise(coalesce(t(s"sum_$c"), lit(java.math.BigDecimal.ZERO)) +
+              s(s"d_sum_$c")).cast("decimal(28,6)")
+        } ++
+        sumCols.map(c => s"nn_$c" -> (t(s"nn_$c") + s(s"d_nn_$c")))
     val inserts: Map[String, Column] =
       keys.map(k => k -> s(k)).toMap ++
         Map("cnt" -> s("d_cnt")) ++
-        sumCols.map(c => s"sum_$c" -> s(s"d_sum_$c"))
+        sumCols.map(c => s"sum_$c" -> when(s(s"d_nn_$c") === 0, lit(null))
+          .otherwise(s(s"d_sum_$c")).cast("decimal(28,6)")) ++
+        sumCols.map(c => s"nn_$c" -> s(s"d_nn_$c"))
     mat.merge(deltas, cond)
       // a group whose count hits zero left the source entirely
       .whenMatchedDelete(Some(t("cnt") + s("d_cnt") === 0))

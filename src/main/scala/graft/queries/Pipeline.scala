@@ -331,6 +331,10 @@ object Pipeline {
         .select($"dst".as("node"), $"pr")
         .localCheckpoint()
     }
+    // the final localCheckpoint materialized pr, so the cached
+    // intermediates can release executor storage memory now — without
+    // this each invocation leaks four cached DataFrames across the run
+    Seq(rare, pairs, edges, deg).foreach(_.unpersist())
     pr.select($"node".as("doc_id"), $"pr".as("pr_scaled")).orderBy($"doc_id")
   }
 
@@ -378,7 +382,11 @@ object Pipeline {
     * linear in corpus bytes. */
   def q102(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // empty docs chunk to nothing on both engines: Spark's
+    // sequence(0, -1) would DESCEND to [0, -1] (two bogus rows) while
+    // DuckDB's range(0) is empty — the guard pins the semantics
     documents(spark, dir)
+      .filter(length($"text") > 0)
       .select($"doc_id", $"n_chars",
         posexplode(expr(
           s"transform(sequence(0, CAST(floor((length(text) - 1) / $ChunkStride) AS INT))," +
@@ -396,6 +404,7 @@ object Pipeline {
        |  md5(substr(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkLen)) AS chunk_md5
        |FROM documents
        |CROSS JOIN UNNEST(range(CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT) + 1)) AS t(i)
+       |WHERE length(text) > 0
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -444,12 +444,15 @@ object TextAnalysis {
     * linear in corpus bytes. */
   def q103(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // split-on-empty walks the string ONCE; the indexed-substring form
-    // (substring(text, i, 1) per i) re-scans the UTF-8 prefix for every
-    // position — O(len²) per doc, measured 2.4 s vs 1.5 s at sf0.1
+    // CODE-POINT walk: Java regex `.` consumes one code point (a surrogate
+    // pair stays one match), so this agrees with DuckDB's code-point substr
+    // on non-BMP text where split(text, '') would emit two code-UNIT rows
+    // per emoji. Still one linear pass per doc (the indexed-substring form
+    // re-scans the UTF-8 prefix per position — O(len²), measured 2.4 s vs
+    // 1.5 s at sf0.1)
     val cc = documents(spark, dir)
       .select($"doc_id", explode(expr(
-        "filter(split(text, ''), x -> x != '')")).as("ch"))
+        "regexp_extract_all(text, '(?s).', 0)")).as("ch"))
       .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
     cc.groupBy($"doc_id")
       .agg(

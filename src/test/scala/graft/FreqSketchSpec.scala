@@ -92,4 +92,13 @@ class FreqSketchSpec extends SparkSpec {
       assert(c >= 10000 - 2 * 20000 / 65 - 1 && c <= 10000, s"hot count $c")
     }
   }
+
+  test("non-string input fails at analysis time, not with a runtime CCE") {
+    import spark.implicits._
+    val df = spark.range(0, 10).toDF("id")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(graft.functions.FreqSketch($"id").as("sk")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"), ex.getMessage)
+  }
 }

@@ -73,6 +73,40 @@ class IncrementalAggSpec extends SparkSpec {
     assert(ex.getMessage.contains("rolled back"))
   }
 
+  test("NULL sum values stay exact: null-only deltas, all-null groups, " +
+      "and deleting the last non-null value") {
+    def df(rows: Seq[(Long, String, Option[Double])]) =
+      rows.toDF("id", "grp", "amount")
+    // g1 has a real sum; g2 is all-NULL from the start (sum must be NULL)
+    val src = GraftTable.create(spark, tmp("ia-null-src"),
+      df(Seq((1L, "g1", Some(5.0)), (2L, "g1", None),
+             (3L, "g2", None), (4L, "g2", None))))
+    val matPath = tmp("ia-null-mat")
+    val mat0 = IncrementalAgg.materialize(spark, src, matPath, Seq("grp"), Seq("amount"))
+    assertEquivalent(mat0, src)
+    assert(mat0.read.filter($"grp" === "g2").select($"sum_amount")
+      .collect().head.isNullAt(0), "all-null group must materialize NULL sum")
+    // delta batch touching g1 with ONLY null amounts — must not clobber 5.0
+    src.append(df(Seq((5L, "g1", None))))
+    val mat1 = IncrementalAgg.refresh(spark, src, matPath)
+    assertEquivalent(mat1, src)
+    assert(mat1.read.filter($"grp" === "g1").select($"sum_amount")
+      .collect().head.getDecimal(0).doubleValue() == 5.0)
+    // delete g1's last NON-NULL row — recompute says sum flips back to NULL
+    src.delete($"id" === 1L)
+    val mat2 = IncrementalAgg.refresh(spark, src, matPath)
+    assertEquivalent(mat2, src)
+    assert(mat2.read.filter($"grp" === "g1").select($"sum_amount")
+      .collect().head.isNullAt(0),
+      "deleting the last non-null value must restore NULL, not 0")
+    // a brand-new all-NULL group inserts with a NULL sum
+    src.append(df(Seq((6L, "g3", None), (7L, "g3", None))))
+    val mat3 = IncrementalAgg.refresh(spark, src, matPath)
+    assertEquivalent(mat3, src)
+    assert(mat3.read.filter($"grp" === "g3").select($"sum_amount")
+      .collect().head.isNullAt(0))
+  }
+
   test("refresh merges aggregated deltas — the merge source is groups, not rows") {
     val src = GraftTable.create(spark, tmp("ia-src4"), rows(0 until 300, "a"))
     val matPath = tmp("ia-mat4")
