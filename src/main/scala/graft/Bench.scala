@@ -17,13 +17,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Fixed cross-round-comparable set (the round-1 BENCH baseline queries). */
+  // prefix must be underscore-delimited: bare startsWith("q10") matched
+  // q103_char_entropy (and "q11" q111_heaps_law) once 3-digit queries
+  // existed, silently swapping two headline members by Map iteration order
   private val headline: Seq[String] = (1 to 12).map(i => f"q$i%02d").map { p =>
-    SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(p)
+    SparkEntry.queries.keys.find(_.startsWith(p + "_")).getOrElse(p)
   }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
+  }
+
+  /** Print the result line AND persist it: a truncatable stdout tail lost
+    * a third of r11's per-query timings (VERDICT r11), so the same JSON
+    * always lands in a file the judge can read directly. */
+  private def emit(json: String, defaultPath: String): Unit = {
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,10 +110,11 @@ object Bench {
         val qs = rows.map { case (n, (s, b, r)) =>
           f""""$n":{"small":$s%.4f,"big":$b%.4f,"ratio":$r%.2f}"""
         }.mkString("{", ",", "}")
-        println(
+        emit(
           s"""{"metric":"scaling_slope","small_sf":"$smallDir","big_sf":"$bigDir",""" +
           s""""gate":$gate,"min_big_sec":0.5,"queries":$qs,""" +
-          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""",
+          "SCALING.json")
         spark.stop()
         return
       case None =>
@@ -114,10 +128,11 @@ object Bench {
     val totalAll = results.map(_._2).filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(
+    emit(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""headline":${headline.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""total_all_queries":$totalAll,"sf":"$sfDir"}""")
+      s""""total_all_queries":$totalAll,"sf":"$sfDir"}""",
+      "BENCH_LAST.json")
     spark.stop()
   }
 }
