@@ -31,6 +31,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
+  /** Base symbols of a word: one per CODE POINT (a surrogate pair stays
+    * one symbol), so encode counts agree with code-point engines (DuckDB,
+    * and any spec-faithful tokenizer) on non-BMP text — the q103 rule. */
+  private[operators] def codePointSymbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Learned tokenizer: ordered merge list (earlier = higher priority). */
   final case class Model(merges: Seq[(String, String)]) extends Serializable {
     @transient private lazy val rank: java.util.HashMap[String, Integer] = {
@@ -45,7 +59,7 @@ object Bpe {
       * standard BPE apply loop). */
     def encodeWord(word: String): Seq[String] = {
       if (word.isEmpty) return Nil
-      var syms = word.map(_.toString).toBuffer
+      val syms = Bpe.codePointSymbols(word).toBuffer
       var done = false
       while (!done && syms.length > 1) {
         var bestRank = Int.MaxValue
@@ -79,7 +93,7 @@ object Bpe {
     // each word as its current symbol sequence, weighted by frequency
     var words: Vector[(Array[String], Long)] =
       wordFreq.iterator.filter(_._1.nonEmpty)
-        .map { case (w, f) => (w.map(_.toString).toArray, f) }.toVector
+        .map { case (w, f) => (codePointSymbols(w), f) }.toVector
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false

@@ -486,20 +486,83 @@ object TextAnalysis {
     * document with the learned merges through a codegen'd native
     * expression. This is what q87's pair counting is FOR — the applied
     * tokenizer yields the real token counts that q66's packing and every
-    * token-budget decision consume. No DuckDB oracle (iterative training
-    * has no SQL twin); BpeSpec pins the merge algebra and the driver
-    * records the rows-only check. */
+    * token-budget decision consume.
+    *
+    * ORACLE (new r12): training is deterministic (lexicographic
+    * tie-break), so the learned merge list IS data — after the Spark run
+    * trains it, [[q105Sql]] renders the ranked merges inline as a VALUES
+    * list and DuckDB re-applies them with the SAME greedy loop
+    * (leftmost lowest-rank adjacent pair per step) as a recursive CTE
+    * over per-word symbol lists — distinct words only, then token counts
+    * join back per doc. Self-contained SQL: no file handoff between the
+    * engines, and the oracle always matches the SF the verify run
+    * trained on. BpeSpec still pins the merge algebra independently. */
   def q105(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val model = graft.operators.Bpe.trainFromCorpus(documents(spark, dir), 2000, 200)
+    q105Model.set(model)
     documents(spark, dir)
       .select($"doc_id",
         length($"text").cast("long").as("n_chars_calc"),
         expr("size(filter(split(text, ' '), x -> length(x) > 0))").cast("long").as("ws_tokens"),
         graft.operators.Bpe.tokenCount($"text", model).cast("long").as("bpe_tokens"))
       .withColumn("chars_per_bpe_token",
-        round($"n_chars_calc".cast("double") / $"bpe_tokens", 4))
+        round($"n_chars_calc".cast("double") / expr("nullif(bpe_tokens, 0)"), 4))
       .orderBy($"doc_id")
+  }
+
+  /** Model trained by the last [[q105]] run in this JVM — Verify runs
+    * every query BEFORE serializing oracleSql, so the oracle renders from
+    * exactly the merge list the compared result used. */
+  private val q105Model =
+    new java.util.concurrent.atomic.AtomicReference[graft.operators.Bpe.Model]()
+
+  /** DuckDB twin of the BPE encode: the trained merges inlined by rank,
+    * applied per distinct word via a recursive CTE (merge the leftmost
+    * lowest-rank adjacent symbol pair until none applies — bit-for-bit
+    * the [[graft.operators.Bpe.Model.encodeWord]] loop; symbols pair-key
+    * with a chr(1) separator to mirror the model's   keying). */
+  private def q105Sql(model: graft.operators.Bpe.Model): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val vals = model.merges.zipWithIndex
+      .map { case ((a, b), i) => s"('${esc(a)}','${esc(b)}',$i)" }.mkString(",")
+    s"""WITH RECURSIVE
+       |m(a, b, rnk) AS (VALUES $vals),
+       |mk AS (SELECT list(a || chr(1) || b ORDER BY rnk) AS keys FROM m),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |words AS (SELECT DISTINCT word FROM dw),
+       |enc AS (
+       |  SELECT word, list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word, syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:len(syms)] AS syms
+       |  FROM (
+       |    SELECT word, syms, list_position(rks, list_aggregate(rks, 'min')) AS pos
+       |    FROM (
+       |      SELECT word, syms,
+       |        list_transform(range(1, len(syms)),
+       |          i -> nullif(list_position(mk.keys, syms[i] || chr(1) || syms[i+1]), 0)) AS rks
+       |      FROM enc, mk
+       |      WHERE len(syms) > 1))
+       |  WHERE pos IS NOT NULL AND pos > 0),
+       |final AS (
+       |  SELECT word, len(syms)::BIGINT AS ntok
+       |  FROM enc, mk
+       |  WHERE len(syms) = 1
+       |     OR list_aggregate(list_transform(range(1, len(syms)),
+       |          i -> nullif(list_position(mk.keys, syms[i] || chr(1) || syms[i+1]), 0)), 'min') IS NULL),
+       |bpe AS (
+       |  SELECT dw.doc_id, SUM(f.ntok)::BIGINT AS bpe_tokens
+       |  FROM dw JOIN final f USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  length(d.text)::BIGINT AS n_chars_calc,
+       |  len(list_filter(string_split(d.text, ' '), x -> length(x) > 0))::BIGINT AS ws_tokens,
+       |  coalesce(b.bpe_tokens, 0) AS bpe_tokens,
+       |  round(length(d.text)::DOUBLE / nullif(coalesce(b.bpe_tokens, 0), 0), 4) AS chars_per_bpe_token
+       |FROM documents d LEFT JOIN bpe b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q108
@@ -574,7 +637,11 @@ object TextAnalysis {
     "q108_heavy_hitters"   -> q108,
     "q111_heaps_law"       -> q111)
 
-  val oracleSql: Map[String, String] = Map(
+  /** `def`, not `val`: the q105 entry exists only once a q105 run has
+    * trained a model in this JVM (Verify's flow), rendered from that
+    * exact model; before that the driver's rows-only fallback applies. */
+  def oracleSql: Map[String, String] = Option(q105Model.get())
+    .map(m => Map("q105_bpe_encode" -> q105Sql(m))).getOrElse(Map.empty) ++ Map(
     "q46_text_stats"       -> q46Sql,
     "q47_text_langid"      -> q47Sql,
     "q48_text_tokens"      -> q48Sql,

@@ -25,6 +25,17 @@ class BpeSpec extends SparkSpec {
       assert(m.encodeWord(w).mkString == w)
   }
 
+  test("symbols are code points: a surrogate pair is one base symbol") {
+    val emoji = new String(Character.toChars(0x1F600)) // non-BMP
+    val m = Bpe.Model(Nil)
+    // per-code-unit splitting would yield 2 lone-surrogate symbols
+    assert(m.encodeWord(emoji) == Seq(emoji))
+    assert(m.encodeWord(s"a${emoji}b").length == 3)
+    // and training sees the emoji as one symbol: top pair is (a, emoji)
+    val t = Bpe.train(Seq(s"a$emoji" -> 5L), 1)
+    assert(t.merges == Seq(("a", emoji)))
+  }
+
   test("countTokens = sum of per-word encode lengths; merges only shrink counts") {
     val m = Bpe.train(Seq("the" -> 100L, "then" -> 40L, "than" -> 30L), 5)
     val text = "the then than xq"
