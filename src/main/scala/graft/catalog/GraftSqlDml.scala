@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression, In, Literal, Or, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -71,9 +71,19 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // SupportsDelete only reaches pushable predicates; this covers the rest
     // (arithmetic, functions, OR-trees) with the same file-level rewrite.
+    // Under `write.delete.mode = merge-on-read` + `graft.delete.equality =
+    // true`, a key-only predicate instead routes to deleteByEquality —
+    // an O(keys) commit with ZERO data-file scan (the 100 TB GDPR-pass
+    // shape; Iceberg v2 equality deletes).
     case d @ DeleteFromTable(GraftTarget(_, g), condition)
         if d.resolved && subqueryFree(condition) =>
-      GraftDeleteSqlCommand(g.t, plain(condition))
+      val props = g.t.log.current.properties
+      val eqEnabled = props.get("write.delete.mode").contains("merge-on-read") &&
+        props.get("graft.delete.equality").contains("true")
+      (if (eqEnabled) equalityKeyRows(condition) else None) match {
+        case Some(rows) => GraftEqualityDeleteSqlCommand(g.t, rows)
+        case None => GraftDeleteSqlCommand(g.t, plain(condition))
+      }
 
     // WITH SCHEMA EVOLUTION is fine here: by post-hoc time the analyzer's
     // ResolveMergeIntoSchemaEvolution has already widened the table (the
@@ -83,6 +93,68 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       convertMerge(m).getOrElse(m)
 
     case other => other
+  }
+
+  /** Decompose a predicate into a finite set of literal KEY TUPLES —
+    * the shape an equality-delete file can carry. Handles `col = lit`,
+    * `col <=> lit`, `col IN (lits)`, AND of disjoint-column branches
+    * (tuple cross product), OR of same-column branches (tuple union).
+    * `= NULL` never matches in SQL, so null literals bail (equality-delete
+    * matching is null-safe; only `<=>` may carry a null key). Any other
+    * shape → None → the positional-MOR / CoW path. */
+  private def equalityKeyRows(e: Expression): Option[Seq[Seq[(String, Literal)]]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    // at analysis time literals sit under coercion casts (id = 2 is
+    // EqualTo(id, Cast(2 AS BIGINT))) — fold any literal-only expression
+    object Lit {
+      def unapply(x: Expression): Option[Literal] =
+        if (x.foldable) Some(Literal.create(x.eval(), x.dataType)) else None
+    }
+    // coercion may wrap the ATTRIBUTE too (`id IN (…)` becomes
+    // `CAST(id AS BIGINT) IN (…)`); an up-cast is injective, so
+    // `CAST(a) = lit` ≡ `a = downcast(lit)` WHEN the literal survives the
+    // round trip (the UnwrapCastInBinaryComparison rule's argument) —
+    // otherwise nothing can match and we just fall back
+    def keyLit(x: Expression, y: Expression): Option[(String, Literal)] = x match {
+      case a: AttributeReference => Lit.unapply(y).map(a.name -> _)
+      case c: Cast => c.child match {
+        case a: AttributeReference if Cast.canUpCast(a.dataType, c.dataType) =>
+          for {
+            l <- Lit.unapply(y)
+            narrowed = Literal.create(
+              Cast(l, a.dataType, Some("UTC"), EvalMode.TRY).eval(), a.dataType)
+            if narrowed.value != null
+            rewidened = Cast(narrowed, c.dataType, Some("UTC"), EvalMode.TRY).eval()
+            if java.util.Objects.equals(rewidened, l.value)
+          } yield a.name -> narrowed
+        case _ => None
+      }
+      case _ => None
+    }
+    def eq(x: Expression, y: Expression): Option[Seq[Seq[(String, Literal)]]] =
+      keyLit(x, y).orElse(keyLit(y, x))
+        .filter(_._2.value != null).map(kv => Seq(Seq(kv)))
+    def cols(rows: Seq[Seq[(String, Literal)]]): Set[String] =
+      rows.headOption.map(_.map(_._1).toSet).getOrElse(Set.empty)
+    e match {
+      case EqualTo(x, y) => eq(x, y)
+      // <=> with a null key IS expressible (equality-delete matching is
+      // null-safe) but only without an attribute cast in the way
+      case EqualNullSafe(a: AttributeReference, Lit(l)) => Some(Seq(Seq(a.name -> l)))
+      case EqualNullSafe(Lit(l), a: AttributeReference) => Some(Seq(Seq(a.name -> l)))
+      case EqualNullSafe(x, y) => eq(x, y)
+      case In(x, vs) if vs.nonEmpty =>
+        val rows = vs.map(v => eq(x, v))
+        if (rows.forall(_.isDefined)) Some(rows.flatMap(_.get)) else None
+      case Or(x, y) =>
+        for { l <- equalityKeyRows(x); r <- equalityKeyRows(y) if cols(l) == cols(r) }
+          yield l ++ r
+      case And(x, y) =>
+        for { l <- equalityKeyRows(x); r <- equalityKeyRows(y)
+              if (cols(l) & cols(r)).isEmpty }
+          yield for { lr <- l; rr <- r } yield lr ++ rr
+      case _ => None
+    }
   }
 
   private def convertMerge(m: MergeIntoTable): Option[LogicalPlan] = m.targetTable match {
@@ -199,6 +271,23 @@ case class GraftUpdateSqlCommand(table: GraftTable, cond: Column, set: Map[Strin
 case class GraftDeleteSqlCommand(table: GraftTable, cond: Column)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = { table.delete(cond); Seq.empty }
+}
+
+/** Key-only `DELETE FROM` under equality-MOR: registers the literal key
+  * tuples as an equality-delete file via [[GraftTable.deleteByEquality]] —
+  * no data file is opened at all (the plan has no scan node; the spec
+  * proves it by deleting over physically absent data files). */
+case class GraftEqualityDeleteSqlCommand(table: GraftTable, rows: Seq[Seq[(String, Literal)]])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val order = rows.head.map(_._1)
+    val keys = rows.map { r =>
+      val byName = r.toMap
+      session.range(1).select(order.map(n => Bridge.column(byName(n)).as(n)): _*)
+    }.reduce(_ unionByName _)
+    table.deleteByEquality(keys)
+    Seq.empty
+  }
 }
 
 case class GraftMergeSqlCommand(table: GraftTable, sourcePlan: LogicalPlan, cond: Column,

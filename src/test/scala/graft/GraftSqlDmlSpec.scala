@@ -59,6 +59,66 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L, "keep"), (2L, 200L, "merged"), (5L, 500L, "new")))
   }
 
+  test("equality-MOR SQL DELETE: key-only predicate writes equality deletes " +
+      "with ZERO data scan (data files physically absent)") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.ed1 (id BIGINT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'graft.delete.equality'='true')")
+    spark.sql("INSERT INTO graft.dml.ed1 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    val path = s"${SparkSpec.warehouse}/dml/ed1"
+    // remove every DATA file from disk: if the DELETE scanned anything it
+    // would fail loudly — the O(keys) commit must not touch data at all
+    val dataDir = Paths.get(path, "data")
+    import scala.jdk.CollectionConverters._
+    val removed = Files.list(dataDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toList
+    removed.foreach(Files.delete)
+    val before = graft.table.GraftTable.load(spark, path).log.current
+    spark.sql("DELETE FROM graft.dml.ed1 WHERE id IN (1, 3) AND grp = 'a'")
+    val after = graft.table.GraftTable.load(spark, path).log.current
+    assert(after.operation == "delete")
+    assert(after.files == before.files, "data file list must be untouched")
+    assert(after.deleteFiles == before.deleteFiles, "no positional deletes")
+    assert(after.eqDeleteFiles.size == before.eqDeleteFiles.size + 1)
+    assert(after.eqDeleteFiles.last.cols.toSet == Set("id", "grp"))
+  }
+
+  test("equality-MOR SQL DELETE: read-exact, seq-scoped, and non-key " +
+      "predicates fall back to positional MOR") {
+    init()
+    spark.sql("CREATE TABLE graft.dml.ed2 (id BIGINT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'graft.delete.equality'='true')")
+    spark.sql("INSERT INTO graft.dml.ed2 VALUES (1, 'a', 1.0), (2, 'b', 2.0), " +
+      "(3, 'a', 3.0), (4, 'c', 4.0), (5, 'b', 5.0)")
+    // OR of AND-tuples + IN: (2,'b'), (3,'a'), (4,'c') leave
+    spark.sql("DELETE FROM graft.dml.ed2 WHERE (id = 2 AND grp = 'b') " +
+      "OR (id = 3 AND grp = 'a') OR (id = 4 AND grp = 'c')")
+    val path = s"${SparkSpec.warehouse}/dml/ed2"
+    val t = graft.table.GraftTable.load(spark, path)
+    assert(t.log.current.eqDeleteFiles.nonEmpty, "equality path must engage")
+    assert(t.log.current.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT id FROM graft.dml.ed2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    // a row with a deleted key appended AFTER the delete survives (Iceberg
+    // sequence-number scoping)
+    spark.sql("INSERT INTO graft.dml.ed2 VALUES (2, 'b', 20.0)")
+    assert(spark.sql("SELECT id FROM graft.dml.ed2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    // non-key-only predicate (range) under the same properties: falls back
+    // to the positional-MOR path, still exact
+    spark.sql("DELETE FROM graft.dml.ed2 WHERE v > 10.0")
+    val t2 = graft.table.GraftTable.load(spark, path)
+    assert(t2.log.current.deleteFiles.nonEmpty, "fallback must be positional")
+    assert(spark.sql("SELECT id FROM graft.dml.ed2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    // = NULL never matches: no-op, no new delete artifacts
+    val eqBefore = t2.log.current.eqDeleteFiles.size
+    spark.sql("DELETE FROM graft.dml.ed2 WHERE grp = NULL")
+    val t3 = graft.table.GraftTable.load(spark, path)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.ed2").collect()(0).getLong(0) == 2L)
+    assert(t3.log.current.eqDeleteFiles.size == eqBefore)
+  }
+
   test("SQL MERGE INTO with UPDATE SET * / INSERT * star clauses") {
     init()
     spark.sql("CREATE TABLE graft.dml.m2 (id BIGINT, v STRING)")
