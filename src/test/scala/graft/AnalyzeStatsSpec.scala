@@ -134,4 +134,76 @@ class AnalyzeStatsSpec extends SparkSpec {
       spark.sql("DROP TABLE graft.db.cbo_fact")
     }
   }
+
+  test("the CBO reorders the JOIN TREE from analyzed NDVs, not just the strategy") {
+    // At 100x scale join ORDER, not just broadcast-vs-shuffle, is what
+    // statistics buy: the DP reorderer should push the most selective
+    // dimension join to the bottom of the tree. Same query, same data:
+    // un-analyzed, the filter over d2.grp has no selectivity estimate, so
+    // the syntactic order (f ⋈ d1 first) stands; analyzed, the 1/ndv
+    // estimate shrinks filtered-d2 20x and the DP plan joins f ⋈ d2 first.
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    Seq("cbo_r_fact", "cbo_r_d1", "cbo_r_d2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.db.$t"))
+    spark.sql("CREATE TABLE graft.db.cbo_r_d1 (k BIGINT, pad STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_r_d1
+        |SELECT id AS k, sha2(cast(id AS STRING), 512) AS pad FROM range(10000)""".stripMargin)
+    spark.sql("CREATE TABLE graft.db.cbo_r_d2 (k BIGINT, grp BIGINT, pad STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_r_d2
+        |SELECT id AS k, id % 20 AS grp, sha2(cast(id AS STRING), 512) AS pad
+        |FROM range(20000)""".stripMargin)
+    spark.sql("CREATE TABLE graft.db.cbo_r_fact (k1 BIGINT, k2 BIGINT, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_r_fact
+        |SELECT id % 10000 AS k1, id % 20000 AS k2, id * 1.0 AS v
+        |FROM range(200000)""".stripMargin)
+
+    val query =
+      """SELECT f.v, d1.pad, d2.pad FROM graft.db.cbo_r_fact f
+        |JOIN graft.db.cbo_r_d1 d1 ON f.k1 = d1.k
+        |JOIN graft.db.cbo_r_d2 d2 ON f.k2 = d2.k
+        |WHERE d2.grp = 7""".stripMargin
+    // the dimension joined at the BOTTOM of the optimized join tree: the
+    // Join node none of whose children contain another Join
+    def bottomDim: String = {
+      val plan = spark.sql(query).queryExecution.optimizedPlan
+      val bottom = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if !j.children.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])) => j
+      }.head
+      val leaves = bottom.collectLeaves().mkString(";")
+      if (leaves.contains("cbo_r_d2")) "d2"
+      else if (leaves.contains("cbo_r_d1")) "d1"
+      else s"?:$leaves"
+    }
+
+    val prior = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+      "spark.sql.cbo.joinReorder.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+
+      assert(bottomDim == "d1",
+        s"un-analyzed: syntactic order must stand (f JOIN d1 at the bottom)")
+
+      spark.sql("CALL graft.system.analyze_table('db.cbo_r_d2')")
+      spark.sql("CALL graft.system.analyze_table('db.cbo_r_d1')")
+      spark.sql("CALL graft.system.analyze_table('db.cbo_r_fact')")
+      Seq("cbo_r_fact", "cbo_r_d1", "cbo_r_d2").foreach(t =>
+        spark.sql(s"REFRESH TABLE graft.db.$t"))
+      assert(bottomDim == "d2",
+        "analyzed: the DP reorderer must join the selective dimension first")
+    } finally {
+      prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      Seq("cbo_r_fact", "cbo_r_d1", "cbo_r_d2").foreach(t =>
+        spark.sql(s"DROP TABLE graft.db.$t"))
+    }
+  }
 }
