@@ -127,6 +127,61 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("torn micro-batch: sink merge committed, engine commit marker lost — " +
+      "restart from checkpoint dedupes through the batch-id stamp") {
+    // The exactly-once crash window: the sink's merge CAS (data + batch-id
+    // stamp, one commit) SUCCEEDED, but the process died before the
+    // streaming engine wrote checkpoint commits/N. On restart the engine
+    // sees offsets/N without commits/N and REPLAYS batch N into the sink —
+    // which must recognize its own stamp and not commit again.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("stream-torn-")
+    val ckpt = s"$path/../ckpt-torn"
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("path", path)
+      .option("upsertKeys", "id")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vBefore = GraftTable.load(spark, path).log.currentVersion
+    // simulate the torn state: erase the engine-side commit marker of the
+    // last batch (the sink-side merge commit stays — it already CAS'd)
+    val commits = new java.io.File(ckpt, "commits")
+    val latest = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(latest == 1L, s"expected two batches, last marker $latest")
+    assert(new java.io.File(commits, latest.toString).delete())
+    // the local FS writes a checksum sidecar next to the marker; a real
+    // crash would have written neither, so the simulation removes both
+    new java.io.File(commits, s".$latest.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 into the sink
+      val t = GraftTable.load(spark, path)
+      assert(t.log.currentVersion == vBefore,
+        "replayed batch must be a no-op commit-wise (batch-id stamp dedupe)")
+      assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // the stream is healthy after recovery: new data lands exactly once
+      mem.addData((3L, "C"), (4L, "d"))
+      q2.processAllAvailable()
+      val t2 = GraftTable.load(spark, path)
+      assert(t2.log.currentVersion == vBefore + 1)
+      assert(t2.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        == Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d")))
+    } finally q2.stop()
+  }
+
   test("applyChangeFeed end-to-end: change feed of one table mirrors into another, deletes included") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
