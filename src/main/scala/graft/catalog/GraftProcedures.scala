@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import graft.table.GraftTable
 
 /** The reference's `CALL catalog.system.<proc>(...)` maintenance surface
@@ -129,9 +129,11 @@ private[catalog] object GraftProcedures {
       // Iceberg v2 metadata tree (HadoopTables layout, real Avro manifests,
       // version-hint.text) for a graft table so any Iceberg reader opens it
       // in place — no REST server required
-      new Proc("export_iceberg", "render the table as Iceberg v2 metadata under out_dir (HadoopTables layout); data files referenced in place",
-        Seq(tbl, in("out_dir", StringType)))((s, r) =>
-        graft.table.IcebergExport.export(load(s, r), r.getUTF8String(1).toString)),
+      new Proc("export_iceberg", "render the table as Iceberg metadata under out_dir (HadoopTables layout); data files referenced in place; format_version 3 renders MOR deletes as Puffin deletion vectors",
+        Seq(tbl, in("out_dir", StringType),
+          ProcedureParameter.in("format_version", IntegerType).defaultValue("2").build()))((s, r) =>
+        graft.table.IcebergExport.export(load(s, r), r.getUTF8String(1).toString,
+          r.getInt(2))),
       // branch/tag DDL rides the CALL surface instead of a parser extension:
       // same capability as Iceberg's ALTER TABLE ... CREATE BRANCH/TAG.
       // version defaults to -1 = "the current snapshot" (Iceberg's

@@ -1411,6 +1411,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * can load it. See [[IcebergExport]] for the mapping. Returns the
     * metadata.json path. */
   def exportIcebergMetadata(outDir: String): String = IcebergExport.export(this, outDir)
+  /** v3 form: positional deletes render as Puffin deletion vectors. */
+  def exportIcebergMetadata(outDir: String, formatVersion: Int): String =
+    IcebergExport.export(this, outDir, formatVersion)
 
   /** `CALL rewrite_manifests` analogue: re-commit the head with metadata
     * compacted — schema entries no live file references are dropped, so the

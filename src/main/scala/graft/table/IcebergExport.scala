@@ -508,7 +508,13 @@ object IcebergExport {
   /** Manifest-entry Avro schema; `partitionFields` injects the typed slots
     * of the manifest's partition spec into the r102 record (empty for
     * spec-0 / unpartitioned manifests). */
-  private def manifestEntrySchema(partitionFields: String): String =
+  private def manifestEntrySchema(partitionFields: String, v3: Boolean = false): String = {
+    // v3 deletion-vector reference fields (Iceberg spec data_file 143-145);
+    // only v3 manifests declare them so v2 output stays byte-identical
+    val dvFields = if (!v3) "" else
+      """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
     s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -525,8 +531,9 @@ object IcebergExport {
       |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
       |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}$dvFields
       |]},"field-id":2}]}""".stripMargin.replace("\n", "")
+  }
 
   private val ManifestFileSchema: String =
     """{"type":"record","name":"manifest_file","fields":[
@@ -556,7 +563,12 @@ object IcebergExport {
       rows: Long, sizeBytes: Long,
       valueCounts: Seq[(Int, Long)], nullCounts: Seq[(Int, Long)],
       lower: Seq[(Int, Array[Byte])], upper: Seq[(Int, Array[Byte])],
-      eqIds: Option[Seq[Int]], partition: Seq[PartVal] = Nil): Array[Byte] = {
+      eqIds: Option[Seq[Int]], partition: Seq[PartVal] = Nil,
+      fileFormat: String = "PARQUET",
+      // v3 manifests declare the DV fields; a deletion-vector entry fills
+      // them (referenced data file URI, blob offset, blob length)
+      v3: Boolean = false,
+      dv: Option[(String, Long, Long)] = None): Array[Byte] = {
     val b = new AvroBuf
     b.int(0)                    // status EXISTING
     b.some(); b.long(addedBy)   // snapshot_id that added the file
@@ -564,7 +576,7 @@ object IcebergExport {
     b.some(); b.long(seq)       // file sequence number
     b.int(content)              // 0 data, 1 position deletes, 2 equality deletes
     b.str(path)
-    b.str("PARQUET")
+    b.str(fileFormat)
     // partition r102 record: the manifest spec's tuple slots in order
     // (empty record = no bytes for unpartitioned manifests)
     partition.foreach(_.write(b))
@@ -580,6 +592,13 @@ object IcebergExport {
     eqIds match {
       case None      => b.none()
       case Some(ids) => b.some(); b.arrayBlock(ids.size) { ids.foreach(b.int) }
+    }
+    if (v3) dv match {
+      case None => b.none(); b.none(); b.none()
+      case Some((ref, off, len)) =>
+        b.some(); b.str(ref)
+        b.some(); b.long(off)
+        b.some(); b.long(len)
     }
     b.toBytes
   }
@@ -621,10 +640,15 @@ object IcebergExport {
 
   /** Write the full Iceberg table-metadata tree for `table` under
     * `outDir/metadata`, HadoopTables layout (`v1.metadata.json` +
-    * `version-hint.text`), and return the metadata.json path. */
+    * `version-hint.text`), and return the metadata.json path.
+    * `formatVersion` 3 renders MOR positional deletes as Puffin DELETION
+    * VECTORS (v3 metadata, row-lineage fields included) instead of
+    * positional-delete parquet entries. */
   def export(table: GraftTable, outDir: String): String =
+    export(table, outDir, 2)
+  def export(table: GraftTable, outDir: String, formatVersion: Int): String =
     export(table.log, table.path, outDir,
-      table.spark.sparkContext.hadoopConfiguration)
+      table.spark.sparkContext.hadoopConfiguration, formatVersion)
 
   /** Session-free form (only the snapshot log and the table root are
     * needed): lets [[graft.rest.RestCatalogServer]] render and serve
@@ -632,7 +656,11 @@ object IcebergExport {
     * path (same filesystem as `outDir`). */
   def export(log: SnapshotLog, tablePath: String, outDir: String,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): String = {
+        new org.apache.hadoop.conf.Configuration(),
+      formatVersion: Int = 2): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"unsupported export format-version $formatVersion")
+    val v3 = formatVersion == 3
     // absolutize a plain relative outDir: metadata URIs must be absolute
     // (`file://<relative>` would parse its first segment as an authority)
     val outAbs =
@@ -755,17 +783,37 @@ object IcebergExport {
         val sid = if (schemaJsonStrById.contains(schemaId)) schemaId
                   else head.currentSchemaId
         val len = writeContainer(s"$metaDir/$name",
-          manifestEntrySchema(if (specId == 0) "" else partitionAvroFields), Map(
+          manifestEntrySchema(if (specId == 0) "" else partitionAvroFields, v3), Map(
           // the schema this manifest's files were WRITTEN under: importers
           // and name-mapping-less readers pin per-file resolution to it
           "schema" -> schemaJsonStrById(sid),
           "schema-id" -> sid.toString,
           "partition-spec" -> (if (specId == 0) "[]" else specFieldsJsonStr),
           "partition-spec-id" -> specId.toString,
-          "format-version" -> "2",
+          "format-version" -> formatVersion.toString,
           "content" -> content), entries, conf)
         (metaUri(name), len, seqs.max, seqs.min, entries.size, rows)
       })
+    }
+
+    /** Scheme-insensitive path identity (graft's own canonical-path rule):
+      * delete-row `file_path` values are parquet `_metadata` renderings
+      * (`file:///a`), manifest URIs are `file://a` — same file. */
+    def canonPath(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+
+    // row lineage (v3): each snapshot's first-row-id is the running total
+    // of rows in data files first seen before it; next-row-id continues
+    // after the head (spec v3 required fields)
+    val (firstRowIds: Map[Long, Long], nextRowId: Long) = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      var next = 0L
+      val ids = chain.map { s =>
+        val fr = next
+        s.files.filterNot(f => seen(f.path)).foreach { f => seen += f.path; next += f.rows }
+        s.version -> fr
+      }.toMap
+      (ids, next)
     }
 
     // Iceberg sequence numbers must be non-negative; graft tables IMPORTED
@@ -791,7 +839,7 @@ object IcebergExport {
       def dataEntry(f: DataFile, tuple: Seq[PartVal]): Array[Byte] = {
         val (vc, nc, lo, hi) = statsOf(f)
         encodeEntry(f.seq + seqShift, f.seq + seqShift, 0, fileUri(f.path),
-          f.rows, f.bytes, vc, nc, lo, hi, None, tuple)
+          f.rows, f.bytes, vc, nc, lo, hi, None, tuple, v3 = v3)
       }
       val manifests = Seq.newBuilder[Array[Byte]]
       // one manifest per (written-under schema, spec): each manifest is
@@ -817,20 +865,61 @@ object IcebergExport {
         manifests += encodeManifestFile(p, len, 0, mx, mn, s.version, n, rows,
           specId = 1, summaries = summaries)
       }
+      // v3: positional-delete parquet renders as deletion vectors — one
+      // Puffin blob per live data file, folded from every delete file of
+      // the snapshot (positions are explicit, so merging under the max
+      // contributing sequence number preserves semantics exactly); rows
+      // targeting data files no longer in the snapshot are dropped (a DV
+      // must reference a live file). v2 keeps the parquet entries.
+      if (v3 && s.deleteFiles.nonEmpty) {
+        val uriByCanon = s.files.map(f => canonPath(fileUri(f.path)) -> fileUri(f.path)).toMap
+        val grouped: Seq[(String, Seq[Long], Long)] = s.deleteFiles
+          .flatMap(f => DeletionVector.readDeleteParquet(resolvePath(f.path), conf)
+            .map { case (dp, pos) => (canonPath(dp), pos, f.seq + seqShift) })
+          .groupBy(_._1).toSeq
+          .flatMap { case (c, rs) => uriByCanon.get(c).map(uri =>
+            (uri, rs.map(_._2).distinct.sorted, rs.map(_._3).max)) }
+          .sortBy(_._1)
+        if (grouped.nonEmpty) {
+          val blobs = grouped.map { case (uri, ps, seq) =>
+            Puffin.Blob(DeletionVector.BlobType, Nil, s.version, seq,
+              DeletionVector.serialize(ps),
+              Map("referenced-data-file" -> uri, "cardinality" -> ps.size.toString))
+          }
+          val (pBytes, _) = Puffin.write(blobs, Map.empty)
+          val pHash = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(pBytes).take(10).map("%02x".format(_)).mkString
+          val pName = s"dv-$pHash.puffin"
+          writeAtomic(s"$metaDir/$pName", pBytes, conf)
+          val metas = Puffin.read(pBytes)._1 // write-order aligned
+          val dvEntries = grouped.zip(metas).map { case ((uri, ps, seq), m) =>
+            encodeEntry(s.version, seq, 1, metaUri(pName), ps.size.toLong,
+              pBytes.length.toLong, Nil, Nil, Nil, Nil, None,
+              fileFormat = "PUFFIN", v3 = true,
+              dv = Some((uri, m.offset, m.length)))
+          }
+          val seqs = grouped.map(_._3)
+          val rows = grouped.map(_._2.size.toLong).sum
+          val (p, len, mx, mn, n, r) =
+            writeManifest(dvEntries, "dv", seqs, s.version, rows)
+          manifests += encodeManifestFile(p, len, 1, mx, mn, s.version, n, r)
+        }
+      }
       val deleteGroups =
-        (s.deleteFiles.map(f => (f.schemaId, Left(f): Either[DataFile, EqDeleteFile])) ++
+        ((if (v3) Seq.empty
+          else s.deleteFiles.map(f => (f.schemaId, Left(f): Either[DataFile, EqDeleteFile]))) ++
          s.eqDeleteFiles.map(e => (e.file.schemaId, Right(e): Either[DataFile, EqDeleteFile])))
           .groupBy(_._1).toSeq.sortBy(_._1)
       for ((sid, group) <- deleteGroups) {
         val entries = group.map {
           case (_, Left(f)) =>
             encodeEntry(f.seq + seqShift, f.seq + seqShift, 1, fileUri(f.path),
-              f.rows, f.bytes, Nil, Nil, Nil, Nil, None)
+              f.rows, f.bytes, Nil, Nil, Nil, Nil, None, v3 = v3)
           case (_, Right(e)) =>
             val ids = idsFor(e.file.schemaId)
             val eqIds = if (e.colIds.nonEmpty) e.colIds.map(_ + 1) else e.cols.flatMap(ids.get)
             encodeEntry(e.seq + seqShift, e.seq + seqShift, 2, fileUri(e.file.path),
-              e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds))
+              e.file.rows, e.file.bytes, Nil, Nil, Nil, Nil, Some(eqIds), v3 = v3)
         }
         val seqs = group.map {
           case (_, Left(f)) => f.seq + seqShift
@@ -849,7 +938,7 @@ object IcebergExport {
         "snapshot-id" -> s.version.toString,
         "sequence-number" -> snapSeq.toString,
         "parent-snapshot-id" -> (if (s.parent >= 0) s.parent.toString else "null"),
-        "format-version" -> "2"), manifests.result(), conf)
+        "format-version" -> formatVersion.toString), manifests.result(), conf)
       val op = s.operation match {
         case "append" | "create" | "import"            => "append"
         case "rewrite-data" | "rewrite-manifests"      => "replace"
@@ -864,7 +953,9 @@ object IcebergExport {
         ("summary" -> (("operation" -> op): JObject)) ~
         ("schema-id" -> (if (schemasWithIds.contains(s.currentSchemaId))
           s.currentSchemaId else head.currentSchemaId))
-      (if (s.parent >= 0) base ~ ("parent-snapshot-id" -> s.parent) else base): JValue
+      val withLineage = if (v3) base ~ ("first-row-id" -> firstRowIds(s.version)) else base
+      (if (s.parent >= 0) withLineage ~ ("parent-snapshot-id" -> s.parent)
+       else withLineage): JValue
     }
 
     val tableProps = head.properties.view
@@ -872,7 +963,7 @@ object IcebergExport {
       ("schema.name-mapping.default" ->
         JsonMethods.compact(JsonMethods.render(nameMapping(schemaWithIds,
           (schemasWithIds - head.currentSchemaId).values.toSeq)))) +
-      ("format-version" -> "2")
+      ("format-version" -> formatVersion.toString)
 
     val locationUri =
       if (tablePath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) tablePath
@@ -925,10 +1016,13 @@ object IcebergExport {
         (("transform" -> "identity") ~ ("source-id" -> iid(f)) ~
           ("direction" -> sf.direction) ~ ("null-order" -> sf.nullOrder)): JValue }
 
+    val lineageFields: JObject =
+      if (v3) ("next-row-id" -> nextRowId): JObject else JObject(Nil)
     val metadata: JObject =
-      ("format-version" -> 2) ~
+      ("format-version" -> formatVersion) ~
       ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(tablePath.getBytes(UTF_8)).toString) ~
       ("location" -> locationUri) ~
+      lineageFields ~
       ("last-sequence-number" -> (head.version + seqShift)) ~
       ("last-updated-ms" -> head.timestampMs) ~
       ("last-column-id" -> lastColumnId) ~

@@ -76,7 +76,7 @@ object IcebergImport {
     val meta = JsonMethods.parse(new String(readAll(metaPath, conf), UTF_8))
 
     val formatVersion = (meta \ "format-version").extractOpt[Int].getOrElse(1)
-    require(formatVersion <= 2, s"unsupported Iceberg format-version $formatVersion")
+    require(formatVersion <= 3, s"unsupported Iceberg format-version $formatVersion")
     // v2: schemas[] + current-schema-id; v1: single "schema" (id defaults 0)
     val schemaList: Seq[(Int, StructType)] = (meta \ "schemas") match {
       case JArray(ss) => ss.map { s =>
@@ -151,7 +151,7 @@ object IcebergImport {
       val parts = manifests.map { m =>
         manifestCache.getOrElseUpdate(m._1,
           readManifests(Seq(m), metaPath, conf, schemaList.toMap, currentSchemaId,
-            idToName, partSpecs))
+            idToName, partSpecs, dvDir = Some(s"$targetPath/data")))
       }
       (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
     }
@@ -418,11 +418,16 @@ object IcebergImport {
       metaPath: String, conf: Configuration,
       schemasById: Map[Int, StructType], currentSchemaId: Int,
       idToName: Map[Int, String],
-      partSpecs: Map[Int, Seq[(String, String, Int)]] = Map.empty)
+      partSpecs: Map[Int, Seq[(String, String, Int)]] = Map.empty,
+      // v3 deletion vectors materialize as graft positional-delete parquet
+      // under this dir (the import path passes the target's data dir); the
+      // session-free REST commit path leaves it None and fails loudly
+      dvDir: Option[String] = None)
       : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
     val data = Seq.newBuilder[DataFile]
     val pos = Seq.newBuilder[DataFile]
     val eq = Seq.newBuilder[EqDeleteFile]
+    val puffinBytes = scala.collection.mutable.Map.empty[String, Array[Byte]]
     manifests.foreach { case (mPath, _, manifestSeq, specId) =>
       val (entries, fileMeta) = avroRecords(readAll(absolute(mPath, metaPath), conf))
       val schemaId = fileMeta.get("schema-id").flatMap(s => Try(s.toInt).toOption)
@@ -469,6 +474,43 @@ object IcebergImport {
             seq = seq)
           content match {
             case 0 => data += file
+            case 1 if str(df, "file_format").exists(_.equalsIgnoreCase("PUFFIN")) =>
+              // v3 DELETION VECTOR: decode the blob region and materialize
+              // it as a graft positional-delete parquet (content-addressed,
+              // so re-decoding a shared puffin across snapshots reuses the
+              // same file) — graft's MOR anti-join then applies it exactly
+              // like a native delete file
+              val dir = dvDir.getOrElse(throw new IllegalArgumentException(
+                "deletion-vector delete files are not supported on this path " +
+                "(import the table instead)"))
+              val ref = str(df, "referenced_data_file").getOrElse(
+                throw new IllegalArgumentException(
+                  s"DV entry in $mPath lacks referenced_data_file"))
+              val off = lng(df, "content_offset").getOrElse(0L)
+              val len = lng(df, "content_size_in_bytes").getOrElse(
+                throw new IllegalArgumentException(
+                  s"DV entry in $mPath lacks content_size_in_bytes"))
+              val pPath = absolute(file.path, metaPath)
+              val bytes = puffinBytes.getOrElseUpdate(pPath, readAll(pPath, conf))
+              require(off >= 0 && off + len <= bytes.length,
+                s"DV blob range [$off, ${off + len}) outside puffin of ${bytes.length}B")
+              val positions = DeletionVector.deserialize(
+                java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
+              val hash = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(s"$pPath@$off+$len".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .take(10).map("%02x".format(_)).mkString
+              val outPath = s"$dir/dv-$hash-deletes.parquet"
+              val fs = new org.apache.hadoop.fs.Path(outPath).getFileSystem(conf)
+              val sizeBytes =
+                if (fs.exists(new org.apache.hadoop.fs.Path(outPath)))
+                  fs.getFileStatus(new org.apache.hadoop.fs.Path(outPath)).getLen
+                else {
+                  fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+                  DeletionVector.writeDeleteParquet(outPath,
+                    positions.map(p => (ref, p)), conf)
+                }
+              pos += file.copy(path = outPath, rows = positions.size.toLong,
+                bytes = sizeBytes)
             case 1 => pos += file
             case 2 =>
               val ids = opt(df, "equality_ids").toSeq

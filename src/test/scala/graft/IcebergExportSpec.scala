@@ -215,6 +215,81 @@ class IcebergExportSpec extends SparkSpec {
     assert(dataRows - delRows == t.read.count())
   }
 
+  test("v3 export: positional deletes render as Puffin deletion vectors " +
+      "with spec reference fields and row lineage") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append((101L to 150L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"))
+    t.delete(col("id") <= 10L)                    // positional deletes
+    t.delete(col("id") >= 148L)                   // second delete commit
+    t.deleteByEquality(Seq(11L, 12L).toDF("id"))  // equality deletes stay
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export", formatVersion = 3)
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+    // v3 metadata: format-version + row lineage
+    assert((json \ "format-version").extract[Int] == 3)
+    assert((json \ "next-row-id").extract[Long] == 150L, "next-row-id = rows ever added")
+    val snaps = (json \ "snapshots").extract[List[JValue]]
+    assert((snaps.head \ "first-row-id").extract[Long] == 0L)
+    assert((snaps(1) \ "first-row-id").extract[Long] == 100L,
+      "second snapshot's first-row-id continues after the first commit's rows")
+
+    val headList = (snaps.last \ "manifest-list").extract[String]
+    val (_, listMeta, manifests) = readAvro(headList)
+    assert(listMeta("format-version") == "3")
+    val deleteManifests = manifests.filter(m => str(m, "content") == "1")
+    assert(deleteManifests.nonEmpty)
+    val dEnts = deleteManifests.flatMap(m => readAvro(str(m, "manifest_path"))._3)
+    val byFmt = dEnts.groupBy(e =>
+      str(e.get("data_file").asInstanceOf[GenericRecord], "file_format"))
+    // NO positional-delete parquet in v3 — only DVs + equality parquet
+    val posParquet = byFmt.getOrElse("PARQUET", Nil).filter(e =>
+      str(e.get("data_file").asInstanceOf[GenericRecord], "content") == "1")
+    assert(posParquet.isEmpty, "v3 must not carry positional-delete parquet")
+    val dvEnts = byFmt.getOrElse("PUFFIN", Nil)
+    assert(dvEnts.nonEmpty, "deletion-vector entries expected")
+
+    // each DV entry: content=1, reference fields present, blob decodes to
+    // exactly the positions deleted from that data file
+    val dataEnts = manifests.filter(m => str(m, "content") == "0")
+      .flatMap(m => readAvro(str(m, "manifest_path"))._3)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    val dataPaths = dataEnts.map(e => str(e, "file_path")).toSet
+    var totalCard = 0L
+    dvEnts.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(str(df, "content") == "1")
+      val ref = str(df, "referenced_data_file")
+      assert(dataPaths.contains(ref), s"DV references live data file: $ref")
+      val off = df.get("content_offset").asInstanceOf[Long]
+      val len = df.get("content_size_in_bytes").asInstanceOf[Long]
+      val puffin = Files.readAllBytes(Paths.get(
+        java.net.URI.create(str(df, "file_path")).getPath))
+      // the blob region parses with our spec-pinned DV parser AND the
+      // puffin footer (own independent reader) agrees on the region
+      val blob = java.util.Arrays.copyOfRange(puffin, off.toInt, (off + len).toInt)
+      val positions = graft.table.DeletionVector.deserialize(blob)
+      assert(positions.nonEmpty && positions == positions.sorted)
+      assert(df.get("record_count").asInstanceOf[Long] == positions.size.toLong)
+      val metas = graft.table.Puffin.read(puffin)._1
+      val m = metas.find(_.offset == off).get
+      assert(m.blobType == "deletion-vector-v1")
+      assert(m.properties("referenced-data-file") == ref)
+      assert(m.properties("cardinality").toLong == positions.size.toLong)
+      totalCard += positions.size
+    }
+    assert(totalCard == 13L, s"10 + 3 deleted positions, got $totalCard")
+    // live rows reconcile: data - DVs - equality = table read
+    val dataRows = dataEnts.map(_.get("record_count").asInstanceOf[Long]).sum
+    val eqRows = dEnts.filter(e =>
+      str(e.get("data_file").asInstanceOf[GenericRecord], "content") == "2")
+      .map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+    assert(dataRows - totalCard - eqRows == t.read.count())
+  }
+
   test("graft parquet files embed Iceberg field ids in their footers") {
     // Written files carry parquet.field.id = graft.id + 1 (the exported
     // mapping), so an Iceberg reader resolves columns BY ID on new files —

@@ -90,6 +90,34 @@ class IcebergImportSpec extends SparkSpec {
     assert(imp2.log.current.files.forall(_.seq < 0)) // ranks again, by design
   }
 
+  test("v3 deletion vectors: export -> import round-trips MOR deletes exactly, " +
+      "history included") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl",
+      (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") % 7 === 0L)     // one positional-delete commit
+    t.append((101L to 120L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"))
+    t.delete(col("id") > 110L)         // second, scoping over the append
+    val expect = t.read.collect().map(_.getLong(0)).sorted.toSeq
+
+    val metaPath = t.exportIcebergMetadata(s"$dir/export", formatVersion = 3)
+    val imp = IcebergImport.importTable(spark, metaPath, s"$dir/imported")
+    // full equality, not just counts
+    assert(imp.read.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // deletes arrived as materialized graft positional-delete files
+    assert(imp.log.current.deleteFiles.nonEmpty)
+    assert(imp.log.current.deleteFiles.forall(_.path.contains("dv-")),
+      "imported deletes must come from the DV materialization")
+    // HISTORY replays: the pre-delete snapshot still reads 100 undeleted rows
+    val counts = (0L to imp.log.currentVersion).map(v => imp.readVersion(v).count())
+    assert(counts.contains(100L), s"no replayed version reads 100 rows: $counts")
+    assert(counts.last == expect.size.toLong)
+    // and a second import of the same tree dedupes the materialized DVs
+    val imp2 = IcebergImport.importTable(spark, metaPath, s"$dir/imported2")
+    assert(imp2.read.collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+
   test("a foreign-written v1 Iceberg table (real Avro writer) imports and reads") {
     val dir = tmpDir()
     // -- data: one plain parquet file, written by Spark, registered in place
