@@ -442,6 +442,155 @@ object Multimodal {
       "isomiso2".getBytes("US-ASCII")) ++ moov
   }
 
+  /** REAL mp4 PIXEL decode for JPEG-coded tracks (ISO/IEC 14496-12 sample
+    * tables + the JDK JPEG codec): walks `moov→trak→mdia→minf→stbl`,
+    * reads the sample-table boxes (`stsd` codec, `stsz` sizes, `stco`/
+    * `co64` chunk offsets, `stsc` sample-to-chunk runs), reconstructs
+    * each sample's absolute byte range, and returns the samples of the
+    * first motion-JPEG track (`jpeg`/`mjpa`/`mjpb` sample entries — the
+    * QuickTime/BMFF M-JPEG convention) — each one a complete JPEG the JDK
+    * decodes to pixels. Codec-bearing tracks (avc1/hvc1/vp09) still need
+    * a DCT/VP9 library; that branch stays the documented fallback.
+    * Bounds-checked everywhere: a hostile sample table degrades to None,
+    * never reads out of range. */
+  private[graft] def mp4JpegFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+      ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 16 || fourcc(4) != "ftyp") return None
+    final class Stbl {
+      var codec = ""
+      var sizes: Array[Long] = Array.empty
+      var chunkOffsets: Array[Long] = Array.empty
+      var stsc: Array[(Long, Long)] = Array.empty // (first_chunk, samples_per_chunk)
+    }
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Stbl]
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val sz32 = be32(p)
+        val typ = fourcc(p + 4)
+        val (body, end) =
+          if (sz32 == 1 && p + 16 <= to) (p + 16, p + be64(p + 8))
+          else if (sz32 == 0) (p + 8, to.toLong)
+          else (p + 8, p + sz32)
+        if (end > to || end <= p) return // malformed: keep what's parsed
+        typ match {
+          case "trak" => tracks += new Stbl; walk(body, end.toInt)
+          case t if containers.contains(t) => walk(body, end.toInt)
+          case _ if tracks.isEmpty => () // stbl leaves outside any trak
+          case "stsd" if body + 16 <= end && be32(body + 4) > 0 =>
+            if (tracks.last.codec.isEmpty) tracks.last.codec = fourcc(body + 12)
+          case "stsz" if body + 12 <= end =>
+            val fixed = be32(body + 4); val n = be32(body + 8)
+            if (fixed != 0) {
+              if (n >= 0 && n < 1000000) tracks.last.sizes = Array.fill(n.toInt)(fixed)
+            } else if (n >= 0 && n <= (end - body - 12) / 4)
+              tracks.last.sizes = Array.tabulate(n.toInt)(i => be32(body + 12 + i * 4))
+          case "stco" if body + 8 <= end =>
+            val n = be32(body + 4)
+            if (n >= 0 && n <= (end - body - 8) / 4)
+              tracks.last.chunkOffsets = Array.tabulate(n.toInt)(i => be32(body + 8 + i * 4))
+          case "co64" if body + 8 <= end =>
+            val n = be32(body + 4)
+            if (n >= 0 && n <= (end - body - 8) / 8)
+              tracks.last.chunkOffsets = Array.tabulate(n.toInt)(i => be64(body + 8 + i * 8))
+          case "stsc" if body + 8 <= end =>
+            val n = be32(body + 4)
+            if (n >= 0 && n <= (end - body - 8) / 12)
+              tracks.last.stsc = Array.tabulate(n.toInt)(i =>
+                (be32(body + 8 + i * 12), be32(body + 12 + i * 12)))
+          case _ => ()
+        }
+        p = end.toInt
+      }
+    }
+    walk(0, bytes.length)
+    val jpegCodecs = Set("jpeg", "mjpa", "mjpb")
+    tracks.find(t => jpegCodecs.contains(t.codec) && t.sizes.nonEmpty &&
+        t.chunkOffsets.nonEmpty && t.stsc.nonEmpty).flatMap { t =>
+      // expand the sample-to-chunk runs into per-sample absolute ranges
+      val frames = Vector.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk = 0
+      while (chunk < t.chunkOffsets.length && sample < t.sizes.length) {
+        // samples-per-chunk of the last run whose first_chunk <= chunk+1
+        val spc = t.stsc.takeWhile(_._1 <= chunk + 1).lastOption.map(_._2).getOrElse(0L)
+        if (spc <= 0 || spc > t.sizes.length) return None
+        var off = t.chunkOffsets(chunk)
+        var i = 0L
+        while (i < spc && sample < t.sizes.length) {
+          val len = t.sizes(sample)
+          if (off < 0 || len <= 0 || len > Int.MaxValue ||
+              off + len > bytes.length) return None
+          val s = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+          // a JPEG sample starts with the SOI marker — anything else means
+          // the table points at non-JPEG payload
+          if (s.length < 2 || (s(0) & 0xff) != 0xff || (s(1) & 0xff) != 0xd8) return None
+          frames += s
+          off += len; sample += 1; i += 1
+        }
+        chunk += 1
+      }
+      val out = frames.result()
+      if (out.isEmpty || sample < t.sizes.length) None else Some(out)
+    }
+  }
+
+  /** Motion-JPEG mp4 encoder for fixtures: real JPEG samples in `mdat`,
+    * a full sample table (`stsd('jpeg')`, `stts`, `stsc`, `stsz`, `stco`)
+    * in `moov` — the write-side counterpart of [[mp4JpegFrames]].
+    * `samplesPerChunk` > 1 exercises the sample-to-chunk expansion. */
+  def encodeMjpegMp4(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10,
+      samplesPerChunk: Int = 1): Array[Byte] = {
+    require(frames.nonEmpty && samplesPerChunk >= 1)
+    val jpegs = frames.map { img =>
+      val o = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    def be(n: Int): Array[Byte] =
+      Array(((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mdatBody = jpegs.flatten.toArray
+    // absolute sample offsets: mdat body starts after ftyp + mdat header
+    val base = ftyp.length + 8
+    val offsets = jpegs.scanLeft(base)(_ + _.length).init
+    val chunks = jpegs.indices.grouped(samplesPerChunk).toSeq
+    val chunkOffsets = chunks.map(g => offsets(g.head))
+    // stsc runs: one entry per distinct samples-per-chunk value change
+    val stscRuns = {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      chunks.zipWithIndex.foreach { case (g, i) =>
+        if (runs.isEmpty || runs.last._2 != g.size) runs += ((i + 1, g.size))
+      }
+      runs.toSeq
+    }
+    val timescale = 600
+    val mvhd = box("mvhd", Array.fill[Byte](12)(0) ++
+      be(timescale) ++ be(jpegs.length * timescale / fps) ++ Array.fill[Byte](80)(0))
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++ be(w << 16) ++ be(h << 16))
+    val stsd = box("stsd", Array.fill[Byte](4)(0) ++ be(1) ++
+      box("jpeg", Array.fill[Byte](70)(0)))
+    val stts = box("stts", Array.fill[Byte](4)(0) ++ be(1) ++
+      be(jpegs.length) ++ be(timescale / fps))
+    val stsc = box("stsc", Array.fill[Byte](4)(0) ++ be(stscRuns.length) ++
+      stscRuns.flatMap { case (first, spc) => be(first) ++ be(spc) ++ be(1) }.toArray)
+    val stsz = box("stsz", Array.fill[Byte](4)(0) ++ be(0) ++ be(jpegs.length) ++
+      jpegs.flatMap(j => be(j.length)).toArray)
+    val stco = box("stco", Array.fill[Byte](4)(0) ++ be(chunkOffsets.length) ++
+      chunkOffsets.flatMap(be).toArray)
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)))))
+    ftyp ++ box("mdat", mdatBody) ++ moov
+  }
+
   /** ANIMATED-GIF frame extraction: every frame of a GIF87a/89a payload
     * through the JDK's GIF ImageReader, each re-encoded as a standalone
     * PNG. Fixture GIFs carry full frames (disposal "none"), so per-frame
@@ -504,15 +653,18 @@ object Multimodal {
 
   /** Frame sampling: one row per sampled frame. REAL for MJPEG AVI payloads
     * — the RIFF container is parsed ([[mjpegFrames]]) and `nFrames` evenly-
-    * spaced frames are emitted, each a decodable JPEG — and for ANIMATED
-    * GIFs ([[gifFrames]]: every frame decoded via the JDK GIF reader,
-    * re-encoded PNG). Payloads in a format with no JDK codec (mp4/webm/…)
-    * fall back to deterministic byte slices (FALLBACK — keeps the explode
-    * shape testable; a native codec would replace only that branch). */
+    * spaced frames are emitted, each a decodable JPEG — for JPEG-coded mp4
+    * tracks ([[mp4JpegFrames]]: sample-table walk + per-sample JPEG), and
+    * for ANIMATED GIFs ([[gifFrames]]: every frame decoded via the JDK GIF
+    * reader, re-encoded PNG). Payloads in a format with no JDK codec
+    * (avc1/vp9 mp4, webm, …) fall back to deterministic byte slices
+    * (FALLBACK — keeps the explode shape testable; a native codec would
+    * replace only that branch). */
   def frameSample(assets: Dataset[Asset], nFrames: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      mjpegFrames(a.media).orElse(gifFrames(a.media)) match {
+      mjpegFrames(a.media).orElse(mp4JpegFrames(a.media))
+        .orElse(gifFrames(a.media)) match {
         case Some(fs) =>
           (0 until nFrames).iterator.map { i =>
             val idx =

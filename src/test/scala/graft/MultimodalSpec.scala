@@ -171,6 +171,57 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.count() == 3)
   }
 
+  test("frame sampling REALLY extracts mp4 JPEG samples: sample table walked, pixels decode") {
+    import javax.imageio.ImageIO
+    val srcFrames = (0 until 10).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(i * 25, 60, 120)); g.fillRect(0, 0, 32, 24) }
+      finally g.dispose()
+      img
+    }
+    // 3 samples per chunk: 10 samples -> chunks of 3,3,3,1 — exercises the
+    // stsc run expansion (runs (1,3) and (4,1)), not just one-chunk layout
+    val mp4 = Multimodal.encodeMjpegMp4(srcFrames, fps = 5, samplesPerChunk = 3)
+    // the walker-facing metadata still parses (same container)
+    val meta = Multimodal.mp4Meta(mp4).get
+    assert(meta.codec == "jpeg" && meta.width == 32 && meta.height == 24)
+    assert(math.abs(meta.durationSec - 2.0) < 0.01)
+    val ds = spark.createDataset(Seq(Multimodal.Asset(9L, mp4, "mp4", 32, 24)))
+    val sampled = Multimodal.frameSample(ds, nFrames = 3).collect().sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    val reds = sampled.map { f =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable JPEG")
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      (img.getRGB(16, 12) >> 16) & 0xff
+    }
+    def near(red: Int, frameIdx: Int) = math.abs(red - frameIdx * 25) <= 15
+    assert(near(reds(0), 0), s"first sample red=${reds(0)}")
+    assert(near(reds(1), 4) || near(reds(1), 5), s"mid sample red=${reds(1)}")
+    assert(near(reds(2), 9), s"last sample red=${reds(2)}")
+    // direct extraction returns EVERY sample in order
+    val all = Multimodal.mp4JpegFrames(mp4).get
+    assert(all.length == 10)
+    all.zipWithIndex.foreach { case (j, i) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(j))
+      assert(near((img.getRGB(16, 12) >> 16) & 0xff, i), s"sample $i")
+    }
+    // hostile payloads degrade, never throw: truncated mdat, lying stsz,
+    // and a codec-bearing (non-JPEG) track all fall back
+    assert(Multimodal.mp4JpegFrames(mp4.take(mp4.length / 2)).isEmpty)
+    val lying = mp4.clone()
+    // corrupt the first stsz entry size field to point past the file
+    val stszAt = {
+      val pat = "stsz".getBytes("US-ASCII")
+      (0 until lying.length - 4).find(i => pat.indices.forall(k => lying(i + k) == pat(k))).get
+    }
+    lying(stszAt + 12) = 0x7f.toByte // first size entry -> huge
+    assert(Multimodal.mp4JpegFrames(lying).isEmpty)
+    val avc = Multimodal.encodeMinimalMp4(1.0, 64, 48, codec = "avc1")
+    assert(Multimodal.mp4JpegFrames(avc).isEmpty)
+  }
+
   test("frame sampling REALLY extracts animated-GIF frames: every frame decodes losslessly") {
     import javax.imageio.ImageIO
     // 8 frames, index planted in the green channel — GIF is palette-exact,
