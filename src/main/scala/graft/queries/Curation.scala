@@ -147,13 +147,126 @@ object Curation {
       |       round(1.0 - ndw / nw, 4) AS dup_word_frac
       |FROM bs JOIN ws USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
+    * train/eval boundary of q57's deterministic hash split — the
+    * evaluation-integrity check every pretraining pipeline must run
+    * (a test document whose near-duplicate sits in train inflates every
+    * benchmark number; Lee et al. 2022 §6 measure exactly this leak).
+    * Candidate pairs come from the rare-shingle inverted index (q43/q100
+    * shape: document-frequency cap bounds the self-join fanout — never
+    * all-pairs), evidence-weighted by shared-shingle count (≥ 2 to drop
+    * single-collision noise), then each side joins its split label and
+    * only train↔{val,test} pairs survive.
+    *
+    * Scale shape: one window over shingles (df cap), one key-equality
+    * self-join on the capped index, two broadcast-sized split joins
+    * (split labels derive from doc_id — computed inline, no extra scan).
+    * Output is train_doc × leaked eval doc with the evidence count. */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, dir)
+    val rare = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+      .filter($"df" <= 10).drop("df")
+    val pairs = rare.as("a").join(rare.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter($"shared_shingles" >= 2)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val h2 = substring(md5(concat(lit("split|"), c.cast("string")).cast("binary")), 1, 2)
+      when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    }
+    pairs
+      .withColumn("s1", splitOf($"d1"))
+      .withColumn("s2", splitOf($"d2"))
+      .filter(($"s1" === "train") =!= ($"s2" === "train"))
+      .select(
+        when($"s1" === "train", $"d1").otherwise($"d2").as("train_doc"),
+        when($"s1" === "train", $"d2").otherwise($"d1").as("eval_doc"),
+        when($"s1" === "train", $"s2").otherwise($"s1").as("eval_split"),
+        $"shared_shingles")
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
+  val q113Sql: String =
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |rare AS (SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= 10),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_shingles
+       |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |lab AS (SELECT d1, d2, shared_shingles,
+       |          CASE WHEN substr(md5('split|' || d1), 1, 2) < 'cc' THEN 'train'
+       |               WHEN substr(md5('split|' || d1), 1, 2) < 'e6' THEN 'val'
+       |               ELSE 'test' END AS s1,
+       |          CASE WHEN substr(md5('split|' || d2), 1, 2) < 'cc' THEN 'train'
+       |               WHEN substr(md5('split|' || d2), 1, 2) < 'e6' THEN 'val'
+       |               ELSE 'test' END AS s2
+       |        FROM pairs)
+       |SELECT CASE WHEN s1 = 'train' THEN d1 ELSE d2 END AS train_doc,
+       |       CASE WHEN s1 = 'train' THEN d2 ELSE d1 END AS eval_doc,
+       |       CASE WHEN s1 = 'train' THEN s2 ELSE s1 END AS eval_split,
+       |       shared_shingles
+       |FROM lab WHERE (s1 = 'train') != (s2 = 'train')
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** PER-LANGUAGE QUALITY CALIBRATION: rank every document's type-token
+    * ratio WITHIN its language (percent_rank) and cut the bottom 20% per
+    * language — the language-fair form of a global quality threshold (a
+    * single global cutoff on any score systematically guts low-resource
+    * languages whose score distribution sits lower; per-language
+    * calibration is the standard fix in multilingual curation). Ties
+    * break on doc_id so the rank is deterministic on both engines.
+    *
+    * Scale shape: one per-doc aggregation (token counts partial-aggregate
+    * map-side), one window partitioned by language — no global sort, no
+    * single-partition window. */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = documents(spark, dir)
+      .select($"doc_id", $"lang", explode(expr(
+        "filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+      .groupBy($"doc_id", $"lang")
+      .agg(countDistinct($"w").as("ndw"), count(lit(1)).as("nw"))
+      .select($"doc_id", $"lang",
+        round($"ndw".cast("double") / $"nw", 6).as("ttr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"ttr".asc, $"doc_id".asc)
+    scored.withColumn("pct", round(percent_rank().over(w), 6))
+      .withColumn("kept", $"pct" >= 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val q114Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang, round(COUNT(DISTINCT w)::DOUBLE / COUNT(*), 6) AS ttr
+      |  FROM t GROUP BY doc_id, lang),
+      |ranked AS (
+      |  SELECT doc_id, lang, ttr,
+      |         round(percent_rank() OVER (PARTITION BY lang ORDER BY ttr ASC, doc_id ASC), 6) AS pct
+      |  FROM scored)
+      |SELECT doc_id, lang, ttr, pct, pct >= 0.2 AS kept
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_pii_redact"    -> q73,
-    "q74_decontaminate" -> q74,
-    "q75_repetition"    -> q75)
+    "q73_pii_redact"          -> q73,
+    "q74_decontaminate"       -> q74,
+    "q75_repetition"          -> q75,
+    "q113_split_leakage"      -> q113,
+    "q114_quality_calibration" -> q114)
 
   val oracleSql: Map[String, String] = Map(
-    "q73_pii_redact"    -> q73Sql,
-    "q74_decontaminate" -> q74Sql,
-    "q75_repetition"    -> q75Sql)
+    "q73_pii_redact"          -> q73Sql,
+    "q74_decontaminate"       -> q74Sql,
+    "q75_repetition"          -> q75Sql,
+    "q113_split_leakage"      -> q113Sql,
+    "q114_quality_calibration" -> q114Sql)
 }

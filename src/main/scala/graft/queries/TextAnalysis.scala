@@ -521,7 +521,7 @@ object TextAnalysis {
     * applied per distinct word via a recursive CTE (merge the leftmost
     * lowest-rank adjacent symbol pair until none applies — bit-for-bit
     * the [[graft.operators.Bpe.Model.encodeWord]] loop; symbols pair-key
-    * with a chr(1) separator to mirror the model's   keying). */
+    * with a chr(1) separator to mirror the model's NUL keying). */
   private def q105Sql(model: graft.operators.Bpe.Model): String = {
     def esc(s: String) = s.replace("'", "''")
     val vals = model.merges.zipWithIndex

@@ -930,7 +930,10 @@ class RestCatalogServer(val warehouse: String,
         val listPath = (snapJson \ "manifest-list").extractOpt[String]
           .getOrElse(throw new IllegalArgumentException("snapshot has no manifest-list"))
         graft.table.IcebergImport.decodeSnapshot(
-          listPath, FileIO.activeConf(), head.currentSchemaId, schema)
+          listPath, FileIO.activeConf(), head.currentSchemaId, schema,
+          // a modern (Iceberg 1.9+/v3) writer may commit deletion vectors;
+          // they materialize into the table's own data dir like an import
+          dvDir = Some(s"${absolutize(root)}/data"))
     }
 
     // carried-over entries keep their graft identity (seq, stats, schema

@@ -390,12 +390,12 @@ object IcebergImport {
     * accept a spec Iceberg REST `add-snapshot` commit from a foreign
     * writer. */
   private[graft] def decodeSnapshot(manifestListPath: String, conf: Configuration,
-      schemaId: Int, schema: StructType)
+      schemaId: Int, schema: StructType, dvDir: Option[String] = None)
       : (Seq[DataFile], Seq[DataFile], Seq[EqDeleteFile]) = {
     val idToName = schema.fields.map(f =>
       f.metadata.getLong("graft.id").toInt -> f.name).toMap
     readManifests(readManifestList(manifestListPath, conf), manifestListPath,
-      conf, Map(schemaId -> schema), schemaId, idToName)
+      conf, Map(schemaId -> schema), schemaId, idToName, dvDir = dvDir)
   }
 
   /** (manifestPath, content 0=data 1=deletes, sequenceNumber, partitionSpecId). */

@@ -136,7 +136,8 @@ class PlanDisciplineSpec extends SparkSpec {
   test("new pair-generation queries never degrade to cartesian products") {
     Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf),
         graft.queries.Dedup.q82(spark, sf), graft.queries.Dedup.q90(spark, sf),
-        graft.queries.Temporal.q91(spark, sf), graft.queries.Pipeline.q100(spark, sf))
+        graft.queries.Temporal.q91(spark, sf), graft.queries.Pipeline.q100(spark, sf),
+        graft.queries.Curation.q113(spark, sf))
       .foreach { df =>
         val plan = planOf(df)
         assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
