@@ -249,9 +249,31 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       val ndv = snap.properties.get(s"stats.ndv.${f.name}")
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .map(n => BigInt(math.max(1L, math.min(n, math.max(rows, 1L)))))
+      // ANALYZE's KLL quantile endpoints → Spark equi-height Histogram:
+      // range-predicate selectivity from the actual mass distribution
+      // (heights are the ANALYZED table's rows/bin; after file pruning
+      // they overstate proportionally — same approximation the clamped
+      // NDV makes, and strictly better than uniform interpolation)
+      val hist = snap.properties.get(s"stats.hist.${f.name}").flatMap { s =>
+        scala.util.Try {
+          import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+          val qs = s.split(",").map(_.toDouble)
+          val nBins = qs.length - 1
+          require(nBins >= 1)
+          // KLL endpoints are approximate; the manifest min/max are exact.
+          // Spark's estimator ASSERTS the predicate range fits inside the
+          // histogram, so the outer edges widen to the exact bounds
+          mn.map(_.toDouble).filter(_ < qs(0)).foreach(qs(0) = _)
+          mx.map(_.toDouble).filter(_ > qs(nBins)).foreach(qs(nBins) = _)
+          val binNdv = math.max(1L,
+            ndv.map(_.toLong).getOrElse(nBins.toLong) / nBins)
+          Histogram(math.max(rows, 1L).toDouble / nBins,
+            Array.tabulate(nBins)(i => HistogramBin(qs(i), qs(i + 1), binNdv)))
+        }.toOption
+      }
       if (nulls.isEmpty && ndv.isEmpty && mn.isEmpty) None
       else Some(f.name -> CatalogColumnStat(distinctCount = ndv,
-        min = mn, max = mx, nullCount = nulls))
+        min = mn, max = mx, nullCount = nulls, histogram = hist))
     }.toMap
     CatalogStatistics(BigInt(files.map(_.bytes).sum), Some(BigInt(rows)), colStats)
   }

@@ -133,6 +133,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   /** Schema of a positional-delete file: the deleted row's data-file URI (as
     * `_metadata.file_path` renders it) and row index. */
+  /** Equi-height histogram resolution recorded by ANALYZE (33 KLL
+    * quantile endpoints → 32 bins — Spark's own ANALYZE default
+    * `spark.sql.statistics.histogram.numBins` resolution class). */
+  private[graft] val HistBins = 32
+
   private val deleteSchema = StructType(Seq(
     StructField("file_path", StringType), StructField("pos", LongType)))
 
@@ -894,11 +899,29 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val sketchCols = cur.fields
         .filter(f => graft.functions.ThetaSketch.supports(f.dataType))
         .map(_.name).toSeq
+      // EQUI-HEIGHT HISTOGRAMS for the CBO's range-predicate estimation
+      // (what NDV cannot give): a KLL quantile sketch per numeric column
+      // in the SAME pass, its 33 quantile endpoints recorded as
+      // `stats.hist.<col>` — the splice serves them as a Spark Histogram,
+      // so `v > K` over a skewed column estimates from the actual mass
+      // distribution instead of uniform min/max interpolation
+      val histCols = cur.fields.filter(f => f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType => true
+        case _ => false
+      }).map(_.name).toSeq
       val aggs = statCols.map(c => approx_count_distinct(qcol(c)).as(c)) ++
-        sketchCols.map(c => graft.functions.ThetaSketch(qcol(c)).as(s"__sk_$c"))
+        sketchCols.map(c => graft.functions.ThetaSketch(qcol(c)).as(s"__sk_$c")) ++
+        histCols.map(c => graft.functions.KllSketch(qcol(c).cast("double")).as(s"__kll_$c"))
       val row = readSnapshot(head).agg(aggs.head, aggs.tail: _*).collect()(0)
       val props = statCols.zipWithIndex
-        .map { case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString }.toMap
+        .map { case (c, i) => s"stats.ndv.$c" -> row.getLong(i).toString }.toMap ++
+        histCols.zipWithIndex.flatMap { case (c, j) =>
+          val blob = row.getAs[Array[Byte]](statCols.size + sketchCols.size + j)
+          if (graft.functions.KllSketch.countFrom(blob) == 0L) None
+          else Some(s"stats.hist.$c" -> (0 to HistBins).map(i =>
+            graft.functions.KllSketch.quantileFrom(blob, i.toDouble / HistBins))
+            .mkString(","))
+        }.toMap
 
       // Puffin file: one theta blob per sketched column, stamped with the
       // ANALYZED snapshot (stats describe the data as of `head`) and the

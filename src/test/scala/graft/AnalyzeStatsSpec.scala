@@ -135,6 +135,60 @@ class AnalyzeStatsSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE histograms drive RANGE selectivity: skewed tail filter flips to broadcast") {
+    // NDV can price equality; only a HISTOGRAM can price a range over a
+    // SKEWED column. dim.sk: 99% of rows in [0, 10], a 1% tail spread to
+    // 1e6. Filter sk > 500000: uniform min/max interpolation says ~50%
+    // (shuffle); the analyzed equi-height histogram knows only the last
+    // bins reach the tail (~3%, broadcast). min/max exist BEFORE analyze
+    // (manifest bounds), so the flip isolates histogram consumption.
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    Seq("cbo_h_fact", "cbo_h_dim").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.db.$t"))
+    spark.sql("CREATE TABLE graft.db.cbo_h_dim (k BIGINT, sk BIGINT, pad STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_h_dim
+        |SELECT id AS k,
+        |       CASE WHEN id % 100 = 0 THEN 1000 + (id % 200) * 5000 ELSE id % 10 END AS sk,
+        |       sha2(cast(id AS STRING), 512) AS pad
+        |FROM range(20000)""".stripMargin)
+    spark.sql("CREATE TABLE graft.db.cbo_h_fact (k BIGINT, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.db.cbo_h_fact
+        |SELECT id % 20000 AS k, id * 1.0 AS v FROM range(200000)""".stripMargin)
+
+    val query =
+      """SELECT f.k, f.v, d.pad FROM graft.db.cbo_h_fact f
+        |JOIN graft.db.cbo_h_dim d ON f.k = d.k
+        |WHERE d.sk > 500000""".stripMargin
+    def joins: String = spark.sql(query).queryExecution.sparkPlan.toString
+
+    val prior = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "200000")
+      assert(!joins.contains("BroadcastHashJoin"),
+        s"pre-analyze: uniform min/max interpolation (~50%) must NOT broadcast:\n$joins")
+      spark.sql("CALL graft.system.analyze_table('db.cbo_h_dim')")
+      spark.sql("REFRESH TABLE graft.db.cbo_h_dim")
+      // the analyzed snapshot carries the quantile endpoints
+      val t = graft.table.GraftTable.load(spark, s"${SparkSpec.warehouse}/db/cbo_h_dim")
+      val hist = t.log.current.properties("stats.hist.sk").split(",").map(_.toDouble)
+      assert(hist.length == 33 && hist.head <= hist.last)
+      assert(hist(16) <= 10.0, s"median endpoint must sit in the body: ${hist(16)}")
+      assert(joins.contains("BroadcastHashJoin"),
+        s"analyzed: histogram tail selectivity must broadcast:\n$joins")
+    } finally {
+      prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      Seq("cbo_h_fact", "cbo_h_dim").foreach(t => spark.sql(s"DROP TABLE graft.db.$t"))
+    }
+  }
+
   test("the CBO reorders the JOIN TREE from analyzed NDVs, not just the strategy") {
     // At 100x scale join ORDER, not just broadcast-vs-shuffle, is what
     // statistics buy: the DP reorderer should push the most selective
