@@ -207,6 +207,47 @@ object ThetaSketch {
     else retained.toDouble * (Long.MaxValue.toDouble / theta.toDouble)
   }
 
+  /** Serialize an explicit (theta, ascending hashes) pair — the set-
+    * operation results, which have no Kmv state behind them. */
+  private def serializeRaw(thetaLong: Long, hashes: Seq[Long]): Array[Byte] = {
+    val s = new Kmv(math.max(hashes.size, 1))
+    s.thetaLong = thetaLong
+    hashes.foreach(h => if (h < thetaLong) s.hashes.add(h))
+    serialize(s)
+  }
+
+  // ---- set operations (DataSketches theta algebra) --------------------
+  // All three adopt theta' = min(theta_a, theta_b) and keep only hashes
+  // below it — each surviving hash is an unbiased |result| / theta'-
+  // fraction sample of the corresponding exact set, so estimates stay
+  // unbiased and MERGEABLE blobs compose across 100 TB partitions:
+  // estimate overlap of two corpora's url/content-hash sets from two
+  // O(k)-byte blobs, no join, no rescan.
+
+  /** Union blob: same result distribution as merging the source streams
+    * (uncapped — the result may retain more than either input's k). */
+  def unionBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (_, ta, ha) = parse(a); val (_, tb, hb) = parse(b)
+    val t = math.min(ta, tb)
+    serializeRaw(t, (ha ++ hb).distinct.filter(_ < t).sorted)
+  }
+
+  /** Intersection blob: hashes below min-theta present in BOTH. */
+  def intersectBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (_, ta, ha) = parse(a); val (_, tb, hb) = parse(b)
+    val t = math.min(ta, tb)
+    val inB = hb.toSet
+    serializeRaw(t, ha.filter(h => h < t && inB(h)))
+  }
+
+  /** A-not-B blob: hashes below min-theta in A and NOT in B. */
+  def aNotBBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (_, ta, ha) = parse(a); val (_, tb, hb) = parse(b)
+    val t = math.min(ta, tb)
+    val inB = hb.toSet
+    serializeRaw(t, ha.filter(h => h < t && !inB(h)))
+  }
+
   /** Column API: `ThetaSketch(col)` in an `.agg(...)`. */
   import org.apache.spark.sql.graftglue.Bridge
   def apply(child: Column, k: Int = DefaultK): Column =

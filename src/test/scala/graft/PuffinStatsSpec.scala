@@ -69,6 +69,41 @@ class PuffinStatsSpec extends SparkSpec {
     assert(math.abs(a.estimate - big.estimate) / n < 0.01)
   }
 
+  test("theta set algebra: union/intersect/a-not-b estimates bounded, exact below k") {
+    def hashOf(i: Int): Long = ThetaSketch.valueHash(
+      ThetaSketch.serializeValue(org.apache.spark.sql.types.LongType, i.toLong))
+    def sketchOf(r: Range, k: Int = 4096): Array[Byte] = {
+      val s = new ThetaSketch.Kmv(k); r.foreach(i => s.offer(hashOf(i))); ThetaSketch.serialize(s)
+    }
+    // EXACT below k: small disjoint + overlapping sets
+    val sa = sketchOf(1 to 100); val sb = sketchOf(51 to 180)
+    assert(ThetaSketch.estimateFrom(ThetaSketch.unionBlobs(sa, sb)) == 180.0)
+    assert(ThetaSketch.estimateFrom(ThetaSketch.intersectBlobs(sa, sb)) == 50.0)
+    assert(ThetaSketch.estimateFrom(ThetaSketch.aNotBBlobs(sa, sb)) == 50.0)
+    // results are valid compact blobs (independent parse accepts them)
+    ThetaSketch.parse(ThetaSketch.intersectBlobs(sa, sb))
+
+    // estimation mode: |A| = 100k, |B| = 100k, |A∩B| = 50k
+    val n = 100000
+    val bigA = sketchOf(1 to n)
+    val bigB = sketchOf(n / 2 + 1 to n + n / 2)
+    def rel(est: Double, truth: Double) = math.abs(est - truth) / truth
+    val u = ThetaSketch.estimateFrom(ThetaSketch.unionBlobs(bigA, bigB))
+    val i = ThetaSketch.estimateFrom(ThetaSketch.intersectBlobs(bigA, bigB))
+    val d = ThetaSketch.estimateFrom(ThetaSketch.aNotBBlobs(bigA, bigB))
+    assert(rel(u, 1.5 * n) < 0.05, s"union $u")
+    // intersection/difference error compounds (~2/sqrt(k) at k=4096)
+    assert(rel(i, 0.5 * n) < 0.10, s"intersect $i")
+    assert(rel(d, 0.5 * n) < 0.10, s"a-not-b $d")
+    // inclusion-exclusion closes: |A| + |B| ≈ |A∪B| + |A∩B|
+    val ea = ThetaSketch.estimateFrom(bigA); val eb = ThetaSketch.estimateFrom(bigB)
+    assert(math.abs((ea + eb) - (u + i)) / (ea + eb) < 0.05)
+    // disjoint sets: intersection estimates (near) zero
+    val disjoint = ThetaSketch.estimateFrom(
+      ThetaSketch.intersectBlobs(sketchOf(1 to n), sketchOf(n * 2 to n * 3)))
+    assert(disjoint < n * 0.01, s"disjoint intersect $disjoint")
+  }
+
   test("compact theta serialization: independent parse validates the format") {
     // empty
     val (r0, t0, h0) = ThetaSketch.parse(ThetaSketch.serialize(new ThetaSketch.Kmv(16)))
