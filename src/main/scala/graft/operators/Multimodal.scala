@@ -126,6 +126,179 @@ object Multimodal {
     }
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash): 9×8 grayscale downscale, bit (i,j)
+    * set when pixel (j,i) is brighter than its right neighbor — the
+    * gradient-sign fingerprint that survives re-encoding, resizing, and
+    * mild color shifts, which byte-level dedup (q40) cannot see. The
+    * image-side counterpart of SimHash: near-duplicate images land within
+    * a few Hamming bits. */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val rgb = small.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) > luma(x + 1, y)) h |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  case class ImageHash(asset_id: Long, dhash: Long)
+
+  /** Perceptual hash per decodable image (codec work → mapPartitions). */
+  def imageHashes(assets: Dataset[Asset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      ImageIO.setUseCache(false)
+      batch.flatMap(a => readImage(a.media).map(img => ImageHash(a.asset_id, dHash(img))))
+    }
+  }
+
+  /** NEAR-DUPLICATE IMAGE pairs at Hamming distance ≤ `maxHamming` over
+    * the dHash — image dedup for a multimodal training corpus. Candidate
+    * generation is the q67 pigeonhole: 4 × 16-bit bands, a pair within
+    * Hamming ≤ 3 must agree on ≥ 1 band, so the join is band-bucket
+    * keyed — never all-pairs — and `bit_count(xor)` verifies exactly. */
+  def imageNearDups(hashes: Dataset[ImageHash], maxHamming: Int = 3): DataFrame = {
+    import hashes.sparkSession.implicits._
+    require(maxHamming <= 3, "4x16-bit pigeonhole banding covers Hamming <= 3")
+    val banded = hashes.toDF()
+      .select($"asset_id", $"dhash",
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) % 65536 AS v))"))
+          .as("bv"))
+      .select($"asset_id", $"dhash", $"bv.band", $"bv.v")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.v" === $"b.v" && $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id1"), $"b.asset_id".as("id2"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Iterative radix-2 FFT (Cooley–Tukey) over `re`/`im` in place —
+    * O(n log n), pure JVM, the spectral workhorse [[audioFeatures]] uses
+    * so a 100 TB audio sweep is not O(n²) per clip. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "fft size must be a power of two")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val er = re(base + k); val ei = im(base + k)
+          val or_ = re(base + k + len / 2); val oi = im(base + k + len / 2)
+          val xr = or_ * cr - oi * ci
+          val xi = or_ * ci + oi * cr
+          re(base + k) = er + xr; im(base + k) = ei + xi
+          re(base + k + len / 2) = er - xr; im(base + k + len / 2) = ei - xi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral audio facts beyond [[decodeWavs]]'s RMS: zero-crossing-rate
+    * frequency estimate and the FFT spectral centroid (the brightness
+    * axis audio curation filters on — speech vs music vs noise separate
+    * cleanly on (zcr, centroid)). Up to `maxSamples` mono samples per
+    * clip, Hann-windowed, radix-2 FFT. */
+  case class AudioFeatures(asset_id: Long, sample_rate: Float,
+                           zcr_hz: Double, spectral_centroid_hz: Double)
+
+  def audioFeatures(assets: Dataset[Asset], maxSamples: Int = 8192): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    require((maxSamples & (maxSamples - 1)) == 0, "maxSamples must be a power of two")
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.media))
+          try {
+            val fmt = in.getFormat
+            val ch = fmt.getChannels
+            val data = in.readAllBytes()
+            val nAll = data.length / 2 / ch
+            val n = math.min(nAll, maxSamples)
+            if (n < 16) None
+            else {
+              // mono-ize channel 0, 16-bit LE
+              val s = new Array[Double](n)
+              var i = 0
+              while (i < n) {
+                val off = i * 2 * ch
+                s(i) = ((data(off + 1) << 8) | (data(off) & 0xff)).toShort / 32768.0
+                i += 1
+              }
+              var crossings = 0
+              i = 1
+              while (i < n) {
+                if ((s(i - 1) >= 0) != (s(i) >= 0)) crossings += 1
+                i += 1
+              }
+              val zcrHz = crossings.toDouble * fmt.getSampleRate / (2.0 * n)
+              val size = Integer.highestOneBit(n)
+              val re = new Array[Double](size); val im = new Array[Double](size)
+              i = 0
+              while (i < size) { // Hann window tames leakage
+                re(i) = s(i) * 0.5 * (1 - math.cos(2 * math.Pi * i / (size - 1)))
+                i += 1
+              }
+              fft(re, im)
+              var num = 0.0; var den = 0.0
+              var k = 1
+              while (k < size / 2) {
+                val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+                num += k.toDouble * fmt.getSampleRate / size * mag
+                den += mag
+                k += 1
+              }
+              Some(AudioFeatures(a.asset_id, fmt.getSampleRate,
+                zcrHz, if (den == 0) 0.0 else num / den))
+            }
+          } finally in.close()
+        } catch { case NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Decode WAV payloads with the JDK sound stack: container parsed, PCM
     * frames read, RMS amplitude computed over the real samples (16-bit
     * little-endian path). Non-WAV payloads are dropped. */

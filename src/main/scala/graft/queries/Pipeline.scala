@@ -313,28 +313,43 @@ object Pipeline {
     val rare = sh.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= 10).drop("df").cache()
+    // edge = >= 2 SHARED rare shingles (the q113/q82 evidence rule): a
+    // single shingle collision is noise, not similarity, and it DENSIFIES
+    // the graph ~25x (436k -> 17k edges at sf0.1) — the threshold is what
+    // keeps the superstep join linear-ish in documents rather than in
+    // collision pairs
     val pairs = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct().cache()
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("w")).filter($"w" >= 2)
+      .select($"d1", $"d2").cache()
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    // the iterated join input: degree ATTACHED once (one join per
+    // superstep instead of two) and hash-partitioned on the join key so
+    // the cached edge side never re-shuffles — only the tiny rank table
+    // moves each round
+    val ewd = edges.join(deg, "src").repartition($"src").cache()
     val n = deg.count() // one scalar: the teleport term 0.15/N
     val base = PrScale * 15L / 100L / n
     var pr = deg.select($"src".as("node"), lit(PrScale / n).as("pr"))
-    for (_ <- 1 to PrIters) {
-      pr = edges.join(pr, edges("src") === pr("node"))
-        .join(deg, "src")
+    for (it <- 1 to PrIters) {
+      pr = ewd.join(pr, ewd("src") === pr("node"))
         .select($"dst", expr("pr div deg").as("contrib"))
         .groupBy($"dst")
         .agg((lit(base) + expr("sum(contrib) * 85 div 100")).as("pr"))
         .select($"dst".as("node"), $"pr")
-        .localCheckpoint()
+      // lineage truncation every 3rd superstep: plans stay bounded (the
+      // q62 discipline) without paying one eager job PER round — the
+      // per-round job overhead, not the joins, dominated the measured
+      // runtime (6.2 s -> see BENCH) at fixture scale
+      if (it % 3 == 0 || it == PrIters) pr = pr.localCheckpoint()
     }
     // the final localCheckpoint materialized pr, so the cached
     // intermediates can release executor storage memory now — without
-    // this each invocation leaks four cached DataFrames across the run
-    Seq(rare, pairs, edges, deg).foreach(_.unpersist())
+    // this each invocation leaks cached DataFrames across the run
+    Seq(rare, pairs, deg, ewd).foreach(_.unpersist())
     pr.select($"node".as("doc_id"), $"pr".as("pr_scaled")).orderBy($"doc_id")
   }
 
@@ -353,8 +368,9 @@ object Pipeline {
        |rare AS (SELECT doc_id, shingle FROM
        |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
        |         WHERE df <= 10),
-       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n FROM deg),

@@ -128,6 +128,76 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a(0).rms - 0.354) < 0.01, s"rms=${a(0).rms}")
   }
 
+  test("image dHash: stable across JPEG re-encode + resize, near-dup pairs band-join") {
+    import javax.imageio.ImageIO
+    def gradientImg(w: Int, h: Int, tweak: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, (x * 255) / w + (if (x == 3 && y < tweak) 40 else 0))
+        img.setRGB(x, y, (v << 16) | ((y * 255 / h) << 8) | 64)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); ImageIO.write(img, "png", o); o.toByteArray
+    }
+    def jpg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    val base = gradientImg(64, 48, 0)
+    // the same scene: lossy re-encode and a 2x resize — dHash must agree
+    val h0 = Multimodal.dHash(base)
+    val h1 = Multimodal.dHash(ImageIO.read(new java.io.ByteArrayInputStream(jpg(base))))
+    val resized = gradientImg(128, 96, 0)
+    val h2 = Multimodal.dHash(resized)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, h1) <= 3, s"jpeg re-encode drift ${ham(h0, h1)}")
+    assert(ham(h0, h2) <= 3, s"resize drift ${ham(h0, h2)}")
+    // a genuinely different image is far
+    val other = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      other.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0)
+    assert(ham(h0, Multimodal.dHash(other)) > 10)
+
+    // end-to-end: hash + band-joined near-dup pairs (1=2 same scene, 3 different)
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(1L, png(base), "png", 64, 48),
+      Multimodal.Asset(2L, jpg(gradientImg(64, 48, 0)), "jpeg", 64, 48),
+      Multimodal.Asset(3L, png(other), "png", 64, 48),
+      Multimodal.Asset(4L, "junk".getBytes, "webp", 0, 0)))
+    val hashes = Multimodal.imageHashes(ds)
+    assert(hashes.collect().map(_.asset_id).sorted.toSeq == Seq(1L, 2L, 3L))
+    val pairs = Multimodal.imageNearDups(hashes).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)), pairs.mkString(","))
+    // the plan is a band-keyed equi-join, never a cartesian
+    val plan = Multimodal.imageNearDups(hashes).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("audio spectral features: zcr and FFT centroid recover a sine's pitch") {
+    val ds = spark.createDataset(Seq(
+      Multimodal.Asset(1L, wavBytes(440.0), "wav", 0, 0),
+      Multimodal.Asset(2L, wavBytes(1760.0), "wav", 0, 0),
+      Multimodal.Asset(3L, "nope".getBytes, "txt", 0, 0)))
+    val f = Multimodal.audioFeatures(ds).collect().sortBy(_.asset_id)
+    assert(f.map(_.asset_id).toSeq == Seq(1L, 2L))
+    // a pure tone: both estimators sit on the fundamental
+    assert(math.abs(f(0).zcr_hz - 440.0) < 10, s"zcr ${f(0).zcr_hz}")
+    assert(math.abs(f(0).spectral_centroid_hz - 440.0) < 25,
+      s"centroid ${f(0).spectral_centroid_hz}")
+    assert(math.abs(f(1).zcr_hz - 1760.0) < 20, s"zcr ${f(1).zcr_hz}")
+    assert(math.abs(f(1).spectral_centroid_hz - 1760.0) < 60,
+      s"centroid ${f(1).spectral_centroid_hz}")
+    // FFT self-check: a pure bin-aligned cosine concentrates in its bin
+    val n = 1024
+    val re = Array.tabulate(n)(i => math.cos(2 * math.Pi * 8 * i / n))
+    val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    val mags = (0 until n / 2).map(k => math.sqrt(re(k) * re(k) + im(k) * im(k)))
+    assert(mags.indexOf(mags.max) == 8)
+    assert(mags(8) > 100 * (mags.sum - mags(8) - mags.max + mags(8)).max(1e-12) / n)
+  }
+
   test("frame sampling explodes to n frames per asset with sliced bytes") {
     val a = Multimodal.assets(spark, sf).limit(10)
     val frames = Multimodal.frameSample(a, nFrames = 4)
