@@ -451,7 +451,62 @@ object Temporal {
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, bar_ts""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** POINT-IN-INTERVAL JOIN AT SCALE (the general form of q12's range
+    * join): which browsing session (4-hour-gap sessions over the user's
+    * NON-error events) did each error event fall inside? A naive
+    * `ON point BETWEEN lo AND hi` plans a nested-loop join — quadratic,
+    * the classic 100 TB range-join killer. The scalable shape BINS time:
+    * intervals EXPLODE to every fixed-width bucket they overlap
+    * (sessions are bounded, so the fanout is bounded), points map to
+    * their single bucket, and the join becomes an EQUI-join on
+    * (user, bucket) with the BETWEEN as a post-filter — a key shuffle,
+    * never a cross product (plan-asserted). A user's sessions are
+    * disjoint, so each error matches at most one session — no dedup
+    * step needed. */
+  private val IntervalBinSec = 4 * 3600L
+
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, dir)
+    val sess = e.filter($"event_type" =!= "error")
+      .groupBy(session_window($"ts", "4 hours").as("w"), $"user_id")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+      .select($"user_id", $"s_start", $"s_end",
+        explode(expr(
+          s"sequence(floor(unix_timestamp(s_start) / $IntervalBinSec), " +
+          s"floor(unix_timestamp(s_end) / $IntervalBinSec))")).as("bucket"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts",
+        expr(s"floor(unix_timestamp(ts) / $IntervalBinSec)").as("bucket"))
+    errors.join(sess, Seq("user_id", "bucket"))
+      .filter($"ts" >= $"s_start" && $"ts" <= $"s_end")
+      .select($"event_id", $"user_id", $"ts", $"s_start", $"s_end")
+      .orderBy($"event_id")
+  }
+
+  val q115Sql: String =
+    """WITH ne AS (SELECT user_id, ts FROM events WHERE event_type != 'error'),
+      |gaps AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+      |  FROM (SELECT user_id, ts,
+      |          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                         ROWS UNBOUNDED PRECEDING) AS sid
+      |        FROM gaps)
+      |  GROUP BY user_id, sid)
+      |SELECT e.event_id, e.user_id, e.ts, s.s_start, s.s_end
+      |FROM events e JOIN sess s
+      |  ON e.user_id = s.user_id AND e.ts BETWEEN s.s_start AND s.s_end
+      |WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_interval_join"  -> q115,
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
     "q52_window_session"  -> q52,
@@ -466,6 +521,7 @@ object Temporal {
     "q107_ohlc_bars"      -> q107)
 
   val oracleSql: Map[String, String] = Map(
+    "q115_interval_join"  -> q115Sql,
     "q50_window_tumbling" -> q50Sql,
     "q51_window_sliding"  -> q51Sql,
     "q52_window_session"  -> q52Sql,

@@ -144,6 +144,14 @@ class PlanDisciplineSpec extends SparkSpec {
       }
   }
 
+  test("q115: the interval join is a binned EQUI-join — no nested-loop, no cartesian") {
+    val plan = planOf(graft.queries.Temporal.q115(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "a BETWEEN-driven NLJ is exactly what the binning exists to avoid:\n" +
+        plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q84: vocabulary top-k plans as TakeOrderedAndProject, never a global sort") {
     val plan = planOf(graft.queries.TextAnalysis.q84(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
