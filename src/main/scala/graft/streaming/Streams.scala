@@ -174,6 +174,31 @@ object Streams {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** FULL-outer stream-stream join — completes the streaming join-type
+    * matrix (inner: [[clickAttribution]], left-outer:
+    * [[clickAttributionOuter]]): unmatched rows from BOTH sides release
+    * once their watermark proves no partner can still arrive — orphan
+    * clicks (no impression: fraud/bot signal) surface alongside
+    * unattributed impressions, in one query. Same time-range-bounded
+    * condition, so both state stores stay watermark-evicted. */
+  def clickAttributionFull(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "1 hour")
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(col("imp_id"), col("click_id"),
+        coalesce(col("user_id"), col("click_user")).as("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** STREAM-STATIC equi-join: enrich each micro-batch against a dimension
     * table. The static side is a plain bounded DataFrame (here typically a
     * graft catalog table) joined per micro-batch; with DSv2 row/byte stats

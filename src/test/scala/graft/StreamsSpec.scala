@@ -175,6 +175,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL-outer join releases unmatched rows from BOTH sides") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.clickAttributionFull(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_full_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(ev(1, 0, 1, "imp"), ev(2, 0, 2, "imp"))
+      clicks.addData(
+        ev(10, 20, 1, "click"), // user 1: matched in-window
+        ev(11, 5, 3, "click"))  // user 3: ORPHAN click, no impression at all
+      q.processAllAvailable()
+      // advance both watermarks so absence is proven on both sides
+      imps.addData(ev(3, 60 * 10, 9, "imp"))
+      clicks.addData(ev(12, 60 * 10, 9, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_full_out").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSet
+      assert(rows.contains((Some(1L), Some(10L), 1L)), s"matched row missing: $rows")
+      assert(rows.contains((Some(2L), None, 2L)), s"unmatched impression missing: $rows")
+      assert(rows.contains((None, Some(11L), 3L)), s"orphan click missing: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a graft dim table per micro-batch") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
