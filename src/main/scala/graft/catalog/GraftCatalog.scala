@@ -284,6 +284,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         case "partitions" => t.partitionsMeta
         case "manifests"  => t.manifestsMeta
         case "entries"    => t.entriesMeta
+        case "delete_files"     => t.deleteFilesMeta
+        case "position_deletes" => t.positionDeletesMeta
+        case "all_files"        => t.allFilesMeta
         case other => throw new NoSuchTableException(ident)
       }
       return GraftMetadataTable(ident.toString, df)

@@ -1332,6 +1332,55 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     rows.toDF("content", "file_path", "rows", "bytes", "schema_id", "data_seq", "bounds")
   }
 
+  /** `t.delete_files` — the delete half of `$files` alone, with the
+    * equality key columns named (Iceberg's $delete_files). */
+  def deleteFilesMeta: DataFrame = {
+    import spark.implicits._
+    val s = log.current
+    val rows =
+      s.deleteFiles.map(f =>
+        ("position-deletes", f.path, f.rows, f.bytes, f.seq, Seq.empty[String])) ++
+      s.eqDeleteFiles.map(e =>
+        ("equality-deletes", e.file.path, e.file.rows, e.file.bytes, e.seq, e.cols))
+    rows.toDF("content", "file_path", "rows", "bytes", "data_seq", "equality_columns")
+  }
+
+  /** `t.position_deletes` — the actual positional delete ROWS of the
+    * current snapshot (Iceberg's $position_deletes): which position of
+    * which data file is dead, and the delete file that says so. The ONE
+    * metadata table that reads data (the delete parquet — small by
+    * construction; rewrite_position_delete_files compacts it). */
+  def positionDeletesMeta: DataFrame = {
+    import spark.implicits._
+    val s = log.current
+    if (s.deleteFiles.isEmpty)
+      return Seq.empty[(String, Long, String)].toDF("file_path", "pos", "delete_file_path")
+    s.deleteFiles.map { f =>
+      val abs = if (f.path.startsWith("/") || f.path.contains("://")) f.path
+                else s"$path/${f.path}"
+      spark.read.parquet(abs)
+        .select(col("file_path"), col("pos"), lit(f.path).as("delete_file_path"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** `t.all_files` — every data/delete file referenced by ANY live
+    * snapshot (Iceberg's $all_files), deduped by path, tagged with the
+    * first snapshot that referenced it. Pure metadata. */
+  def allFilesMeta: DataFrame = {
+    import spark.implicits._
+    val seen = scala.collection.mutable.Map.empty[String, (String, String, Long, Long, Long, Long)]
+    log.listVersions.foreach { v =>
+      val s = log.snapshot(v)
+      def put(content: String, f: DataFile, seq: Long): Unit =
+        if (!seen.contains(f.path)) seen(f.path) = (content, f.path, f.rows, f.bytes, seq, v)
+      s.files.foreach(f => put("data", f, f.seq))
+      s.deleteFiles.foreach(f => put("position-deletes", f, f.seq))
+      s.eqDeleteFiles.foreach(e => put("equality-deletes", e.file, e.seq))
+    }
+    seen.values.toSeq
+      .toDF("content", "file_path", "rows", "bytes", "data_seq", "first_snapshot")
+  }
+
   /** `t.refs` — named tags/branches. */
   def refsMeta: DataFrame = {
     import spark.implicits._

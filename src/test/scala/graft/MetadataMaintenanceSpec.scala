@@ -24,6 +24,47 @@ class MetadataMaintenanceSpec extends SparkSpec {
     assert(e(2L).map(_._2).contains("deleted"))              // delete rewrote a file
   }
 
+  test("delete_files / position_deletes / all_files metadata tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmp("delmeta-"),
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") <= 3L)              // positional deletes
+    t.deleteByEquality(Seq(4L, 5L).toDF("id"))
+    // $delete_files: one row per delete file, equality keys named
+    val df = t.deleteFilesMeta.collect()
+      .map(r => (r.getString(0), r.getSeq[String](5))).toSeq
+    assert(df.count(_._1 == "position-deletes") == 1)
+    assert(df.collect { case ("equality-deletes", cols) => cols }.head == Seq("id"))
+    // $position_deletes: the actual dead positions, 3 of them, all
+    // pointing at a real data file of the table
+    val pd = t.positionDeletesMeta.collect()
+    assert(pd.length == 3)
+    assert(pd.map(_.getLong(1)).sorted.toSeq.forall(_ >= 0))
+    assert(pd.forall(_.getString(2).endsWith("-deletes.parquet")))
+    // $all_files: includes a data file REMOVED by a later CoW rewrite
+    val t2 = GraftTable.create(spark, tmp("allf-"), Seq(1L, 2L).toDF("id"))
+    t2.append(Seq(3L).toDF("id"))
+    t2.delete(col("id") === 1L) // CoW: rewrites the first file away
+    val all = t2.allFilesMeta.collect().map(_.getString(1)).toSet
+    val current = t2.log.current.files.map(_.path).toSet
+    assert(current.subsetOf(all))
+    assert(all.size > current.size, "a rewritten-away file must still appear in $all_files")
+    // and through SQL with the $-suffix
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.dm (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO graft.meta.dm VALUES (1), (2), (3)")
+    spark.sql("DELETE FROM graft.meta.dm WHERE id = 2")
+    assert(spark.sql("SELECT * FROM graft.meta.`dm$position_deletes`").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.meta.`dm$delete_files`").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.meta.`dm$all_files`").count() >= 1)
+    spark.sql("DROP TABLE graft.meta.dm")
+  }
+
   test("bloom-filter table property lands real parquet bloom filters in data files") {
     import spark.implicits._
     val path = tmp("bloom-")
