@@ -79,5 +79,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(args(0), k)
       }))
+
+    // ---- the sketch family, SQL-callable (aggregates + extractors +
+    // theta set algebra): the full summary toolkit from plain SQL, the
+    // way the reference stack's users would reach it
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ThetaSketchAgg(c, graft.functions.ThetaSketch.DefaultK)
+        case Seq(c, k) => graft.functions.ThetaSketchAgg(c, intLit(k, "theta_sketch k"))
+        case _ => throw new IllegalArgumentException("theta_sketch(col[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_estimate(sketch)")
+        graft.functions.ThetaEstimate(args.head)
+      }))
+    Seq("union", "intersect", "a_not_b").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"theta_$op"),
+        new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName, s"theta_$op"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"theta_$op(sketchA, sketchB)")
+          graft.functions.ThetaSetOp(args(0), args(1), op)
+        }))
+    }
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName, "kll_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.KllSketchAgg(c, graft.functions.KllSketch.DefaultK)
+        case Seq(c, k) => graft.functions.KllSketchAgg(c, intLit(k, "kll_sketch k"))
+        case _ => throw new IllegalArgumentException("kll_sketch(col[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_quantile(sketch, p)")
+        val p = args(1) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile p must be a numeric literal, got $other")
+        }
+        graft.functions.KllQuantile(args(0), p)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.FreqSketchAgg(c, graft.functions.FreqSketch.DefaultK)
+        case Seq(c, k) => graft.functions.FreqSketchAgg(c, intLit(k, "freq_sketch k"))
+        case _ => throw new IllegalArgumentException("freq_sketch(col[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_top"),
+      new ExpressionInfo(classOf[graft.functions.FreqTop].getName, "freq_top"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_top(sketch, limit)")
+        graft.functions.FreqTop(args(0), intLit(args(1), "freq_top limit"))
+      }))
   }
 }

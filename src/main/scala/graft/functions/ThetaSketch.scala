@@ -314,3 +314,38 @@ case class ThetaSketchAgg(
       newChildren: IndexedSeq[Expression]): ThetaSketchAgg =
     copy(child = newChildren.head)
 }
+
+/** Scalar NDV estimate of a serialized theta blob — aggregate-result
+  * grain, so eval mode costs nothing measurable. */
+case class ThetaEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+  override protected def nullSafeEval(input: Any): Any =
+    ThetaSketch.estimateFrom(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+}
+
+/** Scalar set operation over two serialized theta blobs (`union`,
+  * `intersect`, `a_not_b`) — the result is itself a valid compact blob,
+  * so the operations chain and re-estimate in plain SQL. */
+case class ThetaSetOp(left: Expression, right: Expression, op: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(Seq("union", "intersect", "a_not_b").contains(op), s"bad theta op $op")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"theta_$op"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    op match {
+      case "union"     => ThetaSketch.unionBlobs(x, y)
+      case "intersect" => ThetaSketch.intersectBlobs(x, y)
+      case "a_not_b"   => ThetaSketch.aNotBBlobs(x, y)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaSetOp =
+    copy(left = newLeft, right = newRight)
+}

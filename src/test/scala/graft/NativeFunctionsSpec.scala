@@ -77,6 +77,33 @@ class NativeFunctionsSpec extends SparkSpec {
       .collect()(0).getBoolean(0))
   }
 
+  test("sketch family is SQL-callable: aggregates, extractors, theta set algebra") {
+    // the whole summary toolkit from plain SQL (the session runs with
+    // spark.sql.extensions=graft.GraftExtensions)
+    spark.range(0, 1000).selectExpr("id", "id % 10 AS g", "cast(id AS double) AS v",
+      "concat('item', id % 7) AS s").createOrReplaceTempView("sk_sql")
+    // theta: exact below k; set algebra chains in SQL
+    val t = spark.sql("""
+      WITH a AS (SELECT theta_sketch(id) sk FROM sk_sql WHERE id < 600),
+           b AS (SELECT theta_sketch(id) sk FROM sk_sql WHERE id >= 400)
+      SELECT theta_estimate(a.sk) ea, theta_estimate(b.sk) eb,
+             theta_estimate(theta_union(a.sk, b.sk)) u,
+             theta_estimate(theta_intersect(a.sk, b.sk)) i,
+             theta_estimate(theta_a_not_b(a.sk, b.sk)) d
+      FROM a CROSS JOIN b""").collect()(0)
+    assert(t.getDouble(0) == 600.0 && t.getDouble(1) == 600.0)
+    assert(t.getDouble(2) == 1000.0 && t.getDouble(3) == 200.0 && t.getDouble(4) == 400.0)
+    // kll: median of 0..999 within rank tolerance, grouped
+    val q = spark.sql(
+      "SELECT g, kll_quantile(kll_sketch(v), 0.5) med FROM sk_sql GROUP BY g").collect()
+    assert(q.length == 10 && q.forall(r => math.abs(r.getDouble(1) - 500.0) < 60))
+    // freq: the planted heavy item surfaces first
+    val f = spark.sql("""
+      SELECT freq_top(freq_sketch(CASE WHEN id % 2 = 0 THEN 'hot' ELSE s END), 1) top
+      FROM sk_sql""").collect()(0).getString(0)
+    assert(f.startsWith("hot:"), f)
+  }
+
   test("extensions hook registers cosine_sim and minhash_sig for SQL") {
     // same injection path as spark.sql.extensions=graft.GraftExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
