@@ -103,6 +103,20 @@ private[catalog] object GraftProcedures {
         load(s, r).rewriteSmallFiles(r.getLong(1), r.getLong(2))),
       new Proc("analyze_table", "one distributed pass recording per-column approx NDV as stats.ndv.* properties (feeds the DSv2 column statistics / CBO)",
         Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
+      // Iceberg 1.9's procedure name for the same pass — both spellings work
+      new Proc("compute_table_stats", "alias of analyze_table (Iceberg's procedure name): NDV + histogram + Puffin stats in one pass",
+        Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
+      new Proc("ancestors_of", "register a temp view of the HEAD's ancestor chain (version, timestamp, operation), newest first — Iceberg's ancestors_of",
+        Seq(tbl, in("view_name", StringType)))((s, r) => {
+        val t = load(s, r)
+        import s.implicits._
+        val chain = Iterator.iterate(t.log.currentVersion)(v => t.log.snapshot(v).parent)
+          .takeWhile(_ >= 0).map(t.log.snapshot)
+          .map(sn => (sn.version, new java.sql.Timestamp(sn.timestampMs), sn.operation))
+          .toSeq
+        chain.toDF("version", "committed_at", "operation")
+          .createOrReplaceTempView(r.getUTF8String(1).toString)
+      }),
       new Proc("rewrite_position_delete_files", "compact positional-delete files into one, dropping entries whose target data file left the snapshot",
         Seq(tbl))((s, r) => load(s, r).rewritePositionDeleteFiles()),
       new Proc("materialize_agg", "CTAS a GROUP BY (count, decimal sums) materialization of source_table, stamped with the source version for incremental refresh",

@@ -136,6 +136,22 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("nosuch"))
   }
 
+  test("CALL ancestors_of registers the chain view; compute_table_stats aliases analyze") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.anc (id BIGINT)")
+    spark.sql("INSERT INTO graft.proc.anc VALUES (1)")
+    spark.sql("INSERT INTO graft.proc.anc VALUES (2)")
+    spark.sql("CALL graft.system.ancestors_of('proc.anc', 'anc_chain')")
+    val rows = spark.sql("SELECT version, operation FROM anc_chain").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1) == Seq(2L, 1L, 0L), "newest first, back to the root")
+    spark.sql("CALL graft.system.compute_table_stats('proc.anc')")
+    val t = graft.table.GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/anc")
+    assert(t.log.current.operation == "analyze")
+    assert(t.log.current.properties.contains("stats.ndv.id"))
+    assert(t.log.current.properties.contains("stats.hist.id"))
+  }
+
   test("unknown procedure fails to resolve") {
     init()
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
