@@ -242,7 +242,34 @@ object Advanced {
       |        CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** MODERN SQL SURFACE: `SELECT * EXCEPT (...)` (projection by
+    * exclusion — the wide-table ergonomic), `GROUP BY ALL` (group by
+    * every non-aggregate output), and `ORDER BY ALL` — the DuckDB-origin
+    * conveniences Spark 4 adopted and the reference's SQL users lean on
+    * for 100-column lakehouse tables. Same text shape on both engines
+    * (DuckDB spells the star form `* EXCLUDE`). */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("q116_orders")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS revenue
+      FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM q116_orders)
+      GROUP BY ALL
+      ORDER BY ALL""")
+  }
+
+  val q116Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n,
+      |       CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS revenue
+      |FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders)
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_modern_sql"     -> q116,
     "q59_scalar_subquery" -> q59,
     "q60_unpivot"         -> q60,
     "q61_salted_join"     -> q61,
@@ -253,6 +280,7 @@ object Advanced {
     "q78_locf_fill"       -> q78)
 
   val oracleSql: Map[String, String] = Map(
+    "q116_modern_sql"     -> q116Sql,
     "q59_scalar_subquery" -> q59Sql,
     "q60_unpivot"         -> q60Sql,
     "q61_salted_join"     -> q61Sql,
