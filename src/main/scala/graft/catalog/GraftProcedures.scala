@@ -76,11 +76,18 @@ private[catalog] object GraftProcedures {
         else load(s, r).expireSnapshots(r.getLong(1).toInt)),
       new Proc("remove_orphan_files", "delete data files no live snapshot references",
         Seq(tbl))((s, r) => load(s, r).removeOrphanFiles()),
-      new Proc("rewrite_data_files", "compact into target_files files; zorder_by = comma-separated numeric columns for Z-order clustering",
+      new Proc("rewrite_data_files", "compact into target_files files; zorder_by = comma-separated numeric columns for Z-order clustering; where = SQL predicate scoping the rewrite to files containing matching rows",
         Seq(tbl, in("target_files", LongType),
-          ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build()))((s, r) => {
+          ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("where", StringType).defaultValue("''").build()))((s, r) => {
         val zorder = r.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (zorder.isEmpty) load(s, r).rewriteDataFiles(r.getLong(1).toInt)
+        val where = r.getUTF8String(3).toString.trim
+        require(zorder.isEmpty || where.isEmpty,
+          "rewrite_data_files: zorder_by and where are mutually exclusive")
+        if (where.nonEmpty)
+          load(s, r).rewriteDataFilesWhere(org.apache.spark.sql.functions.expr(where),
+            r.getLong(1).toInt)
+        else if (zorder.isEmpty) load(s, r).rewriteDataFiles(r.getLong(1).toInt)
         else load(s, r).rewriteDataFilesZOrder(r.getLong(1).toInt, zorder)
       }),
       new Proc("rewrite_manifests", "compact snapshot metadata (drop dead schema history)",

@@ -769,6 +769,28 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       eqDeleteFiles = Seq.empty))
   }
 
+  /** PREDICATE-SCOPED compaction (`CALL rewrite_data_files(..., where =>
+    * ...)` — Iceberg's scoped rewrite): compact only files containing rows
+    * matching `cond` into `target` outputs, carrying every other file over
+    * by reference. The real-world maintenance shape — compact yesterday's
+    * hot partition, not the whole 100 TB table. Touched files read THROUGH
+    * the delete filters, so their rewritten form is clean (their MOR
+    * deletes materialize); untouched files keep their delete scoping
+    * untouched. Stale delete entries targeting departed paths anti-join
+    * nothing and are swept by rewrite_position_delete_files. */
+  def rewriteDataFilesWhere(cond: Column, target: Int): Snapshot = retryOnConflict() {
+    val head = log.current
+    val touched = touchedPaths(readSnapshot(head, withMeta = true).filter(cond))
+    if (touched.isEmpty) head
+    else {
+      val touchedSet = touched.map(canon).toSet
+      val files = head.files.filter(f => touchedSet.contains(canon(resolve(f.path))))
+      val df = readFilesOf(head, files, withMeta = false)
+        .repartition(math.max(target, 1))
+      replaceFiles(head, touched, df, "rewrite")
+    }
+  }
+
   /** Binpack compaction (Iceberg's default rewrite strategy): coalesce only
     * files SMALLER than `minBytes` into ~`targetBytes`-sized outputs,
     * carrying every right-sized file over by reference. On a 100 TB table

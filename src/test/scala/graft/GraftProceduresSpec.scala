@@ -136,6 +136,37 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("nosuch"))
   }
 
+  test("CALL rewrite_data_files(where => ...) compacts only matching files; MOR deletes materialize") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft.proc.rw")
+    spark.sql("CREATE TABLE graft.proc.rw (id BIGINT, part STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    // two disjoint 'partitions' landed as separate commits (distinct files)
+    spark.sql("INSERT INTO graft.proc.rw SELECT id, 'hot' FROM range(100)")
+    spark.sql("INSERT INTO graft.proc.rw SELECT id + 100, 'cold' FROM range(100)")
+    spark.sql("DELETE FROM graft.proc.rw WHERE id = 5")  // MOR positional delete in 'hot'
+    val path = s"${SparkSpec.warehouse}/proc/rw"
+    val before = graft.table.GraftTable.load(spark, path).log.current
+    val coldBefore = before.files.map(_.path).toSet
+    spark.sql("CALL graft.system.rewrite_data_files(`table` => 'proc.rw', " +
+      "target_files => 1, `where` => \"part = 'hot'\")")
+    val after = graft.table.GraftTable.load(spark, path).log.current
+    assert(after.operation == "rewrite")
+    // cold files carried over by reference; hot files replaced
+    val carried = after.files.map(_.path).toSet intersect coldBefore
+    assert(carried.nonEmpty, "untouched files must carry over")
+    assert(after.files.map(_.path).toSet != coldBefore)
+    // rows exact: the deleted row stays deleted (materialized in the rewrite)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.rw").collect()(0).getLong(0) == 199)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.rw WHERE id = 5")
+      .collect()(0).getLong(0) == 0)
+    // a rewrite with no matching rows is a no-op commit-wise
+    val v = after.version
+    spark.sql("CALL graft.system.rewrite_data_files(`table` => 'proc.rw', " +
+      "target_files => 1, `where` => \"part = 'nope'\")")
+    assert(graft.table.GraftTable.load(spark, path).log.currentVersion == v)
+  }
+
   test("CALL ancestors_of registers the chain view; compute_table_stats aliases analyze") {
     init()
     spark.sql("CREATE TABLE graft.proc.anc (id BIGINT)")
