@@ -80,13 +80,24 @@ class GraftSourceProvider extends StreamSourceProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    require(!(parameters.contains("fromVersion") && parameters.contains("fromTimestamp")),
+      "graft-stream: fromVersion and fromTimestamp are mutually exclusive")
+    // Iceberg's stream-from-timestamp: resolve the snapshot current AS OF
+    // the epoch-ms instant once at stream creation; the checkpoint then
+    // pins the version offset exactly as with fromVersion
+    val fromV = parameters.get("fromVersion").map(_.toLong).orElse(
+      parameters.get("fromTimestamp").map { ts =>
+        GraftTable.load(ctx.sparkSession, parameters("path"))
+          .log.snapshotAsOf(ts.toLong).version
+      })
     new GraftStreamSource(ctx, parameters("path"),
-      parameters.get("fromVersion").map(_.toLong),
+      fromV,
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("readChangeFeed").exists(_.toBoolean),
       metadataPath = Some(metadataPath))
+  }
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
     * counterpart: every micro-batch lands in ONE snapshot commit that also

@@ -33,6 +33,35 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fromTimestamp option resolves the start snapshot by time") {
+    import spark.implicits._
+    val path = tmp("stream-fromts-")
+    val t = GraftTable.create(spark, path, Seq(1L).toDF("id")) // v0
+    val afterV0 = t.log.current.timestampMs
+    Thread.sleep(5)
+    t.append(Seq(2L).toDF("id")) // v1
+    t.append(Seq(3L).toDF("id")) // v2
+    // start AS OF just after v0: only v1/v2 rows stream
+    val out = spark.readStream.format("graft-stream")
+      .option("path", path)
+      .option("fromTimestamp", (afterV0 + 1).toString)
+      .load()
+    val q = out.writeStream.format("memory").queryName("fromts_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fromts_out").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    } finally q.stop()
+    // both options together are rejected loudly
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-stream").option("path", path)
+        .option("fromVersion", "0").option("fromTimestamp", "1").load()
+        .writeStream.format("memory").queryName("fromts_bad").start()
+        .processAllAvailable()
+    }
+    assert(ex.getMessage.contains("mutually exclusive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mutually exclusive")), ex.getMessage)
+  }
+
   test("fromVersion option skips the table's history up to that snapshot") {
     import spark.implicits._
     val path = tmp("stream-from-")
