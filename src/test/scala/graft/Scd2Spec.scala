@@ -78,6 +78,48 @@ class Scd2Spec extends SparkSpec {
     assert(GraftTable.load(spark, dim.path).read.count() == 2)
   }
 
+  test("property: random batch sequences ≡ a plain-Scala SCD2 replay") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // each batch: for keys 1..4, an optional new tier value
+    val batchGen = Gen.listOfN(4, Gen.option(Gen.oneOf("a", "b", "c")))
+    val seqGen = Gen.listOfN(4, batchGen)
+    val prop = Prop.forAllNoShrink(seqGen) { batches =>
+      val dim = Scd2.initialize(spark, tmp(),
+        Seq((1L, "z", "x", ts("2024-01-01 00:00:00")))
+          .toDF("cust_id", "tier", "city", "eff_ts"), "cust_id", "eff_ts")
+      // plain-Scala reference: key -> list of (tier, start)
+      var ref = Map(1L -> List(("z", 1)))
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        val t0 = ts(f"2024-02-0${bi + 1}%d 00:00:00")
+        val rows = batch.zipWithIndex.collect { case (Some(tier), ki) =>
+          (ki + 1L, tier, "x", t0)
+        }
+        if (rows.nonEmpty) {
+          Scd2.applyChanges(GraftTable.load(spark, dim.path),
+            rows.toDF("cust_id", "tier", "city", "eff_ts"), "cust_id", "eff_ts")
+          rows.foreach { case (k, tier, _, _) =>
+            val chain = ref.getOrElse(k, Nil)
+            if (chain.headOption.map(_._1) != Some(tier))
+              ref += k -> ((tier, bi + 2) :: chain)
+          }
+        }
+      }
+      val t = GraftTable.load(spark, dim.path)
+      val cur = t.read.filter($"scd_is_current")
+        .select($"cust_id", $"tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val versions = t.read.groupBy($"cust_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refCur = ref.view.mapValues(_.head._1).toMap
+      val refVer = ref.view.mapValues(_.size.toLong).toMap
+      cur == refCur && versions == refVer &&
+        t.read.filter($"scd_is_current").groupBy($"cust_id").count()
+          .filter($"count" > 1).isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asOf reads the version current at a point in time, across the chain") {
     val dim = Scd2.initialize(spark, tmp(),
       Seq((1L, "gold", "paris", ts("2024-01-01 00:00:00")))
