@@ -827,17 +827,18 @@ object Multimodal {
   /** Frame sampling: one row per sampled frame. REAL for MJPEG AVI payloads
     * — the RIFF container is parsed ([[mjpegFrames]]) and `nFrames` evenly-
     * spaced frames are emitted, each a decodable JPEG — for JPEG-coded mp4
-    * tracks ([[mp4JpegFrames]]: sample-table walk + per-sample JPEG), and
-    * for ANIMATED GIFs ([[gifFrames]]: every frame decoded via the JDK GIF
-    * reader, re-encoded PNG). Payloads in a format with no JDK codec
-    * (avc1/vp9 mp4, webm, …) fall back to deterministic byte slices
-    * (FALLBACK — keeps the explode shape testable; a native codec would
-    * replace only that branch). */
+    * tracks ([[mp4JpegFrames]]: sample-table walk + per-sample JPEG), for
+    * ANIMATED GIFs ([[gifFrames]]: every frame decoded via the JDK GIF
+    * reader, re-encoded PNG), and for Motion-JPEG Matroska/webm tracks
+    * ([[Webm.jpegFrames]]: EBML walk + per-block JPEG). Payloads in a
+    * format with no JDK codec (avc1/vp9/vp8 coded tracks, …) fall back to
+    * deterministic byte slices (FALLBACK — keeps the explode shape
+    * testable; a native codec would replace only that branch). */
   def frameSample(assets: Dataset[Asset], nFrames: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       mjpegFrames(a.media).orElse(mp4JpegFrames(a.media))
-        .orElse(gifFrames(a.media)) match {
+        .orElse(gifFrames(a.media)).orElse(Webm.jpegFrames(a.media)) match {
         case Some(fs) =>
           (0 until nFrames).iterator.map { i =>
             val idx =

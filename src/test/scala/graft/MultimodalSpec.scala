@@ -405,4 +405,35 @@ class MultimodalSpec extends SparkSpec {
     val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.media))
     assert(back != null && back.getWidth == 16 && back.getHeight == 12)
   }
+
+  test("frame sampling REALLY extracts webm MJPEG blocks: EBML walked, pixels decode") {
+    import javax.imageio.ImageIO
+    import graft.operators.Webm
+    val srcJpegs = (0 until 8).map { i =>
+      val img = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(i * 30, 80, 100)); g.fillRect(0, 0, 40, 30) }
+      finally g.dispose()
+      val o = new java.io.ByteArrayOutputStream(); ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    // two clusters, Xiph-laced — the common streamed-muxer layout
+    val webm = Webm.encode(
+      Seq(Webm.TrackSpec(1, 1, "V_MJPEG", width = 40, height = 30)),
+      Seq((1L, srcJpegs.take(4), 1), (1L, srcJpegs.drop(4), 1)),
+      durationSec = 1.6)
+    val m = Webm.meta(webm).get
+    assert(m.tracks.head.codecId == "V_MJPEG" && m.tracks.head.width == 40)
+    val ds = spark.createDataset(Seq(Multimodal.Asset(11L, webm, "webm", 40, 30)))
+    val sampled = Multimodal.frameSample(ds, nFrames = 3).collect().sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    val reds = sampled.map { f =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable JPEG")
+      assert(img.getWidth == 40 && img.getHeight == 30)
+      (img.getRGB(20, 15) >> 16) & 0xff
+    }
+    def near(red: Int, i: Int) = math.abs(red - i * 30) <= 15
+    assert(near(reds(0), 0), s"first sample red=${reds(0)}")
+    assert(near(reds(2), 7), s"last sample red=${reds(2)}")
+  }
 }
