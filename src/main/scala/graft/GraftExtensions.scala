@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         IcebergBucket(args(1), n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(string, string)")
+        graft.functions.JaroWinkler(args(0), args(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

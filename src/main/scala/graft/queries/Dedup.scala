@@ -528,6 +528,41 @@ object Dedup {
        |  round(dup_windows::DOUBLE / total_windows, 4) AS dup_ratio
        |FROM cov WHERE dup_windows > 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Fuzzy entity-resolution dedup: Jaro-Winkler similarity over document
+    * keys (first 60 chars), candidates generated by PREFIX BLOCKING (first
+    * 12 chars) — never all-pairs. The scorer is the engine's own codegen
+    * [[graft.functions.JaroWinkler]] expression; the oracle prices the
+    * same pairs with DuckDB's built-in `jaro_winkler_similarity`, so the
+    * conventions (match window, integer-halved transpositions, 0.7 boost
+    * threshold, 4-char prefix cap) are cross-engine verified bit-for-bit.
+    *
+    * 100 TB shape: one equality-shuffle join on the block key; block sizes
+    * follow prefix cardinality (hot prefixes would take the q61 salting
+    * treatment). The ≥0.9→jaro≥0.83 implication keeps every emitted score
+    * inside the boost region where all known conventions agree. */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = documents(spark, dir).select($"doc_id",
+      substring($"text", 1, 60).as("key"), substring($"text", 1, 12).as("blk"))
+    val jw = graft.functions.JaroWinkler(col("a.key"), col("b.key"))
+    k.as("a").join(k.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(jw >= 0.9)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jw, 4).as("jw_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q117Sql: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 60) AS key,
+      |                  substr(text, 1, 12) AS blk FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(jaro_winkler_similarity(a.key, b.key), 4) AS jw_sim
+      |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE jaro_winkler_similarity(a.key, b.key) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
@@ -538,7 +573,8 @@ object Dedup {
     "q85_prefix_clusters"     -> q85,
     "q86_cross_source_dups"   -> q86,
     "q90_block_dedup"         -> q90,
-    "q96_substring_dedup"     -> q96)
+    "q96_substring_dedup"     -> q96,
+    "q117_fuzzy_match"        -> q117)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
@@ -550,5 +586,6 @@ object Dedup {
     "q85_prefix_clusters"     -> q85Sql,
     "q86_cross_source_dups"   -> q86Sql,
     "q90_block_dedup"         -> q90Sql,
-    "q96_substring_dedup"     -> q96Sql)
+    "q96_substring_dedup"     -> q96Sql,
+    "q117_fuzzy_match"        -> q117Sql)
 }

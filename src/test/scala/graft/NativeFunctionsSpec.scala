@@ -121,4 +121,44 @@ class NativeFunctionsSpec extends SparkSpec {
       "SELECT round(cosine_sim(embedding, embedding), 6) c FROM emb_ext").collect()
     assert(r.forall(_.getDouble(0) == 1.0))
   }
+
+  test("JaroWinkler: textbook values, edges, and eval/codegen parity") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // the classic Winkler examples (public reference values)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // edges: empty strings, no match, identity, below-boost-threshold jaro
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // 2-char window is 0: no in-window match
+    assert(jw("same", "same") == 1.0)
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333334) < 1e-12,
+      "jaro <= 0.7 must NOT get the prefix boost")
+    // code-point matching: supplementary-plane chars count once, not as
+    // two surrogate halves (the q103 UTF-16 lesson)
+    assert(jw("a😀b", "a😀b") == 1.0)
+    assert(jw("😀", "😁") == 0.0)
+    // eval and codegen agree on fixture data
+    val df = Tables.documents(spark, sf).limit(64)
+      .selectExpr("substring(text, 1, 30) AS a", "substring(text, 6, 30) AS b")
+    val viaExpr = df.select(
+      JaroWinkler(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("s")).collect().map(_.getDouble(0))
+    val viaEval = df.collect().map(r => jw(r.getString(0), r.getString(1)))
+    viaExpr.zip(viaEval).foreach { case (x, y) => assert(x == y) }
+    // type check rejects non-strings at analysis time
+    val bad = JaroWinkler(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    assert(!bad.checkInputDataTypes().isSuccess)
+    // null-safe: null on either side yields null
+    val n = spark.sql("SELECT CAST(NULL AS STRING) a, 'x' b")
+      .select(JaroWinkler(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
