@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -268,8 +268,64 @@ object Advanced {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** SKYLINE / Pareto frontier per event type: the events no other event of
+    * the same type beats on BOTH dimensions (earlier-or-equal ts AND
+    * higher-or-equal value, strictly better in one) — the classic
+    * multi-criteria "best tradeoffs" operator (Börzsönyi et al., ICDE'01).
+    *
+    * Distributed 3-phase shape (dominance is transitive, so pruning a
+    * dominated point never removes anyone's dominator — each local prune
+    * preserves the global skyline):
+    *   1. collapse to one candidate per (type, ts): max(value) — map-side
+    *      combinable pre-aggregation;
+    *   2. LOCAL prune per (type, day): running-max window inside each
+    *      day bucket, thousands of independent partitions — this is where
+    *      100 TB of points dies down to per-day frontiers;
+    *   3. GLOBAL pass per type over the tiny survivor set, same window.
+    * The naive formulation is one window per type = one reducer per type;
+    * phase 2 is what keeps the sort parallel at scale. Witness rows come
+    * back via an equality join against the (broadcast-sized) frontier.
+    *
+    * The oracle is the INDEPENDENT quadratic NOT EXISTS definition, so the
+    * window algebra is verified against the textbook semantics, not
+    * against itself. */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val pt = ev.groupBy($"event_type", $"ts").agg(max($"value").as("vmax"))
+    def prune(df: DataFrame, parts: Column*): DataFrame = {
+      val w = Window.partitionBy(parts: _*).orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("runmax", max($"vmax").over(w))
+        .filter($"runmax".isNull || $"vmax" > $"runmax")
+        .drop("runmax")
+    }
+    val local = prune(pt, $"event_type", to_date($"ts"))
+    val sky = prune(local, $"event_type")
+      .select($"event_type".as("s_type"), $"ts".as("s_ts"), $"vmax")
+    sky.join(ev, $"s_type" === ev("event_type") && $"s_ts" === ev("ts") &&
+        $"vmax" === ev("value"))
+      .groupBy($"s_type".as("event_type"), $"s_ts".as("ts"), $"vmax".as("value"))
+      .agg(count(lit(1)).as("n_events"), min($"event_id").as("witness_id"))
+      .orderBy($"event_type", $"ts")
+  }
+
+  val q118Sql: String =
+    """SELECT r.event_type, r.ts, r.value,
+      |       COUNT(*)::BIGINT AS n_events, min(r.event_id) AS witness_id
+      |FROM events r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events s
+      |  WHERE s.event_type = r.event_type
+      |    AND s.ts <= r.ts AND s.value >= r.value
+      |    AND (s.ts < r.ts OR s.value > r.value))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_modern_sql"     -> q116,
+    "q118_skyline"        -> q118,
     "q59_scalar_subquery" -> q59,
     "q60_unpivot"         -> q60,
     "q61_salted_join"     -> q61,
@@ -281,6 +337,7 @@ object Advanced {
 
   val oracleSql: Map[String, String] = Map(
     "q116_modern_sql"     -> q116Sql,
+    "q118_skyline"        -> q118Sql,
     "q59_scalar_subquery" -> q59Sql,
     "q60_unpivot"         -> q60Sql,
     "q61_salted_join"     -> q61Sql,

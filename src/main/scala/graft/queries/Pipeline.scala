@@ -423,7 +423,84 @@ object Pipeline {
        |WHERE length(text) > 0
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** TRIANGLE COUNTING over the q100 document-similarity graph — the
+    * standard graph-quality/community signal (clustering coefficient's
+    * numerator). Edges reuse the q100/q113 evidence rule: ≥2 shared rare
+    * shingles, never all-pairs.
+    *
+    * Scale shape: DEGREE-ORDERED ORIENTATION (each undirected edge directed
+    * from its lower-(degree,id) endpoint), the compact-forward algorithm —
+    * every triangle is counted exactly once at its lowest-order vertex, and
+    * the wedge join's fan-out is bounded by out-degree ≤ O(√m) on any graph
+    * (arboricity bound), so the wedge stream stays near-linear instead of
+    * Σdeg² on hubs. Two equality-shuffle joins on vertex keys; the small
+    * oriented edge list is localCheckpoint'd once and reused three times
+    * (eager, lineage-truncated — the q62 discipline, no cache leak). */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, dir)
+    val rare = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+      .filter($"df" <= 10).drop("df")
+    val und = rare.as("a").join(rare.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("w")).filter($"w" >= 2)
+      .select($"d1", $"d2")
+    val deg = und.select($"d1".as("node"))
+      .union(und.select($"d2".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val lower = struct($"dega", $"d1") < struct($"degb", $"d2")
+    val ori = und
+      .join(deg.select($"node".as("d1"), $"deg".as("dega")), "d1")
+      .join(deg.select($"node".as("d2"), $"deg".as("degb")), "d2")
+      .select(
+        when(lower, $"d1").otherwise($"d2").as("src"),
+        when(lower, $"d2").otherwise($"d1").as("dst"),
+        when(lower, $"degb").otherwise($"dega").as("dstdeg"))
+      .localCheckpoint()
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1.src") === col("e2.src") &&
+        struct(col("e1.dstdeg"), col("e1.dst")) <
+          struct(col("e2.dstdeg"), col("e2.dst")))
+      .join(ori.as("e3"), col("e3.src") === col("e1.dst") &&
+        col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("va"), col("e1.dst").as("vb"),
+        col("e2.dst").as("vc"))
+    tri.select($"va".as("doc_id"))
+      .union(tri.select($"vb".as("doc_id")))
+      .union(tri.select($"vc".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+
+  val q119Sql: String =
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |rare AS (SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= 10),
+       |und AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |        FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM
+       |        (SELECT d1 AS node FROM und UNION ALL SELECT d2 FROM und) GROUP BY 1),
+       |ori AS (SELECT
+       |  CASE WHEN (da.deg, u.d1) < (db.deg, u.d2) THEN u.d1 ELSE u.d2 END AS src,
+       |  CASE WHEN (da.deg, u.d1) < (db.deg, u.d2) THEN u.d2 ELSE u.d1 END AS dst,
+       |  CASE WHEN (da.deg, u.d1) < (db.deg, u.d2) THEN db.deg ELSE da.deg END AS dstdeg
+       |  FROM und u JOIN deg da ON da.node = u.d1 JOIN deg db ON db.node = u.d2),
+       |tri AS (SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc
+       |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+       |    AND (e1.dstdeg, e1.dst) < (e2.dstdeg, e2.dst)
+       |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+       |SELECT node AS doc_id, COUNT(*)::BIGINT AS n_triangles
+       |FROM (SELECT va AS node FROM tri UNION ALL SELECT vb FROM tri
+       |      UNION ALL SELECT vc FROM tri)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_triangles"      -> q119,
     "q62_dedup_clusters"  -> q62,
     "q63_text_bm25"       -> q63,
     "q64_domain_cap"      -> q64,
@@ -434,6 +511,7 @@ object Pipeline {
     "q102_rag_chunks"     -> q102)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_triangles"      -> q119Sql,
     "q62_dedup_clusters"  -> q62Sql,
     "q63_text_bm25"       -> q63Sql,
     "q64_domain_cap"      -> q64Sql,
