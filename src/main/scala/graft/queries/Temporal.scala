@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -505,8 +505,105 @@ object Temporal {
       |WHERE e.event_type = 'error'
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Truncated EWMA (exponential smoothing, K=8, α=0.5) per user — the
+    * recursive filter ewma_i = α·x_i + (1-α)·ewma_{i-1}, reformulated as a
+    * FIXED-DEPTH weighted lag-chain so it runs as ONE window pass instead
+    * of a sequential per-row recursion (the 2^-8 tail is below fixture
+    * value resolution; production smoothing truncates the same way).
+    *
+    * Cross-engine exactness by construction: α=0.5 makes every weight
+    * 0.5^j EXACT in decimal, `value` is verified lossless at DECIMAL(18,4)
+    * (all SFs), so numerator and denominator are order-independent exact
+    * decimals on both engines; the single double division at the end is
+    * then bit-identical — the q24 DECIMAL discipline extended to weighted
+    * windows, no rounding contract needed.
+    *
+    * Scale shape: one shuffle on user_id, one sort per partition, the lag
+    * chain is a single window frame — no joins, no state. */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    def wgt(j: Int): Column =
+      lit(new java.math.BigDecimal(0.5).pow(j)).cast("decimal(18,10)")
+    // each product is cast to DECIMAL(22,14) BEFORE the sum: the raw
+    // product type is DECIMAL(37,14) and summing those crosses Spark's
+    // precision-38 cap, where DecimalPrecision silently REDUCES SCALE
+    // (measured: 1e-9 drift vs the oracle); at (22,14) the 8-term sum
+    // peaks at precision 29 — exact on both engines
+    val num = (0 until 8).map { j =>
+      (wgt(j) * coalesce(lag($"value", j).over(w), lit(0)).cast("decimal(18,4)"))
+        .cast("decimal(22,14)")
+    }.reduce(_ + _)
+    val den = (0 until 8).map { j =>
+      (wgt(j) * when(lag($"value", j).over(w).isNull, 0).otherwise(1))
+        .cast("decimal(22,14)")
+    }.reduce(_ + _)
+    events(spark, dir)
+      .select($"user_id", $"ts", $"value",
+        (num.cast("decimal(28,14)").cast("double") /
+         den.cast("decimal(28,14)").cast("double")).as("ewma"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val q120Sql: String = {
+    val num = (0 until 8).map { j =>
+      f"CAST(CAST(${math.pow(0.5, j)}%.10f AS DECIMAL(18,10)) * CAST(COALESCE(lag(value, $j) OVER w, 0) AS DECIMAL(18,4)) AS DECIMAL(22,14))"
+    }.mkString(" + ")
+    val den = (0 until 8).map { j =>
+      f"CAST(CAST(${math.pow(0.5, j)}%.10f AS DECIMAL(18,10)) * (CASE WHEN lag(value, $j) OVER w IS NULL THEN 0 ELSE 1 END) AS DECIMAL(22,14))"
+    }.mkString(" + ")
+    s"""SELECT user_id, ts, value,
+       |  CAST(CAST(($num) AS DECIMAL(28,14)) AS DOUBLE) /
+       |  CAST(CAST(($den) AS DECIMAL(28,14)) AS DOUBLE) AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q121
+  /** Robust per-user OUTLIER DETECTION: modified z-score on median/MAD
+    * (Iglewicz–Hoban 0.6745·(x−med)/MAD, |z|>3.5) — the quality-filter
+    * shape that survives the heavy-tailed value distributions a mean/σ
+    * z-score is blinded by (the outliers inflate σ and hide themselves).
+    *
+    * Scale shape: two grouped exact-percentile aggregations (partial→final,
+    * one shuffle each on user_id) and an equality join of the tiny per-user
+    * (med, mad) table back to events — broadcast at fixture scale, still a
+    * key-equality shuffle at 100 TB. Both engines interpolate the median
+    * identically (quantile_cont semantics); the emitted score is rounded,
+    * the FILTER uses the unrounded value on both sides. */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val med = ev.groupBy($"user_id")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(med, "user_id").groupBy($"user_id")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first($"med").as("med"))
+    val rz = (lit(0.6745) * ($"value" - $"med")) / $"mad"
+    ev.join(mad, "user_id")
+      .filter($"mad" > 0 && abs(rz) > 3.5)
+      .select($"event_id", $"user_id", $"value", round(rz, 4).as("rz"))
+      .orderBy($"event_id")
+  }
+
+  val q121Sql: String =
+    """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+      |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad,
+      |               any_value(m.med) AS med
+      |        FROM events e JOIN med m USING (user_id) GROUP BY 1)
+      |SELECT e.event_id, e.user_id, e.value,
+      |  round(0.6745 * (e.value - m.med) / m.mad, 4) AS rz
+      |FROM events e JOIN mad m USING (user_id)
+      |WHERE m.mad > 0 AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_interval_join"  -> q115,
+    "q120_ewma"           -> q120,
+    "q121_robust_outliers" -> q121,
     "q50_window_tumbling" -> q50,
     "q51_window_sliding"  -> q51,
     "q52_window_session"  -> q52,
@@ -522,6 +619,8 @@ object Temporal {
 
   val oracleSql: Map[String, String] = Map(
     "q115_interval_join"  -> q115Sql,
+    "q120_ewma"           -> q120Sql,
+    "q121_robust_outliers" -> q121Sql,
     "q50_window_tumbling" -> q50Sql,
     "q51_window_sliding"  -> q51Sql,
     "q52_window_session"  -> q52Sql,
