@@ -137,11 +137,35 @@ class PlanDisciplineSpec extends SparkSpec {
     Seq(graft.queries.Pipeline.q62(spark, sf), graft.queries.Dedup.q67(spark, sf),
         graft.queries.Dedup.q82(spark, sf), graft.queries.Dedup.q90(spark, sf),
         graft.queries.Temporal.q91(spark, sf), graft.queries.Pipeline.q100(spark, sf),
-        graft.queries.Curation.q113(spark, sf))
+        graft.queries.Curation.q113(spark, sf), graft.queries.Dedup.q117(spark, sf),
+        graft.queries.Pipeline.q119(spark, sf))
       .foreach { df =>
         val plan = planOf(df)
         assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
       }
+  }
+
+  test("q118 skyline: local day-prune windows precede the global per-type pass") {
+    val plan = planOf(graft.queries.Advanced.q118(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    // phase 2 partitions by (event_type, day); phase 3 by event_type alone —
+    // both window sorts must appear, proving the big sort stays parallel
+    val windows = plan.linesIterator.count(_.matches(""".*\bWindow \(\d+\)"""))
+    assert(windows == 2, s"expected local+global windows, got $windows:\n$plan")
+    // local prune partitions by (event_type, day-bucket _w0); the global
+    // pass by event_type alone
+    assert(plan.matches("(?s).*windowspecdefinition\\(event_type#\\d+, _w0#.*"), plan)
+    assert(plan.matches("(?s).*\\[event_type#\\d+\\], \\[ts#\\d+ ASC.*"), plan)
+  }
+
+  test("q120 EWMA: the whole lag-chain is ONE window pass, one shuffle") {
+    val plan = planOf(graft.queries.Temporal.q120(spark, sf))
+    val windows = plan.linesIterator.count(_.matches(""".*\bWindow \(\d+\)"""))
+    assert(windows == 1, s"lag chain must share one Window, got $windows:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
   }
 
   test("q115: the interval join is a binned EQUI-join — no nested-loop, no cartesian") {
