@@ -299,9 +299,21 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwriteFlag: Boolean) => {
-            overwriteCond match {
-              case Some(cond) => t.overwriteWhere(cond, data)
-              case None =>
+            // write-audit-publish: with `write.wap.enabled=true` on the
+            // table and `spark.wap.id` in the session, appends STAGE a
+            // detached snapshot instead of publishing (Iceberg WAP flow;
+            // audited via VERSION AS OF, released by CALL publish_changes)
+            val wapId = data.sparkSession.conf.getOption("spark.wap.id")
+              .filter(_ => t.currentProperties.get("write.wap.enabled").contains("true"))
+            (overwriteCond, wapId) match {
+              case (Some(cond), None) => t.overwriteWhere(cond, data)
+              case (None, Some(id)) if !(overwrite || overwriteFlag) =>
+                t.stageWapAppend(data, id)
+              case (_, Some(id)) =>
+                throw new UnsupportedOperationException(
+                  s"wap.id '$id' is set but only appends can be staged for audit " +
+                    "(Iceberg publish_changes replays appends only)")
+              case (None, None) =>
                 if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
             }
           }

@@ -66,6 +66,10 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("version", LongType)))((s, r) => load(s, r).rollbackTo(r.getLong(1))),
       new Proc("cherrypick_snapshot", "re-apply a snapshot's added files onto HEAD",
         Seq(tbl, in("version", LongType)))((s, r) => load(s, r).cherrypick(r.getLong(1))),
+      new Proc("publish_changes",
+        "publish the staged write-audit-publish snapshot carrying wap_id onto HEAD",
+        Seq(tbl, in("wap_id", StringType)))((s, r) =>
+        load(s, r).publishChanges(r.getString(1))),
       new Proc("expire_snapshots",
         "drop all but the newest keep_last snapshots, then GC; older_than " +
         "(epoch ms) switches to age-based expiry retaining keep_last anyway",

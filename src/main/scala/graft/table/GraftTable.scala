@@ -690,7 +690,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   /** `CALL cherrypick_snapshot`: re-apply the files an (append) snapshot
     * added onto the current head. */
-  def cherrypick(v: Long): Snapshot = {
+  def cherrypick(v: Long): Snapshot = cherrypick(v, Map.empty)
+
+  private def cherrypick(v: Long, summary: Map[String, String]): Snapshot = {
     val snap = log.snapshot(v)
     val parentFiles =
       if (snap.parent < 0) Set.empty[String]
@@ -700,12 +702,60 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val have = head.files.map(_.path).toSet
     log.commit(head.version, nv => head.copy(
       version = nv, parent = head.version, timestampMs = now(),
-      operation = "cherrypick",
+      operation = "cherrypick", summary = summary,
       // donor files re-enter with a FRESH sequence number (seq 0 = let the
       // commit stamp it) — Iceberg's cherry-pick likewise re-sequences, so
       // equality deletes issued since the donor don't hit the re-applied rows
       files = head.files ++ added.filterNot(f => have(f.path)).map(_.copy(seq = 0L))))
   }
+
+  /** The live table properties (HEAD snapshot's property map). */
+  def currentProperties: Map[String, String] = log.current.properties
+
+  // ------------------------------------------------------ write-audit-publish
+
+  /** WAP stage (Iceberg `spark.wap.id` flow): write the append's data files
+    * and commit a DETACHED snapshot stamped `wap.id` in its summary — HEAD
+    * does not move, so readers cannot see the rows until
+    * [[publishChanges]]. The audit step reads the staged snapshot directly
+    * (`VERSION AS OF` the returned version). */
+  def stageWapAppend(df: DataFrame, wapId: String): Snapshot = {
+    require(wapId.nonEmpty, "wap id must be non-empty")
+    val head = log.current
+    val newFiles = writeFiles(conform(df, head), head.currentSchemaId, head.properties)
+    log.commitDetached(head.version, v => head.copy(
+      version = v, parent = head.version, timestampMs = now(),
+      operation = "append", files = head.files ++ newFiles,
+      summary = Map("wap.id" -> wapId)))
+  }
+
+  /** `CALL publish_changes`: cherry-pick the staged snapshot carrying
+    * `wap.id = wapId` onto HEAD, stamping `published-wap-id` so a second
+    * publish of the same audit id is rejected (Iceberg's duplicate-WAP
+    * guard). Appends that landed between stage and publish are preserved —
+    * the publish merges files like any cherry-pick. */
+  def publishChanges(wapId: String): Snapshot = {
+    val already = mainLineage(log.current)
+      .exists(_.summary.get("published-wap-id").contains(wapId))
+    if (already)
+      throw new IllegalStateException(s"wap id '$wapId' is already published")
+    val staged = log.listVersions.map(log.snapshot)
+      .filter(_.summary.get("wap.id").contains(wapId))
+    staged match {
+      case Seq(s) => cherrypick(s.version,
+        Map("published-wap-id" -> wapId, "source-snapshot-id" -> s.version.toString))
+      case Seq() => throw new IllegalArgumentException(s"no staged snapshot with wap id '$wapId'")
+      case many => throw new IllegalStateException(
+        s"ambiguous wap id '$wapId': versions ${many.map(_.version).mkString(",")}")
+    }
+  }
+
+  /** HEAD's ancestor chain (main lineage), newest first. */
+  private def mainLineage(from: Snapshot): Iterator[Snapshot] =
+    Iterator.iterate(Option(from)) {
+      case Some(s) if s.parent >= 0 => Some(log.snapshot(s.parent))
+      case _ => None
+    }.takeWhile(_.isDefined).map(_.get)
 
   /** `CALL expire_snapshots`: drop all but the newest `keepLast` snapshot
     * JSONs (HEAD and ref targets always survive), then GC data files no
@@ -1332,8 +1382,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     log.listVersions.map { v =>
       val s = log.snapshot(v)
       (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
-        s.files.size, s.files.map(_.rows).sum, s.files.map(_.bytes).sum)
-    }.toDF("version", "committed_at", "operation", "n_files", "total_rows", "total_bytes")
+        s.files.size, s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
+        s.summary)
+    }.toDF("version", "committed_at", "operation", "n_files", "total_rows",
+      "total_bytes", "summary")
   }
 
   /** `t.files` — current snapshot's data AND delete files with per-column

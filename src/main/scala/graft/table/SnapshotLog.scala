@@ -71,7 +71,11 @@ case class Snapshot(
     // detached (branch write). Lets head recovery and commit arbitration
     // tell an in-flight main commit apart from a branch child of the same
     // parent. Legacy snapshots (field absent) default to true.
-    mainLineage: Boolean = true)
+    mainLineage: Boolean = true,
+    // Iceberg-style snapshot SUMMARY: commit-scoped annotations (wap.id,
+    // published-wap-id, ...) that must NOT travel forward the way table
+    // `properties` do — each commit stamps its own. Legacy: empty.
+    summary: Map[String, String] = Map.empty)
 
 /** On-disk snapshot form: `manifests` names immutable chunk files
   * (`_graft/m-<contenthash>.json`, each a JSON array of [[DataFile]]) that
@@ -91,7 +95,8 @@ private[table] case class StoredSnapshot(
     properties: Map[String, String] = Map.empty,
     deleteFiles: Seq[DataFile] = Seq.empty,
     eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty,
-    mainLineage: Boolean = true)
+    mainLineage: Boolean = true,
+    summary: Map[String, String] = Map.empty)
 
 /** Named reference to a snapshot version (Iceberg branch/tag semantics,
   * SURVEY.md §2.8 "Branching/tagging"). */
@@ -263,7 +268,7 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     val base = StoredSnapshot(s.version, s.parent, s.timestampMs, s.operation,
       s.currentSchemaId, s.schemas, properties = s.properties,
       deleteFiles = s.deleteFiles, eqDeleteFiles = s.eqDeleteFiles,
-      mainLineage = s.mainLineage)
+      mainLineage = s.mainLineage, summary = s.summary)
     val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
     val livePaths = s.files.map(_.path).toSet
     val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
@@ -280,7 +285,7 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   private def hydrate(st: StoredSnapshot): Snapshot =
     Snapshot(st.version, st.parent, st.timestampMs, st.operation, st.currentSchemaId,
       st.schemas, st.files ++ st.manifests.flatMap(readChunk), st.properties,
-      st.deleteFiles, st.eqDeleteFiles, st.mainLineage)
+      st.deleteFiles, st.eqDeleteFiles, st.mainLineage, st.summary)
 
   /** Stamp the Iceberg-style data sequence number: every file the commit
     * ADDS (path not in the parent) gets `seq =` the new version; carried

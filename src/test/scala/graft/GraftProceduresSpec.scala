@@ -188,4 +188,56 @@ class GraftProceduresSpec extends SparkSpec {
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('x')") }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("write-audit-publish: spark.wap.id stages, publish_changes releases, dup publish rejected") {
+    init()
+    spark.sql("CREATE TABLE graft.proc.wap (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    spark.sql("INSERT INTO graft.proc.wap VALUES (1)")
+    // stage: the write commits a DETACHED snapshot — readers see nothing new
+    spark.conf.set("spark.wap.id", "audit-1")
+    try {
+      spark.sql("INSERT INTO graft.proc.wap VALUES (2), (3)")
+      assert(spark.sql("SELECT count(*) FROM graft.proc.wap").collect()(0).getLong(0) == 1,
+        "staged rows must be invisible before publish")
+      val t = graft.table.GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/wap")
+      val staged = t.log.listVersions.map(t.log.snapshot)
+        .filter(_.summary.get("wap.id").contains("audit-1"))
+      assert(staged.size == 1 && !staged.head.mainLineage)
+      // the AUDIT step reads the staged snapshot directly
+      val audited = spark.sql(
+        s"SELECT count(*) FROM graft.proc.wap VERSION AS OF ${staged.head.version}")
+        .collect()(0).getLong(0)
+      assert(audited == 3)
+      // an INDEPENDENT append between stage and publish must survive
+      spark.conf.unset("spark.wap.id")
+      spark.sql("INSERT INTO graft.proc.wap VALUES (10)")
+      spark.sql("CALL graft.system.publish_changes('proc.wap', 'audit-1')")
+      val ids = spark.sql("SELECT id FROM graft.proc.wap ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L, 10L))
+      // the publish commit is summary-stamped and visible in $snapshots
+      val pub = spark.sql(
+        "SELECT summary['published-wap-id'] FROM graft.proc.`wap$snapshots` " +
+        "WHERE operation = 'cherrypick'").collect()
+      assert(pub.length == 1 && pub(0).getString(0) == "audit-1")
+      // duplicate publish is rejected; unknown wap id is rejected
+      val dup = intercept[Exception] {
+        spark.sql("CALL graft.system.publish_changes('proc.wap', 'audit-1')") }
+      assert(dup.getMessage.contains("already published"))
+      val nope = intercept[Exception] {
+        spark.sql("CALL graft.system.publish_changes('proc.wap', 'ghost')") }
+      assert(nope.getMessage.contains("no staged snapshot"))
+      // staging an OVERWRITE is refused (Iceberg replays appends only)
+      spark.conf.set("spark.wap.id", "audit-2")
+      val ow = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.proc.wap VALUES (99)") }
+      assert(ow.getMessage.contains("only appends"))
+      // without write.wap.enabled the session wap id is ignored
+      spark.sql("CREATE TABLE graft.proc.nowap (id BIGINT)")
+      spark.sql("INSERT INTO graft.proc.nowap VALUES (7)")
+      assert(spark.sql("SELECT count(*) FROM graft.proc.nowap")
+        .collect()(0).getLong(0) == 1)
+    } finally spark.conf.unset("spark.wap.id")
+  }
 }
