@@ -319,7 +319,35 @@ object Relational {
       |GROUP BY band_id
       |ORDER BY band_id""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** RELATIONAL DIVISION ("for all"): the (user, day) pairs whose events
+    * cover EVERY event type — the classic universal-quantifier query,
+    * expressed as count-distinct matching instead of the textbook double
+    * NOT EXISTS (which plans two correlated anti-joins and dies at scale).
+    *
+    * Scale shape: one partial→final distinct-count aggregate over the
+    * scan + a one-row divisor universe broadcast into the filter. */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val k = ev.select(countDistinct($"event_type").as("k"))
+    ev.groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(countDistinct($"event_type").as("n_types"))
+      .join(broadcast(k))
+      .filter($"n_types" === $"k").drop("k")
+      .orderBy($"user_id", $"day")
+  }
+
+  val q123Sql: String =
+    """WITH k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+      |cov AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |               count(DISTINCT event_type) AS n_types
+      |        FROM events GROUP BY 1, 2)
+      |SELECT c.user_id, c.day, c.n_types FROM cov c CROSS JOIN k
+      |WHERE c.n_types = k.k ORDER BY c.user_id, c.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_division"        -> q123,
     "q01_pricing_summary"  -> q01,
     "q02_filter_predicates" -> q02,
     "q03_case_conditional" -> q03,
@@ -334,6 +362,7 @@ object Relational {
     "q12_join_range"       -> q12)
 
   val oracleSql: Map[String, String] = Map(
+    "q123_division"        -> q123Sql,
     "q01_pricing_summary"  -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_case_conditional" -> q03Sql,

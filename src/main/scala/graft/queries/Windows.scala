@@ -166,7 +166,43 @@ object Windows {
       |GROUP BY source, quartile
       |ORDER BY source, quartile""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** GAPS-AND-ISLANDS: maximal runs of ≥4 consecutive same-type events per
+    * user, via the classic row_number-difference trick — `rn_all − rn_type`
+    * is constant exactly along a run, so runs fall out of ONE groupBy with
+    * no self-join, no loop (the streak/uptime/sessionized-state pattern).
+    *
+    * Scale shape: two window ranks over the same user_id shuffle + one
+    * hash aggregate; per-user data never leaves its partition. */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"user_id", $"event_type", $"ts",
+        (row_number().over(wAll) - row_number().over(wType)).as("grp"))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        count(lit(1)).as("run_len"))
+      .filter($"run_len" >= 4)
+      .select($"user_id", $"event_type", $"start_ts", $"end_ts", $"run_len")
+      .orderBy($"user_id", $"start_ts", $"event_type")
+  }
+
+  val q122Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+      |  FROM events)
+      |SELECT user_id, event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+      |       count(*)::BIGINT AS run_len
+      |FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
+      |HAVING count(*) >= 4 ORDER BY user_id, start_ts, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_islands"           -> q122,
     "q22_window_ranking"     -> q22,
     "q23_window_analytic"    -> q23,
     "q24_window_rows_frame"  -> q24,
@@ -174,6 +210,7 @@ object Windows {
     "q110_ntile_buckets"     -> q110)
 
   val oracleSql: Map[String, String] = Map(
+    "q122_islands"           -> q122Sql,
     "q22_window_ranking"     -> q22Sql,
     "q23_window_analytic"    -> q23Sql,
     "q24_window_rows_frame"  -> q24Sql,
