@@ -950,7 +950,13 @@ object IcebergExport {
         ("sequence-number" -> snapSeq) ~
         ("timestamp-ms" -> s.timestampMs) ~
         ("manifest-list" -> metaUri(listName)) ~
-        ("summary" -> (("operation" -> op): JObject)) ~
+        // graft's commit-scoped summary entries (wap.id, published-wap-id,
+        // ...) export as extra Iceberg summary keys — operation stays the
+        // spec-required key and wins any collision
+        ("summary" -> (s.summary.foldLeft(("operation" -> op): JObject) {
+          case (acc, (k, v)) if k != "operation" => acc ~ (k -> v)
+          case (acc, _) => acc
+        })) ~
         ("schema-id" -> (if (schemasWithIds.contains(s.currentSchemaId))
           s.currentSchemaId else head.currentSchemaId))
       val withLineage = if (v3) base ~ ("first-row-id" -> firstRowIds(s.version)) else base

@@ -290,9 +290,19 @@ object IcebergImport {
         case Some("replace")   => "rewrite-data" // compaction: CDC sources skip it
         case _                 => "import-iceberg"
       }
+      // carry foreign summary annotations (minus the spec-required
+      // operation key) into graft's commit-scoped summary — a WAP id
+      // published in the foreign engine survives the migration
+      val foreignSummary = (snapJson \ "summary") match {
+        case JObject(fields) => fields.collect {
+          case (k, org.json4s.JString(v)) if k != "operation" => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
       log.commit(i.toLong, v => Snapshot(v, i.toLong, ts,
         if (i == chain.size - 1) "import-iceberg" else op,
-        sid, schemas, rFiles, props, rPos, rEq))
+        sid, schemas, rFiles, props, rPos, rEq,
+        summary = foreignSummary))
     }
 
     // branch/tag refs whose snapshot landed in the imported chain map onto

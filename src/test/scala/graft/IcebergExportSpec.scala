@@ -688,4 +688,25 @@ class IcebergExportSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("snapshot summary annotations (WAP ids) survive export and re-import") {
+    val dir = tmpDir()
+    val t = GraftTable.create(spark, s"$dir/tbl", Seq((1L, "a")).toDF("id", "v"))
+    t.stageWapAppend(Seq((2L, "b")).toDF("id", "v"), "audit-x")
+    t.publishChanges("audit-x")
+    val metaPath = t.exportIcebergMetadata(s"$dir/export")
+    val json = JsonMethods.parse(Files.readString(Paths.get(metaPath)))
+    val summaries = (json \ "snapshots").children.map(s => (s \ "summary"))
+    // the published snapshot (main lineage — detached staged snapshots
+    // stay internal) exports its published-wap-id annotation, and every
+    // summary still carries the spec-required operation key
+    assert(summaries.exists(s =>
+      (s \ "published-wap-id").extractOpt[String].contains("audit-x")))
+    assert(summaries.forall(s => (s \ "operation").extractOpt[String].nonEmpty))
+    // round-trip: the imported table's summary map carries the annotation
+    val imp = graft.table.IcebergImport.importTable(spark, metaPath, s"$dir/imp")
+    assert(imp.log.listVersions.map(imp.log.snapshot)
+      .exists(_.summary.get("published-wap-id").contains("audit-x")))
+    assert(imp.read.orderBy("id").count() == 2)
+  }
 }
