@@ -206,6 +206,44 @@ object TextAnalysis {
       |FROM stats, total
       |ORDER BY tf DESC, tok LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Per-doc OUT-OF-VOCABULARY rate against the corpus-induced top-50
+    * vocabulary — the tokenizer-coverage signal a training mix is filtered
+    * on (high OOV = the tokenizer will shred the document into bytes).
+    *
+    * Scale shape: the vocab is a TakeOrderedAndProject top-K (deterministic
+    * tf-desc/tok tie-break, never a global sort) BROADCAST into a left join
+    * on the token stream; the per-doc agg is partial→final. One data-sized
+    * shuffle total. */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"tok").limit(50)
+      .select($"tok".as("vtok"))
+    toks.join(broadcast(vocab), $"tok" === $"vtok", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"vtok".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
+  val q124Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      |vocab AS (SELECT tok AS vtok FROM
+      |          (SELECT tok, count(*) AS tf FROM clean GROUP BY tok)
+      |          ORDER BY tf DESC, tok LIMIT 50)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |  round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+      |FROM clean c LEFT JOIN vocab v ON c.tok = v.vtok
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** BPE merge-pair counting — the inner loop of byte-pair-encoding
     * tokenizer training: fold the corpus to a word-frequency table first
@@ -628,6 +666,7 @@ object TextAnalysis {
     "q49_text_fingerprint" -> q49,
     "q69_text_nfc"         -> q69,
     "q84_token_vocab"      -> q84,
+    "q124_oov_rate"        -> q124,
     "q87_bpe_pairs"        -> q87,
     "q95_bigram_lm"        -> q95,
     "q97_nb_langid"        -> q97,
@@ -648,6 +687,7 @@ object TextAnalysis {
     "q49_text_fingerprint" -> q49Sql,
     "q69_text_nfc"         -> q69Sql,
     "q84_token_vocab"      -> q84Sql,
+    "q124_oov_rate"        -> q124Sql,
     "q87_bpe_pairs"        -> q87Sql,
     "q95_bigram_lm"        -> q95Sql,
     "q97_nb_langid"        -> q97Sql,

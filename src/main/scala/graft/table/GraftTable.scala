@@ -1381,11 +1381,17 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     import spark.implicits._
     log.listVersions.map { v =>
       val s = log.snapshot(v)
+      // added-* mirror Iceberg's snapshot-summary counts: files whose path
+      // is new relative to the parent (O(files) per snapshot, metadata-grain)
+      val parentPaths =
+        if (s.parent < 0) Set.empty[String]
+        else log.snapshot(s.parent).files.map(_.path).toSet
+      val added = s.files.filterNot(f => parentPaths.contains(f.path))
       (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
         s.files.size, s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
-        s.summary)
+        added.size, added.map(_.rows).sum, s.summary)
     }.toDF("version", "committed_at", "operation", "n_files", "total_rows",
-      "total_bytes", "summary")
+      "total_bytes", "added_files", "added_rows", "summary")
   }
 
   /** `t.files` — current snapshot's data AND delete files with per-column
