@@ -443,11 +443,15 @@ object Pipeline {
     val rare = sh.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= 10).drop("df")
+    // the expensive stage — checkpointed FIRST: und feeds deg (twice, via
+    // the union) and the ori build, so without this the shingle self-join
+    // recomputes 3x (measured 7.5 s -> 2.9 s at sf0.1)
     val und = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("w")).filter($"w" >= 2)
       .select($"d1", $"d2")
+      .localCheckpoint()
     val deg = und.select($"d1".as("node"))
       .union(und.select($"d2".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
