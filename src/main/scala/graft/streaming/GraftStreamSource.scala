@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftglue.Bridge
@@ -96,7 +96,8 @@ class GraftSourceProvider extends StreamSourceProvider
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("readChangeFeed").exists(_.toBoolean),
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath),
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 
   /** `df.writeStream.format("graft-stream").option("path", …)` — the sink
@@ -271,7 +272,8 @@ object GraftStreamSource {
   * within a batch, not globally — order by `_commit_version` downstream. */
 class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long],
     skipRewrites: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
-    readChangeFeed: Boolean = false, metadataPath: Option[String] = None)
+    readChangeFeed: Boolean = false, metadataPath: Option[String] = None,
+    maxRowsPerTrigger: Option[Long] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   private val table = GraftTable.load(ctx.sparkSession, path)
@@ -328,42 +330,46 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
     * single commit exceeds the cap. Snapshot-log metadata only — no file IO. */
   override def getOffset: Option[Offset] = {
     val from = math.max(planned, base)
-    val end = nextEnd(from, table.log.currentVersion, maxFilesPerTrigger)
+    val end = nextEnd(from, table.log.currentVersion, maxFilesPerTrigger,
+      maxRowsPerTrigger)
     if (end <= from) None else Some(LongOffset(end))
   }
 
   /** Budget-capped batch end: walk the parent chain head→from, then replay
-    * forward accumulating per-snapshot added-file counts until the budget is
-    * crossed; always at least one version, so progress is guaranteed even
-    * when a single commit exceeds the cap. Snapshot-log metadata only. */
-  private def nextEnd(from: Long, head: Long, budget: Option[Int]): Long = {
+    * forward accumulating per-snapshot added-file AND added-row counts
+    * until EITHER budget is crossed (Iceberg's
+    * streaming-max-files/rows-per-micro-batch pair); always at least one
+    * version, so progress is guaranteed even when a single commit exceeds
+    * a cap. Snapshot-log metadata only — no file IO. */
+  private def nextEnd(from: Long, head: Long, fileBudget: Option[Int],
+      rowBudget: Option[Long]): Long = {
     if (head <= from) return from
-    budget match {
-      case None => head
-      case Some(cap) =>
-        val chain = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        var cur = table.log.snapshot(head)
-        var atRoot = false
-        while (!atRoot && cur.version != from) {
-          if (cur.parent < 0) { // root snapshot: all its files are "added"
-            chain.prepend((cur.version, cur.files.size))
-            atRoot = true
-          } else {
-            val parentFiles = table.log.snapshot(cur.parent).files.map(_.path).toSet
-            chain.prepend((cur.version, cur.files.count(f => !parentFiles.contains(f.path))))
-            cur = table.log.snapshot(cur.parent)
-          }
-        }
-        var (acc, last) = (0, from)
-        val it = chain.iterator
-        var stop = false
-        while (it.hasNext && !stop) {
-          val (v, added) = it.next()
-          if (last != from && acc + added > cap) stop = true
-          else { acc += added; last = v }
-        }
-        last
+    if (fileBudget.isEmpty && rowBudget.isEmpty) return head
+    val chain = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    var cur = table.log.snapshot(head)
+    var atRoot = false
+    while (!atRoot && cur.version != from) {
+      if (cur.parent < 0) { // root snapshot: all its files are "added"
+        chain.prepend((cur.version, cur.files.size, cur.files.map(_.rows).sum))
+        atRoot = true
+      } else {
+        val parentFiles = table.log.snapshot(cur.parent).files.map(_.path).toSet
+        val added = cur.files.filter(f => !parentFiles.contains(f.path))
+        chain.prepend((cur.version, added.size, added.map(_.rows).sum))
+        cur = table.log.snapshot(cur.parent)
+      }
     }
+    var accF = 0; var accR = 0L; var last = from
+    val it = chain.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val (v, addedF, addedR) = it.next()
+      val overF = fileBudget.exists(cap => accF + addedF > cap)
+      val overR = rowBudget.exists(cap => accR + addedR > cap)
+      if (last != from && (overF || overR)) stop = true
+      else { accF += addedF; accR += addedR; last = v }
+    }
+    last
   }
 
   // ---- Admission control (SupportsAdmissionControl + TriggerAvailableNow).
@@ -385,18 +391,29 @@ class GraftStreamSource(ctx: SQLContext, path: String, fromVersion: Option[Long]
     availableNowBound = Some(table.log.currentVersion)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxRowsPerTrigger) match {
+      case (Some(f), Some(r)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = math.max(math.max(planned, base),
       Option(startOffset).map(verV2).getOrElse(base))
     val head0 = table.log.currentVersion
     val head = availableNowBound.fold(head0)(math.min(head0, _))
-    val budget = limit match {
-      case m: ReadMaxFiles => Some(m.maxFiles())
-      case _               => maxFilesPerTrigger
+    def budgets(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case m: ReadMaxFiles => (Some(m.maxFiles()), None)
+      case m: ReadMaxRows  => (None, Some(m.maxRows()))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.map(budgets)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (maxFilesPerTrigger, maxRowsPerTrigger)
     }
-    val end = nextEnd(from, head, budget)
+    val (fb, rb) = budgets(limit)
+    val end = nextEnd(from, head, fb, rb)
     if (end <= from) null else LongOffset(end)
   }
 

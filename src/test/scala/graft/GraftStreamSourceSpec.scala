@@ -335,6 +335,29 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger caps each micro-batch by added-row count") {
+    import spark.implicits._
+    val path = tmp("stream-rows-")
+    val t = GraftTable.create(spark, path, (1L to 5L).toDF("id"))   // 5 rows
+    t.append((6L to 10L).toDF("id"))                                // +5
+    t.append((11L to 12L).toDF("id"))                               // +2
+    t.append((13L to 20L).toDF("id"))                               // +8
+    val q = spark.readStream.format("graft-stream")
+      .option("path", path).option("maxRowsPerTrigger", "7").load()
+      .writeStream.format("memory").queryName("graft_rows_rate")
+      .option("checkpointLocation", s"$path/../ckpt-rows").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_rows_rate").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 20L).toSeq, "nothing lost, nothing duplicated")
+      val sizes = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq
+      assert(sizes.length >= 3, s"backlog was not split by rows: $sizes")
+      // each batch stays within the cap unless a single commit exceeds it
+      // (v3 adds 8 > 7 — progress is still guaranteed, alone in its batch)
+      assert(sizes.forall(n => n <= 7 || n == 8), s"row caps violated: $sizes")
+    } finally q.stop()
+  }
+
   test("CDC bootstrap under maxFilesPerTrigger splits the backlog into multiple batches") {
     // A mirror bootstrapping with readChangeFeed + fromVersion=-1 replays
     // the table's WHOLE history — on a large table that must arrive as
