@@ -345,7 +345,73 @@ object Aggregates {
       |  bool_and(l_quantity > 0) AS all_pos, bool_or(l_discount > 0.09) AS any_hidisc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Higher-moment STATISTICAL PROFILE (mean / population stddev / skewness /
+    * excess kurtosis) per event type, computed from exact DECIMAL power sums
+    * (Σv, Σv², Σv³, Σv⁴) rather than the built-in `skewness`/`kurtosis`
+    * (whose streaming-update float sums are partial-order-dependent and use
+    * engine-specific bias conventions).
+    *
+    * Cross-engine exactness: `events.value` is lossless at DECIMAL(8,4)
+    * (max |v| ≈ 560 at sf0.1); v² is cast to DECIMAL(18,8) so v³=(27,12) and
+    * v⁴=(37,16) stay under Spark's precision-38 cliff — every power sum is an
+    * exact scaled integer, identical in any aggregation order on both
+    * engines. The moment formulas then run in DOUBLE with the identical
+    * left-associative expression shape, and the only transcendental is IEEE
+    * correctly-rounded sqrt.
+    *
+    * Scale shape: one partial→final hash aggregate (map-side combine) —
+    * the single-pass moment profile a 100 TB quality dashboard needs, with
+    * no second pass for the mean. */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = events(spark, dir)
+      .select($"event_type", $"value".cast(DecimalType(8, 4)).as("v"))
+      .withColumn("v2", ($"v" * $"v").cast(DecimalType(18, 8)))
+    val s = p.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"v").as("s1"), sum($"v2").as("s2"),
+      sum($"v2" * $"v").as("s3"), sum($"v2" * $"v2").as("s4"))
+    val m = s.select($"event_type", $"n",
+      ($"s1".cast("double") / $"n").as("mu"),
+      ($"s2".cast("double") / $"n").as("r2"),
+      ($"s3".cast("double") / $"n").as("r3"),
+      ($"s4".cast("double") / $"n").as("r4"))
+    val mm = m.select($"event_type", $"n", $"mu",
+      ($"r2" - $"mu" * $"mu").as("m2"),
+      ($"r3" - lit(3) * $"mu" * $"r2" + lit(2) * $"mu" * $"mu" * $"mu").as("m3"),
+      ($"r4" - lit(4) * $"mu" * $"r3" + lit(6) * $"mu" * $"mu" * $"r2"
+        - lit(3) * $"mu" * $"mu" * $"mu" * $"mu").as("m4"))
+    mm.select($"event_type", $"n",
+      round($"mu", 6).as("mean"),
+      round(sqrt($"m2"), 6).as("stddev_pop"),
+      round($"m3" / ($"m2" * sqrt($"m2")), 6).as("skewness"),
+      round($"m4" / ($"m2" * $"m2") - 3, 6).as("excess_kurtosis"))
+      .orderBy($"event_type")
+  }
+
+  val q128Sql: String =
+    """WITH v AS (SELECT event_type, CAST(value AS DECIMAL(8,4)) AS v FROM events),
+      |p AS (SELECT event_type, v, CAST(v * v AS DECIMAL(19,8)) AS v2 FROM v),
+      |s AS (SELECT event_type, count(*) AS n,
+      |        sum(v) AS s1, sum(v2) AS s2, sum(v2 * v) AS s3, sum(v2 * v2) AS s4
+      |      FROM p GROUP BY 1),
+      |m AS (SELECT event_type, n,
+      |        CAST(s1 AS DOUBLE)/n AS mu, CAST(s2 AS DOUBLE)/n AS r2,
+      |        CAST(s3 AS DOUBLE)/n AS r3, CAST(s4 AS DOUBLE)/n AS r4
+      |      FROM s),
+      |mm AS (SELECT event_type, n, mu,
+      |         r2 - mu*mu AS m2,
+      |         r3 - 3*mu*r2 + 2*mu*mu*mu AS m3,
+      |         r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu AS m4
+      |       FROM m)
+      |SELECT event_type, n, round(mu, 6) AS mean, round(sqrt(m2), 6) AS stddev_pop,
+      |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+      |FROM mm ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_moments"           -> q128,
     "q13_agg_distinct"       -> q13,
     "q14_agg_rollup"         -> q14,
     "q15_agg_cube"           -> q15,
@@ -361,6 +427,7 @@ object Aggregates {
     "q79_agg_bitwise_bool"   -> q79)
 
   val oracleSql: Map[String, String] = Map(
+    "q128_moments"          -> q128Sql,
     "q13_agg_distinct"      -> q13Sql,
     "q14_agg_rollup"        -> q14Sql,
     "q15_agg_cube"          -> q15Sql,

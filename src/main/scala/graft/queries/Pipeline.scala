@@ -503,7 +503,66 @@ object Pipeline {
        |      UNION ALL SELECT vc FROM tri)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** MARKET-BASKET association mining: brand pairs that co-occur in the same
+    * order, with support / confidence / lift (the co-occurrence statistics
+    * behind "frequent itemsets" and recommendation priors — and, in a
+    * training-data pipeline, behind source-affinity analysis: which corpus
+    * slices habitually appear together in a crawl batch).
+    *
+    * Scale shape: the pair generator self-joins per-order DISTINCT brand
+    * sets ON THE ORDER KEY, so fan-out is bounded by (lines-per-order choose
+    * 2) — never all-pairs across orders. The dimension (`part`) is broadcast
+    * into the basket build; the per-brand counts and the one-row order count
+    * are broadcast back onto the 300-row pair table. Counts are exact longs;
+    * support/confidence/lift are single double divisions, bit-identical on
+    * both engines. The support threshold (≥1.5% of orders) is scale-free, so
+    * the result survives any SF without a magic absolute count. */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ob = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
+      .distinct()
+    val n = ob.agg(countDistinct($"okey").as("n_orders"))
+    val bc = ob.groupBy($"brand").agg(count(lit(1)).as("cnt"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), $"a.okey" === $"b.okey" && $"a.brand" < $"b.brand")
+      .groupBy($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+      .agg(count(lit(1)).as("co"))
+    pairs
+      .join(broadcast(bc.select($"brand".as("brand_a"), $"cnt".as("cnt_a"))), "brand_a")
+      .join(broadcast(bc.select($"brand".as("brand_b"), $"cnt".as("cnt_b"))), "brand_b")
+      .crossJoin(broadcast(n))
+      .filter($"co".cast("double") / $"n_orders" >= 0.015)
+      .select($"brand_a", $"brand_b", $"co",
+        round($"co".cast("double") / $"n_orders", 6).as("support"),
+        round($"co".cast("double") / $"cnt_a", 6).as("confidence"),
+        round($"co".cast("double") * $"n_orders" / ($"cnt_a".cast("double") * $"cnt_b"), 6)
+          .as("lift"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val q125Sql: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+      |bc AS (SELECT brand, count(*) AS cnt FROM ob GROUP BY 1),
+      |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS co
+      |          FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |          GROUP BY 1, 2)
+      |SELECT p.brand_a, p.brand_b, p.co,
+      |  round(CAST(p.co AS DOUBLE) / n.n_orders, 6) AS support,
+      |  round(CAST(p.co AS DOUBLE) / ca.cnt, 6) AS confidence,
+      |  round(CAST(p.co AS DOUBLE) * n.n_orders / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+      |FROM pairs p, n
+      |JOIN bc ca ON ca.brand = p.brand_a
+      |JOIN bc cb ON cb.brand = p.brand_b
+      |WHERE CAST(p.co AS DOUBLE) / n.n_orders >= 0.015
+      |ORDER BY p.brand_a, p.brand_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_market_basket"  -> q125,
     "q119_triangles"      -> q119,
     "q62_dedup_clusters"  -> q62,
     "q63_text_bm25"       -> q63,
@@ -515,6 +574,7 @@ object Pipeline {
     "q102_rag_chunks"     -> q102)
 
   val oracleSql: Map[String, String] = Map(
+    "q125_market_basket"  -> q125Sql,
     "q119_triangles"      -> q119Sql,
     "q62_dedup_clusters"  -> q62Sql,
     "q63_text_bm25"       -> q63Sql,

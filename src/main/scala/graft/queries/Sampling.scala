@@ -256,7 +256,69 @@ object Sampling {
        |SELECT lang, rk, doc_id, n_chars, aes_key
        |FROM ranked WHERE rk <= $StratumK ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Weight-of-evidence (WOE) FEATURE BINNING: decile-bin `o_totalprice`,
+    * label orders bad when finalized ('F'), and score each bin with
+    * WOE = ln((good_i/good_total)/(bad_i/bad_total)) plus its information-
+    * value contribution — the classic credit-scoring / feature-selection
+    * transform a model-prep pipeline runs per candidate feature.
+    *
+    * Scale shape: deliberately NOT `ntile` over a global window (that is a
+    * single-partition total sort). Bin edges come from one exact-percentile
+    * aggregation (partial→final, a 9-double result), broadcast back so bin
+    * assignment is a scan-shaped fold over the edge array; the WOE math runs
+    * on a 10-row aggregate. Ties on an edge value compare identically on
+    * both engines (same interpolated double, same `>`), so the binning is
+    * deterministic without the window. */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir)
+    val edges = o.agg(
+      expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("edges"))
+    val binned = o.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        expr("1 + aggregate(edges, 0, (acc, e) -> acc + IF(o_totalprice > e, 1, 0))")
+          .cast("long"))
+      .withColumn("bad", when($"o_orderstatus" === "F", 1L).otherwise(0L))
+    val agg = binned.groupBy($"bin").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - sum($"bad")).as("n_good"),
+      sum($"bad").as("n_bad"),
+      round(min($"o_totalprice"), 2).as("lo"),
+      round(max($"o_totalprice"), 2).as("hi"))
+    val tot = agg.agg(sum($"n_bad").as("tb"), sum($"n_good").as("tg"))
+    val woe = log(($"n_good" / $"tg") / ($"n_bad" / $"tb"))
+    agg.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"n_good", $"n_bad", $"lo", $"hi",
+        round(woe, 6).as("woe"),
+        round((($"n_good" / $"tg") - ($"n_bad" / $"tb")) * woe, 6).as("iv_part"))
+      .orderBy($"bin")
+  }
+
+  val q127Sql: String =
+    """WITH e AS (SELECT quantile_cont(o_totalprice,
+      |             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM orders),
+      |b AS (SELECT o.o_orderkey, o.o_totalprice,
+      |        CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+      |        1 + len(list_filter(e.edges, x -> o.o_totalprice > x)) AS bin
+      |      FROM orders o, e),
+      |agg AS (SELECT bin, count(*) AS n,
+      |          CAST(count(*) - sum(bad) AS BIGINT) AS n_good,
+      |          CAST(sum(bad) AS BIGINT) AS n_bad,
+      |          round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+      |        FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_bad) AS BIGINT) AS tb, CAST(sum(n_good) AS BIGINT) AS tg
+      |        FROM agg)
+      |SELECT a.bin, a.n, a.n_good, a.n_bad, a.lo, a.hi,
+      |  round(ln((CAST(a.n_good AS DOUBLE)/t.tg) / (CAST(a.n_bad AS DOUBLE)/t.tb)), 6) AS woe,
+      |  round(((CAST(a.n_good AS DOUBLE)/t.tg) - (CAST(a.n_bad AS DOUBLE)/t.tb))
+      |        * ln((CAST(a.n_good AS DOUBLE)/t.tg) / (CAST(a.n_bad AS DOUBLE)/t.tb)), 6) AS iv_part
+      |FROM agg a, tot t
+      |ORDER BY a.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_woe_binning"      -> q127,
     "q57_hash_split"        -> q57,
     "q58_stratified_sample" -> q58,
     "q83_mix_rebalance"     -> q83,
@@ -265,6 +327,7 @@ object Sampling {
     "q109_stratified_exact" -> q109)
 
   val oracleSql: Map[String, String] = Map(
+    "q127_woe_binning"      -> q127Sql,
     "q57_hash_split"        -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q83_mix_rebalance"     -> q83Sql,

@@ -261,13 +261,79 @@ object Similarity {
        |ORDER BY cid, d1, d2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  /** GRID-BLOCKED spatial neighbor counting (the ε-neighborhood primitive
+    * under DBSCAN / geo-dedup / collision detection): each point is bucketed
+    * into an ε-sized cell, probes are exploded to the 3×3 neighbor cells, and
+    * an equality join on the cell id yields every candidate within ε — pairs
+    * beyond one cell apart are never generated. This is the spatial analogue
+    * of LSH banding: candidate cost is Σ_cell |cell|², never n².
+    *
+    * Points are derived from event_id via a two-stage mixed-modulus hash
+    * (different primes per stage, so the composition is non-linear — a plain
+    * LCG leaves lattice gaps with no close pairs at all). All arithmetic is
+    * BIGINT mod + one exact double division, and the cell id is
+    * floor(x/0.5) where /0.5 is an exact power-of-two scale — every
+    * intermediate is bit-identical on both engines; no transcendentals.
+    *
+    * Output is the per-point neighbor COUNT (≥1), so result size is bounded
+    * by n even where the pair count grows ~n²·ε²/A. */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.5
+    val cells = events(spark, dir).select(
+      $"event_id",
+      ((($"event_id" * 48271L) % 100003L * 69621L) % 99991L).cast("double")
+        ./(lit(1000.0)).as("x"),
+      ((($"event_id" * 69621L) % 99991L * 48271L) % 100003L).cast("double")
+        ./(lit(1000.0)).as("y"))
+      .withColumn("cx", floor($"x" / eps).cast("long"))
+      .withColumn("cy", floor($"y" / eps).cast("long"))
+    val probes = cells
+      .select($"event_id".as("id_a"), $"x".as("xa"), $"y".as("ya"), $"cx", $"cy",
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+      .select($"id_a", $"xa", $"ya", ($"cx" + $"dx").as("pcx"), $"cy",
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+      .select($"id_a", $"xa", $"ya", $"pcx", ($"cy" + $"dy").as("pcy"))
+    probes
+      .join(cells, probes("pcx") === cells("cx") && probes("pcy") === cells("cy") &&
+        probes("id_a") =!= cells("event_id") &&
+        (probes("xa") - cells("x")) * (probes("xa") - cells("x")) +
+          (probes("ya") - cells("y")) * (probes("ya") - cells("y")) <= eps * eps)
+      .groupBy($"id_a", $"xa", $"ya")
+      .agg(count(lit(1)).as("nbrs"))
+      .select($"id_a".as("event_id"), $"xa".as("x"), $"ya".as("y"), $"nbrs")
+      .orderBy($"event_id")
+  }
+
+  val q126Sql: String =
+    """WITH cells AS (
+      |  SELECT event_id,
+      |    CAST((event_id * 48271 % 100003) * 69621 % 99991 AS DOUBLE) / 1000.0 AS x,
+      |    CAST((event_id * 69621 % 99991) * 48271 % 100003 AS DOUBLE) / 1000.0 AS y,
+      |    CAST(floor(CAST((event_id * 48271 % 100003) * 69621 % 99991 AS DOUBLE) / 1000.0 / 0.5) AS BIGINT) AS cx,
+      |    CAST(floor(CAST((event_id * 69621 % 99991) * 48271 % 100003 AS DOUBLE) / 1000.0 / 0.5) AS BIGINT) AS cy
+      |  FROM events),
+      |probes AS (
+      |  SELECT p.event_id AS id_a, p.x AS xa, p.y AS ya,
+      |         p.cx + dx.d AS pcx, p.cy + dy.d AS pcy
+      |  FROM cells p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d))
+      |SELECT pr.id_a AS event_id, pr.xa AS x, pr.ya AS y, count(*) AS nbrs
+      |FROM probes pr JOIN cells c
+      |  ON c.cx = pr.pcx AND c.cy = pr.pcy AND c.event_id <> pr.id_a
+      | AND (pr.xa - c.x)*(pr.xa - c.x) + (pr.ya - c.y)*(pr.ya - c.y) <= 0.25
+      |GROUP BY 1, 2, 3
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_grid_neighbors"   -> q126,
     "q44_embed_cosine_topk" -> q44,
     "q45_embed_neardup_lsh" -> q45,
     "q70_ann_ivf"           -> q70,
     "q88_semantic_dedup"    -> q88)
 
   val oracleSql: Map[String, String] = Map(
+    "q126_grid_neighbors"   -> q126Sql,
     "q44_embed_cosine_topk" -> q44Sql,
     "q45_embed_neardup_lsh" -> q45Sql,
     "q88_semantic_dedup"    -> q88Sql)

@@ -102,4 +102,36 @@ class PipelineSpec extends SparkSpec {
       assert(span == (start + ntok - 1) / 512 - start / 512 + 1)
     }
   }
+
+  test("q125 market-basket stats agree with a driver-side basket replay") {
+    import spark.implicits._
+    val got = Pipeline.q125(spark, sf).collect()
+    assert(got.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val nOrders = baskets.size
+    val cnt = baskets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { r =>
+      val (a, b, co) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      val expect = baskets.values.count(s => s.contains(a) && s.contains(b))
+      assert(co == expect, s"co($a,$b)")
+      assert(co <= math.min(cnt(a), cnt(b)))
+      assert(math.abs(r.getAs[Double]("support") - co.toDouble / nOrders) < 1e-6)
+      assert(math.abs(r.getAs[Double]("lift") -
+        co.toDouble * nOrders / (cnt(a).toDouble * cnt(b))) < 1e-6)
+    }
+  }
+
+  test("q125 plans with the pair self-join on the order key and broadcast dims") {
+    val plan = Pipeline.q125(spark, sf).queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the broadcast of the one-row
+    // n_orders aggregate; the pair generator itself must be a key join
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must join on l_orderkey, not all-pairs")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "part dim and per-brand counts should broadcast")
+  }
 }

@@ -39,4 +39,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition") || plan.contains("partial_min"),
       s"unexpected funnel:\n${plan.linesIterator.take(20).mkString("\n")}")
   }
+
+  test("q127 WOE bins partition the table and IV parts are internally consistent") {
+    val rows = Sampling.q127(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "exactly bins 1..10 in order")
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "bins must partition all orders")
+    // bins are contiguous value ranges: each bin's hi ≤ next bin's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 0.01, "bins overlap")
+    }
+    rows.foreach { r =>
+      val (g, bad) = (r.getAs[Long]("n_good"), r.getAs[Long]("n_bad"))
+      assert(g + bad == r.getAs[Long]("n"))
+      val tg = rows.map(_.getAs[Long]("n_good")).sum.toDouble
+      val tb = rows.map(_.getAs[Long]("n_bad")).sum.toDouble
+      val woe = math.log((g / tg) / (bad / tb))
+      assert(math.abs(r.getAs[Double]("woe") - woe) < 1e-5)
+      assert(math.abs(r.getAs[Double]("iv_part") - (g / tg - bad / tb) * woe) < 1e-5)
+    }
+  }
+
+  test("q127 plans with NO window: bin edges come from one percentile aggregate") {
+    val plan = Sampling.q127(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "decile binning must not be a global ntile window (single-partition sort)")
+  }
 }

@@ -260,4 +260,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("indexed-version"))
   }
+
+  test("q126 grid-blocked neighbor counts equal the brute-force O(n²) answer") {
+    val got = Similarity.q126(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // recompute every pairwise distance driver-side (1k points at sf0.001)
+    val raw = Tables.events(spark, sf).select("event_id").collect().map(_.getLong(0))
+    val xy = raw.map { id =>
+      val x = (id * 48271L % 100003L * 69621L % 99991L).toDouble / 1000.0
+      val y = (id * 69621L % 99991L * 48271L % 100003L).toDouble / 1000.0
+      (id, x, y)
+    }
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val (ia, xa, ya) = xy(i); val (ib, xb, yb) = xy(j)
+      val d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if (d2 <= 0.25) { brute(ia) += 1; brute(ib) += 1 }
+    }
+    assert(got == brute.toMap, "grid blocking must lose no pair within ε")
+  }
+
+  test("q126 plans as an equality join on cell ids — no cartesian, no range join") {
+    val plan = Similarity.q126(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "spatial join degraded to all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "spatial join degraded to NLJ")
+  }
 }
