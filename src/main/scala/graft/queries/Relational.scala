@@ -346,7 +346,75 @@ object Relational {
       |SELECT c.user_id, c.day, c.n_types FROM cov c CROSS JOIN k
       |WHERE c.n_types = k.k ORDER BY c.user_id, c.day""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** REFERENTIAL-INTEGRITY / data-quality AUDIT over the star schema: one
+    * row per check — FK orphans in both directions (anti-joins) plus domain
+    * invariants — with violation counts and rates. The nightly freshness
+    * gate a 100 TB lakehouse runs before publishing a snapshot (and the
+    * natural companion to write-audit-publish: audit THEN publish).
+    *
+    * Scale shape: every FK check is a LEFT ANTI join — dimension sides
+    * broadcast, the two fact-vs-fact checks (order↔lineitem) shuffle on the
+    * join key once; domain checks are scan-shaped conditional counts. Each
+    * check reduces to a one-row aggregate before the UNION, so the final
+    * assembly is free. */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir)
+    val ord = orders(spark, dir)
+    val cust = customer(spark, dir)
+    def check(name: String, bad: DataFrame, checked: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("n_bad"))
+        .crossJoin(broadcast(checked.agg(count(lit(1)).as("n_checked"))))
+        .select(lit(name).as("check_name"), $"n_bad", $"n_checked")
+    val checks = Seq(
+      check("lineitem_orphan_order",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"), li),
+      check("lineitem_orphan_part",
+        li.join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey", "left_anti"), li),
+      check("order_orphan_customer",
+        ord.join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_anti"), ord),
+      check("order_no_lineitems",
+        ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti"), ord),
+      check("customer_no_orders",
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti"), cust),
+      check("lineitem_nonpos_qty", li.filter($"l_quantity" <= 0), li),
+      check("order_nonpos_total", ord.filter($"o_totalprice" <= 0), ord))
+    checks.reduce(_.unionAll(_))
+      .select($"check_name", $"n_bad", $"n_checked",
+        round($"n_bad".cast("double") / $"n_checked", 6).as("bad_rate"))
+      .orderBy($"check_name")
+  }
+
+  val q130Sql: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n_bad,
+      |         (SELECT count(*) FROM lineitem) AS n_checked
+      |  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_part', count(*), (SELECT count(*) FROM lineitem)
+      |  FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'order_orphan_customer', count(*), (SELECT count(*) FROM orders)
+      |  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'order_no_lineitems', count(*), (SELECT count(*) FROM orders)
+      |  FROM orders o ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  UNION ALL
+      |  SELECT 'customer_no_orders', count(*), (SELECT count(*) FROM customer)
+      |  FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_nonpos_qty', count(*), (SELECT count(*) FROM lineitem)
+      |  FROM lineitem WHERE l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'order_nonpos_total', count(*), (SELECT count(*) FROM orders)
+      |  FROM orders WHERE o_totalprice <= 0)
+      |SELECT check_name, n_bad, n_checked,
+      |  round(CAST(n_bad AS DOUBLE) / n_checked, 6) AS bad_rate
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_ri_audit"        -> q130,
     "q123_division"        -> q123,
     "q01_pricing_summary"  -> q01,
     "q02_filter_predicates" -> q02,
@@ -362,6 +430,7 @@ object Relational {
     "q12_join_range"       -> q12)
 
   val oracleSql: Map[String, String] = Map(
+    "q130_ri_audit"        -> q130Sql,
     "q123_division"        -> q123Sql,
     "q01_pricing_summary"  -> q01Sql,
     "q02_filter_predicates" -> q02Sql,

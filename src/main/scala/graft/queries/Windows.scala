@@ -201,7 +201,62 @@ object Windows {
       |FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
       |HAVING count(*) >= 4 ORDER BY user_id, start_ts, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** PARETO / revenue-concentration analysis: per-brand revenue ranked
+    * descending with each brand's cumulative share of total, flagging the
+    * brands that make up the first 80% (the 80/20 dashboard; in a corpus
+    * pipeline the same shape answers "which sources make up 80% of
+    * tokens"). The window runs over the 25-row AGGREGATE, not the fact
+    * table — ranking a pre-aggregated dimension profile is the one place a
+    * single-partition window is the right call at any scale.
+    *
+    * Cross-engine exactness: revenue folds to DECIMAL before summing
+    * (extendedprice lossless at (12,2), discount at (4,2)) so the running
+    * and total sums are order-independent exact integers; shares are single
+    * double divisions in the identical expression shape. */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(sum($"l_extendedprice".cast(DecimalType(12, 2)) *
+        (lit(1) - $"l_discount".cast(DecimalType(4, 2)))).as("revenue"))
+    val wOrd = Window.orderBy($"revenue".desc, $"brand")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum($"revenue").as("tot"))
+    rev.withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("run", sum($"revenue").over(wRun))
+      .crossJoin(broadcast(tot))
+      .select($"brand", $"rnk",
+        round($"revenue".cast("double"), 2).as("revenue"),
+        round($"run".cast("double") / $"tot".cast("double"), 6).as("cum_share"),
+        ($"run".cast("double") / $"tot".cast("double")
+          - $"revenue".cast("double") / $"tot".cast("double") < 0.8).as("in_top80"))
+      .orderBy($"rnk")
+  }
+
+  val q129Sql: String =
+    """WITH rev AS (
+      |  SELECT p.p_brand AS brand,
+      |         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT brand, revenue,
+      |    CAST(row_number() OVER (ORDER BY revenue DESC, brand) AS BIGINT) AS rnk,
+      |    sum(revenue) OVER (ORDER BY revenue DESC, brand
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+      |    sum(revenue) OVER () AS tot
+      |  FROM rev)
+      |SELECT brand, rnk, round(CAST(revenue AS DOUBLE), 2) AS revenue,
+      |  round(CAST(run AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+      |  CAST(run AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    - CAST(revenue AS DOUBLE) / CAST(tot AS DOUBLE) < 0.8 AS in_top80
+      |FROM w ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_pareto_share"      -> q129,
     "q122_islands"           -> q122,
     "q22_window_ranking"     -> q22,
     "q23_window_analytic"    -> q23,
@@ -210,6 +265,7 @@ object Windows {
     "q110_ntile_buckets"     -> q110)
 
   val oracleSql: Map[String, String] = Map(
+    "q129_pareto_share"      -> q129Sql,
     "q122_islands"           -> q122Sql,
     "q22_window_ranking"     -> q22Sql,
     "q23_window_analytic"    -> q23Sql,

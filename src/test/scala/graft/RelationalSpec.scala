@@ -40,4 +40,26 @@ class RelationalSpec extends SparkSpec {
     val s = Tables.supplier(spark, sf).select("s_nationkey").distinct().collect().map(_.getInt(0)).toSet
     assert(nk == (c union s))
   }
+
+  test("q130 audit: one row per check, rates consistent, FK checks clean on fixtures") {
+    val rows = Relational.q130(spark, sf).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getString(0)).distinct.length == 7)
+    rows.foreach { r =>
+      val (bad, checked) = (r.getLong(1), r.getLong(2))
+      assert(bad >= 0 && bad <= checked)
+      assert(math.abs(r.getAs[Double]("bad_rate") - bad.toDouble / checked) < 1e-6)
+    }
+    // fixture FKs are intact in the child->parent direction
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("lineitem_orphan_order") == 0)
+    assert(byName("lineitem_orphan_part") == 0)
+    assert(byName("order_orphan_customer") == 0)
+  }
+
+  test("q130 plans every FK probe as an anti join with broadcast dims") {
+    val plan = Relational.q130(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert("LeftAnti".r.findAllIn(plan).size >= 5, "five FK checks must be anti joins")
+  }
 }

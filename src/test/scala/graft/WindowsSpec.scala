@@ -37,4 +37,19 @@ class WindowsSpec extends SparkSpec {
     val rows = Windows.q25(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("trailing_30d_orders") >= 1L))
   }
+
+  test("q129 pareto: shares are monotone to 1.0 and the 80% flag is a prefix") {
+    val rows = Windows.q129(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length))
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // revenues ranked descending
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // in_top80 is a contiguous prefix: once false, never true again
+    val flags = rows.map(_.getAs[Boolean]("in_top80"))
+    assert(!flags.zip(flags.tail).exists { case (a, b) => !a && b })
+    assert(flags.head, "top brand is always inside the 80% bucket")
+  }
 }
