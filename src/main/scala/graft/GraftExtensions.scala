@@ -128,6 +128,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("kll_sketch(col[, k])")
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[graft.functions.KllMergeAgg].getName, "kll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "kll_merge(sketchCol)")
+        graft.functions.KllMergeAgg(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaUnionAgg].getName, "theta_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_union_agg(sketchCol)")
+        graft.functions.ThetaUnionAgg(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "kll_quantile"),
       (args: Seq[Expression]) => {

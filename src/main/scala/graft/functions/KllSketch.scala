@@ -237,3 +237,54 @@ case class KllSketchAgg(
       newChildren: IndexedSeq[Expression]): KllSketchAgg =
     copy(child = newChildren.head)
 }
+
+/** ROLLUP aggregate over PRE-BUILT sketches: merges serialized KLL blobs
+  * (the `kll_sketch` output) into one sketch — the sketch-of-sketches
+  * reaggregation pattern. A 100 TB summary layer stores one small blob per
+  * (day, partition) and answers month/global percentile questions by
+  * merging blobs — never rescanning rows; KLL's merge keeps the same
+  * O(k log(n/k)) space and rank-error class as a single-pass build.
+  * Null inputs (empty groups) are skipped. */
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch.State] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_merge"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_merge expects a serialized sketch (BINARY) column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllSketch.State =
+    new KllSketch.State(KllSketch.DefaultK)
+
+  override def update(buf: KllSketch.State, input: InternalRow): KllSketch.State = {
+    val v = child.eval(input)
+    if (v != null) buf.mergeIn(KllSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: KllSketch.State, b: KllSketch.State): KllSketch.State = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: KllSketch.State): Any = KllSketch.serialize(buf)
+  override def serialize(buf: KllSketch.State): Array[Byte] = KllSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KllSketch.State =
+    KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+}

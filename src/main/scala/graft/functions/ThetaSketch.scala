@@ -349,3 +349,56 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
       newLeft: Expression, newRight: Expression): ThetaSetOp =
     copy(left = newLeft, right = newRight)
 }
+
+/** ROLLUP aggregate over PRE-BUILT theta sketches: unions serialized blobs
+  * (the `theta_sketch` output) across rows — the distinct-count summary-
+  * layer pattern: one O(k) blob per (day, source) answers any month/global
+  * distinct question by blob union, never a rescan. The union adopts
+  * θ = min over inputs ([[ThetaSketch.unionBlobs]], uncapped), so each
+  * retained hash stays an unbiased θ-fraction sample — the estimate is in
+  * the same error class as a single pass (and usually tighter: min-θ
+  * retains ≥ k samples), and because min/∪ are commutative-associative the
+  * aggregate is bit-identical to ANY fold order of the binary
+  * `theta_union` (asserted in KllSketchSpec's rollup test). Null inputs
+  * are skipped. */
+case class ThetaUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"theta_union_agg expects a serialized sketch (BINARY) column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Array[Byte] =
+    ThetaSketch.serialize(new ThetaSketch.Kmv(ThetaSketch.DefaultK))
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else ThetaSketch.unionBlobs(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ThetaSketch.unionBlobs(a, b)
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaUnionAgg =
+    copy(child = newChildren.head)
+}

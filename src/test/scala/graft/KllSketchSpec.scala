@@ -113,4 +113,61 @@ class KllSketchSpec extends AnyFunSuite with SparkSpec {
       assert(KllSketch.countFrom(r.getAs[Array[Byte]]("sk")) == 25000)
     }
   }
+
+  test("kll_merge rollup: per-group sketch blobs re-aggregate to bounded global quantiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 100000
+    val df = spark.range(0, n)
+      .select(($"id" % 16).as("g"), $"id".cast("double").as("v"))
+      .repartition(8)
+    df.groupBy($"g").agg(expr("kll_sketch(v)").as("sk"))
+      .createOrReplaceTempView("sketch_layer")
+    // the summary-layer query: roll 16 blobs up, never rescanning rows
+    val merged = spark.sql(
+      "SELECT kll_quantile(kll_merge(sk), 0.5) AS p50, " +
+        "kll_quantile(kll_merge(sk), 0.9) AS p90 FROM sketch_layer").collect()(0)
+    assert(math.abs(merged.getDouble(0) - n * 0.5) <= 0.04 * n, s"p50=${merged.getDouble(0)}")
+    assert(math.abs(merged.getDouble(1) - n * 0.9) <= 0.04 * n, s"p90=${merged.getDouble(1)}")
+    // total mass survives the rollup exactly
+    val cnt = spark.sql("SELECT kll_merge(sk) AS m FROM sketch_layer").collect()(0)
+    assert(KllSketch.countFrom(cnt.getAs[Array[Byte]]("m")) == n)
+  }
+
+  test("theta_union_agg rollup: order-independent, fold-identical, bounded error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaSketch
+    // ids overlap across groups: rollup must not double-count
+    val df = spark.range(0, 60000)
+      .select(($"id" % 6).as("g"), ($"id" % 20000).cast("string").as("u"))
+      .repartition(8)
+    val perGroup = df.groupBy($"g").agg(expr("theta_sketch(u)").as("sk"))
+    perGroup.createOrReplaceTempView("theta_layer")
+    val rolled = ThetaSketch.estimateFrom(
+      spark.sql("SELECT theta_union_agg(sk) AS m FROM theta_layer")
+        .collect()(0).getAs[Array[Byte]]("m"))
+    // min/∪ are commutative-associative: the aggregate must equal a manual
+    // fold of the binary union in BOTH directions, bit-for-bit on estimate
+    val blobs = perGroup.collect().map(_.getAs[Array[Byte]]("sk"))
+    val foldL = ThetaSketch.estimateFrom(blobs.reduceLeft(ThetaSketch.unionBlobs))
+    val foldR = ThetaSketch.estimateFrom(blobs.reverse.reduceLeft(ThetaSketch.unionBlobs))
+    assert(rolled == foldL && rolled == foldR,
+      s"agg $rolled vs folds $foldL/$foldR — union must be order-independent")
+    // unbiased θ-sampling: estimate within KMV error of the 20000 true dedup
+    val single = ThetaSketch.estimateFrom(
+      df.agg(expr("theta_sketch(u)").as("sk")).collect()(0).getAs[Array[Byte]]("sk"))
+    assert(math.abs(rolled - 20000.0) <= 0.05 * 20000.0, s"rollup estimate off: $rolled")
+    assert(math.abs(single - 20000.0) <= 0.05 * 20000.0, s"single-pass off: $single")
+  }
+
+  test("kll_merge and theta_union_agg reject non-binary input at analysis time") {
+    import spark.implicits._
+    val df = spark.range(0, 10).select($"id".cast("double").as("v"))
+    df.createOrReplaceTempView("not_sketches")
+    val e1 = intercept[Exception](spark.sql("SELECT kll_merge(v) FROM not_sketches").collect())
+    assert(e1.getMessage.toLowerCase.contains("binary"))
+    val e2 = intercept[Exception](spark.sql("SELECT theta_union_agg(v) FROM not_sketches").collect())
+    assert(e2.getMessage.toLowerCase.contains("binary"))
+  }
 }
