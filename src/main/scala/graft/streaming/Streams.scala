@@ -129,6 +129,42 @@ object Streams {
       }
   }
 
+  case class TypeDistinct(event_type: String, distinct_users: Double, retained: Long)
+
+  /** STREAMING DISTINCT COUNT per key: the [[graft.functions.ThetaSketch]]
+    * KMV blob as `mapGroupsWithState` state — each micro-batch offers its
+    * user ids into the key's bottom-k hash set (≤ k longs in the state
+    * store) and emits the refreshed distinct-user estimate. Re-sent ids
+    * hash to the same value and dedupe inside the sketch, so the count
+    * never double-counts across micro-batches; below k retained hashes the
+    * estimate is EXACT. Completes the streaming summary trio (KLL
+    * quantiles, Misra–Gries heavy hitters, theta distinct) with the same
+    * blobs as their batch twins — bootstrap-from-batch is a state init
+    * away, and a stored stream state rolls up through `theta_union_agg`. */
+  def streamingDistinct(events: Dataset[Event]): Dataset[TypeDistinct] = {
+    import events.sparkSession.implicits._
+    import graft.functions.ThetaSketch
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], TypeDistinct](GroupStateTimeout.NoTimeout()) {
+        (et: String, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption.map { bytes =>
+            val (_, theta, hs) = ThetaSketch.parse(bytes)
+            val s = new ThetaSketch.Kmv(ThetaSketch.DefaultK)
+            s.thetaLong = theta
+            hs.foreach(h => s.hashes.add(h))
+            s
+          }.getOrElse(new ThetaSketch.Kmv(ThetaSketch.DefaultK))
+          batch.foreach { e =>
+            val bytes = ThetaSketch.serializeValue(
+              org.apache.spark.sql.types.LongType, e.user_id)
+            sk.offer(ThetaSketch.valueHash(bytes))
+          }
+          state.update(ThetaSketch.serialize(sk))
+          TypeDistinct(et, sk.estimate, sk.hashes.size.toLong)
+      }
+  }
+
   /** Watermarked STREAM-STREAM INNER JOIN (the click-attribution shape):
     * join clicks to the impression they followed within 30 minutes, per
     * user. Both sides carry watermarks and the join condition bounds

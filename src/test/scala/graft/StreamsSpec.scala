@@ -288,4 +288,27 @@ class StreamsSpec extends SparkSpec {
       assert(math.abs(last._4 - 900.0) <= 40.0, s"p90=${last._4}")
     } finally q.stop()
   }
+
+  test("streaming theta distinct: re-sent users dedupe across micro-batches, exact below k") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.streamingDistinct(ms.toDS())
+      .writeStream.format("memory").queryName("dc_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: users 1..500; batch 2: users 301..600 (200 re-sent)
+      ms.addData((1 to 500).map(i => Event(i.toLong, ts(0), i.toLong, "m", 1.0)): _*)
+      q.processAllAvailable()
+      ms.addData((501 to 800).map(i => Event(i.toLong, ts(1), (i - 200).toLong, "m", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("dc_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val first = rows.minBy(_._3)
+      val last = rows.maxBy(_._3)
+      assert(first == (("m", 500.0, 500L)), s"batch-1 emit off: $first")
+      // 600 < k: the sketch is exact — 200 re-sent ids must not double-count,
+      // and state must have carried (a restart would re-emit 300)
+      assert(last == (("m", 600.0, 600L)), s"state restarted or double-counted: $last")
+    } finally q.stop()
+  }
 }
