@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** Event-time operators, batch form (SURVEY.md §2.9 "batch-over-events
@@ -600,7 +602,108 @@ object Temporal {
       |WHERE m.mad > 0 AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Sliding two-window CHANGEPOINT score per user: at each event, the
+    * absolute difference between the trailing-10 and leading-10 means of
+    * `value` — the window-pair shape behind level-shift detection (CUSUM's
+    * practical cousin that, unlike clamped CUSUM's recursion, is exactly
+    * expressible as window frames and therefore runs as ONE window pass).
+    *
+    * Cross-engine exactness: both window sums fold DECIMAL(8,4) values
+    * (order-independent exact), the means are single double divisions of
+    * identical exact numerators, and the threshold compares the identical
+    * double expression on both engines.
+    *
+    * Scale shape: two ROWS-frame sums over one user_id shuffle — per-user
+    * data never leaves its partition; interior-only scoring (full frames
+    * both sides) avoids edge-bias without a second pass. */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pre = w.rowsBetween(-9, 0)
+    val post = w.rowsBetween(1, 10)
+    val v = events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value".cast(DecimalType(8, 4)).as("v"))
+      .withColumn("pre_sum", sum($"v").over(pre))
+      .withColumn("pre_n", count(lit(1)).over(pre))
+      .withColumn("post_sum", sum($"v").over(post))
+      .withColumn("post_n", count(lit(1)).over(post))
+    val preMean = $"pre_sum".cast("double") / $"pre_n"
+    val postMean = $"post_sum".cast("double") / $"post_n"
+    v.filter($"pre_n" === 10 && $"post_n" === 10 && abs(postMean - preMean) >= 40)
+      .select($"user_id", $"event_id",
+        round(preMean, 4).as("pre_mean"),
+        round(postMean, 4).as("post_mean"),
+        round(abs(postMean - preMean), 4).as("score"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q131Sql: String =
+    """WITH v AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(8,4)) AS v
+      |           FROM events),
+      |w AS (SELECT user_id, event_id,
+      |        sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS pre_sum,
+      |        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS pre_n,
+      |        sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS post_sum,
+      |        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS post_n
+      |      FROM v)
+      |SELECT user_id, event_id,
+      |  round(CAST(pre_sum AS DOUBLE)/pre_n, 4) AS pre_mean,
+      |  round(CAST(post_sum AS DOUBLE)/post_n, 4) AS post_mean,
+      |  round(abs(CAST(post_sum AS DOUBLE)/post_n - CAST(pre_sum AS DOUBLE)/pre_n), 4) AS score
+      |FROM w
+      |WHERE pre_n = 10 AND post_n = 10
+      |  AND abs(CAST(post_sum AS DOUBLE)/post_n - CAST(pre_sum AS DOUBLE)/pre_n) >= 40
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** SEASONAL-BASELINE anomaly detection: per (event_type, hour-of-day)
+    * mean as the expected level, each event scored by its ratio to the
+    * baseline, keeping ratio ≥ 5 — the time-of-day-aware monitor that a
+    * flat global threshold can't match (a value normal at peak hour is an
+    * anomaly at 4am).
+    *
+    * Scale shape: the baseline is a tiny (types × 24)-row aggregate that
+    * BROADCASTS back onto the scan — one partial→final aggregate plus a
+    * map-side join; no window, no shuffle of the fact rows. Baseline
+    * means divide exact decimal sums; the ratio divides the raw stored
+    * double by that mean — identical arithmetic on both engines. */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).withColumn("hr", hour($"ts").cast("long"))
+    val base = ev.groupBy($"event_type", $"hr")
+      .agg(sum($"value".cast(DecimalType(8, 4))).as("s"), count(lit(1)).as("n"))
+    val baseline = $"s".cast("double") / $"n"
+    ev.join(broadcast(base), Seq("event_type", "hr"))
+      .filter($"value" / baseline >= 5.0)
+      .select($"event_id", $"event_type", $"hr",
+        round($"value", 4).as("value"),
+        round(baseline, 4).as("baseline"),
+        round($"value" / baseline, 4).as("ratio"))
+      .orderBy($"event_id")
+  }
+
+  val q132Sql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |         sum(CAST(value AS DECIMAL(8,4))) AS s, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT e.event_id, e.event_type, CAST(extract(hour FROM e.ts) AS BIGINT) AS hr,
+      |  round(e.value, 4) AS value,
+      |  round(CAST(b.s AS DOUBLE)/b.n, 4) AS baseline,
+      |  round(e.value / (CAST(b.s AS DOUBLE)/b.n), 4) AS ratio
+      |FROM events e JOIN base b
+      |  ON b.event_type = e.event_type AND b.hr = CAST(extract(hour FROM e.ts) AS BIGINT)
+      |WHERE e.value / (CAST(b.s AS DOUBLE)/b.n) >= 5.0
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_changepoint"    -> q131,
+    "q132_seasonal_anomaly" -> q132,
     "q115_interval_join"  -> q115,
     "q120_ewma"           -> q120,
     "q121_robust_outliers" -> q121,
@@ -618,6 +721,8 @@ object Temporal {
     "q107_ohlc_bars"      -> q107)
 
   val oracleSql: Map[String, String] = Map(
+    "q131_changepoint"    -> q131Sql,
+    "q132_seasonal_anomaly" -> q132Sql,
     "q115_interval_join"  -> q115Sql,
     "q120_ewma"           -> q120Sql,
     "q121_robust_outliers" -> q121Sql,
