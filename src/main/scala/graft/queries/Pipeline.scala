@@ -520,6 +520,11 @@ object Pipeline {
     * the result survives any SF without a magic absolute count. */
   def q125(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the basket table fans out into four subplans (order count, brand
+    // counts, both pair-join sides); recomputing the codegen'd broadcast-
+    // join + distinct is CHEAPER than materializing it (a localCheckpoint
+    // here measured 2.5x slower at sf0.1 — the q119 tradeoff inverts when
+    // the checkpointed stage is scan-shaped rather than a shuffle fan-out)
     val ob = lineitem(spark, dir)
       .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
