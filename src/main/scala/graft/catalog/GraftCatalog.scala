@@ -382,6 +382,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(cur.dataType, u.newDataType()))
           t.updateColumnType(path, u.newDataType())
       case p: TableChange.SetProperty =>
+        // CHECK constraints are validated at DEFINITION time: the predicate
+        // must parse and resolve boolean against the table schema, so a
+        // typo fails the ALTER, not the next writer's append
+        if (p.property().startsWith("graft.check.")) {
+          val e = try org.apache.spark.sql.functions.expr(p.value()) catch {
+            case ex: Exception => throw new IllegalArgumentException(
+              s"CHECK constraint ${p.property()} does not parse: ${p.value()}", ex)
+          }
+          val probe = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), t.schema)
+          try probe.filter(e).queryExecution.analyzed catch {
+            case ex: Exception => throw new IllegalArgumentException(
+              s"CHECK constraint ${p.property()} does not resolve against the " +
+                s"table schema: ${p.value()}", ex)
+          }
+        }
         t.setProperties(Map(p.property() -> p.value()))
       case p: TableChange.RemoveProperty =>
         t.removeProperties(Seq(p.property()))

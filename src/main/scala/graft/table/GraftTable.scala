@@ -1596,7 +1596,43 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         expr(f.metadata.getString("graft.default")).cast(stripNested(f.dataType)).as(f.name)
       else throw new IllegalArgumentException(s"append missing column ${f.name}")
     }
-    df.select(cols.toIndexedSeq: _*)
+    enforceChecks(df.select(cols.toIndexedSeq: _*), head)
+  }
+
+  /** Write-time CHECK-constraint enforcement: every table property
+    * `graft.check.<name> = '<sql predicate>'` must not evaluate to FALSE
+    * on any incoming row (SQL-standard CHECK: NULL passes). Runs after
+    * [[conform]] so defaults are already applied, and guards EVERY new-row
+    * ingest path — append (+retry/branch/WAP stage), overwrite, and
+    * overwrite-by-filter — the governance twin of the q130 read-side audit
+    * ("audit then publish" becomes "never commit bad rows at all").
+    *
+    * Cost model: tables with no checks pay nothing; with checks, one extra
+    * codegen'd filter pass over the incoming BATCH (never the table),
+    * short-circuiting at the first violation via take(1). The error names
+    * every violated constraint and carries one offending row. */
+  private def enforceChecks(df: DataFrame, head: Snapshot): DataFrame = {
+    val checks = head.properties.toSeq.collect {
+      case (k, v) if k.startsWith("graft.check.") => k.stripPrefix("graft.check.") -> v
+    }.sortBy(_._1)
+    if (checks.isEmpty) df
+    else {
+      val viol = checks.map { case (n, p) => n -> not(coalesce(expr(p), lit(true))) }
+      val bad = df
+        .filter(viol.map(_._2).reduce(_ || _))
+        .select(
+          array(viol.map { case (n, c) => when(c, lit(n)) }.toIndexedSeq: _*).as("_violated"),
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("_row"))
+        .take(1)
+      bad.headOption.foreach { r =>
+        val names = r.getSeq[String](0).filter(_ != null)
+        val defs = checks.filter(c => names.contains(c._1))
+          .map { case (n, p) => s"$n ($p)" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated: $defs on row ${r.getString(1)}")
+      }
+      df
+    }
   }
 
   /** Distinct file paths of a (filtered, withMeta) DataFrame — the only
