@@ -649,12 +649,12 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           matched.select(col("_graft_path").as("file_path"), col("_graft_pos").as("pos")))
         if (newDeletes.isEmpty) head
         else {
-          val updated = matched.select(cur.fields.map { f =>
+          val updated = enforceChecks(matched.select(cur.fields.map { f =>
             set.get(f.name) match {
               case Some(v) => v.cast(f.dataType).as(f.name)
               case None    => qcol(f.name)
             }
-          }: _*)
+          }: _*), head)
           val newFiles = writeFiles(updated, head.currentSchemaId, head.properties)
           log.commit(head.version, v => head.copy(
             version = v, parent = head.version, timestampMs = now(),
@@ -666,6 +666,14 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       val touched = touchedPaths(df.filter(cond))
       if (touched.isEmpty) head
       else {
+        // CHECK constraints see the post-update images of the hit rows
+        // only (carried-over rows re-validate nothing — Delta semantics)
+        enforceChecks(df.filter(cond).select(cur.fields.map { f =>
+          set.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None    => qcol(f.name)
+          }
+        }: _*), head)
         val hit = coalesce(cond, lit(false))
         val rewritten = df.filter(col("_graft_path").isin(touched: _*))
           .select(cur.fields.map { f =>
@@ -1611,7 +1619,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * codegen'd filter pass over the incoming BATCH (never the table),
     * short-circuiting at the first violation via take(1). The error names
     * every violated constraint and carries one offending row. */
-  private def enforceChecks(df: DataFrame, head: Snapshot): DataFrame = {
+  private[table] def enforceChecks(df: DataFrame, head: Snapshot): DataFrame = {
     val checks = head.properties.toSeq.collect {
       case (k, v) if k.startsWith("graft.check.") => k.stripPrefix("graft.check.") -> v
     }.sortBy(_._1)

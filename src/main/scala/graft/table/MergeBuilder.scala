@@ -137,6 +137,13 @@ class MergeBuilder private[table] (table: GraftTable, source: DataFrame, conditi
       val outCols = fields.map(f => GraftTable.qcol(f.name))
       val inserts = annotated.filter(col("_ins") >= 0).select(outCols: _*)
 
+      // CHECK constraints guard every row image the merge will write —
+      // update images and inserts alike (delete-clause rows write nothing);
+      // runs off the cached `annotated`, before any file is produced
+      table.enforceChecks(annotated.filter(
+        (col("_clause") >= 0 && !col("_clause").isin(deleteIdxs: _*)) || col("_ins") >= 0)
+        .select(outCols: _*), head)
+
       // Iceberg's per-op mode properties: MERGE honors write.merge.mode and
       // falls back to write.delete.mode (the table-wide MOR switch)
       val morMode = head.properties.get("write.merge.mode")

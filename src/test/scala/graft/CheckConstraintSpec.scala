@@ -90,6 +90,36 @@ class CheckConstraintSpec extends SparkSpec {
     assert(messages(bad2).toLowerCase.contains("resolve"), messages(bad2))
   }
 
+  test("UPDATE and MERGE images are checked too (CoW and MOR)") {
+    for (mor <- Seq(false, true)) {
+      val t = mk()
+      if (mor) t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+      // UPDATE driving amount negative trips the check
+      val e1 = intercept[IllegalArgumentException] {
+        t.update($"id" === 1L, Map("amount" -> lit(-3.0)))
+      }
+      assert(e1.getMessage.contains("positive_amount"), s"mor=$mor: ${e1.getMessage}")
+      // MERGE: matched update violates; insert-only violation also trips
+      val src = Seq((1L, "z", -7.0)).toDF("sid", "sname", "samount")
+      val e2 = intercept[IllegalArgumentException] {
+        t.merge(src, $"id" === $"sid")
+          .whenMatchedUpdate(Map("amount" -> $"samount")).execute()
+      }
+      assert(e2.getMessage.contains("positive_amount"), s"mor=$mor: ${e2.getMessage}")
+      val e3 = intercept[IllegalArgumentException] {
+        t.merge(Seq((99L, "n", -1.0)).toDF("sid", "sname", "samount"), $"id" === $"sid")
+          .whenNotMatchedInsert(Map(
+            "id" -> $"sid", "name" -> $"sname", "amount" -> $"samount")).execute()
+      }
+      assert(e3.getMessage.contains("positive_amount"), s"mor=$mor: ${e3.getMessage}")
+      // valid update/merge still commit; delete clauses are never checked
+      t.update($"id" === 1L, Map("amount" -> lit(42.0)))
+      t.merge(Seq((1L, "gone", -1.0)).toDF("sid", "sname", "samount"), $"id" === $"sid")
+        .whenMatchedDelete().execute()
+      assert(t.read.count() == 0, s"mor=$mor")
+    }
+  }
+
   test("dropping the property lifts the constraint") {
     val t = mk()
     t.removeProperties(Seq("graft.check.positive_amount"))
