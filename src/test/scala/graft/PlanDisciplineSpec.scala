@@ -58,7 +58,10 @@ class PlanDisciplineSpec extends SparkSpec {
     // way — and in fact Catalyst pushes the n_types = k filter INTO the
     // join, planning a broadcast HASH join, so it needn't be NLJ-shaped
     val crossy = Seq("q11_join_cross", "q12_join_range")
-    val exempt = Seq("q123_division")
+    // q123 / q130: deliberate ONE-ROW broadcast sides (the divisor count and
+    // the per-check n_checked scalars) — a BNLJ against a single broadcast
+    // row is a constant-append, not a pair explosion
+    val exempt = Seq("q123_division", "q130_ri_audit")
     Relational.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       val hasNlj = plan.contains("CartesianProduct") ||
