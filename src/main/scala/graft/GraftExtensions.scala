@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT(*) from snapshot-log row counts — must be
     // injected BEFORE GraftNativeScan so it sees the un-swapped relation
     ext.injectOptimizerRule(session => graft.plans.GraftMetadataAggregate(session))
+    // transparent materialized-aggregate rewrite (exact + fresh only) —
+    // like the rules below it must see the un-swapped graft relation
+    ext.injectOptimizerRule(session => graft.plans.GraftMvRewrite(session))
     // keeps catalog-table SELECTs on the vectorized parquet path (see
     // graft.plans.GraftNativeScan) instead of the row-based V1Scan fallback
     ext.injectOptimizerRule(session => graft.plans.GraftNativeScan(session))

@@ -142,6 +142,15 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("mat_table", StringType)))((s, r) =>
         graft.operators.IncrementalAgg.refresh(s, load(s, r),
           tablePathOf(r.getUTF8String(1).toString))),
+      new Proc("register_agg_rewrite", "re-attach a materialized aggregate to the transparent query-rewrite registry (materialize_agg/refresh_agg attach automatically; this is the after-restart path)",
+        Seq(in("mat_table", StringType)))((s, r) =>
+        graft.operators.IncrementalAgg.registerRewrite(s,
+          tablePathOf(r.getUTF8String(0).toString))),
+      new Proc("deregister_agg_rewrite", "detach a materialized aggregate from the transparent query-rewrite registry",
+        Seq(in("mat_table", StringType)))((s, r) =>
+        // normalize through the loader so the path matches the registered one
+        graft.operators.IncrementalAgg.deregisterRewrite(
+          GraftTable.load(s, tablePathOf(r.getUTF8String(0).toString)).path)),
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,

@@ -40,6 +40,38 @@ object IncrementalAgg {
   val SourceVersionProp = "incragg.source-version"
   val KeysProp = "incragg.keys"
   val SumsProp = "incragg.sum-cols"
+  val SourcePathProp = "incragg.source-path"
+
+  // ------------------------------------------------- transparent rewrite
+  // source table path -> materialization paths that may answer aggregates
+  // over it (consulted by graft.plans.GraftMvRewrite). Session-lifetime
+  // state, O(registered MVs); re-attachable after a restart from the MV's
+  // own SourcePathProp via `CALL graft.system.register_agg_rewrite`.
+  private val rewriteRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  def registerRewrite(sourcePath: String, mvPath: String): Unit =
+    rewriteRegistry.merge(sourcePath, Set(mvPath), _ ++ _)
+
+  def deregisterRewrite(mvPath: String): Unit =
+    rewriteRegistry.replaceAll((_, s) => s - mvPath)
+
+  def rewriteCandidates(sourcePath: String): Set[String] =
+    rewriteRegistry.getOrDefault(sourcePath, Set.empty)
+
+  /** Cheap bail for the optimizer rule: no registrations, no work. */
+  def rewriteRegistryEmpty: Boolean = rewriteRegistry.isEmpty
+
+  /** Re-attach a materialization to the rewrite registry from its own
+    * stored source-path property (the restart path). */
+  def registerRewrite(spark: SparkSession, mvPath: String): Unit = {
+    val mat = GraftTable.load(spark, mvPath)
+    val src = mat.log.current.properties.getOrElse(SourcePathProp,
+      throw new IllegalStateException(
+        s"table at $mvPath carries no $SourcePathProp property — not a " +
+        "materialized aggregate (IncrementalAgg.materialize)"))
+    registerRewrite(src, mat.path)
+  }
 
   /** The maintained aggregate, computed from scratch (also the oracle the
     * spec compares refresh results against). */
@@ -64,9 +96,11 @@ object IncrementalAgg {
   def materialize(spark: SparkSession, source: GraftTable, path: String,
       keys: Seq[String], sumCols: Seq[String]): GraftTable = {
     val v = source.log.currentVersion
-    GraftTable.create(spark, path, aggregateWithNn(source.read, keys, sumCols),
-      Map(SourceVersionProp -> v.toString,
+    val mat = GraftTable.create(spark, path, aggregateWithNn(source.read, keys, sumCols),
+      Map(SourceVersionProp -> v.toString, SourcePathProp -> source.path,
         KeysProp -> keys.mkString(","), SumsProp -> sumCols.mkString(",")))
+    registerRewrite(source.path, mat.path)
+    mat
   }
 
   /** Catch the materialized aggregate up to the source's HEAD from the net
@@ -81,6 +115,7 @@ object IncrementalAgg {
     val keys = props(KeysProp).split(",").toSeq
     val sumCols = props(SumsProp).split(",").toSeq.filter(_.nonEmpty)
     val curV = source.log.currentVersion
+    registerRewrite(source.path, mat.path)
     if (curV == fromV) return mat
     require(curV > fromV,
       s"materialized aggregate at $path stamps source v$fromV but the source " +
@@ -124,6 +159,8 @@ object IncrementalAgg {
       .whenNotMatchedInsert(inserts)
       .withCommitProperties(Map(SourceVersionProp -> curV.toString))
       .execute()
-    GraftTable.load(spark, path)
+    val out = GraftTable.load(spark, path)
+    registerRewrite(source.path, out.path)
+    out
   }
 }
