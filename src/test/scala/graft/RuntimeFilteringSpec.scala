@@ -128,4 +128,41 @@ class RuntimeFilteringSpec extends SparkSpec {
     assert(finalPlan(df).toString.contains("FileScan parquet") ||
       df.queryExecution.executedPlan.toString.contains("FileScan parquet"))
   }
+
+  test("Spark's bloom-filter runtime filter injects onto the swapped scan for shuffle joins") {
+    // The row-level companion of the file-level pruning above: when the
+    // star join must SHUFFLE (dim too big to broadcast — forced here), the
+    // optimizer builds a bloom filter from the dim's selective side and
+    // applies might_contain on the fact BEFORE the exchange, shrinking the
+    // shuffle instead of the file list. Works through the native-scan swap
+    // because the swapped relation is a plain stats-bearing parquet scan —
+    // the 100 TB claim is that BOTH pruning layers compose with graft
+    // tables, not just DPP-style file pruning.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "32",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    // rf_fact/rf_dim were created by the first test in this suite
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q =
+        """SELECT f.k, f.v, d.cat FROM graftrf.db.rf_fact f
+          |JOIN graftrf.db.rf_dim d ON f.k = d.k WHERE d.cat = 'x'""".stripMargin
+      val df = spark.sql(q)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom runtime filter in:\n$optimized")
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = spark.sql(q)
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      assert(plain.collect().map(_.toString).sorted.toSeq == rows,
+        "bloom-filtered result diverged from the plain join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
