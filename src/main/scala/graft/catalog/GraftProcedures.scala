@@ -130,13 +130,15 @@ private[catalog] object GraftProcedures {
       }),
       new Proc("rewrite_position_delete_files", "compact positional-delete files into one, dropping entries whose target data file left the snapshot",
         Seq(tbl))((s, r) => load(s, r).rewritePositionDeleteFiles()),
-      new Proc("materialize_agg", "CTAS a GROUP BY (count, decimal sums) materialization of source_table, stamped with the source version for incremental refresh",
+      new Proc("materialize_agg", "CTAS a GROUP BY (count, decimal sums, optional min/max) materialization of source_table, stamped with the source version for incremental refresh",
         Seq(tbl, in("mat_table", StringType), in("keys", StringType),
-          in("sum_cols", StringType)))((s, r) => {
+          in("sum_cols", StringType),
+          ProcedureParameter.in("minmax_cols", StringType).defaultValue("''").build()))((s, r) => {
         graft.operators.IncrementalAgg.materialize(s, load(s, r),
           tablePathOf(r.getUTF8String(1).toString),
           r.getUTF8String(2).toString.split(",").toSeq.filter(_.nonEmpty),
-          r.getUTF8String(3).toString.split(",").toSeq.filter(_.nonEmpty))
+          r.getUTF8String(3).toString.split(",").toSeq.filter(_.nonEmpty),
+          r.getUTF8String(4).toString.split(",").toSeq.filter(_.nonEmpty))
       }),
       new Proc("refresh_agg", "catch a materialized aggregate up to its source's HEAD from the net CDC changelog (exact decimal maintenance, crash-safe stamp)",
         Seq(tbl, in("mat_table", StringType)))((s, r) =>

@@ -16,9 +16,12 @@ import graft.table.GraftTable
   * changelog over `(stampedV, HEAD]` aggregates to per-group deltas FIRST
   * (one shuffle of the changed rows), then a MERGE applies them — only
   * data files containing touched groups rewrite, untouched groups' files
-  * are never read. AVG derives as sum/cnt at query time; MIN/MAX are NOT
-  * self-maintainable under deletes and deliberately out of scope (they
-  * need a recompute-on-delete or an auxiliary structure).
+  * are never read. AVG derives as sum/cnt at query time. MIN/MAX (opt-in
+  * per column) are maintained hybrid: self-maintained under inserts
+  * (fold the insert-side extrema in), recomputed from the post-state
+  * source for exactly the groups whose changelog contains a delete —
+  * the recompute-on-delete a deleted extremum forces, scoped to a
+  * key-semi-joined scan instead of the whole table.
   *
   * Sums accumulate as DECIMAL(28,6), so incremental maintenance is EXACT:
   * old + inserts − deletes equals the full recompute bit-for-bit
@@ -40,6 +43,7 @@ object IncrementalAgg {
   val SourceVersionProp = "incragg.source-version"
   val KeysProp = "incragg.keys"
   val SumsProp = "incragg.sum-cols"
+  val MinMaxProp = "incragg.minmax-cols"
   val SourcePathProp = "incragg.source-path"
 
   // ------------------------------------------------- transparent rewrite
@@ -75,30 +79,39 @@ object IncrementalAgg {
 
   /** The maintained aggregate, computed from scratch (also the oracle the
     * spec compares refresh results against). */
-  def aggregate(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+  def aggregate(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     val es = count(lit(1)).as("cnt") +:
-      sumCols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c"))
+      (sumCols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
     df.groupBy(keys.map(col): _*).agg(es.head, es.tail: _*)
   }
 
   /** The stored shape: `aggregate` plus one hidden non-null value count
     * per sum column (`nn_<c>`), the state that keeps NULL sums exact
-    * under deletes. */
+    * under deletes. Min/max store in the SOURCE column's own type — no
+    * conversion, so their maintenance is exact for any orderable type. */
   private def aggregateWithNn(df: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame = {
     val es = count(lit(1)).as("cnt") +:
       (sumCols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")) ++
-        sumCols.map(c => count(col(c)).as(s"nn_$c")))
+        sumCols.map(c => count(col(c)).as(s"nn_$c")) ++
+        minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
     df.groupBy(keys.map(col): _*).agg(es.head, es.tail: _*)
   }
 
   /** CTAS the materialized aggregate at the source's current version. */
   def materialize(spark: SparkSession, source: GraftTable, path: String,
-      keys: Seq[String], sumCols: Seq[String]): GraftTable = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): GraftTable = {
     val v = source.log.currentVersion
-    val mat = GraftTable.create(spark, path, aggregateWithNn(source.read, keys, sumCols),
+    val mat = GraftTable.create(spark, path,
+      aggregateWithNn(source.read, keys, sumCols, minMaxCols),
       Map(SourceVersionProp -> v.toString, SourcePathProp -> source.path,
-        KeysProp -> keys.mkString(","), SumsProp -> sumCols.mkString(",")))
+        KeysProp -> keys.mkString(","), SumsProp -> sumCols.mkString(","),
+        MinMaxProp -> minMaxCols.mkString(",")))
     registerRewrite(source.path, mat.path)
     mat
   }
@@ -114,6 +127,7 @@ object IncrementalAgg {
       "materialized aggregate (IncrementalAgg.materialize)")).toLong
     val keys = props(KeysProp).split(",").toSeq
     val sumCols = props(SumsProp).split(",").toSeq.filter(_.nonEmpty)
+    val minMaxCols = props.getOrElse(MinMaxProp, "").split(",").toSeq.filter(_.nonEmpty)
     val curV = source.log.currentVersion
     registerRewrite(source.path, mat.path)
     if (curV == fromV) return mat
@@ -126,14 +140,35 @@ object IncrementalAgg {
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     // NULL values contribute 0 to the sum delta (sum ignores NULLs) and 0
     // to the non-null count delta; non-null values carry their sign
+    // min/max are NOT self-maintainable under deletes (the deleted row may
+    // have held the extremum), but they ARE under pure inserts — so the
+    // deltas carry insert-side extrema plus a per-group had-delete flag,
+    // and only delete-touched groups recompute their extrema from the
+    // post-state source (a key-semi-joined scan: O(affected groups' rows),
+    // file-pruned where the layout clusters on the keys)
+    val isInsert = col("_change_type") === "insert"
     val deltaExprs = sum(sign).as("d_cnt") +:
       (sumCols.map(c => sum((coalesce(col(c).cast("decimal(28,6)"),
           lit(java.math.BigDecimal.ZERO)) * sign)
         .cast("decimal(28,6)")).as(s"d_sum_$c")) ++
         sumCols.map(c =>
-          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"d_nn_$c")))
-    val deltas = source.changelog(fromV, curV)
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"d_nn_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          min(when(isInsert, col(c))).as(s"d_min_$c"),
+          max(when(isInsert, col(c))).as(s"d_max_$c"))) ++
+        (if (minMaxCols.nonEmpty)
+          Seq(max(when(!isInsert, lit(true)).otherwise(lit(false))).as("had_delete"))
+        else Nil))
+    val netChanges = source.changelog(fromV, curV)
       .groupBy(keys.map(col): _*).agg(deltaExprs.head, deltaExprs.tail: _*)
+    val deltas = if (minMaxCols.isEmpty) netChanges else {
+      val delGroups = netChanges.filter(col("had_delete")).select(keys.map(col): _*)
+      val recomputeExprs = minMaxCols.flatMap(c =>
+        Seq(min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c")))
+      val recomputed = source.read.join(delGroups, keys, "left_semi")
+        .groupBy(keys.map(col): _*).agg(recomputeExprs.head, recomputeExprs.tail: _*)
+      netChanges.join(recomputed, keys, "left")
+    }
     def t(n: String): Column = GraftTable.qref("t", n)
     def s(n: String): Column = GraftTable.qref("s", n)
     val cond = keys.map(k => t(k) === s(k)).reduce(_ && _)
@@ -145,13 +180,24 @@ object IncrementalAgg {
             .otherwise(coalesce(t(s"sum_$c"), lit(java.math.BigDecimal.ZERO)) +
               s(s"d_sum_$c")).cast("decimal(28,6)")
         } ++
-        sumCols.map(c => s"nn_$c" -> (t(s"nn_$c") + s(s"d_nn_$c")))
+        sumCols.map(c => s"nn_$c" -> (t(s"nn_$c") + s(s"d_nn_$c"))) ++
+        minMaxCols.flatMap(c => Seq(
+          // insert-only groups fold the delta in (least/greatest skip
+          // nulls); delete-touched groups take the recomputed post-state
+          s"min_$c" -> when(s("had_delete"), s(s"r_min_$c"))
+            .otherwise(least(t(s"min_$c"), s(s"d_min_$c"))),
+          s"max_$c" -> when(s("had_delete"), s(s"r_max_$c"))
+            .otherwise(greatest(t(s"max_$c"), s(s"d_max_$c")))))
     val inserts: Map[String, Column] =
       keys.map(k => k -> s(k)).toMap ++
         Map("cnt" -> s("d_cnt")) ++
         sumCols.map(c => s"sum_$c" -> when(s(s"d_nn_$c") === 0, lit(null))
           .otherwise(s(s"d_sum_$c")).cast("decimal(28,6)")) ++
-        sumCols.map(c => s"nn_$c" -> s(s"d_nn_$c"))
+        sumCols.map(c => s"nn_$c" -> s(s"d_nn_$c")) ++
+        // a not-matched group is all-insert (net CDC: a delete row implies
+        // the group pre-existed), so the delta extrema ARE the extrema
+        minMaxCols.flatMap(c => Seq(
+          s"min_$c" -> s(s"d_min_$c"), s"max_$c" -> s(s"d_max_$c")))
     mat.merge(deltas, cond)
       // a group whose count hits zero left the source entirely
       .whenMatchedDelete(Some(t("cnt") + s("d_cnt") === 0))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -32,11 +32,12 @@ import graft.table.GraftTable
   *    `sum(cnt)`, `count(c)` → `sum(nn_c)` (the per-column non-null
   *    count), `sum(c)` → `sum(sum_c)` for integral `c` (any long is exact
   *    in the stored decimal(28,6)) and for decimal `c` with scale ≤ 6 and
-  *    ≤ 22 integer digits. Float/double sums, MIN/MAX (not maintainable
-  *    under deletes), DISTINCT, and FILTER clauses fall through to the
-  *    scan. AVG is deliberately out: Spark computes it in the input's
-  *    float geometry, which a decimal re-division can't reproduce
-  *    bit-exactly.
+  *    ≤ 22 integer digits; `min(c)`/`max(c)` → `min(min_c)`/`max(max_c)`
+  *    for columns the MV maintains extrema on (stored in the source
+  *    column's own type — exact for any orderable type). Float/double
+  *    sums, DISTINCT, and FILTER clauses fall through to the scan. AVG is
+  *    deliberately out: Spark computes it in the input's float geometry,
+  *    which a decimal re-division can't reproduce bit-exactly.
   *
   * Grouping by a SUBSET of the MV keys (or any deterministic expression of
   * them) re-aggregates the MV — a rollup over |groups| rows, never the
@@ -64,8 +65,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     sourceOf(agg.child).flatMap { case Walk(g, filterOpt, subst) =>
-      freshCandidates(g).flatMap { case (mv, keys, sums) =>
-        build(agg, filterOpt, subst, mv, keys, sums)
+      freshCandidates(g).flatMap { case (mv, keys, sums, minMaxes) =>
+        build(agg, filterOpt, subst, mv, keys, sums, minMaxes)
       }.nextOption()
     }
 
@@ -114,16 +115,18 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Registered materializations of this table stamped at EXACTLY the
     * version this relation reads. Lazy: candidates are only loaded (one
     * snapshot-log head read) until the first one that can serve the query. */
-  private def freshCandidates(g: GraftDsv2Table): Iterator[(GraftTable, Seq[String], Seq[String])] = {
+  private def freshCandidates(
+      g: GraftDsv2Table): Iterator[(GraftTable, Seq[String], Seq[String], Seq[String])] = {
     val srcVersion = g.snapshotForRead.version
     IncrementalAgg.rewriteCandidates(g.t.path).iterator.flatMap { p =>
       scala.util.Try {
         val mv = GraftTable.load(spark, p)
         val props = mv.log.current.properties
+        def cols(prop: String): Seq[String] =
+          props.getOrElse(prop, "").split(",").toSeq.filter(_.nonEmpty)
         if (props.get(IncrementalAgg.SourceVersionProp).exists(_.toLong == srcVersion))
-          Some((mv,
-            props.getOrElse(IncrementalAgg.KeysProp, "").split(",").toSeq.filter(_.nonEmpty),
-            props.getOrElse(IncrementalAgg.SumsProp, "").split(",").toSeq.filter(_.nonEmpty)))
+          Some((mv, cols(IncrementalAgg.KeysProp), cols(IncrementalAgg.SumsProp),
+            cols(IncrementalAgg.MinMaxProp)))
         else None
       }.toOption.flatten
     }
@@ -131,9 +134,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def build(agg: Aggregate, filterOpt: Option[Expression],
       subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
-      mv: GraftTable, keys: Seq[String], sums: Seq[String]): Option[LogicalPlan] = {
+      mv: GraftTable, keys: Seq[String], sums: Seq[String],
+      minMaxes: Seq[String]): Option[LogicalPlan] = {
     val keySet = keys.map(_.toLowerCase).toSet
     val sumSet = sums.map(_.toLowerCase).toSet
+    val minMaxSet = minMaxes.map(_.toLowerCase).toSet
 
     def keysOnly(e: Expression): Boolean =
       e.deterministic && e.references.forall(a => keySet(a.name.toLowerCase))
@@ -147,7 +152,9 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // the maintained state must actually be there (older MV, renamed cols)
     if (!mvAttr.contains("cnt") || !keys.forall(k => mvAttr.contains(k.toLowerCase)) ||
         !sums.forall(c => mvAttr.contains("sum_" + c.toLowerCase) &&
-          mvAttr.contains("nn_" + c.toLowerCase))) return None
+          mvAttr.contains("nn_" + c.toLowerCase)) ||
+        !minMaxes.forall(c => mvAttr.contains("min_" + c.toLowerCase) &&
+          mvAttr.contains("max_" + c.toLowerCase))) return None
 
     /** Source key references -> the MV's same-named columns. */
     def remap(e: Expression): Expression = e.transform {
@@ -162,6 +169,12 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(a: AttributeReference)) if sumSet(a.name.toLowerCase) =>
         Some(Coalesce(Seq(
           Sum(mvAttr("nn_" + a.name.toLowerCase)).toAggregateExpression(), Literal(0L))))
+      case Min(a: AttributeReference) if minMaxSet(a.name.toLowerCase) =>
+        // min of per-group mins IS the rollup min; stored in the source
+        // column's own type, so exactness is structural
+        Some(Min(mvAttr("min_" + a.name.toLowerCase)).toAggregateExpression())
+      case Max(a: AttributeReference) if minMaxSet(a.name.toLowerCase) =>
+        Some(Max(mvAttr("max_" + a.name.toLowerCase)).toAggregateExpression())
       case Sum(a: AttributeReference, _) if sumSet(a.name.toLowerCase) =>
         val stored = mvAttr("sum_" + a.name.toLowerCase)
         a.dataType match {

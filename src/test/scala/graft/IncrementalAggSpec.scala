@@ -117,4 +117,56 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mat.read.count() == 5)
     assertEquivalent(mat, src)
   }
+
+  private def assertMinMaxEquivalent(mat: GraftTable, source: GraftTable): Unit = {
+    val expect = IncrementalAgg.aggregate(source.read, Seq("grp"), Nil, Seq("amount"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val got = mat.read.select($"grp", $"cnt", $"min_amount", $"max_amount")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == expect)
+  }
+
+  test("min/max maintenance: insert-only folds, a deleted extremum forces the group recompute") {
+    val src = GraftTable.create(spark, tmp("ia-mm-src"), rows(0 until 100, "a"))
+    val matPath = tmp("ia-mm-mat")
+    val mat0 = IncrementalAgg.materialize(spark, src, matPath,
+      Seq("grp"), Nil, Seq("amount"))
+    assertMinMaxEquivalent(mat0, src)
+    // pure inserts: extrema fold in without touching the source
+    src.append(rows(100 until 140, "b"))
+    assertMinMaxEquivalent(IncrementalAgg.refresh(spark, src, matPath), src)
+    // delete the current MAX rows of every group (amount = (id%17)+0.25,
+    // max at id%17 == 16) — self-maintenance would keep the stale extremum,
+    // only the per-group recompute can lower a max
+    src.delete($"id" % 17 === 16)
+    assertMinMaxEquivalent(IncrementalAgg.refresh(spark, src, matPath), src)
+    // mixed batch: inserts AND a delete touching the same groups
+    src.append(rows(140 until 150, "c"))
+    src.delete($"id" % 17 === 0)
+    assertMinMaxEquivalent(IncrementalAgg.refresh(spark, src, matPath), src)
+  }
+
+  test("min/max NULL discipline: all-null groups and deleting the last non-null value") {
+    def df(rows: Seq[(Long, String, Option[Double])]) =
+      rows.toDF("id", "grp", "amount")
+    val src = GraftTable.create(spark, tmp("ia-mm-null"),
+      df(Seq((1L, "g1", Some(5.0)), (2L, "g1", None), (3L, "g2", None))))
+    val matPath = tmp("ia-mm-null-mat")
+    val mat0 = IncrementalAgg.materialize(spark, src, matPath,
+      Seq("grp"), Nil, Seq("amount"))
+    assertMinMaxEquivalent(mat0, src)
+    assert(mat0.read.filter($"grp" === "g2").select($"min_amount")
+      .collect().head.isNullAt(0), "all-null group must materialize NULL min")
+    // null-only delta must not clobber g1's extrema
+    src.append(df(Seq((4L, "g1", None))))
+    assertMinMaxEquivalent(IncrementalAgg.refresh(spark, src, matPath), src)
+    // deleting the last non-null value flips min/max back to NULL
+    src.delete($"id" === 1L)
+    val mat = IncrementalAgg.refresh(spark, src, matPath)
+    assertMinMaxEquivalent(mat, src)
+    assert(mat.read.filter($"grp" === "g1").select($"max_amount")
+      .collect().head.isNullAt(0))
+  }
 }

@@ -58,7 +58,7 @@ class MvRewriteSpec extends SparkSpec {
         |SELECT 'g9', 's0', NULL, NULL, 0.0 FROM range(5)""".stripMargin)
     spark.sql(
       "CALL graft.system.materialize_agg('db.mvr_src', 'db.mvr_mat', " +
-        "'grp,sub', 'amount,damount')")
+        "'grp,sub', 'amount,damount', 'amount')")
   }
 
   test("count/sum/count(col) over the exact keys read the MV, bit-for-bit") {
@@ -101,10 +101,20 @@ class MvRewriteSpec extends SparkSpec {
       "SELECT grp, count(*) FROM graft.db.mvr_src WHERE amount > 5 GROUP BY grp")
   }
 
-  test("not rewritable: double sums, AVG, MIN/MAX, DISTINCT") {
+  test("maintained min/max rewrite — including the rollup — with exact NULL semantics") {
+    assertRewritten(
+      """SELECT grp, sub, min(amount) AS lo, max(amount) AS hi
+        |FROM graft.db.mvr_src GROUP BY grp, sub""".stripMargin)
+    assertRewritten(
+      "SELECT grp, min(amount) AS lo, max(amount) AS hi, count(*) AS c " +
+        "FROM graft.db.mvr_src GROUP BY grp")
+  }
+
+  test("not rewritable: double sums, AVG, unmaintained MIN/MAX, DISTINCT") {
     assertNotRewritten("SELECT grp, sum(x) FROM graft.db.mvr_src GROUP BY grp")
     assertNotRewritten("SELECT grp, avg(amount) FROM graft.db.mvr_src GROUP BY grp")
-    assertNotRewritten("SELECT grp, max(amount) FROM graft.db.mvr_src GROUP BY grp")
+    // damount sums are maintained but its extrema are not
+    assertNotRewritten("SELECT grp, max(damount) FROM graft.db.mvr_src GROUP BY grp")
     assertNotRewritten(
       "SELECT grp, count(DISTINCT sub) FROM graft.db.mvr_src GROUP BY grp")
     // grouping by a non-key column
