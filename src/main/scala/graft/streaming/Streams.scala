@@ -256,4 +256,20 @@ object Streams {
     if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
     table.append(batch, Map("stream.last-batch-id" -> batchId.toString))
   }
+
+  /** [[graftSink]] plus CONTINUOUS materialized-aggregate maintenance: after
+    * each exactly-once append, catch the registered materialization up to
+    * the new head from the CDC changelog ([[graft.operators.IncrementalAgg]]).
+    * The MV's version stamp then always matches HEAD between micro-batches,
+    * so [[graft.plans.GraftMvRewrite]] keeps serving dashboard aggregates
+    * from the |groups|-row table while the stream ingests underneath —
+    * the streaming-MV loop the reference's Databricks side sells as DLT.
+    * Refresh cost per batch is O(batch rows + touched groups); a crash
+    * between append and refresh just means the next refresh covers two
+    * batches (the stamp, not the batch id, drives the catch-up). */
+  def graftSinkWithAgg(table: graft.table.GraftTable, matPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graftSink(table)(batch, batchId)
+    graft.operators.IncrementalAgg.refresh(batch.sparkSession, table, matPath)
+  }
 }

@@ -133,6 +133,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous MV maintenance: the materialization tracks HEAD across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), p).toString
+    val table = graft.table.GraftTable.createEmpty(spark, tmp("stream-mv-src-"),
+      Seq.empty[Event].toDS().toDF().schema)
+    val matPath = tmp("stream-mv-mat-") + "/mat"
+    graft.operators.IncrementalAgg.materialize(spark, table, matPath,
+      Seq("event_type"), Seq("user_id"), Seq("event_id"))
+    def assertFresh(): Unit = {
+      val mat = graft.table.GraftTable.load(spark, matPath)
+      assert(mat.log.current.properties(
+        graft.operators.IncrementalAgg.SourceVersionProp).toLong
+        == table.log.currentVersion, "MV stamp must track the source HEAD")
+      val expect = graft.operators.IncrementalAgg
+        .aggregate(table.read, Seq("event_type"), Seq("user_id"), Seq("event_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = mat.read
+        .select($"event_type", $"cnt", $"sum_user_id", $"min_event_id", $"max_event_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect, "continuously maintained MV diverged from recompute")
+    }
+    val ms = MemoryStream[Event]
+    val q = ms.toDF().writeStream
+      .foreachBatch(graft.streaming.Streams.graftSinkWithAgg(table, matPath) _)
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 0, 1, "a"), ev(2, 1, 2, "b"))
+      q.processAllAvailable()
+      assertFresh()
+      ms.addData(ev(3, 2, 3, "a"), ev(4, 3, 4, "c"))
+      q.processAllAvailable()
+      assertFresh()
+      // a DELETE between micro-batches (a GDPR pass under the stream) is
+      // caught up by the next batch's refresh — the stamp drives catch-up
+      table.delete($"event_id" === 1L)
+      ms.addData(ev(5, 4, 5, "b"))
+      q.processAllAvailable()
+      assertFresh()
+    } finally q.stop()
+  }
+
   test("stream-stream inner join attributes clicks to impressions in-window") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[Event]
