@@ -158,6 +158,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.KllQuantile(args(0), p)
       }))
+    // exact bitmap distinct family (the theta family's zero-error twin for
+    // integral keys — see graft.functions.BitmapDistinct)
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, "bitmap_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bitmap_agg(integralCol)")
+        graft.functions.BitmapAgg(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapUnionAgg].getName, "bitmap_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bitmap_union_agg(blobCol)")
+        graft.functions.BitmapUnionAgg(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCount].getName, "bitmap_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bitmap_count(blob)")
+        graft.functions.BitmapCount(args.head)
+      }))
+    Seq("or", "and", "andnot").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"bitmap_$op"),
+        new ExpressionInfo(classOf[graft.functions.BitmapSetOp].getName, s"bitmap_$op"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"bitmap_$op(blobA, blobB)")
+          graft.functions.BitmapSetOp(args(0), args(1), op)
+        }))
+    }
     ext.injectFunction((
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),

@@ -299,6 +299,43 @@ object Aggregates {
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** EXACT bitmap distinct counts + overlap algebra
+    * ([[graft.functions.BitmapDistinct]]): per event type, the distinct
+    * user count and how many of those users ALSO clicked — both answered
+    * from per-group Roaring bitmap blobs (one compressed blob per type,
+    * map-side combined) with the overlap as `bitmap_count(bitmap_and)`
+    * against the broadcast one-row click blob. At 100 TB the blobs are the
+    * reusable summary layer: any rollup or audience-overlap question is
+    * blob algebra, never a re-scan and never a sketch estimate. The oracle
+    * recomputes both numbers relationally (count distinct + a distinct
+    * semi-join), so the blob path is hash-verified EXACT. */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BitmapDistinct
+    val bm = events(spark, dir)
+      .groupBy($"event_type")
+      .agg(BitmapDistinct($"user_id").as("bm"))
+    val click = bm.filter($"event_type" === "click")
+      .select($"bm".as("click_bm"))
+    bm.crossJoin(broadcast(click))
+      .select($"event_type",
+        BitmapDistinct.count($"bm").as("n_users"),
+        BitmapDistinct.count(BitmapDistinct.setOp($"bm", $"click_bm", "and"))
+          .as("n_also_click"))
+      .orderBy($"event_type")
+  }
+
+  val q133Sql: String =
+    """SELECT e.event_type,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN c.user_id IS NOT NULL THEN e.user_id END) AS n_also_click
+      |FROM events e
+      |LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** PIVOT: rows→columns over the (known, bounded) `l_linestatus` domain —
     * Catalyst's `PivotFirst` path. Values are listed explicitly (`Seq("F",
@@ -423,6 +460,7 @@ object Aggregates {
     "q21_agg_approx_distinct" -> q21,
     "q104_kll_percentiles"    -> q104,
     "q112_histogram"          -> q112,
+    "q133_bitmap_distinct"    -> q133,
     "q55_agg_pivot"          -> q55,
     "q79_agg_bitwise_bool"   -> q79)
 
@@ -438,5 +476,6 @@ object Aggregates {
     "q20_agg_stats"         -> q20Sql,
     "q55_agg_pivot"         -> q55Sql,
     "q112_histogram"        -> q112Sql,
+    "q133_bitmap_distinct"  -> q133Sql,
     "q79_agg_bitwise_bool"  -> q79Sql)
 }
