@@ -794,6 +794,117 @@ object Multimodal {
     } catch { case NonFatal(_) => None }
   }
 
+  /** ANIMATED-WEBP frame extraction (public WebP container spec): VP8X
+    * with the animation flag, ANIM (background color + loop count), then
+    * one ANMF per frame — 16-byte header (x/2, y/2, w-1, h-1 as 24-bit LE,
+    * duration, flags) wrapping the frame's own image chunk. Frames whose
+    * payload is VP8L decode through the engine's own [[Vp8l]] bitstream
+    * decoder and COMPOSITE per the spec state machine: alpha-blend or
+    * overwrite onto the canvas (flags bit 1), snapshot, then optionally
+    * dispose the frame rect to the ANIM background color (flags bit 0).
+    * Each snapshot re-encodes as a standalone PNG — the [[gifFrames]]
+    * shape. A lossy (VP8) sub-frame aborts to None: pixels would need the
+    * DCT codec this engine doesn't claim. */
+  private[graft] def webpAnimFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le24(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | ((bytes(o + 2) & 0xff) << 16)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes.length < 30 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
+      if (fourcc(12) != "VP8X") return None
+      if ((bytes(20) & 0x02) == 0) return None // no animation flag
+      val cw = le24(24) + 1; val ch = le24(27) + 1
+      if (cw.toLong * ch > (1 << 26)) return None // hostile-canvas cap (Vp8l.MaxPixels)
+      val canvas = new Array[Int](cw * ch)
+      var bg = 0 // ANIM background color (ARGB); canvas starts transparent
+      val out = Vector.newBuilder[Array[Byte]]
+      var p = 20 + le32(16) + (le32(16) & 1)
+      var sawFrame = false
+      while (p + 8 <= bytes.length) {
+        val id = fourcc(p); val sz = le32(p + 4); val body = p + 8
+        if (sz < 0 || sz > bytes.length - body) return None
+        id match {
+          case "ANIM" if sz >= 6 =>
+            // spec byte order: Blue, Green, Red, Alpha
+            bg = ((bytes(body + 3) & 0xff) << 24) | ((bytes(body + 2) & 0xff) << 16) |
+              ((bytes(body + 1) & 0xff) << 8) | (bytes(body) & 0xff)
+          case "ANMF" if sz >= 16 =>
+            val fx = le24(body) * 2; val fy = le24(body + 3) * 2
+            val fw = le24(body + 6) + 1; val fh = le24(body + 9) + 1
+            val flags = bytes(body + 15) & 0xff
+            val noBlend = (flags & 0x02) != 0
+            val disposeToBg = (flags & 0x01) != 0
+            // the frame's image chunk(s) start after the 16-byte header
+            var q = body + 16
+            var frame: Option[Vp8l.Image] = None
+            while (frame.isEmpty && q + 8 <= body + sz) {
+              val fid = fourcc(q); val fsz = le32(q + 4)
+              if (fsz < 0 || fsz > body + sz - (q + 8)) return None
+              fid match {
+                case "VP8L" => frame = Vp8l.decodePayload(bytes, q + 8, q + 8 + fsz)
+                  if (frame.isEmpty) return None // malformed lossless payload
+                case "VP8 " => return None // lossy sub-frame: no DCT codec
+                case _ => () // ALPH etc.: skip
+              }
+              q += 8 + fsz + (fsz & 1)
+            }
+            val im = frame.getOrElse(return None)
+            if (im.width != fw || im.height != fh ||
+                fx + fw > cw || fy + fh > ch) return None
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val s = im.argb(y * fw + x)
+                val di = (fy + y) * cw + (fx + x)
+                canvas(di) =
+                  if (noBlend) s
+                  else { // spec "over" in straight alpha
+                    val sa = (s >>> 24) & 0xff
+                    if (sa == 255) s
+                    else if (sa == 0) canvas(di)
+                    else {
+                      val d = canvas(di); val da = (d >>> 24) & 0xff
+                      val oa = sa + da * (255 - sa) / 255
+                      def mix(sh: Int): Int = {
+                        val sc = (s >> sh) & 0xff; val dc = (d >> sh) & 0xff
+                        if (oa == 0) 0
+                        else (sc * sa + dc * da * (255 - sa) / 255) / oa
+                      }
+                      (oa << 24) | (mix(16) << 16) | (mix(8) << 8) | mix(0)
+                    }
+                  }
+                x += 1
+              }
+              y += 1
+            }
+            sawFrame = true
+            val bi = new java.awt.image.BufferedImage(
+              cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            bi.setRGB(0, 0, cw, ch, canvas, 0, cw)
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(bi, "png", bos)
+            out += bos.toByteArray
+            if (disposeToBg) {
+              var yy = 0
+              while (yy < fh) {
+                java.util.Arrays.fill(canvas, (fy + yy) * cw + fx,
+                  (fy + yy) * cw + fx + fw, bg)
+                yy += 1
+              }
+            }
+          case _ => () // ICCP/EXIF/XMP: skip
+        }
+        p = body + sz + (sz & 1)
+      }
+      val fs = out.result()
+      if (sawFrame && fs.nonEmpty) Some(fs) else None
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Animated-GIF encoder for test fixtures: ImageIO's GIF sequence writer
     * with a per-frame GraphicControlExtension (disposal "none" → every
     * frame complete, matching [[gifFrames]]'s read contract). */
@@ -829,8 +940,11 @@ object Multimodal {
     * spaced frames are emitted, each a decodable JPEG — for JPEG-coded mp4
     * tracks ([[mp4JpegFrames]]: sample-table walk + per-sample JPEG), for
     * ANIMATED GIFs ([[gifFrames]]: every frame decoded via the JDK GIF
-    * reader, re-encoded PNG), and for Motion-JPEG Matroska/webm tracks
-    * ([[Webm.jpegFrames]]: EBML walk + per-block JPEG). Payloads in a
+    * reader, re-encoded PNG), for Motion-JPEG Matroska/webm tracks
+    * ([[Webm.jpegFrames]]: EBML walk + per-block JPEG), and for ANIMATED
+    * LOSSLESS WEBP ([[webpAnimFrames]]: ANMF walk, per-frame VP8L decode
+    * through the engine's own bitstream decoder, spec blend/dispose
+    * compositing, re-encoded PNG). Payloads in a
     * format with no JDK codec (avc1/vp9/vp8 coded tracks, …) fall back to
     * deterministic byte slices (FALLBACK — keeps the explode shape
     * testable; a native codec would replace only that branch). */
@@ -838,7 +952,8 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       mjpegFrames(a.media).orElse(mp4JpegFrames(a.media))
-        .orElse(gifFrames(a.media)).orElse(Webm.jpegFrames(a.media)) match {
+        .orElse(gifFrames(a.media)).orElse(Webm.jpegFrames(a.media))
+        .orElse(webpAnimFrames(a.media)) match {
         case Some(fs) =>
           (0 until nFrames).iterator.map { i =>
             val idx =

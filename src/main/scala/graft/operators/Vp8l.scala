@@ -51,10 +51,17 @@ object Vp8l {
       if (id == "VP8L") payload = Some((off + 8, sz))
       else off += 8 + sz + (sz & 1) // chunks are 2-byte aligned
     }
-    payload.flatMap { case (start, sz) =>
-      if (start + sz > bytes.length || sz < 5 || (bytes(start) & 0xff) != 0x2f) None
+    payload.flatMap { case (start, sz) => decodePayload(bytes, start, start + sz) }
+  }
+
+  /** Decode a bare VP8L bitstream (`bytes[start, end)` — a `VP8L` chunk
+    * BODY, signature byte included): the standalone-file path above and
+    * the animated-WebP ANMF sub-frame path both land here. */
+  def decodePayload(bytes: Array[Byte], start: Int, end: Int): Option[Image] =
+    try {
+      if (end > bytes.length || end - start < 5 || (bytes(start) & 0xff) != 0x2f) None
       else {
-        val br = new BitReader(bytes, start + 1, start + sz)
+        val br = new BitReader(bytes, start + 1, end)
         val w = br.read(14) + 1
         val h = br.read(14) + 1
         br.read(1) // alpha hint (informational)
@@ -62,8 +69,7 @@ object Vp8l {
         else if (w.toLong * h > MaxPixels) None // see MaxPixels
         else Some(new Decoder(br).decodeMain(w, h))
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------ bit reader
 

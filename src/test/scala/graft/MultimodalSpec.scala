@@ -436,4 +436,104 @@ class MultimodalSpec extends SparkSpec {
     assert(near(reds(0), 0), s"first sample red=${reds(0)}")
     assert(near(reds(2), 7), s"last sample red=${reds(2)}")
   }
+
+  /** Animated-WebP container from VP8L frame payloads (each spliced out of
+    * the Vp8lTestCodec's standalone container — write-side counterpart of
+    * Multimodal.webpAnimFrames). Frame tuple: (argb, w, h, x, y, noBlend,
+    * disposeToBg); x/y must be even (the format stores them halved). */
+  private def animWebp(canvasW: Int, canvasH: Int,
+      frames: Seq[(Array[Int], Int, Int, Int, Int, Boolean, Boolean)],
+      bg: Int = 0): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    val ascii = "US-ASCII"
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes(ascii) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+      le24(canvasW - 1) ++ le24(canvasH - 1))
+    // ANIM background color rides in Blue, Green, Red, Alpha byte order
+    val anim = chunk("ANIM", Array[Byte]((bg & 0xff).toByte, ((bg >> 8) & 0xff).toByte,
+      ((bg >> 16) & 0xff).toByte, ((bg >>> 24) & 0xff).toByte, 0, 0))
+    val anmfs = frames.toArray.flatMap { case (argb, w, h, x, y, noBlend, dispose) =>
+      require(x % 2 == 0 && y % 2 == 0, "ANMF offsets are stored halved")
+      val inner = Vp8lTestCodec.encode(argb, w, h).drop(12) // the VP8L chunk
+      val flags = ((if (noBlend) 2 else 0) | (if (dispose) 1 else 0)).toByte
+      chunk("ANMF", le24(x / 2) ++ le24(y / 2) ++ le24(w - 1) ++ le24(h - 1) ++
+        le24(40) ++ Array[Byte](flags) ++ inner)
+    }
+    val body = "WEBP".getBytes(ascii) ++ vp8x ++ anim ++ anmfs
+    "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
+  }
+
+  test("animated lossless WebP: ANMF frames decode via Vp8l and sample through frameSample") {
+    import javax.imageio.ImageIO
+    // 4 full-canvas frames, index planted in the green channel; no-blend
+    // (overwrite) so each snapshot IS its frame — palette-exact like GIF
+    val (w, h) = (12, 10)
+    val fs = (0 until 4).map { i =>
+      (Array.fill(w * h)(0xff000000 | (i * 40) << 8 | 30), w, h, 0, 0, true, false)
+    }
+    val webp = animWebp(w, h, fs)
+    val frames = Multimodal.webpAnimFrames(webp)
+    assert(frames.exists(_.length == 4), s"expected 4 frames, got ${frames.map(_.length)}")
+    frames.get.zipWithIndex.foreach { case (png, i) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRGB(5, 5) == (0xff000000 | (i * 40) << 8 | 30), s"frame $i pixel")
+    }
+    // the frameSample operator routes animated-webp payloads through it
+    val ds = spark.createDataset(Seq(Multimodal.Asset(11L, webp, "webp", w, h)))
+    val sampled = Multimodal.frameSample(ds, nFrames = 2).collect().sortBy(_.frame_idx)
+    val greens = sampled.map { f =>
+      (ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes)).getRGB(5, 5) >> 8) & 0xff
+    }
+    assert(greens.toSeq == Seq(0, 120), greens.toSeq.toString)
+    // a lossy (VP8) sub-frame or a truncated container degrades, never throws
+    assert(Multimodal.webpAnimFrames(webp.take(40)).isEmpty)
+    assert(Multimodal.webpAnimFrames(
+      Multimodal.encodeMinimalWebp(64, 64, "lossy")).isEmpty)
+  }
+
+  test("animated WebP compositing: sub-rect placement, alpha blend, dispose-to-background") {
+    import javax.imageio.ImageIO
+    val (cw, ch) = (16, 12)
+    val base = Array.fill(cw * ch)(0xffff0000) // opaque red canvas frame
+    // frame 2: 6x4 sub-rect at (4,2), half-transparent green, ALPHA BLENDED,
+    // then disposed to the background color
+    val overlay = Array.fill(6 * 4)(0x8000ff00)
+    // frame 3: full-canvas opaque blue, blended (opaque -> overwrite)
+    val last = Array.fill(cw * ch)(0xff0000ff)
+    val bg = 0xff123456
+    val webp = animWebp(cw, ch, Seq(
+      (base, cw, ch, 0, 0, true, false),
+      (overlay, 6, 4, 4, 2, false, true),
+      (last, cw, ch, 0, 0, false, false)), bg)
+    val frames = Multimodal.webpAnimFrames(webp).get
+    assert(frames.length == 3)
+    val f2 = ImageIO.read(new java.io.ByteArrayInputStream(frames(1)))
+    // outside the overlay rect: untouched red
+    assert(f2.getRGB(0, 0) == 0xffff0000)
+    // inside: spec "over" with sa=128 on an opaque dest -> oa=255,
+    // c = (sc*128 + dc*255*127/255) / 255 per channel
+    val expR = (0 * 128 + 255 * 127) / 255
+    val expG = (255 * 128 + 0 * 127) / 255
+    assert(f2.getRGB(5, 3) == (0xff000000 | (expR << 16) | (expG << 8)),
+      f"got ${f2.getRGB(5, 3)}%08x")
+    // frame 3 snapshot: dispose painted the overlay rect to bg, then the
+    // opaque blend overwrote everything -> uniform blue
+    val f3 = ImageIO.read(new java.io.ByteArrayInputStream(frames(2)))
+    assert(f3.getRGB(5, 3) == 0xff0000ff && f3.getRGB(0, 0) == 0xff0000ff)
+    // dispose-to-background is visible if a LATER frame leaves the rect
+    // exposed: re-run with frame 3 as a far-corner 2x2 patch instead
+    val tiny = Array.fill(2 * 2)(0xff0000ff)
+    val webp2 = animWebp(cw, ch, Seq(
+      (base, cw, ch, 0, 0, true, false),
+      (overlay, 6, 4, 4, 2, false, true),
+      (tiny, 2, 2, 14, 10, true, false)), bg)
+    val g3 = ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.webpAnimFrames(webp2).get(2)))
+    assert(g3.getRGB(5, 3) == bg, f"disposed rect should show bg, got ${g3.getRGB(5, 3)}%08x")
+    assert(g3.getRGB(0, 0) == 0xffff0000 && g3.getRGB(15, 11) == 0xff0000ff)
+  }
 }
