@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Aggregates, Curation, Dedup, Functions, Pipeline, Relational, Sampling, SetSort, Similarity, Temporal, TextAnalysis, Windows}
+import graft.queries.{Advanced, Aggregates, Curation, Dedup, Functions, Pipeline, Relational, Sampling, SetSort, Similarity, Temporal, TextAnalysis, TpchStyle, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracleSql),
       (Advanced.queries, Advanced.oracleSql),
       (Pipeline.queries, Pipeline.oracleSql),
-      (Curation.queries, Curation.oracleSql))
+      (Curation.queries, Curation.oracleSql),
+      (TpchStyle.queries, TpchStyle.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** TPC-H-STYLE analytical suite (q134–q143): the classic multi-join
+  * decision-support shapes — shipping priority, local-supplier volume,
+  * market share, returned items, order-size distribution, promo share,
+  * small-quantity filtering, large-volume customers — adapted to the
+  * fixture star schema (no `partsupp`, no comment/date-pair columns; the
+  * query SHAPES are faithful, the predicates use the fixture domains).
+  * This is the "a reference user could run their reporting queries"
+  * claim made concrete: every query is a DuckDB-oracled hash-exact row.
+  *
+  * Plan discipline carried over from q01–q12: every revenue term folds to
+  * DECIMAL before summing (order-independent exact integers — see
+  * `discPrice`), dimension joins broadcast, selective filters sit in scans
+  * as pushed predicates, and every LIMIT rides a full ORDER BY with a key
+  * tiebreaker so top-k is deterministic (TakeOrderedAndProject, no global
+  * sort). */
+object TpchStyle {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def msum(c: Column): Column = sum(dec2(c)).cast("double")
+  private def discPrice(price: Column, disc: Column): Column =
+    price.cast(DecimalType(12, 2)) * (lit(1.0) - disc).cast(DecimalType(4, 2))
+  private def revenue(): Column =
+    sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double")
+
+  private val discSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
+
+  // ------------------------------------------------------------- q134 (Q3)
+  /** Shipping priority: top unshipped orders by revenue for one market
+    * segment. lineitem⋈orders⋈customer with both date filters pushed to
+    * the scans; broadcast customer side; top-10 by (revenue, orderkey). */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(revenue().as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q134Sql: String =
+    s"""SELECT l.l_orderkey, o.o_orderdate, CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+       |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY l.l_orderkey, o.o_orderdate
+       |ORDER BY revenue DESC, l.l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------- q135 (Q5)
+  /** Local supplier volume: revenue per nation where the customer and the
+    * supplier share the nation, one region, one year. The classic 6-table
+    * snowflake — nation/region broadcast, the c↔s nation equality rides
+    * the join condition. */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = region(spark, dir).filter($"r_name" === "ASIA")
+    val n = nation(spark, dir)
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val o = orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val c = customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val s = supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    lineitem(spark, dir)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(s),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(revenue().as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q135Sql: String =
+    s"""SELECT n.n_name, CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n.n_name
+       |ORDER BY revenue DESC, n.n_name""".stripMargin
+
+  // ------------------------------------------------------------- q136 (Q6)
+  /** Forecast-revenue change: a pure scan-side aggregate — every predicate
+    * pushes into the parquet scan, the whole plan is one codegen'd pass. */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
+      .agg(sum($"l_extendedprice".cast(DecimalType(12, 2)) *
+        $"l_discount".cast(DecimalType(4, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q136Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------- q137 (Q7)
+  /** Volume shipping between two nations, both directions, by ship year:
+    * supplier-nation and customer-nation both resolve through broadcast
+    * dims; the pair filter keeps only the two (supp, cust) combinations. */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = nation(spark, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = nation(spark, dir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(revenue().as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q137Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  year(l.l_shipdate) AS l_year, CAST(SUM($discSql) AS DOUBLE) AS volume
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------- q138 (Q8)
+  /** National market share: one nation's fraction of regional revenue for
+    * one part type, by order year. The share is a division of two decimal-
+    * exact sums in the identical expression shape on both engines. */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = region(spark, dir).filter($"r_name" === "AMERICA")
+    val custNations = nation(spark, dir)
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("cnk"))
+    val suppNations = nation(spark, dir)
+      .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+    val p = part(spark, dir).filter($"p_type" === "ECONOMY").select($"p_partkey")
+    lineitem(spark, dir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(custNations), $"c_nationkey" === $"cnk")
+      .join(broadcast(supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNations), $"s_nationkey" === $"snk")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_3",
+          discPrice($"l_extendedprice", $"l_discount"))).cast("double") /
+        sum(discPrice($"l_extendedprice", $"l_discount")).cast("double"))
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q138Sql: String =
+    s"""SELECT year(o.o_orderdate) AS o_year,
+       |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN $discSql END) AS DOUBLE)
+       |    / CAST(SUM($discSql) AS DOUBLE) AS mkt_share
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |JOIN region r ON cn.n_regionkey = r.r_regionkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1
+       |ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------ q139 (Q10)
+  /** Returned-item reporting: revenue lost to returns per customer for one
+    * quarter; top-20 by revenue with a key tiebreaker. */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).filter($"l_returnflag" === "R")
+      .join(orders(spark, dir)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-04-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(revenue().as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q139Sql: String =
+    s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       |  CAST(SUM($discSql) AS DOUBLE) AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------ q140 (Q13)
+  /** Customer order-count distribution: LEFT join (customers with zero
+    * orders kept), per-customer count, then a histogram of the counts —
+    * the two-level aggregate. */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir).filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    val perCust = customer(spark, dir)
+      .join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q140Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------------------ q141 (Q14)
+  /** Promotion-revenue share: 100 × promo revenue / total revenue for one
+    * month — conditional aggregation over one broadcast-joined scan. */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * sum(when($"p_type" === "PROMO",
+          discPrice($"l_extendedprice", $"l_discount"))).cast("double") /
+        sum(discPrice($"l_extendedprice", $"l_discount")).cast("double"))
+        .as("promo_revenue"))
+  }
+
+  val q141Sql: String =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN $discSql END) AS DOUBLE)
+       |  / CAST(SUM($discSql) AS DOUBLE) AS promo_revenue
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  // ------------------------------------------------------------ q142 (Q17)
+  /** Small-quantity-order revenue: lineitems under half their part's
+    * average quantity, for one brand. The correlated scalar subquery
+    * decorrelates to a per-part aggregate joined back; the threshold is a
+    * decimal-exact sum divided by a count, so both engines compare against
+    * the identical double. */
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = lineitem(spark, dir)
+    val avgQty = l.groupBy($"l_partkey".as("ap"))
+      .agg((msum($"l_quantity") / count(lit(1))).as("avg_qty"))
+    val p = part(spark, dir).filter($"p_brand" === "Brand#13").select($"p_partkey")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(avgQty, $"l_partkey" === $"ap")
+      .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+      .agg((msum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val q142Sql: String =
+    """WITH avg_qty AS (
+      |  SELECT l_partkey AS ap,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN avg_qty a ON l.l_partkey = a.ap
+      |WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  // ------------------------------------------------------------ q143 (Q18)
+  /** Large-volume customers: orders whose total quantity clears a
+    * threshold, with customer context — HAVING over a fact-sized group-by,
+    * then a bounded top-k. */
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = lineitem(spark, dir)
+      .groupBy($"l_orderkey".as("bk"))
+      .agg(msum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 180.0)
+    orders(spark, dir).join(big, $"o_orderkey" === $"bk")
+      .join(broadcast(customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val q143Sql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+      |FROM (
+      |  SELECT l_orderkey AS bk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0) b
+      |JOIN orders o ON o.o_orderkey = b.bk
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_tpch_q3_shipping_priority"  -> q134,
+    "q135_tpch_q5_local_supplier"     -> q135,
+    "q136_tpch_q6_forecast_revenue"   -> q136,
+    "q137_tpch_q7_volume_shipping"    -> q137,
+    "q138_tpch_q8_market_share"       -> q138,
+    "q139_tpch_q10_returned_items"    -> q139,
+    "q140_tpch_q13_order_distribution" -> q140,
+    "q141_tpch_q14_promo_share"       -> q141,
+    "q142_tpch_q17_small_qty"         -> q142,
+    "q143_tpch_q18_large_volume"      -> q143)
+
+  val oracleSql: Map[String, String] = Map(
+    "q134_tpch_q3_shipping_priority"  -> q134Sql,
+    "q135_tpch_q5_local_supplier"     -> q135Sql,
+    "q136_tpch_q6_forecast_revenue"   -> q136Sql,
+    "q137_tpch_q7_volume_shipping"    -> q137Sql,
+    "q138_tpch_q8_market_share"       -> q138Sql,
+    "q139_tpch_q10_returned_items"    -> q139Sql,
+    "q140_tpch_q13_order_distribution" -> q140Sql,
+    "q141_tpch_q14_promo_share"       -> q141Sql,
+    "q142_tpch_q17_small_qty"         -> q142Sql,
+    "q143_tpch_q18_large_volume"      -> q143Sql)
+}
