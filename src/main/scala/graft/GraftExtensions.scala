@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // early batch, reads late-bound in the resolution batch
     ext.injectHintResolutionRule(session => graft.catalog.GraftViewDdl(session))
     ext.injectResolutionRule(session => graft.catalog.GraftViewRead(session))
+    // row filters + column masks (graft.filter / graft.mask.<col> table
+    // properties): hint batch catches top-level relations while still
+    // unresolved; the resolution-batch copy catches relations spliced in
+    // late by view expansion — a view over a governed table is governed
+    ext.injectHintResolutionRule(session => graft.catalog.GraftGovernance(session))
+    ext.injectResolutionRule(session => graft.catalog.GraftGovernance(session))
     // metadata-only COUNT(*) from snapshot-log row counts — must be
     // injected BEFORE GraftNativeScan so it sees the un-swapped relation
     ext.injectOptimizerRule(session => graft.plans.GraftMetadataAggregate(session))

@@ -398,6 +398,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 s"table schema: ${p.value()}", ex)
           }
         }
+        // governance policies validate at DEFINITION time too: the row
+        // filter must resolve boolean, a mask must name a real column and
+        // keep its exact type (a type-shifting mask would mutate the table
+        // schema per-read)
+        if (p.property() == GraftGovernance.FilterProp ||
+            p.property().startsWith(GraftGovernance.MaskPropPrefix)) {
+          val probe = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), t.schema)
+          val e = try org.apache.spark.sql.functions.expr(p.value()) catch {
+            case ex: Exception => throw new IllegalArgumentException(
+              s"governance policy ${p.property()} does not parse: ${p.value()}", ex)
+          }
+          if (p.property() == GraftGovernance.FilterProp) {
+            try probe.filter(e).queryExecution.analyzed catch {
+              case ex: Exception => throw new IllegalArgumentException(
+                s"row filter does not resolve boolean against the table " +
+                  s"schema: ${p.value()}", ex)
+            }
+          } else {
+            val col = p.property().stripPrefix(GraftGovernance.MaskPropPrefix)
+            val field = t.schema.fields.find(_.name == col).getOrElse(
+              throw new IllegalArgumentException(
+                s"mask targets a column that does not exist: $col"))
+            val dt = try probe.select(e).queryExecution.analyzed.output.head.dataType
+              catch {
+                case ex: Exception => throw new IllegalArgumentException(
+                  s"mask for $col does not resolve against the table " +
+                    s"schema: ${p.value()}", ex)
+              }
+            require(dt == field.dataType,
+              s"mask for $col must keep type ${field.dataType.sql}, got ${dt.sql}")
+          }
+        }
         t.setProperties(Map(p.property() -> p.value()))
       case p: TableChange.RemoveProperty =>
         t.removeProperties(Seq(p.property()))

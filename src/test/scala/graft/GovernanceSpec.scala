@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Row filters + column masks (graft.catalog.GraftGovernance): every SQL
+  * read path is governed — SELECT, joins, aggregates, views over the
+  * table, time travel — while DML targets stay raw and the bypass conf
+  * restores privileged reads. */
+class GovernanceSpec extends SparkSpec {
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.gov_users")
+    spark.sql(
+      "CREATE TABLE graft.db.gov_users (id BIGINT, email STRING, region STRING, spend BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.db.gov_users VALUES
+        |  (1, 'ann@x.com',  'EU', 10), (2, 'bob@y.org',  'US', 20),
+        |  (3, 'cho@z.net',  'US', 30), (4, 'dee@w.io',   'EU', 40),
+        |  (5, 'eve@v.dev',  'APAC', 50)""".stripMargin)
+    sql("ALTER TABLE graft.db.gov_users SET TBLPROPERTIES (" +
+      "'graft.filter' = \"region <> 'EU'\", " +
+      "'graft.mask.email' = \"regexp_replace(email, '^[^@]*', 'xxx')\")")
+  }
+
+  test("SELECT sees filtered rows and masked columns; raw values never surface") {
+    val rows = sql("SELECT id, email, region FROM graft.db.gov_users ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((2L, "xxx@y.org", "US"), (3L, "xxx@z.net", "US"),
+      (5L, "xxx@v.dev", "APAC")))
+    // SELECT * too — and the schema is unchanged
+    val star = sql("SELECT * FROM graft.db.gov_users")
+    assert(star.columns.toSeq == Seq("id", "email", "region", "spend"))
+    assert(star.collect().length == 3)
+  }
+
+  test("aggregates, joins, and IN-subqueries all see the governed relation") {
+    assert(sql("SELECT count(*) FROM graft.db.gov_users").collect()(0).getLong(0) == 3)
+    assert(sql("SELECT sum(spend) FROM graft.db.gov_users").collect()(0).getLong(0) == 100)
+    val joined = sql(
+      """SELECT a.id, b.email FROM graft.db.gov_users a
+        |JOIN graft.db.gov_users b ON a.id = b.id ORDER BY a.id""".stripMargin).collect()
+    assert(joined.length == 3 && joined.forall(_.getString(1).startsWith("xxx@")))
+    val subq = sql(
+      """SELECT id FROM graft.db.gov_users
+        |WHERE id IN (SELECT id FROM graft.db.gov_users WHERE spend > 25)""".stripMargin)
+      .collect().map(_.getLong(0)).sorted
+    assert(subq.toSeq == Seq(3L, 5L))
+  }
+
+  test("a view over a governed table is governed; time travel is governed") {
+    sql("CREATE VIEW graft.db.gov_view AS SELECT id, email FROM graft.db.gov_users")
+    try {
+      val v = sql("SELECT * FROM graft.db.gov_view ORDER BY id").collect()
+      assert(v.length == 3 && v.forall(_.getString(1).startsWith("xxx@")))
+    } finally sql("DROP VIEW graft.db.gov_view")
+    val tt = sql("SELECT email FROM graft.db.gov_users VERSION AS OF 1").collect()
+    assert(tt.length == 3 && tt.forall(_.getString(0).startsWith("xxx@")),
+      "time travel must not bypass policies")
+  }
+
+  test("bypass conf restores raw reads for the session") {
+    spark.conf.set("spark.graft.governance.bypass", "true")
+    try {
+      val rows = sql("SELECT email FROM graft.db.gov_users").collect()
+      assert(rows.length == 5 && rows.exists(_.getString(0) == "ann@x.com"))
+    } finally spark.conf.unset("spark.graft.governance.bypass")
+  }
+
+  test("DML targets stay raw: UPDATE matches on true values, all rows writable") {
+    sql("UPDATE graft.db.gov_users SET spend = spend + 1 WHERE region = 'EU'")
+    spark.conf.set("spark.graft.governance.bypass", "true")
+    try {
+      val eu = sql("SELECT spend FROM graft.db.gov_users WHERE region = 'EU' ORDER BY id")
+        .collect().map(_.getLong(0))
+      assert(eu.toSeq == Seq(11L, 41L), "UPDATE must reach the filtered-out rows")
+      val mails = sql("SELECT email FROM graft.db.gov_users WHERE region = 'EU'")
+        .collect().map(_.getString(0))
+      assert(mails.sorted.toSeq == Seq("ann@x.com", "dee@w.io"),
+        "stored emails must stay unmasked")
+    } finally spark.conf.unset("spark.graft.governance.bypass")
+    // a CTAS FROM the governed table persists only policy-visible data
+    sql("DROP TABLE IF EXISTS graft.db.gov_copy")
+    sql("CREATE TABLE graft.db.gov_copy AS SELECT * FROM graft.db.gov_users")
+    val copied = sql("SELECT id, email FROM graft.db.gov_copy ORDER BY id").collect()
+    assert(copied.length == 3 && copied.forall(_.getString(1).startsWith("xxx@")))
+  }
+
+  test("policies validate at definition time: bad filter, bad mask, type-shifting mask") {
+    intercept[Exception] {
+      sql("ALTER TABLE graft.db.gov_users SET TBLPROPERTIES ('graft.filter' = 'no_such_col > 1')")
+    }
+    intercept[Exception] {
+      sql("ALTER TABLE graft.db.gov_users SET TBLPROPERTIES ('graft.mask.nope' = 'email')")
+    }
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.db.gov_users SET TBLPROPERTIES ('graft.mask.spend' = \"'hidden'\")")
+    }
+    assert(e.getMessage.contains("must keep type"), e.getMessage)
+  }
+
+  test("dropping the properties lifts the policies") {
+    sql("ALTER TABLE graft.db.gov_users UNSET TBLPROPERTIES ('graft.filter', 'graft.mask.email')")
+    val rows = sql("SELECT email FROM graft.db.gov_users").collect()
+    assert(rows.length == 5 && rows.exists(_.getString(0) == "ann@x.com"))
+  }
+}
