@@ -276,6 +276,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val baseIdent = Identifier.of(ident.namespace(), base)
       if (!tableExists(baseIdent)) throw new NoSuchTableException(ident)
       val t = loadGraft(baseIdent)
+      // Iceberg branch identifiers: graft.db.`t$branch_dev` reads the branch
+      // head (its own schema) and INSERT INTO it appends to the branch only
+      if (meta.startsWith("branch_"))
+        return GraftDsv2Table(t, ident.toString,
+          branch = Some(meta.stripPrefix("branch_")))
       val df = meta match {
         case "history"    => t.history
         case "snapshots"  => t.snapshotsMeta

@@ -20,7 +20,8 @@ import graft.table.GraftTable
   * the snapshot's file list and a write is an ACID append/overwrite commit —
   * no bespoke row-level IO. */
 case class GraftDsv2Table(t: GraftTable, identName: String,
-    asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None)
+    asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None,
+    branch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -29,7 +30,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     * copy-on-write row-level delete. Refuse (-> Spark errors with a clear
     * message) when any filter shape can't be translated exactly. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => toColumn(f).isDefined)
+    branch.isEmpty && filters.forall(f => toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(toColumn)
@@ -40,8 +41,11 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
 
   override def name(): String = identName
 
-  override def schema(): StructType =
-    StructType(t.schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  override def schema(): StructType = {
+    // a branch head may have evolved its schema independently of main
+    val base = if (branch.isDefined) t.schemaOfSnapshot(snapshotForRead) else t.schema
+    StructType(base.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  }
 
   /** Deliberately NOT declaring AUTOMATIC_SCHEMA_EVOLUTION: Spark's
     * `ResolveMergeIntoSchemaEvolution` applies the SOURCE type verbatim on
@@ -197,18 +201,23 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     }
   }
 
-  /** The snapshot this table instance reads (honors time travel). */
-  private[graft] def snapshotForRead: graft.table.Snapshot = (asOfVersion, asOfTimestampMs) match {
-    case (Some(v), _)  => t.log.snapshot(v)
-    case (_, Some(ts)) => t.log.snapshotAsOf(ts)
-    case _             => t.log.current
+  /** The snapshot this table instance reads (honors time travel and branch
+    * identifiers). */
+  private[graft] def snapshotForRead: graft.table.Snapshot = branch match {
+    case Some(b) =>
+      val r = t.log.refs.getOrElse(b, throw new IllegalArgumentException(
+        s"$identName: no branch '$b'"))
+      require(r.refType == "branch", s"$identName: '$b' is a tag, not a branch")
+      t.log.snapshot(r.version)
+    case None => (asOfVersion, asOfTimestampMs) match {
+      case (Some(v), _)  => t.log.snapshot(v)
+      case (_, Some(ts)) => t.log.snapshotAsOf(ts)
+      case _             => t.log.current
+    }
   }
 
-  private[graft] def prunedDf(filters: Array[Filter]): DataFrame = (asOfVersion, asOfTimestampMs) match {
-    case (Some(v), _)  => t.readPruned(t.log.snapshot(v), filters.toIndexedSeq)
-    case (_, Some(ts)) => t.readPruned(t.log.snapshotAsOf(ts), filters.toIndexedSeq)
-    case _             => t.readPruned(t.log.current, filters.toIndexedSeq)
-  }
+  private[graft] def prunedDf(filters: Array[Filter]): DataFrame =
+    t.readPruned(snapshotForRead, filters.toIndexedSeq)
 
   /** Catalog-statistics rendering of the (file-pruned) snapshot for plan
     * paths that LEAVE DSv2 — the [[graft.plans.GraftNativeScan]] parquet
@@ -305,7 +314,15 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
             // audited via VERSION AS OF, released by CALL publish_changes)
             val wapId = data.sparkSession.conf.getOption("spark.wap.id")
               .filter(_ => t.currentProperties.get("write.wap.enabled").contains("true"))
-            (overwriteCond, wapId) match {
+            if (branch.isDefined) {
+              // Iceberg branch-identifier write surface: INSERT INTO
+              // graft.db.`t$branch_dev` appends to the branch head only —
+              // audit/experiment isolation; fast_forward/publish merges back
+              require(!(overwrite || overwriteFlag) && overwriteCond.isEmpty &&
+                wapId.isEmpty,
+                s"$identName: branch writes are append-only (no overwrite/WAP)")
+              t.appendToBranch(branch.get, data)
+            } else (overwriteCond, wapId) match {
               case (Some(cond), None) => t.overwriteWhere(cond, data)
               case (None, Some(id)) if !(overwrite || overwriteFlag) =>
                 t.stageWapAppend(data, id)

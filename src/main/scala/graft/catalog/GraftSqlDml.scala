@@ -37,6 +37,12 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftDsv2Table)] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
       case r: DataSourceV2Relation => r.table match {
+        // a branch-identified target must NOT silently rewrite against main:
+        // the branch write surface is append-only (GraftDsv2Table write path)
+        case g: GraftDsv2Table if g.branch.isDefined =>
+          throw new UnsupportedOperationException(
+            s"${g.name()}: row-level DML on a branch identifier is not " +
+              "supported — branches are append-only; fast_forward to publish")
         case g: GraftDsv2Table if g.asOfVersion.isEmpty && g.asOfTimestampMs.isEmpty => Some((r, g))
         case _ => None
       }

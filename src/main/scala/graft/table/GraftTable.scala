@@ -64,6 +64,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
   def schema: StructType = schemaOf(log.current, log.current.currentSchemaId)
 
+  /** The schema a given snapshot reads with (branch heads may have evolved
+    * independently of main). */
+  def schemaOfSnapshot(s: Snapshot): StructType = schemaOf(s, s.currentSchemaId)
+
   private[table] def schemaOf(s: Snapshot, id: Int): StructType =
     DataType.fromJson(s.schemas(id.toString)).asInstanceOf[StructType]
 

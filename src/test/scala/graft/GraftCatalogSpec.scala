@@ -262,4 +262,38 @@ class GraftCatalogSpec extends SparkSpec {
     Seq((7L, "q")).toDF("id", "v").writeTo("graft.db.w2").overwrite(lit(true))
     assert(spark.table("graft.db.w2").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
+
+  test("branch identifiers: t$branch_dev reads the branch head and INSERT appends to it only") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.bt")
+    spark.sql("CREATE TABLE graft.db.bt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.bt VALUES (1, 'main'), (2, 'main')")
+    spark.sql("CALL graft.system.create_branch('db.bt', 'dev')")
+    spark.sql("INSERT INTO graft.db.`bt$branch_dev` VALUES (3, 'dev'), (4, 'dev')")
+    // the branch sees main-at-fork plus its own appends; main is untouched
+    val branchIds = spark.table("graft.db.`bt$branch_dev`")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(branchIds == Seq(1L, 2L, 3L, 4L))
+    assert(spark.table("graft.db.bt").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // identifier read == VERSION AS OF 'dev' read
+    val asOf = spark.sql("SELECT id FROM graft.db.bt VERSION AS OF 'dev'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(asOf == branchIds)
+    // append-only surface: overwrite and DELETE on the branch ident refuse
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft.db.`bt$branch_dev` VALUES (9, 'x')")
+    }
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.`bt$branch_dev` WHERE id = 3")
+    }
+    // no such branch / tag-not-branch both error clearly
+    intercept[Exception] {
+      spark.table("graft.db.`bt$branch_nope`").collect()
+    }
+    // publish: set main to the branch head (branch-ref publish mechanics are
+    // GraftProceduresSpec territory; here just prove the data is reachable)
+    val devV = graft.table.GraftTable.load(spark, s"$wh/db/bt").log.refs("dev").version
+    spark.sql(s"CALL graft.system.set_current_snapshot('db.bt', $devV)")
+    assert(spark.table("graft.db.bt").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
 }
