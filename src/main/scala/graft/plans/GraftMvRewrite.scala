@@ -34,8 +34,11 @@ import graft.table.GraftTable
   *    in the stored decimal(28,6)) and for decimal `c` with scale ≤ 6 and
   *    ≤ 22 integer digits; `min(c)`/`max(c)` → `min(min_c)`/`max(max_c)`
   *    for columns the MV maintains extrema on (stored in the source
-  *    column's own type — exact for any orderable type). Float/double
-  *    sums, DISTINCT, and FILTER clauses fall through to the scan. AVG is
+  *    column's own type — exact for any orderable type); `count(distinct
+  *    k)` for a KEY column re-runs the distinct over the |groups|-row MV
+  *    (every base (G, k) combination appears as at least one MV row).
+  *    Float/double sums, non-key DISTINCTs, and FILTER clauses fall
+  *    through to the scan. AVG is
   *    deliberately out: Spark computes it in the input's float geometry,
   *    which a decimal re-division can't reproduce bit-exactly.
   *
@@ -198,8 +201,18 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // transformUp: the replacement subtree contains a fresh
       // AggregateExpression that must NOT itself be revisited
       val replaced = child.transformUp {
+        case ae: AggregateExpression if ae.filter.isEmpty && ae.isDistinct =>
+          ae.aggregateFunction match {
+            // COUNT(DISTINCT key): every base (G, k) combination appears as
+            // at least one MV group row, so the distinct set per G-partition
+            // is identical — re-run the distinct over |groups| rows
+            case Count(Seq(a: AttributeReference)) if keySet(a.name.toLowerCase) =>
+              AggregateExpression(Count(Seq(mvAttr(a.name.toLowerCase))),
+                ae.mode, isDistinct = true, None)
+            case _ => ok = false; ae
+          }
         case ae: AggregateExpression =>
-          if (ae.isDistinct || ae.filter.isDefined) { ok = false; ae }
+          if (ae.filter.isDefined) { ok = false; ae }
           else rewriteAggFn(ae.aggregateFunction) match {
             case Some(x) => x
             case None => ok = false; ae

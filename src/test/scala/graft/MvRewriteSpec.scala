@@ -110,13 +110,20 @@ class MvRewriteSpec extends SparkSpec {
         "FROM graft.db.mvr_src GROUP BY grp")
   }
 
+  test("COUNT(DISTINCT key) re-runs the distinct over the MV rows") {
+    assertRewritten(
+      "SELECT grp, count(DISTINCT sub) AS nsub FROM graft.db.mvr_src GROUP BY grp")
+    assertRewritten("SELECT count(DISTINCT grp) AS ng FROM graft.db.mvr_src")
+  }
+
   test("not rewritable: double sums, AVG, unmaintained MIN/MAX, DISTINCT") {
     assertNotRewritten("SELECT grp, sum(x) FROM graft.db.mvr_src GROUP BY grp")
     assertNotRewritten("SELECT grp, avg(amount) FROM graft.db.mvr_src GROUP BY grp")
     // damount sums are maintained but its extrema are not
     assertNotRewritten("SELECT grp, max(damount) FROM graft.db.mvr_src GROUP BY grp")
+    // DISTINCT over a NON-key column can't be answered from group rows
     assertNotRewritten(
-      "SELECT grp, count(DISTINCT sub) FROM graft.db.mvr_src GROUP BY grp")
+      "SELECT grp, count(DISTINCT amount) FROM graft.db.mvr_src GROUP BY grp")
     // grouping by a non-key column
     assertNotRewritten("SELECT sub, amount, count(*) FROM graft.db.mvr_src GROUP BY sub, amount")
   }
