@@ -18,10 +18,13 @@ object Robustness {
   /** The heavy family from the verdict (q40–q49, q62, q82, q88, q95–q99)
     * plus the round-12 heavyweights (q100 PageRank, q113 split leakage,
     * q117 blocked fuzzy match, q119 triangle counting, q125 basket pair
-    * self-join, q126 grid-blocked spatial join, q131 two-frame windows). */
+    * self-join, q126 grid-blocked spatial join, q131 two-frame windows)
+    * plus the TPC-H-style multi-join shapes (q134 3-table, q135 6-table
+    * snowflake, q139 return reporting, q143 fact-sized HAVING) — the spill
+    * proof has to cover JOIN state, not just aggregation/window state. */
   private val family: Seq[String] = {
     val prefixes = ((40 to 49) ++ Seq(62, 82, 88) ++ (95 to 100) ++
-      Seq(113, 117, 119, 125, 126, 131))
+      Seq(113, 117, 119, 125, 126, 131, 134, 135, 139, 143))
       .map(i => f"q$i%02d_")
     val all = SparkEntry.queries.keys.toSeq.sorted
     prefixes.flatMap(p => all.filter(_.startsWith(p)))
