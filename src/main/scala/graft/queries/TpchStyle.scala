@@ -351,6 +351,95 @@ object TpchStyle {
       |ORDER BY o.o_totalprice DESC, o.o_orderkey
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ q144 (Q19)
+  /** Discounted revenue under DISJUNCTIVE join predicates: three OR-ed
+    * (brand, quantity-range, size-range) alternatives that reference BOTH
+    * join sides — the equi key carries the hash join, the OR tree rides the
+    * join condition (never a cartesian). */
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val cond = ($"l_partkey" === $"p_partkey") && (
+      ($"p_brand" === "Brand#13" && $"l_quantity".between(1, 11) && $"p_size".between(1, 15)) ||
+      ($"p_brand" === "Brand#25" && $"l_quantity".between(10, 20) && $"p_size".between(1, 25)) ||
+      ($"p_brand" === "Brand#22" && $"l_quantity".between(20, 30) && $"p_size".between(1, 35)))
+    l.join(broadcast(p), cond)
+      .agg(revenue().as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val q144Sql: String =
+    s"""SELECT CAST(SUM($discSql) AS DOUBLE) AS revenue, COUNT(*) AS n
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       | AND ((p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 15)
+       |   OR (p.p_brand = 'Brand#25' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 25)
+       |   OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 35))""".stripMargin
+
+  // ------------------------------------------------------------ q145 (Q4)
+  /** Order-priority checking: orders in one quarter with at least one LATE
+    * lineitem (shipped over 60 days after the order date — the fixture has
+    * no commit/receipt pair, so lateness is vs the order date). EXISTS with
+    * date arithmetic CROSSING both tables: the semi join carries the
+    * non-equi condition alongside the key. */
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val l = lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q145Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ q146 (Q22)
+  /** Global-sales-opportunity: well-funded customers (balance above the
+    * positive-balance average) with NO orders, grouped by nation (the
+    * fixture has no phone column, so nation stands in for the country
+    * code). The average folds through DECIMAL(18,4) — c_acctbal doubles sit
+    * NEAR the 2-decimal grid but not on it, so a raw double sum would be
+    * order-dependent; at 4 decimals the per-value rounding is unambiguous
+    * in both engines and the threshold is one exact double. */
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir)
+    val threshold = c.filter($"c_acctbal" > 0.0)
+      .agg((sum($"c_acctbal".cast(DecimalType(18, 4))).cast("double") /
+        count(lit(1))).as("thr"))
+    val o = orders(spark, dir).select($"o_custkey")
+    c.crossJoin(broadcast(threshold))
+      .filter($"c_acctbal" > $"thr")
+      .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum($"c_acctbal".cast(DecimalType(18, 4))).cast("double").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q146Sql: String =
+    """WITH thr AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS thr
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c.c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer c, thr
+      |WHERE c.c_acctbal > thr.thr
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_tpch_q3_shipping_priority"  -> q134,
     "q135_tpch_q5_local_supplier"     -> q135,
@@ -361,7 +450,10 @@ object TpchStyle {
     "q140_tpch_q13_order_distribution" -> q140,
     "q141_tpch_q14_promo_share"       -> q141,
     "q142_tpch_q17_small_qty"         -> q142,
-    "q143_tpch_q18_large_volume"      -> q143)
+    "q143_tpch_q18_large_volume"      -> q143,
+    "q144_tpch_q19_disjunctive_join"  -> q144,
+    "q145_tpch_q4_priority_check"     -> q145,
+    "q146_tpch_q22_idle_balances"     -> q146)
 
   val oracleSql: Map[String, String] = Map(
     "q134_tpch_q3_shipping_priority"  -> q134Sql,
@@ -373,5 +465,8 @@ object TpchStyle {
     "q140_tpch_q13_order_distribution" -> q140Sql,
     "q141_tpch_q14_promo_share"       -> q141Sql,
     "q142_tpch_q17_small_qty"         -> q142Sql,
-    "q143_tpch_q18_large_volume"      -> q143Sql)
+    "q143_tpch_q18_large_volume"      -> q143Sql,
+    "q144_tpch_q19_disjunctive_join"  -> q144Sql,
+    "q145_tpch_q4_priority_check"     -> q145Sql,
+    "q146_tpch_q22_idle_balances"     -> q146Sql)
 }
