@@ -104,6 +104,37 @@ class GovernanceSpec extends SparkSpec {
     assert(e.getMessage.contains("must keep type"), e.getMessage)
   }
 
+  test("interplay with the MV rewrite: a governed read never serves raw aggregates") {
+    // materialize an aggregate of the (raw) table, then govern the table:
+    // the policy filter sits between the aggregate and the scan, so the
+    // rewrite must either apply it exactly (keys-only policies) or decline
+    // — both verified against the rewrite-disabled plan
+    spark.sql("DROP TABLE IF EXISTS graft.db.gov_mv_src")
+    spark.sql("DROP TABLE IF EXISTS graft.db.gov_mv_mat")
+    spark.sql("CREATE TABLE graft.db.gov_mv_src (grp STRING, amount BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.db.gov_mv_src
+        |SELECT concat('g', id % 3), id FROM range(300)""".stripMargin)
+    spark.sql("CALL graft.system.materialize_agg(" +
+      "'db.gov_mv_src', 'db.gov_mv_mat', 'grp', 'amount')")
+    spark.sql("ALTER TABLE graft.db.gov_mv_src SET TBLPROPERTIES (" +
+      "'graft.filter' = \"grp <> 'g0'\")")
+    try {
+      val q = "SELECT grp, count(*) AS c, sum(amount) AS s " +
+        "FROM graft.db.gov_mv_src GROUP BY grp"
+      def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+      val governed = rows(sql(q))
+      assert(!governed.exists(_.contains("g0")), "policy must hide g0 everywhere")
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val plain = try rows(sql(q))
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(governed == plain, "MV-rewritten governed read diverged")
+    } finally {
+      spark.sql("ALTER TABLE graft.db.gov_mv_src UNSET TBLPROPERTIES ('graft.filter')")
+      spark.sql("CALL graft.system.deregister_agg_rewrite('db.gov_mv_mat')")
+    }
+  }
+
   test("dropping the properties lifts the policies") {
     sql("ALTER TABLE graft.db.gov_users UNSET TBLPROPERTIES ('graft.filter', 'graft.mask.email')")
     val rows = sql("SELECT email FROM graft.db.gov_users").collect()
