@@ -196,12 +196,20 @@ object Ann {
     * (centroid table is tiny), then read only the index files whose
     * centroid_id bounds intersect the probes — log-level pruning through
     * [[GraftTable.readPruned]], the same machinery every catalog scan uses. */
+  /** The nprobe centroid ids a query probes, max-cosine first — driver-side
+    * over the tiny centroid table (exposed so callers can verify the pruned
+    * probe against an unpruned scan of the same lists). */
+  def probeLists(centroids: GraftTable, query: Seq[Float], nprobe: Int): Seq[Int] = {
+    val q = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    centroids.read.select(col("centroid_id"), cosine("cvec", q).as("s"))
+      .orderBy(col("s").desc).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+  }
+
   def ivfSearchTable(index: GraftTable, centroids: GraftTable, idCol: String,
       vecCol: String, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val q = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
-    val probes = centroids.read.select(col("centroid_id"), cosine("cvec", q).as("s"))
-      .orderBy(col("s").desc).limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    val probes = probeLists(centroids, query, nprobe)
     val snap = index.log.current
     val pruned = index.readPruned(snap,
       Seq(org.apache.spark.sql.sources.In("centroid_id", probes.map(Int.box).toArray)))

@@ -254,7 +254,7 @@ object Advanced {
     spark.sql("""
       SELECT o_orderstatus, o_orderpriority,
              count(*) AS n,
-             CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS revenue
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
       FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM q116_orders)
       GROUP BY ALL
       ORDER BY ALL""")
@@ -263,7 +263,7 @@ object Advanced {
   val q116Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
       |       count(*) AS n,
-      |       CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS revenue
+      |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
       |FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders)
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin

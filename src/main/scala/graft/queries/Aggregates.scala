@@ -232,18 +232,40 @@ object Aggregates {
       |ORDER BY l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** HyperLogLog++ cardinality sketch. No DuckDB oracle (different sketch
-    * implementation → different estimate); AggregatesSpec bounds the relative
-    * error against the exact distinct count instead. */
+  /** HyperLogLog++ cardinality sketch, ORACLE-VERIFIED (VERDICT r12 #4):
+    * a different engine estimates differently, so the raw estimate can't
+    * hash-match — instead the query emits the EXACT distinct counts plus a
+    * deterministic in-engine verdict that each estimate sits inside its
+    * advertised error bound (3× the configured rsd: 0.05 default → 0.15,
+    * explicit 0.02 → 0.06). DuckDB computes the same exact counts and
+    * literal TRUE verdicts, so the hash now certifies both the exact
+    * values AND that the sketch held its bound. AggregatesSpec still
+    * bounds the raw relative error. */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_orderkey", 0.02).as("ao"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"ap" - $"exact_parts") <=
+          $"exact_parts" * lit(0.15)).as("ok_parts"),
+        (abs($"ao" - $"exact_orders") <=
+          $"exact_orders" * lit(0.06)).as("ok_orders"))
       .orderBy($"l_returnflag")
   }
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS ok_parts, TRUE AS ok_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q104
   /** KLL-sketch percentiles per event type ([[graft.functions.KllSketch]]
@@ -253,20 +275,46 @@ object Aggregates {
     * combine, so the same query holds at 100 TB. No DuckDB oracle (graft's
     * own sketch construction — a different implementation estimates
     * differently); KllSketchSpec bounds the rank error against exact
-    * percentiles instead, and the driver records the rows-only check. */
+    * percentiles instead.
+    *
+    * ORACLE-VERIFIED (VERDICT r12 #4): the emitted columns are the group
+    * sizes plus a deterministic RANK-ERROR verdict per percentile — the
+    * exact rank of each sketch estimate (one extra scan-shaped pass:
+    * count of values ≤ estimate, per group) must sit within ±0.05 of the
+    * requested rank, the KLL k=200 guarantee with ~3× margin. The verdict
+    * holds for ANY partial→final merge order, so it is hash-stable where
+    * the raw estimate is not; DuckDB hashes the same group sizes and
+    * literal TRUE verdicts. */
   def q104(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.KllSketch
-    events(spark, dir)
-      .groupBy($"event_type")
-      .agg(KllSketch($"value").as("sk"), count(lit(1)).as("n"))
+    val ev = events(spark, dir).select($"event_type", $"value")
+    val est = ev.groupBy($"event_type")
+      .agg(KllSketch($"value").as("sk"))
       .select($"event_type",
-        round(KllSketch.quantile($"sk", 0.5), 4).as("p50"),
-        round(KllSketch.quantile($"sk", 0.9), 4).as("p90"),
-        round(KllSketch.quantile($"sk", 0.99), 4).as("p99"),
-        $"n")
+        KllSketch.quantile($"sk", 0.5).as("e50"),
+        KllSketch.quantile($"sk", 0.9).as("e90"),
+        KllSketch.quantile($"sk", 0.99).as("e99"))
+    val eps = 0.05
+    def okAt(p: Double, e: Column): Column = {
+      val rank = sum(when($"value" <= e, 1L).otherwise(0L)) / count(lit(1))
+      rank >= lit(p - eps) && rank <= lit(p + eps)
+    }
+    ev.join(broadcast(est), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        okAt(0.5, $"e50").as("ok50"),
+        okAt(0.9, $"e90").as("ok90"),
+        okAt(0.99, $"e99").as("ok99"))
       .orderBy($"event_type")
   }
+
+  val q104Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q112
   /** Equal-WIDTH histogram via SQL `width_bucket`: 20 buckets over
@@ -474,6 +522,8 @@ object Aggregates {
     "q18_agg_collect"       -> q18Sql,
     "q19_agg_percentiles"   -> q19Sql,
     "q20_agg_stats"         -> q20Sql,
+    "q21_agg_approx_distinct" -> q21Sql,
+    "q104_kll_percentiles"  -> q104Sql,
     "q55_agg_pivot"         -> q55Sql,
     "q112_histogram"        -> q112Sql,
     "q133_bitmap_distinct"  -> q133Sql,

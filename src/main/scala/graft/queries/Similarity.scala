@@ -139,24 +139,56 @@ object Similarity {
   // ---------------------------------------------------------------- q70
   /** IVF ANN end-to-end (index + probe): build a 4-list inverted-file index
     * over the embeddings and answer the same probe query as q44 with
-    * nprobe=2 — approximate, so NO SQL oracle (the driver records the
-    * rows-only check, like q21); SimilaritySpec asserts the recall
-    * invariants against the exact q44 baseline instead. */
+    * nprobe=2.
+    *
+    * ORACLE-VERIFIED (VERDICT r12 #4): an ANN result can't hash-match a
+    * different engine (and recall under nprobe<nlist is data-dependent, not
+    * an algorithmic guarantee), so the query emits the exact brute-force
+    * top-10 (the q44 rows DuckDB reproduces bit-for-bit) plus two verdicts
+    * that ARE deterministic properties of a correct IVF implementation:
+    *  - `ivf_pruned_exact`: the stats-pruned probe returns EXACTLY the
+    *    brute-force top-k restricted to the probed lists (file pruning
+    *    lost nothing, the probe computes true within-list top-k);
+    *  - `ivf_self_found`: the probe vector finds itself (its own list is
+    *    always the max-cosine probe).
+    * All collects are k-row, metadata-grained. SimilaritySpec separately
+    * pins recall ≥ 0.5 at fixture scale. */
   def q70(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, round => rnd}
+    import org.apache.spark.sql.functions.col
     val vecs = graft.Tables.embeddings(spark, dir)
     // the probe = vec 0's embedding (same probe as q44's exact baseline);
     // single-row collect, metadata-grained
     val probe = vecs.filter(col("vec_id") === 0).select(col("embedding"))
       .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
-    // Index-once, probe-many: the IVF index is a PERSISTED graft table
-    // hidden-partitioned by centroid id (VERDICT r7 #3) — first call per
-    // dataset builds it, every later probe loads it and prunes to the
-    // nprobe buckets' files through the table format's stats.
-    // Cache key = source CONTENT signature (file names/sizes/mtimes of the
-    // embeddings parquet), not just the dir name — regenerating the dataset
-    // at the same path invalidates the index instead of silently probing a
-    // stale one. Absolute path: cwd changes must not re-key the cache.
+    val (index, cents) = ivfIndexFor(spark, dir)
+    val ivf = graft.operators.Ann.ivfSearchTable(index, cents, "vec_id", "embedding",
+      probe, k = 10, nprobe = 2)
+    val ivfIds = ivf.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    // reference: UNPRUNED scan of the same probed lists, same top-k
+    val probes = graft.operators.Ann.probeLists(cents, probe, nprobe = 2)
+    val refIds = graft.operators.Ann.bruteForceTopK(
+        index.read.filter(col("centroid_id").isin(probes: _*)),
+        "vec_id", "embedding", probe, k = 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val exact = q44(spark, dir)
+    exact
+      .withColumn("ivf_pruned_exact", lit(ivfIds == refIds))
+      .withColumn("ivf_self_found", lit(ivfIds.contains(0L)))
+  }
+
+  /** Index-once, probe-many: the IVF index is a PERSISTED graft table
+    * hidden-partitioned by centroid id (VERDICT r7 #3) — first call per
+    * dataset builds it, every later probe loads it and prunes to the
+    * nprobe buckets' files through the table format's stats.
+    * Cache key = source CONTENT signature (file names/sizes/mtimes of the
+    * embeddings parquet), not just the dir name — regenerating the dataset
+    * at the same path invalidates the index instead of silently probing a
+    * stale one (SimilaritySpec pins this re-key). Absolute path: cwd
+    * changes must not re-key the cache. */
+  private[graft] def ivfIndexFor(spark: SparkSession, dir: String)
+      : (graft.table.GraftTable, graft.table.GraftTable) = {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, dir)
     val sig = {
       val parts = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
         .getOrElse(Array.empty[java.io.File])
@@ -165,18 +197,23 @@ object Similarity {
       Integer.toHexString((dir + "#" + parts).hashCode)
     }
     val indexPath = new java.io.File(s"target/ivf-index-v1-$sig").getAbsolutePath
-    val (index, cents) =
-      if (new java.io.File(s"$indexPath/_graft/HEAD").exists())
-        graft.operators.Ann.loadIndexTable(spark, indexPath)
-      else scala.util.Try(graft.operators.Ann.buildIndexTable(
-          spark, vecs, "vec_id", "embedding", nlist = 4, indexPath))
-        // lost a concurrent build race ("table already exists"): load the
-        // winner's index instead
-        .getOrElse(graft.operators.Ann.loadIndexTable(spark, indexPath))
-    graft.operators.Ann.ivfSearchTable(index, cents, "vec_id", "embedding",
-      probe, k = 10, nprobe = 2)
-      .withColumn("cos_sim", rnd(col("cos_sim"), 4))
+    if (new java.io.File(s"$indexPath/_graft/HEAD").exists())
+      graft.operators.Ann.loadIndexTable(spark, indexPath)
+    else scala.util.Try(graft.operators.Ann.buildIndexTable(
+        spark, vecs, "vec_id", "embedding", nlist = 4, indexPath))
+      // lost a concurrent build race ("table already exists"): load the
+      // winner's index instead
+      .getOrElse(graft.operators.Ann.loadIndexTable(spark, indexPath))
   }
+
+  val q70Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${duckDot("embedding", "qv")} / (${duckNorm("embedding")} * ${duckNorm("qv")}), 3) AS cos_sim,
+       |  TRUE AS ivf_pruned_exact, TRUE AS ivf_self_found
+       |FROM embeddings, q
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q88
   /** Cluster count for SemDedup, derived from corpus size: K = max(16, ⌈√n⌉).
@@ -336,5 +373,6 @@ object Similarity {
     "q126_grid_neighbors"   -> q126Sql,
     "q44_embed_cosine_topk" -> q44Sql,
     "q45_embed_neardup_lsh" -> q45Sql,
+    "q70_ann_ivf"           -> q70Sql,
     "q88_semantic_dedup"    -> q88Sql)
 }

@@ -11,29 +11,27 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
-  test("every aggregate query except the sketches (HLL, KLL) has an oracle") {
-    assert(Aggregates.queries.keySet -- Aggregates.oracleSql.keySet ==
-      Set("q21_agg_approx_distinct", "q104_kll_percentiles"))
+  test("every aggregate query has an oracle (sketch queries emit verdicts)") {
+    assert(Aggregates.queries.keySet -- Aggregates.oracleSql.keySet == Set.empty)
   }
 
-  test("q21 HLL estimates are within relative-error bounds of exact counts") {
-    // default rsd = 0.05 for approx_parts; rsd = 0.02 for approx_orders —
-    // allow 4 sigma so the test is deterministic-safe at fixture scale.
-    val approx = Aggregates.q21(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("q21 HLL verdict: exact counts match recomputation, bound verdicts all true") {
+    val got = Aggregates.q21(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("parts"),
         countDistinct(col("l_orderkey")).as("orders"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(got.keySet == exact.keySet)
     exact.foreach { case (flag, (parts, orders)) =>
-      val (aParts, aOrders) = approx(flag)
-      assert(math.abs(aParts - parts).toDouble / parts <= 4 * 0.05,
-        s"$flag approx_parts $aParts vs exact $parts")
-      assert(math.abs(aOrders - orders).toDouble / orders <= 4 * 0.02,
-        s"$flag approx_orders $aOrders vs exact $orders")
+      val (eParts, eOrders, okParts, okOrders) = got(flag)
+      assert(eParts == parts && eOrders == orders,
+        s"$flag exact columns drifted: ($eParts,$eOrders) vs ($parts,$orders)")
+      assert(okParts && okOrders,
+        s"$flag HLL estimate outside its advertised bound")
     }
   }
 

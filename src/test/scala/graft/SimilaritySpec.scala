@@ -113,10 +113,12 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall below 0.5 (exact=$exact approx=$approx)")
   }
 
-  test("q70 (registered IVF query) finds the probe itself first") {
+  test("q70 (registered IVF query): exact rows plus true IVF verdicts") {
     val rows = graft.queries.Similarity.q70(spark, sf).collect()
     assert(rows.length == 10)
     assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0)
+    assert(rows.forall(_.getBoolean(2)), "pruned probe != unpruned within-list top-k")
+    assert(rows.forall(_.getBoolean(3)), "probe vector did not find itself")
   }
 
   test("IVF index plan never funnels the vector set through one partition") {
@@ -234,18 +236,26 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Paths.get("target"), "ivf-rekey-").toString
     val e = Tables.embeddings(spark, sf).limit(40)
     e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val first = graft.queries.Similarity.q70(spark, dir).collect()
-    assert(first.head.getLong(0) == 0L)
-    assert(!first.map(_.getLong(0)).contains(9999L))
+    val probe = e.filter($"vec_id" === 0L).select($"embedding")
+      .collect()(0).getAs[scala.collection.Seq[Float]](0).toSeq
+    // probe the INDEX directly (q70 now reports the exact rows + a recall
+    // verdict, so staleness must be pinned at the index layer)
+    def indexHits(): Set[Long] = {
+      val (idx, cents) = Similarity.ivfIndexFor(spark, dir)
+      Ann.ivfSearchTable(idx, cents, "vec_id", "embedding", probe, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val first = indexHits()
+    assert(first.contains(0L))
+    assert(!first.contains(9999L))
     // regenerate the dataset AT THE SAME PATH with a planted copy of vec 0 —
-    // the content signature changes, so q70 must build a fresh index and
-    // surface the new vector instead of probing the stale one
+    // the content signature changes, so the next lookup must build a fresh
+    // index and surface the new vector instead of probing the stale one
     e.unionByName(e.filter($"vec_id" === 0L)
         .select(lit(9999L).as("vec_id"), $"embedding", $"label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val second = graft.queries.Similarity.q70(spark, dir).collect()
-    assert(second.map(_.getLong(0)).contains(9999L),
-      s"stale index served: ${second.map(_.getLong(0)).toSeq}")
+    val second = indexHits()
+    assert(second.contains(9999L), s"stale index served: $second")
   }
 
   test("refresh refuses an index with no recorded source version") {
