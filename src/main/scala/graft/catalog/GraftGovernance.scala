@@ -95,15 +95,24 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** (row filter, masks by column, column order) when `parts` names a graft
-    * table carrying governance properties. */
+    * table carrying governance properties.
+    *
+    * FAIL CLOSED: only the legitimate "no policy can exist" outcomes return
+    * None (not a graft catalog/table, table absent — analysis will produce
+    * its own table-not-found error). Any OTHER exception while loading the
+    * table or reading its snapshot-log properties (transient IO, corrupt
+    * head JSON) propagates and fails the query: a row-security layer that
+    * swallows its own load errors silently serves raw unfiltered rows. */
   private def policiesFor(parts: Seq[String])
       : Option[(Option[String], Map[String, String], Seq[String])] =
     target(spark, parts).flatMap { case (cat, ident) =>
-      scala.util.Try {
-        val t = cat.loadTable(ident) match {
-          case g: GraftDsv2Table => g
-          case _ => return None
+      val loaded =
+        try Some(cat.loadTable(ident))
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+            None
         }
+      loaded.collect { case g: GraftDsv2Table => g }.flatMap { t =>
         val props = t.t.log.current.properties
         val filter = props.get(FilterProp)
         val masks = props.collect {
@@ -112,7 +121,7 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         if (filter.isEmpty && masks.isEmpty) None
         else Some((filter, masks, t.t.schema.fields.map(_.name).toSeq))
-      }.toOption.flatten
+      }
     }
 
   private def parse(sql: String): Expression =

@@ -106,6 +106,17 @@ object IncrementalAgg {
   def materialize(spark: SparkSession, source: GraftTable, path: String,
       keys: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil): GraftTable = {
+    // the stored shape reserves `cnt` / `sum_*` / `nn_*` / `min_*` / `max_*`
+    // output names; a KEY column spelled like one of them would collide in
+    // the MV schema (toMap last-wins) and let GraftMvRewrite silently bind
+    // count(*)/sum rewrites to the wrong column while still type-checking
+    val stateNames = "cnt" +: (sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+    val clashes = keys.filter(stateNames.contains)
+    require(clashes.isEmpty,
+      s"materialize: key column(s) ${clashes.mkString(", ")} collide with " +
+        "reserved state-column names (cnt/sum_*/nn_*/min_*/max_*) — rename " +
+        "the source column or alias it before materializing")
     val v = source.log.currentVersion
     val mat = GraftTable.create(spark, path,
       aggregateWithNn(source.read, keys, sumCols, minMaxCols),
@@ -165,7 +176,11 @@ object IncrementalAgg {
       val delGroups = netChanges.filter(col("had_delete")).select(keys.map(col): _*)
       val recomputeExprs = minMaxCols.flatMap(c =>
         Seq(min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c")))
-      val recomputed = source.read.join(delGroups, keys, "left_semi")
+      // version-PINNED read: `source.read` would see the HEAD at execution
+      // time, so a commit landing between capturing curV and running the
+      // MERGE would leak later-version extrema into a state stamped
+      // `source-version = curV` (which GraftMvRewrite trusts as bit-exact)
+      val recomputed = source.readVersion(curV).join(delGroups, keys, "left_semi")
         .groupBy(keys.map(col): _*).agg(recomputeExprs.head, recomputeExprs.tail: _*)
       netChanges.join(recomputed, keys, "left")
     }

@@ -181,6 +181,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Sum(a: AttributeReference, _) if sumSet(a.name.toLowerCase) =>
         val stored = mvAttr("sum_" + a.name.toLowerCase)
         a.dataType match {
+          // OVERFLOW BOUNDARY (documented contract): state is decimal(28,6),
+          // so the rewrite is bit-exact while every maintained group total
+          // stays within ±(10^22 - 1) — and for integral sums, within Long
+          // range, where native sum(long) would WRAP under non-ANSI mode
+          // while Cast(Sum(decimal), Long) returns NULL. Past those bounds
+          // the MV state itself has already gone NULL-on-overflow, so the
+          // divergence is in the maintenance layer, not introduced here.
           case ByteType | ShortType | IntegerType | LongType =>
             Some(Cast(Sum(stored).toAggregateExpression(), LongType))
           case d: DecimalType if d.scale <= 6 && (d.precision - d.scale) <= 22 =>
