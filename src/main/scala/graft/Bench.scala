@@ -56,6 +56,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally SparkEntry.releaseScratch(spark) // no storage accretion across queries
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -92,6 +93,7 @@ object Bench {
             try SparkEntry.queries(name)(spark, dir)
               .write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => return -1.0 }
+            finally SparkEntry.releaseScratch(spark)
             (System.nanoTime() - t0) / 1e9
           }
           names.foreach(runAt) // warmup at this SF
@@ -124,7 +126,10 @@ object Bench {
     // Headline queries decide the cross-round 2x bar, and this box shows
     // bursty co-tenant noise (the same q10 measured 0.34 s and 4.5 s minutes
     // apart with an identical plan) — give them 5 samples; 3 suffices for
-    // the informational long tail.
+    // the informational long tail. PROTOCOL NOTE: headline moved from
+    // median-of-3 (rounds <= 11) to median-of-5 in round 12; the artifact
+    // records both sample counts below so cross-round comparisons know
+    // which protocol produced each number.
     val results: Seq[(String, Double)] =
       names.map { n =>
         val reps = if (headline.contains(n)) 5 else 3
@@ -136,7 +141,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     emit(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","median_of":3,""" +
+      s""""median_of_headline":5,"queries":$qs,""" +
       s""""headline":${headline.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""total_all_queries":$totalAll,"sf":"$sfDir"}""",
       "BENCH_LAST.json")

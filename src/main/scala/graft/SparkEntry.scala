@@ -42,4 +42,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
+
+  /** Release per-query SCRATCH state — cached plans (q41/q43/q45 reuse an
+    * intermediate across a self-join) and localCheckpoint blocks (q62/q100/
+    * q119 truncate iterative lineage; the final checkpoint backs the
+    * returned DataFrame, so the query itself cannot release it). Runners
+    * call this BETWEEN queries, after the result is consumed — otherwise a
+    * session executing the whole suite accretes executor storage across
+    * queries (VERDICT r12 #7). BenchHygieneSpec pins both that this sweep
+    * leaves nothing behind and that only a known allowlist of queries
+    * parks scratch at all. */
+  def releaseScratch(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }
