@@ -62,6 +62,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def name(): String = catalogName
 
+  // ---- catalog access control ([[GrantStore]]) -----------------------
+  // The acting principal is `spark.graft.principal` (sessions fronting a
+  // named identity — the engine-side twin of the REST bearer identity). A
+  // session with NO principal set is engine-internal/privileged, same as
+  // the direct GraftTable path; a warehouse with no grants file is not
+  // enforcing at all. Enforcement composes with row filters/masks:
+  // grants decide WHETHER loadTable succeeds, [[GraftGovernance]] then
+  // decides WHAT the granted reader sees.
+  private def grantPrincipal: Option[String] =
+    scala.util.Try(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.principal", "")).toOption.filter(_.nonEmpty)
+
+  private def enforce(privilege: String, parts: Seq[String]): Unit =
+    grantPrincipal.foreach(p => GrantStore.check(warehouse, p, privilege, parts))
+
+  private def identParts(ident: Identifier): Seq[String] =
+    ident.namespace().toSeq :+ ident.name()
+
   private def spark: SparkSession = SparkSession.active
 
   private def nsPath(ns: Array[String]): String = (warehouse +: ns).mkString("/")
@@ -270,6 +288,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // grants: reading a table (or any of its metadata/branch views)
+    // requires SELECT on the BASE table
+    enforce("SELECT",
+      ident.namespace().toSeq :+ ident.name().split("\\$", 2)(0))
     // Iceberg-style metadata tables: SELECT * FROM graft.db.`t$history` etc.
     if (ident.name().contains("$")) {
       val Array(base, meta) = ident.name().split("\\$", 2)
@@ -297,13 +319,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       return GraftMetadataTable(ident.toString, df)
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftDsv2Table(loadGraft(ident), ident.toString)
+    GraftDsv2Table(loadGraft(ident), ident.toString,
+      writeGuard = () => enforce("MODIFY", identParts(ident)))
   }
 
   /** Time travel: `VERSION AS OF <v>` — a numeric snapshot version, or a
     * branch/tag name resolved through the ref log (Iceberg accepts both
     * forms; SURVEY.md §2.8). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    enforce("SELECT", identParts(ident))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = loadGraft(ident)
     val v = version.toLongOption.getOrElse(
@@ -315,6 +339,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   /** Time travel: `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    enforce("SELECT", identParts(ident))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftDsv2Table(loadGraft(ident), ident.toString,
       asOfTimestampMs = Some(timestampMicros / 1000L))
@@ -341,6 +366,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    enforce("CREATE_TABLE", ident.namespace().toSeq)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val specs = partitions.map(transformSpec).toSeq
     specs.foreach(s => graft.table.PartitionTransform.parse(s, schema)) // fail fast
@@ -363,6 +389,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    enforce("MODIFY", identParts(ident))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = loadGraft(ident)
     changes.foreach {
@@ -448,13 +475,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftDsv2Table(t, ident.toString)
   }
 
-  override def dropTable(ident: Identifier): Boolean = rest match {
-    case Some(c) => c.dropTable(ident.namespace().toSeq, ident.name())
-    case None =>
-      val p = tablePath(ident)
-      if (!isTable(p)) return false
-      io.deleteRecursive(p)
-      true
+  override def dropTable(ident: Identifier): Boolean = {
+    enforce("MODIFY", identParts(ident))
+    rest match {
+      case Some(c) => c.dropTable(ident.namespace().toSeq, ident.name())
+      case None =>
+        val p = tablePath(ident)
+        if (!isTable(p)) return false
+        io.deleteRecursive(p)
+        true
+    }
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {

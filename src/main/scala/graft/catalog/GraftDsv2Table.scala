@@ -21,7 +21,11 @@ import graft.table.GraftTable
   * no bespoke row-level IO. */
 case class GraftDsv2Table(t: GraftTable, identName: String,
     asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // invoked at write-plan time (INSERT/OVERWRITE/DELETE targets): the
+    // catalog splices a MODIFY grant check here so a SELECT-only principal
+    // can resolve the table but not commit to it ([[GrantStore]])
+    writeGuard: () => Unit = () => ())
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -33,6 +37,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     branch.isEmpty && filters.forall(f => toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    writeGuard()
     val cond = filters.flatMap(toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -291,7 +296,8 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     * overwrite-by-filter (`df.writeTo(t).overwrite(cond)` / static
     * `INSERT OVERWRITE`): the filter rewrite commits matching-row removal
     * and the new data in ONE snapshot. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    writeGuard()
     new WriteBuilder with SupportsOverwrite {
       private var overwrite = false
       private var overwriteCond: Option[org.apache.spark.sql.Column] = None
@@ -336,6 +342,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
           }
       }
     }
+  }
 }
 
 object GraftDsv2Table {

@@ -73,6 +73,7 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
            (assignments.map(_.value) ++ condition).forall(subqueryFree) =>
       val set = assignments
         .map(a => a.key.asInstanceOf[AttributeReference].name -> plain(a.value)).toMap
+      g.writeGuard() // grants: SQL UPDATE mutates — MODIFY required
       GraftUpdateSqlCommand(g.t, plain(condition.getOrElse(Literal.TrueLiteral)), set)
 
     // SupportsDelete only reaches pushable predicates; this covers the rest
@@ -86,6 +87,7 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       val props = g.t.log.current.properties
       val eqEnabled = props.get("write.delete.mode").contains("merge-on-read") &&
         props.get("graft.delete.equality").contains("true")
+      g.writeGuard() // grants: SQL DELETE mutates — MODIFY required
       (if (eqEnabled) equalityKeyRows(condition) else None) match {
         case Some(rows) => GraftEqualityDeleteSqlCommand(g.t, rows)
         case None => GraftDeleteSqlCommand(g.t, plain(condition))
@@ -194,8 +196,11 @@ case class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         matched <- conv(m.matchedActions, "matched")
         notMatched <- conv(m.notMatchedActions, "notMatched")
         bySource <- conv(m.notMatchedBySourceActions, "bySource")
-      } yield GraftMergeSqlCommand(g.t, m.sourceTable,
-        requalify(m.mergeCondition, tAtt, sAtt), matched, notMatched, bySource)
+      } yield {
+        g.writeGuard() // grants: MERGE mutates the target — MODIFY required
+        GraftMergeSqlCommand(g.t, m.sourceTable,
+          requalify(m.mergeCondition, tAtt, sAtt), matched, notMatched, bySource)
+      }
     case _ => None
   }
 }
