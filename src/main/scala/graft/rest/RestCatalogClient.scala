@@ -127,8 +127,12 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     }
   }
   private def errMsg(resp: HttpResponse[String]): String =
-    try (JsonMethods.parse(resp.body()) \ "error").extract[String]
-    catch { case _: Exception => resp.body() }
+    try {
+      val e = JsonMethods.parse(resp.body()) \ "error"
+      // spec ErrorModel object ({"message","type","code"}) or the legacy
+      // flat string — accept both so the client survives older servers
+      (e \ "message").extractOpt[String].getOrElse(e.extract[String])
+    } catch { case _: Exception => resp.body() }
 
   // ---- config / namespaces -------------------------------------------------
 

@@ -7,6 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 import org.apache.spark.sql.types.{DataType, StructType}
+import graft.catalog.GrantStore
 import graft.table.{CommitConflictException, FileIO, GraftTable, Ref, Snapshot, SnapshotLog}
 
 /** Commit request: the client built and serialized the candidate snapshot
@@ -78,13 +79,22 @@ private[rest] case class RenameReq(fromNamespace: Seq[String], fromName: String,
   */
 class RestCatalogServer(val warehouse: String,
     credentials: Map[String, String], port: Int = 0,
-    tokenTtlMs: Long = 3600000L) {
+    tokenTtlMs: Long = 3600000L,
+    // vended per-table storage credentials (reference `main.tf:676-696`:
+    // UC's credential vending hands engines short-lived storage access
+    // alongside the table metadata). Config-level modeling: whatever map is
+    // wired here is returned in every LoadTableResult's `config` plus a
+    // spec `storage-credentials` stanza scoped to the table location.
+    storageCredentials: Map[String, String] = Map.empty) {
 
   private implicit val fmts: Formats = DefaultFormats
-  // token -> absolute expiry (epoch ms); expired entries fail auth with 401,
-  // which a credentialed client answers with a fresh client-credentials
-  // grant (RestCatalogClient.send) — the OAuth2 expiry/refresh loop
-  private val tokens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // token -> (principal = OAuth client id, absolute expiry epoch ms);
+  // expired entries fail auth with 401, which a credentialed client answers
+  // with a fresh client-credentials grant (RestCatalogClient.send) — the
+  // OAuth2 expiry/refresh loop. The principal is what [[GrantStore]]
+  // authorizes: the bearer token IS an identity, not just a gate.
+  private case class TokenInfo(principal: String, expiresAt: Long)
+  private val tokens = new java.util.concurrent.ConcurrentHashMap[String, TokenInfo]()
   private var server: HttpServer = _
 
   // Warehouse IO through the Hadoop FileSystem seam — the catalog server
@@ -129,20 +139,39 @@ class RestCatalogServer(val warehouse: String,
     ex.close()
   }
   private def ok(ex: HttpExchange, json: String = "{}"): Unit = respond(ex, 200, json)
-  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
-    respond(ex, code, Serialization.write(Map("error" -> msg)))
+
+  /** Spec error body (Iceberg REST `ErrorModel`): `{"error": {"message",
+    * "type", "code"}}` — the shape conformant clients (Trino, PyIceberg)
+    * switch on. `type` defaults by status; call sites may name the exact
+    * spec exception (NoSuchTableException, AlreadyExistsException, …). */
+  private def err(ex: HttpExchange, code: Int, msg: String,
+      errType: String = null): Unit = {
+    val t = Option(errType).getOrElse(code match {
+      case 400 => "BadRequestException"
+      case 401 => "NotAuthorizedException"
+      case 403 => "ForbiddenException"
+      case 404 => "NoSuchResourceException"
+      case 409 => "ConflictException"
+      case _   => "InternalServerError"
+    })
+    respond(ex, code, Serialization.write(Map("error" ->
+      Map("message" -> msg, "type" -> t, "code" -> code))))
+  }
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
-  private def authorized(ex: HttpExchange): Boolean = {
+  /** The live principal behind the request's bearer token, or None (no
+    * header, unknown token, expired token). */
+  private def principalOf(ex: HttpExchange): Option[String] = {
     val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    if (!h.startsWith("Bearer ")) false
-    else {
-      val exp = tokens.get(h.stripPrefix("Bearer "))
-      exp != null && System.currentTimeMillis() < exp
-    }
+    if (!h.startsWith("Bearer ")) None
+    else Option(tokens.get(h.stripPrefix("Bearer ")))
+      .filter(_.expiresAt > System.currentTimeMillis())
+      .map(_.principal)
   }
+
+  private def authorized(ex: HttpExchange): Boolean = principalOf(ex).isDefined
 
   /** OAuth2 client-credentials grant (form-encoded body, per RFC 6749 and
     * the Iceberg REST spec's token endpoint). */
@@ -161,8 +190,8 @@ class RestCatalogServer(val warehouse: String,
     // tokens (clients re-grant on 401, which would otherwise leak one
     // entry per refresh on a long-lived server)
     val now = System.currentTimeMillis()
-    tokens.entrySet().removeIf(e => e.getValue < now)
-    tokens.put(token, now + tokenTtlMs)
+    tokens.entrySet().removeIf(e => e.getValue.expiresAt < now)
+    tokens.put(token, TokenInfo(id, now + tokenTtlMs))
     ok(ex, Serialization.write(Map(
       "access_token" -> token, "token_type" -> "bearer",
       "expires_in" -> (tokenTtlMs / 1000).toString)))
@@ -180,13 +209,101 @@ class RestCatalogServer(val warehouse: String,
         ok(ex, Serialization.write(Map(
           "overrides" -> Map("warehouse" -> warehouse, "prefix" -> "iceberg"),
           "defaults" -> Map.empty[String, String])))
-      case (m, p) => route(ex, m, p.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList)
+      case (m, p) =>
+        val segs = p.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList
+        // grants: every authenticated route maps to a required privilege on
+        // a securable; the check no-ops until a first grant is written
+        // (GrantStore's not-enforcing default)
+        val principal = principalOf(ex).getOrElse(
+          return err(ex, 401, "missing or invalid bearer token"))
+        requiredPrivilege(m, segs).foreach { case (priv, parts) =>
+          GrantStore.check(warehouse, principal, priv, parts)
+        }
+        segs match {
+          case "grants" :: rest => grantsRoute(ex, m, rest, principal)
+          case _ => route(ex, m, segs)
+        }
     }
   } catch {
-    case c: CommitConflictException => err(ex, 409, c.getMessage)
+    case a: GrantStore.AccessDeniedException =>
+      err(ex, 403, a.getMessage, "ForbiddenException")
+    case c: CommitConflictException =>
+      err(ex, 409, c.getMessage, "CommitFailedException")
     case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
     case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+  }
+
+  /** Route shape -> (privilege, securable) for [[GrantStore]] enforcement —
+    * the UC-grants surface the reference wires for its external engine
+    * (`main.tf:730-756`): table reads need SELECT, commits/DDL on a table
+    * need MODIFY, creating needs CREATE_TABLE on the namespace, and
+    * navigating a namespace needs USE_SCHEMA. The graft-native and spec
+    * /iceberg/ surfaces enforce identically (same securables). */
+  private def requiredPrivilege(method: String, segs: List[String])
+      : Option[(String, Seq[String])] = {
+    val s = segs match { case "iceberg" :: rest => rest; case x => x }
+    (method, s) match {
+      // table/view loads: SELECT on the table
+      case ("GET" | "HEAD", "namespaces" :: ns :: ("tables" | "views") :: t :: Nil) =>
+        Some("SELECT" -> (decNs(ns) :+ t))
+      // commit / head / refs / drop / view-commit: MODIFY on the table
+      case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
+        Some("MODIFY" -> (decNs(ns) :+ t))
+      // create table/view/register: CREATE_TABLE on the namespace
+      case ("POST", "namespaces" :: ns :: ("tables" | "views" | "register") :: Nil) =>
+        Some("CREATE_TABLE" -> decNs(ns))
+      // namespace navigation (exists / list tables / list views): USE_SCHEMA
+      case ("GET" | "HEAD", "namespaces" :: ns :: _) =>
+        Some("USE_SCHEMA" -> decNs(ns))
+      case ("DELETE", "namespaces" :: ns :: Nil) =>
+        Some("MODIFY" -> decNs(ns))
+      case _ => None // list/create namespaces, rename, transactions (checked per-table inside)
+    }
+  }
+
+  /** GRANT/REVOKE administration (catalog OWNERs only):
+    * {{{
+    *   GET  /v1/grants                     list all grants
+    *   POST /v1/grants                     {"principal","privilege","securable":[...]}
+    *   POST /v1/grants/revoke              same body, removes the grant
+    * }}}
+    * The FIRST grant flips the warehouse to enforcing — so it must name an
+    * OWNER, or the caller would lock everyone (including itself) out;
+    * rejected with 400 otherwise. */
+  private def grantsRoute(ex: HttpExchange, method: String,
+      segs: List[String], principal: String): Unit = {
+    if (!GrantStore.isAdmin(warehouse, principal))
+      throw new GrantStore.AccessDeniedException(
+        s"principal '$principal' is not a catalog OWNER")
+    (method, segs) match {
+      case ("GET", Nil) =>
+        val gs = GrantStore.load(warehouse).getOrElse(Nil)
+        ok(ex, Serialization.write(Map("grants" -> gs.map(g => Map(
+          "principal" -> g.principal, "privilege" -> g.privilege,
+          "securable" -> g.parts)))))
+      case ("POST", Nil) =>
+        val g = parseGrant(readBody(ex))
+        if (GrantStore.load(warehouse).isEmpty && g.privilege != "OWNER")
+          return err(ex, 400, "the first grant must create a catalog OWNER " +
+            "(anything else locks every principal out, including yours)")
+        GrantStore.grant(warehouse, g)
+        ok(ex)
+      case ("POST", "revoke" :: Nil) =>
+        GrantStore.revoke(warehouse, parseGrant(readBody(ex)))
+        ok(ex)
+      case _ => err(ex, 404, s"no grants route $method /${segs.mkString("/")}")
+    }
+  }
+
+  private def parseGrant(body: String): GrantStore.Grant = {
+    val j = JsonMethods.parse(body)
+    GrantStore.Grant(
+      (j \ "principal").extractOpt[String].getOrElse(
+        throw new IllegalArgumentException("grant needs principal")),
+      (j \ "privilege").extractOpt[String].getOrElse(
+        throw new IllegalArgumentException("grant needs privilege")),
+      (j \ "securable").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   /** SPEC-conformant Iceberg REST Catalog read surface (the role Unity
@@ -246,10 +363,19 @@ class RestCatalogServer(val warehouse: String,
           page.map(n => Map("namespace" -> decNs(ns), "name" -> n))), next))
       case ("GET" | "HEAD", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
-        if (!isTable(root)) return err(ex, 404, s"no table $t")
+        if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
         if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
         val (metaUri, metadataJson) = renderIcebergMetadata(root)
-        ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+        // ETag = the metadata location (changes exactly when the table
+        // commits); a conformant client revalidates with If-None-Match and
+        // skips re-parsing an unchanged table's metadata on 304
+        val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        if (inm.contains(metaUri)) {
+          ex.getResponseHeaders.set("ETag", metaUri)
+          ex.sendResponseHeaders(304, -1); ex.close(); return
+        }
+        ex.getResponseHeaders.set("ETag", metaUri)
+        ok(ex, tableResult(root, metaUri, metadataJson))
       case ("POST", "namespaces" :: Nil) =>
         val body = JsonMethods.parse(readBody(ex))
         val nsSeq = (body \ "namespace").extractOpt[Seq[String]].getOrElse(
@@ -286,7 +412,7 @@ class RestCatalogServer(val warehouse: String,
         graft.table.IcebergImport.importIntoPath(
           new org.apache.hadoop.conf.Configuration(), metaLoc, root)
         val (metaUri, metadataJson) = renderIcebergMetadata(root)
-        ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+        ok(ex, tableResult(root, metaUri, metadataJson))
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
         val purge = Option(ex.getRequestURI.getQuery).getOrElse("")
@@ -755,7 +881,21 @@ class RestCatalogServer(val warehouse: String,
       props ++ partBy.map("write.partition-by" -> _)
             ++ sortBy.map("write.sort-by" -> _)))
     val (metaUri, metadataJson) = renderIcebergMetadata(root)
-    ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson,"config":{}}""")
+    ok(ex, tableResult(root, metaUri, metadataJson))
+  }
+
+  /** Spec `LoadTableResult` body: metadata plus the vended storage
+    * credentials ([[storageCredentials]], reference `main.tf:676-696`) in
+    * both the flat `config` (older-client compatibility) and the spec
+    * `storage-credentials` stanza scoped to the table location. */
+  private def tableResult(root: String, metaUri: String,
+      metadataJson: String): String = {
+    val cfg = Serialization.write(storageCredentials)
+    val creds =
+      if (storageCredentials.isEmpty) "[]"
+      else s"""[{"prefix":${Serialization.write(root)},"config":$cfg}]"""
+    s"""{"metadata-location":"$metaUri","metadata":$metadataJson,""" +
+      s""""config":$cfg,"storage-credentials":$creds}"""
   }
 
   /** Validate + apply ONE table's spec commit (requirements, updates,
@@ -995,8 +1135,18 @@ class RestCatalogServer(val warehouse: String,
       (root, s"${ns.mkString(".")}.$t", c)
     }
     resolved.find { case (root, _, _) => !isTable(root) } match {
-      case Some((_, name, _)) => return err(ex, 404, s"no table $name")
+      case Some((_, name, _)) =>
+        return err(ex, 404, s"no table $name", "NoSuchTableException")
       case None => ()
+    }
+    // grants: a multi-table transaction needs MODIFY on EVERY table, checked
+    // before any side effect (the route-level map can't see the body)
+    principalOf(ex).foreach { p =>
+      changes.foreach { c =>
+        val ns = (c \ "identifier" \ "namespace").extract[Seq[String]]
+        val t = (c \ "identifier" \ "name").extract[String]
+        GrantStore.check(warehouse, p, "MODIFY", ns :+ t)
+      }
     }
     // phase 1: all requirements, no side effects. remove-snapshots is
     // barred from transactions outright: expiry DELETES snapshot JSONs,
