@@ -211,5 +211,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "freq_top(sketch, limit)")
         graft.functions.FreqTop(args(0), intLit(args(1), "freq_top limit"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_top_array"),
+      new ExpressionInfo(classOf[graft.functions.FreqTopArray].getName, "freq_top_array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_top_array(sketch, limit)")
+        graft.functions.FreqTopArray(args(0), intLit(args(1), "freq_top_array limit"))
+      }))
   }
 }

@@ -77,6 +77,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def enforce(privilege: String, parts: Seq[String]): Unit =
     grantPrincipal.foreach(p => GrantStore.check(warehouse, p, privilege, parts))
 
+  private def enforceAny(privileges: Seq[String], parts: Seq[String]): Unit =
+    grantPrincipal.foreach(p => GrantStore.checkAny(warehouse, p, privileges, parts))
+
   private def identParts(ident: Identifier): Seq[String] =
     ident.namespace().toSeq :+ ident.name()
 
@@ -288,10 +291,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // grants: reading a table (or any of its metadata/branch views)
-    // requires SELECT on the BASE table
-    enforce("SELECT",
-      ident.namespace().toSeq :+ ident.name().split("\\$", 2)(0))
+    // grants: resolving a table needs SELECT OR MODIFY on the BASE table —
+    // UC semantics let a write-only (MODIFY) principal resolve a DML
+    // target without SELECT (ADVICE r13). The actual privileges are then
+    // enforced where the capability is exercised: newScanBuilder requires
+    // SELECT (readGuard), the write path MODIFY (writeGuard).
+    val baseParts =
+      ident.namespace().toSeq :+ ident.name().split("\\$", 2)(0)
+    enforceAny(Seq("SELECT", "MODIFY"), baseParts)
     // Iceberg-style metadata tables: SELECT * FROM graft.db.`t$history` etc.
     if (ident.name().contains("$")) {
       val Array(base, meta) = ident.name().split("\\$", 2)
@@ -302,7 +309,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // head (its own schema) and INSERT INTO it appends to the branch only
       if (meta.startsWith("branch_"))
         return GraftDsv2Table(t, ident.toString,
-          branch = Some(meta.stripPrefix("branch_")))
+          branch = Some(meta.stripPrefix("branch_")),
+          writeGuard = () => enforce("MODIFY", baseParts),
+          readGuard = () => enforce("SELECT", baseParts))
+      // metadata tables are reads: SELECT outright (a MODIFY-only writer
+      // has no business listing the table's files)
+      enforce("SELECT", baseParts)
       val df = meta match {
         case "history"    => t.history
         case "snapshots"  => t.snapshotsMeta
@@ -320,7 +332,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftDsv2Table(loadGraft(ident), ident.toString,
-      writeGuard = () => enforce("MODIFY", identParts(ident)))
+      writeGuard = () => enforce("MODIFY", identParts(ident)),
+      readGuard = () => enforce("SELECT", identParts(ident)))
   }
 
   /** Time travel: `VERSION AS OF <v>` — a numeric snapshot version, or a
@@ -488,6 +501,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
+    // rename = MODIFY on the source + CREATE_TABLE in the destination
+    // namespace: grants are name-keyed, so an unguarded rename would
+    // detach a table from its grants or graft it under another
+    // securable's (ADVICE r13)
+    enforce("MODIFY", identParts(from))
+    enforce("CREATE_TABLE", to.namespace().toSeq)
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     rest match {

@@ -25,7 +25,11 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     // invoked at write-plan time (INSERT/OVERWRITE/DELETE targets): the
     // catalog splices a MODIFY grant check here so a SELECT-only principal
     // can resolve the table but not commit to it ([[GrantStore]])
-    writeGuard: () => Unit = () => ())
+    writeGuard: () => Unit = () => (),
+    // invoked at scan-plan time: loadTable accepts SELECT-or-MODIFY (a
+    // write-only principal must resolve its DML target), so the read
+    // privilege proper is enforced here instead (ADVICE r13)
+    readGuard: () => Unit = () => ())
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -72,7 +76,8 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
     * re-applied on the inner DataFrame so the vectorized parquet reader gets
     * its own row-group-level PushedFilters. Filters are also returned as
     * residuals, so Spark re-checks them — pruning can never lose rows. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    readGuard()
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema()
@@ -181,6 +186,7 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
           }.asInstanceOf[T]
       }
     }
+  }
 
   /** Best-effort translation of pushed filters back to Columns for the inner
     * parquet scan (unsupported shapes are skipped — Spark re-checks all

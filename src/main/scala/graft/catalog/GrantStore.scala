@@ -84,14 +84,16 @@ object GrantStore {
     val io = FileIO.forPath(warehouse)
     val p = file(warehouse)
     if (!io.exists(p)) { cache.remove(p); return None }
-    // cache key: size — FileIO has no mtime; atomic-replace rewrites make
-    // byte-identical size collisions harmless only if content matters, so
-    // fold a weak content probe in: size + first bytes are overkill here,
-    // grants files are tiny — just read it when size changed OR always for
-    // sub-4KiB files (one small read per check is control-plane cheap).
-    val sig = io.size(p).toString
+    // cache key: size — FileIO has no mtime, and a cross-process rewrite
+    // that keeps the byte size identical (revoke one grant, add another of
+    // equal length) must not leave this process serving stale grants. So
+    // sub-4KiB files are ALWAYS re-read (one small read per check is
+    // control-plane cheap, and real grants files live far below 4KiB);
+    // only a file past that threshold trusts the size signature.
+    val size = io.size(p)
+    val sig = size.toString
     val hit = cache.get(p)
-    if (hit != null && hit.mtimeSig == sig) return Some(hit.grants)
+    if (hit != null && hit.mtimeSig == sig && size >= 4096) return Some(hit.grants)
     val gs = parse(io.readString(p))
     cache.put(p, Cached(sig, gs))
     Some(gs)
@@ -132,6 +134,16 @@ object GrantStore {
     if (!allowed(warehouse, principal, privilege, parts))
       throw new AccessDeniedException(
         s"principal '$principal' lacks $privilege on " +
+          (if (parts.isEmpty) "catalog" else parts.mkString(".")))
+
+  /** Any-of variant: UC semantics let MODIFY imply table resolution for
+    * DML targets (a write-only principal can INSERT without SELECT), so
+    * loadTable-style gates check "SELECT or MODIFY" rather than SELECT. */
+  def checkAny(warehouse: String, principal: String, privileges: Seq[String],
+      parts: Seq[String]): Unit =
+    if (!privileges.exists(allowed(warehouse, principal, _, parts)))
+      throw new AccessDeniedException(
+        s"principal '$principal' lacks ${privileges.mkString(" or ")} on " +
           (if (parts.isEmpty) "catalog" else parts.mkString(".")))
 
   /** Is `principal` a catalog administrator (OWNER at catalog level, or

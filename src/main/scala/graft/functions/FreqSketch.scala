@@ -136,6 +136,12 @@ object FreqSketch {
   /** Column API: top items of a sketch blob as one comma-joined string. */
   def top(sketch: Column, limit: Int): Column =
     Bridge.column(FreqTop(Bridge.expression(sketch), limit))
+
+  /** Column API: top items as an ARRAY of "item:count" strings — the
+    * separator-safe form (an item containing ',' cannot corrupt the set;
+    * ADVICE r13 on q108). */
+  def topArray(sketch: Column, limit: Int): Column =
+    Bridge.column(FreqTopArray(Bridge.expression(sketch), limit))
 }
 
 /** Scalar extractor: top `limit` items of a serialized MG blob as
@@ -151,6 +157,24 @@ case class FreqTop(child: Expression, limit: Int)
     UTF8String.fromString(
       FreqSketch.topFrom(input.asInstanceOf[Array[Byte]], limit).mkString(","))
   override protected def withNewChildInternal(newChild: Expression): FreqTop =
+    copy(child = newChild)
+}
+
+/** Array-typed extractor: top `limit` items of a serialized MG blob as an
+  * array of "item:count" strings — no join separator, so items containing
+  * ',' survive verbatim (the q108 verdict parses this set). */
+case class FreqTopArray(child: Expression, limit: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(limit > 0, "limit must be positive")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "freq_top_array"
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      FreqSketch.topFrom(input.asInstanceOf[Array[Byte]], limit)
+        .map(UTF8String.fromString))
+  override protected def withNewChildInternal(newChild: Expression): FreqTopArray =
     copy(child = newChild)
 }
 

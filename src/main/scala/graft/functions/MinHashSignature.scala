@@ -19,72 +19,118 @@ import org.apache.spark.unsafe.types.UTF8String
   * k current minima, `update` folds one row into all k, `merge` is the
   * element-wise min of two sketches — associative + commutative, so Spark
   * plans it partial→final (map-side combine) like any built-in aggregate,
-  * and at 100 TB the shuffle carries k strings per group, not the rows.
+  * and at 100 TB the shuffle carries k digests per group, not the rows.
   *
   * The hash family is byte-identical to `md5(concat(i, '|', value))`, i.e.
   * the formula the DuckDB oracle (and the multi-query pipeline it replaces)
   * computes — swapping it into q41 changes the plan, not the answer.
+  *
+  * Hot-path discipline (this update() runs once per (doc, shingle) row, so
+  * at corpus scale it IS the dedup pipeline's inner loop): one cached
+  * MessageDigest per operator instance (a JCA provider lookup per row costs
+  * more than the digest itself), salt prefixes pre-encoded once, the input
+  * string encoded to UTF-8 once per row (not once per salt), minima kept as
+  * RAW 16-byte digests compared unsigned-lexicographically — identical
+  * ordering to the fixed-width hex rendering, which is only materialized at
+  * eval() time, 16 table lookups instead of 16 format-interpolator calls.
   */
 case class MinHashSignature(
     child: Expression,
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[String]] {
+  extends TypedImperativeAggregate[Array[Array[Byte]]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
-  override def createAggregationBuffer(): Array[String] =
-    Array.fill[String](numHashes)(null)
+  // Per-task scratch (one operator instance per task thread, so no races):
+  // the digest object and the pre-encoded "i|" salt prefixes.
+  @transient private lazy val md: MessageDigest = MessageDigest.getInstance("MD5")
+  @transient private lazy val saltPrefix: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
 
-  override def update(buf: Array[String], input: InternalRow): Array[String] = {
+  override def createAggregationBuffer(): Array[Array[Byte]] =
+    Array.fill[Array[Byte]](numHashes)(null)
+
+  /** Unsigned-lexicographic byte compare — the same order as comparing the
+    * %02x hex strings (fixed-width hex is order-preserving per byte). */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  override def update(buf: Array[Array[Byte]], input: InternalRow): Array[Array[Byte]] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.toString
-      val md = MessageDigest.getInstance("MD5")
+      val sBytes = v match {
+        case u: UTF8String => u.getBytes
+        case other         => other.toString.getBytes("UTF-8")
+      }
       var i = 0
       while (i < numHashes) {
-        val hex = toHex(md.digest(s"$i|$s".getBytes("UTF-8")))
-        if (buf(i) == null || hex < buf(i)) buf(i) = hex
         md.reset()
+        md.update(saltPrefix(i))
+        md.update(sBytes)
+        val dig = md.digest()
+        if (buf(i) == null || less(dig, buf(i))) buf(i) = dig
         i += 1
       }
     }
     buf
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
     var i = 0
     while (i < numHashes) {
-      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      if (a(i) == null || (b(i) != null && less(b(i), a(i)))) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  override def eval(buf: Array[String]): Any =
-    new GenericArrayData(buf.map(s => if (s == null) null else UTF8String.fromString(s)))
+  private val hexChars = "0123456789abcdef".toCharArray
 
-  override def serialize(buf: Array[String]): Array[Byte] = {
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def eval(buf: Array[Array[Byte]]): Any =
+    new GenericArrayData(buf.map(d => if (d == null) null else UTF8String.fromString(toHex(d))))
+
+  override def serialize(buf: Array[Array[Byte]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { s => out.writeBoolean(s != null); if (s != null) out.writeUTF(s) }
+    buf.foreach { d =>
+      out.writeBoolean(d != null)
+      if (d != null) { out.writeInt(d.length); out.write(d) }
+    }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[String] = {
+  override def deserialize(bytes: Array[Byte]): Array[Array[Byte]] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    Array.fill(in.readInt())(if (in.readBoolean()) in.readUTF() else null)
-  }
-
-  private def toHex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    Array.fill(in.readInt()) {
+      if (in.readBoolean()) {
+        val d = new Array[Byte](in.readInt()); in.readFully(d); d
+      } else null
+    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSignature =

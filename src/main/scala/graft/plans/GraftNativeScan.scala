@@ -76,6 +76,9 @@ case class GraftNativeScan(spark: SparkSession) extends Rule[LogicalPlan] {
     * broadcast on the vectorized path. */
   private def swap(r: DataSourceV2Relation, filters: Seq[Filter]): LogicalPlan = {
     val g = graftOf(r).get
+    // this swap IS the read path when it fires (newScanBuilder never runs),
+    // so the SELECT grant check must happen here too
+    g.readGuard()
     val child = g.prunedDf(filters.toArray).queryExecution.analyzed
     val stats = g.catalogStatistics(filters.toArray)
     val statsTable = org.apache.spark.sql.catalyst.catalog.CatalogTable(

@@ -251,10 +251,15 @@ object Advanced {
     * (DuckDB spells the star form `* EXCLUDE`). */
   def q116(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir).createOrReplaceTempView("q116_orders")
+    // revenue: cast-inside-sum makes the total an exact decimal (order-
+    // independent); the OUTER cast narrows Spark's sum type DECIMAL(28,4)
+    // and DuckDB's DECIMAL(38,4) to the SAME declared type — result-type
+    // precision is part of some hashers' canonical form, and the values
+    // are scale-2 exact so the narrowing is lossless.
     spark.sql("""
       SELECT o_orderstatus, o_orderpriority,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS revenue
       FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM q116_orders)
       GROUP BY ALL
       ORDER BY ALL""")
@@ -263,7 +268,7 @@ object Advanced {
   val q116Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
       |       count(*) AS n,
-      |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS revenue
       |FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders)
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin

@@ -81,7 +81,12 @@ object Pipeline {
   def q63(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = Seq("data", "query", "fast")
+    // repartition before the explode: the tokenization is re-derived by
+    // THREE consumers (dl, tf, and the scored join), and a few-row-group
+    // corpus would otherwise run each pass on a handful of scan tasks
+    // (the q41 shingles() normalizer rationale)
     val tok = documents(spark, dir)
+      .select($"doc_id", $"text").repartition($"doc_id")
       .select($"doc_id", explode(split($"text", " ")).as("wd"))
     val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))

@@ -629,8 +629,10 @@ object TextAnalysis {
     val sk = tok.groupBy($"lang")
       .agg(FreqSketch($"word").as("sk"), count(lit(1)).as("n_tokens"))
       .select($"lang", $"n_tokens",
-        // the FULL k=64 candidate set as "item:count" strings
-        FreqSketch.top($"sk", FreqSketch.DefaultK).as("cand"))
+        // the FULL k=64 candidate set as an ARRAY of "item:count" strings —
+        // separator-safe: a token containing ',' can't fragment the set
+        // (ADVICE r13)
+        FreqSketch.topArray($"sk", FreqSketch.DefaultK).as("cand"))
     // exact per-word counts (the verification pass), heavy = c > n/(k+1)
     val heavy = tok.groupBy($"lang", $"word").agg(count(lit(1)).as("c"))
       .join(broadcast(sk), "lang")
@@ -640,7 +642,7 @@ object TextAnalysis {
       // word ∈ candidates: strip the ":count" suffix at the LAST colon so
       // words containing ':' can't split wrong
       bool_and(array_contains(
-        expr("transform(split(cand, ','), x -> regexp_extract(x, '^(.*):[0-9]+$', 1))"),
+        expr("transform(cand, x -> regexp_extract(x, '^(.*):[0-9]+$', 1))"),
         $"word")).as("all_found"))
     sk.join(heavyStats, Seq("lang"), "left")
       .select($"lang", $"n_tokens",

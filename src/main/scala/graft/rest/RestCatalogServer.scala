@@ -216,8 +216,8 @@ class RestCatalogServer(val warehouse: String,
         // (GrantStore's not-enforcing default)
         val principal = principalOf(ex).getOrElse(
           return err(ex, 401, "missing or invalid bearer token"))
-        requiredPrivilege(m, segs).foreach { case (priv, parts) =>
-          GrantStore.check(warehouse, principal, priv, parts)
+        requiredPrivilege(m, segs).foreach { case (privs, parts) =>
+          GrantStore.checkAny(warehouse, principal, privs, parts)
         }
         segs match {
           case "grants" :: rest => grantsRoute(ex, m, rest, principal)
@@ -241,24 +241,28 @@ class RestCatalogServer(val warehouse: String,
     * navigating a namespace needs USE_SCHEMA. The graft-native and spec
     * /iceberg/ surfaces enforce identically (same securables). */
   private def requiredPrivilege(method: String, segs: List[String])
-      : Option[(String, Seq[String])] = {
+      : Option[(Seq[String], Seq[String])] = {
     val s = segs match { case "iceberg" :: rest => rest; case x => x }
     (method, s) match {
-      // table/view loads: SELECT on the table
+      // table/view loads: SELECT on the table — or MODIFY, so a write-only
+      // foreign engine can resolve its DML target before committing (the
+      // same UC semantics as GraftCatalog.loadTable; ADVICE r13)
       case ("GET" | "HEAD", "namespaces" :: ns :: ("tables" | "views") :: t :: Nil) =>
-        Some("SELECT" -> (decNs(ns) :+ t))
+        Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
-        Some("MODIFY" -> (decNs(ns) :+ t))
+        Some(Seq("MODIFY") -> (decNs(ns) :+ t))
       // create table/view/register: CREATE_TABLE on the namespace
       case ("POST", "namespaces" :: ns :: ("tables" | "views" | "register") :: Nil) =>
-        Some("CREATE_TABLE" -> decNs(ns))
+        Some(Seq("CREATE_TABLE") -> decNs(ns))
       // namespace navigation (exists / list tables / list views): USE_SCHEMA
       case ("GET" | "HEAD", "namespaces" :: ns :: _) =>
-        Some("USE_SCHEMA" -> decNs(ns))
+        Some(Seq("USE_SCHEMA") -> decNs(ns))
       case ("DELETE", "namespaces" :: ns :: Nil) =>
-        Some("MODIFY" -> decNs(ns))
-      case _ => None // list/create namespaces, rename, transactions (checked per-table inside)
+        Some(Seq("MODIFY") -> decNs(ns))
+      case _ => None // list/create namespaces, transactions: checked per-table
+                     // inside; rename: MODIFY+CREATE_TABLE checked in the
+                     // handlers (they need the request body's identifiers)
     }
   }
 
@@ -284,9 +288,15 @@ class RestCatalogServer(val warehouse: String,
           "securable" -> g.parts)))))
       case ("POST", Nil) =>
         val g = parseGrant(readBody(ex))
-        if (GrantStore.load(warehouse).isEmpty && g.privilege != "OWNER")
-          return err(ex, 400, "the first grant must create a catalog OWNER " +
-            "(anything else locks every principal out, including yours)")
+        // the first grant flips the warehouse to enforcing, so it must make
+        // grants administration itself reachable: isAdmin requires OWNER at
+        // the CATALOG level (empty securable) — an OWNER grant scoped to a
+        // namespace would enforce with no admin left, the exact lock-out
+        // this check exists to prevent
+        if (GrantStore.load(warehouse).isEmpty &&
+            !(g.privilege == "OWNER" && g.parts.isEmpty))
+          return err(ex, 400, "the first grant must create a catalog-level " +
+            "OWNER (anything else locks every principal out, including yours)")
         GrantStore.grant(warehouse, g)
         ok(ex)
       case ("POST", "revoke" :: Nil) =>
@@ -488,6 +498,15 @@ class RestCatalogServer(val warehouse: String,
     }
     val (srcNs, srcName) = ident("source")
     val (dstNs, dstName) = ident("destination")
+    // grants: rename = MODIFY on the source securable + CREATE_TABLE in the
+    // destination namespace (grants are name-keyed, so an unguarded rename
+    // would detach a table from its grants or graft it under another
+    // securable's — ADVICE r13). requiredPrivilege can't see the body, so
+    // the check lives here.
+    principalOf(ex).foreach { principal =>
+      GrantStore.check(warehouse, principal, "MODIFY", srcNs :+ srcName)
+      GrantStore.check(warehouse, principal, "CREATE_TABLE", dstNs)
+    }
     if (!io.isDirectory(nsDir(dstNs)))
       return err(ex, 404, s"no namespace ${dstNs.mkString(".")}")
     if (view) {
@@ -1246,6 +1265,13 @@ class RestCatalogServer(val warehouse: String,
         else { io.deleteRecursive(root); logs.remove(root); ok(ex) }
       case ("POST", "tables" :: "rename" :: Nil) =>
         val req = JsonMethods.parse(readBody(ex)).extract[RenameReq]
+        // same grant shape as the spec rename: MODIFY on source,
+        // CREATE_TABLE in the destination namespace (ADVICE r13)
+        principalOf(ex).foreach { principal =>
+          GrantStore.check(warehouse, principal, "MODIFY",
+            req.fromNamespace :+ req.fromName)
+          GrantStore.check(warehouse, principal, "CREATE_TABLE", req.toNamespace)
+        }
         val from = tableRoot(req.fromNamespace, req.fromName)
         val to = tableRoot(req.toNamespace, req.toName)
         if (!isTable(from)) return err(ex, 404, s"no table ${req.fromName}")

@@ -143,6 +143,72 @@ class GrantsSpec extends SparkSpec {
       "('graft.filter', 'graft.mask.email')")
   }
 
+  test("write-only principal: MODIFY alone resolves a DML target but cannot read") {
+    seedGrants(
+      Grant("admin", "OWNER", Nil),
+      Grant("frank", "MODIFY", Seq("gdb", "accounts")))
+    asPrincipal("frank") {
+      // UC semantics: MODIFY suffices for INSERT without SELECT (ADVICE r13)
+      spark.sql("INSERT INTO graft.gdb.accounts VALUES (42, 'f@f', 'US')")
+      // but the read path proper still requires SELECT
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft.gdb.accounts").collect()
+      }
+      assert(deepMsg(e).contains("lacks SELECT"), deepMsg(e))
+    }
+    asPrincipal("admin") {
+      assert(spark.sql("SELECT * FROM graft.gdb.accounts WHERE id = 42").count() == 1)
+      spark.sql("DELETE FROM graft.gdb.accounts WHERE id = 42")
+    }
+  }
+
+  test("rename needs MODIFY on source + CREATE_TABLE in destination namespace") {
+    seedGrants(
+      Grant("admin", "OWNER", Nil),
+      Grant("gina", "SELECT", Seq("gdb")),
+      // namespace-wide MODIFY: grants are name-keyed, so the rename-back
+      // below needs the privilege to cover the table's NEW name too
+      Grant("gina", "MODIFY", Seq("gdb")))
+    // MODIFY on source alone is not enough: rename re-keys the securable
+    asPrincipal("gina") {
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.gdb.accounts RENAME TO gdb.accounts2")
+      }
+      assert(deepMsg(e).contains("lacks CREATE_TABLE"), deepMsg(e))
+    }
+    GrantStore.grant(wh, Grant("gina", "CREATE_TABLE", Seq("gdb")))
+    asPrincipal("gina") {
+      spark.sql("ALTER TABLE graft.gdb.accounts RENAME TO gdb.accounts2")
+      spark.sql("ALTER TABLE graft.gdb.accounts2 RENAME TO gdb.accounts")
+    }
+    // and a principal without MODIFY on the source is refused outright
+    seedGrants(
+      Grant("admin", "OWNER", Nil),
+      Grant("hank", "SELECT", Seq("gdb")),
+      Grant("hank", "CREATE_TABLE", Seq("gdb")))
+    asPrincipal("hank") {
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.gdb.accounts RENAME TO gdb.stolen")
+      }
+      assert(deepMsg(e).contains("lacks MODIFY"), deepMsg(e))
+    }
+  }
+
+  test("GrantStore re-reads small files: a same-size cross-process rewrite is seen") {
+    val io = graft.table.FileIO.forPath(wh)
+    seedGrants(
+      Grant("admin", "OWNER", Nil),
+      Grant("aaaa", "SELECT", Seq("gdb", "accounts")))
+    assert(GrantStore.allowed(wh, "aaaa", "SELECT", Seq("gdb", "accounts")))
+    // out-of-band rewrite with IDENTICAL byte size: swap principal aaaa->bbbb
+    val raw = io.readString(s"$wh/_grants.json").replace("aaaa", "bbbb")
+    io.writeAtomicReplace(s"$wh/_grants.json", raw)
+    assert(io.size(s"$wh/_grants.json") < 4096) // the always-re-read regime
+    assert(!GrantStore.allowed(wh, "aaaa", "SELECT", Seq("gdb", "accounts")),
+      "revoked principal kept access through a stale size-keyed cache")
+    assert(GrantStore.allowed(wh, "bbbb", "SELECT", Seq("gdb", "accounts")))
+  }
+
   test("time-travel reads are grant-checked too") {
     seedGrants(Grant("admin", "OWNER", Nil))
     asPrincipal("eve") {
@@ -194,9 +260,14 @@ class GrantsSpec extends SparkSpec {
               org.apache.spark.sql.types.StructField("id",
                 org.apache.spark.sql.types.LongType))).json) +
           ""","properties":{}}""").statusCode() == 200)
-      // the first grant must create an OWNER
+      // the first grant must create a CATALOG-LEVEL OWNER: a non-OWNER
+      // privilege or an OWNER scoped to a namespace would flip enforcement
+      // with no admin reachable (ADVICE r13)
       assert(req("POST", "/v1/grants", tb,
         """{"principal":"engine-b","privilege":"SELECT","securable":["db","t"]}""")
+        .statusCode() == 400)
+      assert(req("POST", "/v1/grants", ta,
+        """{"principal":"engine-a","privilege":"OWNER","securable":["db"]}""")
         .statusCode() == 400)
       assert(req("POST", "/v1/grants", ta,
         """{"principal":"engine-a","privilege":"OWNER","securable":[]}""")
@@ -223,6 +294,25 @@ class GrantsSpec extends SparkSpec {
       // and engine-b cannot create tables
       assert(req("POST", "/v1/namespaces/db/tables", tb,
         """{"name":"t2","schemaJson":"{}","properties":{}}""").statusCode() == 403)
+      // rename is guarded on BOTH surfaces: MODIFY on source +
+      // CREATE_TABLE on the destination namespace (ADVICE r13 — an
+      // unguarded rename detaches a table from its name-keyed grants)
+      assert(req("POST", "/v1/iceberg/tables/rename", tb,
+        """{"source":{"namespace":["db"],"name":"t"},""" +
+        """"destination":{"namespace":["db"],"name":"hijacked"}}""")
+        .statusCode() == 403)
+      assert(req("POST", "/v1/tables/rename", tb,
+        """{"fromNamespace":["db"],"fromName":"t",""" +
+        """"toNamespace":["db"],"toName":"hijacked"}""").statusCode() == 403)
+      // a fully-granted principal renames fine (and back)
+      assert(req("POST", "/v1/iceberg/tables/rename", ta,
+        """{"source":{"namespace":["db"],"name":"t"},""" +
+        """"destination":{"namespace":["db"],"name":"t_rn"}}""")
+        .statusCode() == 204)
+      assert(req("POST", "/v1/iceberg/tables/rename", ta,
+        """{"source":{"namespace":["db"],"name":"t_rn"},""" +
+        """"destination":{"namespace":["db"],"name":"t"}}""")
+        .statusCode() == 204)
       // revoke closes the read back down
       assert(req("POST", "/v1/grants/revoke", ta,
         """{"principal":"engine-b","privilege":"SELECT","securable":["db","t"]}""")
