@@ -45,5 +45,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** `documents` repartitioned by doc_id — the parallelism normalizer for
+    * CPU-heavy per-document work (shingle/token/bigram explosion, hashing):
+    * a corpus that arrives as a handful of parquet row groups would run
+    * that work on a handful of scan tasks, and AQE's size-based coalescing
+    * can't see per-row CPU cost. The shuffled bytes are the raw text —
+    * less than the exploded volume the downstream aggregation shuffles
+    * anyway — and skewed long documents spread with it. Scan-shaped
+    * consumers (project/filter only) should keep using [[documents]]:
+    * for them the extra exchange is pure overhead. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    documents(s, d).repartition(col("doc_id"))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -243,18 +243,25 @@ object Aggregates {
     * bounds the raw relative error. */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_partkey").as("exact_parts"),
-        countDistinct($"l_orderkey").as("exact_orders"),
-        approx_count_distinct($"l_partkey").as("ap"),
-        approx_count_distinct($"l_orderkey", 0.02).as("ao"))
+    // Two DISTINCT columns in one agg would plan an Expand (3x the input
+    // through the shuffle). Instead: dedup each (flag, key) projection
+    // with a partial-aggregating groupBy, then count — two narrow
+    // shuffles of the distinct pairs. The HLL estimate is computed over
+    // the SAME deduped input (a multiset-insensitive sketch: identical
+    // registers, identical estimate), so the verdicts are unchanged.
+    def side(key: String, rsd: Double, exactName: String, okName: String) = {
+      val dp = lineitem(spark, dir).select($"l_returnflag", col(key)).distinct()
+      val bound = 3 * rsd
+      dp.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as(exactName),
+          approx_count_distinct(col(key), rsd).as("est"))
+        .select($"l_returnflag", col(exactName),
+          (abs($"est" - col(exactName)) <= col(exactName) * lit(bound)).as(okName))
+    }
+    side("l_partkey", 0.05, "exact_parts", "ok_parts")
+      .join(side("l_orderkey", 0.02, "exact_orders", "ok_orders"), "l_returnflag")
       .select($"l_returnflag", $"exact_parts", $"exact_orders",
-        (abs($"ap" - $"exact_parts") <=
-          $"exact_parts" * lit(0.15)).as("ok_parts"),
-        (abs($"ao" - $"exact_orders") <=
-          $"exact_orders" * lit(0.06)).as("ok_orders"))
+        $"ok_parts", $"ok_orders")
       .orderBy($"l_returnflag")
   }
 

@@ -79,7 +79,7 @@ object Curation {
     * plan at any corpus size. */
   def q74(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = documents(spark, dir)
+    val grams = documentsSpread(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id", explode(expr(
@@ -114,7 +114,7 @@ object Curation {
     * pathological single document only ever skews its own key. */
   def q75(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = documents(spark, dir)
+    val base = documentsSpread(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
     val perBigram = base
@@ -227,7 +227,7 @@ object Curation {
     * single-partition window. */
   def q114(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = documents(spark, dir)
+    val scored = documentsSpread(spark, dir)
       .select($"doc_id", $"lang", explode(expr(
         "filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
       .groupBy($"doc_id", $"lang")

@@ -124,7 +124,7 @@ object Sampling {
     * total. */
   def q98(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, dir)
+    val toks = documentsSpread(spark, dir)
       .select($"doc_id", $"lang",
         expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
       .filter(size($"w") >= 2)

@@ -184,7 +184,7 @@ object TextAnalysis {
     * itself, so the selected set is deterministic on both engines. */
   def q84(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, dir)
+    val toks = documentsSpread(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
     val stats = toks.groupBy($"tok")
@@ -217,7 +217,7 @@ object TextAnalysis {
     * shuffle total. */
   def q124(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, dir)
+    val toks = documentsSpread(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
     val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("tf"))
@@ -255,7 +255,7 @@ object TextAnalysis {
     * self-join) into the final groupBy — two shuffles total at any scale. */
   def q87(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wf = documents(spark, dir)
+    val wf = documentsSpread(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -295,7 +295,7 @@ object TextAnalysis {
     * in the last ulp between engines and partitionings). */
   def q95(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, dir)
+    val toks = documentsSpread(spark, dir)
       .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
       .filter(size($"w") >= 2)
     val docBg = toks
@@ -357,7 +357,7 @@ object TextAnalysis {
     * across engines and partitionings. */
   def q97(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, dir)
+    val toks = documentsSpread(spark, dir)
       .select($"doc_id", $"lang",
         explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
     // per-doc word counts (true lang rides along — no join back later)
@@ -431,7 +431,7 @@ object TextAnalysis {
     * single-partition funnel. */
   def q99(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dw = documents(spark, dir)
+    val dw = documentsSpread(spark, dir)
       .select($"doc_id",
         explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
@@ -488,7 +488,7 @@ object TextAnalysis {
     // per emoji. Still one linear pass per doc (the indexed-substring form
     // re-scans the UTF-8 prefix per position — O(len²), measured 2.4 s vs
     // 1.5 s at sf0.1)
-    val cc = documents(spark, dir)
+    val cc = documentsSpread(spark, dir)
       .select($"doc_id", explode(expr(
         "regexp_extract_all(text, '(?s).', 0)")).as("ch"))
       .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
@@ -539,7 +539,7 @@ object TextAnalysis {
     import spark.implicits._
     val model = graft.operators.Bpe.trainFromCorpus(documents(spark, dir), 2000, 200)
     q105Model.set(model)
-    documents(spark, dir)
+    documentsSpread(spark, dir)
       .select($"doc_id",
         length($"text").cast("long").as("n_chars_calc"),
         expr("size(filter(split(text, ' '), x -> length(x) > 0))").cast("long").as("ws_tokens"),
@@ -623,7 +623,7 @@ object TextAnalysis {
   def q108(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.FreqSketch
-    val tok = documents(spark, dir)
+    val tok = documentsSpread(spark, dir)
       .select($"lang",
         explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
     val sk = tok.groupBy($"lang")

@@ -102,6 +102,12 @@ class NativeFunctionsSpec extends SparkSpec {
       SELECT freq_top(freq_sketch(CASE WHEN id % 2 = 0 THEN 'hot' ELSE s END), 1) top
       FROM sk_sql""").collect()(0).getString(0)
     assert(f.startsWith("hot:"), f)
+    // the array form carries the same entries with no join separator —
+    // items containing ',' survive verbatim (the q108 verdict input)
+    val fa = spark.sql("""
+      SELECT freq_top_array(freq_sketch(CASE WHEN id % 2 = 0 THEN 'a,b' ELSE s END), 1) top
+      FROM sk_sql""").collect()(0).getSeq[String](0)
+    assert(fa.length == 1 && fa.head.startsWith("a,b:"), fa)
   }
 
   test("extensions hook registers cosine_sim and minhash_sig for SQL") {
