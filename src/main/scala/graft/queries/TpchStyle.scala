@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
-/** TPC-H-STYLE analytical suite (q134–q143): the classic multi-join
-  * decision-support shapes — shipping priority, local-supplier volume,
-  * market share, returned items, order-size distribution, promo share,
-  * small-quantity filtering, large-volume customers — adapted to the
-  * fixture star schema (no `partsupp`, no comment/date-pair columns; the
-  * query SHAPES are faithful, the predicates use the fixture domains).
+/** TPC-H-STYLE analytical suite (q134–q154): all 22 classic multi-join
+  * decision-support shapes — Q1 is the flagship `q01_pricing_summary`, the
+  * other 21 live here — adapted to the fixture star schema (no `partsupp`,
+  * no comment/date-pair columns; the query SHAPES are faithful, the
+  * predicates use the fixture domains; where a shape needs `partsupp`, the
+  * part↔supplier relation is DERIVED from lineitem — the same distinct
+  * pairs a real partsupp would key).
   * This is the "a reference user could run their reporting queries"
   * claim made concrete: every query is a DuckDB-oracled hash-exact row.
   *
@@ -440,6 +441,338 @@ object TpchStyle {
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------- q147 (Q2)
+  /** Minimum-cost supplier: for small STANDARD parts, the European supplier
+    * offering the lowest unit cost, with full supplier context. The fixture
+    * has no `partsupp`, so the part↔supplier offer relation derives from
+    * lineitem: per (partkey, suppkey) the MINIMUM observed unit price —
+    * min of per-row IEEE divisions, no accumulation, so the cost is
+    * bit-identical across engines and partitionings. The correlated
+    * "cost = (SELECT min ...)" decorrelates to a per-part min joined back —
+    * the aggregate runs over the already-region-filtered offers, exactly
+    * like the decorrelated plan every engine produces for Q2. */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = lineitem(spark, dir)
+      .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .agg(min($"l_extendedprice" / $"l_quantity").as("ps_cost"))
+    val s = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val p = part(spark, dir)
+      .filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    val offers = ps
+      .join(broadcast(s), $"ps_suppkey" === $"s_suppkey")
+      .join(broadcast(p), $"ps_partkey" === $"p_partkey")
+    val minCost = offers.groupBy($"ps_partkey".as("mk"))
+      .agg(min($"ps_cost").as("min_cost"))
+    offers.join(broadcast(minCost), $"ps_partkey" === $"mk" && $"ps_cost" === $"min_cost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"ps_cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  val q147Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS ps_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |offers AS (
+      |  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+      |    ps.ps_partkey, ps.ps_cost
+      |  FROM ps
+      |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  JOIN part p ON ps.ps_partkey = p.p_partkey
+      |  WHERE r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'STANDARD')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost
+      |FROM offers o
+      |JOIN (SELECT ps_partkey AS mk, MIN(ps_cost) AS min_cost
+      |      FROM offers GROUP BY 1) m
+      |  ON o.ps_partkey = m.mk AND o.ps_cost = m.min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------- q148 (Q9)
+  /** Product-type profit by nation and year: revenue minus cost for every
+    * part whose name matches, attributed to the SUPPLIER's nation. Cost
+    * proxies `ps_supplycost × l_quantity` with the part's retail price (on
+    * the cent grid — exact as DECIMAL(12,2)) at an 80% cost ratio ×
+    * integral quantity, so the whole amount stays a decimal-exact term and
+    * the sum is order-independent. */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = part(spark, dir).filter($"p_name".contains("widget"))
+      .select($"p_partkey", $"p_retailprice")
+    val amount = discPrice($"l_extendedprice", $"l_discount") -
+      $"p_retailprice".cast(DecimalType(12, 2)) * lit(0.8).cast(DecimalType(2, 1)) *
+        $"l_quantity".cast(DecimalType(9, 0))
+    lineitem(spark, dir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q148Sql: String =
+    s"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       |  CAST(SUM($discSql
+       |    - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(2,1))
+       |      * CAST(l.l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS sum_profit
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE p.p_name LIKE '%widget%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------------------------------------ q149 (Q11)
+  /** Important stock: parts whose shipped value through one nation's
+    * suppliers exceeds a scale-free fraction of that nation's total — the
+    * HAVING-against-global-scalar shape. Value = decimal-exact extended
+    * price; the threshold multiplies one exact total by one double literal,
+    * identical IEEE arithmetic on both engines. */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val natSupp = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir).filter($"n_name" === "NATION_7")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val sv = lineitem(spark, dir)
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey", $"l_extendedprice".cast(DecimalType(12, 2)).as("v"))
+    val thr = sv.agg((sum($"v").cast("double") * lit(0.001)).as("thr"))
+    sv.groupBy($"l_partkey".as("ps_partkey"))
+      .agg(sum($"v").cast("double").as("value"))
+      .crossJoin(broadcast(thr))
+      .filter($"value" > $"thr")
+      .select($"ps_partkey", $"value")
+      .orderBy($"value".desc, $"ps_partkey")
+  }
+
+  val q149Sql: String =
+    """WITH sv AS (
+      |  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(12,2)) AS v
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_7'),
+      |thr AS (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 AS thr FROM sv)
+      |SELECT l_partkey AS ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+      |FROM sv, thr
+      |GROUP BY 1, thr.thr
+      |HAVING CAST(SUM(v) AS DOUBLE) > thr.thr
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  // ------------------------------------------------------------ q150 (Q12)
+  /** Shipping-mode priority split, adapted: the fixture has no ship mode or
+    * commit/receipt dates, so the mode dimension is `l_linestatus` and
+    * lateness is shipping >45 days after the order date. The shape is
+    * faithful — join + date arithmetic filter + CASE-conditional two-way
+    * counts per mode. */
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(orders(spark, dir), $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 45 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q150Sql: String =
+    """SELECT l.l_linestatus,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      |GROUP BY 1
+      |ORDER BY l.l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------ q151 (Q15)
+  /** Top supplier: the revenue view over one quarter, then the supplier(s)
+    * achieving its maximum — view + scalar-max subquery. Revenue folds
+    * through decimals, so the max and the equality against it compare the
+    * exact same doubles on both engines. */
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(revenue().as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    supplier(spark, dir)
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .crossJoin(broadcast(mx))
+      .filter($"total_revenue" === $"mx")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  val q151Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(SUM($discSql) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY 1)
+       |SELECT s.s_suppkey, s.s_name, r.total_revenue
+       |FROM supplier s
+       |JOIN rev r ON s.s_suppkey = r.l_suppkey
+       |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s.s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------ q152 (Q16)
+  /** Part/supplier relationship counting: distinct suppliers able to supply
+    * each qualifying (brand, type, size) combination, EXCLUDING an
+    * exclusion list (suppliers in deficit — the fixture's stand-in for the
+    * complaints NOT IN subquery). The supplier relation derives from
+    * lineitem's distinct (part, supplier) pairs; exclusion is an anti-join
+    * that never materializes the complement. */
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val p = part(spark, dir)
+      .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val bad = supplier(spark, dir).filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    ps.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q152Sql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part p ON ps.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  // ------------------------------------------------------------ q153 (Q20)
+  /** Potential part promotion: suppliers in one nation who DOMINATE the
+    * shipping of some small part — shipped more than half that part's total
+    * 1997 volume (the fixture has no availqty, so "excess availability"
+    * becomes dominant shipped share; the nested correlated-threshold shape
+    * is intact). Quantities sum as exact decimals; the half-share threshold
+    * multiplies one exact total by a double literal. */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pk = part(spark, dir).filter($"p_name".startsWith("small"))
+      .select($"p_partkey")
+    val sq = lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(pk), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("qty"))
+    val tot = sq.groupBy($"l_partkey".as("tk"))
+      .agg((sum($"qty").cast("double") * lit(0.5)).as("half"))
+    val dominant = sq.join(broadcast(tot), $"l_partkey" === $"tk")
+      .filter($"qty".cast("double") > $"half")
+      .select($"l_suppkey").distinct()
+    supplier(spark, dir)
+      .join(broadcast(nation(spark, dir).filter($"n_name" === "NATION_5")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_name")
+  }
+
+  val q153Sql: String =
+    """WITH sq AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT l_partkey AS tk, CAST(SUM(qty) AS DOUBLE) * 0.5 AS half
+      |  FROM sq GROUP BY 1),
+      |dominant AS (
+      |  SELECT DISTINCT sq.l_suppkey
+      |  FROM sq JOIN tot ON sq.l_partkey = tot.tk
+      |  WHERE CAST(sq.qty AS DOUBLE) > tot.half)
+      |SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_name = 'NATION_5'
+      |  AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+      |ORDER BY s.s_name""".stripMargin
+
+  // ------------------------------------------------------------ q154 (Q21)
+  /** Suppliers who kept orders waiting: for finished multi-supplier orders,
+    * the supplier who was the SOLE late shipper (shipped >60 days after the
+    * order date — the fixture's lateness rule, q145). The classic
+    * exists/not-exists pair decorrelates to one per-(order, supplier)
+    * aggregate and one per-order rollup: n_suppliers > 1 AND n_late = 1
+    * picks exactly the orders where one supplier failed everyone else —
+    * two hash aggregates and a key join, no correlated re-scans. */
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perOS = lineitem(spark, dir)
+      .join(orders(spark, dir).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1L)
+        .otherwise(0L)).as("late"))
+    val perO = perOS.groupBy($"l_orderkey".as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+    perOS.filter($"late" === 1L)
+      .join(perO.filter($"n_supp" > 1L && $"n_late" === 1L),
+        $"l_orderkey" === $"ok", "left_semi")
+      .join(broadcast(supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  val q154Sql: String =
+    """WITH per_os AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |per_o AS (
+      |  SELECT l_orderkey AS ok, COUNT(*) AS n_supp, SUM(late) AS n_late
+      |  FROM per_os GROUP BY 1)
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM per_os p
+      |JOIN per_o ON p.l_orderkey = per_o.ok AND per_o.n_supp > 1 AND per_o.n_late = 1
+      |JOIN supplier s ON p.l_suppkey = s.s_suppkey
+      |WHERE p.late = 1
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_tpch_q3_shipping_priority"  -> q134,
     "q135_tpch_q5_local_supplier"     -> q135,
@@ -453,7 +786,15 @@ object TpchStyle {
     "q143_tpch_q18_large_volume"      -> q143,
     "q144_tpch_q19_disjunctive_join"  -> q144,
     "q145_tpch_q4_priority_check"     -> q145,
-    "q146_tpch_q22_idle_balances"     -> q146)
+    "q146_tpch_q22_idle_balances"     -> q146,
+    "q147_tpch_q2_min_cost_supplier"  -> q147,
+    "q148_tpch_q9_product_profit"     -> q148,
+    "q149_tpch_q11_important_stock"   -> q149,
+    "q150_tpch_q12_priority_split"    -> q150,
+    "q151_tpch_q15_top_supplier"      -> q151,
+    "q152_tpch_q16_supplier_count"    -> q152,
+    "q153_tpch_q20_dominant_share"    -> q153,
+    "q154_tpch_q21_waiting_supplier"  -> q154)
 
   val oracleSql: Map[String, String] = Map(
     "q134_tpch_q3_shipping_priority"  -> q134Sql,
@@ -468,5 +809,13 @@ object TpchStyle {
     "q143_tpch_q18_large_volume"      -> q143Sql,
     "q144_tpch_q19_disjunctive_join"  -> q144Sql,
     "q145_tpch_q4_priority_check"     -> q145Sql,
-    "q146_tpch_q22_idle_balances"     -> q146Sql)
+    "q146_tpch_q22_idle_balances"     -> q146Sql,
+    "q147_tpch_q2_min_cost_supplier"  -> q147Sql,
+    "q148_tpch_q9_product_profit"     -> q148Sql,
+    "q149_tpch_q11_important_stock"   -> q149Sql,
+    "q150_tpch_q12_priority_split"    -> q150Sql,
+    "q151_tpch_q15_top_supplier"      -> q151Sql,
+    "q152_tpch_q16_supplier_count"    -> q152Sql,
+    "q153_tpch_q20_dominant_share"    -> q153Sql,
+    "q154_tpch_q21_waiting_supplier"  -> q154Sql)
 }
