@@ -572,6 +572,55 @@ object Dedup {
       |WHERE jaro_winkler_similarity(a.key, b.key) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** INCREMENTAL near-dup probe (operators.DedupIndex): treat one source
+    * slice (`src0`) as the arriving ingest batch and the rest of the corpus
+    * as the standing index — the "check each crawl batch against everything
+    * already kept" workflow. The engine path computes the batch's MinHash
+    * signatures ONCE, joins the index's band rows on (band, bucket), and
+    * scores candidates by signature agreement (est. Jaccard ≥ 0.5) — never
+    * |batch|×|corpus|, never a corpus re-sketch. The oracle reproduces the
+    * identical md5 sketch family in SQL, so the pairs AND the agreement
+    * scores hash-match. (Persistence + CDC refresh of the index table are
+    * DedupIndexSpec's surface — a verify query stays side-effect-free.) */
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val batch = docs.filter($"source" === "src0")
+    val corpus = docs.filter($"source" =!= "src0")
+    val idx = graft.operators.DedupIndex.bandTable(corpus, "doc_id", "text")
+    graft.operators.DedupIndex.probe(idx, batch, "doc_id", "text", minJaccard = 0.5)
+      .withColumn("est_jaccard", round($"est_jaccard", 4))
+      .orderBy($"new_id", $"dup_of")
+  }
+
+  val q155Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+      |  CROSS JOIN UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)),
+      |sig AS (
+      |  SELECT doc_id, any_value(source) AS source,
+      |    list(s ORDER BY i) AS sigs
+      |  FROM (SELECT doc_id, source, i, min(md5(i::VARCHAR || '|' || shingle)) AS s
+      |        FROM sh CROSS JOIN UNNEST(range(12)) AS r(i) GROUP BY doc_id, source, i)
+      |  GROUP BY doc_id),
+      |band AS (
+      |  SELECT doc_id, source, b,
+      |    md5(sigs[b*4+1] || sigs[b*4+2] || sigs[b*4+3] || sigs[b*4+4]) AS bucket
+      |  FROM sig CROSS JOIN UNNEST(range(3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+      |  FROM band n JOIN band c ON n.b = c.b AND n.bucket = c.bucket
+      |  WHERE n.source = 'src0' AND c.source <> 'src0' AND n.doc_id <> c.doc_id)
+      |SELECT cand.new_id, cand.dup_of,
+      |  round(len(list_filter(range(12), i -> a.sigs[i+1] = d.sigs[i+1])) / 12.0, 4) AS est_jaccard
+      |FROM cand
+      |JOIN sig a ON a.doc_id = cand.new_id
+      |JOIN sig d ON d.doc_id = cand.dup_of
+      |WHERE len(list_filter(range(12), i -> a.sigs[i+1] = d.sigs[i+1])) / 12.0 >= 0.5
+      |ORDER BY new_id, dup_of""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact"         -> q40,
     "q41_dedup_minhash_lsh"   -> q41,
@@ -583,7 +632,8 @@ object Dedup {
     "q86_cross_source_dups"   -> q86,
     "q90_block_dedup"         -> q90,
     "q96_substring_dedup"     -> q96,
-    "q117_fuzzy_match"        -> q117)
+    "q117_fuzzy_match"        -> q117,
+    "q155_dedup_index_probe"  -> q155)
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact"         -> q40Sql,
@@ -596,5 +646,6 @@ object Dedup {
     "q86_cross_source_dups"   -> q86Sql,
     "q90_block_dedup"         -> q90Sql,
     "q96_substring_dedup"     -> q96Sql,
-    "q117_fuzzy_match"        -> q117Sql)
+    "q117_fuzzy_match"        -> q117Sql,
+    "q155_dedup_index_probe"  -> q155Sql)
 }
