@@ -150,8 +150,15 @@ object DedupIndex {
     * zip_with over two K-arrays — candidate cost is Σ bucket-collisions,
     * never |batch| × |corpus|. Self-matches (same id on both sides) drop. */
   def probe(indexRows: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, minJaccard: Double): DataFrame = {
-    val bb = bandTable(batch, idCol, textCol)
+      textCol: String, minJaccard: Double): DataFrame =
+    probeBands(indexRows, bandTable(batch, idCol, textCol), minJaccard)
+
+  /** [[probe]] over ALREADY-SKETCHED batch bands — callers that also need
+    * the batch's bands for their own joins (within-batch dedup, index
+    * append) sketch once and reuse. */
+  def probeBands(indexRows: DataFrame, batchBands: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val bb = batchBands
       .select(col("_id").as("new_id"), col("b"), col("bucket"), col("sigs").as("new_sigs"))
     bb.join(indexRows.select(col("_id").as("dup_of"), col("b"), col("bucket"),
           col("sigs").as("idx_sigs")),

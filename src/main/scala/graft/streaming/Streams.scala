@@ -272,4 +272,47 @@ object Streams {
     graftSink(table)(batch, batchId)
     graft.operators.IncrementalAgg.refresh(batch.sparkSession, table, matPath)
   }
+
+  /** [[graftSink]] with ONLINE NEAR-DUP FILTERING: each micro-batch is
+    * sketched once ([[graft.operators.DedupIndex]]), checked against the
+    * table's persisted signature index AND against itself (first-id-wins
+    * inside the batch), and only the novel rows append — the standing
+    * "dedup each crawl batch against everything already kept" loop, as a
+    * streaming sink. After the exactly-once append, the index catches up
+    * from the new commit's changelog, so the NEXT batch probes a complete
+    * corpus; a crash between append and refresh just widens the next
+    * refresh's changelog span (the version stamp, not the batch id, drives
+    * catch-up — the [[graftSinkWithAgg]] rule).
+    *
+    * Per-batch cost: one signature pass over the batch + a (band, bucket)
+    * equality join against the pruned index + an O(batch) refresh. The
+    * corpus is never re-read and never re-sketched. */
+  def graftSinkDeduped(table: graft.table.GraftTable, indexPath: String,
+      idCol: String, textCol: String, minJaccard: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.DedupIndex
+    val last = table.log.current.properties.get("stream.last-batch-id").map(_.toLong)
+    if (last.exists(_ >= batchId)) return // replayed micro-batch: already durable
+    val spark = batch.sparkSession
+    // sketch once; the cached bands serve the index probe AND the
+    // within-batch self-join (the batch itself is already materialized by
+    // the streaming engine — no second persist needed)
+    val bands = DedupIndex.bandTable(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = graft.table.GraftTable.load(spark, indexPath)
+      val vsCorpus = DedupIndex.probeBands(index.read, bands, minJaccard)
+        .select(col("new_id")).distinct()
+      // within-batch: of any near-dup pair the batch itself carries, the
+      // LOWER id survives — same (b, bucket) equality join, id-ordered
+      val withinPairs = DedupIndex.probeBands(bands, bands, minJaccard)
+        .filter(col("new_id") > col("dup_of"))
+        .select(col("new_id")).distinct()
+      val dupIds = vsCorpus.union(withinPairs).distinct()
+      val keep = batch.join(dupIds, batch(idCol) === dupIds("new_id"), "left_anti")
+      table.append(keep, Map("stream.last-batch-id" -> batchId.toString))
+      DedupIndex.refreshIndexTable(spark, indexPath,
+        graft.table.GraftTable.load(spark, table.path), idCol, textCol)
+    } finally bands.unpersist(blocking = false)
+  }
 }
