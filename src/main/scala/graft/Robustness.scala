@@ -20,11 +20,14 @@ object Robustness {
     * q117 blocked fuzzy match, q119 triangle counting, q125 basket pair
     * self-join, q126 grid-blocked spatial join, q131 two-frame windows)
     * plus the TPC-H-style multi-join shapes (q134 3-table, q135 6-table
-    * snowflake, q139 return reporting, q143 fact-sized HAVING) — the spill
-    * proof has to cover JOIN state, not just aggregation/window state. */
+    * snowflake, q139 return reporting, q143 fact-sized HAVING; round 14:
+    * q147 derived-partsupp min-cost, q152 distinct-pair supplier counting,
+    * q154 two-level sole-late-supplier) and the q155 signature-index probe
+    * — the spill proof has to cover JOIN state, not just
+    * aggregation/window state. */
   private val family: Seq[String] = {
     val prefixes = ((40 to 49) ++ Seq(62, 82, 88) ++ (95 to 100) ++
-      Seq(113, 117, 119, 125, 126, 131, 134, 135, 139, 143))
+      Seq(113, 117, 119, 125, 126, 131, 134, 135, 139, 143, 147, 152, 154, 155))
       .map(i => f"q$i%02d_")
     val all = SparkEntry.queries.keys.toSeq.sorted
     prefixes.flatMap(p => all.filter(_.startsWith(p)))

@@ -153,6 +153,30 @@ private[catalog] object GraftProcedures {
         // normalize through the loader so the path matches the registered one
         graft.operators.IncrementalAgg.deregisterRewrite(
           GraftTable.load(s, tablePathOf(r.getUTF8String(0).toString)).path)),
+      new Proc("build_dedup_index", "persist a MinHash/LSH near-dup signature index of the table's (id_col, text_col) as index_table, stamped with the source version for incremental refresh",
+        Seq(tbl, in("index_table", StringType), in("id_col", StringType),
+          in("text_col", StringType)))((s, r) =>
+        graft.operators.DedupIndex.buildIndexTableFrom(s, load(s, r),
+          r.getUTF8String(2).toString, r.getUTF8String(3).toString,
+          tablePathOf(r.getUTF8String(1).toString))),
+      new Proc("refresh_dedup_index", "catch a near-dup signature index up to its source table's HEAD reading only the changelog span since the stamped version",
+        Seq(tbl, in("index_table", StringType), in("id_col", StringType),
+          in("text_col", StringType)))((s, r) =>
+        graft.operators.DedupIndex.refreshIndexTable(s,
+          tablePathOf(r.getUTF8String(1).toString), load(s, r),
+          r.getUTF8String(2).toString, r.getUTF8String(3).toString)),
+      new Proc("dedup_probe", "register a temp view of near-dup (new_id, dup_of, est_jaccard) pairs between batch_view rows and the signature index",
+        Seq(in("index_table", StringType), in("batch_view", StringType),
+          in("id_col", StringType), in("text_col", StringType),
+          in("view_name", StringType),
+          ProcedureParameter.in("min_jaccard", org.apache.spark.sql.types.DoubleType)
+            .defaultValue("0.5").build()))((s, r) =>
+        graft.operators.DedupIndex.probe(
+            GraftTable.load(s, tablePathOf(r.getUTF8String(0).toString)).read,
+            s.table(r.getUTF8String(1).toString),
+            r.getUTF8String(2).toString, r.getUTF8String(3).toString,
+            r.getDouble(5))
+          .createOrReplaceTempView(r.getUTF8String(4).toString)),
       new Proc("import_parquet", "register an existing parquet directory as a new graft table (migrate/add_files)",
         Seq(tbl, in("source_dir", StringType)))((s, r) =>
         GraftTable.importParquet(s, r.getUTF8String(1).toString,

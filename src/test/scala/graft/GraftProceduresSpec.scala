@@ -75,6 +75,34 @@ class GraftProceduresSpec extends SparkSpec {
     assert(v1 == Seq(("a", 1L, 2.5), ("b", 2L, 10.0), ("c", 1L, 9.0)), v1.toString)
   }
 
+  test("CALL build_dedup_index + refresh_dedup_index + dedup_probe run the dedup loop in SQL") {
+    init()
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.proc.corpus (doc_id BIGINT, text STRING) USING graft")
+    spark.sql("INSERT INTO graft.proc.corpus VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog today'), " +
+      "(2, 'completely different text about distributed query engines and scale')")
+    spark.sql("CALL graft.system.build_dedup_index('proc.corpus', 'proc.corpus_idx', 'doc_id', 'text')")
+    // the index is a queryable table: one row per (doc, band)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.corpus_idx").head().getLong(0) == 6)
+
+    // corpus grows; the index catches up from the changelog span only
+    spark.sql("INSERT INTO graft.proc.corpus VALUES " +
+      "(3, 'another unrelated document mentioning spark catalyst and tungsten runtime')")
+    spark.sql("CALL graft.system.refresh_dedup_index('proc.corpus', 'proc.corpus_idx', 'doc_id', 'text')")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.corpus_idx").head().getLong(0) == 9)
+
+    // probe an arriving batch: 10 near-dups doc 1, 11 is novel
+    Seq((10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "nothing here resembles anything stored in the corpus at all"))
+      .toDF("doc_id", "text").createOrReplaceTempView("proc_batch")
+    spark.sql("CALL graft.system.dedup_probe('proc.corpus_idx', 'proc_batch', " +
+      "'doc_id', 'text', 'proc_dups', min_jaccard => 0.5D)")
+    val pairs = spark.sql("SELECT new_id, dup_of FROM proc_dups ORDER BY new_id, dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((10L, 1L)), pairs)
+  }
+
   test("CALL import_parquet registers an existing parquet dir as a table (migrate)") {
     init()
     val dir = java.nio.file.Files
