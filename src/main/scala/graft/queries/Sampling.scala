@@ -317,7 +317,46 @@ object Sampling {
       |FROM agg a, tot t
       |ORDER BY a.bin""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** DETERMINISTIC corpus shuffle + sharding (training-order assignment):
+    * every doc gets a shard (seeded hash mod n_shards) and a position
+    * within its shard (rank of the seeded hash) — the reproducible
+    * "shuffle the corpus, cut it into training shards" step every run of
+    * a data pipeline must replay bit-identically.
+    *
+    * 100 TB shape: shard assignment is scan-shaped (one md5 per row, no
+    * shuffle); the within-shard ordering is a window PARTITIONED by shard
+    * — n_shards independent sorts that scale out with the shard count,
+    * never a single global sort/row_number (at production shard counts —
+    * thousands — each partition is corpus/n_shards, the size a training
+    * loader wants anyway). Seed change ⇒ a completely different but
+    * equally deterministic order. */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = md5(concat(lit("shuffle42|"), $"doc_id".cast("string")).cast("binary"))
+    documents(spark, dir)
+      .select($"doc_id", key.as("k"))
+      .withColumn("shard",
+        conv(substring($"k", 1, 4), 16, 10).cast("long") % 8)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shard")
+          .orderBy($"k", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  val q156Sql: String =
+    """SELECT doc_id, shard, pos FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('shuffle42|' || doc_id), 1, 4))::BIGINT % 8 AS shard,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY ('0x' || substr(md5('shuffle42|' || doc_id), 1, 4))::BIGINT % 8
+      |      ORDER BY md5('shuffle42|' || doc_id), doc_id) AS BIGINT) AS pos
+      |  FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_corpus_shuffle"   -> q156,
     "q127_woe_binning"      -> q127,
     "q57_hash_split"        -> q57,
     "q58_stratified_sample" -> q58,
@@ -327,6 +366,7 @@ object Sampling {
     "q109_stratified_exact" -> q109)
 
   val oracleSql: Map[String, String] = Map(
+    "q156_corpus_shuffle"   -> q156Sql,
     "q127_woe_binning"      -> q127Sql,
     "q57_hash_split"        -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
