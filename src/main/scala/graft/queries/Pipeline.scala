@@ -315,9 +315,15 @@ object Pipeline {
     // rare-shingle inverted-index pairs (q43/q90 shape: stop-shingle cap
     // bounds the self-join fanout; never all-pairs)
     val sh = Dedup.shingles(spark, dir)
-    val rare = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
-      .filter($"df" <= 10).drop("df").cache()
+    // rare-shingle filter as groupBy + key join, not a count-over-shingle
+    // window: the groupBy partial-aggregates map-side and the hash join
+    // skips the window's per-partition sort — 4.7 s -> 3.5 s at sf0.1.
+    // ONLY correct as a perf trade here because rare is CACHED below (one
+    // computation); with an uncached rare the self-join recomputes the
+    // whole pipeline per side and the window wins (q113: 2.4 s vs 4.3 s)
+    val df_ = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 10).select($"shingle")
+    val rare = sh.join(df_, Seq("shingle")).cache()
     // edge = >= 2 SHARED rare shingles (the q113/q82 evidence rule): a
     // single shingle collision is noise, not similarity, and it DENSIFIES
     // the graph ~25x (436k -> 17k edges at sf0.1) — the threshold is what
@@ -445,6 +451,7 @@ object Pipeline {
   def q119(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Dedup.shingles(spark, dir)
+    // window, not groupBy+join: rare is uncached (the q113 rationale)
     val rare = sh.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= 10).drop("df")
