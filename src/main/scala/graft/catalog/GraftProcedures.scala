@@ -185,6 +185,13 @@ private[catalog] object GraftProcedures {
         Seq(tbl, in("source", StringType)))((s, r) =>
         graft.table.IcebergImport.importTable(s, r.getUTF8String(1).toString,
           tablePathOf(r.getUTF8String(0).toString))),
+      new Proc("import_delta", "replay a Delta Lake _delta_log (the reference's Databricks managed-table format) as a new graft table; unpartitioned data files register in place",
+        Seq(tbl, in("source", StringType)))((s, r) =>
+        graft.table.DeltaInterop.importTable(s, r.getUTF8String(1).toString,
+          tablePathOf(r.getUTF8String(0).toString))),
+      new Proc("export_delta", "write the table's current snapshot as a Delta transaction log under out_dir (data referenced in place); MOR deletes must be compacted first",
+        Seq(tbl, in("out_dir", StringType)))((s, r) =>
+        graft.table.DeltaInterop.export(load(s, r), r.getUTF8String(1).toString)),
       // the migration-out counterpart of import_iceberg: write the full
       // Iceberg v2 metadata tree (HadoopTables layout, real Avro manifests,
       // version-hint.text) for a graft table so any Iceberg reader opens it

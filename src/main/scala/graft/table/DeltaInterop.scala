@@ -1,0 +1,183 @@
+package graft.table
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Delta Lake transaction-log interop — the OTHER side of the reference
+  * stack's table-format story: its Databricks workspace stores managed
+  * tables as Delta while the EMR side speaks Iceberg
+  * (reference `main.tf:638-756` vs `main.tf:791-807`). [[IcebergImport]]/
+  * [[IcebergExport]] cover the Iceberg half; this covers Delta, so a user
+  * can hand either format's tables to this engine (import) or open this
+  * engine's tables from either ecosystem (export) without a data rewrite.
+  *
+  * Everything here is implemented against the PUBLIC Delta protocol
+  * (delta.io PROTOCOL.md): `_delta_log/` versioned JSON-lines commits of
+  * `protocol` / `metaData` / `add` / `remove` actions, optional parquet
+  * checkpoints named by `_last_checkpoint`, URL-encoded relative paths,
+  * `schemaString` carrying the Spark StructType JSON. No Delta library is
+  * involved on either side.
+  */
+object DeltaInterop {
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** One replayed action stream: (last metaData json, live add actions).
+    * Adds/removes reconcile by decoded path, last action wins — the
+    * protocol's log-replay rule. */
+  private case class ReplayState(
+      metaData: Option[JValue] = None,
+      minReader: Int = 1,
+      live: Map[String, JValue] = Map.empty) {
+    def apply(action: JValue): ReplayState = {
+      val addPath = (action \ "add" \ "path").extractOpt[String]
+      val rmPath = (action \ "remove" \ "path").extractOpt[String]
+      if (addPath.isDefined) copy(live = live + (decode(addPath.get) -> (action \ "add")))
+      else if (rmPath.isDefined) copy(live = live - decode(rmPath.get))
+      else if ((action \ "metaData") != JNothing) copy(metaData = Some(action \ "metaData"))
+      else if ((action \ "protocol") != JNothing)
+        copy(minReader = (action \ "protocol" \ "minReaderVersion").extractOpt[Int].getOrElse(1))
+      else this
+    }
+  }
+
+  private def decode(p: String): String = URLDecoder.decode(p, "UTF-8")
+  private def encodePath(p: String): String =
+    // the protocol URL-encodes path segments; '/' must survive
+    p.split("/", -1).map(URLEncoder.encode(_, "UTF-8").replace("+", "%20")).mkString("/")
+
+  private def commitFile(root: String, v: Long): String =
+    f"${root.stripSuffix("/")}/_delta_log/$v%020d.json"
+
+  /** Import a Delta table (its root directory) as a new graft table.
+    *
+    * Unpartitioned tables import IN PLACE: the final live file set after
+    * log replay registers directly (one stats pass for pruning bounds, no
+    * data copy — the importParquet discipline). Partitioned Delta tables
+    * store partition values in the LOG, not the files, so in-place
+    * registration would lose those columns — they MATERIALIZE (read each
+    * file, inject its partition literals, write once), documented as the
+    * one copying path. Checkpoint parquets are honored via
+    * `_last_checkpoint`; reader-version ≥ 3 features (deletion vectors,
+    * column mapping) are rejected loudly rather than misread. */
+  def importTable(spark: SparkSession, source: String, targetPath: String): GraftTable = {
+    val root = source.stripSuffix("/")
+    val io = FileIO.forPath(root)
+    require(io.exists(s"$root/_delta_log"), s"no _delta_log under $root — not a Delta table")
+
+    // checkpoint base, if any: actions live in a parquet of action structs
+    val lastCp = s"$root/_delta_log/_last_checkpoint"
+    val (cpVersion, cpActions): (Long, Seq[JValue]) =
+      if (io.exists(lastCp)) {
+        val cp = JsonMethods.parse(io.readString(lastCp))
+        val v = (cp \ "version").extract[Long]
+        val cpFile = f"$root/_delta_log/$v%020d.checkpoint.parquet"
+        val rows = spark.read.parquet(cpFile)
+          .toJSON.collect() // checkpoints are metadata-sized: one row per action
+          .map(JsonMethods.parse(_)).toSeq
+        (v, rows)
+      } else (-1L, Seq.empty)
+
+    // JSON commits after the checkpoint, replayed in version order
+    val jsonActions = Iterator.iterate(cpVersion + 1)(_ + 1)
+      .map(v => commitFile(root, v))
+      .takeWhile(io.exists)
+      .flatMap(f => io.readString(f).split("\n").filter(_.nonEmpty)
+        .map(JsonMethods.parse(_)))
+      .toSeq
+    require(cpVersion >= 0 || jsonActions.nonEmpty, s"empty _delta_log under $root")
+
+    val state = (cpActions ++ jsonActions).foldLeft(ReplayState())(_ apply _)
+    require(state.minReader <= 2,
+      s"Delta minReaderVersion ${state.minReader} needs table features " +
+      "(deletion vectors / column mapping) this importer does not read")
+    val meta = state.metaData.getOrElse(
+      throw new IllegalArgumentException(s"no metaData action in $root/_delta_log"))
+    val schema = DataType.fromJson((meta \ "schemaString").extract[String])
+      .asInstanceOf[StructType]
+    val partCols = (meta \ "partitionColumns").extract[Seq[String]]
+    val absFiles = state.live.keys.toSeq.sorted
+      .map(p => if (p.startsWith("/") || p.contains("://")) p else s"$root/$p")
+
+    if (partCols.isEmpty) {
+      // in-place: same shape as GraftTable.importParquet, Delta-replayed file set
+      GraftTable.importFiles(spark, absFiles, schema, targetPath,
+        "import-delta", Map("graft.imported-from" -> root))
+    } else {
+      // materialize: inject each file's partition literals (log-only values)
+      val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      val byVals = state.live.toSeq.groupBy { case (_, add) =>
+        partCols.map(c => (add \ "partitionValues" \ c).extractOpt[String])
+      }
+      val parts = byVals.map { case (vals, group) =>
+        val paths = group.map { case (p, _) =>
+          if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+        }
+        val df = spark.read.schema(dataSchema).parquet(paths: _*)
+        partCols.zip(vals).foldLeft(df) { case (d, (c, v)) =>
+          val dt = schema(c).dataType
+          d.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+        }.select(schema.fieldNames.map(col): _*)
+      }
+      GraftTable.create(spark, targetPath, parts.reduce(_ union _),
+        Map("graft.imported-from" -> root))
+    }
+  }
+
+  /** Export the table's CURRENT snapshot as a Delta transaction log under
+    * `outDir` (usually the graft table root itself, so `add` paths stay
+    * relative and any Delta reader opens the directory as a table). Data
+    * files are referenced in place — relative when they live under
+    * `outDir`, absolute `file://` URIs otherwise; nothing is copied.
+    *
+    * Protocol (1, 2) — plain parquet adds, no table features — which is
+    * exactly why MOR remainders must be compacted first: Delta v1 cannot
+    * express positional/equality deletes, so exporting a snapshot that
+    * still carries them would silently resurrect deleted rows. Rejected
+    * instead; `rewrite_data_files`/`rewrite_position_delete_files` folds
+    * them in. */
+  def export(table: GraftTable, outDir: String): String = {
+    val snap = table.log.current
+    require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
+      "current snapshot carries merge-on-read deletes Delta v1 cannot express — " +
+      "compact first (CALL graft.system.rewrite_data_files / rewrite_position_delete_files)")
+    val root = new java.io.File(outDir).getAbsolutePath.stripSuffix("/")
+    val io = FileIO.forPath(root)
+    val schema = DataType.fromJson(snap.schemas(snap.currentSchemaId.toString))
+      .asInstanceOf[StructType]
+
+    def resolve(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"${table.path.stripSuffix("/")}/$p"
+    def deltaPath(abs: String): String =
+      if (abs.startsWith(s"$root/")) encodePath(abs.stripPrefix(s"$root/"))
+      else s"file://${encodePath(abs)}"
+
+    // stable metaData id: derived from path + version, so re-export of the
+    // same snapshot is byte-identical (no wall-clock UUID)
+    val metaId = java.util.UUID.nameUUIDFromBytes(
+      s"${table.path}#v${snap.version}".getBytes(UTF_8)).toString
+    def js(s: String): String = JsonMethods.compact(JString(s))
+
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaData =
+      s"""{"metaData":{"id":"$metaId","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${js(schema.json)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":${snap.timestampMs}}}"""
+    val adds = snap.files.map { f =>
+      val abs = resolve(f.path)
+      s"""{"add":{"path":"${deltaPath(abs)}","partitionValues":{},""" +
+      s""""size":${f.bytes},"modificationTime":${snap.timestampMs},""" +
+      s""""dataChange":true,"stats":${js(s"""{"numRecords":${f.rows}}""")}}}"""
+    }
+    io.mkdirs(s"$root/_delta_log")
+    val commit = commitFile(root, 0L)
+    io.writeAtomicReplace(commit, (Seq(protocol, metaData) ++ adds).mkString("", "\n", "\n"))
+    commit
+  }
+}

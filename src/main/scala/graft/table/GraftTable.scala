@@ -1806,7 +1806,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val local = canon(r.getString(0))
+        // _metadata.file_path is a URI RENDERING — percent-encoded ("a b"
+        // → "a%20b") — while absPaths and FileIO speak raw strings; decode
+        // before the io.size call or any imported file with a space/UTF-8
+        // name dies here (native writes never hit this: part-file names
+        // are plain). URI.getPath decodes without '+'-as-space damage.
+        val decoded = scala.util.Try {
+          val u = new java.net.URI(r.getString(0))
+          if (u.getScheme == null) r.getString(0)
+          else if (u.getAuthority == null || u.getAuthority.isEmpty) u.getPath
+          else s"${u.getScheme}://${u.getAuthority}${u.getPath}"
+        }.getOrElse(r.getString(0))
+        val local = canon(decoded)
         val stats = statFields.flatMap { f =>
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
@@ -2240,17 +2251,27 @@ object GraftTable {
     * orphan-file GC only ever touches the table-owned `data/` dir, so
     * imported files are safe from expiry). */
   def importParquet(spark: SparkSession, parquetDir: String, path: String): GraftTable = {
-    val t = new GraftTable(spark, path)
-    require(!t.log.exists, s"graft table already exists at $path")
-    t.log.initDirs()
-    val df = spark.read.parquet(parquetDir)
-    val withIds = stampIds(df.schema)
     val srcIo = FileIO.forPath(parquetDir)
     val absPaths = srcIo.listNames(parquetDir).filter(_.endsWith(".parquet"))
       .map(n => s"${parquetDir.stripSuffix("/")}/$n")
-    val files = t.statFiles(absPaths, df.schema, 0, identity)
-    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), "import",
-      0, Map("0" -> withIds.json), files, Map.empty)
+    importFiles(spark, absPaths, spark.read.parquet(parquetDir).schema, path,
+      "import", Map.empty)
+  }
+
+  /** Register an explicit parquet file set (in place, one stats pass) as a
+    * new single-snapshot table — the importParquet core, shared with the
+    * Delta-log importer whose live file set comes from log replay rather
+    * than a directory listing. */
+  private[table] def importFiles(spark: SparkSession, absPaths: Seq[String],
+      schema: StructType, path: String, operation: String,
+      props: Map[String, String]): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(!t.log.exists, s"graft table already exists at $path")
+    t.log.initDirs()
+    val withIds = stampIds(schema)
+    val files = t.statFiles(absPaths, schema, 0, identity)
+    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), operation,
+      0, Map("0" -> withIds.json), files, props)
     t.log.commit(-1L, _ => snap)
     t
   }
