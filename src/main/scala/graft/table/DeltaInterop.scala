@@ -57,17 +57,31 @@ object DeltaInterop {
 
   /** Import a Delta table (its root directory) as a new graft table.
     *
-    * Unpartitioned tables import IN PLACE: the final live file set after
-    * log replay registers directly (one stats pass for pruning bounds, no
-    * data copy — the importParquet discipline). Partitioned Delta tables
-    * store partition values in the LOG, not the files, so in-place
-    * registration would lose those columns — they MATERIALIZE (read each
-    * file, inject its partition literals, write once), documented as the
-    * one copying path. Checkpoint parquets are honored via
+    * Unpartitioned tables import IN PLACE: the live file set after log
+    * replay registers directly (one stats pass for pruning bounds, no data
+    * copy — the importParquet discipline). With `history = true` every
+    * Delta version after the checkpoint base becomes its own graft
+    * snapshot (operation classified from its add/remove mix), so
+    * `VERSION AS OF` and changelog reads survive the migration —
+    * UNLESS some historical file was vacuumed from disk, in which case the
+    * import falls back to the single-snapshot HEAD (Delta itself can't
+    * time-travel past a vacuum either). Partitioned Delta tables store
+    * partition values in the LOG, not the files, so in-place registration
+    * would lose those columns — they MATERIALIZE (read each file, inject
+    * its partition literals, write once; history flattens), documented as
+    * the one copying path. Checkpoint parquets are honored via
     * `_last_checkpoint`; reader-version ≥ 3 features (deletion vectors,
-    * column mapping) are rejected loudly rather than misread. */
-  def importTable(spark: SparkSession, source: String, targetPath: String): GraftTable = {
-    val root = source.stripSuffix("/")
+    * column mapping) are rejected loudly rather than misread. The final
+    * schema serves every snapshot: protocol ≤ 2 permits only additive
+    * by-name evolution, so name resolution against the latest schema is
+    * exactly Delta's own read semantics. */
+  def importTable(spark: SparkSession, source: String, targetPath: String,
+      history: Boolean = true): GraftTable = {
+    // absolutize scheme-less local roots: replayed file paths must compare
+    // equal to the absolute rendering the stats pass records
+    val root0 = source.stripSuffix("/")
+    val root = if (root0.contains("://") || root0.startsWith("/")) root0
+               else new java.io.File(root0).getAbsolutePath
     val io = FileIO.forPath(root)
     require(io.exists(s"$root/_delta_log"), s"no _delta_log under $root — not a Delta table")
 
@@ -84,16 +98,30 @@ object DeltaInterop {
         (v, rows)
       } else (-1L, Seq.empty)
 
-    // JSON commits after the checkpoint, replayed in version order
-    val jsonActions = Iterator.iterate(cpVersion + 1)(_ + 1)
-      .map(v => commitFile(root, v))
-      .takeWhile(io.exists)
-      .flatMap(f => io.readString(f).split("\n").filter(_.nonEmpty)
-        .map(JsonMethods.parse(_)))
+    // JSON commits after the checkpoint, one action batch per Delta version
+    val jsonBatches: Seq[(Long, Seq[JValue])] = Iterator.iterate(cpVersion + 1)(_ + 1)
+      .map(v => v -> commitFile(root, v))
+      .takeWhile { case (_, f) => io.exists(f) }
+      .map { case (v, f) =>
+        v -> io.readString(f).split("\n").filter(_.nonEmpty)
+          .map(JsonMethods.parse(_)).toSeq
+      }
       .toSeq
-    require(cpVersion >= 0 || jsonActions.nonEmpty, s"empty _delta_log under $root")
+    require(cpVersion >= 0 || jsonBatches.nonEmpty, s"empty _delta_log under $root")
 
-    val state = (cpActions ++ jsonActions).foldLeft(ReplayState())(_ apply _)
+    // replay: the state after the checkpoint base, then after each version
+    val base = cpActions.foldLeft(ReplayState())(_ apply _)
+    case class Step(state: ReplayState, added: Int, removed: Int, ts: Long)
+    val steps: Seq[Step] = jsonBatches.scanLeft(
+        Step(base, 0, 0, 0L)) { case (prev, (_, actions)) =>
+      val added = actions.count(a => (a \ "add") != JNothing)
+      val removed = actions.count(a => (a \ "remove") != JNothing)
+      val ts = actions.flatMap(a =>
+        (a \ "commitInfo" \ "timestamp").extractOpt[Long]).headOption
+        .getOrElse(System.currentTimeMillis())
+      Step(actions.foldLeft(prev.state)(_ apply _), added, removed, ts)
+    }.tail
+    val state = if (steps.isEmpty) base else steps.last.state
     require(state.minReader <= 2,
       s"Delta minReaderVersion ${state.minReader} needs table features " +
       "(deletion vectors / column mapping) this importer does not read")
@@ -102,13 +130,46 @@ object DeltaInterop {
     val schema = DataType.fromJson((meta \ "schemaString").extract[String])
       .asInstanceOf[StructType]
     val partCols = (meta \ "partitionColumns").extract[Seq[String]]
-    val absFiles = state.live.keys.toSeq.sorted
-      .map(p => if (p.startsWith("/") || p.contains("://")) p else s"$root/$p")
+    def abs(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+    val absFiles = state.live.keys.toSeq.sorted.map(abs)
 
     if (partCols.isEmpty) {
-      // in-place: same shape as GraftTable.importParquet, Delta-replayed file set
-      GraftTable.importFiles(spark, absFiles, schema, targetPath,
-        "import-delta", Map("graft.imported-from" -> root))
+      // every path any replayed snapshot references — vacuumed files force
+      // the head-only fallback (their rows/bytes are unknowable)
+      val everLive = (base.live.keys ++ steps.flatMap(_.state.live.keys))
+        .toSeq.distinct.sorted.map(abs)
+      val replayable = history && steps.nonEmpty && everLive.forall(io.exists)
+      if (!replayable) {
+        GraftTable.importFiles(spark, absFiles, schema, targetPath,
+          "import-delta", Map("graft.imported-from" -> root))
+      } else {
+        // one stats pass over the whole chain's file pool, then one graft
+        // snapshot per Delta version (the IcebergImport history-replay
+        // shape): v0 is the checkpoint base (empty for log-from-birth)
+        val (t, statted) = GraftTable.statForImport(spark, everLive, schema, targetPath)
+        // scheme-insensitive lookup (file:/a vs /a — the canon rule)
+        def strip(p: String): String =
+          p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?+(?=/)", "")
+        val byPath = statted.map(f => strip(f.path) -> f).toMap
+        def filesOf(st: ReplayState): Seq[DataFile] =
+          st.live.keys.toSeq.sorted.map(p => byPath(strip(abs(p))))
+        val schemas = Map("0" -> GraftTable.stampIds(schema).json)
+        val props = Map("graft.imported-from" -> root)
+        t.log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(),
+          if (cpVersion >= 0) "import-delta" else "create",
+          0, schemas, filesOf(base), props))
+        steps.zipWithIndex.foreach { case (s, i) =>
+          val op = (s.added > 0, s.removed > 0) match {
+            case (true, false) => "append"
+            case (false, true) => "delete"
+            case _             => "overwrite"
+          }
+          t.log.commit(i.toLong, v => Snapshot(v, i.toLong, s.ts, op,
+            0, schemas, filesOf(s.state), props))
+        }
+        GraftTable.load(spark, targetPath)
+      }
     } else {
       // materialize: inject each file's partition literals (log-only values)
       val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))

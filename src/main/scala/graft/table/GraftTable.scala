@@ -2265,14 +2265,21 @@ object GraftTable {
   private[table] def importFiles(spark: SparkSession, absPaths: Seq[String],
       schema: StructType, path: String, operation: String,
       props: Map[String, String]): GraftTable = {
+    val (t, files) = statForImport(spark, absPaths, schema, path)
+    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), operation,
+      0, Map("0" -> stampIds(schema).json), files, props)
+    t.log.commit(-1L, _ => snap)
+    t
+  }
+
+  /** Importer primitive: init an empty table at `path` and stat the given
+    * parquet files WITHOUT committing — history-replaying importers commit
+    * their own snapshot chain over the shared [[DataFile]] pool. */
+  private[table] def statForImport(spark: SparkSession, absPaths: Seq[String],
+      schema: StructType, path: String): (GraftTable, Seq[DataFile]) = {
     val t = new GraftTable(spark, path)
     require(!t.log.exists, s"graft table already exists at $path")
     t.log.initDirs()
-    val withIds = stampIds(schema)
-    val files = t.statFiles(absPaths, schema, 0, identity)
-    val snap = Snapshot(0L, -1L, System.currentTimeMillis(), operation,
-      0, Map("0" -> withIds.json), files, props)
-    t.log.commit(-1L, _ => snap)
-    t
+    (t, t.statFiles(absPaths, schema, 0, identity))
   }
 }

@@ -53,7 +53,14 @@ class DeltaInteropSpec extends SparkSpec {
     val absRoot = new java.io.File(root).getAbsolutePath
     assert(t.log.current.files.forall(_.path.startsWith(absRoot)),
       t.log.current.files.map(_.path).mkString(", "))
-    assert(t.log.current.operation == "import-delta")
+
+    // history replay: v0 empty base, v1 = Delta commit 0 (append), v2 =
+    // Delta commit 1 (remove+add = overwrite) — time travel works post-move
+    assert(t.log.currentVersion == 2L)
+    assert(t.log.snapshot(1L).operation == "append")
+    assert(t.log.snapshot(2L).operation == "overwrite")
+    val v1rows = t.readVersion(1L).select($"id").collect().map(_.getLong(0)).toSet
+    assert(v1rows == Set(1L, 2L, 3L), v1rows) // f1 still live at v1
   }
 
   test("partitioned import materializes log-held partition values as columns") {
