@@ -203,7 +203,7 @@ object DeltaInterop {
     * still carries them would silently resurrect deleted rows. Rejected
     * instead; `rewrite_data_files`/`rewrite_position_delete_files` folds
     * them in. */
-  def export(table: GraftTable, outDir: String): String = {
+  def export(table: GraftTable, outDir: String, history: Boolean = true): String = {
     val snap = table.log.current
     require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
       "current snapshot carries merge-on-read deletes Delta v1 cannot express — " +
@@ -226,19 +226,64 @@ object DeltaInterop {
     def js(s: String): String = JsonMethods.compact(JString(s))
 
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    val metaData =
+    def metaData(ts: Long): String =
       s"""{"metaData":{"id":"$metaId","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${js(schema.json)},"partitionColumns":[],""" +
-      s""""configuration":{},"createdTime":${snap.timestampMs}}}"""
-    val adds = snap.files.map { f =>
-      val abs = resolve(f.path)
-      s"""{"add":{"path":"${deltaPath(abs)}","partitionValues":{},""" +
-      s""""size":${f.bytes},"modificationTime":${snap.timestampMs},""" +
+      s""""configuration":{},"createdTime":$ts}}"""
+    def addLine(f: DataFile, ts: Long): String =
+      s"""{"add":{"path":"${deltaPath(resolve(f.path))}","partitionValues":{},""" +
+      s""""size":${f.bytes},"modificationTime":$ts,""" +
       s""""dataChange":true,"stats":${js(s"""{"numRecords":${f.rows}}""")}}}"""
+    def removeLine(p: String, ts: Long): String =
+      s"""{"remove":{"path":"${deltaPath(resolve(p))}","deletionTimestamp":$ts,""" +
+      """"dataChange":true}}"""
+
+    // main-lineage chain, oldest first; history=false keeps just the HEAD.
+    // MOR deletes ANYWHERE in the replayed span disqualify only HISTORY
+    // (those intermediate states are inexpressible) — the head still
+    // exports as a single commit.
+    val chain = {
+      var acc = List.empty[Snapshot]
+      var v = table.log.currentVersion
+      while (v >= 0 && scala.util.Try(table.log.snapshot(v)).isSuccess) {
+        val s = table.log.snapshot(v); acc = s :: acc; v = s.parent
+      }
+      acc
     }
+    val replayable = history && chain.size > 1 &&
+      chain.forall(s => s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty) &&
+      chain.forall(s => s.currentSchemaId == snap.currentSchemaId)
     io.mkdirs(s"$root/_delta_log")
-    val commit = commitFile(root, 0L)
-    io.writeAtomicReplace(commit, (Seq(protocol, metaData) ++ adds).mkString("", "\n", "\n"))
-    commit
+    if (!replayable) {
+      val ts = snap.timestampMs
+      val commit = commitFile(root, 0L)
+      io.writeAtomicReplace(commit,
+        (Seq(protocol, metaData(ts)) ++ snap.files.map(addLine(_, ts)))
+          .mkString("", "\n", "\n"))
+      commit
+    } else {
+      // one Delta version per graft snapshot: adds/removes are the file-set
+      // diff against the parent (Delta's own log-replay contract)
+      var prev = Set.empty[String]
+      val commits = chain.zipWithIndex.map { case (s, i) =>
+        val cur = s.files.map(_.path).toSet
+        val byPath = s.files.map(f => f.path -> f).toMap
+        val diff =
+          (prev -- cur).toSeq.sorted.map(removeLine(_, s.timestampMs)) ++
+          (cur -- prev).toSeq.sorted.map(p => addLine(byPath(p), s.timestampMs))
+        val lines =
+          (if (i == 0) Seq(protocol, metaData(s.timestampMs)) else Seq.empty) ++
+          // a no-file-change snapshot (property-only commit) still needs one
+          // action in its Delta commit — readers reject empty files
+          (if (diff.isEmpty && i > 0)
+             Seq(s"""{"commitInfo":{"timestamp":${s.timestampMs},"operation":"${s.operation}"}}""")
+           else diff)
+        prev = cur
+        val commit = commitFile(root, i.toLong)
+        io.writeAtomicReplace(commit, lines.mkString("", "\n", "\n"))
+        commit
+      }
+      commits.last
+    }
   }
 }

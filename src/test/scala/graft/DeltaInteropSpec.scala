@@ -130,18 +130,26 @@ class DeltaInteropSpec extends SparkSpec {
     t.append(Seq((4L, "d")).toDF("id", "v"))
     t.delete($"id" === 2L) // copy-on-write: no MOR remainder
 
-    val commit = DeltaInterop.export(GraftTable.load(spark, dir), dir)
-    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(commit))
-    assert(lines.get(0).contains("\"minReaderVersion\":1"))
-    assert(lines.get(1).contains("\"schemaString\""))
-    assert(lines.size >= 3) // protocol + metaData + >=1 add
-    // numRecords stats ride each add
-    assert((2 until lines.size).forall(i => lines.get(i).contains("numRecords")))
+    val last = DeltaInterop.export(GraftTable.load(spark, dir), dir)
+    // history: one Delta commit per graft snapshot (create, append, delete)
+    assert(last.endsWith(f"${2L}%020d.json"), last)
+    val c0 = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      last.replace(f"${2L}%020d.json", f"${0L}%020d.json")))
+    assert(c0.get(0).contains("\"minReaderVersion\":1"))
+    assert(c0.get(1).contains("\"schemaString\""))
+    assert(c0.size >= 3) // protocol + metaData + >=1 add
+    assert((2 until c0.size).forall(i => c0.get(i).contains("numRecords")))
+    // the delete commit removes files it no longer references
+    val c2 = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(last))
+    assert((0 until c2.size).exists(i => c2.get(i).contains("\"remove\"")))
 
     val back = DeltaInterop.importTable(spark, dir, tmp("delta-rt-") + "/t")
     val rows = back.read.select($"id", $"v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == Set((1L, "a"), (3L, "c"), (4L, "d")), rows)
+    // and the replayed history round-trips: the pre-delete version has id=2
+    assert(back.readVersion(back.log.currentVersion - 1)
+      .select($"id").collect().map(_.getLong(0)).toSet.contains(2L))
 
     // a MOR table refuses to export until compacted
     val dir2 = tmp("delta-mor-") + "/t"
