@@ -171,8 +171,8 @@ private[catalog] object GraftProcedures {
           in("view_name", StringType),
           ProcedureParameter.in("min_jaccard", org.apache.spark.sql.types.DoubleType)
             .defaultValue("0.5").build()))((s, r) =>
-        graft.operators.DedupIndex.probe(
-            GraftTable.load(s, tablePathOf(r.getUTF8String(0).toString)).read,
+        graft.operators.DedupIndex.probeTable(
+            GraftTable.load(s, tablePathOf(r.getUTF8String(0).toString)),
             s.table(r.getUTF8String(1).toString),
             r.getUTF8String(2).toString, r.getUTF8String(3).toString,
             r.getDouble(5))

@@ -153,6 +153,43 @@ object DedupIndex {
       textCol: String, minJaccard: Double): DataFrame =
     probeBands(indexRows, bandTable(batch, idCol, textCol), minJaccard)
 
+  /** [[probe]] against a PERSISTED index with FILE-LEVEL PRUNING: the
+    * batch's bucket list (bounded: |batch| × K/R values) collects
+    * driver-side and prunes the index scan through the table's min/max
+    * stats before the join — on the range-clustered layout a probe touches
+    * only the files whose bucket ranges intersect the batch, not the whole
+    * index (the Ann.ivfSearchTable discipline). Falls back to the full
+    * scan when the batch's bucket set exceeds `maxProbeBuckets` (a huge
+    * batch reads most files anyway; the IN list would only bloat the
+    * plan). */
+  def probeTable(index: GraftTable, batch: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double,
+      maxProbeBuckets: Int = 100000): DataFrame = {
+    val bb = bandTable(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before releasing the bands cache (the caller gets a
+    // computed-through plan, not a lazy one over an unpersisted cache)
+    try probeTableBands(index, bb, minJaccard, maxProbeBuckets).localCheckpoint()
+    finally bb.unpersist(blocking = false)
+  }
+
+  /** [[probeTable]] over already-sketched (and ideally cached) batch bands
+    * — the streaming sink's entry, which reuses its bands for the
+    * within-batch join. Result is lazy over `batchBands`. */
+  private[graft] def probeTableBands(index: GraftTable, batchBands: DataFrame,
+      minJaccard: Double, maxProbeBuckets: Int = 100000): DataFrame = {
+    val buckets = batchBands.select(col("bucket")).distinct()
+      .limit(maxProbeBuckets + 1).collect().map(_.getString(0))
+    val snap = index.log.current
+    val indexRows =
+      if (buckets.length > maxProbeBuckets) index.read
+      else index.readPruned(snap,
+          Seq(org.apache.spark.sql.sources.In("bucket",
+            buckets.map(x => x: Any))))
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+    probeBands(indexRows, batchBands, minJaccard)
+  }
+
   /** [[probe]] over ALREADY-SKETCHED batch bands — callers that also need
     * the batch's bands for their own joins (within-batch dedup, index
     * append) sketch once and reuse. */

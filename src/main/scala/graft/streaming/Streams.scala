@@ -300,8 +300,10 @@ object Streams {
     val bands = DedupIndex.bandTable(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // pruned probe: only index files whose bucket ranges intersect the
+      // batch are read — the corpus index never fully rescans per batch
       val index = graft.table.GraftTable.load(spark, indexPath)
-      val vsCorpus = DedupIndex.probeBands(index.read, bands, minJaccard)
+      val vsCorpus = DedupIndex.probeTableBands(index, bands, minJaccard)
         .select(col("new_id")).distinct()
       // within-batch: of any near-dup pair the batch itself carries, the
       // LOWER id survives — same (b, bucket) equality join, id-ordered

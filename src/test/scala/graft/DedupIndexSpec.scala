@@ -95,6 +95,28 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs.contains(3L), pairs)
   }
 
+  test("probeTable prunes index files by the batch's bucket list; pairs ≡ full probe") {
+    val base = GraftTable.create(spark, tmp("didx-"), docs(corpus: _*))
+    val idx = DedupIndex.buildIndexTableFrom(spark, base, "doc_id", "text", tmp("didx-i-"))
+    val batch = docs(10L -> "the quick brown fox jumps over the lazy dog today")
+
+    val full = DedupIndex.probe(idx.read, batch, "doc_id", "text", 0.5)
+      .select($"new_id", $"dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = DedupIndex.probeTable(idx, batch, "doc_id", "text", 0.5)
+      .select($"new_id", $"dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full && full.nonEmpty, s"pruned=$pruned full=$full")
+
+    // the stats-pruned scan touches fewer files than the index holds: one
+    // probe doc's 3 buckets against the range-clustered (b, bucket) layout
+    val snap = idx.log.current
+    val buckets = DedupIndex.bandTable(batch, "doc_id", "text")
+      .select($"bucket").distinct().collect().map(_.getString(0))
+    val touched = idx.pruneFiles(snap,
+      Seq(org.apache.spark.sql.sources.In("bucket", buckets.map(x => x: Any))))
+    assert(touched.size < snap.files.size,
+      s"pruning read ${touched.size} of ${snap.files.size} files")
+  }
+
   test("graftSinkDeduped: online near-dup filtering, batch-to-batch index catch-up") {
     implicit val ctx = spark.sqlContext
     val base = GraftTable.create(spark, tmp("didx-"), docs(corpus: _*))
