@@ -278,15 +278,25 @@ object Streams {
     * table's persisted signature index AND against itself (first-id-wins
     * inside the batch), and only the novel rows append — the standing
     * "dedup each crawl batch against everything already kept" loop, as a
-    * streaming sink. After the exactly-once append, the index catches up
-    * from the new commit's changelog, so the NEXT batch probes a complete
-    * corpus; a crash between append and refresh just widens the next
-    * refresh's changelog span (the version stamp, not the batch id, drives
-    * catch-up — the [[graftSinkWithAgg]] rule).
+    * streaming sink.
     *
-    * Per-batch cost: one signature pass over the batch + a (band, bucket)
-    * equality join against the pruned index + an O(batch) refresh. The
-    * corpus is never re-read and never re-sketched. */
+    * Dedup semantics are TRANSITIVE-CLUSTER (the q62 connected-components
+    * rule): a batch doc near-matching a lower-id batch doc drops even when
+    * that lower doc itself dropped as a corpus dup — the whole chain is
+    * one near-dup cluster and exactly one representative (the corpus copy,
+    * or the lowest batch id) survives.
+    *
+    * The index catches up BEFORE the probe (a no-op when already at the
+    * table's head), then again after the append — so a crash between
+    * append and refresh cannot make the replayed/next batch probe a stale
+    * index (the version stamp, not the batch id, drives catch-up — the
+    * [[graftSinkWithAgg]] rule, hardened).
+    *
+    * Per-batch cost: the batch is sketched twice (once for the probe,
+    * once inside the catch-up refresh reading the append's changelog —
+    * both O(batch)) + a (band, bucket) equality join against the
+    * file-pruned index. The corpus is never re-read and never
+    * re-sketched. */
   def graftSinkDeduped(table: graft.table.GraftTable, indexPath: String,
       idCol: String, textCol: String, minJaccard: Double = 0.5)(
       batch: DataFrame, batchId: Long): Unit = {
@@ -300,9 +310,13 @@ object Streams {
     val bands = DedupIndex.bandTable(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // catch the index up FIRST: a crash after a previous batch's append
+      // but before its refresh leaves the index one commit behind — probing
+      // it stale would permanently ingest that batch's near-dups
+      val index = DedupIndex.refreshIndexTable(spark, indexPath,
+        graft.table.GraftTable.load(spark, table.path), idCol, textCol)
       // pruned probe: only index files whose bucket ranges intersect the
       // batch are read — the corpus index never fully rescans per batch
-      val index = graft.table.GraftTable.load(spark, indexPath)
       val vsCorpus = DedupIndex.probeTableBands(index, bands, minJaccard)
         .select(col("new_id")).distinct()
       // within-batch: of any near-dup pair the batch itself carries, the

@@ -1,6 +1,6 @@
 package graft.table
 
-import java.net.{URLDecoder, URLEncoder}
+import java.net.URLEncoder
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.SparkSession
@@ -47,7 +47,18 @@ object DeltaInterop {
     }
   }
 
-  private def decode(p: String): String = URLDecoder.decode(p, "UTF-8")
+  /** Percent-decode a protocol path. URI semantics, NOT URLDecoder's form
+    * semantics: a literal '+' in a file name must stay '+' (the statFiles
+    * rule) — URLDecoder would turn it into a space and mis-resolve the
+    * file. Paths are spec-encoded, so the URI parse succeeds; anything
+    * unparseable passes through raw. */
+  private def decode(p: String): String = scala.util.Try {
+    val u = new java.net.URI(p)
+    require(u.getPath != null) // opaque URI: fall through to raw
+    if (u.getScheme == null || u.getAuthority == null || u.getAuthority.isEmpty)
+      u.getPath
+    else s"${u.getScheme}://${u.getAuthority}${u.getPath}"
+  }.getOrElse(p)
   private def encodePath(p: String): String =
     // the protocol URL-encodes path segments; '/' must survive
     p.split("/", -1).map(URLEncoder.encode(_, "UTF-8").replace("+", "%20")).mkString("/")
@@ -91,8 +102,13 @@ object DeltaInterop {
       if (io.exists(lastCp)) {
         val cp = JsonMethods.parse(io.readString(lastCp))
         val v = (cp \ "version").extract[Long]
-        val cpFile = f"$root/_delta_log/$v%020d.checkpoint.parquet"
-        val rows = spark.read.parquet(cpFile)
+        // multi-part checkpoints name their slices v.checkpoint.i.n.parquet
+        val cpFiles = (cp \ "parts").extractOpt[Int] match {
+          case Some(n) => (1 to n).map(i =>
+            f"$root/_delta_log/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+          case None => Seq(f"$root/_delta_log/$v%020d.checkpoint.parquet")
+        }
+        val rows = spark.read.parquet(cpFiles: _*)
           .toJSON.collect() // checkpoints are metadata-sized: one row per action
           .map(JsonMethods.parse(_)).toSeq
         (v, rows)
@@ -161,9 +177,10 @@ object DeltaInterop {
           0, schemas, filesOf(base), props))
         steps.zipWithIndex.foreach { case (s, i) =>
           val op = (s.added > 0, s.removed > 0) match {
-            case (true, false) => "append"
-            case (false, true) => "delete"
-            case _             => "overwrite"
+            case (true, false)  => "append"
+            case (false, true)  => "delete"
+            case (true, true)   => "overwrite"
+            case (false, false) => "import-delta" // action-less (property) commit
           }
           t.log.commit(i.toLong, v => Snapshot(v, i.toLong, s.ts, op,
             0, schemas, filesOf(s.state), props))
@@ -186,8 +203,12 @@ object DeltaInterop {
           d.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
         }.select(schema.fieldNames.map(col): _*)
       }
-      GraftTable.create(spark, targetPath, parts.reduce(_ union _),
-        Map("graft.imported-from" -> root))
+      // a partitioned table with zero live files (freshly created, or all
+      // rows deleted) is valid — import its schema as an empty table
+      val df = parts.reduceOption(_ union _).getOrElse(
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema))
+      GraftTable.create(spark, targetPath, df, Map("graft.imported-from" -> root))
     }
   }
 
@@ -254,12 +275,21 @@ object DeltaInterop {
       chain.forall(s => s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty) &&
       chain.forall(s => s.currentSchemaId == snap.currentSchemaId)
     io.mkdirs(s"$root/_delta_log")
+    // a shorter re-export over a longer previous log would leave stale
+    // higher-numbered commits that Delta's contiguous replay happily reads
+    // ON TOP of the new state — drop everything above the last version
+    // written before returning
+    def dropTail(lastWritten: Long): Unit =
+      Iterator.iterate(lastWritten + 1)(_ + 1)
+        .map(v => commitFile(root, v)).takeWhile(io.exists)
+        .foreach(io.delete)
     if (!replayable) {
       val ts = snap.timestampMs
       val commit = commitFile(root, 0L)
       io.writeAtomicReplace(commit,
         (Seq(protocol, metaData(ts)) ++ snap.files.map(addLine(_, ts)))
           .mkString("", "\n", "\n"))
+      dropTail(0L)
       commit
     } else {
       // one Delta version per graft snapshot: adds/removes are the file-set
@@ -283,6 +313,7 @@ object DeltaInterop {
         io.writeAtomicReplace(commit, lines.mkString("", "\n", "\n"))
         commit
       }
+      dropTail(chain.size - 1L)
       commits.last
     }
   }

@@ -163,6 +163,18 @@ class DedupIndexSpec extends SparkSpec {
     graft.streaming.Streams.graftSinkDeduped(head, path, "doc_id", "text")(
       docs(99L -> "replay should not land"), 1L)
     assert(GraftTable.load(spark, base.path).log.currentVersion == v)
+
+    // crash window: rows appended WITHOUT an index refresh (a crash between
+    // a batch's append and its catch-up) must still be probe-visible to the
+    // next batch — the sink refreshes before probing
+    GraftTable.load(spark, base.path).append(
+      docs(40L -> "a crashed batch left this sentence in the corpus unindexed"))
+    graft.streaming.Streams.graftSinkDeduped(
+      GraftTable.load(spark, base.path), path, "doc_id", "text")(
+      docs(41L -> "a crashed batch left this sentence in the corpus unindexed"), 99L)
+    val post = GraftTable.load(spark, base.path).read
+      .filter($"doc_id" === 41L).count()
+    assert(post == 0L, "near-dup of an unindexed crash-window row was ingested")
   }
 
   test("refresh at the indexed version is a no-op; rollback demands a rebuild") {

@@ -38,17 +38,19 @@ class DeltaInteropSpec extends SparkSpec {
     writeParquetFile(Seq(1L -> "a", 2L -> "b"), s"$root/part one-0.parquet") // space in name
     writeParquetFile(Seq(3L -> "c"), s"$root/f1.parquet")
     writeParquetFile(Seq(4L -> "d"), s"$root/f2.parquet")
+    writeParquetFile(Seq(5L -> "e"), s"$root/doc+1.parquet") // literal '+' must survive decode
     writeCommit(root, 0, Seq(protoAction, metaAction(),
       """{"add":{"path":"part%20one-0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     writeCommit(root, 1, Seq(
       """{"remove":{"path":"f1.parquet","deletionTimestamp":2,"dataChange":true}}""",
       """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+      """{"add":{"path":"doc+1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
       """{"commitInfo":{"operation":"WRITE"}}"""))
 
     val t = DeltaInterop.importTable(spark, root, tmp("delta-t-") + "/t")
     val rows = t.read.select($"id", $"v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(rows == Set((1L, "a"), (2L, "b"), (4L, "d")), rows) // f1 removed
+    assert(rows == Set((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e")), rows) // f1 removed
     // registered in place: no data copy happened
     val absRoot = new java.io.File(root).getAbsolutePath
     assert(t.log.current.files.forall(_.path.startsWith(absRoot)),
@@ -61,6 +63,21 @@ class DeltaInteropSpec extends SparkSpec {
     assert(t.log.snapshot(2L).operation == "overwrite")
     val v1rows = t.readVersion(1L).select($"id").collect().map(_.getLong(0)).toSet
     assert(v1rows == Set(1L, 2L, 3L), v1rows) // f1 still live at v1
+  }
+
+  test("re-export with fewer versions drops the stale log tail") {
+    val dir = tmp("delta-tail-") + "/t"
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    DeltaInterop.export(GraftTable.load(spark, dir), dir) // 3 history commits
+    assert(new java.io.File(f"$dir/_delta_log/${2L}%020d.json").exists())
+    // head-only re-export must not leave versions 1-2 for readers to replay
+    DeltaInterop.export(GraftTable.load(spark, dir), dir, history = false)
+    assert(!new java.io.File(f"$dir/_delta_log/${1L}%020d.json").exists())
+    assert(!new java.io.File(f"$dir/_delta_log/${2L}%020d.json").exists())
+    val back = DeltaInterop.importTable(spark, dir, tmp("delta-tail-rt-") + "/t")
+    assert(back.read.count() == 3)
   }
 
   test("partitioned import materializes log-held partition values as columns") {
