@@ -55,9 +55,18 @@ object Tables {
     * anyway — and skewed long documents spread with it. Scan-shaped
     * consumers (project/filter only) should keep using [[documents]]:
     * for them the extra exchange is pure overhead. */
-  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadByDoc(documents(s, d))
+
+  /** The normalizer itself, for frames already projected/filtered. An
+    * EXPLICIT partition count (REPARTITION_BY_NUM): a bare
+    * `repartition(col)` is advisory to AQE, whose size-based coalescing
+    * would merge the small shuffle outputs right back onto a few tasks —
+    * size-blind to the per-row CPU cost this exchange exists to spread. */
+  def spreadByDoc(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    documents(s, d).repartition(col("doc_id"))
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -84,17 +84,17 @@ object GrantStore {
     val io = FileIO.forPath(warehouse)
     val p = file(warehouse)
     if (!io.exists(p)) { cache.remove(p); return None }
-    // cache key: size — FileIO has no mtime, and a cross-process rewrite
-    // that keeps the byte size identical (revoke one grant, add another of
-    // equal length) must not leave this process serving stale grants. So
-    // sub-4KiB files are ALWAYS re-read (one small read per check is
-    // control-plane cheap, and real grants files live far below 4KiB);
-    // only a file past that threshold trusts the size signature.
-    val size = io.size(p)
-    val sig = size.toString
+    // cache key: CONTENT hash — FileIO has no mtime, and a cross-process
+    // rewrite that keeps the byte size identical (revoke one grant, add
+    // another of equal length) must not leave this process serving stale
+    // grants at ANY file size. Every check re-reads the file (grants files
+    // are control-plane small — one read per check is cheap) and the cache
+    // only skips the re-PARSE when the bytes are unchanged.
+    val content = io.readString(p)
+    val sig = s"${content.length}:${java.lang.Integer.toHexString(content.hashCode)}"
     val hit = cache.get(p)
-    if (hit != null && hit.mtimeSig == sig && size >= 4096) return Some(hit.grants)
-    val gs = parse(io.readString(p))
+    if (hit != null && hit.mtimeSig == sig) return Some(hit.grants)
+    val gs = parse(content)
     cache.put(p, Cached(sig, gs))
     Some(gs)
   }

@@ -47,7 +47,11 @@ object DedupIndex {
     docs
       .select(col(idCol).as("_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .repartition(col("_id"))
+      // explicit count: a bare repartition(col) is AQE-coalescible and the
+      // per-row CPU cost is invisible to size-based coalescing (the
+      // Tables.spreadByDoc rule)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_id"))
       .select(col("_id"),
         explode(expr("transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' '))"))
           .as("shingle"))

@@ -46,10 +46,16 @@ case class GraftMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan]
             g.snapshotForRead.eqDeleteFiles.isEmpty =>
           val snap = g.snapshotForRead
           val answers = aggExprs.map(e => answer(e, snap))
-          if (answers.forall(_.isDefined))
+          if (answers.forall(_.isDefined)) {
+            // metadata values ARE reads: loadTable accepts SELECT-or-MODIFY
+            // (write-only principals must resolve their DML target), so the
+            // read privilege is enforced wherever data becomes visible —
+            // newScanBuilder, the native-scan swap, and HERE, or a
+            // MODIFY-only principal could lift counts and column extrema
+            g.readGuard()
             LocalRelation(agg.output.asInstanceOf[Seq[Attribute]],
               Seq(InternalRow.fromSeq(answers.map(_.get))))
-          else agg
+          } else agg
         case _ => agg
       }
   }

@@ -250,7 +250,11 @@ object Aggregates {
     // the SAME deduped input (a multiset-insensitive sketch: identical
     // registers, identical estimate), so the verdicts are unchanged.
     def side(key: String, rsd: Double, exactName: String, okName: String) = {
-      val dp = lineitem(spark, dir).select($"l_returnflag", col(key)).distinct()
+      // NULL keys never count: count(DISTINCT k), approx_count_distinct and
+      // the oracle all skip them, but count(lit(1)) over the deduped pairs
+      // would tally a (flag, NULL) row — drop them before the dedup
+      val dp = lineitem(spark, dir).select($"l_returnflag", col(key))
+        .filter(col(key).isNotNull).distinct()
       val bound = 3 * rsd
       dp.groupBy($"l_returnflag")
         .agg(count(lit(1)).as(exactName),

@@ -35,8 +35,9 @@ object Dedup {
       // it on a handful of tasks. The shuffled bytes are the raw projected
       // text — ~1/3 of the exploded-shingle volume the distinct() below
       // shuffles anyway — so this costs little at any scale and also spreads
-      // skewed long documents.
-      .repartition($"doc_id")
+      // skewed long documents. (spreadByDoc pins the partition count so AQE
+      // can't coalesce the spread away.)
+      .transform(graft.Tables.spreadByDoc)
       .select($"doc_id",
         explode(expr("transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' '))"))
           .as("shingle"))
@@ -58,7 +59,7 @@ object Dedup {
     documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
-      .repartition($"doc_id") // same few-split normalizer as shingles()
+      .transform(graft.Tables.spreadByDoc) // same few-split normalizer as shingles()
       .select($"doc_id", expr(
         "array_distinct(transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' ')))")
         .as("sh"))

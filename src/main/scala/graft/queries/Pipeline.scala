@@ -85,8 +85,7 @@ object Pipeline {
     // THREE consumers (dl, tf, and the scored join), and a few-row-group
     // corpus would otherwise run each pass on a handful of scan tasks
     // (the q41 shingles() normalizer rationale)
-    val tok = documents(spark, dir)
-      .select($"doc_id", $"text").repartition($"doc_id")
+    val tok = documentsSpread(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("wd"))
     val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))

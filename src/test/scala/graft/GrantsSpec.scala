@@ -155,6 +155,14 @@ class GrantsSpec extends SparkSpec {
         spark.sql("SELECT * FROM graft.gdb.accounts").collect()
       }
       assert(deepMsg(e).contains("lacks SELECT"), deepMsg(e))
+      // ... including the METADATA-ONLY answers: count/min/max from the
+      // snapshot log never touch a scan, so the guard must fire in the
+      // metadata-aggregate rule itself (a MODIFY-only principal could
+      // otherwise lift counts and column extrema)
+      val m = intercept[Exception] {
+        spark.sql("SELECT count(*), min(id), max(id) FROM graft.gdb.accounts").collect()
+      }
+      assert(deepMsg(m).contains("lacks SELECT"), deepMsg(m))
     }
     asPrincipal("admin") {
       assert(spark.sql("SELECT * FROM graft.gdb.accounts WHERE id = 42").count() == 1)
