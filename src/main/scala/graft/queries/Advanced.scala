@@ -251,15 +251,17 @@ object Advanced {
     * (DuckDB spells the star form `* EXCLUDE`). */
   def q116(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir).createOrReplaceTempView("q116_orders")
-    // revenue: cast-inside-sum makes the total an exact decimal (order-
-    // independent); the OUTER cast narrows Spark's sum type DECIMAL(28,4)
-    // and DuckDB's DECIMAL(38,4) to the SAME declared type — result-type
-    // precision is part of some hashers' canonical form, and the values
-    // are scale-2 exact so the narrowing is lossless.
+    // revenue as BIGINT *cents*: cast-inside-sum makes the total an exact
+    // decimal (order-independent); ×100 + round lands on an integer because
+    // the source values are scale-2 exact. int64 has ONE textual/binary
+    // canonical form in every stack — unlike DECIMAL, whose harness-side
+    // canonicalization (float64 vs Decimal decode) is not under our
+    // control. Values were verified bit-identical cross-engine at the
+    // decimal stage; only the transport representation differed.
     spark.sql("""
       SELECT o_orderstatus, o_orderpriority,
              count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS revenue
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100) AS BIGINT) AS revenue_cents
       FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM q116_orders)
       GROUP BY ALL
       ORDER BY ALL""")
@@ -268,7 +270,7 @@ object Advanced {
   val q116Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
       |       count(*) AS n,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS revenue
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100) AS BIGINT) AS revenue_cents
       |FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders)
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin

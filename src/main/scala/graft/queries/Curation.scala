@@ -165,14 +165,11 @@ object Curation {
     * Output is train_doc × leaked eval doc with the evidence count. */
   def q113(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.shingles(spark, dir)
-    // count-over-shingle window, NOT groupBy+join: rare is UNCACHED here
-    // (single consumer pair-join), so the join variant would recompute the
-    // whole shingle pipeline per self-join side — measured 2.4 s -> 4.3 s.
-    // The q100 groupBy+join shape wins only when rare is cached.
-    val rare = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
-      .filter($"df" <= 10).drop("df")
+    // materialized = false: single consumer pair-join, so the one-pass
+    // count-over-shingle window beats paying a checkpoint write for one
+    // read — the shape tradeoff is documented once, at Dedup.rareShingles
+    // (q100 is the materialized groupBy+join twin).
+    val rare = Dedup.rareShingles(spark, dir, materialized = false)
     val pairs = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -196,9 +193,7 @@ object Curation {
 
   val q113Sql: String =
     s"""WITH sh AS (${Dedup.shinglesSql}),
-       |rare AS (SELECT doc_id, shingle FROM
-       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
-       |         WHERE df <= 10),
+       |rare AS (${Dedup.rareShinglesSql}),
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_shingles
        |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -71,6 +71,55 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |CROSS JOIN UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)""".stripMargin
 
+  /** RARE shingles — document frequency ≤ [[RareDfCap]] — the inverted-index
+    * candidate relation both q100 (PageRank similarity graph) and q113
+    * (split-leakage audit) self-join on. The df-cap is what bounds the
+    * self-join fanout (never all-pairs; the RefinedWeb stop-shingle rule).
+    *
+    * ONE helper, TWO plan shapes, because the right shape depends on how
+    * many times the result is consumed — the tradeoff both call sites used
+    * to document separately (and could have forked semantically):
+    *
+    *  - `materialized = true` (q100: consumed by a self-join AND the
+    *    superstep pipeline): df-filter as groupBy + key join — the groupBy
+    *    partial-aggregates map-side and the hash join skips the window's
+    *    per-partition sort (4.7 s → 3.5 s at sf0.1) — then
+    *    `localCheckpoint()` so the result is DURABLY materialized: lineage
+    *    is truncated, so storage-memory pressure can spill the blocks to
+    *    disk but can never silently re-trigger the whole shingle pipeline
+    *    per consumer (the r14 driver-run 5.7× blowup with a plain
+    *    `.cache()`, which keeps lineage and recomputes on eviction races).
+    *    Blocks are freed by the ContextCleaner once the plan is GC'd.
+    *  - `materialized = false` (q113: single consumer pair-join): df-filter
+    *    as a count-over-shingle window — no materialization at all, and the
+    *    one-pass window beats paying a checkpoint write for a single read
+    *    (measured 2.4 s vs 4.3 s for the uncached join form).
+    */
+  private[graft] val RareDfCap = 10
+
+  private[graft] def rareShingles(
+      spark: SparkSession, dir: String, materialized: Boolean): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    if (materialized) {
+      val df_ = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= RareDfCap).select($"shingle")
+      sh.join(df_, Seq("shingle")).localCheckpoint()
+    } else {
+      sh.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
+        .filter($"df" <= RareDfCap).drop("df")
+    }
+  }
+
+  /** Oracle twin of [[rareShingles]] (window form — DuckDB has no cache
+    * semantics to trade against). Kept next to [[shinglesSql]] so the df-cap
+    * can never drift between engines or between q100/q113. */
+  private[queries] val rareShinglesSql: String =
+    s"""SELECT doc_id, shingle FROM
+       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |         WHERE df <= $RareDfCap""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Exact dedup: hash-groupBy on content — one representative (min doc_id)
     * per distinct text. Partial→final HashAggregate; the md5 keeps the

@@ -311,28 +311,25 @@ object Pipeline {
     * has out-degree ≥ 1. */
   def q100(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // rare-shingle inverted-index pairs (q43/q90 shape: stop-shingle cap
-    // bounds the self-join fanout; never all-pairs)
-    val sh = Dedup.shingles(spark, dir)
-    // rare-shingle filter as groupBy + key join, not a count-over-shingle
-    // window: the groupBy partial-aggregates map-side and the hash join
-    // skips the window's per-partition sort — 4.7 s -> 3.5 s at sf0.1.
-    // ONLY correct as a perf trade here because rare is CACHED below (one
-    // computation); with an uncached rare the self-join recomputes the
-    // whole pipeline per side and the window wins (q113: 2.4 s vs 4.3 s)
-    val df_ = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= 10).select($"shingle")
-    val rare = sh.join(df_, Seq("shingle")).cache()
+    // rare-shingle inverted index (q43/q90 shape: stop-shingle cap bounds
+    // the self-join fanout; never all-pairs). materialized = true:
+    // localCheckpoint'd, so the multi-consumer self-join below can never
+    // silently re-trigger the shingle pipeline under storage-memory
+    // pressure — the plan-shape/caching tradeoff lives in ONE place,
+    // Dedup.rareShingles (q113 is the uncached window-form twin).
+    val rare = Dedup.rareShingles(spark, dir, materialized = true)
     // edge = >= 2 SHARED rare shingles (the q113/q82 evidence rule): a
     // single shingle collision is noise, not similarity, and it DENSIFIES
     // the graph ~25x (436k -> 17k edges at sf0.1) — the threshold is what
     // keeps the superstep join linear-ish in documents rather than in
-    // collision pairs
+    // collision pairs. localCheckpoint, not cache: pairs feeds edges AND
+    // (via union) its own flip — durable materialization makes every
+    // downstream recompute bottom out here, never in the shingle scan.
     val pairs = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("w")).filter($"w" >= 2)
-      .select($"d1", $"d2").cache()
+      .select($"d1", $"d2").localCheckpoint()
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .toDF("src", "dst")
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
@@ -358,8 +355,10 @@ object Pipeline {
     }
     // the final localCheckpoint materialized pr, so the cached
     // intermediates can release executor storage memory now — without
-    // this each invocation leaks cached DataFrames across the run
-    Seq(rare, pairs, deg, ewd).foreach(_.unpersist())
+    // this each invocation leaks cached DataFrames across the run.
+    // (rare/pairs are localCheckpoint'd, not cached: their blocks are
+    // released by the ContextCleaner once the plans are GC'd.)
+    Seq(deg, ewd).foreach(_.unpersist())
     pr.select($"node".as("doc_id"), $"pr".as("pr_scaled")).orderBy($"doc_id")
   }
 
@@ -375,9 +374,7 @@ object Pipeline {
          |  JOIN deg d ON d.src = e.src CROSS JOIN n
          |  GROUP BY e.dst, n.n)""".stripMargin
     s"""WITH sh AS (${Dedup.shinglesSql}),
-       |rare AS (SELECT doc_id, shingle FROM
-       |         (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
-       |         WHERE df <= 10),
+       |rare AS (${Dedup.rareShinglesSql}),
        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |          FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
