@@ -46,7 +46,7 @@ object GrantStore {
     * namespace, `Seq(ns…, table)` a table — matched by path prefix. */
   final case class Grant(principal: String, privilege: String, parts: Seq[String])
 
-  private final case class Cached(mtimeSig: String, grants: Seq[Grant])
+  private final case class Cached(content: String, grants: Seq[Grant])
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Cached]()
 
   private def file(warehouse: String): String =
@@ -84,18 +84,17 @@ object GrantStore {
     val io = FileIO.forPath(warehouse)
     val p = file(warehouse)
     if (!io.exists(p)) { cache.remove(p); return None }
-    // cache key: CONTENT hash — FileIO has no mtime, and a cross-process
-    // rewrite that keeps the byte size identical (revoke one grant, add
-    // another of equal length) must not leave this process serving stale
-    // grants at ANY file size. Every check re-reads the file (grants files
-    // are control-plane small — one read per check is cheap) and the cache
-    // only skips the re-PARSE when the bytes are unchanged.
+    // cache key: the CONTENT itself — every check re-reads the file anyway
+    // (grants files are control-plane small), so the cache's only job is to
+    // skip the re-PARSE when the bytes are unchanged. String equality, not
+    // a length+hashCode signature: the full string is already in hand, and
+    // a 32-bit hash collision between old and new grants files would serve
+    // stale parsed grants on the enforcement path.
     val content = io.readString(p)
-    val sig = s"${content.length}:${java.lang.Integer.toHexString(content.hashCode)}"
     val hit = cache.get(p)
-    if (hit != null && hit.mtimeSig == sig) return Some(hit.grants)
+    if (hit != null && hit.content == content) return Some(hit.grants)
     val gs = parse(content)
-    cache.put(p, Cached(sig, gs))
+    cache.put(p, Cached(content, gs))
     Some(gs)
   }
 

@@ -104,7 +104,11 @@ object Advanced {
       // filter on the cheap pre-parse expression, not the extracted field:
       // a filter on variant_get(cents) would push below the parse projection
       // and re-run parse_json a second time per row (Catalyst inlines the
-      // alias when pushing) — same rows, half the parse work this way
+      // alias when pushing) — same rows, half the parse work this way.
+      // Plan-verified (r15): exactly ONE parseJson StaticInvoke in its own
+      // Project (CollapseProject's cheap-expression guard keeps it from
+      // being inlined into the four variant_gets), filter at the scan —
+      // the residual SCALING ratio is inherent row-linear parse work
       .filter(floor($"value" * 100).cast("long") > 50)
       .withColumn("js", concat(
         lit("{\"meta\":{\"type\":\""), $"event_type", lit("\",\"uid\":"), $"user_id",

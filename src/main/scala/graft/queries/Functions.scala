@@ -187,17 +187,25 @@ object Functions {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- q38
-  /** JSON family over events.props: get_json_object, from_json with an
-    * explicit schema, string extraction, to_json round-trip. */
+  /** JSON family over events.props: ONE schema'd `from_json` parse per row,
+    * then numeric/typed/string/`to_json`-round-trip views of the parsed
+    * struct. Earlier form ran get_json_object AND from_json per row — two
+    * independent tokenizations of the same text (the worst SCALING ratio in
+    * r14, 9.3 at 100× data). Single-parse relies on CollapseProject's
+    * cheap-expression guard: `p` is referenced four times and from_json is
+    * not "cheap", so Catalyst keeps the parse in its own Project instead of
+    * inlining four copies — one parse per row, still scan-shaped, still one
+    * WholeStageCodegen span. */
   def q38(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir)
+      .withColumn("p", expr("from_json(props, 'k INT')"))
       .select(
         $"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k_num"),
-        expr("from_json(props, 'k INT').k").as("k_parsed"),
-        get_json_object($"props", "$.k").as("k_str"),
-        expr("to_json(named_struct('k', from_json(props, 'k INT').k))").as("k_rt"))
+        $"p.k".as("k_num"),
+        $"p.k".as("k_parsed"),
+        $"p.k".cast("string").as("k_str"),
+        to_json($"p").as("k_rt"))
   }
 
   val q38Sql: String =

@@ -211,6 +211,38 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     expect(send("POST", "/v1/tables/rename",
       Some(Serialization.write(RenameReq(fromNs, from, toNs, to)))), "rename table")
 
+  // ---- vended storage credentials -------------------------------------------
+
+  private case class VendedCreds(config: Map[String, String], expiresAtMs: Option[Long])
+  private val vended = new java.util.concurrent.ConcurrentHashMap[String, VendedCreds]()
+
+  /** The table's vended storage credentials (spec `storage-credentials`
+    * stanza, reference `main.tf:676-696`), RE-VENDED through the spec
+    * loadCredentials endpoint whenever the cached vend has passed its
+    * `expires-at-ms` — the bearer-token refresh discipline applied to the
+    * data plane: holders of short-lived storage creds ask the catalog for
+    * fresh ones and continue, they never cache past expiry. Empty map when
+    * the server vends nothing. */
+  def storageCredentials(ns: Seq[String], table: String): Map[String, String] = {
+    val key = (ns :+ table).mkString(" ")
+    val now = System.currentTimeMillis()
+    Option(vended.get(key)).filter(_.expiresAtMs.forall(_ > now)) match {
+      case Some(live) => live.config
+      case None => // first ask, or expired: (re-)vend
+        val body = expect(send("GET",
+          s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/credentials"),
+          "load credentials")
+        val cfg = (body \ "storage-credentials") match {
+          case JArray(item :: _) => (item \ "config").extract[Map[String, String]]
+          case _ => Map.empty[String, String]
+        }
+        val v = VendedCreds(cfg,
+          cfg.get("expires-at-ms").flatMap(s => scala.util.Try(s.toLong).toOption))
+        vended.put(key, v)
+        cfg
+    }
+  }
+
   // ---- commit CAS / head / refs -------------------------------------------
 
   def commit(ns: Seq[String], table: String, parentVersion: Long, version: Long,

@@ -82,10 +82,18 @@ class RestCatalogServer(val warehouse: String,
     tokenTtlMs: Long = 3600000L,
     // vended per-table storage credentials (reference `main.tf:676-696`:
     // UC's credential vending hands engines short-lived storage access
-    // alongside the table metadata). Config-level modeling: whatever map is
-    // wired here is returned in every LoadTableResult's `config` plus a
-    // spec `storage-credentials` stanza scoped to the table location.
-    storageCredentials: Map[String, String] = Map.empty) {
+    // alongside the table metadata). Whatever map is wired here is returned
+    // in every LoadTableResult's `config` plus a spec `storage-credentials`
+    // stanza scoped to the table location.
+    storageCredentials: Map[String, String] = Map.empty,
+    // > 0: every vend stamps `expires-at-ms` (the s3.session-token-expires-
+    // at-ms pattern) into the vended config, and the spec loadCredentials
+    // endpoint (GET .../tables/{t}/credentials) RE-vends with a fresh stamp
+    // — the short-lived-credential lifecycle UC's vending actually has. A
+    // client holding expired creds re-vends and continues
+    // ([[RestCatalogClient.storageCredentials]]), mirroring its bearer-token
+    // refresh loop. 0 = non-expiring static creds (pre-r15 behavior).
+    credentialTtlMs: Long = 0L) {
 
   private implicit val fmts: Formats = DefaultFormats
   // token -> (principal = OAuth client id, absolute expiry epoch ms);
@@ -249,6 +257,9 @@ class RestCatalogServer(val warehouse: String,
       // same UC semantics as GraftCatalog.loadTable; ADVICE r13)
       case ("GET" | "HEAD", "namespaces" :: ns :: ("tables" | "views") :: t :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
+      // credential re-vend: same gate as loading the table itself
+      case ("GET", "namespaces" :: ns :: "tables" :: t :: "credentials" :: Nil) =>
+        Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
         Some(Seq("MODIFY") -> (decNs(ns) :+ t))
@@ -386,6 +397,13 @@ class RestCatalogServer(val warehouse: String,
         }
         ex.getResponseHeaders.set("ETag", metaUri)
         ok(ex, tableResult(root, metaUri, metadataJson))
+      // spec loadCredentials: re-vend the table's storage credentials
+      // WITHOUT re-loading metadata — the cheap refresh path a client whose
+      // vended creds expired mid-job takes (LoadCredentialsResponse)
+      case ("GET", "namespaces" :: ns :: "tables" :: t :: "credentials" :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
+        ok(ex, s"""{"storage-credentials":${vendCredentials(root)}}""")
       case ("POST", "namespaces" :: Nil) =>
         val body = JsonMethods.parse(readBody(ex))
         val nsSeq = (body \ "namespace").extractOpt[Seq[String]].getOrElse(
@@ -910,12 +928,23 @@ class RestCatalogServer(val warehouse: String,
   private def tableResult(root: String, metaUri: String,
       metadataJson: String): String = {
     val cfg = Serialization.write(storageCredentials)
-    val creds =
-      if (storageCredentials.isEmpty) "[]"
-      else s"""[{"prefix":${Serialization.write(root)},"config":$cfg}]"""
     s"""{"metadata-location":"$metaUri","metadata":$metadataJson,""" +
-      s""""config":$cfg,"storage-credentials":$creds}"""
+      s""""config":$cfg,"storage-credentials":${vendCredentials(root)}}"""
   }
+
+  /** One vend: the configured credential map scoped to the table location,
+    * stamped with an absolute `expires-at-ms` when [[credentialTtlMs]] > 0.
+    * Every call is a FRESH vend — re-vending after expiry yields a later
+    * stamp, which is the whole lifecycle contract. */
+  private def vendCredentials(root: String): String =
+    if (storageCredentials.isEmpty) "[]"
+    else {
+      val stamped =
+        if (credentialTtlMs <= 0) storageCredentials
+        else storageCredentials +
+          ("expires-at-ms" -> (System.currentTimeMillis() + credentialTtlMs).toString)
+      s"""[{"prefix":${Serialization.write(root)},"config":${Serialization.write(stamped)}}]"""
+    }
 
   /** Validate + apply ONE table's spec commit (requirements, updates,
     * manifest-list decode, CAS) without writing the HTTP response — the

@@ -27,11 +27,49 @@ import graft.table.GraftTable
   * serves (vectorized scan swap, stats, MOR deletes, exactly-once appends
   * all identical); the table must already EXIST — creation stays with
   * `GraftTable.create` / catalog DDL, where schema and properties are
-  * explicit rather than inferred from a dataframe. */
+  * explicit rather than inferred from a dataframe.
+  *
+  * GOVERNANCE: when the session acts as a principal
+  * (`spark.graft.principal`), the path entry enforces the same
+  * [[graft.catalog.GrantStore]] gate as the catalog — the nearest ancestor
+  * directory holding `_grants.json` (the warehouse root GrantStore writes)
+  * governs, and the securable is named by the path segments relative to it.
+  * So `load("<wh>/ns/t")` meets exactly the SELECT/MODIFY check of
+  * `graft.ns.t`, and a denied principal cannot launder access through the
+  * path spelling. A path with no governing warehouse above it stays
+  * ungoverned — the same semantics as a warehouse without a grants file
+  * (access control not enabled). */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  private def principalOpt: Option[String] =
+    scala.util.Try(SparkSession.active.sessionState.conf
+      .getConfString("spark.graft.principal", "")).toOption.filter(_.nonEmpty)
+
+  /** Nearest ancestor warehouse (`_grants.json` holder) and the securable
+    * parts relative to it; None = no governing warehouse above `path`. */
+  private def governedBy(path: String): Option[(String, Seq[String])] = {
+    val io = graft.table.FileIO.forPath(path)
+    val leaf = new org.apache.hadoop.fs.Path(path)
+    var dir = leaf.getParent
+    var parts = List(leaf.getName)
+    while (dir != null && !dir.isRoot) {
+      if (io.exists(new org.apache.hadoop.fs.Path(dir, "_grants.json").toString))
+        return Some((dir.toString, parts))
+      parts = dir.getName :: parts
+      dir = dir.getParent
+    }
+    None
+  }
+
+  private def enforce(path: String, privilege: String): Unit =
+    principalOpt.foreach { p =>
+      governedBy(path).foreach { case (wh, parts) =>
+        graft.catalog.GrantStore.check(wh, p, privilege, parts)
+      }
+    }
 
   /** `df.write.format("graft").save(path)`: Spark's path-based writer only
     * takes the DSv2 route for tables declaring full BATCH_WRITE; graft
@@ -46,6 +84,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val p = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         """graft source needs a path: df.write.format("graft").save(path)"""))
+    enforce(p, "MODIFY") // grant gate BEFORE any commit path runs
     val t = GraftTable.load(SparkSession.active, p) // throws if absent: no create-on-write
     mode match {
       case SaveMode.Append        => t.appendWithRetry(data)
@@ -73,11 +112,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   private def tableFor(options: CaseInsensitiveStringMap): GraftDsv2Table = {
-    val t = GraftTable.load(SparkSession.active, pathOf(options))
-    GraftDsv2Table(t, pathOf(options),
+    val path = pathOf(options)
+    val t = GraftTable.load(SparkSession.active, path)
+    GraftDsv2Table(t, path,
       asOfVersion = Option(options.get("versionAsOf")).map(_.toLong),
       asOfTimestampMs = Option(options.get("timestampAsOf")).map(_.toLong),
-      branch = Option(options.get("branch")))
+      branch = Option(options.get("branch")),
+      writeGuard = () => enforce(path, "MODIFY"),
+      readGuard = () => enforce(path, "SELECT"))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -129,12 +129,18 @@ object DeltaInterop {
     val base = cpActions.foldLeft(ReplayState())(_ apply _)
     case class Step(state: ReplayState, added: Int, removed: Int, ts: Long)
     val steps: Seq[Step] = jsonBatches.scanLeft(
-        Step(base, 0, 0, 0L)) { case (prev, (_, actions)) =>
+        Step(base, 0, 0, 0L)) { case (prev, (v, actions)) =>
       val added = actions.count(a => (a \ "add") != JNothing)
       val removed = actions.count(a => (a \ "remove") != JNothing)
+      // commitInfo.timestamp is optional in the protocol; fall back to the
+      // commit file's own mtime, then clamp monotone against the previous
+      // step — an import-time wall clock here would misorder timestampAsOf
+      // over the migrated snapshots
       val ts = actions.flatMap(a =>
         (a \ "commitInfo" \ "timestamp").extractOpt[Long]).headOption
-        .getOrElse(System.currentTimeMillis())
+        .orElse(scala.util.Try(io.mtime(commitFile(root, v))).toOption)
+        .getOrElse(prev.ts)
+        .max(prev.ts)
       Step(actions.foldLeft(prev.state)(_ apply _), added, removed, ts)
     }.tail
     val state = if (steps.isEmpty) base else steps.last.state
@@ -229,7 +235,14 @@ object DeltaInterop {
     require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
       "current snapshot carries merge-on-read deletes Delta v1 cannot express — " +
       "compact first (CALL graft.system.rewrite_data_files / rewrite_position_delete_files)")
-    val root = new java.io.File(outDir).getAbsolutePath.stripSuffix("/")
+    // absolutize ONLY a plain relative outDir (the IcebergExport rule):
+    // File.getAbsolutePath on a scheme-qualified URI would mangle
+    // s3://bucket/t into /cwd/s3:/bucket/t and write the _delta_log to a
+    // bogus local path
+    val root = (
+      if (outDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || outDir.startsWith("/")) outDir
+      else new java.io.File(outDir).getAbsolutePath
+    ).stripSuffix("/")
     val io = FileIO.forPath(root)
     val schema = DataType.fromJson(snap.schemas(snap.currentSchemaId.toString))
       .asInstanceOf[StructType]
@@ -238,7 +251,19 @@ object DeltaInterop {
       if (p.startsWith("/") || p.contains("://")) p else s"${table.path.stripSuffix("/")}/$p"
     def deltaPath(abs: String): String =
       if (abs.startsWith(s"$root/")) encodePath(abs.stripPrefix(s"$root/"))
-      else s"file://${encodePath(abs)}"
+      else if (abs.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) {
+        // already scheme-qualified (s3://bucket/... or file:/...): keep
+        // scheme+authority verbatim and percent-encode ONLY the path part —
+        // prefixing file:// (and encoding the inner ':') would make the
+        // add-action path unreadable by every Delta client
+        val withAuth = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(/.*)$".r
+        abs match {
+          case withAuth(pre, path) => pre + encodePath(path)
+          case _ => // scheme:/path, no authority
+            val i = abs.indexOf(':')
+            abs.substring(0, i + 1) + encodePath(abs.substring(i + 1))
+        }
+      } else s"file://${encodePath(abs)}"
 
     // stable metaData id: derived from path + version, so re-export of the
     // same snapshot is byte-identical (no wall-clock UUID)

@@ -178,6 +178,52 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("export honors a scheme-qualified outDir; off-root data paths keep their scheme") {
+    // outDir as a file:/ URI must NOT be re-absolutized through
+    // java.io.File (which would mangle scheme'd URIs the way it would
+    // s3://bucket/t -> /cwd/s3:/bucket/t) — the _delta_log must land under
+    // the URI's own path
+    val dir = tmp("delta-scheme-") + "/t"
+    val t = GraftTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val outAbs = new java.io.File(tmp("delta-schemeout-")).getAbsolutePath
+    val last = DeltaInterop.export(t, s"file:$outAbs")
+    assert(new java.io.File(f"$outAbs/_delta_log/${0L}%020d.json").exists(),
+      s"log not under the URI path: $last")
+    // data files live under the table root (outside outDir) -> absolute
+    // URIs; a scheme-qualified path keeps its scheme verbatim instead of
+    // being double-wrapped in file:// with an encoded inner ':'
+    val c0 = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      f"$outAbs/_delta_log/${0L}%020d.json"))
+    val adds = (0 until c0.size).map(c0.get).filter(_.contains("\"add\""))
+    assert(adds.nonEmpty)
+    assert(adds.forall(_.contains("\"path\":\"file://")), adds.mkString("\n"))
+    assert(adds.forall(!_.contains("%3A")), "inner scheme colon was percent-encoded:\n" +
+      adds.mkString("\n"))
+  }
+
+  test("import timestamps are monotone when commitInfo.timestamp is absent") {
+    val root = tmp("delta-ts-")
+    writeParquetFile(Seq(1L -> "a"), s"$root/f1.parquet")
+    writeParquetFile(Seq(2L -> "b"), s"$root/f2.parquet")
+    // neither commit carries commitInfo.timestamp -> fallback is the commit
+    // file's mtime with a monotone clamp, never the import-time wall clock
+    writeCommit(root, 0, Seq(protoAction, metaAction(),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(root, 1, Seq(
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    // force an out-of-order mtime on the LATER commit: the clamp must keep
+    // replayed history non-decreasing anyway
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f"$root/_delta_log/${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val beforeImport = System.currentTimeMillis()
+    val t = DeltaInterop.importTable(spark, root, tmp("delta-tst-") + "/t")
+    val ts = (1L to t.log.currentVersion).map(v => t.log.snapshot(v).timestampMs)
+    assert(ts == ts.sorted, s"non-monotone replayed timestamps: $ts")
+    // mtime-derived, not import-time wall clock
+    assert(ts.forall(_ < beforeImport), s"wall-clock timestamps leaked in: $ts")
+  }
+
   test("CALL import_delta / export_delta ride the procedure surface") {
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", SparkSpec.warehouse)

@@ -12,6 +12,7 @@ import graft.catalog.GrantStore
   * composing with row filters + column masks. */
 class GrantsSpec extends SparkSpec {
   import GrantStore.Grant
+  import spark.implicits._
 
   private val wh = SparkSpec.warehouse
 
@@ -95,6 +96,40 @@ class GrantsSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM graft.gdb.accounts").count() == 4)
       spark.sql("DELETE FROM graft.gdb.accounts WHERE id = 9")
     }
+  }
+
+  test("path-based format(\"graft\") entry meets the same grant gate (ADVICE r14)") {
+    // the grants file at the warehouse root governs ANY spelling of the
+    // table — catalog ident or raw path — so the path entry cannot launder
+    // access around a catalog denial
+    seedGrants(
+      Grant("admin", "OWNER", Nil),
+      Grant("alice", "SELECT", Seq("gdb", "accounts")))
+    val path = s"$wh/gdb/accounts"
+    asPrincipal("bob") {
+      val e = intercept[Exception] {
+        spark.read.format("graft").load(path).collect()
+      }
+      assert(deepMsg(e).contains("lacks SELECT"), deepMsg(e))
+    }
+    asPrincipal("alice") {
+      assert(spark.read.format("graft").load(path).count() == 3)
+      // SELECT-only: the path write is denied too
+      val w = intercept[Exception] {
+        Seq((9L, "x@x", "US")).toDF("id", "email", "region")
+          .write.format("graft").mode("append").save(path)
+      }
+      assert(deepMsg(w).contains("lacks MODIFY"), deepMsg(w))
+    }
+    GrantStore.grant(wh, Grant("alice", "MODIFY", Seq("gdb", "accounts")))
+    asPrincipal("alice") {
+      Seq((9L, "x@x", "US")).toDF("id", "email", "region")
+        .write.format("graft").mode("append").save(path)
+      assert(spark.read.format("graft").load(path).count() == 4)
+      spark.sql("DELETE FROM graft.gdb.accounts WHERE id = 9")
+    }
+    // no principal: engine-internal/privileged, unchanged
+    assert(spark.read.format("graft").load(path).count() == 3)
   }
 
   test("CREATE_TABLE is namespace-scoped; DDL needs MODIFY") {
