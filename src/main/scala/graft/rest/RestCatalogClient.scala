@@ -224,7 +224,7 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     * fresh ones and continue, they never cache past expiry. Empty map when
     * the server vends nothing. */
   def storageCredentials(ns: Seq[String], table: String): Map[String, String] = {
-    val key = (ns :+ table).mkString(" ")
+    val key = (ns :+ table).mkString("\u0000")
     val now = System.currentTimeMillis()
     Option(vended.get(key)).filter(_.expiresAtMs.forall(_ > now)) match {
       case Some(live) => live.config
