@@ -151,12 +151,18 @@ object Dedup {
     val sig = sh.groupBy($"doc_id")
       .agg(graft.functions.MinHashSignature($"shingle", 12).as("sigs"))
       .select($"doc_id", posexplode($"sigs").as(Seq("i", "s")))
-    // cache: the band table is tiny (docs × b rows) and self-joined — without
-    // it the whole shingle→signature pipeline would run twice
+    // localCheckpoint: the band table is TINY (docs x 3 rows), so AQE plans
+    // the self-join as a BROADCAST join — and a broadcast side shares no
+    // exchange with the probe side, so without durable materialization the
+    // whole shingle->signature pipeline runs once per side (measured
+    // 0.6 -> 1.0 s uncached at sf0.1; the ReuseExchange dedup that makes
+    // q43/q82's SHUFFLE self-joins safely uncached does not fire here).
+    // Checkpoint, not cache: same single-computation win, but lineage
+    // truncation also removes the eviction-recompute hazard (q100 rule)
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
       .agg(expr("md5(cast(array_join(transform(array_sort(collect_list(struct(i, s))), x -> x.s), '') as binary))")
         .as("bucket"))
-      .cache()
+      .localCheckpoint()
     band.as("a").join(band.as("c"),
         $"a.b" === $"c.b" && $"a.bucket" === $"c.bucket" && $"a.doc_id" < $"c.doc_id")
       .select($"a.doc_id".as("d1"), $"c.doc_id".as("d2"))
@@ -239,12 +245,16 @@ object Dedup {
     // A count-over-shingle window (not groupBy+join) computes the frequency
     // in the SAME hash(shingle) shuffle the self-join needs — the window's
     // output partitioning satisfies the join requirement, so the cap adds
-    // zero extra exchanges. Cached: both self-join sides read it.
+    // zero extra exchanges. NOT materialized: the self-join's sides are
+    // identical subplans over that one exchange, so ReuseExchange tokenizes
+    // once (measured equal to cached AND to localCheckpoint'd at sf0.1,
+    // r15) — and with no cache there is no eviction-recompute hazard and
+    // no checkpoint write; the q100 materialization rule applies only when
+    // a relation feeds DIFFERENT downstream plans, not a self-join.
     val rare = shinglesN(spark, dir)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= HotShingleCap).drop("df")
-      .cache()
     rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
       // size-ratio prefilter: c ≤ min(n1,n2) gives J ≤ min/max, so a pair
@@ -308,7 +318,10 @@ object Dedup {
           $"f_hi".bitwiseAND(lit(65535L)),
           shiftrightunsigned($"f_lo", 16).bitwiseAND(lit(65535L)),
           $"f_lo".bitwiseAND(lit(65535L)))).as(Seq("i", "v")))
-      .cache()
+      // localCheckpoint (q41 rule): tiny band table -> AQE broadcasts the
+      // self-join, whose sides share no exchange — materialize the
+      // fingerprint pipeline once, durably
+      .localCheckpoint()
     band.as("a").join(band.as("b"),
         $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
@@ -369,6 +382,11 @@ object Dedup {
   def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shinglesN(spark, dir)
+    // deliberately NOT materialized (measured 2.8 s -> 3.3 s with a
+    // localCheckpoint here): the self-join's two sides are identical
+    // subplans over the same hash(shingle) exchange, so ReuseExchange
+    // tokenizes ONCE and the checkpoint write would be pure overhead —
+    // the q43 cache-vs-recompute hazard doesn't apply to this shape
     val rare = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
@@ -497,12 +515,13 @@ object Dedup {
         s"transform(sequence(0, CAST(floor(length(text) / $BlockLen) AS INT) - 1)," +
           s" i -> substring(text, i * $BlockLen + 1, $BlockLen))")).as("block"))
       .distinct() // a block repeated inside one doc counts once
-    // stop-block cap rides the same hash(block) shuffle the self-join needs
+    // stop-block cap rides the same hash(block) shuffle the self-join
+    // needs; not materialized — identical self-join sides dedup through
+    // ReuseExchange (the q43 rule)
     val rare = blocks
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"block")))
       .filter($"df" <= HotBlockCap).drop("df")
-      .cache()
     rare.as("a").join(rare.as("b"), "block")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))

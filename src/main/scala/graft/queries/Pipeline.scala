@@ -32,8 +32,13 @@ object Pipeline {
     * counter, never row data. */
   def q62(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").cache()
-    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).cache()
+    // localCheckpoint, not cache (the q100 rule): pairs feeds edges twice
+    // (union with its flip) and edges feeds EVERY propagation round —
+    // durable materialization makes the per-round cost independent of
+    // storage-memory pressure; a lazily cached edges would re-run the whole
+    // MinHash pipeline per consumer on eviction
+    val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").localCheckpoint()
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).localCheckpoint()
     // seed with the ONE-HOP minimum (min of self and direct neighbors) in a
     // single aggregate — for clique-shaped dup groups, the common case, this
     // is already the fixpoint and the loop exits after one verification round
@@ -52,7 +57,8 @@ object Pipeline {
       labels = next
       rounds += 1
     }
-    pairs.unpersist(); edges.unpersist()
+    // checkpoint blocks release via ContextCleaner on GC (and the bench/
+    // verify harness sweeps persistent RDDs between queries)
     labels.select($"id".as("doc_id"), $"label".as("cluster_id")).orderBy($"doc_id")
   }
 
