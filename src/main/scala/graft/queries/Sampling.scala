@@ -133,6 +133,10 @@ object Sampling {
         .as("bgm"))
       .select($"doc_id", $"lang",
         (conv(substring(md5($"bgm".cast("binary")), 1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
+    // feeds the target/raw/total model builds AND the weight join; lazy
+    // cache (the q95 rationale — an eager checkpoint write is pure
+    // overhead when the first consumer materializes the cache in-job and
+    // recompute is one linear pass, not a cost-class cliff)
     val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c")).cache()
     val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
     val raw = db.groupBy($"b").agg(sum($"c").as("cr"))

@@ -92,6 +92,7 @@ object Similarity {
     // cache the one-pass signature table: the bit columns are interpreted
     // higher-order folds (HOFs don't codegen), and downstream the 4-band
     // union is self-joined — uncached they would be re-evaluated 8×
+    // (lazy cache over checkpoint: the q95 rationale)
     val sigs = e.select(($"vec_id" +: bitCols): _*).cache()
     val bands = (0 until Bands).map { b =>
       sigs.select($"vec_id", lit(b).as("band"),
