@@ -260,6 +260,9 @@ class RestCatalogServer(val warehouse: String,
       // credential re-vend: same gate as loading the table itself
       case ("GET", "namespaces" :: ns :: "tables" :: t :: "credentials" :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
+      // metrics reports come from READERS too — don't demand MODIFY
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "metrics" :: Nil) =>
+        Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
         Some(Seq("MODIFY") -> (decNs(ns) :+ t))
@@ -460,6 +463,18 @@ class RestCatalogServer(val warehouse: String,
         }
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         icebergCommit(ex, decNs(ns), t)
+      // spec reportMetrics: engines POST scan/commit reports after reads
+      // (Iceberg's Spark/Trino clients do this unconditionally and treat
+      // failures as log noise — a 404 here spams every foreign reader's
+      // logs). Validate the envelope minimally, acknowledge with 204; the
+      // reports are advisory telemetry, not state.
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "metrics" :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
+        val body = JsonMethods.parse(readBody(ex))
+        if ((body \ "report-type").extractOpt[String].isEmpty)
+          return err(ex, 400, "metrics report needs report-type")
+        ex.sendResponseHeaders(204, -1); ex.close()
       case ("POST", "transactions" :: "commit" :: Nil) =>
         icebergTransaction(ex)
       case ("GET", "namespaces" :: ns :: "views" :: Nil) =>

@@ -1391,6 +1391,27 @@ class ForeignWriterSpec extends SparkSpec {
     spark.sql("DROP TABLE graftr.db.etagt")
   }
 
+  test("spec reportMetrics: scan reports acknowledged with 204, bad envelope 400, absent table 404") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS graftr.db.metr (id BIGINT) USING graft")
+    val token = oauthRaw()
+    // the shape Iceberg's Spark client POSTs after a scan (fields beyond
+    // report-type are engine-specific; the server treats them as advisory)
+    val report =
+      """{"report-type":"scan-report","table-name":"db.metr","snapshot-id":1,
+        |"filter":true,"schema-id":0,"projected-field-ids":[1],
+        |"projected-field-names":["id"],"metrics":{}}""".stripMargin
+    assert(post("/v1/iceberg/namespaces/db/tables/metr/metrics", report,
+      Some(token)).statusCode() == 204)
+    assert(post("/v1/iceberg/namespaces/db/tables/metr/metrics",
+      """{"metrics":{}}""", Some(token)).statusCode() == 400)
+    assert(post("/v1/iceberg/namespaces/db/tables/nope/metrics", report,
+      Some(token)).statusCode() == 404)
+  }
+
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
     // reference main.tf:676-696: UC vends per-table storage credentials with
     // the metadata; config-level modeling here — a server wired with a
