@@ -263,6 +263,9 @@ class RestCatalogServer(val warehouse: String,
       // metrics reports come from READERS too — don't demand MODIFY
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "metrics" :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
+      // scan planning is a READ
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
+        Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
         Some(Seq("MODIFY") -> (decNs(ns) :+ t))
@@ -475,6 +478,69 @@ class RestCatalogServer(val warehouse: String,
         if ((body \ "report-type").extractOpt[String].isEmpty)
           return err(ex, 400, "metrics report needs report-type")
         ex.sendResponseHeaders(204, -1); ex.close()
+      // spec scan planning (PlanTableScanRequest → completed
+      // PlanTableScanResult): the CATALOG plans the scan — it holds the
+      // per-file column bounds in the snapshot log, so it prunes the file
+      // list against the request's filter expression server-side and hands
+      // the engine ready FileScanTasks with correctly SCOPED delete files.
+      // At 100 TB this is the difference between every engine listing and
+      // filtering manifests itself and one metadata-sized response.
+      // Synchronous completed-with-inline-tasks (no async plan-id leg:
+      // pruning is O(files) over in-memory metadata, never long-running).
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
+        val body = JsonMethods.parse(readBody(ex))
+        val log = logOf(root)
+        val snap = (body \ "snapshot-id").extractOpt[Long] match {
+          case Some(v) =>
+            val got = scala.util.Try(log.snapshot(v))
+            if (got.isFailure) return err(ex, 404, s"no snapshot $v")
+            got.get
+          case None => log.current
+        }
+        if ((body \ "filter" \ "type").extractOpt[String].contains("false"))
+          return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
+        val filters = parseIcebergExpr(body \ "filter").toSeq
+        val files = graft.table.GraftTable.pruneFilesByStats(snap, filters)
+        val absRoot = absolutize(root)
+        def abs(p: String): String =
+          if (p.startsWith("/") || p.contains("://")) p else s"$absRoot/$p"
+        def contentFile(f: graft.table.DataFile, content: String,
+            extra: String = ""): String =
+          s"""{"spec-id":0,"partition":[],"content":"$content",""" +
+            s""""file-path":${Serialization.write(abs(f.path))},""" +
+            s""""file-format":"parquet","file-size-in-bytes":${f.bytes},""" +
+            s""""record-count":${f.rows}$extra}"""
+        // field ids are Iceberg ids (graft.id + 1) — resolve legacy
+        // eq-deletes (no stored ids) by name against the current schema
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(snap.schemas(snap.currentSchemaId.toString))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        def eqIds(e: graft.table.EqDeleteFile): Seq[Int] =
+          if (e.colIds.nonEmpty) e.colIds.map(_ + 1)
+          else e.cols.flatMap(c => schema.fields.find(_.name == c)
+            .map(f => f.metadata.getLong("graft.id").toInt + 1))
+        val posN = snap.deleteFiles.size
+        val deleteJson =
+          snap.deleteFiles.map(contentFile(_, "position-deletes")) ++
+          snap.eqDeleteFiles.map(e => contentFile(e.file, "equality-deletes",
+            s""","equality-ids":[${eqIds(e).mkString(",")}]"""))
+        val tasks = files.map { f =>
+          // position deletes are path-scoped inside the delete file itself
+          // (non-matching paths no-op) → referenced by every task; equality
+          // deletes bite only data files with a STRICTLY LOWER data
+          // sequence number — scoped here so a naive engine applying every
+          // referenced delete still gets exact results
+          val refs = (0 until posN) ++
+            snap.eqDeleteFiles.zipWithIndex.collect {
+              case (e, i) if f.seq < e.seq => posN + i
+            }
+          s"""{"data-file":${contentFile(f, "data")},""" +
+            s""""delete-file-references":[${refs.mkString(",")}]}"""
+        }
+        ok(ex, s"""{"plan-status":"completed","file-scan-tasks":[${tasks.mkString(",")}],""" +
+          s""""delete-files":[${deleteJson.mkString(",")}]}""")
       case ("POST", "transactions" :: "commit" :: Nil) =>
         icebergTransaction(ex)
       case ("GET", "namespaces" :: ns :: "views" :: Nil) =>
@@ -934,6 +1000,61 @@ class RestCatalogServer(val warehouse: String,
             ++ sortBy.map("write.sort-by" -> _)))
     val (metaUri, metadataJson) = renderIcebergMetadata(root)
     ok(ex, tableResult(root, metaUri, metadataJson))
+  }
+
+  /** Iceberg REST expression JSON → Spark data-source filter, for the scan
+    * planner's stats pruning. CONSERVATIVE by construction: any node the
+    * min/max pruner can't use maps to None = "cannot exclude" — under AND a
+    * missing side just weakens pruning (the other side still prunes), under
+    * OR/NOT the whole subtree is dropped (pruning with half an OR would be
+    * WRONG — OR excludes a file only when both sides do). The engine
+    * re-applies the full filter over the returned rows regardless, so
+    * parsing less can only return extra files, never lose rows. */
+  private def parseIcebergExpr(j: JValue): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def term(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      // {"type":"reference","term":"col"} — transform terms (bucket[n](c),
+      // day(c), …) are not prunable here and fall to None
+      case o: JObject if (o \ "type").extractOpt[String].contains("reference") =>
+        (o \ "term").extractOpt[String]
+      case _ => None
+    }
+    def lit(v: JValue): Option[Any] = v match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JString(s) => Some(s)
+      case JBool(b) => Some(b)
+      case _ => None
+    }
+    def binary(make: (String, Any) => Filter): Option[Filter] =
+      for (t <- term(j \ "term"); v <- lit(j \ "value")) yield make(t, v)
+    (j \ "type").extractOpt[String] match {
+      case Some("eq") => binary(EqualTo.apply)
+      case Some("lt") => binary(LessThan.apply)
+      case Some("lt-eq") => binary(LessThanOrEqual.apply)
+      case Some("gt") => binary(GreaterThan.apply)
+      case Some("gt-eq") => binary(GreaterThanOrEqual.apply)
+      case Some("is-null") => term(j \ "term").map(IsNull.apply)
+      case Some("in") =>
+        val vs = (j \ "values") match {
+          case JArray(items) => items.map(lit)
+          case _ => Nil
+        }
+        if (vs.isEmpty || vs.exists(_.isEmpty)) None
+        else term(j \ "term").map(t => In(t, vs.flatten.toArray))
+      case Some("and") =>
+        (parseIcebergExpr(j \ "left"), parseIcebergExpr(j \ "right")) match {
+          case (Some(l), Some(r)) => Some(And(l, r))
+          case (one, other) => one.orElse(other) // AND of unknown: keep the known side
+        }
+      case Some("or") =>
+        for (l <- parseIcebergExpr(j \ "left"); r <- parseIcebergExpr(j \ "right"))
+          yield Or(l, r)
+      case _ => None // not/not-null/is-nan/true/unknown: no pruning claim
+    }
   }
 
   /** Spec `LoadTableResult` body: metadata plus the vended storage

@@ -1949,17 +1949,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   def filesPossiblyContaining(column: String, value: String): Seq[DataFile] =
     log.current.files.filter(fileCanContain(log.current, _, column, value))
 
-  private def cmpAs(s: Snapshot, column: String, a: String, b: String): Int = {
-    val dt = schemaOf(s, s.currentSchemaId).fields.find(_.name == column).map(_.dataType)
-    dt match {
-      case Some(_: NumericType) => java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _ => a.compareTo(b) // strings + ISO-formatted date/timestamp casts
-    }
-  }
-
   private def fileCanContain(s: Snapshot, f: DataFile, column: String, value: String): Boolean =
-    f.stats.get(column).forall(st =>
-      cmpAs(s, column, st.min, value) <= 0 && cmpAs(s, column, value, st.max) <= 0)
+    GraftTable.fileCanContainStatic(s, f, column, value)
 
   /** Prune a snapshot's file list with data-source filters (the pushdown
     * entry used by the DSv2 scan): a file is dropped only when a filter
@@ -1973,25 +1964,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   private[graft] def pruneFiles(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
     import org.apache.spark.sql.sources._
-    def excluded(f: DataFile, flt: Filter): Boolean = flt match {
-      case EqualTo(c, v) if v != null => !fileCanContain(s, f, c, v.toString)
-      case In(c, vs) if vs != null && vs.nonEmpty =>
-        vs.filter(_ != null).forall(v => !fileCanContain(s, f, c, v.toString))
-      case GreaterThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpAs(s, c, st.max, v.toString) <= 0)
-      case GreaterThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpAs(s, c, st.max, v.toString) < 0)
-      case LessThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) >= 0)
-      case LessThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpAs(s, c, st.min, v.toString) > 0)
-      // Iceberg-manifest-style null-count pruning: a file with zero nulls
-      // in c can't satisfy IS NULL (-1 = legacy entry, unknown — keep)
-      case IsNull(c) => f.stats.get(c).exists(_.nullCount == 0L)
-      case And(l, r) => excluded(f, l) || excluded(f, r)
-      case Or(l, r) => excluded(f, l) && excluded(f, r)
-      case _ => false // unknown shape: cannot prove exclusion, keep the file
-    }
+    // base-column min/max/null-count half: shared, session-free core
+    // (GraftTable.statsExcluded) — also the REST scan-planner's pruner
+    def excluded(f: DataFile, flt: Filter): Boolean =
+      GraftTable.statsExcluded(s, f, flt)
 
     // ---- transform-domain pruning ----------------------------------------
     val transforms = PartitionTransform
@@ -2053,6 +2029,60 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 object GraftTable {
 
   private[table] val logger = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
+  // ---- session-free stats pruning ------------------------------------
+  // The base-column half of [[GraftTable.pruneFiles]], factored out so the
+  // REST server's spec scan-planning endpoint (which runs WITHOUT a
+  // SparkSession) prunes from the same per-file bounds with the same
+  // conservatism. The transform-domain half stays on the class — it
+  // evaluates transform literals through a driver-local Spark job.
+
+  private def cmpStatic(s: Snapshot, column: String, a: String, b: String): Int = {
+    val dt = DataType.fromJson(s.schemas(s.currentSchemaId.toString))
+      .asInstanceOf[StructType].fields.find(_.name == column).map(_.dataType)
+    dt match {
+      case Some(_: NumericType) => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b) // strings + ISO-formatted date/timestamp casts
+    }
+  }
+
+  private[graft] def fileCanContainStatic(
+      s: Snapshot, f: DataFile, column: String, value: String): Boolean =
+    f.stats.get(column).forall(st =>
+      cmpStatic(s, column, st.min, value) <= 0 && cmpStatic(s, column, value, st.max) <= 0)
+
+  /** True iff `flt` PROVES no row of `f` can match, from min/max/null-count
+    * bounds alone; unknown filter shapes and stat-less files return false
+    * (kept). */
+  private[graft] def statsExcluded(
+      s: Snapshot, f: DataFile, flt: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    flt match {
+      case EqualTo(c, v) if v != null => !fileCanContainStatic(s, f, c, v.toString)
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        vs.filter(_ != null).forall(v => !fileCanContainStatic(s, f, c, v.toString))
+      case GreaterThan(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpStatic(s, c, st.max, v.toString) <= 0)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpStatic(s, c, st.max, v.toString) < 0)
+      case LessThan(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpStatic(s, c, st.min, v.toString) >= 0)
+      case LessThanOrEqual(c, v) if v != null =>
+        f.stats.get(c).exists(st => cmpStatic(s, c, st.min, v.toString) > 0)
+      // Iceberg-manifest-style null-count pruning: a file with zero nulls
+      // in c can't satisfy IS NULL (-1 = legacy entry, unknown — keep)
+      case IsNull(c) => f.stats.get(c).exists(_.nullCount == 0L)
+      case And(l, r) => statsExcluded(s, f, l) || statsExcluded(s, f, r)
+      case Or(l, r) => statsExcluded(s, f, l) && statsExcluded(s, f, r)
+      case _ => false // unknown shape: cannot prove exclusion, keep the file
+    }
+  }
+
+  /** Stats-only file pruning over a snapshot — the Spark-free entry the
+    * REST scan-planning endpoint uses. */
+  private[graft] def pruneFilesByStats(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] =
+    s.files.filter(f => !filters.exists(statsExcluded(s, f, _)))
 
   /** Backtick-quoted top-level column reference — a column literally named
     * "a.b" must never parse as a nested-field path. THE one place the

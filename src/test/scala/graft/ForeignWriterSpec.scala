@@ -1412,6 +1412,82 @@ class ForeignWriterSpec extends SparkSpec {
       Some(token)).statusCode() == 404)
   }
 
+  test("spec scan planning: server prunes files by stats and scopes delete files by sequence") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("DROP TABLE IF EXISTS graftr.db.plant")
+    spark.sql("CREATE TABLE graftr.db.plant (id BIGINT, v STRING) USING graft")
+    // three separate commits -> three files with disjoint id ranges
+    spark.sql("INSERT INTO graftr.db.plant VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftr.db.plant VALUES (10, 'c'), (11, 'd')")
+    spark.sql("INSERT INTO graftr.db.plant VALUES (20, 'e'), (21, 'f')")
+    val token = oauthRaw()
+    def plan(body: String): JValue = {
+      val resp = post("/v1/iceberg/namespaces/db/tables/plant/plan", body, Some(token))
+      assert(resp.statusCode() == 200, resp.body())
+      JsonMethods.parse(resp.body())
+    }
+
+    def taskRows(p: JValue): Set[Long] = (p \ "file-scan-tasks").children.flatMap { task =>
+      spark.read.parquet((task \ "data-file" \ "file-path").extract[String])
+        .collect().map(_.getLong(0))
+    }.toSet
+    // unfiltered: every row reachable through the returned tasks
+    val all = plan("""{}""")
+    assert((all \ "plan-status").extract[String] == "completed")
+    assert(taskRows(all) == Set(1L, 2L, 10L, 11L, 20L, 21L))
+    val allN = (all \ "file-scan-tasks").children.size
+
+    // id > 15: min/max bounds exclude every low-range file, and the
+    // surviving tasks still cover all matching rows
+    val gt = plan("""{"filter":{"type":"gt","term":"id","value":15}}""")
+    val gtN = (gt \ "file-scan-tasks").children.size
+    assert(gtN < allN, s"no pruning happened ($gtN of $allN tasks)")
+    assert(taskRows(gt) == Set(20L, 21L))
+    val task0 = (gt \ "file-scan-tasks").children.head
+    assert((task0 \ "data-file" \ "content").extract[String] == "data")
+    assert((task0 \ "data-file" \ "record-count").extract[Long] >= 1L)
+
+    // AND with an unparseable side still prunes on the parseable side;
+    // OR with an unparseable side returns everything (conservative)
+    val and = plan("""{"filter":{"type":"and",
+      |"left":{"type":"gt","term":"id","value":15},
+      |"right":{"type":"not-null","term":"v"}}}""".stripMargin)
+    assert((and \ "file-scan-tasks").children.size == gtN)
+    val or = plan("""{"filter":{"type":"or",
+      |"left":{"type":"gt","term":"id","value":15},
+      |"right":{"type":"not-null","term":"v"}}}""".stripMargin)
+    assert((or \ "file-scan-tasks").children.size == allN)
+
+    // literal false: nothing to scan
+    assert((plan("""{"filter":{"type":"false"}}""") \ "file-scan-tasks").children.isEmpty)
+
+    // equality-delete scoping: delete bites files committed BEFORE it only.
+    // (MOR delete via the table API so no compaction folds it in)
+    val loc = (JsonMethods.parse(
+      get("/v1/namespaces/db/tables/plant", token).body()) \ "location").extract[String]
+    val t = graft.table.GraftTable.load(spark, loc)
+    t.deleteByEquality(Seq(Tuple1(10L)).toDF("id")) // seq N
+    spark.sql("INSERT INTO graftr.db.plant VALUES (30, 'g')") // seq N+1, after the delete
+    val mor = plan("""{}""")
+    val dels = (mor \ "delete-files").children
+    assert(dels.size == 1 &&
+      (dels.head \ "content").extract[String] == "equality-deletes", dels)
+    assert((dels.head \ "equality-ids").extract[Seq[Int]].nonEmpty)
+    val byMinId = (mor \ "file-scan-tasks").children.map { task =>
+      val p = (task \ "data-file" \ "file-path").extract[String]
+      val refs = (task \ "delete-file-references").extract[Seq[Int]]
+      (spark.read.parquet(p).collect().map(_.getLong(0)).min, refs)
+    }.toMap
+    // every file committed BEFORE the delete references it...
+    Seq(1L, 2L, 10L, 11L, 20L, 21L).map(k => byMinId.keys.filter(_ <= k).max)
+      .distinct.foreach(k => assert(byMinId(k) == Seq(0), s"$k -> $byMinId"))
+    // ...the file committed AFTER it is out of scope
+    assert(byMinId(30L) == Seq(), byMinId)
+  }
+
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
     // reference main.tf:676-696: UC vends per-table storage credentials with
     // the metadata; config-level modeling here — a server wired with a
