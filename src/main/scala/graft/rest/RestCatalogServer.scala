@@ -213,10 +213,40 @@ class RestCatalogServer(val warehouse: String,
       case _ if !authorized(ex) => err(ex, 401, "missing or invalid bearer token")
       case ("GET", "/v1/config") =>
         // `prefix` routes SPEC-conformant Iceberg REST clients to the
-        // /v1/iceberg/... surface below; graft's own protocol stays at /v1/
+        // /v1/iceberg/... surface below; graft's own protocol stays at /v1/.
+        // `endpoints` is the spec's capability advertisement — clients
+        // feature-detect optional surfaces (scan planning, metrics,
+        // credential re-vend, views, transactions) from this list instead
+        // of probing routes and treating 404s as capability signals.
+        val endpoints = Seq(
+          "GET /v1/{prefix}/namespaces",
+          "GET /v1/{prefix}/namespaces/{namespace}",
+          "HEAD /v1/{prefix}/namespaces/{namespace}",
+          "POST /v1/{prefix}/namespaces",
+          "DELETE /v1/{prefix}/namespaces/{namespace}",
+          "GET /v1/{prefix}/namespaces/{namespace}/tables",
+          "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+          "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+          "POST /v1/{prefix}/namespaces/{namespace}/tables",
+          "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+          "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+          "POST /v1/{prefix}/namespaces/{namespace}/register",
+          "POST /v1/{prefix}/tables/rename",
+          "POST /v1/{prefix}/transactions/commit",
+          "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials",
+          "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
+          "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+          "GET /v1/{prefix}/namespaces/{namespace}/views",
+          "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
+          "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
+          "POST /v1/{prefix}/namespaces/{namespace}/views",
+          "POST /v1/{prefix}/namespaces/{namespace}/views/{view}",
+          "DELETE /v1/{prefix}/namespaces/{namespace}/views/{view}",
+          "POST /v1/{prefix}/views/rename")
         ok(ex, Serialization.write(Map(
           "overrides" -> Map("warehouse" -> warehouse, "prefix" -> "iceberg"),
-          "defaults" -> Map.empty[String, String])))
+          "defaults" -> Map.empty[String, String],
+          "endpoints" -> endpoints)))
       case (m, p) =>
         val segs = p.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList
         // grants: every authenticated route maps to a required privilege on

@@ -181,6 +181,14 @@ class ForeignWriterSpec extends SparkSpec {
     val cfg = JsonMethods.parse(get("/v1/config", token).body())
     val prefix = (cfg \ "overrides" \ "prefix").extract[String]
     assert(prefix == "iceberg")
+    // capability advertisement: clients feature-detect optional surfaces
+    // (scan planning, metrics, credential re-vend) from `endpoints`
+    val eps = (cfg \ "endpoints").extract[Seq[String]]
+    Seq("POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+        "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
+        "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials",
+        "POST /v1/{prefix}/transactions/commit")
+      .foreach(e => assert(eps.contains(e), s"missing endpoint $e"))
 
     spark.sql("CREATE TABLE graftr.db.ice_srv (id BIGINT, name STRING)")
     spark.sql("INSERT INTO graftr.db.ice_srv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
