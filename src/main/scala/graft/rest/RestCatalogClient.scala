@@ -211,6 +211,43 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     expect(send("POST", "/v1/tables/rename",
       Some(Serialization.write(RenameReq(fromNs, from, toNs, to)))), "rename table")
 
+  // ---- server-side scan planning ---------------------------------------------
+
+  /** One planned file-scan task: the data file plus the delete files the
+    * SERVER scoped to it (position deletes always; equality deletes only
+    * when they out-sequence the data file). */
+  final case class PlannedTask(dataFile: String, recordCount: Long,
+      positionDeletes: Seq[String], equalityDeletes: Seq[String])
+
+  /** Ask the catalog to plan a scan (spec `POST …/tables/{t}/plan`): the
+    * server prunes the snapshot's file list against `filterJson` (an
+    * Iceberg expression JSON object, e.g.
+    * `{"type":"gt","term":"id","value":5}`) using the column bounds it
+    * holds, so the engine never lists or filters metadata itself — the
+    * capability the `endpoints` config advertises. */
+  def planScan(ns: Seq[String], table: String,
+      filterJson: Option[String] = None,
+      snapshotId: Option[Long] = None): Seq[PlannedTask] = {
+    val body = "{" + (filterJson.map(f => s""""filter":$f""").toSeq ++
+      snapshotId.map(v => s""""snapshot-id":$v""").toSeq).mkString(",") + "}"
+    val resp = expect(send("POST",
+      s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/plan",
+      Some(body)), "plan scan")
+    require((resp \ "plan-status").extractOpt[String].contains("completed"),
+      s"unexpected plan-status: ${(resp \ "plan-status").extractOpt[String]}")
+    val deletes = (resp \ "delete-files").children.map(d =>
+      ((d \ "file-path").extract[String], (d \ "content").extract[String]))
+    (resp \ "file-scan-tasks").children.map { t =>
+      val refs = (t \ "delete-file-references").extractOpt[Seq[Int]].getOrElse(Nil)
+        .map(deletes)
+      PlannedTask(
+        (t \ "data-file" \ "file-path").extract[String],
+        (t \ "data-file" \ "record-count").extract[Long],
+        refs.collect { case (p, "position-deletes") => p },
+        refs.collect { case (p, "equality-deletes") => p })
+    }
+  }
+
   // ---- vended storage credentials -------------------------------------------
 
   private case class VendedCreds(config: Map[String, String], expiresAtMs: Option[Long])

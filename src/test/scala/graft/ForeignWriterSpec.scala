@@ -1494,6 +1494,22 @@ class ForeignWriterSpec extends SparkSpec {
       .distinct.foreach(k => assert(byMinId(k) == Seq(0), s"$k -> $byMinId"))
     // ...the file committed AFTER it is out of scope
     assert(byMinId(30L) == Seq(), byMinId)
+
+    // the client leg: planScan surfaces the same pruning + scoping as
+    // typed tasks (engine-side consumption of server planning)
+    val client = new graft.rest.RestCatalogClient(server.uri, Some("engine-a:secret-a"), None)
+    val planned = client.planScan(Seq("db"), "plant",
+      Some("""{"type":"gt","term":"id","value":15}"""))
+    val rowsOf = planned.map(t =>
+      spark.read.parquet(t.dataFile).collect().map(_.getLong(0)).min -> t).toMap
+    assert(rowsOf.keySet.flatMap(k =>
+      spark.read.parquet(rowsOf(k).dataFile).collect().map(_.getLong(0))) ==
+      Set(20L, 21L, 30L))
+    rowsOf.foreach { case (minId, t) =>
+      if (minId < 30L) assert(t.equalityDeletes.size == 1, s"$minId: $t")
+      else assert(t.equalityDeletes.isEmpty, s"$minId: $t")
+      assert(t.positionDeletes.isEmpty)
+    }
   }
 
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
