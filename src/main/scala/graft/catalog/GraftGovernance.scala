@@ -40,6 +40,11 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   *    the session — the privileged-reader escape hatch.
   *  - The direct path API (`GraftTable.read`) and maintenance procedures
   *    are engine-internal and privileged, like Iceberg's own action APIs.
+  *  - The path-based DSv2 entry (`spark.read.format("graft").load(path)`)
+  *    is governed exactly when the session acts as a PRINCIPAL
+  *    (`spark.graft.principal` set — the same trigger as the path entry's
+  *    grant gate): a governed user must not read unmasked rows by spelling
+  *    the table as a path. Unprincipaled sessions stay engine-internal.
   *
   * Policy expressions are validated at DEFINITION time (parse + resolve +
   * type check in [[GraftCatalog.alterTable]]), so a typo fails the ALTER,
@@ -91,8 +96,40 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
             wrap(u, u.multipartIdentifier.last, filter, masks, cols)
           case None => u
         }
+      // PATH-based loads resolve straight to a DataSourceV2Relation with no
+      // catalog/identifier (TableProvider route) — catalog-resolved
+      // relations carry both, and THEIR policies were spliced at the
+      // UnresolvedRelation stage above (the catalog/identifier guard is
+      // what prevents double-masking). Governed only for principaled
+      // sessions: the path spelling must not launder a governed user past
+      // the masks, while unprincipaled sessions stay engine-internal.
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.getTagValue(WrappedTag).isEmpty && r.catalog.isEmpty &&
+            r.identifier.isEmpty && principaled =>
+        r.table match {
+          case g: GraftDsv2Table =>
+            val props = g.t.log.current.properties
+            val filter = props.get(FilterProp)
+            val masks = props.collect {
+              case (k, v) if k.startsWith(MaskPropPrefix) =>
+                k.stripPrefix(MaskPropPrefix) -> v
+            }
+            if (filter.isEmpty && masks.isEmpty) r
+            else {
+              r.setTagValue(WrappedTag, true)
+              wrap(r, g.t.path.split("/").last, filter, masks,
+                g.t.schema.fields.map(_.name).toSeq)
+            }
+          case _ => r
+        }
     }
   }
+
+  /** Is the session acting as a governed principal? (the same trigger the
+    * path entry's grant gate uses — `spark.graft.principal`) */
+  private def principaled: Boolean =
+    scala.util.Try(spark.sessionState.conf
+      .getConfString("spark.graft.principal", "")).toOption.exists(_.nonEmpty)
 
   /** (row filter, masks by column, column order) when `parts` names a graft
     * table carrying governance properties.

@@ -135,6 +135,26 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("path-based reads are governed for principaled sessions (no mask laundering)") {
+    val path = s"${SparkSpec.warehouse}/db/gov_users"
+    // principaled: the path spelling meets the same filter + masks as the
+    // catalog identifier — a governed user can't read raw rows via load(path)
+    spark.conf.set("spark.graft.principal", "analyst")
+    try {
+      val rows = spark.read.format("graft").load(path)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == 3, rows.mkString(","))
+      assert(rows.forall(_._2.startsWith("xxx@")), rows.mkString(","))
+      // schema unchanged by the masks
+      assert(spark.read.format("graft").load(path).columns.toSeq ==
+        Seq("id", "email", "region", "spend"))
+    } finally spark.conf.unset("spark.graft.principal")
+    // unprincipaled: engine-internal/privileged, raw (the documented stance)
+    val raw = spark.read.format("graft").load(path).collect()
+    assert(raw.length == 5)
+    assert(raw.map(_.getString(1)).exists(_.startsWith("ann@")))
+  }
+
   test("dropping the properties lifts the policies") {
     sql("ALTER TABLE graft.db.gov_users UNSET TBLPROPERTIES ('graft.filter', 'graft.mask.email')")
     val rows = sql("SELECT email FROM graft.db.gov_users").collect()
