@@ -116,7 +116,9 @@ object Bench {
           case (n, (_, b, r)) if r > gate && b >= 0.5 => n
         }
         val qs = rows.map { case (n, (s, b, r)) =>
-          f""""$n":{"small":$s%.4f,"big":$b%.4f,"ratio":$r%.2f}"""
+          // Locale.ROOT: comma-decimal default locales would corrupt the JSON
+          def d(v: Double, p: String) = String.format(java.util.Locale.ROOT, p, Double.box(v))
+          s""""$n":{"small":${d(s, "%.4f")},"big":${d(b, "%.4f")},"ratio":${d(r, "%.2f")}}"""
         }.mkString("{", ",", "}")
         emit(
           s"""{"metric":"scaling_slope","small_sf":"$smallDir","big_sf":"$bigDir",""" +
@@ -161,7 +163,10 @@ object Bench {
     val spread = samples.map { case (n, xs) =>
       val ok = xs.filter(_ >= 0)
       val (mn, mx) = if (ok.nonEmpty) (ok.min, ok.max) else (-1.0, -1.0)
-      f""""$n":{"min":$mn%.4f,"max":$mx%.4f,"n":${xs.length}}"""
+      // Locale.ROOT: f"%.4f" under a comma-decimal default locale would
+      // render 0,1234 and corrupt the JSON artifact
+      def d4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      s""""$n":{"min":${d4(mn)},"max":${d4(mx)},"n":${xs.length}}"""
     }.mkString("{", ",", "}")
     emit(
       s"""{"metric":"total","value":$total,"unit":"sec","median_of":3,""" +

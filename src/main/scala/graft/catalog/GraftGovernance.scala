@@ -108,17 +108,12 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
             r.identifier.isEmpty && principaled =>
         r.table match {
           case g: GraftDsv2Table =>
-            val props = g.t.log.current.properties
-            val filter = props.get(FilterProp)
-            val masks = props.collect {
-              case (k, v) if k.startsWith(MaskPropPrefix) =>
-                k.stripPrefix(MaskPropPrefix) -> v
-            }
-            if (filter.isEmpty && masks.isEmpty) r
-            else {
-              r.setTagValue(WrappedTag, true)
-              wrap(r, g.t.path.split("/").last, filter, masks,
-                g.t.schema.fields.map(_.name).toSeq)
+            policiesOf(g.t.log.current.properties) match {
+              case Some((filter, masks)) =>
+                r.setTagValue(WrappedTag, true)
+                wrap(r, g.t.path.split("/").last, filter, masks,
+                  g.t.schema.fields.map(_.name).toSeq)
+              case None => r
             }
           case _ => r
         }
@@ -150,16 +145,25 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
             None
         }
       loaded.collect { case g: GraftDsv2Table => g }.flatMap { t =>
-        val props = t.t.log.current.properties
-        val filter = props.get(FilterProp)
-        val masks = props.collect {
-          case (k, v) if k.startsWith(MaskPropPrefix) =>
-            k.stripPrefix(MaskPropPrefix) -> v
-        }
-        if (filter.isEmpty && masks.isEmpty) None
-        else Some((filter, masks, t.t.schema.fields.map(_.name).toSeq))
+        policiesOf(t.t.log.current.properties)
+          .map { case (filter, masks) =>
+            (filter, masks, t.t.schema.fields.map(_.name).toSeq)
+          }
       }
     }
+
+  /** The ONE property→policy extraction — shared by the catalog-identifier
+    * and path-relation routes so a policy-property change can never cover
+    * one route and silently miss the other. */
+  private def policiesOf(props: Map[String, String])
+      : Option[(Option[String], Map[String, String])] = {
+    val filter = props.get(FilterProp)
+    val masks = props.collect {
+      case (k, v) if k.startsWith(MaskPropPrefix) =>
+        k.stripPrefix(MaskPropPrefix) -> v
+    }
+    if (filter.isEmpty && masks.isEmpty) None else Some((filter, masks))
+  }
 
   private def parse(sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)

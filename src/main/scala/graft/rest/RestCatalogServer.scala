@@ -532,10 +532,16 @@ class RestCatalogServer(val warehouse: String,
         if ((body \ "filter" \ "type").extractOpt[String].contains("false"))
           return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
         val filters = parseIcebergExpr(body \ "filter").toSeq
-        val files = graft.table.GraftTable.pruneFilesByStats(snap, filters)
+        // a non-numeric literal against a numeric column is a BAD REQUEST,
+        // not a server fault — pruning comparisons throw NumberFormatException
+        val files =
+          try graft.table.GraftTable.pruneFilesByStats(snap, filters)
+          catch { case _: NumberFormatException =>
+            return err(ex, 400, "filter value does not match the column's type")
+          }
         val absRoot = absolutize(root)
         def abs(p: String): String =
-          if (p.startsWith("/") || p.contains("://")) p else s"$absRoot/$p"
+          graft.table.GraftTable.resolveUnder(absRoot, p) // THE one path rule
         def contentFile(f: graft.table.DataFile, content: String,
             extra: String = ""): String =
           s"""{"spec-id":0,"partition":[],"content":"$content",""" +
@@ -543,19 +549,38 @@ class RestCatalogServer(val warehouse: String,
             s""""file-format":"parquet","file-size-in-bytes":${f.bytes},""" +
             s""""record-count":${f.rows}$extra}"""
         // field ids are Iceberg ids (graft.id + 1) — resolve legacy
-        // eq-deletes (no stored ids) by name against the current schema
+        // eq-deletes (no stored ids) by name against the current schema.
+        // FAIL the request rather than emit a short/empty equality-ids list:
+        // an engine that can't see a key column would skip the delete and
+        // silently RESURRECT deleted rows (graft's own reader resolves these
+        // by name, so the rows are genuinely deleted)
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(snap.schemas(snap.currentSchemaId.toString))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        def eqIds(e: graft.table.EqDeleteFile): Seq[Int] =
-          if (e.colIds.nonEmpty) e.colIds.map(_ + 1)
-          else e.cols.flatMap(c => schema.fields.find(_.name == c)
-            .map(f => f.metadata.getLong("graft.id").toInt + 1))
+        def eqIds(e: graft.table.EqDeleteFile): Option[Seq[Int]] =
+          if (e.colIds.nonEmpty) Some(e.colIds.map(_ + 1))
+          else {
+            val ids = e.cols.map(c => schema.fields.find(_.name == c)
+              .map(f => f.metadata.getLong("graft.id").toInt + 1))
+            if (ids.forall(_.isDefined)) Some(ids.flatten) else None
+          }
+        val eqResolved: Seq[(graft.table.EqDeleteFile, Seq[Int])] =
+          snap.eqDeleteFiles.map { e =>
+            eqIds(e) match {
+              case Some(ids) => e -> ids
+              case None => return err(ex, 409,
+                s"cannot plan: equality delete ${e.file.path} keys on " +
+                  s"columns (${e.cols.mkString(", ")}) that no longer all " +
+                  "resolve in the current schema — compact " +
+                  "(CALL graft.system.rewrite_data_files) before foreign scans",
+                "CommitFailedException")
+            }
+          }
         val posN = snap.deleteFiles.size
         val deleteJson =
           snap.deleteFiles.map(contentFile(_, "position-deletes")) ++
-          snap.eqDeleteFiles.map(e => contentFile(e.file, "equality-deletes",
-            s""","equality-ids":[${eqIds(e).mkString(",")}]"""))
+          eqResolved.map { case (e, ids) => contentFile(e.file, "equality-deletes",
+            s""","equality-ids":[${ids.mkString(",")}]""") }
         val tasks = files.map { f =>
           // position deletes are path-scoped inside the delete file itself
           // (non-matching paths no-op) → referenced by every task; equality

@@ -49,20 +49,32 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       .getConfString("spark.graft.principal", "")).toOption.filter(_.nonEmpty)
 
   /** Nearest ancestor warehouse (`_grants.json` holder) and the securable
-    * parts relative to it; None = no governing warehouse above `path`. */
-  private def governedBy(path: String): Option[(String, Seq[String])] = {
-    val io = graft.table.FileIO.forPath(path)
-    val leaf = new org.apache.hadoop.fs.Path(path)
-    var dir = leaf.getParent
-    var parts = List(leaf.getName)
-    while (dir != null && !dir.isRoot) {
-      if (io.exists(new org.apache.hadoop.fs.Path(dir, "_grants.json").toString))
-        return Some((dir.toString, parts))
-      parts = dir.getName :: parts
-      dir = dir.getParent
+    * parts relative to it; None = no governing warehouse above `path`.
+    *
+    * Positive results cache for the process lifetime (the governing ROOT of
+    * a path never moves; the walk otherwise costs O(depth) remote exists()
+    * probes per guard invocation on an object store). Negative results are
+    * deliberately NOT cached: a warehouse becomes governed the moment its
+    * first grant writes `_grants.json`, and enforcement must pick that up
+    * on the next access, not at the next process restart. */
+  private def governedBy(path: String): Option[(String, Seq[String])] =
+    Option(GraftDataSource.governedCache.get(path)).orElse {
+      val io = graft.table.FileIO.forPath(path)
+      val leaf = new org.apache.hadoop.fs.Path(path)
+      var dir = leaf.getParent
+      var parts = List(leaf.getName)
+      var found = Option.empty[(String, Seq[String])]
+      while (found.isEmpty && dir != null && !dir.isRoot) {
+        if (io.exists(new org.apache.hadoop.fs.Path(dir, "_grants.json").toString))
+          found = Some((dir.toString, parts))
+        else {
+          parts = dir.getName :: parts
+          dir = dir.getParent
+        }
+      }
+      found.foreach(GraftDataSource.governedCache.put(path, _))
+      found
     }
-    None
-  }
 
   private def enforce(path: String, privilege: String): Unit =
     principalOpt.foreach { p =>
@@ -128,4 +140,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     tableFor(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftDataSource {
+  /** path → its governing (warehouse, securable parts); positive hits only
+    * (see [[GraftDataSource.governedBy]]). */
+  private val governedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
 }

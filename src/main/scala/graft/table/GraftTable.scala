@@ -1946,11 +1946,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   /** File-level pruning from snapshot-log stats: files whose [min,max] range
     * can contain `value` for `column` (the `SupportsPushDownFilters` seed —
     * SURVEY.md §4 row 1). Files lacking stats are kept (safe). */
-  def filesPossiblyContaining(column: String, value: String): Seq[DataFile] =
-    log.current.files.filter(fileCanContain(log.current, _, column, value))
-
-  private def fileCanContain(s: Snapshot, f: DataFile, column: String, value: String): Boolean =
-    GraftTable.fileCanContainStatic(s, f, column, value)
+  def filesPossiblyContaining(column: String, value: String): Seq[DataFile] = {
+    val s = log.current
+    val cmp = GraftTable.comparatorOf(s) // schema parsed once, not per file
+    s.files.filter(cmp.canContain(_, column, value))
+  }
 
   /** Prune a snapshot's file list with data-source filters (the pushdown
     * entry used by the DSv2 scan): a file is dropped only when a filter
@@ -1966,8 +1966,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     import org.apache.spark.sql.sources._
     // base-column min/max/null-count half: shared, session-free core
     // (GraftTable.statsExcluded) — also the REST scan-planner's pruner
+    val cmp = GraftTable.comparatorOf(s) // schema parsed once per prune pass
     def excluded(f: DataFile, flt: Filter): Boolean =
-      GraftTable.statsExcluded(s, f, flt)
+      GraftTable.statsExcluded(cmp, f, flt)
 
     // ---- transform-domain pruning ----------------------------------------
     val transforms = PartitionTransform
@@ -2037,43 +2038,50 @@ object GraftTable {
   // conservatism. The transform-domain half stays on the class — it
   // evaluates transform literals through a driver-local Spark job.
 
-  private def cmpStatic(s: Snapshot, column: String, a: String, b: String): Int = {
-    val dt = DataType.fromJson(s.schemas(s.currentSchemaId.toString))
-      .asInstanceOf[StructType].fields.find(_.name == column).map(_.dataType)
-    dt match {
-      case Some(_: NumericType) => java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _ => a.compareTo(b) // strings + ISO-formatted date/timestamp casts
-    }
+  /** Column-name → comparison typing for min/max bounds, resolved ONCE per
+    * pruning pass (the schema JSON parse must not run per file × filter —
+    * on a many-file snapshot that would make planning JSON-parse-bound). */
+  private[graft] final class StatsComparator(schema: StructType) {
+    private val numeric: Set[String] =
+      schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSet
+    /** Throws NumberFormatException when a numeric column meets a
+      * non-numeric literal — callers surface that as a BAD FILTER, never
+      * as a pruning decision. */
+    def cmp(column: String, a: String, b: String): Int =
+      if (numeric(column)) java.lang.Double.compare(a.toDouble, b.toDouble)
+      else a.compareTo(b) // strings + ISO-formatted date/timestamp casts
+    def canContain(f: DataFile, column: String, value: String): Boolean =
+      f.stats.get(column).forall(st =>
+        cmp(column, st.min, value) <= 0 && cmp(column, value, st.max) <= 0)
   }
 
-  private[graft] def fileCanContainStatic(
-      s: Snapshot, f: DataFile, column: String, value: String): Boolean =
-    f.stats.get(column).forall(st =>
-      cmpStatic(s, column, st.min, value) <= 0 && cmpStatic(s, column, value, st.max) <= 0)
+  private[graft] def comparatorOf(s: Snapshot): StatsComparator =
+    new StatsComparator(DataType.fromJson(
+      s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType])
 
   /** True iff `flt` PROVES no row of `f` can match, from min/max/null-count
     * bounds alone; unknown filter shapes and stat-less files return false
     * (kept). */
-  private[graft] def statsExcluded(
-      s: Snapshot, f: DataFile, flt: org.apache.spark.sql.sources.Filter): Boolean = {
+  private[graft] def statsExcluded(cmp: StatsComparator, f: DataFile,
+      flt: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     flt match {
-      case EqualTo(c, v) if v != null => !fileCanContainStatic(s, f, c, v.toString)
+      case EqualTo(c, v) if v != null => !cmp.canContain(f, c, v.toString)
       case In(c, vs) if vs != null && vs.nonEmpty =>
-        vs.filter(_ != null).forall(v => !fileCanContainStatic(s, f, c, v.toString))
+        vs.filter(_ != null).forall(v => !cmp.canContain(f, c, v.toString))
       case GreaterThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpStatic(s, c, st.max, v.toString) <= 0)
+        f.stats.get(c).exists(st => cmp.cmp(c, st.max, v.toString) <= 0)
       case GreaterThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpStatic(s, c, st.max, v.toString) < 0)
+        f.stats.get(c).exists(st => cmp.cmp(c, st.max, v.toString) < 0)
       case LessThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpStatic(s, c, st.min, v.toString) >= 0)
+        f.stats.get(c).exists(st => cmp.cmp(c, st.min, v.toString) >= 0)
       case LessThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmpStatic(s, c, st.min, v.toString) > 0)
+        f.stats.get(c).exists(st => cmp.cmp(c, st.min, v.toString) > 0)
       // Iceberg-manifest-style null-count pruning: a file with zero nulls
       // in c can't satisfy IS NULL (-1 = legacy entry, unknown — keep)
       case IsNull(c) => f.stats.get(c).exists(_.nullCount == 0L)
-      case And(l, r) => statsExcluded(s, f, l) || statsExcluded(s, f, r)
-      case Or(l, r) => statsExcluded(s, f, l) && statsExcluded(s, f, r)
+      case And(l, r) => statsExcluded(cmp, f, l) || statsExcluded(cmp, f, r)
+      case Or(l, r) => statsExcluded(cmp, f, l) && statsExcluded(cmp, f, r)
       case _ => false // unknown shape: cannot prove exclusion, keep the file
     }
   }
@@ -2081,8 +2089,10 @@ object GraftTable {
   /** Stats-only file pruning over a snapshot — the Spark-free entry the
     * REST scan-planning endpoint uses. */
   private[graft] def pruneFilesByStats(s: Snapshot,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] =
-    s.files.filter(f => !filters.exists(statsExcluded(s, f, _)))
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
+    val cmp = comparatorOf(s) // schema parsed once, not per file x filter
+    s.files.filter(f => !filters.exists(statsExcluded(cmp, f, _)))
+  }
 
   /** Backtick-quoted top-level column reference — a column literally named
     * "a.b" must never parse as a nested-field path. THE one place the

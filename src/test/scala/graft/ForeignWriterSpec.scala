@@ -1472,6 +1472,11 @@ class ForeignWriterSpec extends SparkSpec {
     // literal false: nothing to scan
     assert((plan("""{"filter":{"type":"false"}}""") \ "file-scan-tasks").children.isEmpty)
 
+    // a type-mismatched literal is the CLIENT's error (400), not a 500
+    assert(post("/v1/iceberg/namespaces/db/tables/plant/plan",
+      """{"filter":{"type":"gt","term":"id","value":"abc"}}""",
+      Some(token)).statusCode() == 400)
+
     // equality-delete scoping: delete bites files committed BEFORE it only.
     // (MOR delete via the table API so no compaction folds it in)
     val loc = (JsonMethods.parse(
