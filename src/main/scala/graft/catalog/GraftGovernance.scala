@@ -62,7 +62,14 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
     val exempt = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     def exemptAll(p: LogicalPlan): Unit = p.foreach {
-      case u: UnresolvedRelation => exempt.add(u); case _ => ()
+      case u: UnresolvedRelation => exempt.add(u)
+      // a path-based write target resolves straight to a catalog-less
+      // DataSourceV2Relation (TableProvider route) — exempt it like the
+      // UnresolvedRelation form, or enabling path DSv2 writes would wrap
+      // the WRITE TARGET in filter/masks and corrupt row images (ADVICE r15)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        exempt.add(r)
+      case _ => ()
     }
     plan.foreach {
       case m: MergeIntoTable => exemptAll(m.targetTable)
@@ -105,7 +112,7 @@ case class GraftGovernance(spark: SparkSession) extends Rule[LogicalPlan] {
       // the masks, while unprincipaled sessions stay engine-internal.
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           if r.getTagValue(WrappedTag).isEmpty && r.catalog.isEmpty &&
-            r.identifier.isEmpty && principaled =>
+            r.identifier.isEmpty && !exempt.contains(r) && principaled =>
         r.table match {
           case g: GraftDsv2Table =>
             policiesOf(g.t.log.current.properties) match {

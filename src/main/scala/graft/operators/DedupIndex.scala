@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Mat
 
 import graft.table.GraftTable
 
@@ -173,7 +174,7 @@ object DedupIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize before releasing the bands cache (the caller gets a
     // computed-through plan, not a lazy one over an unpersisted cache)
-    try probeTableBands(index, bb, minJaccard, maxProbeBuckets).localCheckpoint()
+    try probeTableBands(index, bb, minJaccard, maxProbeBuckets).transform(Mat.checkpoint)
     finally bb.unpersist(blocking = false)
   }
 

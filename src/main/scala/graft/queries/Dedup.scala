@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Mat
 import graft.Tables._
 
 /** Training-data deduplication operators over `documents` (north-star surface;
@@ -104,7 +105,7 @@ object Dedup {
     if (materialized) {
       val df_ = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= RareDfCap).select($"shingle")
-      sh.join(df_, Seq("shingle")).localCheckpoint()
+      sh.join(df_, Seq("shingle")).transform(Mat.checkpoint)
     } else {
       sh.withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
@@ -162,7 +163,7 @@ object Dedup {
     val band = sig.groupBy($"doc_id", expr("i div 4").as("b"))
       .agg(expr("md5(cast(array_join(transform(array_sort(collect_list(struct(i, s))), x -> x.s), '') as binary))")
         .as("bucket"))
-      .localCheckpoint()
+      .transform(Mat.checkpoint)
     band.as("a").join(band.as("c"),
         $"a.b" === $"c.b" && $"a.bucket" === $"c.bucket" && $"a.doc_id" < $"c.doc_id")
       .select($"a.doc_id".as("d1"), $"c.doc_id".as("d2"))
@@ -321,7 +322,7 @@ object Dedup {
       // localCheckpoint (q41 rule): tiny band table -> AQE broadcasts the
       // self-join, whose sides share no exchange — materialize the
       // fingerprint pipeline once, durably
-      .localCheckpoint()
+      .transform(Mat.checkpoint)
     band.as("a").join(band.as("b"),
         $"a.i" === $"b.i" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Mat
 import graft.Tables._
 
 /** Training-data pipeline ASSEMBLY operators (north-star surface; the steps a
@@ -37,13 +38,13 @@ object Pipeline {
     // durable materialization makes the per-round cost independent of
     // storage-memory pressure; a lazily cached edges would re-run the whole
     // MinHash pipeline per consumer on eviction
-    val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").localCheckpoint()
-    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).localCheckpoint()
+    val pairs = Dedup.q41(spark, dir).select($"d1", $"d2").transform(Mat.checkpoint)
+    val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2"))).transform(Mat.checkpoint)
     // seed with the ONE-HOP minimum (min of self and direct neighbors) in a
     // single aggregate — for clique-shaped dup groups, the common case, this
     // is already the fixpoint and the loop exits after one verification round
     var labels = edges.groupBy($"d1".as("id"))
-      .agg(least(min($"d2"), first($"d1")).as("label")).localCheckpoint()
+      .agg(least(min($"d2"), first($"d1")).as("label")).transform(Mat.checkpoint)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -51,14 +52,17 @@ object Pipeline {
         .groupBy($"d1".as("id")).agg(min($"label").as("nl"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
-        .localCheckpoint()
+        .transform(Mat.checkpoint)
       changed = next.as("n").join(labels.as("o"), "id")
         .filter($"n.label" =!= $"o.label").count()
+      Mat.release(labels) // superseded generation: freed NOW, not at GC time
       labels = next
       rounds += 1
     }
-    // checkpoint blocks release via ContextCleaner on GC (and the bench/
-    // verify harness sweeps persistent RDDs between queries)
+    // pairs/edges are dead once the fixpoint converges — explicit release
+    // (ADVICE r15): a long-lived session must not depend on ContextCleaner
+    // timing (the bench/verify harness's between-query sweep still backstops)
+    Seq(pairs, edges).foreach(Mat.release)
     labels.select($"id".as("doc_id"), $"label".as("cluster_id")).orderBy($"doc_id")
   }
 
@@ -335,7 +339,7 @@ object Pipeline {
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("w")).filter($"w" >= 2)
-      .select($"d1", $"d2").localCheckpoint()
+      .select($"d1", $"d2").transform(Mat.checkpoint)
     val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       .toDF("src", "dst")
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
@@ -357,7 +361,7 @@ object Pipeline {
       // q62 discipline) without paying one eager job PER round — the
       // per-round job overhead, not the joins, dominated the measured
       // runtime (6.2 s -> see BENCH) at fixture scale
-      if (it % 3 == 0 || it == PrIters) pr = pr.localCheckpoint()
+      if (it % 3 == 0 || it == PrIters) pr = pr.transform(Mat.checkpoint)
     }
     // the final localCheckpoint materialized pr, so the cached
     // intermediates can release executor storage memory now — without
@@ -465,7 +469,7 @@ object Pipeline {
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("w")).filter($"w" >= 2)
       .select($"d1", $"d2")
-      .localCheckpoint()
+      .transform(Mat.checkpoint)
     val deg = und.select($"d1".as("node"))
       .union(und.select($"d2".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -477,7 +481,7 @@ object Pipeline {
         when(lower, $"d1").otherwise($"d2").as("src"),
         when(lower, $"d2").otherwise($"d1").as("dst"),
         when(lower, $"degb").otherwise($"dega").as("dstdeg"))
-      .localCheckpoint()
+      .transform(Mat.checkpoint)
     val tri = ori.as("e1")
       .join(ori.as("e2"), col("e1.src") === col("e2.src") &&
         struct(col("e1.dstdeg"), col("e1.dst")) <

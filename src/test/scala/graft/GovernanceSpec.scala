@@ -155,6 +155,30 @@ class GovernanceSpec extends SparkSpec {
     assert(raw.map(_.getString(1)).exists(_.startsWith("ann@")))
   }
 
+  test("a DSv2 write/DML target stays raw even as a catalog-less path relation (ADVICE r15)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+    val path = s"${SparkSpec.warehouse}/db/gov_users"
+    val tbl = graft.catalog.GraftDsv2Table(
+      graft.table.GraftTable.load(spark, path), path)
+    spark.conf.set("spark.graft.principal", "analyst")
+    try {
+      val rule = graft.catalog.GraftGovernance(spark)
+      // control: the bare path relation IS governed for a principal
+      // (wrapped away from a plain DataSourceV2Relation)
+      val read = rule(DataSourceV2Relation.create(tbl, None, None))
+      assert(!read.isInstanceOf[DataSourceV2Relation], read.nodeName)
+      // the SAME relation as a DML target keeps the raw table — masking a
+      // write target would corrupt row images (DeleteFromTable holds its
+      // target as a CHILD, so the rule genuinely visits it)
+      val target = DataSourceV2Relation.create(tbl, None, None)
+      val out = rule(DeleteFromTable(target,
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+      assert(out.collect { case r: DataSourceV2Relation => r }.exists(_ eq target),
+        s"write target was wrapped: $out")
+    } finally spark.conf.unset("spark.graft.principal")
+  }
+
   test("dropping the properties lifts the policies") {
     sql("ALTER TABLE graft.db.gov_users UNSET TBLPROPERTIES ('graft.filter', 'graft.mask.email')")
     val rows = sql("SELECT email FROM graft.db.gov_users").collect()
