@@ -230,22 +230,41 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       snapshotId: Option[Long] = None): Seq[PlannedTask] = {
     val body = "{" + (filterJson.map(f => s""""filter":$f""").toSeq ++
       snapshotId.map(v => s""""snapshot-id":$v""").toSeq).mkString(",") + "}"
-    val resp = expect(send("POST",
+    val first = expect(send("POST",
       s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/plan",
       Some(body)), "plan scan")
-    require((resp \ "plan-status").extractOpt[String].contains("completed"),
-      s"unexpected plan-status: ${(resp \ "plan-status").extractOpt[String]}")
-    val deletes = (resp \ "delete-files").children.map(d =>
-      ((d \ "file-path").extract[String], (d \ "content").extract[String]))
-    (resp \ "file-scan-tasks").children.map { t =>
-      val refs = (t \ "delete-file-references").extractOpt[Seq[Int]].getOrElse(Nil)
-        .map(deletes)
-      PlannedTask(
-        (t \ "data-file" \ "file-path").extract[String],
-        (t \ "data-file" \ "record-count").extract[Long],
-        refs.collect { case (p, "position-deletes") => p },
-        refs.collect { case (p, "equality-deletes") => p })
+    require((first \ "plan-status").extractOpt[String].contains("completed"),
+      s"unexpected plan-status: ${(first \ "plan-status").extractOpt[String]}")
+    // each response carries its OWN delete-files array (task references
+    // index into it), plus optional chained `plan-tasks` tokens — drain
+    // them through spec fetchScanTasks until no page points onward, so
+    // callers always see the complete task list regardless of the server's
+    // page size
+    def tasksOf(resp: org.json4s.JValue): Seq[PlannedTask] = {
+      val deletes = (resp \ "delete-files").children.map(d =>
+        ((d \ "file-path").extract[String], (d \ "content").extract[String]))
+      (resp \ "file-scan-tasks").children.map { t =>
+        val refs = (t \ "delete-file-references").extractOpt[Seq[Int]].getOrElse(Nil)
+          .map(deletes)
+        PlannedTask(
+          (t \ "data-file" \ "file-path").extract[String],
+          (t \ "data-file" \ "record-count").extract[Long],
+          refs.collect { case (p, "position-deletes") => p },
+          refs.collect { case (p, "equality-deletes") => p })
+      }
     }
+    val out = scala.collection.mutable.ArrayBuffer(tasksOf(first): _*)
+    var pending = (first \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil).toList
+    while (pending.nonEmpty) {
+      val tok = pending.head
+      pending = pending.tail
+      val page = expect(send("POST",
+        s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/tasks",
+        Some(s"""{"plan-task":${Serialization.write(tok)}}""")), "fetch scan tasks")
+      out ++= tasksOf(page)
+      pending = pending ++ (page \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil)
+    }
+    out.toSeq
   }
 
   // ---- vended storage credentials -------------------------------------------
@@ -326,4 +345,79 @@ class RestSnapshotLog(tableRoot: String, client: RestCatalogClient,
   override def setHead(v: Long): Unit = client.setHead(ns, table, v)
   override def setRef(name: String, ref: Ref): Unit = client.setRef(ns, table, name, ref)
   override def dropRef(name: String): Unit = client.dropRef(ns, table, name)
+
+  /** Engine-side consumption of server scan planning: the planned DATA
+    * file paths for this table ([[RestCatalogClient.planScan]] drains any
+    * plan-task pages). [[graft.table.GraftTable]] calls this under
+    * `spark.graft.plan-mode=server` so the engine's own catalog-routed
+    * reads exercise the same endpoint foreign engines use. */
+  def planDataFiles(filterJson: Option[String], snapshotId: Option[Long]): Seq[String] =
+    client.planScan(ns, table, filterJson, snapshotId).map(_.dataFile)
+}
+
+/** Spark data-source filters → Iceberg REST expression JSON — the inverse
+  * of the server's `parseIcebergExpr`, with the SAME conservatism mirrored
+  * for the emit direction: a conjunct (or an AND side) that can't be
+  * expressed is simply dropped (the server prunes on less — a WEAKER
+  * filter only returns extra files), while an OR with an inexpressible
+  * side is dropped whole (emitting half an OR would be a STRONGER filter —
+  * the server could prune files the other branch matches). The engine
+  * re-applies the full predicate over returned rows regardless. */
+object IcebergFilterJson {
+  import org.apache.spark.sql.sources._
+
+  /** The implicit conjunction of `filters` as one expression, or None when
+    * nothing is expressible (the server then plans the full file list). */
+  def of(filters: Seq[Filter]): Option[String] =
+    filters.flatMap(one).reduceOption((l, r) =>
+      s"""{"type":"and","left":$l,"right":$r}""")
+
+  private def jstr(s: String): String =
+    Serialization.write(s)(DefaultFormats)
+
+  /** Literal rendering, limited to values whose server-side string
+    * comparison provably matches engine semantics: integrals/decimals
+    * (exact numeric compare), finite floats, strings, booleans, and
+    * ISO-rendering dates. Timestamps are SKIPPED — their stat strings are
+    * session-zone renderings the wire literal can't safely reproduce. */
+  private def jlit(v: Any): Option[String] = v match {
+    case null => None
+    case x: Int => Some(x.toString)
+    case x: Long => Some(x.toString)
+    case x: Short => Some(x.toString)
+    case x: Byte => Some(x.toString)
+    case x: Float if java.lang.Float.isFinite(x) => Some(x.toString)
+    case x: Double if java.lang.Double.isFinite(x) => Some(x.toString)
+    case x: java.math.BigDecimal => Some(x.toPlainString)
+    case x: BigDecimal => Some(x.underlying.toPlainString)
+    case x: String => Some(jstr(x))
+    case x: Boolean => Some(x.toString)
+    case x: java.sql.Date => Some(jstr(x.toString))      // ISO yyyy-MM-dd
+    case x: java.time.LocalDate => Some(jstr(x.toString))
+    case _ => None
+  }
+
+  private def binary(op: String, c: String, v: Any): Option[String] =
+    jlit(v).map(l => s"""{"type":"$op","term":${jstr(c)},"value":$l}""")
+
+  private def one(f: Filter): Option[String] = f match {
+    case EqualTo(c, v) => binary("eq", c, v)
+    case GreaterThan(c, v) => binary("gt", c, v)
+    case GreaterThanOrEqual(c, v) => binary("gt-eq", c, v)
+    case LessThan(c, v) => binary("lt", c, v)
+    case LessThanOrEqual(c, v) => binary("lt-eq", c, v)
+    case In(c, vs) if vs != null && vs.nonEmpty =>
+      val lits = vs.toSeq.map(jlit)
+      if (lits.exists(_.isEmpty)) None
+      else Some(s"""{"type":"in","term":${jstr(c)},"values":[${lits.flatten.mkString(",")}]}""")
+    case IsNull(c) => Some(s"""{"type":"is-null","term":${jstr(c)}}""")
+    case And(l, r) => (one(l), one(r)) match {
+      case (Some(a), Some(b)) => Some(s"""{"type":"and","left":$a,"right":$b}""")
+      case (a, b) => a.orElse(b) // weaker — sound for pruning
+    }
+    case Or(l, r) =>
+      for (a <- one(l); b <- one(r))
+        yield s"""{"type":"or","left":$a,"right":$b}"""
+    case _ => None // Not / IsNotNull / string matches: no wire claim
+  }
 }

@@ -93,7 +93,13 @@ class RestCatalogServer(val warehouse: String,
     // client holding expired creds re-vends and continues
     // ([[RestCatalogClient.storageCredentials]]), mirroring its bearer-token
     // refresh loop. 0 = non-expiring static creds (pre-r15 behavior).
-    credentialTtlMs: Long = 0L) {
+    credentialTtlMs: Long = 0L,
+    // Max file-scan-tasks inlined per scan-planning response (VERDICT r15
+    // #2): a 100×-metadata table must never produce one unbounded JSON
+    // body. Overflow is returned as spec `plan-tasks` — opaque tokens the
+    // client drains through POST …/tables/{t}/tasks (fetchScanTasks).
+    // 10k tasks ≈ single-digit MB of JSON; tests set 1-2 to force paging.
+    planPageSize: Int = 10000) {
 
   private implicit val fmts: Formats = DefaultFormats
   // token -> (principal = OAuth client id, absolute expiry epoch ms);
@@ -200,9 +206,11 @@ class RestCatalogServer(val warehouse: String,
     val now = System.currentTimeMillis()
     tokens.entrySet().removeIf(e => e.getValue.expiresAt < now)
     tokens.put(token, TokenInfo(id, now + tokenTtlMs))
+    // expires_in is a NUMBER per RFC 6749 §4.2.2 / the spec's
+    // OAuthTokenResponse — a string here trips conforming clients
     ok(ex, Serialization.write(Map(
       "access_token" -> token, "token_type" -> "bearer",
-      "expires_in" -> (tokenTtlMs / 1000).toString)))
+      "expires_in" -> tokenTtlMs / 1000)))
   }
 
   private def handle(ex: HttpExchange): Unit = try {
@@ -236,6 +244,7 @@ class RestCatalogServer(val warehouse: String,
           "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials",
           "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
           "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+          "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks",
           "GET /v1/{prefix}/namespaces/{namespace}/views",
           "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
           "HEAD /v1/{prefix}/namespaces/{namespace}/views/{view}",
@@ -269,6 +278,13 @@ class RestCatalogServer(val warehouse: String,
       err(ex, 409, c.getMessage, "CommitFailedException")
     case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
     case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
+    // unparseable / non-conforming request JSON is the CLIENT's error —
+    // jackson parse failures (malformed body, depth/size constraint trips)
+    // and json4s extraction mismatches must never surface as a 500
+    case e: com.fasterxml.jackson.core.JacksonException =>
+      err(ex, 400, s"malformed request body: ${e.getOriginalMessage}")
+    case e: org.json4s.MappingException =>
+      err(ex, 400, s"malformed request body: ${e.getMessage}")
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
@@ -515,87 +531,29 @@ class RestCatalogServer(val warehouse: String,
       // the engine ready FileScanTasks with correctly SCOPED delete files.
       // At 100 TB this is the difference between every engine listing and
       // filtering manifests itself and one metadata-sized response.
-      // Synchronous completed-with-inline-tasks (no async plan-id leg:
-      // pruning is O(files) over in-memory metadata, never long-running).
+      // Synchronous completed (no async plan-id leg: pruning is O(files)
+      // over in-memory metadata, never long-running), but the RESPONSE is
+      // bounded: at most [[planPageSize]] inline tasks, the rest behind
+      // spec `plan-tasks` tokens served by the fetchScanTasks route below.
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
-        val root = tableRoot(decNs(ns), t)
-        if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
         val body = JsonMethods.parse(readBody(ex))
-        val log = logOf(root)
-        val snap = (body \ "snapshot-id").extractOpt[Long] match {
-          case Some(v) =>
-            val got = scala.util.Try(log.snapshot(v))
-            if (got.isFailure) return err(ex, 404, s"no snapshot $v")
-            got.get
-          case None => log.current
+        icebergPlanScan(ex, decNs(ns), t,
+          (body \ "snapshot-id").extractOpt[Long], body \ "filter", offset = 0)
+      // spec fetchScanTasks: {"plan-task": <opaque token>} → the next page
+      // of FileScanTasks. The token is stateless — base64 JSON pinning
+      // (snapshot version, filter, offset) — so the single-threaded server
+      // keeps no plan registry and a page can be re-fetched idempotently;
+      // the route is bearer-authed and table-scoped like /plan itself, and
+      // a tampered token can only re-ask a prune the caller could request
+      // directly. Pages stay consistent under concurrent commits because
+      // they are pinned to the SNAPSHOT, not to "current".
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: "tasks" :: Nil) =>
+        val body = JsonMethods.parse(readBody(ex))
+        (body \ "plan-task").extractOpt[String].flatMap(decodePlanTask) match {
+          case None => err(ex, 400, "fetchScanTasks needs a valid plan-task token")
+          case Some((snapV, filter, off)) =>
+            icebergPlanScan(ex, decNs(ns), t, Some(snapV), filter, off)
         }
-        if ((body \ "filter" \ "type").extractOpt[String].contains("false"))
-          return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
-        val filters = parseIcebergExpr(body \ "filter").toSeq
-        // a non-numeric literal against a numeric column is a BAD REQUEST,
-        // not a server fault — pruning comparisons throw NumberFormatException
-        val files =
-          try graft.table.GraftTable.pruneFilesByStats(snap, filters)
-          catch { case _: NumberFormatException =>
-            return err(ex, 400, "filter value does not match the column's type")
-          }
-        val absRoot = absolutize(root)
-        def abs(p: String): String =
-          graft.table.GraftTable.resolveUnder(absRoot, p) // THE one path rule
-        def contentFile(f: graft.table.DataFile, content: String,
-            extra: String = ""): String =
-          s"""{"spec-id":0,"partition":[],"content":"$content",""" +
-            s""""file-path":${Serialization.write(abs(f.path))},""" +
-            s""""file-format":"parquet","file-size-in-bytes":${f.bytes},""" +
-            s""""record-count":${f.rows}$extra}"""
-        // field ids are Iceberg ids (graft.id + 1) — resolve legacy
-        // eq-deletes (no stored ids) by name against the current schema.
-        // FAIL the request rather than emit a short/empty equality-ids list:
-        // an engine that can't see a key column would skip the delete and
-        // silently RESURRECT deleted rows (graft's own reader resolves these
-        // by name, so the rows are genuinely deleted)
-        val schema = org.apache.spark.sql.types.DataType
-          .fromJson(snap.schemas(snap.currentSchemaId.toString))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        def eqIds(e: graft.table.EqDeleteFile): Option[Seq[Int]] =
-          if (e.colIds.nonEmpty) Some(e.colIds.map(_ + 1))
-          else {
-            val ids = e.cols.map(c => schema.fields.find(_.name == c)
-              .map(f => f.metadata.getLong("graft.id").toInt + 1))
-            if (ids.forall(_.isDefined)) Some(ids.flatten) else None
-          }
-        val eqResolved: Seq[(graft.table.EqDeleteFile, Seq[Int])] =
-          snap.eqDeleteFiles.map { e =>
-            eqIds(e) match {
-              case Some(ids) => e -> ids
-              case None => return err(ex, 409,
-                s"cannot plan: equality delete ${e.file.path} keys on " +
-                  s"columns (${e.cols.mkString(", ")}) that no longer all " +
-                  "resolve in the current schema — compact " +
-                  "(CALL graft.system.rewrite_data_files) before foreign scans",
-                "CommitFailedException")
-            }
-          }
-        val posN = snap.deleteFiles.size
-        val deleteJson =
-          snap.deleteFiles.map(contentFile(_, "position-deletes")) ++
-          eqResolved.map { case (e, ids) => contentFile(e.file, "equality-deletes",
-            s""","equality-ids":[${ids.mkString(",")}]""") }
-        val tasks = files.map { f =>
-          // position deletes are path-scoped inside the delete file itself
-          // (non-matching paths no-op) → referenced by every task; equality
-          // deletes bite only data files with a STRICTLY LOWER data
-          // sequence number — scoped here so a naive engine applying every
-          // referenced delete still gets exact results
-          val refs = (0 until posN) ++
-            snap.eqDeleteFiles.zipWithIndex.collect {
-              case (e, i) if f.seq < e.seq => posN + i
-            }
-          s"""{"data-file":${contentFile(f, "data")},""" +
-            s""""delete-file-references":[${refs.mkString(",")}]}"""
-        }
-        ok(ex, s"""{"plan-status":"completed","file-scan-tasks":[${tasks.mkString(",")}],""" +
-          s""""delete-files":[${deleteJson.mkString(",")}]}""")
       case ("POST", "transactions" :: "commit" :: Nil) =>
         icebergTransaction(ex)
       case ("GET", "namespaces" :: ns :: "views" :: Nil) =>
@@ -1057,6 +1015,126 @@ class RestCatalogServer(val warehouse: String,
     ok(ex, tableResult(root, metaUri, metadataJson))
   }
 
+  /** One page of spec scan planning — serves BOTH the /plan route (offset
+    * 0, with `plan-status`) and the /tasks fetch route (offset from the
+    * token). Prunes the snapshot's file list against the filter with the
+    * SAME session-free pruner the engine's own reads use
+    * ([[graft.table.GraftTable.pruneFilesByStats]]), then inlines at most
+    * [[planPageSize]] FileScanTasks; the remainder rides behind one
+    * chained `plan-tasks` token per page. delete-files are repeated per
+    * page because `delete-file-references` index into the SAME response's
+    * array — deletes are metadata-sized next to a 100×-file data page. */
+  private def icebergPlanScan(ex: HttpExchange, ns: Seq[String], t: String,
+      snapshotId: Option[Long], filter: JValue, offset: Int): Unit = {
+    val root = tableRoot(ns, t)
+    if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
+    val log = logOf(root)
+    val snap = snapshotId match {
+      case Some(v) =>
+        val got = scala.util.Try(log.snapshot(v))
+        if (got.isFailure) return err(ex, 404, s"no snapshot $v")
+        got.get
+      case None => log.current
+    }
+    if ((filter \ "type").extractOpt[String].contains("false"))
+      return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
+    val filters = parseIcebergExpr(filter).toSeq
+    // a non-numeric literal against a numeric column is a BAD REQUEST,
+    // not a server fault — pruning comparisons throw NumberFormatException
+    val files =
+      try graft.table.GraftTable.pruneFilesByStats(snap, filters)
+      catch { case _: NumberFormatException =>
+        return err(ex, 400, "filter value does not match the column's type")
+      }
+    val absRoot = absolutize(root)
+    def abs(p: String): String =
+      graft.table.GraftTable.resolveUnder(absRoot, p) // THE one path rule
+    def contentFile(f: graft.table.DataFile, content: String,
+        extra: String = ""): String =
+      s"""{"spec-id":0,"partition":[],"content":"$content",""" +
+        s""""file-path":${Serialization.write(abs(f.path))},""" +
+        s""""file-format":"parquet","file-size-in-bytes":${f.bytes},""" +
+        s""""record-count":${f.rows}$extra}"""
+    // field ids are Iceberg ids (graft.id + 1) — resolve legacy
+    // eq-deletes (no stored ids) by name against the current schema.
+    // FAIL the request rather than emit a short/empty equality-ids list:
+    // an engine that can't see a key column would skip the delete and
+    // silently RESURRECT deleted rows (graft's own reader resolves these
+    // by name, so the rows are genuinely deleted)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemas(snap.currentSchemaId.toString))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def eqIds(e: graft.table.EqDeleteFile): Option[Seq[Int]] =
+      if (e.colIds.nonEmpty) Some(e.colIds.map(_ + 1))
+      else {
+        // a resolved field with NO graft.id metadata is as unplannable
+        // as an unresolvable column — route it to the 409 "compact
+        // first" path, not an unexplained 500 out of Option.map
+        val ids = e.cols.map(c => schema.fields
+          .find(f => f.name == c && f.metadata.contains("graft.id"))
+          .map(f => f.metadata.getLong("graft.id").toInt + 1))
+        if (ids.forall(_.isDefined)) Some(ids.flatten) else None
+      }
+    val eqResolved: Seq[(graft.table.EqDeleteFile, Seq[Int])] =
+      snap.eqDeleteFiles.map { e =>
+        eqIds(e) match {
+          case Some(ids) => e -> ids
+          case None => return err(ex, 409,
+            s"cannot plan: equality delete ${e.file.path} keys on " +
+              s"columns (${e.cols.mkString(", ")}) that no longer all " +
+              "resolve in the current schema — compact " +
+              "(CALL graft.system.rewrite_data_files) before foreign scans",
+            "CommitFailedException")
+        }
+      }
+    val posN = snap.deleteFiles.size
+    val deleteJson =
+      snap.deleteFiles.map(contentFile(_, "position-deletes")) ++
+      eqResolved.map { case (e, ids) => contentFile(e.file, "equality-deletes",
+        s""","equality-ids":[${ids.mkString(",")}]""") }
+    val page = files.slice(offset, offset + planPageSize)
+    val tasks = page.map { f =>
+      // position deletes are path-scoped inside the delete file itself
+      // (non-matching paths no-op) → referenced by every task; equality
+      // deletes bite only data files with a STRICTLY LOWER data
+      // sequence number — scoped here so a naive engine applying every
+      // referenced delete still gets exact results
+      val refs = (0 until posN) ++
+        snap.eqDeleteFiles.zipWithIndex.collect {
+          case (e, i) if f.seq < e.seq => posN + i
+        }
+      s"""{"data-file":${contentFile(f, "data")},""" +
+        s""""delete-file-references":[${refs.mkString(",")}]}"""
+    }
+    val nextTok =
+      if (offset + planPageSize < files.size)
+        Some(encodePlanTask(snap.version, filter, offset + planPageSize))
+      else None
+    val status = if (offset == 0) """"plan-status":"completed",""" else ""
+    val more = nextTok.map(tk => s""","plan-tasks":["$tk"]""").getOrElse("")
+    ok(ex, s"""{${status}"file-scan-tasks":[${tasks.mkString(",")}],""" +
+      s""""delete-files":[${deleteJson.mkString(",")}]$more}""")
+  }
+
+  /** Opaque fetchScanTasks token: URL-safe base64 of
+    * `{"s":<snapshot>,"o":<offset>,"f":<filter|null>}` — stateless,
+    * idempotently re-fetchable, snapshot-pinned. */
+  private def encodePlanTask(snapV: Long, filter: JValue, offset: Int): String = {
+    val f = filter match {
+      case JNothing | JNull => "null"
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      s"""{"s":$snapV,"o":$offset,"f":$f}""".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def decodePlanTask(tok: String): Option[(Long, JValue, Int)] =
+    scala.util.Try {
+      val j = JsonMethods.parse(new String(
+        java.util.Base64.getUrlDecoder.decode(tok), StandardCharsets.UTF_8))
+      ((j \ "s").extract[Long], j \ "f", (j \ "o").extract[Int])
+    }.toOption.filter(_._3 >= 0)
+
   /** Iceberg REST expression JSON → Spark data-source filter, for the scan
     * planner's stats pruning. CONSERVATIVE by construction: any node the
     * min/max pruner can't use maps to None = "cannot exclude" — under AND a
@@ -1065,8 +1143,13 @@ class RestCatalogServer(val warehouse: String,
     * WRONG — OR excludes a file only when both sides do). The engine
     * re-applies the full filter over the returned rows regardless, so
     * parsing less can only return extra files, never lose rows. */
-  private def parseIcebergExpr(j: JValue): Option[org.apache.spark.sql.sources.Filter] = {
+  private def parseIcebergExpr(j: JValue,
+      depth: Int = 0): Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
+    // hostile nesting guard: past this depth the subtree contributes no
+    // pruning claim (conservative keep) instead of risking stack overflow —
+    // real engines emit filters a few levels deep
+    if (depth > 200) return None
     def term(v: JValue): Option[String] = v match {
       case JString(s) => Some(s)
       // {"type":"reference","term":"col"} — transform terms (bucket[n](c),
@@ -1076,7 +1159,10 @@ class RestCatalogServer(val warehouse: String,
       case _ => None
     }
     def lit(v: JValue): Option[Any] = v match {
-      case JInt(i) => Some(i.toLong)
+      // out-of-Long-range integers must NOT wrap (BigInt.toLong is
+      // modular): `n > -2^64-5` would truncate to `n > -5` and wrongly
+      // prune files every row of which matches — no claim instead
+      case JInt(i) => if (i.isValidLong) Some(i.toLong) else None
       case JLong(l) => Some(l)
       case JDouble(d) => Some(d)
       case JDecimal(d) => Some(d.toDouble)
@@ -1101,12 +1187,14 @@ class RestCatalogServer(val warehouse: String,
         if (vs.isEmpty || vs.exists(_.isEmpty)) None
         else term(j \ "term").map(t => In(t, vs.flatten.toArray))
       case Some("and") =>
-        (parseIcebergExpr(j \ "left"), parseIcebergExpr(j \ "right")) match {
+        (parseIcebergExpr(j \ "left", depth + 1),
+            parseIcebergExpr(j \ "right", depth + 1)) match {
           case (Some(l), Some(r)) => Some(And(l, r))
           case (one, other) => one.orElse(other) // AND of unknown: keep the known side
         }
       case Some("or") =>
-        for (l <- parseIcebergExpr(j \ "left"); r <- parseIcebergExpr(j \ "right"))
+        for (l <- parseIcebergExpr(j \ "left", depth + 1);
+             r <- parseIcebergExpr(j \ "right", depth + 1))
           yield Or(l, r)
       case _ => None // not/not-null/is-nan/true/unknown: no pruning claim
     }

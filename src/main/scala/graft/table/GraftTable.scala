@@ -1979,7 +1979,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     def tlit(t: PartitionTransform, v: Any): Option[String] =
       litCache.getOrElseUpdate((t.canonical, v), transformLiteral(t, v))
     def cmpT(numeric: Boolean, a: String, b: String): Int =
-      if (numeric) java.lang.Double.compare(a.toDouble, b.toDouble) else a.compareTo(b)
+      if (numeric) GraftTable.numCmp(a, b) else a.compareTo(b)
     // t(v) provably outside the file's transform-value bounds
     def outside(t: PartitionTransform, f: DataFile, v: Any): Boolean =
       f.stats.get(t.canonical).exists(st => tlit(t, v).exists(tv =>
@@ -2021,15 +2021,74 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     try Option(spark.range(1).select(t.column(lit(v)).cast("string")).head.getString(0))
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Pruned + projected read of a snapshot for the DSv2 V1 fallback scan. */
+  /** Pruned + projected read of a snapshot for the DSv2 V1 fallback scan
+    * (this is the production read path for catalog-routed SELECTs — the
+    * [[graft.plans.GraftNativeScan]] swap lands here). */
   private[graft] def readPruned(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
-    readFilesOf(s, pruneFiles(s, filters), withMeta = false)
+    readFilesOf(s, planFiles(s, filters), withMeta = false)
+
+  /** The snapshot's pruned file list — SERVER-planned when the session
+    * opts in, locally pruned otherwise. */
+  private[graft] def planFiles(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] =
+    serverPlanned(s, filters).getOrElse(pruneFiles(s, filters))
+
+  /** Dogfood of the REST catalog's scan-planning endpoint (VERDICT r15 #1
+    * — the surface foreign engines use must also be the surface the engine
+    * itself exercises, or it rots). Under `spark.graft.plan-mode=server`,
+    * a REST-catalog-backed table asks the CATALOG for its file list
+    * (`POST …/tables/{t}/plan`, filters serialized as Iceberg expression
+    * JSON) instead of pruning the snapshot log itself — the reference's
+    * IRC-centric split (`main.tf:795-801`): the catalog holds the bounds,
+    * the catalog plans. At 100 TB that converts per-engine manifest
+    * listing into one metadata-sized (paged) response. Falls back to local
+    * pruning on ANY failure (4xx/5xx/transport/path mismatch): planning is
+    * an optimization, never a correctness dependency. The server prunes by
+    * column bounds only (no transform-domain pass), so its list can only
+    * be a SUPERSET of local pruning — sound by construction, and the
+    * parquet scan's own row-group pruning still applies either way. */
+  private def serverPlanned(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Seq[DataFile]] =
+    log match {
+      case r: graft.rest.RestSnapshotLog if planModeServer =>
+        try {
+          val planned = r.planDataFiles(
+            graft.rest.IcebergFilterJson.of(filters), Some(s.version))
+          val byCanon = s.files.map(f =>
+            GraftTable.canonStr(resolve(f.path)) -> f).toMap
+          val hits = planned.map(p => byCanon.get(GraftTable.canonStr(p)))
+          if (hits.exists(_.isEmpty)) {
+            // a path the snapshot doesn't know: never guess — plan locally
+            GraftTable.logger.warn(
+              s"plan endpoint returned unknown file(s) for $path; using local pruning")
+            None
+          } else {
+            GraftTable.serverPlanCount.incrementAndGet()
+            Some(hits.flatten)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            GraftTable.logger.warn(
+              s"server-side scan planning failed for $path; using local pruning", e)
+            None
+        }
+      case _ => None
+    }
+
+  private def planModeServer: Boolean =
+    scala.util.Try(spark.sessionState.conf
+      .getConfString("spark.graft.plan-mode", "local")).toOption.contains("server")
 }
 
 object GraftTable {
 
   private[table] val logger = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
+  /** Successful server-side scan plans (test observability: proves a read
+    * genuinely planned through the REST endpoint rather than silently
+    * falling back to local pruning). */
+  private[graft] val serverPlanCount = new java.util.concurrent.atomic.AtomicLong()
 
   // ---- session-free stats pruning ------------------------------------
   // The base-column half of [[GraftTable.pruneFiles]], factored out so the
@@ -2038,17 +2097,30 @@ object GraftTable {
   // conservatism. The transform-domain half stays on the class — it
   // evaluates transform literals through a driver-local Spark job.
 
+  /** EXACT numeric compare over stat/literal strings. BigDecimal first:
+    * 64-bit integral values above 2^53 (snowflake-style ids ~1e18) are
+    * distinct here where a double round-trip collapses them — a collapsed
+    * compare could PROVE exclusion of a file whose bound genuinely clears
+    * the literal and silently drop matching rows (worse through the REST
+    * /plan endpoint, where the foreign engine never sees the file to
+    * re-filter). NaN/Infinity renderings (floating-column stats) are not
+    * BigDecimal-parsable and fall back to Double semantics, where
+    * exactness is moot. A genuinely non-numeric operand still throws
+    * NumberFormatException — the BAD FILTER signal callers surface as a
+    * 400, never as a pruning decision. */
+  private[graft] def numCmp(a: String, b: String): Int =
+    try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    catch { case _: NumberFormatException =>
+      java.lang.Double.compare(a.toDouble, b.toDouble) }
+
   /** Column-name → comparison typing for min/max bounds, resolved ONCE per
     * pruning pass (the schema JSON parse must not run per file × filter —
     * on a many-file snapshot that would make planning JSON-parse-bound). */
   private[graft] final class StatsComparator(schema: StructType) {
     private val numeric: Set[String] =
       schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSet
-    /** Throws NumberFormatException when a numeric column meets a
-      * non-numeric literal — callers surface that as a BAD FILTER, never
-      * as a pruning decision. */
     def cmp(column: String, a: String, b: String): Int =
-      if (numeric(column)) java.lang.Double.compare(a.toDouble, b.toDouble)
+      if (numeric(column)) numCmp(a, b)
       else a.compareTo(b) // strings + ISO-formatted date/timestamp casts
     def canContain(f: DataFile, column: String, value: String): Boolean =
       f.stats.get(column).forall(st =>

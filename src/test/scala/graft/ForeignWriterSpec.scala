@@ -1517,6 +1517,97 @@ class ForeignWriterSpec extends SparkSpec {
     }
   }
 
+  test("spec plan-task pagination: bounded pages concatenate to the one-shot plan") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("DROP TABLE IF EXISTS graftr.db.pageplan")
+    spark.sql("CREATE TABLE graftr.db.pageplan (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graftr.db.pageplan VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftr.db.pageplan VALUES (10, 'c'), (11, 'd')")
+    spark.sql("INSERT INTO graftr.db.pageplan VALUES (20, 'e'), (21, 'f')")
+    // an equality delete so every PAGE must carry its own delete-files
+    // array (task references index into the same response)
+    val loc = (JsonMethods.parse(
+      get("/v1/namespaces/db/tables/pageplan", oauthRaw()).body()) \ "location")
+      .extract[String]
+    graft.table.GraftTable.load(spark, loc)
+      .deleteByEquality(Seq(Tuple1(10L)).toDF("id"))
+
+    // a page-limited server over the SAME warehouse (planPageSize=1 forces
+    // one task per response; the production default is 10k)
+    val paged = new graft.rest.RestCatalogServer(server.warehouse,
+      Map("engine-a" -> "secret-a"), planPageSize = 1).start()
+    try {
+      val tokResp = http.send(HttpRequest.newBuilder(
+          URI.create(s"${paged.uri}/v1/oauth/tokens"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "grant_type=client_credentials&client_id=engine-a&client_secret=secret-a"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      val ptok = (JsonMethods.parse(tokResp.body()) \ "access_token").extract[String]
+      def ppost(path: String, body: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(s"${paged.uri}$path"))
+          .header("Content-Type", "application/json")
+          .header("Authorization", s"Bearer $ptok")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // raw drive of the paging protocol
+      val first = ppost("/v1/iceberg/namespaces/db/tables/pageplan/plan", "{}")
+      assert(first.statusCode() == 200, first.body())
+      val fj = JsonMethods.parse(first.body())
+      assert((fj \ "plan-status").extract[String] == "completed")
+      assert((fj \ "file-scan-tasks").children.size == 1, "page size 1 not honored")
+      assert((fj \ "plan-tasks").extract[Seq[String]].size == 1)
+      val pagesSeen = scala.collection.mutable.ListBuffer.empty[JValue]
+      pagesSeen += fj
+      var pending = (fj \ "plan-tasks").extract[Seq[String]].toList
+      while (pending.nonEmpty) {
+        val page = ppost("/v1/iceberg/namespaces/db/tables/pageplan/tasks",
+          s"""{"plan-task":"${pending.head}"}""")
+        assert(page.statusCode() == 200, page.body())
+        val pj = JsonMethods.parse(page.body())
+        pagesSeen += pj
+        pending = pending.tail ++ (pj \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil)
+        assert(pagesSeen.size <= 10, "runaway plan pagination")
+      }
+      def paths(j: JValue): Seq[String] = (j \ "file-scan-tasks").children
+        .map(t => (t \ "data-file" \ "file-path").extract[String])
+      val concat = pagesSeen.flatMap(paths)
+      // concatenated pages == the single-response plan from the unpaged server
+      val one = JsonMethods.parse(
+        post("/v1/iceberg/namespaces/db/tables/pageplan/plan", "{}",
+          Some(oauthRaw())).body())
+      assert(concat.sorted == paths(one).sorted, s"$concat vs ${paths(one)}")
+      assert(concat.size == concat.distinct.size, "a file appeared on two pages")
+      // every page that references a delete resolves it in ITS OWN body
+      pagesSeen.foreach { pj =>
+        val dels = (pj \ "delete-files").children
+        (pj \ "file-scan-tasks").children.foreach { t =>
+          (t \ "delete-file-references").extract[Seq[Int]].foreach(i =>
+            assert(i >= 0 && i < dels.size, s"dangling delete ref $i in $pj"))
+        }
+      }
+
+      // garbage / tampered tokens are the CLIENT's error, not a 500
+      Seq("not-base64!", java.util.Base64.getUrlEncoder.encodeToString(
+        """{"s":"x","o":-1}""".getBytes("UTF-8"))).foreach { bad =>
+        val r = ppost("/v1/iceberg/namespaces/db/tables/pageplan/tasks",
+          s"""{"plan-task":"$bad"}""")
+        assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
+      }
+
+      // the client leg drains pages transparently: same tasks either way
+      val small = new graft.rest.RestCatalogClient(paged.uri, Some("engine-a:secret-a"), None)
+      val big = new graft.rest.RestCatalogClient(server.uri, Some("engine-a:secret-a"), None)
+      val viaPages = small.planScan(Seq("db"), "pageplan")
+      assert(viaPages.toSet == big.planScan(Seq("db"), "pageplan").toSet)
+      assert(viaPages.size == concat.size) // one task per committed data file
+    } finally paged.stop()
+  }
+
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
     // reference main.tf:676-696: UC vends per-table storage credentials with
     // the metadata; config-level modeling here — a server wired with a

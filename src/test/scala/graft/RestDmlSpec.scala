@@ -165,4 +165,45 @@ class RestDmlSpec extends SparkSpec {
       assert(e.getMessage.contains("401"))
     } finally ttlServer.stop()
   }
+
+  test("plan-mode=server: a catalog-routed SELECT builds its scan from the plan endpoint") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftr.dml.srvplan")
+    spark.sql("CREATE TABLE graftr.dml.srvplan (id BIGINT, v STRING)")
+    // three commits -> multiple files with disjoint id ranges (prunable)
+    spark.sql("INSERT INTO graftr.dml.srvplan VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftr.dml.srvplan VALUES (10, 'c'), (11, 'd')")
+    spark.sql("INSERT INTO graftr.dml.srvplan VALUES (20, 'e'), (21, 'f')")
+    val q = "SELECT id, v FROM graftr.dml.srvplan WHERE id > 15 ORDER BY id"
+    val localRows = spark.sql(q).collect().map(_.getLong(0)).toSeq
+    val localFiles = spark.sql(q).inputFiles.toSet
+    assert(localRows == Seq(20L, 21L))
+
+    val before = graft.table.GraftTable.serverPlanCount.get()
+    spark.conf.set("spark.graft.plan-mode", "server")
+    try {
+      val serverRows = spark.sql(q).collect().map(_.getLong(0)).toSeq
+      val serverFiles = spark.sql(q).inputFiles.toSet
+      // 1. the read PROVABLY planned through the endpoint (no silent fallback)
+      assert(graft.table.GraftTable.serverPlanCount.get() > before,
+        "read did not consult the plan endpoint")
+      // 2. pruning stays exact: same rows, same files as local planning
+      assert(serverRows == localRows)
+      assert(serverFiles == localFiles)
+      // 3. the scan's file list IS the endpoint's response for this filter
+      val client = new RestCatalogClient(server.uri, Some("engine-a:secret-a"), None)
+      val plannedFiles = client.planScan(Seq("dml"), "srvplan",
+        Some("""{"type":"gt","term":"id","value":15}""")).map(_.dataFile).toSet
+      def canon(ps: Set[String]) = ps.map(graft.table.GraftTable.canonStr)
+      assert(canon(serverFiles) == canon(plannedFiles),
+        s"scan read $serverFiles but the endpoint planned $plannedFiles")
+      assert(plannedFiles.size < canon(spark.sql(
+        "SELECT * FROM graftr.dml.srvplan").inputFiles.toSet).size,
+        "filter pruned nothing - the equality above would be vacuous")
+
+      // MOR correctness in server mode: deletes still bite
+      spark.sql("DELETE FROM graftr.dml.srvplan WHERE id = 20")
+      assert(spark.sql(q).collect().map(_.getLong(0)).toSeq == Seq(21L))
+    } finally spark.conf.unset("spark.graft.plan-mode")
+  }
 }

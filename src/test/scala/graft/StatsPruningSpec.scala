@@ -63,15 +63,22 @@ class StatsPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  // the long domain mixes a small band with values ABOVE 2^53, where
+  // adjacent longs collapse to the same double — the exact-compare
+  // regression surface (ADVICE r15)
+  private val bigBase = 1000000000000000000L // 1e18, snowflake-id scale
+  private val genLong: Gen[Long] =
+    Gen.oneOf(Gen.choose(-20L, 20L), Gen.choose(bigBase, bigBase + 20L))
+
   private val genRow: Gen[(Option[Long], Option[String])] = for {
-    n <- Gen.option(Gen.choose(-20L, 20L))
+    n <- Gen.option(genLong)
     s <- Gen.option(Gen.oneOf("a", "ab", "b", "ba", "c", "z", ""))
   } yield (n, s)
 
   private val genFile: Gen[F] = Gen.nonEmptyListOf(genRow).map(F(_))
 
   private val genLeaf: Gen[Filter] = {
-    val nVal = Gen.choose(-25L, 25L)
+    val nVal = Gen.oneOf(Gen.choose(-25L, 25L), Gen.choose(bigBase - 2L, bigBase + 22L))
     val sVal = Gen.oneOf("a", "ab", "b", "bb", "c", "y", "")
     Gen.oneOf(
       nVal.map(v => EqualTo("n", v)), sVal.map(v => EqualTo("s", v)),
@@ -112,5 +119,15 @@ class StatsPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept.map(_.path) == Seq("f1.parquet"))
     // IS NULL on a zero-null column prunes both
     assert(GraftTable.pruneFilesByStats(s, Seq(IsNull("n"))).isEmpty)
+  }
+
+  test("bounds above 2^53 compare exactly, not through doubles (ADVICE r15)") {
+    // max = 1e18 + 1 and literal 1e18 round to the SAME double: a double
+    // compare would prove GreaterThan-exclusion and drop the matching row
+    val (s, _) = snap(Seq(F(Seq((Some(bigBase), None), (Some(bigBase + 1L), None)))))
+    assert(GraftTable.pruneFilesByStats(s, Seq(GreaterThan("n", bigBase))).nonEmpty)
+    // and the exact compare still EXCLUDES when exclusion is genuine
+    assert(GraftTable.pruneFilesByStats(s, Seq(GreaterThan("n", bigBase + 1L))).isEmpty)
+    assert(GraftTable.pruneFilesByStats(s, Seq(EqualTo("n", bigBase - 1L))).isEmpty)
   }
 }
