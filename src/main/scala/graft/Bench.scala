@@ -84,12 +84,21 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SCALE_CHECK") match {
       case Some(spec) =>
         val Array(smallDir, bigDir) = spec.split(",").map(_.trim)
-        // Gate scales with the measured span: 1.5x the data growth (the
-        // 10x default gate was 15). SPARK_GRAFT_SCALE_GATE overrides, so a
-        // 100x run (sf0.001 -> sf0.1) gates at 150 — the slope claim
-        // measured over two decades instead of one.
+        // TIGHT gate (VERDICT r15 #6): 15 regardless of the measured span —
+        // even on a 100x run (sf0.001 -> sf0.1) a well-partitioned plan's
+        // time grows ~linearly in data ONCE past fixed per-query overhead,
+        // and every observed ratio sits <= ~8; a gate sized to the span
+        // (150) could never flag a real super-linear regression. Queries
+        // with an AUDITED inherently-higher slope are allowlisted BY NAME
+        // with the reason recorded in the artifact, not hidden by a loose
+        // global gate. SPARK_GRAFT_SCALE_GATE still overrides for local
+        // experiments.
         val gate = sys.env.get("SPARK_GRAFT_SCALE_GATE")
           .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(15.0)
+        // name -> audited reason; empty today (worst measured ratio 8.15,
+        // q71's row-linear VARIANT parse — under the gate). The mechanism
+        // stays so a future inherent cost is declared, not gate-loosened.
+        val allowlist: Map[String, String] = Map.empty
         def timeAll(dir: String): Map[String, Double] = {
           def runAt(name: String): Double = {
             System.gc()
@@ -113,16 +122,19 @@ object Bench {
           n -> (s, b, ratio)
         }
         val flagged = rows.collect {
-          case (n, (_, b, r)) if r > gate && b >= 0.5 => n
+          case (n, (_, b, r)) if r > gate && b >= 0.5 && !allowlist.contains(n) => n
         }
         val qs = rows.map { case (n, (s, b, r)) =>
           // Locale.ROOT: comma-decimal default locales would corrupt the JSON
           def d(v: Double, p: String) = String.format(java.util.Locale.ROOT, p, Double.box(v))
           s""""$n":{"small":${d(s, "%.4f")},"big":${d(b, "%.4f")},"ratio":${d(r, "%.2f")}}"""
         }.mkString("{", ",", "}")
+        val allowJson = allowlist.map { case (n, why) =>
+          val esc = why.replace("\\", "\\\\").replace("\"", "\\\"")
+          s""""$n":"$esc"""" }.mkString("{", ",", "}")
         emit(
           s"""{"metric":"scaling_slope","small_sf":"$smallDir","big_sf":"$bigDir",""" +
-          s""""gate":$gate,"min_big_sec":0.5,"queries":$qs,""" +
+          s""""gate":$gate,"min_big_sec":0.5,"allowlisted":$allowJson,"queries":$qs,""" +
           s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""",
           "SCALING.json")
         spark.stop()
@@ -142,8 +154,11 @@ object Bench {
     // q100 5.9->33.5 s, q113 1.98->3.82 s, q102 0.35->1.20 s,
     // q103 0.61->1.68 s) also get 5 samples, so a real plan regression is
     // separable from co-tenant noise in the driver's own artifact.
+    // r15 additions: q74/q84 showed the widest driver-side spreads outside
+    // the original swing list (1.57-3.44 s and 0.65-2.63 s on identical code)
     val swing = Set("q100_pagerank", "q113_split_leakage",
-      "q102_rag_chunks", "q103_char_entropy")
+      "q102_rag_chunks", "q103_char_entropy",
+      "q74_decontaminate", "q84_token_vocab")
     val samples: Seq[(String, Seq[Double])] =
       names.map { n =>
         val reps = if (headline.contains(n) || swing.contains(n)) 5 else 3
