@@ -309,8 +309,11 @@ class RestCatalogServer(val warehouse: String,
       // metrics reports come from READERS too — don't demand MODIFY
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "metrics" :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
-      // scan planning is a READ
-      case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
+      // scan planning is a READ — and so is fetching its task pages
+      // (without "tasks" here the MODIFY catch-all below would 403 a
+      // SELECT-only reader on page 2 of the very plan it was allowed
+      // to start)
+      case ("POST", "namespaces" :: ns :: "tables" :: t :: ("plan" | "tasks") :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>

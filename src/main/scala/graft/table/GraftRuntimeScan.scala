@@ -33,7 +33,11 @@ class GraftRuntimeScan private (t: GraftTable, snap: Snapshot,
     pushed: Array[Filter], required: StructType, dataSchema: StructType)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
-  @volatile private var files: Seq[DataFile] = t.pruneFiles(snap, pushed.toIndexedSeq)
+  // planFiles, not pruneFiles: the runtime-filtering scan is a real read,
+  // so it honors `spark.graft.plan-mode=server` like the swap path does
+  // (join-time re-prunes below stay LOCAL — they arrive mid-execution and
+  // only ever narrow the already-planned list)
+  @volatile private var files: Seq[DataFile] = t.planFiles(snap, pushed.toIndexedSeq)
   // inner ParquetScan rebuilt only when the file list changes
   @volatile private var innerFor: (Seq[DataFile], Batch) = null
 

@@ -356,6 +356,14 @@ class GrantsSpec extends SparkSpec {
         """{"source":{"namespace":["db"],"name":"t_rn"},""" +
         """"destination":{"namespace":["db"],"name":"t"}}""")
         .statusCode() == 204)
+      // scan planning AND its task pages are READS: SELECT alone reaches
+      // both (without the "tasks" privilege case the MODIFY catch-all
+      // would 403 a reader on page 2 of its own plan). 400 on the garbage
+      // token = the grant gate passed and the handler judged the token.
+      assert(req("POST", "/v1/iceberg/namespaces/db/tables/t/plan", tb, "{}")
+        .statusCode() == 200)
+      assert(req("POST", "/v1/iceberg/namespaces/db/tables/t/tasks", tb,
+        """{"plan-task":"garbage"}""").statusCode() == 400)
       // revoke closes the read back down
       assert(req("POST", "/v1/grants/revoke", ta,
         """{"principal":"engine-b","privilege":"SELECT","securable":["db","t"]}""")
