@@ -235,6 +235,31 @@ class IrcSpecConformanceSpec extends SparkSpec {
     } finally paged.stop()
   }
 
+  test("spec DDL responses conform: createNamespace and createTable") {
+    val nsName = "confddl"
+    // idempotent re-runs: a 409 on an existing namespace is also spec-shaped
+    val ns = post("/v1/iceberg/namespaces",
+      s"""{"namespace":["$nsName"],"properties":{}}""")
+    if (ns.statusCode() == 200) conforms("CreateNamespaceResponse", ns.body())
+    else { assert(ns.statusCode() == 409); conforms("IcebergErrorResponse", ns.body()) }
+
+    req("DELETE", s"/v1/iceberg/namespaces/$nsName/tables/tshape?purgeRequested=true",
+      None, auth)
+    // createTable straight from the published request schema — an Iceberg
+    // struct with field ids, no graft types anywhere
+    val ct = post(s"/v1/iceberg/namespaces/$nsName/tables",
+      """{"name":"tshape","schema":{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]},
+        |"properties":{"written-by":"conformance"}}""".stripMargin)
+    assert(ct.statusCode() == 200, ct.body())
+    conforms("LoadTableResult", ct.body())
+    // and the created table round-trips through spec loadTable
+    val load = get(s"/v1/iceberg/namespaces/$nsName/tables/tshape")
+    assert(load.statusCode() == 200)
+    conforms("LoadTableResult", load.body())
+  }
+
   test("error bodies carry the spec ErrorModel with code == HTTP status") {
     fixture
     def checkError(resp: HttpResponse[String], wantStatus: Int): Unit = {
