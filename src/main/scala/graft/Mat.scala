@@ -8,39 +8,52 @@ import org.apache.spark.storage.StorageLevel
   * lineage per consumer (q41 band table, q62/q100 propagation loops, q119
   * edge list, the dedup-index probe).
   *
-  * Master-gated (ADVICE r15): `localCheckpoint` truncates lineage onto
-  * NON-REPLICATED executor-local blocks, which is exactly right on
-  * `local[*]` (one executor — no executor can be lost without losing the
-  * whole app) but unrecoverable on a real cluster, where losing any
-  * executor would fail the query outright instead of recomputing. On a
-  * cluster master this therefore degrades to an EAGER
-  * `persist(MEMORY_AND_DISK)`: same one-materialization cost profile,
-  * lineage kept so a lost executor's blocks recompute. (A reliable
-  * `checkpoint()` would need a user-provided HDFS checkpoint dir the
-  * library cannot assume; callers that have one can set it and Spark's own
-  * periodic checkpointing still applies.)
+  * Master-gated (ADVICE r15), three tiers:
+  *  - local master → `localCheckpoint`: executor-local blocks are safe
+  *    when there is exactly one executor (no partial loss is survivable
+  *    anyway), and lineage truncation keeps 50-round loop plans flat.
+  *  - cluster + checkpoint dir set → reliable `checkpoint()`: truncated
+  *    lineage AND executor-loss recovery from replicated storage.
+  *  - cluster, no checkpoint dir → eager persist of a COPIED row RDD
+  *    (`toRdd` reuses mutable rows), re-rooted as a `LogicalRDD` view so
+  *    the LOGICAL plan is truncated — an iterative loop must not nest one
+  *    full prior generation of plan per round for the analyzer — while
+  *    the RDD DAG underneath stays intact, so a lost executor's blocks
+  *    recompute instead of failing the query.
   */
 object Mat {
 
-  def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
-    else {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // eager, matching localCheckpoint's materialize-now contract
-      p
-    }
-
-  /** Free the blocks behind a [[checkpoint]]'d frame the moment it is
-    * superseded (iterative loops would otherwise accrete one generation of
-    * blocks per round until the inter-query sweep / ContextCleaner runs —
-    * ADVICE r15 on q62). Safe on any DataFrame: non-checkpointed plans
-    * simply have nothing to release. */
-  def release(df: DataFrame): Unit = {
-    df.unpersist(blocking = false) // the cluster-side persist() form
-    df.queryExecution.analyzed.foreach { // the localCheckpoint form
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  def checkpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) df.localCheckpoint()
+    else if (sc.getCheckpointDir.isDefined) df.checkpoint()
+    else persistTruncated(df)
   }
+
+  /** The no-checkpoint-dir cluster tier; package-visible so MatSpec can
+    * exercise it on the local test master too. */
+  private[graft] def persistTruncated(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.classic
+    val cls = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rows = cls.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count() // eager, matching localCheckpoint's materialize-now contract
+    org.apache.spark.sql.graftglue.Bridge.internalDf(df.sparkSession, rows, df.schema)
+  }
+
+  /** Free the blocks behind the frame [[checkpoint]] RETURNED, the moment
+    * it is superseded (iterative loops would otherwise accrete one
+    * generation of blocks per round until the inter-query sweep /
+    * ContextCleaner runs — ADVICE r15 on q62). Matches ONLY the plan
+    * ROOT: a frame merely DERIVED from a checkpointed one no-ops, so a
+    * careless release can never destroy a still-live upstream
+    * checkpoint's blocks (its truncated lineage could not recompute
+    * them). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false) // local/cluster checkpoint forms
+      case _ =>
+        df.unpersist(blocking = false) // a directly persist()-ed frame
+    }
 }

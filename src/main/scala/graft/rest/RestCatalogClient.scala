@@ -255,9 +255,14 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     }
     val out = scala.collection.mutable.ArrayBuffer(tasksOf(first): _*)
     var pending = (first \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil).toList
+    // bounded drain: a buggy/hostile server re-issuing a token (or a
+    // token cycle) must fail loudly, not loop forever accumulating tasks
+    val seen = scala.collection.mutable.Set.empty[String]
     while (pending.nonEmpty) {
       val tok = pending.head
       pending = pending.tail
+      require(seen.add(tok), "plan-tasks cycle: the server repeated a page token")
+      require(seen.size <= 100000, "plan-tasks chain exceeded 100k pages")
       val page = expect(send("POST",
         s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/tasks",
         Some(s"""{"plan-task":${Serialization.write(tok)}}""")), "fetch scan tasks")

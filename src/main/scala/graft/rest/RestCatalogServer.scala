@@ -175,6 +175,23 @@ class RestCatalogServer(val warehouse: String,
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+  /** Parse the REQUEST body: malformed JSON (syntax errors, jackson
+    * depth/size constraint trips, empty input) is the CLIENT's 400. The
+    * mapping is scoped HERE rather than a handler-level catch-all so a
+    * jackson failure on SERVER-side JSON (a corrupted on-disk snapshot or
+    * schema string) still surfaces as the 500 it is — a client told "fix
+    * your request" for our bit rot would retry forever (review r16). */
+  private def readJson(ex: HttpExchange): JValue =
+    try JsonMethods.parse(readBody(ex))
+    catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"malformed request body: ${e.getOriginalMessage}")
+      case e: org.json4s.MappingException =>
+        throw new IllegalArgumentException(
+          s"malformed request body: ${e.getMessage}")
+    }
+
   /** The live principal behind the request's bearer token, or None (no
     * header, unknown token, expired token). */
   private def principalOf(ex: HttpExchange): Option[String] = {
@@ -278,13 +295,6 @@ class RestCatalogServer(val warehouse: String,
       err(ex, 409, c.getMessage, "CommitFailedException")
     case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
     case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
-    // unparseable / non-conforming request JSON is the CLIENT's error —
-    // jackson parse failures (malformed body, depth/size constraint trips)
-    // and json4s extraction mismatches must never surface as a 500
-    case e: com.fasterxml.jackson.core.JacksonException =>
-      err(ex, 400, s"malformed request body: ${e.getOriginalMessage}")
-    case e: org.json4s.MappingException =>
-      err(ex, 400, s"malformed request body: ${e.getMessage}")
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
@@ -460,7 +470,7 @@ class RestCatalogServer(val warehouse: String,
         if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
         ok(ex, s"""{"storage-credentials":${vendCredentials(root)}}""")
       case ("POST", "namespaces" :: Nil) =>
-        val body = JsonMethods.parse(readBody(ex))
+        val body = readJson(ex)
         val nsSeq = (body \ "namespace").extractOpt[Seq[String]].getOrElse(
           throw new IllegalArgumentException("createNamespace needs namespace"))
         require(nsSeq.nonEmpty, "createNamespace: empty namespace")
@@ -483,7 +493,7 @@ class RestCatalogServer(val warehouse: String,
         // of dropTable's metadata-only default). The import replays the
         // full snapshot chain through IcebergImport's Spark-free core, so
         // the registered table time-travels from day one.
-        val body = JsonMethods.parse(readBody(ex))
+        val body = readJson(ex)
         val name = (body \ "name").extractOpt[String].getOrElse(
           throw new IllegalArgumentException("register needs name"))
         val metaLoc = (body \ "metadata-location").extractOpt[String].getOrElse(
@@ -523,7 +533,7 @@ class RestCatalogServer(val warehouse: String,
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "metrics" :: Nil) =>
         val root = tableRoot(decNs(ns), t)
         if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
-        val body = JsonMethods.parse(readBody(ex))
+        val body = readJson(ex)
         if ((body \ "report-type").extractOpt[String].isEmpty)
           return err(ex, 400, "metrics report needs report-type")
         ex.sendResponseHeaders(204, -1); ex.close()
@@ -539,7 +549,7 @@ class RestCatalogServer(val warehouse: String,
       // bounded: at most [[planPageSize]] inline tasks, the rest behind
       // spec `plan-tasks` tokens served by the fetchScanTasks route below.
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
-        val body = JsonMethods.parse(readBody(ex))
+        val body = readJson(ex)
         icebergPlanScan(ex, decNs(ns), t,
           (body \ "snapshot-id").extractOpt[Long], body \ "filter", offset = 0)
       // spec fetchScanTasks: {"plan-task": <opaque token>} → the next page
@@ -551,7 +561,7 @@ class RestCatalogServer(val warehouse: String,
       // directly. Pages stay consistent under concurrent commits because
       // they are pinned to the SNAPSHOT, not to "current".
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "tasks" :: Nil) =>
-        val body = JsonMethods.parse(readBody(ex))
+        val body = readJson(ex)
         (body \ "plan-task").extractOpt[String].flatMap(decodePlanTask) match {
           case None => err(ex, 400, "fetchScanTasks needs a valid plan-task token")
           case Some((snapV, filter, off)) =>
@@ -603,7 +613,7 @@ class RestCatalogServer(val warehouse: String,
     * view file (full version history in one JSON). The reference's UC
     * serves the same rename surface to Trino/Spark (`main.tf:795-820`). */
   private def icebergRename(ex: HttpExchange, view: Boolean): Unit = {
-    val body = JsonMethods.parse(readBody(ex))
+    val body = readJson(ex)
     def ident(key: String): (Seq[String], String) = {
       val ns = (body \ key \ "namespace").extractOpt[Seq[String]].getOrElse(
         throw new IllegalArgumentException(s"rename needs $key.namespace"))
@@ -673,7 +683,7 @@ class RestCatalogServer(val warehouse: String,
     * Stores the same [[graft.catalog.ViewStore]] JSON GraftCatalog writes,
     * so the created view is immediately usable from a graft `SELECT`. */
   private def icebergCreateView(ex: HttpExchange, ns: Seq[String]): Unit = {
-    val body = JsonMethods.parse(readBody(ex))
+    val body = readJson(ex)
     val name = (body \ "name").extractOpt[String].getOrElse(
       throw new IllegalArgumentException("createView needs name"))
     if ((body \ "location").extractOpt[String].exists(_.nonEmpty))
@@ -720,7 +730,7 @@ class RestCatalogServer(val warehouse: String,
     val dir = s"${nsDir(ns)}/_views"
     val path = s"$dir/$name.json"
     if (!io.exists(path)) return err(ex, 404, s"no view $name")
-    val body = JsonMethods.parse(readBody(ex))
+    val body = readJson(ex)
     val updates = (body \ "updates").children
     def actionsOf(a: String) = updates.filter(u =>
       (u \ "action").extractOpt[String].contains(a))
@@ -888,7 +898,7 @@ class RestCatalogServer(val warehouse: String,
   private def icebergCommit(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
     val root = tableRoot(ns, t)
     if (!isTable(root)) return err(ex, 404, s"no table $t")
-    applyIcebergTableChange(root, JsonMethods.parse(readBody(ex)))
+    applyIcebergTableChange(root, readJson(ex))
     // spec commitTableResponse: fresh metadata for the committed state
     val (metaUri, metadataJson) = renderIcebergMetadata(root)
     ok(ex, s"""{"metadata-location":"$metaUri","metadata":$metadataJson}""")
@@ -981,7 +991,7 @@ class RestCatalogServer(val warehouse: String,
     * foreign-engine CREATE TABLE role of the reference's UC IRC
     * (`main.tf:803` Trino DDL against the catalog). */
   private def icebergCreateTable(ex: HttpExchange, ns: Seq[String]): Unit = {
-    val body = JsonMethods.parse(readBody(ex))
+    val body = readJson(ex)
     val name = (body \ "name").extractOpt[String].getOrElse(
       throw new IllegalArgumentException("createTable needs name"))
     if ((body \ "stage-create").extractOpt[Boolean].contains(true))
@@ -1027,6 +1037,21 @@ class RestCatalogServer(val warehouse: String,
     * chained `plan-tasks` token per page. delete-files are repeated per
     * page because `delete-file-references` index into the SAME response's
     * array — deletes are metadata-sized next to a 100×-file data page. */
+  /** (table root, snapshot version, canonical filter) → pruned file list.
+    * Tiny access-ordered LRU: the plan-task tokens stay STATELESS (a miss
+    * simply re-prunes, so restarts and tampered offsets cost nothing),
+    * but a paged drain of a million-file plan does the O(files) prune
+    * ONCE instead of once per page (review r16 — O(pages × files) was
+    * quadratic at exactly the metadata scale paging exists for). Safe to
+    * cache: a snapshot version's file list is immutable. */
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String), Seq[graft.table.DataFile]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), Seq[graft.table.DataFile]]): Boolean =
+        size() > 16
+    })
+
   private def icebergPlanScan(ex: HttpExchange, ns: Seq[String], t: String,
       snapshotId: Option[Long], filter: JValue, offset: Int): Unit = {
     val root = tableRoot(ns, t)
@@ -1041,12 +1066,22 @@ class RestCatalogServer(val warehouse: String,
     }
     if ((filter \ "type").extractOpt[String].contains("false"))
       return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
-    val filters = parseIcebergExpr(filter).toSeq
+    val filterKey = filter match {
+      case JNothing | JNull => "null"
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+    val cacheKey = (root, snap.version, filterKey)
+    val cached = planCache.get(cacheKey)
     // a non-numeric literal against a numeric column is a BAD REQUEST,
     // not a server fault — pruning comparisons throw NumberFormatException
     val files =
-      try graft.table.GraftTable.pruneFilesByStats(snap, filters)
-      catch { case _: NumberFormatException =>
+      if (cached != null) cached
+      else try {
+        val pruned = graft.table.GraftTable.pruneFilesByStats(
+          snap, parseIcebergExpr(filter).toSeq)
+        planCache.put(cacheKey, pruned)
+        pruned
+      } catch { case _: NumberFormatException =>
         return err(ex, 400, "filter value does not match the column's type")
       }
     val absRoot = absolutize(root)
@@ -1453,7 +1488,7 @@ class RestCatalogServer(val warehouse: String,
     * readers never see a half-applied transaction linger. Response: 204, per
     * spec. */
   private def icebergTransaction(ex: HttpExchange): Unit = {
-    val body = JsonMethods.parse(readBody(ex))
+    val body = readJson(ex)
     val changes = (body \ "table-changes").children
     if (changes.isEmpty)
       throw new IllegalArgumentException("transaction has no table-changes")
@@ -1522,7 +1557,7 @@ class RestCatalogServer(val warehouse: String,
           .map(Seq(_))
         ok(ex, Serialization.write(Map("namespaces" -> all)))
       case ("POST", "namespaces" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[CreateNsReq]
+        val req = readJson(ex).extract[CreateNsReq]
         io.mkdirs(nsDir(req.namespace))
         ok(ex)
       case ("GET", "namespaces" :: ns :: Nil) =>
@@ -1554,7 +1589,7 @@ class RestCatalogServer(val warehouse: String,
         ok(ex, Serialization.write(Map("identifiers" ->
           names.map(n => Map("namespace" -> decNs(ns), "name" -> n)))))
       case ("POST", "namespaces" :: ns :: "tables" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[CreateTableReq]
+        val req = readJson(ex).extract[CreateTableReq]
         val root = tableRoot(decNs(ns), req.name)
         if (isTable(root)) return err(ex, 409, s"table ${req.name} exists")
         if (!io.isDirectory(nsDir(decNs(ns)))) return err(ex, 404, s"no namespace $ns")
@@ -1575,7 +1610,7 @@ class RestCatalogServer(val warehouse: String,
         if (!isTable(root)) err(ex, 404, s"no table $t")
         else { io.deleteRecursive(root); logs.remove(root); ok(ex) }
       case ("POST", "tables" :: "rename" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[RenameReq]
+        val req = readJson(ex).extract[RenameReq]
         // same grant shape as the spec rename: MODIFY on source,
         // CREATE_TABLE in the destination namespace (ADVICE r13)
         principalOf(ex).foreach { principal =>
@@ -1594,18 +1629,18 @@ class RestCatalogServer(val warehouse: String,
 
       // ---- commit CAS + head + refs -------------------------------------
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "commit" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[CommitReq]
+        val req = readJson(ex).extract[CommitReq]
         val root = tableRoot(decNs(ns), t)
         if (!io.isDirectory(s"$root/_graft"))
           return err(ex, 404, s"no table $t")
         logOf(root).commitRaw(req.parentVersion, req.version, req.storedJson, req.moveHead)
         ok(ex)
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "head" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[HeadReq]
+        val req = readJson(ex).extract[HeadReq]
         logOf(tableRoot(decNs(ns), t)).setHead(req.version)
         ok(ex)
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "refs" :: Nil) =>
-        val req = JsonMethods.parse(readBody(ex)).extract[RefReq]
+        val req = readJson(ex).extract[RefReq]
         logOf(tableRoot(decNs(ns), t)).setRef(req.name, Ref(req.version, req.refType))
         ok(ex)
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: "refs" :: r :: Nil) =>

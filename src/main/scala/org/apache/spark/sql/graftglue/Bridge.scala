@@ -38,6 +38,15 @@ object Bridge {
       df.schema, isStreaming = false)
   }
 
+  /** A batch DataFrame over an InternalRow RDD (`internalCreateDataFrame`
+    * is `private[sql]`). Caller owns row-buffer safety: copy rows before
+    * persisting an iterator-reusing RDD. */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Re-root a frame as an internal-row relation carrying `schema` — which
     * must match the frame's output in names, types, and (at least as wide)
     * nullability; only METADATA may differ. Zero-copy: the relation iterates

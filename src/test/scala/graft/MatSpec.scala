@@ -26,6 +26,38 @@ class MatSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("release on a frame DERIVED from a checkpoint never kills the upstream blocks") {
+    val cp = Mat.checkpoint(spark.range(0, 100).toDF("n"))
+    try {
+      Mat.release(cp.filter("n >= 10")) // derived root is a Filter -> must no-op
+      // the checkpoint's truncated lineage CANNOT recompute: this count
+      // only succeeds if the blocks are still alive
+      assert(cp.count() == 100)
+    } finally Mat.release(cp)
+  }
+
+  test("persistTruncated (cluster tier): plan re-rooted, rows copied, releasable") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = spark.range(0, 500).toDF("id")
+      .selectExpr("id AS n", "concat('s', id) AS s").filter("n % 2 = 0")
+    val p = Mat.persistTruncated(base)
+    // the LOGICAL plan is truncated to a leaf relation — an iterative loop
+    // must not nest one generation of plan per round for the analyzer
+    assert(p.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      p.queryExecution.analyzed.nodeName)
+    assert(p.count() == 250)
+    // string column distinct-count catches the toRdd mutable-row-reuse
+    // hazard: persisting uncopied rows stores per-partition duplicates
+    assert(p.select("s").distinct().count() == 250)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "persistTruncated left nothing materialized")
+    Mat.release(p)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      s"release left blocks behind: ${added.intersect(after)}")
+  }
+
   test("checkpoint result is usable across multiple consumers without recompute") {
     val df = Mat.checkpoint(spark.range(0, 100).toDF("n"))
     try {

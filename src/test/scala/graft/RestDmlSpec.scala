@@ -166,6 +166,30 @@ class RestDmlSpec extends SparkSpec {
     } finally ttlServer.stop()
   }
 
+  test("plan-mode=server: the full MERGE/UPDATE/DELETE battery stays exact") {
+    init()
+    spark.conf.set("spark.graft.plan-mode", "server")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graftr.dml.sbatt")
+      spark.sql("CREATE TABLE graftr.dml.sbatt (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO graftr.dml.sbatt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("""
+        MERGE INTO graftr.dml.sbatt t
+        USING (SELECT * FROM VALUES (2, 'B2'), (4, 'd') AS s(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      spark.sql("UPDATE graftr.dml.sbatt SET v = 'A1' WHERE id = 1")
+      spark.sql("DELETE FROM graftr.dml.sbatt WHERE id = 3")
+      assert(spark.sql("SELECT id, v FROM graftr.dml.sbatt ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "A1"), (2L, "B2"), (4L, "d")))
+      // time travel in server mode plans the OLD snapshot via the endpoint
+      assert(spark.sql("SELECT count(*) FROM graftr.dml.sbatt VERSION AS OF 1")
+        .collect()(0).getLong(0) == 3)
+    } finally spark.conf.unset("spark.graft.plan-mode")
+  }
+
   test("plan-mode=server: a catalog-routed SELECT builds its scan from the plan endpoint") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftr.dml.srvplan")
