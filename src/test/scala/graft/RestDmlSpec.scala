@@ -190,6 +190,69 @@ class RestDmlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.plan-mode")
   }
 
+  test("plan-mode=server: a dead/erroring plan endpoint falls back to local pruning") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftr.dml.fback")
+    spark.sql("CREATE TABLE graftr.dml.fback (id BIGINT)")
+    spark.sql("INSERT INTO graftr.dml.fback VALUES (1), (2)")
+    spark.sql("INSERT INTO graftr.dml.fback VALUES (20), (21)")
+    val loc = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val http = HttpClient.newHttpClient()
+      val tok = {
+        val r = http.send(HttpRequest.newBuilder(
+            java.net.URI.create(s"${server.uri}/v1/oauth/tokens"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "grant_type=client_credentials&client_id=engine-a&client_secret=secret-a"))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (org.json4s.jackson.JsonMethods.parse(r.body()) \ "access_token").extract[String]
+      }
+      val r = http.send(HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/v1/namespaces/dml/tables/fback"))
+        .header("Authorization", s"Bearer $tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (org.json4s.jackson.JsonMethods.parse(r.body()) \ "location").extract[String]
+    }
+    // a RestSnapshotLog whose client points at a DEAD port: snapshot READS
+    // still come from shared storage (the IRC split), but planScan throws —
+    // the read must fall back to local pruning, not fail
+    val deadClient = new RestCatalogClient("http://127.0.0.1:1", None, Some("dead-token"))
+    val t = graft.table.GraftTable.load(spark, loc,
+      p => new graft.rest.RestSnapshotLog(p, deadClient, Seq("dml"), "fback"))
+    spark.conf.set("spark.graft.plan-mode", "server")
+    try {
+      val before = graft.table.GraftTable.serverPlanCount.get()
+      val rows = t.read.filter("id > 15").collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows == Seq(20L, 21L))
+      assert(graft.table.GraftTable.serverPlanCount.get() == before,
+        "a dead endpoint cannot have produced a successful server plan")
+    } finally spark.conf.unset("spark.graft.plan-mode")
+  }
+
+  test("plan-mode=server: a filter the wire can't express still reads exactly") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftr.dml.inexpr")
+    spark.sql("CREATE TABLE graftr.dml.inexpr (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftr.dml.inexpr VALUES (1, 'apple'), (2, 'banana')")
+    spark.sql("INSERT INTO graftr.dml.inexpr VALUES (3, 'apricot'), (4, 'cherry')")
+    spark.conf.set("spark.graft.plan-mode", "server")
+    try {
+      // LIKE 'a%' pushes StringStartsWith, which IcebergFilterJson drops —
+      // the server plans a SUPERSET and the engine's own filter still
+      // applies over the returned rows
+      val rows = spark.sql(
+        "SELECT v FROM graftr.dml.inexpr WHERE v LIKE 'a%' ORDER BY v")
+        .collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("apple", "apricot"))
+      // NOT <pred> drops whole (negation flips polarity): still exact
+      val neg = spark.sql(
+        "SELECT id FROM graftr.dml.inexpr WHERE NOT (id > 2) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(neg == Seq(1L, 2L))
+    } finally spark.conf.unset("spark.graft.plan-mode")
+  }
+
   test("plan-mode=server: a catalog-routed SELECT builds its scan from the plan endpoint") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftr.dml.srvplan")
