@@ -241,8 +241,11 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
     // callers always see the complete task list regardless of the server's
     // page size
     def tasksOf(resp: org.json4s.JValue): Seq[PlannedTask] = {
+      // IndexedSeq: delete-file-references index into this per position —
+      // a List would cost O(posN) per lookup, quadratic on MOR-heavy pages
       val deletes = (resp \ "delete-files").children.map(d =>
         ((d \ "file-path").extract[String], (d \ "content").extract[String]))
+        .toIndexedSeq
       (resp \ "file-scan-tasks").children.map { t =>
         val refs = (t \ "delete-file-references").extractOpt[Seq[Int]].getOrElse(Nil)
           .map(deletes)

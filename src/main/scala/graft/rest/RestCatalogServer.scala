@@ -101,6 +101,9 @@ class RestCatalogServer(val warehouse: String,
     // 10k tasks ≈ single-digit MB of JSON; tests set 1-2 to force paging.
     planPageSize: Int = 10000) {
 
+  require(planPageSize > 0, // 0 would page forever at the same offset
+    s"planPageSize must be positive, got $planPageSize")
+
   private implicit val fmts: Formats = DefaultFormats
   // token -> (principal = OAuth client id, absolute expiry epoch ms);
   // expired entries fail auth with 401, which a credentialed client answers
@@ -383,7 +386,15 @@ class RestCatalogServer(val warehouse: String,
   }
 
   private def parseGrant(body: String): GrantStore.Grant = {
-    val j = JsonMethods.parse(body)
+    // same 400 contract as readJson: a malformed grants body is the
+    // client's error, not a 500 (review r16)
+    val j =
+      try JsonMethods.parse(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"malformed request body: ${e.getOriginalMessage}")
+      }
     GrantStore.Grant(
       (j \ "principal").extractOpt[String].getOrElse(
         throw new IllegalArgumentException("grant needs principal")),
@@ -520,7 +531,7 @@ class RestCatalogServer(val warehouse: String,
           if (purge) io.deleteRecursive(root)
           else Seq(s"$root/_graft", s"$root/_iceberg")
             .filter(io.isDirectory).foreach(io.deleteRecursive)
-          logs.remove(root)
+          logs.remove(root); invalidatePlans(root)
           ex.sendResponseHeaders(204, -1); ex.close()
         }
       case ("POST", "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -650,7 +661,7 @@ class RestCatalogServer(val warehouse: String,
       if (!isTable(from)) return err(ex, 404, s"no table $srcName")
       if (isTable(to)) return err(ex, 409, s"table $dstName exists")
       io.rename(from, to)
-      logs.remove(from)
+      logs.remove(from); invalidatePlans(from)
     }
     ex.sendResponseHeaders(204, -1); ex.close()
   }
@@ -1051,6 +1062,18 @@ class RestCatalogServer(val warehouse: String,
           e: java.util.Map.Entry[(String, Long, String), Seq[graft.table.DataFile]]): Boolean =
         size() > 16
     })
+
+  /** Evict cached plan prunes for a table root (and with `prefix`, every
+    * root under it — namespace cascades): a non-purge drop leaves data
+    * files on disk and a same-path recreate RESTARTS version numbering,
+    * so a stale (root, version, filter) entry could hand a foreign engine
+    * the previous incarnation's file list (review r16). Every route that
+    * evicts `logs` evicts here too. */
+  private def invalidatePlans(root: String, prefix: Boolean = false): Unit =
+    planCache.synchronized {
+      planCache.keySet.removeIf(k =>
+        k._1 == root || (prefix && k._1.startsWith(root + "/")))
+    }
 
   private def icebergPlanScan(ex: HttpExchange, ns: Seq[String], t: String,
       snapshotId: Option[Long], filter: JValue, offset: Int): Unit = {
@@ -1576,6 +1599,7 @@ class RestCatalogServer(val warehouse: String,
           // must not keep stale cached logs a same-path recreate would reuse.
           logs.keys.filter(k => k == dir || k.startsWith(dir + "/"))
             .foreach(logs.remove)
+          invalidatePlans(dir, prefix = true)
           io.deleteRecursive(dir); ok(ex)
         } else if (io.listNames(dir).nonEmpty)
           err(ex, 409, s"namespace $ns is not empty")
@@ -1608,7 +1632,7 @@ class RestCatalogServer(val warehouse: String,
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)
         if (!isTable(root)) err(ex, 404, s"no table $t")
-        else { io.deleteRecursive(root); logs.remove(root); ok(ex) }
+        else { io.deleteRecursive(root); logs.remove(root); invalidatePlans(root); ok(ex) }
       case ("POST", "tables" :: "rename" :: Nil) =>
         val req = readJson(ex).extract[RenameReq]
         // same grant shape as the spec rename: MODIFY on source,
@@ -1624,7 +1648,7 @@ class RestCatalogServer(val warehouse: String,
         if (isTable(to)) return err(ex, 409, s"table ${req.toName} exists")
         io.mkdirs(nsDir(req.toNamespace))
         io.rename(from, to)
-        logs.remove(from)
+        logs.remove(from); invalidatePlans(from)
         ok(ex)
 
       // ---- commit CAS + head + refs -------------------------------------

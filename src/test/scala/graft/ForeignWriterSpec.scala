@@ -1608,6 +1608,37 @@ class ForeignWriterSpec extends SparkSpec {
     } finally paged.stop()
   }
 
+  test("plan cache evicts on drop/recreate: no stale file list at a reused root") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    spark.sql("DROP TABLE IF EXISTS graftr.db.replan")
+    spark.sql("CREATE TABLE graftr.db.replan (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graftr.db.replan VALUES (1), (2)")
+    val token = oauthRaw()
+    def planPaths(): Set[String] = {
+      val resp = post("/v1/iceberg/namespaces/db/tables/replan/plan", "{}", Some(token))
+      assert(resp.statusCode() == 200, resp.body())
+      (JsonMethods.parse(resp.body()) \ "file-scan-tasks").children
+        .map(t => (t \ "data-file" \ "file-path").extract[String]).toSet
+    }
+    val oldPaths = planPaths() // warms the (root, version, filter) cache
+    assert(oldPaths.nonEmpty)
+    // spec metadata-only drop: data files SURVIVE on disk, so a stale
+    // cached plan would keep resolving — the dangerous case
+    assert(del("/v1/iceberg/namespaces/db/tables/replan", token).statusCode() == 204)
+    spark.sql("CREATE TABLE graftr.db.replan (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graftr.db.replan VALUES (30), (31)")
+    // version numbering restarted, so without eviction this request hits
+    // the FIRST incarnation's cache entry and serves its old files
+    val newPaths = planPaths()
+    assert(newPaths.nonEmpty && newPaths.intersect(oldPaths).isEmpty,
+      s"stale plan served: $newPaths overlaps $oldPaths")
+    val rows = newPaths.flatMap(p => spark.read.parquet(p).collect().map(_.getLong(0)))
+    assert(rows == Set(30L, 31L), rows)
+  }
+
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
     // reference main.tf:676-696: UC vends per-table storage credentials with
     // the metadata; config-level modeling here — a server wired with a
