@@ -52,7 +52,18 @@ object Mat {
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false) // local/cluster checkpoint forms
+        l.rdd.unpersist(blocking = false) // local checkpoint / persist forms
+        // reliable-checkpoint tier: the RDD was never persisted (unpersist
+        // frees nothing) and its blocks live as FILES under the checkpoint
+        // dir — delete them, or a 50-round loop accretes one directory per
+        // superseded generation until ContextCleaner GC (ADVICE r16)
+        l.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+        }
       case _ =>
         df.unpersist(blocking = false) // a directly persist()-ed frame
     }

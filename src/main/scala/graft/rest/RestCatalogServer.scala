@@ -99,10 +99,19 @@ class RestCatalogServer(val warehouse: String,
     // body. Overflow is returned as spec `plan-tasks` — opaque tokens the
     // client drains through POST …/tables/{t}/tasks (fetchScanTasks).
     // 10k tasks ≈ single-digit MB of JSON; tests set 1-2 to force paging.
-    planPageSize: Int = 10000) {
+    planPageSize: Int = 10000,
+    // Live (root, snapshot, filter) plan prunes kept hot for the paged
+    // drains (VERDICT r16 #5): with N concurrent foreign engines each
+    // draining a distinct table/filter, fewer cache slots than live drains
+    // re-introduces an O(pages × files) prune per drain. Eviction is
+    // NEVER a correctness event — plan-task tokens are stateless, a miss
+    // re-prunes — so this is purely the memory-vs-recompute knob.
+    planCacheSize: Int = 64) {
 
   require(planPageSize > 0, // 0 would page forever at the same offset
     s"planPageSize must be positive, got $planPageSize")
+  require(planCacheSize > 0,
+    s"planCacheSize must be positive, got $planCacheSize")
 
   private implicit val fmts: Formats = DefaultFormats
   // token -> (principal = OAuth client id, absolute expiry epoch ms);
@@ -366,7 +375,7 @@ class RestCatalogServer(val warehouse: String,
           "principal" -> g.principal, "privilege" -> g.privilege,
           "securable" -> g.parts)))))
       case ("POST", Nil) =>
-        val g = parseGrant(readBody(ex))
+        val g = parseGrant(readJson(ex))
         // the first grant flips the warehouse to enforcing, so it must make
         // grants administration itself reachable: isAdmin requires OWNER at
         // the CATALOG level (empty securable) — an OWNER grant scoped to a
@@ -379,29 +388,22 @@ class RestCatalogServer(val warehouse: String,
         GrantStore.grant(warehouse, g)
         ok(ex)
       case ("POST", "revoke" :: Nil) =>
-        GrantStore.revoke(warehouse, parseGrant(readBody(ex)))
+        GrantStore.revoke(warehouse, parseGrant(readJson(ex)))
         ok(ex)
       case _ => err(ex, 404, s"no grants route $method /${segs.mkString("/")}")
     }
   }
 
-  private def parseGrant(body: String): GrantStore.Grant = {
-    // same 400 contract as readJson: a malformed grants body is the
-    // client's error, not a 500 (review r16)
-    val j =
-      try JsonMethods.parse(body)
-      catch {
-        case e: com.fasterxml.jackson.core.JacksonException =>
-          throw new IllegalArgumentException(
-            s"malformed request body: ${e.getOriginalMessage}")
-      }
+  /** Grant fields of an already-[[readJson]]-parsed body — the malformed-
+    * body-to-400 mapping lives in ONE place (readJson) instead of a
+    * subtly different duplicate here (ADVICE r16). */
+  private def parseGrant(j: JValue): GrantStore.Grant =
     GrantStore.Grant(
       (j \ "principal").extractOpt[String].getOrElse(
         throw new IllegalArgumentException("grant needs principal")),
       (j \ "privilege").extractOpt[String].getOrElse(
         throw new IllegalArgumentException("grant needs privilege")),
       (j \ "securable").extractOpt[Seq[String]].getOrElse(Nil))
-  }
 
   /** SPEC-conformant Iceberg REST Catalog read surface (the role Unity
     * Catalog's IRC plays in the reference, `main.tf:795-801`, `main.tf:812`):
@@ -1048,19 +1050,25 @@ class RestCatalogServer(val warehouse: String,
     * chained `plan-tasks` token per page. delete-files are repeated per
     * page because `delete-file-references` index into the SAME response's
     * array — deletes are metadata-sized next to a 100×-file data page. */
-  /** (table root, snapshot version, canonical filter) → pruned file list.
-    * Tiny access-ordered LRU: the plan-task tokens stay STATELESS (a miss
-    * simply re-prunes, so restarts and tampered offsets cost nothing),
-    * but a paged drain of a million-file plan does the O(files) prune
-    * ONCE instead of once per page (review r16 — O(pages × files) was
-    * quadratic at exactly the metadata scale paging exists for). Safe to
-    * cache: a snapshot version's file list is immutable. */
+  /** (table root, snapshot version, snapshot commit stamp, canonical
+    * filter) → pruned file list. Access-ordered LRU of [[planCacheSize]]:
+    * the plan-task tokens stay STATELESS (a miss simply re-prunes, so
+    * restarts and tampered offsets cost nothing), but a paged drain of a
+    * million-file plan does the O(files) prune ONCE instead of once per
+    * page (review r16 — O(pages × files) was quadratic at exactly the
+    * metadata scale paging exists for). The commit stamp (timestampMs of
+    * the freshly-loaded snapshot — SnapshotLog re-reads versions from
+    * storage) REVALIDATES every hit against disk: a drop/recreate that
+    * bypasses this instance's routes (a second server over the same
+    * warehouse, a path-API drop) restarts version numbering, and a stale
+    * (root, version) entry must not hand a foreign engine the previous
+    * incarnation's file list (ADVICE r16). */
   private val planCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, String), Seq[graft.table.DataFile]](
+    new java.util.LinkedHashMap[(String, Long, Long, String), Seq[graft.table.DataFile]](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, String), Seq[graft.table.DataFile]]): Boolean =
-        size() > 16
+          e: java.util.Map.Entry[(String, Long, Long, String), Seq[graft.table.DataFile]]): Boolean =
+        size() > planCacheSize
     })
 
   /** Evict cached plan prunes for a table root (and with `prefix`, every
@@ -1093,7 +1101,14 @@ class RestCatalogServer(val warehouse: String,
       case JNothing | JNull => "null"
       case other => JsonMethods.compact(JsonMethods.render(other))
     }
-    val cacheKey = (root, snap.version, filterKey)
+    // O(1) snapshot identity beyond (root, version): commit wall-clock plus
+    // file-list shape — two same-versioned incarnations commit at different
+    // millis, and even a same-milli recreate names its files with fresh
+    // UUIDs, so first-path/count differ. vN.json is re-read per request
+    // (SnapshotLog.snapshot), so this stamp reflects CURRENT disk state.
+    val stamp = snap.timestampMs ^ (snap.files.size.toLong << 44) ^
+      (snap.files.headOption.map(_.path.hashCode.toLong).getOrElse(0L) << 12)
+    val cacheKey = (root, snap.version, stamp, filterKey)
     val cached = planCache.get(cacheKey)
     // a non-numeric literal against a numeric column is a BAD REQUEST,
     // not a server fault — pruning comparisons throw NumberFormatException
@@ -1167,9 +1182,12 @@ class RestCatalogServer(val warehouse: String,
       s"""{"data-file":${contentFile(f, "data")},""" +
         s""""delete-file-references":[${refs.mkString(",")}]}"""
     }
+    // next offset in Long: a forged token with offset near Int.MaxValue
+    // must not wrap negative and mint an invalid chained token (ADVICE r16)
+    val nextOff = offset.toLong + planPageSize
     val nextTok =
-      if (offset + planPageSize < files.size)
-        Some(encodePlanTask(snap.version, filter, offset + planPageSize))
+      if (nextOff < files.size)
+        Some(encodePlanTask(snap.version, filter, nextOff.toInt))
       else None
     val status = if (offset == 0) """"plan-status":"completed",""" else ""
     val more = nextTok.map(tk => s""","plan-tasks":["$tk"]""").getOrElse("")

@@ -1639,6 +1639,91 @@ class ForeignWriterSpec extends SparkSpec {
     assert(rows == Set(30L, 31L), rows)
   }
 
+  test("plan cache: eviction mid-drain stays correct, and a bypassing engine's drop/recreate is revalidated") {
+    spark.conf.set("spark.sql.catalog.graftr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.graftr.credential", "engine-a:secret-a")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.db")
+    Seq("evct1", "evct2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graftr.db.$t")
+      spark.sql(s"CREATE TABLE graftr.db.$t (id BIGINT) USING graft")
+      // three single-file commits -> three pages at planPageSize=1
+      (0 until 3).foreach(i =>
+        spark.sql(s"INSERT INTO graftr.db.$t VALUES (${t.hashCode.abs % 100 + i})"))
+    }
+    // one cache slot + one task per page: planning the second table MUST
+    // evict the first table's pruned list mid-drain
+    val paged = new graft.rest.RestCatalogServer(server.warehouse,
+      Map("engine-a" -> "secret-a"), planPageSize = 1, planCacheSize = 1).start()
+    try {
+      val tokResp = http.send(HttpRequest.newBuilder(
+          URI.create(s"${paged.uri}/v1/oauth/tokens"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "grant_type=client_credentials&client_id=engine-a&client_secret=secret-a"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      val ptok = (JsonMethods.parse(tokResp.body()) \ "access_token").extract[String]
+      def ppost(path: String, body: String): JValue = {
+        val r = http.send(HttpRequest.newBuilder(URI.create(s"${paged.uri}$path"))
+          .header("Content-Type", "application/json")
+          .header("Authorization", s"Bearer $ptok")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200, s"${r.statusCode()} ${r.body()}")
+        JsonMethods.parse(r.body())
+      }
+      def paths(j: JValue): Seq[String] = (j \ "file-scan-tasks").children
+        .map(t => (t \ "data-file" \ "file-path").extract[String])
+      // page 0 of evct1 (caches its plan), then plan evct2 (evicts it)
+      val first = ppost("/v1/iceberg/namespaces/db/tables/evct1/plan", "{}")
+      val drained = scala.collection.mutable.ListBuffer(paths(first): _*)
+      var pending = (first \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil).toList
+      assert(pending.nonEmpty, "expected a paged plan")
+      ppost("/v1/iceberg/namespaces/db/tables/evct2/plan", "{}") // evicts slot
+      while (pending.nonEmpty) { // tokens are stateless: a miss re-prunes
+        val page = ppost("/v1/iceberg/namespaces/db/tables/evct1/tasks",
+          s"""{"plan-task":"${pending.head}"}""")
+        drained ++= paths(page)
+        pending = pending.tail ++ (page \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil)
+        assert(drained.size <= 10, "runaway pagination")
+      }
+      val one = JsonMethods.parse(post(
+        "/v1/iceberg/namespaces/db/tables/evct1/plan", "{}", Some(oauthRaw())).body())
+      assert(drained.sorted == paths(one).sorted,
+        s"eviction mid-drain lost/duplicated tasks: $drained vs ${paths(one)}")
+
+      // stale-incarnation revalidation: this PAGED server cached evct2's
+      // plan above; now drop/recreate evct2 through the MAIN server (the
+      // paged server's own eviction hooks never fire) — the stamp in the
+      // cache key must reject the first incarnation's entry on hit
+      def drainAll(table: String): Set[String] = {
+        val head = ppost(s"/v1/iceberg/namespaces/db/tables/$table/plan", "{}")
+        val acc = scala.collection.mutable.ListBuffer(paths(head): _*)
+        var toks = (head \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil).toList
+        while (toks.nonEmpty) {
+          val pg = ppost(s"/v1/iceberg/namespaces/db/tables/$table/tasks",
+            s"""{"plan-task":"${toks.head}"}""")
+          acc ++= paths(pg)
+          toks = toks.tail ++ (pg \ "plan-tasks").extractOpt[Seq[String]].getOrElse(Nil)
+          assert(acc.size <= 10, "runaway pagination")
+        }
+        acc.toSet
+      }
+      val oldPaths = drainAll("evct2")
+      assert(del("/v1/iceberg/namespaces/db/tables/evct2", oauthRaw()).statusCode() == 204)
+      // SAME commit count as the first incarnation, so the recreated
+      // table's current VERSION collides with the cached one — only the
+      // snapshot-identity stamp can tell the incarnations apart
+      spark.sql("CREATE TABLE graftr.db.evct2 (id BIGINT) USING graft")
+      (777 to 779).foreach(v => spark.sql(s"INSERT INTO graftr.db.evct2 VALUES ($v)"))
+      val fresh = drainAll("evct2")
+      assert(fresh.nonEmpty && fresh.intersect(oldPaths).isEmpty,
+        s"bypassed drop/recreate served stale files: $fresh overlaps $oldPaths")
+      val vals = fresh.flatMap(p => spark.read.parquet(p).collect().map(_.getLong(0)))
+      assert(vals == Set(777L, 778L, 779L), vals)
+    } finally paged.stop()
+  }
+
   test("vended storage credentials round-trip in LoadTableResult (config + storage-credentials)") {
     // reference main.tf:676-696: UC vends per-table storage credentials with
     // the metadata; config-level modeling here — a server wired with a

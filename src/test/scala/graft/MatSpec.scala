@@ -58,6 +58,35 @@ class MatSpec extends SparkSpec {
       s"release left blocks behind: ${added.intersect(after)}")
   }
 
+  test("release on the reliable-checkpoint tier deletes the checkpoint files") {
+    // the cluster + checkpoint-dir tier produces df.checkpoint(), whose
+    // LogicalRDD wraps an RDD that was never persisted — release must free
+    // the on-disk checkpoint directory, or a 50-round loop accretes one
+    // directory per superseded generation (ADVICE r16)
+    val cpRoot = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val prior = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(cpRoot)
+    try {
+      val df = spark.range(0, 200).toDF("n").checkpoint()
+      assert(df.count() == 200)
+      val rddDirs = new java.io.File(cpRoot).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      assert(rddDirs.nonEmpty, "reliable checkpoint wrote no rdd directory")
+      Mat.release(df)
+      val after = new java.io.File(cpRoot).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      assert(after.isEmpty,
+        s"release left checkpoint dirs behind: ${after.map(_.getName).mkString(",")}")
+    } finally prior match {
+      case Some(d) => spark.sparkContext.setCheckpointDir(d)
+      case None =>
+        // no public un-set: point the context at a scratch dir so later
+        // suites never checkpoint into this test's deleted tree
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-cp-rest").toString)
+    }
+  }
+
   test("checkpoint result is usable across multiple consumers without recompute") {
     val df = Mat.checkpoint(spark.range(0, 100).toDF("n"))
     try {
