@@ -260,7 +260,9 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
       def bound(pick: graft.table.ColumnStats => String, wantMin: Boolean): Option[String] =
         if (!numeric) None
         else scala.util.Try {
-          val vals = perFile.flatten.map(v => BigDecimal(pick(v).trim))
+          // drop all-null marker entries (empty bounds) — they carry no value
+          val vals = perFile.flatten.map(pick).filter(_.trim.nonEmpty)
+            .map(v => BigDecimal(v.trim))
           if (vals.isEmpty) None
           else Some((if (wantMin) vals.min else vals.max).underlying.toPlainString)
         }.toOption.flatten

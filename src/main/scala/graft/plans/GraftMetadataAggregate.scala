@@ -109,7 +109,10 @@ case class GraftMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan]
   private def boundOver(snap: Snapshot, attr: AttributeReference,
       side: graft.table.ColumnStats => String, takes: (Any, Any) => Boolean): Option[Any] = {
     val vals = snap.files.flatMap(f =>
-      f.stats.get(attr.name).map(st => parse(side(st), attr.dataType)))
+      // all-null marker entries carry EMPTY bounds (nullCount == rows):
+      // they contribute nothing to MIN/MAX, same as the missing-entry case
+      f.stats.get(attr.name).filter(_.min.nonEmpty)
+        .map(st => parse(side(st), attr.dataType)))
     Some(vals.reduceOption((a, b) => if (takes(a, b)) a else b).orNull)
   }
 

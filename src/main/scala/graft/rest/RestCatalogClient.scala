@@ -385,9 +385,11 @@ object IcebergFilterJson {
 
   /** Literal rendering, limited to values whose server-side string
     * comparison provably matches engine semantics: integrals/decimals
-    * (exact numeric compare), finite floats, strings, booleans, and
-    * ISO-rendering dates. Timestamps are SKIPPED — their stat strings are
-    * session-zone renderings the wire literal can't safely reproduce. */
+    * (exact numeric compare), finite floats, strings, booleans,
+    * ISO-rendering dates, and timestamps in graft's CANONICAL UTC bound
+    * form (VERDICT r16 #1 — per-file bounds are stored zone-free in the
+    * same form, so event-time ranges now prune server-side; legacy
+    * space-form stats simply carry no claim and stay un-pruned). */
   private def jlit(v: Any): Option[String] = v match {
     case null => None
     case x: Int => Some(x.toString)
@@ -402,6 +404,10 @@ object IcebergFilterJson {
     case x: Boolean => Some(x.toString)
     case x: java.sql.Date => Some(jstr(x.toString))      // ISO yyyy-MM-dd
     case x: java.time.LocalDate => Some(jstr(x.toString))
+    case x @ (_: java.sql.Timestamp | _: java.time.Instant |
+              _: java.time.LocalDateTime) => // either java8API setting + NTZ
+      graft.table.GraftTable.tsLitMicros(x)
+        .map(m => jstr(graft.table.GraftTable.tsCanon(m)))
     case _ => None
   }
 
@@ -419,6 +425,7 @@ object IcebergFilterJson {
       if (lits.exists(_.isEmpty)) None
       else Some(s"""{"type":"in","term":${jstr(c)},"values":[${lits.flatten.mkString(",")}]}""")
     case IsNull(c) => Some(s"""{"type":"is-null","term":${jstr(c)}}""")
+    case IsNotNull(c) => Some(s"""{"type":"not-null","term":${jstr(c)}}""")
     case And(l, r) => (one(l), one(r)) match {
       case (Some(a), Some(b)) => Some(s"""{"type":"and","left":$a,"right":$b}""")
       case (a, b) => a.orElse(b) // weaker — sound for pruning
@@ -426,6 +433,6 @@ object IcebergFilterJson {
     case Or(l, r) =>
       for (a <- one(l); b <- one(r))
         yield s"""{"type":"or","left":$a,"right":$b}"""
-    case _ => None // Not / IsNotNull / string matches: no wire claim
+    case _ => None // Not / string matches: no wire claim
   }
 }

@@ -1258,6 +1258,8 @@ class RestCatalogServer(val warehouse: String,
       case Some("gt") => binary(GreaterThan.apply)
       case Some("gt-eq") => binary(GreaterThanOrEqual.apply)
       case Some("is-null") => term(j \ "term").map(IsNull.apply)
+      // all-null files prune from the per-file null counts (VERDICT r16 #4)
+      case Some("not-null") => term(j \ "term").map(IsNotNull.apply)
       case Some("in") =>
         val vs = (j \ "values") match {
           case JArray(items) => items.map(lit)
@@ -1275,7 +1277,7 @@ class RestCatalogServer(val warehouse: String,
         for (l <- parseIcebergExpr(j \ "left", depth + 1);
              r <- parseIcebergExpr(j \ "right", depth + 1))
           yield Or(l, r)
-      case _ => None // not/not-null/is-nan/true/unknown: no pruning claim
+      case _ => None // not/is-nan/true/unknown: no pruning claim
     }
   }
 

@@ -1793,10 +1793,19 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       schemaId: Int, storeAs: String => String,
       derived: Seq[(String, Column, Boolean)] = Seq.empty): Seq[DataFile] = {
     val statFields = schema.fields.filter(f => isStatType(f.dataType))
+    // TimestampType bounds aggregate as unix_micros — `cast(ts as string)`
+    // is a SESSION-ZONE rendering, and per-file bounds must be zone-free
+    // so the REST plan endpoint (and any later session) can compare them
+    // (VERDICT r16 #1); the driver renders the micros canonically below.
+    // min/max over micros == min/max over the timestamps (monotone).
+    def statVal(f: StructField): Column = f.dataType match {
+      case TimestampType => unix_micros(qcol(f.name))
+      case _ => qcol(f.name) // NTZ cast-to-string is already zone-free
+    }
     val aggs = Seq(count(lit(1)).as("_rows")) ++
       statFields.flatMap(f => Seq(
-        min(qcol(f.name)).cast("string").as(s"_min_${f.name}"),
-        max(qcol(f.name)).cast("string").as(s"_max_${f.name}"),
+        min(statVal(f)).cast("string").as(s"_min_${f.name}"),
+        max(statVal(f)).cast("string").as(s"_max_${f.name}"),
         sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
       derived.zipWithIndex.flatMap { case ((_, ex, _), i) => Seq(
         min(ex).cast("string").as(s"_tmin_$i"),
@@ -1818,15 +1827,29 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           else s"${u.getScheme}://${u.getAuthority}${u.getPath}"
         }.getOrElse(r.getString(0))
         val local = canon(decoded)
+        val rowsN = r.getAs[Long]("_rows")
         val stats = statFields.flatMap { f =>
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
-          if (mn == null || mx == null) None
+          val nulls = r.getAs[Long](s"_nulls_${f.name}")
+          if (mn == null || mx == null)
+            // ALL-NULL marker (VERDICT r16 #4): empty bounds + nullCount ==
+            // rows, so IS NOT NULL (and every comparison predicate) can
+            // prune the file — without it an all-null column left no stats
+            // entry and nothing to prove exclusion from
+            if (nulls == rowsN && rowsN > 0L)
+              Some(f.name -> ColumnStats("", "", f.dataType.typeName, nulls))
+            else None
           else {
-            val (bmn, bmx) =
-              if (f.dataType == StringType) truncateBounds(mn, mx) else (mn, mx)
-            Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName,
-              r.getAs[Long](s"_nulls_${f.name}")))
+            val (bmn, bmx) = f.dataType match {
+              case StringType => truncateBounds(mn, mx)
+              case TimestampType => // agg produced micros strings
+                (GraftTable.tsCanon(mn.toLong), GraftTable.tsCanon(mx.toLong))
+              case TimestampNTZType => // zone-free cast; re-render canonical
+                (canonNtz(mn), canonNtz(mx))
+              case _ => (mn, mx)
+            }
+            Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName, nulls))
           }
         }.toMap
         val transformStats = derived.zipWithIndex.flatMap { case ((key, _, num), i) =>
@@ -1928,9 +1951,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
   }
 
   private def isStatType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
     case _ => false
   }
+
+  /** NTZ `cast(string)` rendering ("yyyy-MM-dd HH:mm:ss[.ffffff]", already
+    * zone-free) → canonical 'T' form; unparseable falls through verbatim
+    * (it then carries no pruning claim — safe). */
+  private def canonNtz(s: String): String =
+    GraftTable.tsLitMicros(s).map(GraftTable.tsCanon).getOrElse(s)
 
   /** Last segment of a path or URI. */
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
@@ -1974,43 +2004,16 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val transforms = PartitionTransform
       .parseList(s.properties.get("write.partition-by"), stripIds(schemaOf(s, s.currentSchemaId)))
       .filterNot(_.isInstanceOf[PartitionTransform.Identity])
-    // one evaluation per (transform, literal) per call — not per file
+    // one evaluation per (transform, literal) per call — not per file.
+    // Order-preserving transforms evaluate session-free (the same pure
+    // path the REST planner uses); bucket hashes still need a Spark eval.
     val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]
     def tlit(t: PartitionTransform, v: Any): Option[String] =
-      litCache.getOrElseUpdate((t.canonical, v), transformLiteral(t, v))
-    def cmpT(numeric: Boolean, a: String, b: String): Int =
-      if (numeric) GraftTable.numCmp(a, b) else a.compareTo(b)
-    // t(v) provably outside the file's transform-value bounds
-    def outside(t: PartitionTransform, f: DataFile, v: Any): Boolean =
-      f.stats.get(t.canonical).exists(st => tlit(t, v).exists(tv =>
-        cmpT(t.numeric, tv, st.min) < 0 || cmpT(t.numeric, st.max, tv) < 0))
-    // rows with c > v (or >=) have t(c) >= t(v) under an order-preserving t
-    def belowLower(t: PartitionTransform, f: DataFile, v: Any): Boolean =
-      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
-        tlit(t, v).exists(tv => cmpT(t.numeric, st.max, tv) < 0))
-    def aboveUpper(t: PartitionTransform, f: DataFile, v: Any): Boolean =
-      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
-        tlit(t, v).exists(tv => cmpT(t.numeric, st.min, tv) > 0))
-    def txExcluded(f: DataFile, flt: Filter): Boolean = flt match {
-      case EqualTo(c, v) if v != null =>
-        transforms.exists(t => t.source == c && outside(t, f, v))
-      case In(c, vs) if vs != null && vs.nonEmpty =>
-        transforms.exists(t => t.source == c &&
-          vs.filter(_ != null).forall(v => outside(t, f, v)))
-      case GreaterThan(c, v) if v != null =>
-        transforms.exists(t => t.source == c && belowLower(t, f, v))
-      case GreaterThanOrEqual(c, v) if v != null =>
-        transforms.exists(t => t.source == c && belowLower(t, f, v))
-      case LessThan(c, v) if v != null =>
-        transforms.exists(t => t.source == c && aboveUpper(t, f, v))
-      case LessThanOrEqual(c, v) if v != null =>
-        transforms.exists(t => t.source == c && aboveUpper(t, f, v))
-      case And(l, r) => txExcluded(f, l) || txExcluded(f, r)
-      case Or(l, r) => txExcluded(f, l) && txExcluded(f, r)
-      case _ => false
-    }
-
-    s.files.filter(f => !filters.exists(fl => excluded(f, fl) || txExcluded(f, fl)))
+      litCache.getOrElseUpdate((t.canonical, v),
+        PartitionTransform.evalOrderPreserving(t, v)
+          .orElse(transformLiteral(t, v)))
+    s.files.filter(f => !filters.exists(fl =>
+      excluded(f, fl) || GraftTable.transformExcluded(transforms, tlit, f, fl)))
   }
 
   /** Evaluate a transform over a filter literal, string-canonicalized the
@@ -2113,18 +2116,99 @@ object GraftTable {
     catch { case _: NumberFormatException =>
       java.lang.Double.compare(a.toDouble, b.toDouble) }
 
+  // ---- canonical timestamp bounds (VERDICT r16 #1) --------------------
+  // Per-file timestamp min/max are stored as UTC ISO-8601 with a 'T'
+  // separator and a FIXED 6-digit micro fraction ("2026-01-01T12:00:00.
+  // 000000") — zone-free, lexically ordered, and exactly re-parsable, so
+  // the REST plan endpoint can prune event-time ranges with the same
+  // fidelity as local pruning. The 'T' doubles as the format marker:
+  // legacy logs hold session-zone `cast(ts as string)` renderings (space
+  // separator) whose zone is unknowable at read time — [[tsStatMicros]]
+  // refuses them, so legacy files are simply never timestamp-pruned until
+  // a rewrite refreshes their stats (the read-compat shim).
+
+  private[graft] def tsCanon(micros: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
+      f"T${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d" +
+      f".${ldt.getNano / 1000}%06d"
+  }
+
+  /** Canonical stat string → micros; None = legacy/foreign form, which
+    * carries no provable instant (conservative: keep the file). */
+  private[graft] def tsStatMicros(s: String): Option[Long] =
+    if (s == null || !s.contains('T')) None
+    else scala.util.Try {
+      val ldt = java.time.LocalDateTime.parse(s)
+      Math.addExact(Math.multiplyExact(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), ldt.getNano / 1000L)
+    }.toOption
+
+  /** Filter literal → micros: java.sql.Timestamp / Instant (TimestampType
+    * pushdown under either datetime.java8API setting), LocalDateTime
+    * (TimestampNTZ — its wall-clock taken AS the UTC instant, matching the
+    * stat side's same convention), and ISO strings (the REST plan wire;
+    * 'Z'/offset forms and space-separated UTC forms both accepted). */
+  private[graft] def tsLitMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => tsLitMicros(t.toInstant)
+    case i: java.time.Instant => scala.util.Try(Math.addExact(
+      Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)).toOption
+    case l: java.time.LocalDateTime => scala.util.Try(Math.addExact(
+      Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+      l.getNano / 1000L)).toOption
+    case s: String =>
+      val t = s.trim
+      scala.util.Try(java.time.Instant.parse(t)).toOption
+        .flatMap(tsLitMicros).orElse(tsStatMicros(t.replace(' ', 'T')))
+    case _ => None
+  }
+
   /** Column-name → comparison typing for min/max bounds, resolved ONCE per
     * pruning pass (the schema JSON parse must not run per file × filter —
     * on a many-file snapshot that would make planning JSON-parse-bound). */
   private[graft] final class StatsComparator(schema: StructType) {
     private val numeric: Set[String] =
       schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSet
-    def cmp(column: String, a: String, b: String): Int =
-      if (numeric(column)) numCmp(a, b)
-      else a.compareTo(b) // strings + ISO-formatted date/timestamp casts
+    private val ts: Set[String] = schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+    }.toSet
+    /** Pruning claims are only valid for SCHEMA columns: a filter term that
+      * happens to spell a transform-stat key ("days(ts)") must not compare
+      * against those stats under column typing — transform-domain pruning
+      * goes through [[GraftTable.transformExcluded]] on the SOURCE column. */
+    def knows(column: String): Boolean = known(column)
+    private val known: Set[String] = schema.fieldNames.toSet
+    /** Canonical literal rendering for pruning comparisons against this
+      * column's stats; None = the literal carries no comparable claim. */
+    def litStr(column: String, v: Any): Option[String] =
+      if (v == null) None
+      else if (ts(column)) tsLitMicros(v).map(tsCanon)
+      else Some(v.toString)
+    /** PROVEN three-way comparison; None when a side is not canonically
+      * comparable (a legacy zone-rendered timestamp stat — the read-compat
+      * shim: no claim, keep the file). Numeric columns still surface
+      * NumberFormatException on a type-mismatched literal — the BAD FILTER
+      * signal the REST plan route turns into a 400. */
+    def cmpOpt(column: String, a: String, b: String): Option[Int] =
+      if (ts(column))
+        for (x <- tsStatMicros(a); y <- tsStatMicros(b))
+          yield java.lang.Long.compare(x, y)
+      else Some(if (numeric(column)) numCmp(a, b) else a.compareTo(b))
+    /** False only when PROVEN: bounds exclude `value`, or the file is
+      * all-null in the column (no non-null value exists to match). */
     def canContain(f: DataFile, column: String, value: String): Boolean =
-      f.stats.get(column).forall(st =>
-        cmp(column, st.min, value) <= 0 && cmp(column, value, st.max) <= 0)
+      !known(column) || f.stats.get(column).forall { st =>
+        if (allNull(f, st)) false
+        else cmpOpt(column, st.min, value).forall(_ <= 0) &&
+          cmpOpt(column, value, st.max).forall(_ <= 0)
+      }
+    /** The all-null marker ([[GraftTable.statFiles]] records empty bounds
+      * with nullCount == rows): no non-null value in the column. The
+      * nullCount check disambiguates a real file of empty strings. */
+    def allNull(f: DataFile, st: ColumnStats): Boolean =
+      st.min.isEmpty && st.max.isEmpty && st.nullCount >= 0 && st.nullCount == f.rows
   }
 
   private[graft] def comparatorOf(s: Snapshot): StatsComparator =
@@ -2132,38 +2216,122 @@ object GraftTable {
       s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType])
 
   /** True iff `flt` PROVES no row of `f` can match, from min/max/null-count
-    * bounds alone; unknown filter shapes and stat-less files return false
-    * (kept). */
+    * bounds alone; unknown filter shapes, stat-less files, and literals or
+    * stats with no canonical comparison (legacy timestamp renderings)
+    * return false (kept). */
   private[graft] def statsExcluded(cmp: StatsComparator, f: DataFile,
       flt: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
+    // a non-schema term (e.g. a transform-stat key used as a column name)
+    // never yields a claim — its stats entries follow transform typing,
+    // not this comparator's column typing
+    def statOf(c: String): Option[ColumnStats] =
+      if (cmp.knows(c)) f.stats.get(c) else None
+    // an all-null column satisfies NO comparison predicate (SQL three-
+    // valued logic: NULL op x is never true), so the file is excludable
+    // for every binary shape below, not just IsNotNull
+    def allNull(c: String): Boolean =
+      statOf(c).exists(cmp.allNull(f, _))
+    // range exclusion proven against one bound side; the all-null marker's
+    // empty bounds parse to no claim, hence the explicit allNull arm
+    def boundExcludes(c: String, v: Any)(prove: (ColumnStats, String) => Option[Boolean]): Boolean =
+      allNull(c) || cmp.litStr(c, v).exists(lv =>
+        statOf(c).exists(st => !cmp.allNull(f, st) && prove(st, lv).getOrElse(false)))
     flt match {
-      case EqualTo(c, v) if v != null => !cmp.canContain(f, c, v.toString)
+      case EqualTo(c, v) if v != null =>
+        allNull(c) || cmp.litStr(c, v).exists(lv => !cmp.canContain(f, c, lv))
       case In(c, vs) if vs != null && vs.nonEmpty =>
-        vs.filter(_ != null).forall(v => !cmp.canContain(f, c, v.toString))
+        allNull(c) || vs.filter(_ != null).forall(v =>
+          cmp.litStr(c, v).exists(lv => !cmp.canContain(f, c, lv)))
       case GreaterThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmp.cmp(c, st.max, v.toString) <= 0)
+        boundExcludes(c, v)((st, lv) => cmp.cmpOpt(c, st.max, lv).map(_ <= 0))
       case GreaterThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmp.cmp(c, st.max, v.toString) < 0)
+        boundExcludes(c, v)((st, lv) => cmp.cmpOpt(c, st.max, lv).map(_ < 0))
       case LessThan(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmp.cmp(c, st.min, v.toString) >= 0)
+        boundExcludes(c, v)((st, lv) => cmp.cmpOpt(c, st.min, lv).map(_ >= 0))
       case LessThanOrEqual(c, v) if v != null =>
-        f.stats.get(c).exists(st => cmp.cmp(c, st.min, v.toString) > 0)
+        boundExcludes(c, v)((st, lv) => cmp.cmpOpt(c, st.min, lv).map(_ > 0))
       // Iceberg-manifest-style null-count pruning: a file with zero nulls
       // in c can't satisfy IS NULL (-1 = legacy entry, unknown — keep)
-      case IsNull(c) => f.stats.get(c).exists(_.nullCount == 0L)
+      case IsNull(c) => statOf(c).exists(_.nullCount == 0L)
+      // ... and an all-null file can't satisfy IS NOT NULL (VERDICT r16 #4)
+      case IsNotNull(c) => allNull(c)
       case And(l, r) => statsExcluded(cmp, f, l) || statsExcluded(cmp, f, r)
       case Or(l, r) => statsExcluded(cmp, f, l) && statsExcluded(cmp, f, r)
       case _ => false // unknown shape: cannot prove exclusion, keep the file
     }
   }
 
+  /** Transform-domain half of file pruning, shared by [[pruneFiles]] (which
+    * supplies a Spark-eval fallback for bucket hashes in `tlit`) and the
+    * session-free REST planner (pure [[PartitionTransform.evalOrderPreserving]]):
+    * a filter on the SOURCE column maps into the transform domain —
+    * equality/IN through any transform, ranges through order-preserving
+    * ones — and checks the per-file transform-value bounds. Legacy ISO
+    * transform stats fail the numeric parse and yield no claim (kept). */
+  private[graft] def transformExcluded(transforms: Seq[PartitionTransform],
+      tlit: (PartitionTransform, Any) => Option[String],
+      f: DataFile, flt: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    if (transforms.isEmpty) return false
+    // PROVEN compare only: a legacy (pre-integer) transform stat string is
+    // not numeric-parseable — no claim, keep the file (read-compat shim)
+    def cmpT(numeric: Boolean, a: String, b: String): Option[Int] =
+      if (numeric) scala.util.Try(numCmp(a, b)).toOption
+      else Some(a.compareTo(b))
+    def outside(t: PartitionTransform, v: Any): Boolean =
+      f.stats.get(t.canonical).exists(st => tlit(t, v).exists(tv =>
+        cmpT(t.numeric, tv, st.min).exists(_ < 0) ||
+        cmpT(t.numeric, st.max, tv).exists(_ < 0)))
+    // rows with c > v (or >=) have t(c) >= t(v) under an order-preserving t
+    def belowLower(t: PartitionTransform, v: Any): Boolean =
+      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
+        tlit(t, v).exists(tv => cmpT(t.numeric, st.max, tv).exists(_ < 0)))
+    def aboveUpper(t: PartitionTransform, v: Any): Boolean =
+      t.orderPreserving && f.stats.get(t.canonical).exists(st =>
+        tlit(t, v).exists(tv => cmpT(t.numeric, st.min, tv).exists(_ > 0)))
+    def go(flt: Filter): Boolean = flt match {
+      case EqualTo(c, v) if v != null =>
+        transforms.exists(t => t.source == c && outside(t, v))
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        transforms.exists(t => t.source == c &&
+          vs.filter(_ != null).forall(v => outside(t, v)))
+      case GreaterThan(c, v) if v != null =>
+        transforms.exists(t => t.source == c && belowLower(t, v))
+      case GreaterThanOrEqual(c, v) if v != null =>
+        transforms.exists(t => t.source == c && belowLower(t, v))
+      case LessThan(c, v) if v != null =>
+        transforms.exists(t => t.source == c && aboveUpper(t, v))
+      case LessThanOrEqual(c, v) if v != null =>
+        transforms.exists(t => t.source == c && aboveUpper(t, v))
+      case And(l, r) => go(l) || go(r)
+      case Or(l, r) => go(l) && go(r)
+      case _ => false
+    }
+    go(flt)
+  }
+
   /** Stats-only file pruning over a snapshot — the Spark-free entry the
-    * REST scan-planning endpoint uses. */
+    * REST scan-planning endpoint uses. Hidden-partitioning bounds prune
+    * here too (VERDICT r16 #3): order-preserving transforms (truncate,
+    * years/months/days/hours) evaluate session-free, so a foreign engine
+    * planning through the catalog prunes a days()-partitioned table like
+    * the engine does locally; a malformed transform property just skips
+    * the transform pass (plan less, never fail the plan). */
   private[graft] def pruneFilesByStats(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
     val cmp = comparatorOf(s) // schema parsed once, not per file x filter
-    s.files.filter(f => !filters.exists(statsExcluded(cmp, f, _)))
+    val transforms = scala.util.Try(PartitionTransform
+      .parseList(s.properties.get("write.partition-by"),
+        DataType.fromJson(s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType])
+      .filterNot(_.isInstanceOf[PartitionTransform.Identity]))
+      .getOrElse(Seq.empty)
+    val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]
+    def tlit(t: PartitionTransform, v: Any): Option[String] =
+      litCache.getOrElseUpdate((t.canonical, v),
+        PartitionTransform.evalOrderPreserving(t, v))
+    s.files.filter(f => !filters.exists(flt =>
+      statsExcluded(cmp, f, flt) || transformExcluded(transforms, tlit, f, flt)))
   }
 
   /** Backtick-quoted top-level column reference — a column literally named

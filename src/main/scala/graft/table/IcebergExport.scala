@@ -472,7 +472,7 @@ object IcebergExport {
               case LongType => PLong(v.trim.toLong)
               case _        => PInt(v.trim.toInt)
             }).toOption))
-      case tt @ PartitionTransform.TimeTrunc(s0, fn) =>
+      case tt @ PartitionTransform.TimeTrunc(s0, fn, _) =>
         val (tname, at) = fn match {
           case "years"  => ("year", "\"int\"")
           case "months" => ("month", "\"int\"")
@@ -482,7 +482,11 @@ object IcebergExport {
         for { sf <- src(s0) if iid(sf) > 0 && AvroName.matches(s0) } yield
           SpecField(s"${s0}_$tname", tname, iid(sf), 0, at,
             f => single(f, tt.canonical).filter(_ => noNulls(f, s0)).flatMap(v =>
-              Try[PartVal] {
+              // native stats ARE the Iceberg spec integer now; legacy logs
+              // recorded the old session-zone ISO rendering — translate it
+              // (it was written under an assumed-UTC session, the same
+              // assumption boundBytes has always made)
+              Try[PartVal](PInt(v.trim.toInt)).orElse(Try[PartVal] {
                 val ldt = java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
                 fn match {
                   case "years"  => PInt(ldt.getYear - 1970)
@@ -491,7 +495,7 @@ object IcebergExport {
                   case "hours"  => PInt(Math.floorDiv(
                     ldt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toInt)
                 }
-              }.toOption))
+              }).toOption))
       case tb @ PartitionTransform.IcebergBucket(s0, n) =>
         // spec-hash bucket (murmur3, IcebergMurmur3): the claim is TRUE for
         // foreign readers, so it exports — unlike the xxhash64 `bucket` below
@@ -751,8 +755,16 @@ object IcebergExport {
       }.sortBy(_._1)
       val vc = known.map { case (id, _) => (id, f.rows) }
       val nc = known.collect { case (id, cs) if cs.nullCount >= 0 => (id, cs.nullCount) }
-      val lo = known.flatMap { case (id, cs) => boundBytes(cs.dataType, cs.min).map((id, _)) }
-      val hi = known.flatMap { case (id, cs) => boundBytes(cs.dataType, cs.max).map((id, _)) }
+      // all-null marker entries (empty bounds, nullCount == rows) export
+      // their null count but NO bounds — the spec omits bounds when a
+      // column has no non-null values (an empty-bytes string bound would
+      // be a fabricated claim)
+      def real(cs: ColumnStats): Boolean =
+        !(cs.min.isEmpty && cs.max.isEmpty && cs.nullCount == f.rows)
+      val lo = known.flatMap { case (id, cs) if real(cs) =>
+        boundBytes(cs.dataType, cs.min).map((id, _)); case _ => None }
+      val hi = known.flatMap { case (id, cs) if real(cs) =>
+        boundBytes(cs.dataType, cs.max).map((id, _)); case _ => None }
       (vc, nc, lo, hi)
     }
 

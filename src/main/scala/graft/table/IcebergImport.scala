@@ -586,19 +586,15 @@ object IcebergImport {
   /** Partition values of a data_file's `partition` record -> single-value
     * [[ColumnStats]]. Identity values key on the SOURCE column (they are
     * real bounds); truncate / year/month/day/hour values key on graft's
-    * canonical transform string, rendered exactly as the native stats
-    * collector renders them (`date_trunc(..).cast("string")` →
-    * "yyyy-MM-dd HH:mm:ss") so pruning comparisons stay uniform.
-    * `partFields` (field name, transform, source column) is precomputed
-    * per manifest; bucket[n] keys on `iceberg_bucket` (the spec murmur3
-    * graft reproduces bit-for-bit); untranslatable transforms (void) are
-    * skipped. */
+    * canonical transform string in the SAME form the native stats
+    * collector records (spec integers for the time transforms) so pruning
+    * comparisons stay uniform. `partFields` (field name, transform, source
+    * column) is precomputed per manifest; bucket[n] keys on
+    * `iceberg_bucket` (the spec murmur3 graft reproduces bit-for-bit);
+    * untranslatable transforms (void) are skipped. */
   private def partitionStats(df: GenericRecord,
       partFields: Seq[(String, String, StructField)]): Map[String, ColumnStats] = {
     if (partFields.isEmpty) return Map.empty
-    def iso(ldt: java.time.LocalDateTime): String =
-      f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
-        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
     opt(df, "partition").collect { case r: GenericRecord => r }.map { part =>
       partFields.flatMap { case (pname, transform, f) =>
         val raw: Option[AnyRef] =
@@ -617,17 +613,17 @@ object IcebergImport {
               else v.asInstanceOf[Number].longValue().toString).toOption
               .map(s => s"truncate($w,${f.name})" ->
                 ColumnStats(s, s, if (isString) "string" else "long", -1L))
+          // year/month/day/hour partition values ARE Iceberg's spec
+          // integers — graft's TimeTrunc stats record the same integers
+          // now, so imported values prune identically to native ones
           case ("year", _) => intVal.map(y =>
-            s"years(${f.name})" -> stat1(iso(java.time.LocalDateTime.of(1970 + y, 1, 1, 0, 0))))
+            s"years(${f.name})" -> statN(y))
           case ("month", _) => intVal.map(m =>
-            s"months(${f.name})" -> stat1(iso(java.time.LocalDateTime.of(
-              1970 + Math.floorDiv(m, 12), Math.floorMod(m, 12) + 1, 1, 0, 0))))
+            s"months(${f.name})" -> statN(m))
           case ("day", _) => intVal.map(d =>
-            s"days(${f.name})" -> stat1(
-              java.time.LocalDate.ofEpochDay(d.toLong).toString + " 00:00:00"))
+            s"days(${f.name})" -> statN(d))
           case ("hour", _) => intVal.map(h =>
-            s"hours(${f.name})" -> stat1(iso(java.time.LocalDateTime.ofEpochSecond(
-              h.toLong * 3600L, 0, java.time.ZoneOffset.UTC))))
+            s"hours(${f.name})" -> statN(h))
           // spec bucket value = murmur3 bucket id — graft's iceberg_bucket
           // computes the identical value, so it prunes as a transform stat
           case (BucketRe(b), _) => intVal.map(v =>
@@ -640,6 +636,8 @@ object IcebergImport {
   }
 
   private def stat1(v: String): ColumnStats = ColumnStats(v, v, "string", -1L)
+  private def statN(v: Int): ColumnStats =
+    ColumnStats(v.toString, v.toString, "long", -1L)
 
   private def renderPartValue(dt: DataType, raw: AnyRef): Option[String] =
     Try[String](dt match {
@@ -680,20 +678,12 @@ object IcebergImport {
         // upper bound would wrongly prune files), not a default
         if (b.isEmpty) throw new IllegalArgumentException("empty boolean bound")
         if (b(0) != 0) "true" else "false"
-      case TimestampType | TimestampNTZType => // LE micros -> the exact string form graft's
-        // own stats render (Spark cast in the UTC session: space separator,
-        // fraction only when non-zero, trailing zeros trimmed) so pruning's
-        // lexicographic comparison stays uniform across native + imported
-        val micros = le(b)
-        val ldt = java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L),
-          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC)
-        val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
-          f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-        val frac = ldt.getNano / 1000
-        if (frac == 0) base
-        else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+      case TimestampType | TimestampNTZType => // LE micros -> graft's CANONICAL
+        // UTC bound form ('T' separator, fixed 6-digit fraction) — the same
+        // rendering native writes record, so pruning comparisons stay
+        // uniform across native + imported files and the REST planner
+        // prunes imported tables' event-time ranges too
+        GraftTable.tsCanon(le(b))
       case d: DecimalType =>
         // PLAIN notation: Spark's Decimal cast-to-string never uses the
         // scientific form (verified empirically — a scale-18 tiny value

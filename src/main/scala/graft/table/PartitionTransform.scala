@@ -79,18 +79,43 @@ object PartitionTransform {
     val orderPreserving = true
   }
 
-  /** `years/months/days/hours(col)`: date_trunc on a timestamp/date column;
-    * the value is stored as an ISO string, which compares lexically in time
-    * order. */
-  case class TimeTrunc(source: String, fn: String) extends PartitionTransform {
-    private val unit = fn match {
-      case "years" => "year"; case "months" => "month"
-      case "days" => "day";   case "hours" => "hour"
-    }
+  /** `years/months/days/hours(col)`: the ICEBERG-SPEC integer value —
+    * years/months since 1970, days as epoch-day, hours since epoch — over
+    * the UTC instant (timestamp source) or the calendar date (date
+    * source). Zone-free by construction (the previous `date_trunc` form
+    * rendered under the writing SESSION's zone, so the REST scan planner —
+    * which has no session — could never prune it, and a zone change
+    * between writer and reader skewed bounds; VERDICT r16 #3). Legacy ISO
+    * transform stats simply stop pruning (numeric parse refuses them)
+    * until a rewrite refreshes the files. */
+  case class TimeTrunc(source: String, fn: String, isDate: Boolean)
+      extends PartitionTransform {
     val canonical = s"$fn($source)"
-    def column(c: Column): Column = date_trunc(unit, c)
-    val numeric = false
+    val numeric = true
     val orderPreserving = true
+    def column(c: Column): Column = {
+      // exact floor-division (div truncates; the pmod-subtracted numerator
+      // is an exact multiple, so truncation IS floor — no double rounding)
+      def fdiv(x: Column, y: Long): Column =
+        org.apache.spark.sql.graftglue.Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graftglue.Bridge.expression(x - pmod(x, lit(y))),
+            org.apache.spark.sql.catalyst.expressions.Literal(y)))
+      def epochDay: Column =
+        if (isDate) datediff(c, to_date(lit("1970-01-01"))).cast("long")
+        else fdiv(unix_micros(c), 86400000000L)
+      fn match {
+        case "days" => epochDay
+        case "hours" =>
+          if (isDate) epochDay * lit(24L)
+          else fdiv(unix_micros(c), 3600000000L)
+        case f @ ("months" | "years") =>
+          val d = if (isDate) c
+            else date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
+          if (f == "years") (year(d) - lit(1970)).cast("long")
+          else ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast("long")
+      }
+    }
   }
 
   private val Fn = """^([A-Za-z_]+)\(([^)]*)\)$""".r
@@ -131,7 +156,7 @@ object PartitionTransform {
             val f = field(args.head)
             require(f.dataType == TimestampType || f.dataType == DateType,
               s"$t requires a timestamp/date column, ${f.name} is ${f.dataType.simpleString}")
-            TimeTrunc(f.name, t)
+            TimeTrunc(f.name, t, f.dataType == DateType)
           case other =>
             throw new IllegalArgumentException(s"unknown partition transform '$other' in $spec")
         }
@@ -146,4 +171,46 @@ object PartitionTransform {
       .flatMap(_.split(""",(?![^(]*\))"""))
       .map(_.trim).filter(_.nonEmpty)
       .map(parse(_, schema))
+
+  /** SESSION-FREE evaluation of an order-preserving transform over a
+    * filter literal, rendered exactly as the per-file transform stats are
+    * — shared by the engine's local pruning and the REST scan planner,
+    * which has no SparkSession to evaluate a transform with (VERDICT r16
+    * #3). None = no claim (the engine falls back to its Spark-eval path
+    * for bucket hashes; the server just doesn't prune that term). */
+  def evalOrderPreserving(t: PartitionTransform, v: Any): Option[String] = t match {
+    case _ if v == null => None
+    case Truncate(_, w, true) => v match {
+      case s: String => Some(s.substring(0, math.min(w, s.length)))
+      case _ => None
+    }
+    case Truncate(_, w, false) => v match {
+      case n @ (_: Long | _: Int | _: Short | _: Byte) =>
+        val x = n.asInstanceOf[Number].longValue
+        Some((x - Math.floorMod(x, w.toLong)).toString)
+      case _ => None // decimal/float truncate literals: Spark-eval path only
+    }
+    case TimeTrunc(_, fn, isDate) =>
+      val utcDay: Option[java.time.LocalDate] =
+        if (isDate) v match {
+          case d: java.sql.Date => Some(d.toLocalDate)
+          case d: java.time.LocalDate => Some(d)
+          case s: String => scala.util.Try(java.time.LocalDate.parse(s.trim)).toOption
+          case _ => None
+        }
+        else GraftTable.tsLitMicros(v).map(m =>
+          java.time.LocalDate.ofEpochDay(Math.floorDiv(m, 86400000000L)))
+      fn match {
+        case "days" => utcDay.map(_.toEpochDay.toString)
+        case "hours" =>
+          if (isDate) utcDay.map(d => (d.toEpochDay * 24L).toString)
+          else GraftTable.tsLitMicros(v).map(m =>
+            Math.floorDiv(m, 3600000000L).toString)
+        case "months" => utcDay.map(d =>
+          ((d.getYear - 1970L) * 12L + d.getMonthValue - 1L).toString)
+        case "years" => utcDay.map(d => (d.getYear - 1970L).toString)
+        case _ => None
+      }
+    case _ => None // identity rides the plain column stats; buckets hash
+  }
 }

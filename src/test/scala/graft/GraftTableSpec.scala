@@ -206,6 +206,43 @@ class GraftTableSpec extends SparkSpec {
     assert(t.filesPossiblyContaining("id", "150").isEmpty)
   }
 
+  test("timestamp pruning survives a session-zone change between write and read") {
+    // write under one session zone, filter under a hostile one: the
+    // canonical UTC bounds must prune the same files and lose no rows
+    // (pre-canonicalization, `cast(ts as string)` bounds were zone-bound)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    val dir = tmpDir()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // +14
+      val t = GraftTable.create(spark, dir, Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))).toDF("id", "ts"))
+      t.append(Seq(
+        (3L, java.sql.Timestamp.valueOf("2026-06-01 00:00:00")),
+        (4L, java.sql.Timestamp.valueOf("2026-06-01 06:00:00"))).toDF("id", "ts"))
+      // the wall-clock strings above were interpreted in +14; capture the
+      // instants so the read side filters on the same points in time
+      val instants = t.read.orderBy("id").collect()
+        .map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles") // -8
+      val t2 = GraftTable.load(spark, dir)
+      // equality at each file's exact bound: correct rows, and only the
+      // owning file survives pruning
+      instants.zipWithIndex.foreach { case (ts, i) =>
+        val flt = org.apache.spark.sql.sources.EqualTo("ts", ts)
+        val pruned = t2.pruneFiles(t2.log.current, Seq(flt))
+        assert(pruned.size == 1, s"row $i: pruned to ${pruned.size} files")
+        val rows = t2.read.filter(col("ts") === ts).collect()
+        assert(rows.map(_.getLong(0)).toSeq == Seq(i + 1L), s"row $i lost")
+      }
+      // a range above the January rows prunes to the two June files
+      val mid = org.apache.spark.sql.sources.GreaterThan("ts", instants(1))
+      assert(t2.pruneFiles(t2.log.current, Seq(mid)).size == 2)
+      assert(t2.read.filter(col("ts") > instants(1)).count() == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("commit CAS: losing writer gets a conflict, state stays consistent") {
     val t = mk(Seq((1L, "a", 10.0)))
     val head = t.log.current

@@ -240,6 +240,160 @@ class PlanFuzzSpec extends SparkSpec {
     assert(pruned > 20, s"only $pruned/500 trees pruned anything - generator too hostile?")
   }
 
+  // ---- fixture 2: days(ts)-partitioned table (transform-domain pruning) --
+  private type TRow = (Option[Long], Option[java.time.Instant])
+  private lazy val tsFilesToRows: Map[String, Seq[TRow]] = {
+    filesToRows // ensure catalog conf + namespace exist
+    spark.sql("DROP TABLE IF EXISTS graftr.db.fuzzts")
+    spark.sql("CREATE TABLE graftr.db.fuzzts (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val oldCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try spark.sql("""INSERT INTO graftr.db.fuzzts
+      SELECT id, CASE WHEN id = 19 THEN CAST(NULL AS TIMESTAMP)
+        ELSE timestamp'2026-03-01 00:00:00' +
+          make_interval(0,0,0,0,CAST(id*7 AS INT),0,0) END
+      FROM range(20)""")
+    finally spark.conf.set(coalesceKey, oldCoalesce)
+    val all = JsonMethods.parse(
+      post("/v1/iceberg/namespaces/db/tables/fuzzts/plan", "{}").body())
+    (all \ "file-scan-tasks").children.map { t =>
+      val p = (t \ "data-file" \ "file-path").extract[String]
+      p -> spark.read.parquet(p).collect().toSeq.map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None
+         else Some(r.getTimestamp(1).toInstant))
+      }
+    }.toMap
+  }
+
+  /** Independent micros parse for the ts oracle: ISO 'T' / space forms as
+    * UTC wall-clock, 'Z'/offset instants — ONLY the forms whose semantics
+    * are unambiguous; anything else is no-claim. */
+  private def oracleMicros(v: JValue): Option[Long] = v match {
+    case JString(s) =>
+      val t = s.trim
+      scala.util.Try(java.time.Instant.parse(t)).toOption
+        .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        .orElse(scala.util.Try {
+          val ldt = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        }.toOption)
+    case _ => None
+  }
+
+  private def evalTs(j: JValue, row: TRow): Option[Boolean] = {
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def cmpOn(sign: Int => Boolean): Option[Boolean] =
+      termName(j \ "term") match {
+        case Some("id") => numLit(j \ "value").map(lit =>
+          row._1.exists(x => sign(BigDecimal(x).compare(lit))))
+        case Some("ts") => oracleMicros(j \ "value").map(lit =>
+          row._2.exists(x => sign(java.lang.Long.compare(micros(x), lit))))
+        case _ => None
+      }
+    (j \ "type") match {
+      case JString("true")  => Some(true)
+      case JString("false") => Some(false)
+      case JString("eq")    => cmpOn(_ == 0)
+      case JString("lt")    => cmpOn(_ < 0)
+      case JString("lt-eq") => cmpOn(_ <= 0)
+      case JString("gt")    => cmpOn(_ > 0)
+      case JString("gt-eq") => cmpOn(_ >= 0)
+      case JString("is-null") => termName(j \ "term") match {
+        case Some("id") => Some(row._1.isEmpty)
+        case Some("ts") => Some(row._2.isEmpty)
+        case _          => None
+      }
+      case JString("not-null") => termName(j \ "term") match {
+        case Some("id") => Some(row._1.isDefined)
+        case Some("ts") => Some(row._2.isDefined)
+        case _          => None
+      }
+      case JString("not") => evalTs(j \ "child", row).orElse(evalTs(j \ "left", row)).map(!_)
+      case JString("and") =>
+        (evalTs(j \ "left", row), evalTs(j \ "right", row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case JString("or") =>
+        (evalTs(j \ "left", row), evalTs(j \ "right", row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case _ => None
+    }
+  }
+
+  private def genTsValue(): JValue = pick[() => JValue](Seq(
+    // canonical forms around the data's range, sub-day offsets included
+    () => JString(graft.table.GraftTable.tsCanon(
+      1772323200000000L + rnd.between(-3L, 4L) * 43200000000L)), // 2026-03-01 ± half-days
+    () => JString(graft.table.GraftTable.tsCanon(
+      1772323200000000L + rnd.between(0L, 140L) * 3600000000L)),
+    () => JString("2026-03-03 12:00:00"),         // space form (UTC)
+    () => JString("2026-03-03T12:00:00Z"),        // instant form
+    () => JString("2026-03-03T12:00:00+14:00"),   // offset form: not accepted -> no claim
+    () => JString("not a timestamp"), () => JString(""),
+    () => JString("2026-13-45T99:99:99.000000"),  // unparseable calendar
+    () => JInt(BigInt(rnd.between(-30L, 30L))),   // number against ts: no claim
+    () => JDouble(Double.NaN), () => JNull,
+    () => JString("9999-12-31T23:59:59.999999"),
+    () => JString("0001-01-01T00:00:00.000000")))()
+
+  private def genTsExpr(depth: Int): JValue = {
+    val leafOps = Seq("eq", "lt", "lt-eq", "gt", "gt-eq", "is-null",
+      "not-null", "is-nan", "true", "false", "between", "")
+    def leaf(): JValue = {
+      val op = pick(leafOps)
+      val fields = scala.collection.mutable.ListBuffer[(String, JValue)]("type" -> JString(op))
+      if (rnd.nextInt(10) > 0) fields += ("term" -> pick[() => JValue](Seq(
+        () => JString("ts"), () => JString("ts"), () => JString("ts"),
+        () => JString("id"), () => JString("days(ts)"), // transform NAME as term: no claim
+        () => JString("missing"), () => JNull))())
+      if (rnd.nextInt(10) > 0) fields += ("value" -> genTsValue())
+      JObject(fields.toList: _*)
+    }
+    if (depth <= 0 || rnd.nextInt(3) == 0) leaf()
+    else pick[() => JValue](Seq(
+      () => JObject("type" -> JString("and"),
+        "left" -> genTsExpr(depth - 1), "right" -> genTsExpr(depth - 1)),
+      () => JObject("type" -> JString("or"),
+        "left" -> genTsExpr(depth - 1), "right" -> genTsExpr(depth - 1)),
+      () => JObject("type" -> JString("not"), "child" -> genTsExpr(depth - 1)),
+      () => leaf()))()
+  }
+
+  test("300 hostile trees against a days(ts)-partitioned table: transform pruning stays sound") {
+    val rows = tsFilesToRows
+    assert(rows.size >= 2, s"need multiple files, got ${rows.keys}")
+    var pruned = 0
+    for (i <- 1 to 300) {
+      val expr = genTsExpr(depth = 3)
+      val body = JsonMethods.compact(JsonMethods.render(JObject("filter" -> expr)))
+      val resp = post("/v1/iceberg/namespaces/db/tables/fuzzts/plan", body)
+      val code = resp.statusCode()
+      assert(code == 200 || code == 400,
+        s"iteration $i: status $code for $body -> ${resp.body()}")
+      if (code == 200) {
+        val kept = (JsonMethods.parse(resp.body()) \ "file-scan-tasks").children
+          .map(t => (t \ "data-file" \ "file-path").extract[String]).toSet
+        if (kept.size < rows.size) pruned += 1
+        rows.foreach { case (path, fileRows) =>
+          val mustKeep = fileRows.exists(r => evalTs(expr, r).contains(true))
+          assert(!mustKeep || kept.contains(path),
+            s"iteration $i: DROPPED file with a definitely-matching row.\n" +
+              s"filter: $body\nfile: $path rows: $fileRows kept: $kept")
+        }
+      }
+    }
+    assert(pruned > 15, s"only $pruned/300 trees pruned anything")
+  }
+
   test("deep nesting, huge IN lists, and malformed bodies never 500") {
     // 300-deep and-chain: past the parser's depth cap -> conservative keep
     val deep = (1 to 300).foldLeft[JValue](

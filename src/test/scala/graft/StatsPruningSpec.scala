@@ -121,6 +121,139 @@ class StatsPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(GraftTable.pruneFilesByStats(s, Seq(IsNull("n"))).isEmpty)
   }
 
+  // ---- canonical timestamp bounds (VERDICT r16 #1) ------------------------
+
+  private val tsSchemaJson = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.TimestampType)
+  )).json
+
+  /** Snapshot of timestamp "files": rows are Option[micros]; stats rendered
+    * exactly like the writer (canonical UTC 'T' form, all-null marker). */
+  private def tsSnap(files: Seq[Seq[Option[Long]]]): Snapshot =
+    Snapshot(0L, -1L, 0L, "create", 0, Map("0" -> tsSchemaJson),
+      files.zipWithIndex.map { case (rows, i) =>
+        val vs = rows.flatten
+        val stats =
+          if (vs.nonEmpty) Map("t" -> ColumnStats(
+            GraftTable.tsCanon(vs.min), GraftTable.tsCanon(vs.max),
+            "timestamp", rows.count(_.isEmpty)))
+          else if (rows.nonEmpty) // writer's all-null marker
+            Map("t" -> ColumnStats("", "", "timestamp", rows.size.toLong))
+          else Map.empty[String, ColumnStats]
+        DataFile(s"f$i.parquet", rows.size, 1L, 0, stats)
+      })
+
+  private def tsOf(micros: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+
+  test("timestamp pruning is sound and zone-free for every literal form") {
+    // micros spanning sub-second boundaries and a pre-epoch value
+    val base = 1767225600L * 1000000L // 2026-01-01T00:00:00Z
+    val genMicros: Gen[Long] = Gen.oneOf(
+      Gen.choose(base, base + 5000000L), Gen.const(-1L), Gen.const(0L),
+      Gen.choose(base + 86400000000L, base + 86400005000000L))
+    val genTsRow: Gen[Option[Long]] = Gen.option(genMicros)
+    val genTsFile: Gen[Seq[Option[Long]]] = Gen.nonEmptyListOf(genTsRow)
+    // the same instant as Timestamp, Instant, and canonical wire string
+    def litOf(m: Long, form: Int): Any = form match {
+      case 0 => tsOf(m)
+      case 1 => java.time.Instant.ofEpochSecond(
+        Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L)
+      case _ => GraftTable.tsCanon(m)
+    }
+    val genTsLeaf: Gen[Filter] = for {
+      m <- genMicros; form <- Gen.choose(0, 2)
+      f <- Gen.oneOf[Any => Filter](
+        v => EqualTo("t", v), v => GreaterThan("t", v),
+        v => GreaterThanOrEqual("t", v), v => LessThan("t", v),
+        v => LessThanOrEqual("t", v))
+    } yield f(litOf(m, form))
+    val genTsFilter: Gen[Filter] = Gen.frequency(
+      4 -> genTsLeaf,
+      1 -> (for (l <- genTsLeaf; r <- genTsLeaf) yield And(l, r)),
+      1 -> (for (l <- genTsLeaf; r <- genTsLeaf) yield Or(l, r)),
+      1 -> Gen.const(IsNull("t")), 1 -> Gen.const(IsNotNull("t")))
+    def rowMatches(row: Option[Long], flt: Filter): Boolean = flt match {
+      case EqualTo(_, v) => row.exists(m => GraftTable.tsLitMicros(v).contains(m))
+      case GreaterThan(_, v) => row.exists(m => GraftTable.tsLitMicros(v).exists(m > _))
+      case GreaterThanOrEqual(_, v) => row.exists(m => GraftTable.tsLitMicros(v).exists(m >= _))
+      case LessThan(_, v) => row.exists(m => GraftTable.tsLitMicros(v).exists(m < _))
+      case LessThanOrEqual(_, v) => row.exists(m => GraftTable.tsLitMicros(v).exists(m <= _))
+      case IsNull(_) => row.isEmpty
+      case IsNotNull(_) => row.nonEmpty
+      case And(l, r) => rowMatches(row, l) && rowMatches(row, r)
+      case Or(l, r) => rowMatches(row, l) || rowMatches(row, r)
+      case _ => true
+    }
+    val prop = Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(genTsFile), genTsFilter) { (files, flt) =>
+      val s = tsSnap(files)
+      val kept = GraftTable.pruneFilesByStats(s, Seq(flt)).map(_.path).toSet
+      files.zipWithIndex.forall { case (rows, i) =>
+        !rows.exists(rowMatches(_, flt)) || kept.contains(s"f$i.parquet")
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("timestamp exclusions fire, including equality AT the max bound") {
+    val m0 = 1767225600L * 1000000L
+    val s = tsSnap(Seq(
+      Seq(Some(m0), Some(m0 + 1000000L)),        // [T, T+1s]
+      Seq(Some(m0 + 3600000000L))))              // T+1h
+    // equality at the first file's exact max must KEEP it (the legacy
+    // lexical compare dropped it: Timestamp.toString appends ".0")
+    val atMax = GraftTable.pruneFilesByStats(s, Seq(EqualTo("t", tsOf(m0 + 1000000L))))
+    assert(atMax.map(_.path) == Seq("f0.parquet"))
+    // a range above both files prunes everything
+    assert(GraftTable.pruneFilesByStats(s,
+      Seq(GreaterThan("t", tsOf(m0 + 7200000000L)))).isEmpty)
+    // and the wire's canonical STRING literal prunes identically
+    assert(GraftTable.pruneFilesByStats(s,
+      Seq(GreaterThan("t", GraftTable.tsCanon(m0 + 7200000000L)))).isEmpty)
+  }
+
+  test("legacy space-form timestamp stats carry no claim (read-compat shim)") {
+    // a stat written by an old log under an unknown session zone: pruning
+    // must keep the file even when the rendered bounds LOOK excludable
+    val legacy = Snapshot(0L, -1L, 0L, "create", 0, Map("0" -> tsSchemaJson),
+      Seq(DataFile("old.parquet", 2L, 1L, 0, Map("t" ->
+        ColumnStats("2020-01-01 00:00:00", "2020-01-02 00:00:00", "timestamp", 0L)))))
+    val far = tsOf(1767225600L * 1000000L) // 2026 — outside the rendered bounds
+    assert(GraftTable.pruneFilesByStats(legacy, Seq(EqualTo("t", far)))
+      .map(_.path) == Seq("old.parquet"))
+    assert(GraftTable.pruneFilesByStats(legacy, Seq(GreaterThan("t", far)))
+      .map(_.path) == Seq("old.parquet"))
+  }
+
+  test("all-null marker prunes NOT NULL and every comparison, keeps IS NULL") {
+    val s = tsSnap(Seq(Seq(None, None), Seq(Some(0L), None)))
+    assert(GraftTable.pruneFilesByStats(s, Seq(IsNotNull("t")))
+      .map(_.path) == Seq("f1.parquet"))
+    assert(GraftTable.pruneFilesByStats(s, Seq(EqualTo("t", tsOf(0L))))
+      .map(_.path) == Seq("f1.parquet"))
+    assert(GraftTable.pruneFilesByStats(s, Seq(LessThanOrEqual("t", tsOf(0L))))
+      .map(_.path) == Seq("f1.parquet"))
+    // IS NULL keeps both (f0 is all null; f1 has one null)
+    assert(GraftTable.pruneFilesByStats(s, Seq(IsNull("t"))).size == 2)
+  }
+
+  test("all-null marker on a STRING column never collides with a real empty-string file") {
+    val strSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))).json
+    val s = Snapshot(0L, -1L, 0L, "create", 0, Map("0" -> strSchema), Seq(
+      DataFile("allnull.parquet", 2L, 1L, 0,
+        Map("s" -> ColumnStats("", "", "string", 2L))),   // marker
+      DataFile("allempty.parquet", 2L, 1L, 0,
+        Map("s" -> ColumnStats("", "", "string", 0L)))))  // genuine "" rows
+    val kept = GraftTable.pruneFilesByStats(s, Seq(EqualTo("s", "")))
+    assert(kept.map(_.path) == Seq("allempty.parquet"))
+    assert(GraftTable.pruneFilesByStats(s, Seq(IsNotNull("s")))
+      .map(_.path) == Seq("allempty.parquet"))
+  }
+
   test("bounds above 2^53 compare exactly, not through doubles (ADVICE r15)") {
     // max = 1e18 + 1 and literal 1e18 round to the SAME double: a double
     // compare would prove GreaterThan-exclusion and drop the matching row
