@@ -47,6 +47,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B lever for the multi-consumer materialization strategy
+      // (Mat.multiUse): lets the lazy-vs-checkpoint decision be re-measured
+      // on any box without a code flip (VERDICT r16 #2)
+      .config("spark.graft.mat.multi-use",
+        sys.env.getOrElse("SPARK_GRAFT_MAT_MULTI_USE", "cache"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -156,9 +161,16 @@ object Bench {
     // separable from co-tenant noise in the driver's own artifact.
     // r15 additions: q74/q84 showed the widest driver-side spreads outside
     // the original swing list (1.57-3.44 s and 0.65-2.63 s on identical code)
+    // r16 additions (VERDICT r16 #2): the lazy-cache multi-consumer family
+    // — two driver rounds running it measured 1.6-3.5x over builder numbers
+    // on identical code (q99 5.50 vs 1.55 s) while the checkpointed family
+    // stayed flat; 5 samples make a real regression separable from the
+    // contention the family is sensitive to
     val swing = Set("q100_pagerank", "q113_split_leakage",
       "q102_rag_chunks", "q103_char_entropy",
-      "q74_decontaminate", "q84_token_vocab")
+      "q74_decontaminate", "q84_token_vocab",
+      "q95_bigram_lm", "q97_nb_langid", "q98_dsir_weights",
+      "q99_tfidf_keywords", "q63_text_bm25", "q45_embed_neardup_lsh")
     val samples: Seq[(String, Seq[Double])] =
       names.map { n =>
         val reps = if (headline.contains(n) || swing.contains(n)) 5 else 3

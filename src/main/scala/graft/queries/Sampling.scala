@@ -137,7 +137,8 @@ object Sampling {
     // cache (the q95 rationale — an eager checkpoint write is pure
     // overhead when the first consumer materializes the cache in-job and
     // recompute is one linear pass, not a cost-class cliff)
-    val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c")).cache()
+    val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+      .transform(graft.Mat.multiUse)
     val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
     val raw = db.groupBy($"b").agg(sum($"c").as("cr"))
     val tot = db.agg(

@@ -93,7 +93,7 @@ object Similarity {
     // higher-order folds (HOFs don't codegen), and downstream the 4-band
     // union is self-joined — uncached they would be re-evaluated 8×
     // (lazy cache over checkpoint: the q95 rationale)
-    val sigs = e.select(($"vec_id" +: bitCols): _*).cache()
+    val sigs = e.select(($"vec_id" +: bitCols): _*).transform(graft.Mat.multiUse)
     val bands = (0 until Bands).map { b =>
       sigs.select($"vec_id", lit(b).as("band"),
         concat((0 until BandRows).map(r => col(s"bit${BandRows * b + r}")): _*).as("sig"))

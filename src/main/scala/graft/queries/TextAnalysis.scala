@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Mat
 import graft.Tables._
 
 /** Text-analysis operators over `documents.text` (north-star training-data
@@ -309,8 +310,9 @@ object TextAnalysis {
       // first consumer materializes the cache inside its own job, so the
       // checkpoint's separate eager write is pure overhead; and unlike
       // q100, an eviction recompute here is one linear tokenize pass —
-      // same cost class, no plan-shape cliff
-      .cache()
+      // same cost class, no plan-shape cliff. Strategy measurable via
+      // spark.graft.mat.multi-use (VERDICT r16 #2).
+      .transform(Mat.multiUse)
     val corpusBg = docBg.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
     val corpusUni = corpusBg.groupBy($"w1").agg(sum($"c12").as("c1"))
     docBg
@@ -371,7 +373,7 @@ object TextAnalysis {
     // dw by algebra (sum of per-doc counts = corpus count; distinct word
     // set identical) so the corpus tokenizes exactly ONCE instead of 3x
     val dw = toks.groupBy($"doc_id", $"lang", $"word")
-      .agg(count(lit(1)).as("c")).cache()
+      .agg(count(lit(1)).as("c")).transform(Mat.multiUse)
     val cw = dw.groupBy($"lang".as("cls"), $"word")
       .agg(sum($"c").as("cw"))
     val ct = cw.groupBy($"cls").agg(sum($"cw").as("ctot"))
@@ -444,7 +446,8 @@ object TextAnalysis {
       .select($"doc_id",
         explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      .cache() // feeds df AND the score join (lazy cache: the q95 rationale)
+      // feeds df AND the score join (lazy multi-use: the q95 rationale)
+      .transform(Mat.multiUse)
     val df = dw.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = documents(spark, dir).agg(count(lit(1)).as("n"))
     val scored = dw.join(df, "word").crossJoin(broadcast(n))
