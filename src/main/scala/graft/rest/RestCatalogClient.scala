@@ -230,11 +230,40 @@ class RestCatalogClient(val baseUri: String, credential: Option[String],
       snapshotId: Option[Long] = None): Seq[PlannedTask] = {
     val body = "{" + (filterJson.map(f => s""""filter":$f""").toSeq ++
       snapshotId.map(v => s""""snapshot-id":$v""").toSeq).mkString(",") + "}"
-    val first = expect(send("POST",
+    val submitted = expect(send("POST",
       s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/plan",
       Some(body)), "plan scan")
-    require((first \ "plan-status").extractOpt[String].contains("completed"),
-      s"unexpected plan-status: ${(first \ "plan-status").extractOpt[String]}")
+    // spec async leg (ADVICE r16): a conforming catalog may answer
+    // "submitted" + plan-id; poll GET …/plan/{plan-id} until it completes.
+    // Bounded (100 polls, linear backoff) so a catalog stuck in
+    // "submitted" fails loudly instead of hanging the engine.
+    val first = (submitted \ "plan-status").extractOpt[String] match {
+      case Some("completed") => submitted
+      case Some("submitted") =>
+        val id = (submitted \ "plan-id").extractOpt[String].getOrElse(
+          throw new IllegalStateException(
+            "plan scan: server answered 'submitted' without a plan-id"))
+        var polls = 0
+        var result: Option[JValue] = None
+        while (result.isEmpty) {
+          polls += 1
+          if (polls > 100) throw new IllegalStateException(
+            s"plan scan: plan $id still not completed after $polls polls")
+          val got = expect(send("GET",
+            s"/v1/iceberg/namespaces/${encNs(ns)}/tables/${enc(table)}/plan/${enc(id)}"),
+            "fetch planning result")
+          (got \ "plan-status").extractOpt[String] match {
+            case Some("completed") => result = Some(got)
+            case Some("submitted") => Thread.sleep(20L * polls)
+            case other => throw new IllegalStateException(
+              s"plan scan: plan $id ended in status $other")
+          }
+        }
+        result.get
+      case other => throw new IllegalStateException(
+        s"plan scan: unsupported plan-status $other (this client speaks the " +
+          "synchronous 'completed' and async 'submitted' legs)")
+    }
     // each response carries its OWN delete-files array (task references
     // index into it), plus optional chained `plan-tasks` tokens — drain
     // them through spec fetchScanTasks until no page points onward, so

@@ -106,7 +106,15 @@ class RestCatalogServer(val warehouse: String,
     // re-introduces an O(pages × files) prune per drain. Eviction is
     // NEVER a correctness event — plan-task tokens are stateless, a miss
     // re-prunes — so this is purely the memory-vs-recompute knob.
-    planCacheSize: Int = 64) {
+    planCacheSize: Int = 64,
+    // Spec ASYNC planning leg (VERDICT r16 #6): when true, POST /plan
+    // answers {"plan-status":"submitted","plan-id"} and the result is
+    // fetched via GET …/plan/{plan-id} (cancel via DELETE). graft's
+    // pruning is O(in-memory metadata) so the synchronous completed
+    // answer (default) is always available — the async mode exists for
+    // spec completeness and to prove the CLIENT's polling leg against a
+    // spec-conforming async catalog.
+    planAsync: Boolean = false) {
 
   require(planPageSize > 0, // 0 would page forever at the same offset
     s"planPageSize must be positive, got $planPageSize")
@@ -273,6 +281,8 @@ class RestCatalogServer(val warehouse: String,
           "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials",
           "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
           "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+          "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+          "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
           "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks",
           "GET /v1/{prefix}/namespaces/{namespace}/views",
           "GET /v1/{prefix}/namespaces/{namespace}/views/{view}",
@@ -336,6 +346,11 @@ class RestCatalogServer(val warehouse: String,
       // SELECT-only reader on page 2 of the very plan it was allowed
       // to start)
       case ("POST", "namespaces" :: ns :: "tables" :: t :: ("plan" | "tasks") :: Nil) =>
+        Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
+      // the async leg's fetch/cancel are part of the same READ: a
+      // SELECT-only principal that submitted a plan must be able to
+      // fetch and cancel it (the MODIFY catch-all below would 403 both)
+      case ("GET" | "DELETE", "namespaces" :: ns :: "tables" :: t :: "plan" :: _ :: Nil) =>
         Some(Seq("SELECT", "MODIFY") -> (decNs(ns) :+ t))
       // commit / head / refs / drop / view-commit: MODIFY on the table
       case ("POST" | "DELETE", "namespaces" :: ns :: ("tables" | "views") :: t :: _) =>
@@ -557,14 +572,36 @@ class RestCatalogServer(val warehouse: String,
       // the engine ready FileScanTasks with correctly SCOPED delete files.
       // At 100 TB this is the difference between every engine listing and
       // filtering manifests itself and one metadata-sized response.
-      // Synchronous completed (no async plan-id leg: pruning is O(files)
-      // over in-memory metadata, never long-running), but the RESPONSE is
-      // bounded: at most [[planPageSize]] inline tasks, the rest behind
-      // spec `plan-tasks` tokens served by the fetchScanTasks route below.
+      // Default: synchronous completed (pruning is O(files) over in-memory
+      // metadata, never long-running); `planAsync` answers the spec's
+      // submitted + plan-id leg instead (GET/DELETE …/plan/{id} below).
+      // Either way the RESPONSE is bounded: at most [[planPageSize]]
+      // inline tasks, the rest behind spec `plan-tasks` tokens served by
+      // the fetchScanTasks route below.
       case ("POST", "namespaces" :: ns :: "tables" :: t :: "plan" :: Nil) =>
         val body = readJson(ex)
-        icebergPlanScan(ex, decNs(ns), t,
+        if (planAsync)
+          icebergPlanSubmit(ex, decNs(ns), t,
+            (body \ "snapshot-id").extractOpt[Long], body \ "filter")
+        else icebergPlanScan(ex, decNs(ns), t,
           (body \ "snapshot-id").extractOpt[Long], body \ "filter", offset = 0)
+      // async leg: fetch / cancel a submitted plan by id. The registry
+      // entry is only (pinned snapshot version, filter) — fetching
+      // re-prunes through the same snapshot-pinned path the task tokens
+      // use, so results are identical to the synchronous leg.
+      case ("GET", "namespaces" :: ns :: "tables" :: t :: "plan" :: id :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        Option(asyncPlans.get((root, id))) match {
+          case None => err(ex, 404, s"no plan $id", "NoSuchPlanIdException")
+          case Some((snapV, filterJson)) =>
+            icebergPlanScan(ex, decNs(ns), t, Some(snapV),
+              JsonMethods.parse(filterJson), offset = 0)
+        }
+      case ("DELETE", "namespaces" :: ns :: "tables" :: t :: "plan" :: id :: Nil) =>
+        val root = tableRoot(decNs(ns), t)
+        if (asyncPlans.remove((root, id)) == null)
+          err(ex, 404, s"no plan $id", "NoSuchPlanIdException")
+        else { ex.sendResponseHeaders(204, -1); ex.close() }
       // spec fetchScanTasks: {"plan-task": <opaque token>} → the next page
       // of FileScanTasks. The token is stateless — base64 JSON pinning
       // (snapshot version, filter, offset) — so the single-threaded server
@@ -1077,11 +1114,52 @@ class RestCatalogServer(val warehouse: String,
     * so a stale (root, version, filter) entry could hand a foreign engine
     * the previous incarnation's file list (review r16). Every route that
     * evicts `logs` evicts here too. */
-  private def invalidatePlans(root: String, prefix: Boolean = false): Unit =
+  private def invalidatePlans(root: String, prefix: Boolean = false): Unit = {
     planCache.synchronized {
       planCache.keySet.removeIf(k =>
         k._1 == root || (prefix && k._1.startsWith(root + "/")))
     }
+    asyncPlans.synchronized {
+      asyncPlans.keySet.removeIf(k =>
+        k._1 == root || (prefix && k._1.startsWith(root + "/")))
+    }
+  }
+
+  /** Async-leg plan registry: (table root, plan-id) → (pinned snapshot
+    * version, filter). Entries are only a POINTER — the GET leg re-prunes
+    * through the same stateless path plan-task tokens use, so an evicted
+    * or restarted registry costs a 404 and a re-plan, never a wrong file
+    * list. Bounded LRU (128), evicted with the plan cache on drop/rename. */
+  private val asyncPlans = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), (Long, String)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (Long, String)]): Boolean =
+        size() > 128
+    })
+
+  /** Async submit (planAsync mode): validate exactly like the sync leg
+    * (404s must not differ by mode), pin the snapshot VERSION, register
+    * the (version, filter) pointer, answer spec `submitted` + plan-id. */
+  private def icebergPlanSubmit(ex: HttpExchange, ns: Seq[String], t: String,
+      snapshotId: Option[Long], filter: JValue): Unit = {
+    val root = tableRoot(ns, t)
+    if (!isTable(root)) return err(ex, 404, s"no table $t", "NoSuchTableException")
+    val log = logOf(root)
+    val snapV = snapshotId match {
+      case Some(v) =>
+        if (scala.util.Try(log.snapshot(v)).isFailure)
+          return err(ex, 404, s"no snapshot $v")
+        v
+      case None => log.currentVersion
+    }
+    val filterJson = filter match {
+      case JNothing | JNull => "null"
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+    val id = java.util.UUID.randomUUID().toString
+    asyncPlans.put((root, id), (snapV, filterJson))
+    ok(ex, s"""{"plan-status":"submitted","plan-id":${Serialization.write(id)}}""")
+  }
 
   private def icebergPlanScan(ex: HttpExchange, ns: Seq[String], t: String,
       snapshotId: Option[Long], filter: JValue, offset: Int): Unit = {

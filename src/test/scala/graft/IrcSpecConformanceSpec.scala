@@ -235,6 +235,50 @@ class IrcSpecConformanceSpec extends SparkSpec {
     } finally paged.stop()
   }
 
+  test("async planning leg conforms: submitted result, fetch, cancel") {
+    fixture
+    val async = new graft.rest.RestCatalogServer(server.warehouse,
+      Map("engine-a" -> "secret-a"), planAsync = true).start()
+    try {
+      val t2 = {
+        val r = http.send(HttpRequest.newBuilder(
+            URI.create(s"${async.uri}/v1/oauth/tokens"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "grant_type=client_credentials&client_id=engine-a&client_secret=secret-a"))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (JsonMethods.parse(r.body()) \ "access_token").extract[String]
+      }
+      def req(method: String, path: String, body: String = "{}") = {
+        val b = HttpRequest.newBuilder(URI.create(s"${async.uri}$path"))
+          .header("Authorization", s"Bearer $t2")
+        val built = method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case _ => b.header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body))
+        }
+        http.send(built.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val sub = req("POST", "/v1/iceberg/namespaces/conf/tables/shapes/plan",
+        """{"filter":{"type":"gt","term":"id","value":5}}""")
+      assert(sub.statusCode() == 200, sub.body())
+      conforms("AsyncPlanningResult", sub.body())
+      val id = (JsonMethods.parse(sub.body()) \ "plan-id").extract[String]
+      // fetch: the spec FetchPlanningResult's completed form == the
+      // synchronous CompletedPlanningResult shape
+      val got = req("GET", s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id")
+      assert(got.statusCode() == 200, got.body())
+      conforms("CompletedPlanningResult", got.body())
+      // cancel: 204, then the id is gone (404, spec error body)
+      assert(req("DELETE",
+        s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id").statusCode() == 204)
+      val gone = req("GET", s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id")
+      assert(gone.statusCode() == 404, gone.body())
+      conforms("IcebergErrorResponse", gone.body())
+    } finally async.stop()
+  }
+
   test("spec DDL responses conform: createNamespace and createTable") {
     val nsName = "confddl"
     // idempotent re-runs: a 409 on an existing namespace is also spec-shaped
