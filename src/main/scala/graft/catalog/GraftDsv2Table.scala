@@ -141,7 +141,10 @@ case class GraftDsv2Table(t: GraftTable, identName: String,
               // min/max only for exact numerics whose string bounds
               // round-trip losslessly (same rule as GraftMetadataAggregate)
               def merged(pick: graft.table.ColumnStats => String, wantMin: Boolean): Option[AnyRef] = {
-                val vals = perFile.flatten.map(pick)
+                // skip all-null marker entries (empty bounds) — one marker
+                // file must not wipe the merged bounds for the column
+                // (review r17: the Try below swallowed "".toLong)
+                val vals = perFile.flatten.map(pick).filter(_.trim.nonEmpty)
                 if (vals.isEmpty) None
                 else f.dataType match {
                   case LongType | IntegerType | ShortType | ByteType =>

@@ -433,8 +433,14 @@ object IcebergFilterJson {
     case x: Boolean => Some(x.toString)
     case x: java.sql.Date => Some(jstr(x.toString))      // ISO yyyy-MM-dd
     case x: java.time.LocalDate => Some(jstr(x.toString))
-    case x @ (_: java.sql.Timestamp | _: java.time.Instant |
-              _: java.time.LocalDateTime) => // either java8API setting + NTZ
+    case x @ (_: java.sql.Timestamp | _: java.time.Instant) =>
+      // timestamptz (either java8API setting): the INSTANT, rendered with
+      // an explicit UTC offset — Iceberg's single-value convention — so a
+      // foreign catalog can never interpret the wall-clock under its own
+      // zone and prune against shifted instants (review r17)
+      graft.table.GraftTable.tsLitMicros(x)
+        .map(m => jstr(graft.table.GraftTable.tsCanon(m) + "+00:00"))
+    case x: java.time.LocalDateTime => // timestamp_ntz: zone-free wall-clock
       graft.table.GraftTable.tsLitMicros(x)
         .map(m => jstr(graft.table.GraftTable.tsCanon(m)))
     case _ => None

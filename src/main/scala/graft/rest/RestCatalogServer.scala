@@ -1152,12 +1152,8 @@ class RestCatalogServer(val warehouse: String,
         v
       case None => log.currentVersion
     }
-    val filterJson = filter match {
-      case JNothing | JNull => "null"
-      case other => JsonMethods.compact(JsonMethods.render(other))
-    }
     val id = java.util.UUID.randomUUID().toString
-    asyncPlans.put((root, id), (snapV, filterJson))
+    asyncPlans.put((root, id), (snapV, filterCanon(filter)))
     ok(ex, s"""{"plan-status":"submitted","plan-id":${Serialization.write(id)}}""")
   }
 
@@ -1175,10 +1171,7 @@ class RestCatalogServer(val warehouse: String,
     }
     if ((filter \ "type").extractOpt[String].contains("false"))
       return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
-    val filterKey = filter match {
-      case JNothing | JNull => "null"
-      case other => JsonMethods.compact(JsonMethods.render(other))
-    }
+    val filterKey = filterCanon(filter)
     // O(1) snapshot identity beyond (root, version): commit wall-clock plus
     // file-list shape — two same-versioned incarnations commit at different
     // millis, and even a same-milli recreate names its files with fresh
@@ -1276,13 +1269,18 @@ class RestCatalogServer(val warehouse: String,
   /** Opaque fetchScanTasks token: URL-safe base64 of
     * `{"s":<snapshot>,"o":<offset>,"f":<filter|null>}` — stateless,
     * idempotently re-fetchable, snapshot-pinned. */
-  private def encodePlanTask(snapV: Long, filter: JValue, offset: Int): String = {
-    val f = filter match {
-      case JNothing | JNull => "null"
-      case other => JsonMethods.compact(JsonMethods.render(other))
-    }
+  private def encodePlanTask(snapV: Long, filter: JValue, offset: Int): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-      s"""{"s":$snapV,"o":$offset,"f":$f}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"s":$snapV,"o":$offset,"f":${filterCanon(filter)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** THE canonical string rendering of a plan filter — shared by the plan
+    * cache key, the stateless task tokens, and the async-plan registry so
+    * a future canonicalization change cannot desynchronize them (review
+    * r17). */
+  private def filterCanon(filter: JValue): String = filter match {
+    case JNothing | JNull => "null"
+    case other => JsonMethods.compact(JsonMethods.render(other))
   }
 
   private def decodePlanTask(tok: String): Option[(Long, JValue, Int)] =

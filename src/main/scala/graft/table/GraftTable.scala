@@ -928,7 +928,9 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         throw new IllegalArgumentException(s"no column $c"))
       require(f.dataType.isInstanceOf[NumericType],
         s"zorder column $c must be numeric, is ${f.dataType.simpleString}")
-      val sts = head.files.flatMap(_.stats.get(c))
+      // all-null marker entries carry empty bounds — no value to anchor
+      // the z-range on (review r17: "".toDouble failed the whole rewrite)
+      val sts = head.files.flatMap(_.stats.get(c)).filter(_.min.nonEmpty)
       require(sts.nonEmpty, s"no stats for zorder column $c")
       c -> (sts.map(_.min.toDouble).min, sts.map(_.max.toDouble).max)
     }.toMap
@@ -1494,7 +1496,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       .headOption.map(_.canonical)
     val rows = log.current.files.map { f =>
       val value = partCol.flatMap(c => f.stats.get(c))
-        .map(st => if (st.min == st.max) st.min else "mixed")
+        .map(st =>
+          // all-null marker: the file's partition value is genuinely NULL,
+          // not the empty string (review r17)
+          if (st.min.isEmpty && st.max.isEmpty && st.nullCount == f.rows) "null"
+          else if (st.min == st.max) st.min else "mixed")
         .getOrElse("(unpartitioned)")
       (value, f.rows, f.bytes)
     }
@@ -2161,7 +2167,12 @@ object GraftTable {
     case s: String =>
       val t = s.trim
       scala.util.Try(java.time.Instant.parse(t)).toOption
-        .flatMap(tsLitMicros).orElse(tsStatMicros(t.replace(' ', 'T')))
+        .flatMap(tsLitMicros)
+        // Iceberg's timestamptz single-value form carries an explicit
+        // offset ("…+00:00") — accept any offset, normalized to UTC
+        .orElse(scala.util.Try(java.time.OffsetDateTime.parse(t)).toOption
+          .flatMap(o => tsLitMicros(o.toInstant)))
+        .orElse(tsStatMicros(t.replace(' ', 'T')))
     case _ => None
   }
 
@@ -2320,10 +2331,13 @@ object GraftTable {
     * the transform pass (plan less, never fail the plan). */
   private[graft] def pruneFilesByStats(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFile] = {
-    val cmp = comparatorOf(s) // schema parsed once, not per file x filter
+    // schema JSON parsed ONCE per call (not per file × filter, and not
+    // once for the comparator plus once for the transforms — review r17)
+    val schema = DataType.fromJson(
+      s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType]
+    val cmp = new StatsComparator(schema)
     val transforms = scala.util.Try(PartitionTransform
-      .parseList(s.properties.get("write.partition-by"),
-        DataType.fromJson(s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType])
+      .parseList(s.properties.get("write.partition-by"), schema)
       .filterNot(_.isInstanceOf[PartitionTransform.Identity]))
       .getOrElse(Seq.empty)
     val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]

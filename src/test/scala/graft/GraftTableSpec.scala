@@ -206,6 +206,18 @@ class GraftTableSpec extends SparkSpec {
     assert(t.filesPossiblyContaining("id", "150").isEmpty)
   }
 
+  test("zorder rewrite survives a file that is all-null in the zorder column") {
+    val t = mk(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    // this file's `amount` is entirely null -> its stats entry is the
+    // all-null MARKER (empty bounds); the z-range derivation must skip it
+    // instead of failing the whole compaction on "".toDouble (review r17)
+    t.append(spark.sql("SELECT CAST(3 AS BIGINT) AS id, 'c' AS name, " +
+      "CAST(NULL AS DOUBLE) AS amount"))
+    t.rewriteDataFilesZOrder(1, Seq("amount"))
+    assert(t.read.count() == 3)
+    assert(t.read.filter("amount IS NULL").count() == 1)
+  }
+
   test("timestamp pruning survives a session-zone change between write and read") {
     // write under one session zone, filter under a hostile one: the
     // canonical UTC bounds must prune the same files and lose no rows

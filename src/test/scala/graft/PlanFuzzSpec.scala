@@ -269,13 +269,15 @@ class PlanFuzzSpec extends SparkSpec {
   }
 
   /** Independent micros parse for the ts oracle: ISO 'T' / space forms as
-    * UTC wall-clock, 'Z'/offset instants — ONLY the forms whose semantics
-    * are unambiguous; anything else is no-claim. */
+    * UTC wall-clock, 'Z' instants, explicit-offset forms — ONLY the forms
+    * whose semantics are unambiguous; anything else is no-claim. */
   private def oracleMicros(v: JValue): Option[Long] = v match {
     case JString(s) =>
       val t = s.trim
       scala.util.Try(java.time.Instant.parse(t)).toOption
         .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        .orElse(scala.util.Try(java.time.OffsetDateTime.parse(t).toInstant).toOption
+          .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L))
         .orElse(scala.util.Try {
           val ldt = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
           ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
@@ -337,7 +339,7 @@ class PlanFuzzSpec extends SparkSpec {
       1772323200000000L + rnd.between(0L, 140L) * 3600000000L)),
     () => JString("2026-03-03 12:00:00"),         // space form (UTC)
     () => JString("2026-03-03T12:00:00Z"),        // instant form
-    () => JString("2026-03-03T12:00:00+14:00"),   // offset form: not accepted -> no claim
+    () => JString("2026-03-03T12:00:00+14:00"),   // explicit-offset form
     () => JString("not a timestamp"), () => JString(""),
     () => JString("2026-13-45T99:99:99.000000"),  // unparseable calendar
     () => JInt(BigInt(rnd.between(-30L, 30L))),   // number against ts: no claim

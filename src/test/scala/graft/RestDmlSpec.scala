@@ -381,11 +381,20 @@ class RestDmlSpec extends SparkSpec {
     val inst = java.time.Instant.parse("2026-02-15T00:00:00.123456Z")
     val asTs = java.sql.Timestamp.from(inst)
     val asLdt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
-    // every literal form renders the SAME canonical UTC string
-    Seq[Any](inst, asTs, asLdt).foreach { v =>
+    // instant forms render the canonical UTC string WITH the explicit
+    // offset (Iceberg's timestamptz single-value convention); the NTZ
+    // wall-clock form stays bare
+    Seq[Any](inst, asTs).foreach { v =>
       val j = IcebergFilterJson.of(Seq(GreaterThanOrEqual("ev", v)))
-      assert(j.exists(_.contains(""""value":"2026-02-15T00:00:00.123456"""")), s"$v -> $j")
+      assert(j.exists(_.contains(""""value":"2026-02-15T00:00:00.123456+00:00"""")), s"$v -> $j")
     }
+    assert(IcebergFilterJson.of(Seq(GreaterThanOrEqual("ev", asLdt)))
+      .exists(_.contains(""""value":"2026-02-15T00:00:00.123456"""")))
+    // and the offset form round-trips through the literal parser
+    assert(graft.table.GraftTable.tsLitMicros("2026-02-15T00:00:00.123456+00:00")
+      == graft.table.GraftTable.tsLitMicros(inst))
+    assert(graft.table.GraftTable.tsLitMicros("2026-02-15T14:00:00.123456+14:00")
+      == graft.table.GraftTable.tsLitMicros(inst))
     assert(IcebergFilterJson.of(Seq(IsNotNull("v")))
       .contains("""{"type":"not-null","term":"v"}"""))
     // an OR whose side is inexpressible is dropped WHOLE (emitting half an
