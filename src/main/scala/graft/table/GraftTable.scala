@@ -2007,9 +2007,23 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       GraftTable.statsExcluded(cmp, f, flt)
 
     // ---- transform-domain pruning ----------------------------------------
+    val pruneSchema = stripIds(schemaOf(s, s.currentSchemaId))
     val transforms = PartitionTransform
-      .parseList(s.properties.get("write.partition-by"), stripIds(schemaOf(s, s.currentSchemaId)))
+      .parseList(s.properties.get("write.partition-by"), pruneSchema)
       .filterNot(_.isInstanceOf[PartitionTransform.Identity])
+      // bucket(n, ts): xxhash64 over `cast(ts as string)` — a SESSION-ZONE
+      // rendering, so a reader in a different zone than the writer would
+      // hash the same instant to a DIFFERENT bucket and equality pruning
+      // through the transform would wrongly exclude matching files (the
+      // zone class of bug the canonical bounds fixed). No claim instead;
+      // the layout still distributes writes, and iceberg_bucket (spec
+      // byte encodings, zone-free) is the pruning-safe variant for
+      // timestamps. Date/numeric/string cast renderings are zone-free.
+      .filterNot {
+        case PartitionTransform.Bucket(src, _) =>
+          pruneSchema.fields.exists(f => f.name == src && f.dataType == TimestampType)
+        case _ => false
+      }
     // one evaluation per (transform, literal) per call — not per file.
     // Order-preserving transforms evaluate session-free (the same pure
     // path the REST planner uses); bucket hashes still need a Spark eval.

@@ -255,6 +255,45 @@ class GraftTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("bucket(n, ts) equality never mis-prunes across a session-zone change") {
+    // bucket's xxhash runs over the session-zone string rendering: a
+    // reader in a different zone hashes the same instant to a different
+    // bucket, so bucket pruning on timestamp sources must make NO claim
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    val dir = tmpDir()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val df = spark.sql(
+        """SELECT CAST(id AS BIGINT) AS id,
+           timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts
+           FROM range(64)""")
+      // no AQE coalescing: the tiny fixture must fan out to several files
+      // with narrow per-file bucket ranges, or nothing is prunable and the
+      // test is vacuous
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val t = try GraftTable.create(spark, dir, df,
+          Map("write.partition-by" -> "bucket(8,ts)"))
+        finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      assert(t.log.current.files.size >= 2, "fixture did not fan out")
+      val instants = t.read.orderBy("id").collect()
+        .map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val t2 = GraftTable.load(spark, dir)
+      // every equality lookup's PRUNED file set still contains its row
+      // (asserted through pruneFiles itself — wrongful exclusion through
+      // the zone-dependent bucket hash would drop the owning file)
+      Seq(0, 17, 63).foreach { i =>
+        val pruned = t2.pruneFiles(t2.log.current,
+          Seq(org.apache.spark.sql.sources.EqualTo("ts", instants(i))))
+        assert(pruned.nonEmpty, s"row $i: everything pruned")
+        val ids = pruned.flatMap(f => spark.read.parquet(
+            graft.table.GraftTable.resolveUnder(dir, f.path))
+          .filter(col("ts") === instants(i)).collect().map(_.getLong(0)))
+        assert(ids == Seq(i.toLong), s"row $i lost by pruning: got $ids")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("commit CAS: losing writer gets a conflict, state stays consistent") {
     val t = mk(Seq((1L, "a", 10.0)))
     val head = t.log.current
