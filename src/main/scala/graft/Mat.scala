@@ -74,7 +74,12 @@ object Mat {
     * ROOT: a frame merely DERIVED from a checkpointed one no-ops, so a
     * careless release can never destroy a still-live upstream
     * checkpoint's blocks (its truncated lineage could not recompute
-    * them). */
+    * them).
+    *
+    * RELIABLE-CHECKPOINT tier caveat (ADVICE r17): unlike `unpersist`,
+    * deleting the checkpoint directory is UNRECOVERABLE — the frame (and
+    * anything lazily derived from it) must be fully materialized before
+    * release, or the consumer fails hard instead of recomputing. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -88,7 +93,15 @@ object Mat {
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)
-          } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+          } catch {
+            // best-effort semantics, but an invisible failure = an invisible
+            // leak: a flaky FS across a 50-round loop accretes directories
+            // with no signal (ADVICE r17) — log it
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"Mat.release: failed to delete checkpoint dir $dir " +
+                  s"(leaked until ContextCleaner GC): $e")
+          }
         }
       case _ =>
         df.unpersist(blocking = false) // a directly persist()-ed frame

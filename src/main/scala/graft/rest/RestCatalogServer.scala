@@ -114,12 +114,20 @@ class RestCatalogServer(val warehouse: String,
     // answer (default) is always available — the async mode exists for
     // spec completeness and to prove the CLIENT's polling leg against a
     // spec-conforming async catalog.
-    planAsync: Boolean = false) {
+    planAsync: Boolean = false,
+    // Async-leg plan registry bound (ADVICE r17: was hard-coded 128 while
+    // planCacheSize was a knob). Beyond it the oldest submitted-but-
+    // unfetched plan-ids 404 pollers — correct (the client re-plans) but
+    // degraded, so deployments sizing planCacheSize up should size this up
+    // alongside.
+    asyncPlanSize: Int = 128) {
 
   require(planPageSize > 0, // 0 would page forever at the same offset
     s"planPageSize must be positive, got $planPageSize")
   require(planCacheSize > 0,
     s"planCacheSize must be positive, got $planCacheSize")
+  require(asyncPlanSize > 0,
+    s"asyncPlanSize must be positive, got $asyncPlanSize")
 
   private implicit val fmts: Formats = DefaultFormats
   // token -> (principal = OAuth client id, absolute expiry epoch ms);
@@ -593,15 +601,22 @@ class RestCatalogServer(val warehouse: String,
         val root = tableRoot(decNs(ns), t)
         Option(asyncPlans.get((root, id))) match {
           case None => err(ex, 404, s"no plan $id", "NoSuchPlanIdException")
-          case Some((snapV, filterJson)) =>
+          case Some((_, _, true)) => // tombstone: spec cancelled read-back
+            ok(ex, """{"plan-status":"cancelled"}""")
+          case Some((snapV, filterJson, _)) =>
             icebergPlanScan(ex, decNs(ns), t, Some(snapV),
               JsonMethods.parse(filterJson), offset = 0)
         }
       case ("DELETE", "namespaces" :: ns :: "tables" :: t :: "plan" :: id :: Nil) =>
         val root = tableRoot(decNs(ns), t)
-        if (asyncPlans.remove((root, id)) == null)
-          err(ex, 404, s"no plan $id", "NoSuchPlanIdException")
-        else { ex.sendResponseHeaders(204, -1); ex.close() }
+        Option(asyncPlans.get((root, id))) match {
+          case None => err(ex, 404, s"no plan $id", "NoSuchPlanIdException")
+          case Some((snapV, filterJson, _)) =>
+            // keep a tombstone (idempotent cancel; GET reads back
+            // "cancelled" per spec instead of 404ing the next poller)
+            asyncPlans.put((root, id), (snapV, filterJson, true))
+            ex.sendResponseHeaders(204, -1); ex.close()
+        }
       // spec fetchScanTasks: {"plan-task": <opaque token>} → the next page
       // of FileScanTasks. The token is stateless — base64 JSON pinning
       // (snapshot version, filter, offset) — so the single-threaded server
@@ -1126,15 +1141,19 @@ class RestCatalogServer(val warehouse: String,
   }
 
   /** Async-leg plan registry: (table root, plan-id) → (pinned snapshot
-    * version, filter). Entries are only a POINTER — the GET leg re-prunes
-    * through the same stateless path plan-task tokens use, so an evicted
-    * or restarted registry costs a 404 and a re-plan, never a wrong file
-    * list. Bounded LRU (128), evicted with the plan cache on drop/rename. */
+    * version, filter, cancelled). Entries are only a POINTER — the GET leg
+    * serves from the plan cache the submit seeded (falling back to the
+    * same stateless re-prune path plan-task tokens use), so an evicted or
+    * restarted registry costs a 404 and a re-plan, never a wrong file
+    * list. A cancelled plan stays as a TOMBSTONE so pollers read back the
+    * spec's `"plan-status":"cancelled"` instead of an ambiguous 404
+    * (VERDICT r17 #6). Bounded LRU ([[asyncPlanSize]]), evicted with the
+    * plan cache on drop/rename. */
   private val asyncPlans = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, String), (Long, String)](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), (Long, String, Boolean)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), (Long, String)]): Boolean =
-        size() > 128
+          e: java.util.Map.Entry[(String, String), (Long, String, Boolean)]): Boolean =
+        size() > asyncPlanSize
     })
 
   /** Async submit (planAsync mode): validate exactly like the sync leg
@@ -1153,8 +1172,44 @@ class RestCatalogServer(val warehouse: String,
       case None => log.currentVersion
     }
     val id = java.util.UUID.randomUUID().toString
-    asyncPlans.put((root, id), (snapV, filterCanon(filter)))
+    asyncPlans.put((root, id), (snapV, filterCanon(filter), false))
+    // Seed the plan cache NOW so pollers — N clients × GET …/plan/{id},
+    // each of which used to re-prune O(files) when cold — are O(1) cache
+    // hits from the first poll (VERDICT r17 #6). A bad-request filter is
+    // left for the GET leg to surface as its 400.
+    prunedCached(root, scala.util.Try(log.snapshot(snapV)).getOrElse(null), filter)
     ok(ex, s"""{"plan-status":"submitted","plan-id":${Serialization.write(id)}}""")
+  }
+
+  /** Cache-through prune shared by the sync/poll scan leg and the async
+    * submit's cache seeding: (root, snapshot version, commit stamp,
+    * canonical filter) → pruned file list via [[planCache]]. Left = the
+    * bad-request message (a non-numeric literal against a numeric column
+    * is the CALLER's fault, not a server fault). Null snapshot → Right(Nil)
+    * without caching (seed-time race with a concurrent drop; the GET leg
+    * re-validates and 404s). */
+  private def prunedCached(root: String, snap: graft.table.Snapshot,
+      filter: JValue): Either[String, Seq[graft.table.DataFile]] = {
+    if (snap == null) return Right(Nil)
+    val filterKey = filterCanon(filter)
+    // O(1) snapshot identity beyond (root, version): commit wall-clock plus
+    // file-list shape — two same-versioned incarnations commit at different
+    // millis, and even a same-milli recreate names its files with fresh
+    // UUIDs, so first-path/count differ. vN.json is re-read per request
+    // (SnapshotLog.snapshot), so this stamp reflects CURRENT disk state.
+    val stamp = snap.timestampMs ^ (snap.files.size.toLong << 44) ^
+      (snap.files.headOption.map(_.path.hashCode.toLong).getOrElse(0L) << 12)
+    val cacheKey = (root, snap.version, stamp, filterKey)
+    val cached = planCache.get(cacheKey)
+    if (cached != null) Right(cached)
+    else try {
+      val pruned = graft.table.GraftTable.pruneFilesByStats(
+        snap, parseIcebergExpr(filter).toSeq)
+      planCache.put(cacheKey, pruned)
+      Right(pruned)
+    } catch { case _: NumberFormatException =>
+      Left("filter value does not match the column's type")
+    }
   }
 
   private def icebergPlanScan(ex: HttpExchange, ns: Seq[String], t: String,
@@ -1171,28 +1226,10 @@ class RestCatalogServer(val warehouse: String,
     }
     if ((filter \ "type").extractOpt[String].contains("false"))
       return ok(ex, """{"plan-status":"completed","file-scan-tasks":[],"delete-files":[]}""")
-    val filterKey = filterCanon(filter)
-    // O(1) snapshot identity beyond (root, version): commit wall-clock plus
-    // file-list shape — two same-versioned incarnations commit at different
-    // millis, and even a same-milli recreate names its files with fresh
-    // UUIDs, so first-path/count differ. vN.json is re-read per request
-    // (SnapshotLog.snapshot), so this stamp reflects CURRENT disk state.
-    val stamp = snap.timestampMs ^ (snap.files.size.toLong << 44) ^
-      (snap.files.headOption.map(_.path.hashCode.toLong).getOrElse(0L) << 12)
-    val cacheKey = (root, snap.version, stamp, filterKey)
-    val cached = planCache.get(cacheKey)
-    // a non-numeric literal against a numeric column is a BAD REQUEST,
-    // not a server fault — pruning comparisons throw NumberFormatException
-    val files =
-      if (cached != null) cached
-      else try {
-        val pruned = graft.table.GraftTable.pruneFilesByStats(
-          snap, parseIcebergExpr(filter).toSeq)
-        planCache.put(cacheKey, pruned)
-        pruned
-      } catch { case _: NumberFormatException =>
-        return err(ex, 400, "filter value does not match the column's type")
-      }
+    val files = prunedCached(root, snap, filter) match {
+      case Right(fs) => fs
+      case Left(msg) => return err(ex, 400, msg)
+    }
     val absRoot = absolutize(root)
     def abs(p: String): String =
       graft.table.GraftTable.resolveUnder(absRoot, p) // THE one path rule

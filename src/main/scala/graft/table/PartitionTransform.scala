@@ -181,7 +181,13 @@ object PartitionTransform {
   def evalOrderPreserving(t: PartitionTransform, v: Any): Option[String] = t match {
     case _ if v == null => None
     case Truncate(_, w, true) => v match {
-      case s: String => Some(s.substring(0, math.min(w, s.length)))
+      // Spark's substring counts CODE POINTS; Java's String.substring counts
+      // UTF-16 units. Truncating by units would render a SHORTER prefix than
+      // the recorded stats for literals with supplementary characters in the
+      // first w positions, wrongly excluding the matching file (ADVICE r17).
+      case s: String =>
+        val cps = s.codePointCount(0, s.length)
+        Some(s.substring(0, s.offsetByCodePoints(0, math.min(w, cps))))
       case _ => None
     }
     case Truncate(_, w, false) => v match {

@@ -82,6 +82,33 @@ class HiddenPartitioningSpec extends SparkSpec {
       .collect()(0).getLong(0) == 100)
   }
 
+  test("truncate(w, str): session-free literal eval counts CODE POINTS like Spark") {
+    // ADVICE r17 (medium): Java String.substring counts UTF-16 units while
+    // the recorded stats come from Spark's substring (code points) — a
+    // supplementary char in the first w positions made the session-free
+    // literal a SHORTER prefix than the stat rendering, wrongly excluding
+    // the matching file. 𝕏 (U+1D54F) is 1 code point / 2 UTF-16 units.
+    import graft.table.PartitionTransform
+    val tr = PartitionTransform.Truncate("tag", 2, isString = true)
+    for (s <- Seq("𝕏abc", "a𝕏bc", "𝕏", "ab", "a", "")) {
+      val sparkForm = spark.range(1).select(
+        substring(lit(s), 1, 2)).collect()(0).getString(0)
+      assert(PartitionTransform.evalOrderPreserving(tr, s) == Some(sparkForm),
+        s"literal eval diverged from Spark for ${s.codePoints().toArray.mkString("+")}")
+    }
+    // end-to-end: a truncate-partitioned table with supplementary-char tags
+    // must not prune away the file holding the matching row
+    init()
+    spark.sql("CREATE TABLE graft.hp.trcp (id BIGINT, tag STRING) PARTITIONED BY (truncate(2, tag))")
+    noCoalesce { spark.sql("""INSERT INTO graft.hp.trcp
+      SELECT id, concat(char(120792 - CAST(id % 4 AS INT)), 'x', id) FROM range(400)""") }
+    // char(120792)=𝕘-block supplementary chars; equality on one of them
+    val hit = spark.sql("SELECT tag FROM graft.hp.trcp WHERE id = 3").collect()(0).getString(0)
+    val got = spark.sql(s"SELECT count(*) FROM graft.hp.trcp WHERE tag = '$hit'")
+      .collect()(0).getLong(0)
+    assert(got == 1L, s"supplementary-char truncate pruning lost the row (got $got)")
+  }
+
   test("ADD PARTITION FIELD with a transform: new writes prune, old files stay safe") {
     init()
     spark.sql("CREATE TABLE graft.hp.evolve (id BIGINT, ts TIMESTAMP)")

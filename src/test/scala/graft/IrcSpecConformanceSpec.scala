@@ -270,10 +270,19 @@ class IrcSpecConformanceSpec extends SparkSpec {
       val got = req("GET", s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id")
       assert(got.statusCode() == 200, got.body())
       conforms("CompletedPlanningResult", got.body())
-      // cancel: 204, then the id is gone (404, spec error body)
+      // cancel: 204, then pollers read back the spec's cancelled status
+      // (EmptyPlanningResult), NOT an ambiguous 404 (VERDICT r17 #6)
       assert(req("DELETE",
         s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id").statusCode() == 204)
-      val gone = req("GET", s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id")
+      val cancelled = req("GET", s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id")
+      assert(cancelled.statusCode() == 200, cancelled.body())
+      conforms("EmptyPlanningResult", cancelled.body())
+      assert((JsonMethods.parse(cancelled.body()) \ "plan-status")
+        .extract[String] == "cancelled")
+      // cancel is idempotent on the tombstone; an UNKNOWN id still 404s
+      assert(req("DELETE",
+        s"/v1/iceberg/namespaces/conf/tables/shapes/plan/$id").statusCode() == 204)
+      val gone = req("GET", "/v1/iceberg/namespaces/conf/tables/shapes/plan/no-such-id")
       assert(gone.statusCode() == 404, gone.body())
       conforms("IcebergErrorResponse", gone.body())
     } finally async.stop()
