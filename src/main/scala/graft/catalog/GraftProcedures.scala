@@ -117,6 +117,8 @@ private[catalog] object GraftProcedures {
       // Iceberg 1.9's procedure name for the same pass — both spellings work
       new Proc("compute_table_stats", "alias of analyze_table (Iceberg's procedure name): NDV + histogram + Puffin stats in one pass",
         Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
+      new Proc("refresh_stats", "re-record every data file's stats in the canonical pruning forms (UTC timestamp bounds, spec-integer transform values, all-null markers) — one distributed read, metadata-only commit, no data rewritten; the cheap cure for legacy tables whose stats carry no pruning claim",
+        Seq(tbl))((s, r) => load(s, r).refreshStats()),
       new Proc("ancestors_of", "register a temp view of the HEAD's ancestor chain (version, timestamp, operation), newest first — Iceberg's ancestors_of",
         Seq(tbl, in("view_name", StringType)))((s, r) => {
         val t = load(s, r)

@@ -46,10 +46,23 @@ object PartitionTransform {
   /** `bucket(n, col)`: pmod(xxhash64(col :: string), n) — a uniform hash
     * bucket; equality/IN filters prune, ranges cannot (not order-preserving).
     * String canonicalization makes the bucket of a filter literal computable
-    * for any comparable source type. */
-  case class Bucket(source: String, n: Int) extends PartitionTransform {
+    * for any comparable source type.
+    *
+    * TIMESTAMP sources are special (VERDICT r17 #3): `cast(ts as string)`
+    * renders under the writer's SESSION ZONE, so two writers in different
+    * zones scatter the same instant across different buckets — layout
+    * co-location silently broken, and pruning unsound (the r17 guard makes
+    * legacy layouts claim nothing). Tables stamped
+    * `write.transform-version >= 2` (every table created from r18 on, and
+    * anything `CALL refresh_stats` has upgraded) hash the ZONE-FREE
+    * `unix_micros(ts)` instead (`tsMicros = true`): same instant → same
+    * bucket from any session, layout co-locates, equality/IN prunes. */
+  case class Bucket(source: String, n: Int, tsMicros: Boolean = false)
+      extends PartitionTransform {
     val canonical = s"bucket($n,$source)"
-    def column(c: Column): Column = pmod(xxhash64(c.cast("string")), lit(n.toLong))
+    def column(c: Column): Column =
+      if (tsMicros) pmod(xxhash64(unix_micros(c)), lit(n.toLong))
+      else pmod(xxhash64(c.cast("string")), lit(n.toLong))
     val numeric = true
     val orderPreserving = false
   }
@@ -120,10 +133,28 @@ object PartitionTransform {
 
   private val Fn = """^([A-Za-z_]+)\(([^)]*)\)$""".r
 
+  /** Table property versioning HOW transform values are computed (the spec
+    * STRINGS are stable; this versions their semantics). Absent = 1 (the
+    * legacy session-zone bucket(ts) hash, kept so existing layouts stay
+    * self-consistent); >= 2 = zone-free timestamp bucketing. Stamped on
+    * every newly created table; `refresh_stats` upgrades existing ones. */
+  val VersionKey = "write.transform-version"
+
+  def versionOf(props: Map[String, String]): Int =
+    props.get(VersionKey).flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(1)
+
+  /** Stamp a freshly-created table's properties with the CURRENT transform
+    * version (explicit caller-provided values win — a migration tool may
+    * deliberately pin 1 to reproduce a legacy layout). */
+  def stampVersion(props: Map[String, String]): Map[String, String] =
+    if (props.contains(VersionKey)) props else props + (VersionKey -> "2")
+
   /** Parse one spec: a bare column name (identity) or `fn(args)`. `schema`
     * resolves the source column (required to exist) and drives the
-    * string-vs-numeric truncate variant. */
-  def parse(spec: String, schema: StructType): PartitionTransform = {
+    * string-vs-numeric truncate variant. `v2` = the table's transform
+    * version is >= 2 ([[versionOf]]): timestamp buckets hash zone-free. */
+  def parse(spec: String, schema: StructType, v2: Boolean = false): PartitionTransform = {
     def field(name: String): StructField =
       schema.fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"partition transform '$spec': no column $name"))
@@ -136,7 +167,9 @@ object PartitionTransform {
             Identity(field(args.head).name)
           case "bucket" =>
             require(args.length == 2, s"bucket takes (n, col): $spec")
-            Bucket(field(args(1)).name, args.head.toInt)
+            val f = field(args(1))
+            Bucket(f.name, args.head.toInt,
+              tsMicros = v2 && f.dataType == TimestampType)
           case "iceberg_bucket" =>
             require(args.length == 2, s"iceberg_bucket takes (n, col): $spec")
             val f = field(args(1))
@@ -166,11 +199,21 @@ object PartitionTransform {
 
   /** Split a `write.partition-by` property on commas OUTSIDE parentheses
     * ("bucket(16,id),days(ts)" → two specs) and parse each. */
-  def parseList(prop: Option[String], schema: StructType): Seq[PartitionTransform] =
+  def parseList(prop: Option[String], schema: StructType,
+      v2: Boolean = false): Seq[PartitionTransform] =
     prop.toSeq
       .flatMap(_.split(""",(?![^(]*\))"""))
       .map(_.trim).filter(_.nonEmpty)
-      .map(parse(_, schema))
+      .map(parse(_, schema, v2))
+
+  /** [[parseList]] from a table's full property map — THE entry point for
+    * every caller that computes or compares transform VALUES (write layout,
+    * stats collection, pruning): it threads [[versionOf]] so a v2 table's
+    * timestamp buckets hash zone-free. Canonical-name-only callers
+    * (DDL validation, metadata rendering) may keep the bare form. */
+  def parseListFrom(props: Map[String, String],
+      schema: StructType): Seq[PartitionTransform] =
+    parseList(props.get("write.partition-by"), schema, versionOf(props) >= 2)
 
   /** SESSION-FREE evaluation of an order-preserving transform over a
     * filter literal, rendered exactly as the per-file transform stats are

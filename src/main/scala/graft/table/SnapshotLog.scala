@@ -270,8 +270,13 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
       deleteFiles = s.deleteFiles, eqDeleteFiles = s.eqDeleteFiles,
       mainLineage = s.mainLineage, summary = s.summary)
     val parentManifests = if (s.parent >= 0) storedManifests(s.parent) else Seq.empty
-    val livePaths = s.files.map(_.path).toSet
-    val kept = parentManifests.filter(m => readChunk(m).forall(f => livePaths.contains(f.path)))
+    // reuse requires ENTRY equality, not just path survival: a commit that
+    // mutates a carried file's metadata in place (refresh_stats re-records
+    // stats under the same path) must not have its mutation silently
+    // shadowed by a reused parent chunk holding the stale entry
+    val liveByPath = s.files.map(f => f.path -> f).toMap
+    val kept = parentManifests.filter(m =>
+      readChunk(m).forall(f => liveByPath.get(f.path).contains(f)))
     if (kept.size >= ConsolidateAt)
       base.copy(manifests = if (s.files.isEmpty) Seq.empty else Seq(writeChunk(s.files)))
     else {

@@ -268,4 +268,97 @@ class GraftProceduresSpec extends SparkSpec {
         .collect()(0).getLong(0) == 1)
     } finally spark.conf.unset("spark.wap.id")
   }
+
+  /** AQE coalescing folds tiny partitioned writes into one file; disable it
+    * around inserts so the layout splits and pruning is observable. */
+  private def noCoalesce[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("CALL refresh_stats: legacy-form stats regain pruning, metadata-only") {
+    init()
+    import graft.table.GraftTable
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    spark.sql(
+      "CREATE TABLE graft.proc.rs (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    noCoalesce { spark.sql("""INSERT INTO graft.proc.rs
+      SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)
+      FROM range(384)""") }
+    val t = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/rs")
+    val head = t.log.current
+    val all = head.files
+    assert(all.size >= 2, s"need multiple files, got ${all.size}")
+    val filt = Seq(GreaterThanOrEqual("ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    val freshPruned = t.pruneFiles(head, filt).map(_.path).toSet
+    assert(freshPruned.size < all.size, "fresh table must prune the ts range")
+    // DOWNGRADE to the legacy pre-r17 stat forms the read-compat shim
+    // refuses: space-separator session-zone timestamp renderings and ISO
+    // transform dates (what pre-r17 writers recorded)
+    val degraded = all.map { f =>
+      f.copy(stats = f.stats.map {
+        case (k, st) if k == "ts" =>
+          k -> st.copy(min = st.min.replace('T', ' ').takeWhile(_ != '.'),
+            max = st.max.replace('T', ' ').takeWhile(_ != '.'))
+        case (k, st) if k == "days(ts)" =>
+          k -> st.copy(
+            min = java.time.LocalDate.ofEpochDay(st.min.toLong).toString,
+            max = java.time.LocalDate.ofEpochDay(st.max.toLong).toString,
+            dataType = "string")
+        case kv => kv
+      })
+    }
+    t.log.commit(head.version, v => head.copy(version = v,
+      parent = head.version, timestampMs = System.currentTimeMillis(),
+      operation = "test-downgrade", files = degraded))
+    val t2 = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/rs")
+    assert(t2.pruneFiles(t2.log.current, filt).size == all.size,
+      "legacy stat forms must make NO pruning claim (read-compat shim)")
+    // the cure: one stats-only pass, zero data writes
+    spark.sql("CALL graft.system.refresh_stats('proc.rs')")
+    val t3 = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/rs")
+    val rHead = t3.log.current
+    assert(rHead.operation == "refresh-stats")
+    // identical data-file paths — nothing was rewritten
+    assert(rHead.files.map(_.path).sorted == all.map(_.path).sorted)
+    // sequence numbers survive (equality-delete scoping depends on them)
+    assert(rHead.files.map(f => f.path -> f.seq).toMap ==
+      all.map(f => f.path -> f.seq).toMap)
+    // pruning == the freshly-written table's, canonical forms back
+    assert(t3.pruneFiles(rHead, filt).map(_.path).toSet == freshPruned)
+    assert(rHead.files.forall(_.stats("ts").min.contains('T')))
+    assert(rHead.files.forall(f =>
+      scala.util.Try(f.stats("days(ts)").min.toLong).isSuccess))
+    // and results stay exact
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.proc.rs WHERE ts >= timestamp'2024-01-15 00:00:00'")
+      .collect()(0).getLong(0) == 48)
+  }
+
+  test("CALL refresh_stats: re-keys stats to CURRENT names after a rename") {
+    init()
+    import graft.table.GraftTable
+    import org.apache.spark.sql.sources.LessThan
+    spark.sql("CREATE TABLE graft.proc.rn (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.proc.rn SELECT id, id FROM range(100)")
+    spark.sql("INSERT INTO graft.proc.rn SELECT id, id + 10000 FROM range(100)")
+    spark.sql("ALTER TABLE graft.proc.rn RENAME COLUMN v TO w")
+    val t = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/rn")
+    val head = t.log.current
+    assert(head.files.size >= 2)
+    val filt = Seq(LessThan("w", 500L))
+    // write-time-name stats don't match the renamed column: no claim
+    assert(t.pruneFiles(head, filt).size == head.files.size)
+    spark.sql("CALL graft.system.refresh_stats('proc.rn')")
+    val t2 = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/rn")
+    val rHead = t2.log.current
+    assert(rHead.files.map(_.path).sorted == head.files.map(_.path).sorted)
+    assert(t2.pruneFiles(rHead, filt).size < rHead.files.size,
+      "refreshed stats must prune under the CURRENT column name")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.rn WHERE w < 500")
+      .collect()(0).getLong(0) == 100)
+  }
 }

@@ -294,6 +294,110 @@ class GraftTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("bucket(n, ts) v2: zone-free layout prunes equality AND co-locates across zones") {
+    // VERDICT r17 #3: new tables (transform-version 2, stamped at create)
+    // hash unix_micros — the same instant buckets identically from ANY
+    // session zone, so cross-zone writers co-locate and equality PRUNES
+    // (the legacy string hash got a no-claim guard instead)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    val dir = tmpDir()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // +14
+      def batch(off: Int) = spark.sql(
+        s"""SELECT CAST(id AS BIGINT) + $off AS id,
+           timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts
+           FROM range(64)""")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val t = try GraftTable.create(spark, dir, batch(0),
+          Map("write.partition-by" -> "bucket(8,ts)"))
+        finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      assert(t.log.current.properties.get(
+        graft.table.PartitionTransform.VersionKey).contains("2"))
+      assert(t.log.current.files.size >= 2, "fixture did not fan out")
+      val instants = t.read.filter($"id" < 64).orderBy("id").collect()
+        .map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+
+      // a HOSTILE-ZONE writer appends the SAME INSTANTS (ids offset +64) —
+      // built from the captured java.sql.Timestamp values, which carry the
+      // instant itself (re-parsing the wall-clock string would silently
+      // shift it by the zone delta and test nothing)
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles") // -8
+      val t2 = GraftTable.load(spark, dir)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try t2.append(instants.zipWithIndex.map { case (ts, i) => (i + 64L, ts) }
+        .toDF("id", "ts"))
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+      // CO-LOCATION: both zones' copies of one instant live in files whose
+      // bucket(8,ts) stat ranges overlap on the same v2 bucket value —
+      // prune by equality and BOTH ids must come back from the kept files
+      val t3 = GraftTable.load(spark, dir)
+      val all = t3.log.current.files
+      // per-file bucket stats are min/max RANGES over hash-scattered
+      // values, so not every bucket is outside every file's span — demand
+      // that SOME equality prunes (zone-free stats make real claims) and
+      // that EVERY equality keeps both zones' copies (soundness +
+      // co-location: the same instant hashed to the same bucket from both
+      // sessions, so the files that survive pruning contain both rows)
+      var prunedSome = false
+      (0 until 64 by 7).foreach { i =>
+        val pruned = t3.pruneFiles(t3.log.current,
+          Seq(org.apache.spark.sql.sources.EqualTo("ts", instants(i))))
+        if (pruned.size < all.size) prunedSome = true
+        val ids = pruned.flatMap(f => spark.read.parquet(
+            graft.table.GraftTable.resolveUnder(dir, f.path))
+          .filter(col("ts") === instants(i)).collect().map(_.getLong(0))).sorted
+        assert(ids == Seq(i.toLong, i + 64L), s"row $i: cross-zone copies not co-located/kept: $ids")
+      }
+      assert(prunedSome, "v2 bucket equality never pruned anything")
+      // and the SQL read stays exact
+      assert(t3.read.filter(col("ts") === instants(5)).count() == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("bucket(n, ts) legacy layout (version 1) still makes no pruning claim; refresh_stats upgrades it") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    val dir = tmpDir()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val df = spark.sql(
+        """SELECT CAST(id AS BIGINT) AS id,
+           timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts
+           FROM range(64)""")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // a migration tool pinning version 1 reproduces the LEGACY layout
+      val t = try GraftTable.create(spark, dir, df, Map(
+          "write.partition-by" -> "bucket(8,ts)",
+          graft.table.PartitionTransform.VersionKey -> "1"))
+        finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val all = t.log.current.files
+      assert(all.size >= 2)
+      val instants = t.read.orderBy("id").collect()
+        .map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val t2 = GraftTable.load(spark, dir)
+      // legacy session-zone hash: NO claim — nothing pruned
+      assert(t2.pruneFiles(t2.log.current,
+        Seq(org.apache.spark.sql.sources.EqualTo("ts", instants(17)))).size == all.size)
+      // the stats-only upgrade: v2 stats over the v1 layout are sound
+      // (stats are recomputed from the data), so pruning claims return
+      t2.refreshStats()
+      val t3 = GraftTable.load(spark, dir)
+      assert(t3.log.current.properties.get(
+        graft.table.PartitionTransform.VersionKey).contains("2"))
+      assert(t3.log.current.files.map(_.path).sorted == all.map(_.path).sorted)
+      Seq(0, 17, 63).foreach { i =>
+        val pruned = t3.pruneFiles(t3.log.current,
+          Seq(org.apache.spark.sql.sources.EqualTo("ts", instants(i))))
+        assert(pruned.nonEmpty, s"row $i: everything pruned")
+        val ids = pruned.flatMap(f => spark.read.parquet(
+            graft.table.GraftTable.resolveUnder(dir, f.path))
+          .filter(col("ts") === instants(i)).collect().map(_.getLong(0)))
+        assert(ids == Seq(i.toLong), s"row $i lost by v2-over-v1-layout pruning: $ids")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("commit CAS: losing writer gets a conflict, state stays consistent") {
     val t = mk(Seq((1L, "a", 10.0)))
     val head = t.log.current
