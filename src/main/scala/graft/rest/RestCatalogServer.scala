@@ -164,9 +164,35 @@ class RestCatalogServer(val warehouse: String,
   private val Sep = "\u001f" // Iceberg REST multipart-namespace separator
   private def decNs(seg: String): Seq[String] =
     java.net.URLDecoder.decode(seg, "UTF-8").split(Sep).toSeq
-  private def nsDir(ns: Seq[String]): String = (warehouse +: ns).mkString("/")
+
+  /** Identifier hygiene at the PATH chokepoints (RestFuzzSpec): a
+    * namespace part, table or view name that is empty, ".", "..", or
+    * carries a path separator / NUL would resolve OUTSIDE its parent
+    * directory — warehouse escape via createTable {"name":"../x"},
+    * rename-to-anywhere, dropNamespace(".."), purge-drop of the warehouse
+    * itself. URL-path segments can't smuggle a raw "/", but JSON-body
+    * identifiers (create/rename/register) and the URL-DECODED namespace
+    * separator form can. 400 (client fault), never a path resolution. */
+  private def checkIdent(parts: Seq[String]): Seq[String] = {
+    parts.foreach { p =>
+      if (p.isEmpty || p == "." || p == ".." ||
+          p.exists(c => c == '/' || c == '\\' || c < ' '))
+        throw new IllegalArgumentException(
+          s"invalid identifier part '${p.take(64)}'")
+      // layout-internal names: a TABLE named "_graft" makes its parent
+      // namespace probe as a table (isTable checks <p>/_graft/HEAD); one
+      // named "_views"/"_iceberg" collides with view storage / rendered
+      // metadata; "_staging-*" with in-flight write staging
+      if (p == "_graft" || p == "_views" || p == "_iceberg" ||
+          p.startsWith("_staging-"))
+        throw new IllegalArgumentException(s"identifier '$p' is reserved")
+    }
+    parts
+  }
+  private def nsDir(ns: Seq[String]): String =
+    (warehouse +: checkIdent(ns)).mkString("/")
   private def tableRoot(ns: Seq[String], t: String): String =
-    (warehouse +: ns :+ t).mkString("/")
+    (warehouse +: checkIdent(ns :+ t)).mkString("/")
   // HEAD probe OR committed-snapshot listing (SnapshotLog.exists semantics):
   // a delete+rename HEAD replace must not make a live table 404 mid-commit
   private def isTable(p: String): Boolean =
@@ -174,7 +200,12 @@ class RestCatalogServer(val warehouse: String,
       io.listNames(s"$p/_graft").exists(n => n.startsWith("v") && n.endsWith(".json"))
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    // a HEAD request takes the status only — the JDK server rejects a
+    // response body on HEAD, and an err() fired before the HEAD-specific
+    // routes (auth failure, hostile identifier) lands here (RestFuzzSpec)
+    val bytes =
+      if (ex.getRequestMethod == "HEAD") Array.emptyByteArray
+      else body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
@@ -210,7 +241,14 @@ class RestCatalogServer(val warehouse: String,
     * schema string) still surfaces as the 500 it is — a client told "fix
     * your request" for our bit rot would retry forever (review r16). */
   private def readJson(ex: HttpExchange): JValue =
-    try JsonMethods.parse(readBody(ex))
+    try JsonMethods.parse(readBody(ex)) match {
+      // a JSON `null` body extracts to a NULL case class (json4s), which
+      // NPEs at first field access — the one scalar shape the per-route
+      // MappingException mapping can't catch (RestFuzzSpec)
+      case JNull | JNothing =>
+        throw new IllegalArgumentException("request body must be a JSON document")
+      case j => j
+    }
     catch {
       case e: com.fasterxml.jackson.core.JacksonException =>
         throw new IllegalArgumentException(
@@ -324,7 +362,36 @@ class RestCatalogServer(val warehouse: String,
     case c: CommitConflictException =>
       err(ex, 409, c.getMessage, "CommitFailedException")
     case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
+    // a WELL-FORMED JSON body whose fields don't fit the route's request
+    // shape ({"name": 5}) is the client's fault exactly like unparseable
+    // JSON — readJson maps the parse half, this maps the extract half
+    // (RestFuzzSpec: it surfaced as a 500 before)
+    case e: org.json4s.MappingException =>
+      err(ex, 400, s"malformed request body: ${e.getMessage}")
     case e: IllegalStateException => err(ex, 409, String.valueOf(e.getMessage))
+    // a file that VANISHES between a route's existence check and its read
+    // is a concurrent drop/expire, not a server fault: the resource is
+    // gone → 404. A shell-exec failure on a vanished temp file (Hadoop
+    // local FS chmod during a raced write) is the write-side twin → 409,
+    // retryable. Surfaced by ConcurrencySoakSpec's drop/recreate races —
+    // both were 500s before.
+    case e: java.io.FileNotFoundException =>
+      err(ex, 404, s"resource vanished (concurrent drop?): ${e.getMessage}",
+        "NoSuchTableException")
+    case e: java.nio.file.NoSuchFileException =>
+      err(ex, 404, s"resource vanished (concurrent drop?): ${e.getMessage}",
+        "NoSuchTableException")
+    case e: org.apache.hadoop.util.Shell.ExitCodeException =>
+      err(ex, 409, s"storage mutation raced a concurrent operation, retry: " +
+        s"${e.getMessage}", "CommitFailedException")
+    // Hadoop's local FS reports "mkdirs under a concurrently-deleted parent"
+    // as a generic IOException with this message prefix — the drop-vs-create
+    // race's third face (the first two throw typed exceptions above). Other
+    // IOExceptions (disk full, permissions) stay honest 500s.
+    case e: java.io.IOException
+        if String.valueOf(e.getMessage).startsWith("Mkdirs failed") =>
+      err(ex, 409, s"storage mutation raced a concurrent operation, retry: " +
+        s"${e.getMessage}", "CommitFailedException")
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
@@ -369,6 +436,12 @@ class RestCatalogServer(val warehouse: String,
       // namespace navigation (exists / list tables / list views): USE_SCHEMA
       case ("GET" | "HEAD", "namespaces" :: ns :: _) =>
         Some(Seq("USE_SCHEMA") -> decNs(ns))
+      // creating a namespace mutates the CATALOG — without this gate any
+      // authenticated principal could mint namespaces under enforcement
+      // (RestFuzzSpec); CREATE_TABLE at catalog level doubles as the
+      // schema-creation right (UC's CREATE_SCHEMA analogue)
+      case ("POST", "namespaces" :: Nil) =>
+        Some(Seq("CREATE_TABLE", "CREATE_SCHEMA") -> Seq.empty)
       case ("DELETE", "namespaces" :: ns :: Nil) =>
         Some(Seq("MODIFY") -> decNs(ns))
       case _ => None // list/create namespaces, transactions: checked per-table
@@ -645,6 +718,7 @@ class RestCatalogServer(val warehouse: String,
         ok(ex, withNextToken(Map("identifiers" ->
           page.map(n => Map("namespace" -> decNs(ns), "name" -> n))), next))
       case ("GET" | "HEAD", "namespaces" :: ns :: "views" :: v :: Nil) =>
+        checkIdent(Seq(v))
         val path = s"${nsDir(decNs(ns))}/_views/$v.json"
         if (!io.exists(path)) return err(ex, 404, s"no view $v")
         if (method == "HEAD") { ex.sendResponseHeaders(204, -1); ex.close(); return }
@@ -653,8 +727,9 @@ class RestCatalogServer(val warehouse: String,
       case ("POST", "namespaces" :: ns :: "views" :: Nil) =>
         icebergCreateView(ex, decNs(ns))
       case ("POST", "namespaces" :: ns :: "views" :: v :: Nil) =>
-        icebergCommitView(ex, decNs(ns), v)
+        icebergCommitView(ex, decNs(ns), checkIdent(Seq(v)).head)
       case ("DELETE", "namespaces" :: ns :: "views" :: v :: Nil) =>
+        checkIdent(Seq(v))
         val dir = s"${nsDir(decNs(ns))}/_views"
         if (!io.exists(s"$dir/$v.json")) return err(ex, 404, s"no view $v")
         io.delete(s"$dir/$v.json")
@@ -684,7 +759,9 @@ class RestCatalogServer(val warehouse: String,
         throw new IllegalArgumentException(s"rename needs $key.namespace"))
       val n = (body \ key \ "name").extractOpt[String].getOrElse(
         throw new IllegalArgumentException(s"rename needs $key.name"))
-      (ns, n)
+      // JSON-body identifiers can smuggle separators / ".." past the URL
+      // layer — a hostile rename is an arbitrary directory move otherwise
+      (checkIdent(ns), checkIdent(Seq(n)).head)
     }
     val (srcNs, srcName) = ident("source")
     val (dstNs, dstName) = ident("destination")
@@ -749,8 +826,8 @@ class RestCatalogServer(val warehouse: String,
     * so the created view is immediately usable from a graft `SELECT`. */
   private def icebergCreateView(ex: HttpExchange, ns: Seq[String]): Unit = {
     val body = readJson(ex)
-    val name = (body \ "name").extractOpt[String].getOrElse(
-      throw new IllegalArgumentException("createView needs name"))
+    val name = checkIdent(Seq((body \ "name").extractOpt[String].getOrElse(
+      throw new IllegalArgumentException("createView needs name")))).head
     if ((body \ "location").extractOpt[String].exists(_.nonEmpty))
       throw new IllegalArgumentException(
         "custom location is not supported: views live under the namespace")
@@ -1087,8 +1164,9 @@ class RestCatalogServer(val warehouse: String,
     log.initDirs()
     log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(), "create",
       0, Map("0" -> st.json), Seq.empty,
-      props ++ partBy.map("write.partition-by" -> _)
-            ++ sortBy.map("write.sort-by" -> _)))
+      graft.table.PartitionTransform.stampVersion(
+        props ++ partBy.map("write.partition-by" -> _)
+              ++ sortBy.map("write.sort-by" -> _))))
     val (metaUri, metadataJson) = renderIcebergMetadata(root)
     ok(ex, tableResult(root, metaUri, metadataJson))
   }
@@ -1755,7 +1833,8 @@ class RestCatalogServer(val warehouse: String,
         val withIds = GraftTable.stampIds(
           DataType.fromJson(req.schemaJson).asInstanceOf[StructType])
         log.commit(-1L, _ => Snapshot(0L, -1L, System.currentTimeMillis(), "create",
-          0, Map("0" -> withIds.json), Seq.empty, req.properties))
+          0, Map("0" -> withIds.json), Seq.empty,
+          graft.table.PartitionTransform.stampVersion(req.properties)))
         ok(ex, Serialization.write(Map("location" -> root)))
       case ("GET", "namespaces" :: ns :: "tables" :: t :: Nil) =>
         val root = tableRoot(decNs(ns), t)

@@ -693,6 +693,12 @@ object IcebergExport {
       }
       acc
     }
+    // a table dropped mid-render leaves an empty chain: surface it as the
+    // vanished-resource shape (the REST layer maps it to 404), not a bare
+    // NoSuchElementException 500 (ConcurrencySoakSpec drop-vs-create race)
+    if (chain.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"$tablePath has no readable snapshots (concurrently dropped?)")
     val head = chain.last
     // EVERY schema in the head exports (files pin to the schema they were
     // written under — a foreign reader or re-import must resolve pre-rename
