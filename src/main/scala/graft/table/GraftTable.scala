@@ -1065,8 +1065,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       // stats-based pruning is layout-independent, so a legacy
       // session-zone bucket(ts) LAYOUT stays correct under v2 stats (its
       // per-file bucket ranges are just wider until a rewrite re-clusters)
+      // ... and only when NO file keeps a stale entry (a skipped file's
+      // old v1 transform stats must not sit under a v2 stamp)
       val canUpgrade = head.files.forall(f =>
-        head.schemas.contains(f.schemaId.toString))
+        head.schemas.contains(f.schemaId.toString) && !f.footerIds)
       // FORCE the stamp (not stampVersion, which honors an existing pin):
       // upgrading pinned-v1 tables is this procedure's purpose — every
       // file's transform stats are recomputed below under v2 semantics in
@@ -1079,19 +1081,31 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         .filter(_.metadata.contains("graft.id"))
         .map(f => f.metadata.getLong("graft.id") -> f.name).toMap
       val refreshedByPath: Map[String, DataFile] =
-        head.files.groupBy(_.schemaId).toSeq.flatMap { case (sid, fs) =>
-          // a group whose write-time schema is no longer recorded cannot be
-          // re-read faithfully — keep those entries as they are
-          if (!head.schemas.contains(sid.toString)) Seq.empty
+        head.files.groupBy(_.schemaId).toSeq.flatMap { case (sid, fs0) =>
+          // two classes of file cannot be re-read faithfully and keep their
+          // entries as they are: a group whose write-time schema is no
+          // longer recorded, and footer-field-id files (Iceberg imports
+          // resolve columns BY ID — a by-name re-read of a file whose
+          // parquet names predate an Iceberg-side rename would read nulls
+          // and record FALSE all-null markers, i.e. unsound pruning)
+          val fs = fs0.filterNot(_.footerIds)
+          if (!head.schemas.contains(sid.toString) || fs.isEmpty) Seq.empty
           else {
             val stamped = schemaOf(head, sid)
             val sch = stripIds(stamped)
-            // write-time name -> current name (field-id join; dropped
-            // columns vanish — their stats would prune nothing anyway)
+            // write-time name -> current name (field-id join)
             val rekey: Map[String, String] = stamped.fields
               .filter(_.metadata.contains("graft.id"))
               .flatMap(f => idToCur.get(f.metadata.getLong("graft.id"))
                 .map(f.name -> _)).toMap
+            // write-time column names whose id was DROPPED from the current
+            // schema: their stats must not pass through — a later column
+            // RENAMED onto the dropped name would inherit the dead column's
+            // bounds as its own (wrong stats → wrong pruning)
+            val dropped: Set[String] = stamped.fields
+              .filter(f => f.metadata.contains("graft.id") &&
+                !idToCur.contains(f.metadata.getLong("graft.id")))
+              .map(_.name).toSet
             // transform stats recompute only when every source column
             // resolves in this group's write-time schema under its current
             // name (the no-rename common case); a group written before the
@@ -1107,8 +1121,10 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
                 a => origOf(GraftTable.canonStr(a)).path, derived)
               .map { nf =>
                 val orig = origOf(GraftTable.canonStr(resolve(nf.path)))
-                val renamed = nf.stats.map { case (k, v) =>
-                  rekey.getOrElse(k, k) -> v } // transform keys pass through
+                val renamed = nf.stats.flatMap { case (k, v) =>
+                  if (dropped(k)) None // dead column: no claim to carry
+                  else Some(rekey.getOrElse(k, k) -> v) // transform keys pass
+                }
                 orig.path -> orig.copy(rows = nf.rows, bytes = nf.bytes,
                   stats = renamed)
               }

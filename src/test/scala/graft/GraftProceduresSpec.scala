@@ -361,4 +361,26 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.proc.rn WHERE w < 500")
       .collect()(0).getLong(0) == 100)
   }
+
+  test("CALL refresh_stats: a DROPPED column's stats never shadow a column renamed onto its name") {
+    init()
+    import graft.table.GraftTable
+    import org.apache.spark.sql.sources.GreaterThan
+    // a (BIGINT, small values) is dropped; b (BIGINT, huge values) is then
+    // renamed to "a". A refresh that passed the dead column's stats through
+    // by name would record a=[0,99] for files whose CURRENT "a" is 10000+ —
+    // and a filter a > 5000 would wrongly prune every file.
+    spark.sql("CREATE TABLE graft.proc.dc (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.proc.dc SELECT id, id + 10000 FROM range(100)")
+    spark.sql("ALTER TABLE graft.proc.dc DROP COLUMN a")
+    spark.sql("ALTER TABLE graft.proc.dc RENAME COLUMN b TO a")
+    spark.sql("CALL graft.system.refresh_stats('proc.dc')")
+    val t = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/dc")
+    val head = t.log.current
+    val pruned = t.pruneFiles(head, Seq(GreaterThan("a", 5000L)))
+    assert(pruned.size == head.files.size,
+      "dead column's stats shadowed the renamed column and mis-pruned")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.dc WHERE a > 5000")
+      .collect()(0).getLong(0) == 100)
+  }
 }
