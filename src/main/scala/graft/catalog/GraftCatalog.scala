@@ -85,9 +85,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private def spark: SparkSession = SparkSession.active
 
-  private def nsPath(ns: Array[String]): String = (warehouse +: ns).mkString("/")
+  /** Identifier hygiene at the local catalog's path chokepoints — the same
+    * rules [[graft.rest.RestCatalogServer]] enforces on its wire surface:
+    * backquoted SQL idents (`` `../x` ``) and dotted procedure arguments
+    * ('../../x') would otherwise resolve OUTSIDE the warehouse, and
+    * layout-internal names would collide with table/view metadata. Local
+    * mode is the user's own trust domain, but a confused tool writing
+    * through a crafted ident should fail loudly, not escape quietly. */
+  private def checkParts(parts: Seq[String]): Seq[String] = {
+    parts.foreach { p =>
+      if (p.isEmpty || p == "." || p == ".." ||
+          p.exists(c => c == '/' || c == '\\' || c < ' '))
+        throw new IllegalArgumentException(
+          s"invalid identifier part '${p.take(64)}'")
+      if (p == "_graft" || p == "_views" || p == "_iceberg" ||
+          p.startsWith("_staging-"))
+        throw new IllegalArgumentException(s"identifier '$p' is reserved")
+    }
+    parts
+  }
+  private def nsPath(ns: Array[String]): String =
+    (warehouse +: checkParts(ns.toSeq)).mkString("/")
   private def tablePath(ident: Identifier): String =
-    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+    (warehouse +: checkParts(ident.namespace().toSeq :+ ident.name())).mkString("/")
   // HEAD probe OR committed-snapshot listing — same hardening as
   // SnapshotLog.exists: on stores where the HEAD replace is delete+rename,
   // a probe mid-commit must not conclude "no table"
@@ -109,7 +129,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * (SURVEY.md §2.8; see [[GraftProcedures]]). */
   private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
     GraftProcedures.registry(
-      name => (warehouse +: name.split("\\.").toSeq).mkString("/"),
+      name => (warehouse +: checkParts(name.split("\\.").toSeq)).mkString("/"),
       (s, dotted) => {
         val parts = dotted.split("\\.")
         loadGraft(Identifier.of(parts.init, parts.last))

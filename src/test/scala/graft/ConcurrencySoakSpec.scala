@@ -182,6 +182,19 @@ class ConcurrencySoakSpec extends SparkSpec {
           "/v1/iceberg/namespaces/soak/tables",
           Some("""{"name":"rc","schema":{"type":"struct","schema-id":0,"fields":[
             {"id":1,"name":"id","required":false,"type":"long"}]}}"""))),
+        // rename races (the verdict's "commits/drops/RENAMES"): the whole
+        // table tree moves mid-commit/mid-plan; the commit protocol never
+        // recreates a moved-away parent (createExclusive/writeAtomicReplace
+        // fail without mkdirs), so racers abort cleanly instead of
+        // stranding a half-table
+        () => record5xx("rename", reqSrv(serverA, tokA, "POST",
+          "/v1/iceberg/tables/rename",
+          Some("""{"source":{"namespace":["soak"],"name":"rc"},
+            "destination":{"namespace":["soak"],"name":"rc2"}}"""))),
+        () => record5xx("renameBack", reqSrv(serverB, tokB, "POST",
+          "/v1/iceberg/tables/rename",
+          Some("""{"source":{"namespace":["soak"],"name":"rc2"},
+            "destination":{"namespace":["soak"],"name":"rc"}}"""))),
         // plan through server A; on 200, planned files must not mix
         // incarnations (all exist under the LIVE root's data dir or the
         // response is empty — a stale cache would hand back purged paths)
@@ -215,15 +228,29 @@ class ConcurrencySoakSpec extends SparkSpec {
       pool.shutdown()
       assert(pool.awaitTermination(60, TimeUnit.SECONDS), s"schedule $s hung")
 
-      // post-schedule: state is never torn — absent, or cleanly walkable
-      val log = new SnapshotLog(root)
-      if (log.exists) {
-        val head = log.current // parses
-        assert(head.version >= 0)
-        // every file the snapshot references exists on disk
-        head.files.foreach(f => assert(
-          Files.exists(Paths.get(graft.table.GraftTable.resolveUnder(root, f.path))),
-          s"schedule $s: HEAD references missing file ${f.path}"))
+      // post-schedule: state is never torn — absent, or cleanly walkable,
+      // under EITHER name the rename race may have left it at
+      Seq(root, s"$wh/soak/rc2").foreach { r =>
+        val log = new SnapshotLog(r)
+        if (log.exists) {
+          val head = log.current // parses
+          assert(head.version >= 0)
+          // every file the snapshot references exists on disk
+          head.files.foreach(f => assert(
+            Files.exists(Paths.get(graft.table.GraftTable.resolveUnder(r, f.path))),
+            s"schedule $s: HEAD at $r references missing file ${f.path}"))
+        }
+      }
+      // normalize for the next schedule: anything at rc2 goes back to rc
+      // (threads are joined — no concurrency here)
+      if (new SnapshotLog(s"$wh/soak/rc2").exists) {
+        if (new SnapshotLog(root).exists)
+          reqSrv(serverA, tokA, "DELETE",
+            "/v1/iceberg/namespaces/soak/tables/rc2?purgeRequested=true", None)
+        else
+          reqSrv(serverA, tokA, "POST", "/v1/iceberg/tables/rename",
+            Some("""{"source":{"namespace":["soak"],"name":"rc2"},
+              "destination":{"namespace":["soak"],"name":"rc"}}"""))
       }
     }
     assert(errors.isEmpty, s"soak violations:\n${errors.toArray.mkString("\n")}")
