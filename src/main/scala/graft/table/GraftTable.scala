@@ -1115,7 +1115,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
                 .parseListFrom(newProps, sch))
               .getOrElse(Seq.empty)
               .filterNot(_.isInstanceOf[PartitionTransform.Identity])
-              .map(t => (t.canonical, t.column(qcol(t.source)), t.numeric))
+              .map(t => (t, t.column(qcol(t.source))))
             val origOf = fs.map(f => GraftTable.canonStr(resolve(f.path)) -> f).toMap
             statFiles(fs.map(f => resolve(f.path)), sch, sid,
                 a => origOf(GraftTable.canonStr(a)).path, derived)
@@ -1883,7 +1883,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     val derived = PartitionTransform
       .parseListFrom(props, stripIds(df.schema))
       .filterNot(_.isInstanceOf[PartitionTransform.Identity])
-      .map(t => (t.canonical, t.column(qcol(t.source)), t.numeric))
+      .map(t => (t, t.column(qcol(t.source))))
     val files = statFiles(absolute, stripIds(df.schema), schemaId,
       abs => s"data/${fileName(abs)}", derived)
     // GC physically-empty parts (parquet writers can emit 0-row files)
@@ -1899,7 +1899,7 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
     * group and are therefore excluded. */
   private[table] def statFiles(absPaths: Seq[String], schema: StructType,
       schemaId: Int, storeAs: String => String,
-      derived: Seq[(String, Column, Boolean)] = Seq.empty): Seq[DataFile] = {
+      derived: Seq[(PartitionTransform, Column)] = Seq.empty): Seq[DataFile] = {
     val statFields = schema.fields.filter(f => isStatType(f.dataType))
     // TimestampType bounds aggregate as unix_micros — `cast(ts as string)`
     // is a SESSION-ZONE rendering, and per-file bounds must be zone-free
@@ -1910,14 +1910,27 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       case TimestampType => unix_micros(qcol(f.name))
       case _ => qcol(f.name) // NTZ cast-to-string is already zone-free
     }
+    // Hash transforms (bucket families) get an EXACT bounded distinct-value
+    // SET next to the min/max: hash ranges barely prune (a file holding two
+    // scattered buckets spans most of the domain), membership prunes
+    // exactly. The aggregation state is bounded by the bucket count, so the
+    // set is only collected for modest domains; storage is bounded again at
+    // record time ([[ColumnStats.values]] cap).
+    def wantSet(t: PartitionTransform): Boolean = t match {
+      case PartitionTransform.Bucket(_, n, _)     => n <= 4096
+      case PartitionTransform.IcebergBucket(_, n) => n <= 4096
+      case _ => false // order-preserving transforms: ranges are tight
+    }
     val aggs = Seq(count(lit(1)).as("_rows")) ++
       statFields.flatMap(f => Seq(
         min(statVal(f)).cast("string").as(s"_min_${f.name}"),
         max(statVal(f)).cast("string").as(s"_max_${f.name}"),
         sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
-      derived.zipWithIndex.flatMap { case ((_, ex, _), i) => Seq(
+      derived.zipWithIndex.flatMap { case ((t, ex), i) => Seq(
         min(ex).cast("string").as(s"_tmin_$i"),
-        max(ex).cast("string").as(s"_tmax_$i")) }
+        max(ex).cast("string").as(s"_tmax_$i")) ++
+        (if (wantSet(t)) Seq(collect_set(ex.cast("string")).as(s"_tset_$i"))
+         else Seq.empty) }
     spark.read.schema(schema).parquet(absPaths: _*)
       .groupBy(col("_metadata.file_path").as("_fp"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1960,11 +1973,22 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
             Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName, nulls))
           }
         }.toMap
-        val transformStats = derived.zipWithIndex.flatMap { case ((key, _, num), i) =>
+        val transformStats = derived.zipWithIndex.flatMap { case ((t, _), i) =>
           val mn = r.getAs[String](s"_tmin_$i")
           val mx = r.getAs[String](s"_tmax_$i")
           if (mn == null || mx == null) None
-          else Some(key -> ColumnStats(mn, mx, if (num) "long" else "string"))
+          else {
+            // store the exact set only when SMALL — per-file metadata stays
+            // bounded no matter how scattered a low-parallelism write was
+            val set: Option[Seq[String]] =
+              if (!wantSet(t)) None
+              else Option(r.getAs[scala.collection.Seq[String]](s"_tset_$i"))
+                .filter(_.size <= GraftTable.MaxStatValues)
+                .map(a => scala.util.Try(a.toSeq.sortBy(_.toLong))
+                  .getOrElse(a.toSeq.sorted))
+            Some(t.canonical -> ColumnStats(mn, mx,
+              if (t.numeric) "long" else "string", -1L, set))
+          }
         }.toMap
         DataFile(storeAs(local), r.getAs[Long]("_rows"),
           log.io.size(local), schemaId, stats ++ transformStats)
@@ -2109,34 +2133,18 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
 
     // ---- transform-domain pruning ----------------------------------------
     val pruneSchema = stripIds(schemaOf(s, s.currentSchemaId))
-    val transforms = PartitionTransform
-      .parseListFrom(s.properties, pruneSchema)
-      .filterNot(_.isInstanceOf[PartitionTransform.Identity])
-      // LEGACY (transform-version 1) bucket(n, ts): xxhash64 over
-      // `cast(ts as string)` — a SESSION-ZONE rendering, so a reader in a
-      // different zone than the writer would hash the same instant to a
-      // DIFFERENT bucket and equality pruning through the transform would
-      // wrongly exclude matching files (the zone class of bug the
-      // canonical bounds fixed). No claim instead; the layout still
-      // distributes writes. Version >= 2 tables ([[PartitionTransform
-      // .VersionKey]], parsed above as `tsMicros = true`) hash the
-      // zone-free unix_micros and PRUNE; `refresh_stats` upgrades legacy
-      // tables by re-statting every file with the v2 hash (stats-based
-      // pruning is layout-independent, so the old scattered layout stays
-      // correct — just wider per-file bucket ranges until a rewrite).
-      .filterNot {
-        case PartitionTransform.Bucket(src, _, tsMicros) =>
-          !tsMicros &&
-            pruneSchema.fields.exists(f => f.name == src && f.dataType == TimestampType)
-        case _ => false
-      }
+    val transforms = GraftTable.prunableTransforms(s.properties, pruneSchema)
     // one evaluation per (transform, literal) per call — not per file.
-    // Order-preserving transforms evaluate session-free (the same pure
-    // path the REST planner uses); bucket hashes still need a Spark eval.
+    // Order-preserving transforms and bucket hashes of plainly-rendered
+    // literal types evaluate session-free (the same pure path the REST
+    // planner uses); remaining bucket literals (float/decimal/NTZ
+    // renderings) still take a driver-local Spark eval.
     val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]
+    val srcType = pruneSchema.fields.map(f => f.name -> f.dataType).toMap
     def tlit(t: PartitionTransform, v: Any): Option[String] =
       litCache.getOrElseUpdate((t.canonical, v),
         PartitionTransform.evalOrderPreserving(t, v)
+          .orElse(PartitionTransform.evalBucket(t, v, srcType.get(t.source)))
           .orElse(transformLiteral(t, v)))
     s.files.filter(f => !filters.exists(fl =>
       excluded(f, fl) || GraftTable.transformExcluded(transforms, tlit, f, fl)))
@@ -2396,6 +2404,35 @@ object GraftTable {
     }
   }
 
+  /** Cap on [[ColumnStats.values]] — per-file metadata stays bounded no
+    * matter how scattered a write was; larger sets fall back to ranges. */
+  private[graft] val MaxStatValues = 64
+
+  /** The transforms a pruning pass may CLAIM through — shared by local
+    * [[pruneFiles]] and the session-free REST planner so both sides prune
+    * (and refuse to prune) identically. Drops identity (rides the plain
+    * column-stats path) and LEGACY (transform-version 1) bucket(n, ts):
+    * xxhash64 over `cast(ts as string)` is a SESSION-ZONE rendering, so a
+    * reader in a different zone than the writer would hash the same instant
+    * to a DIFFERENT bucket and equality pruning through the transform would
+    * wrongly exclude matching files. No claim instead; the layout still
+    * distributes writes. Version >= 2 tables ([[PartitionTransform
+    * .VersionKey]], parsed as `tsMicros = true`) hash the zone-free
+    * unix_micros and PRUNE; `refresh_stats` upgrades legacy tables.
+    * A malformed transform property yields no transforms (plan less,
+    * never fail the plan). */
+  private[graft] def prunableTransforms(props: Map[String, String],
+      schema: StructType): Seq[PartitionTransform] =
+    scala.util.Try(PartitionTransform.parseListFrom(props, schema))
+      .getOrElse(Seq.empty)
+      .filterNot(_.isInstanceOf[PartitionTransform.Identity])
+      .filterNot {
+        case PartitionTransform.Bucket(src, _, tsMicros) =>
+          !tsMicros &&
+            schema.fields.exists(f => f.name == src && f.dataType == TimestampType)
+        case _ => false
+      }
+
   /** Transform-domain half of file pruning, shared by [[pruneFiles]] (which
     * supplies a Spark-eval fallback for bucket hashes in `tlit`) and the
     * session-free REST planner (pure [[PartitionTransform.evalOrderPreserving]]):
@@ -2415,8 +2452,16 @@ object GraftTable {
       else Some(a.compareTo(b))
     def outside(t: PartitionTransform, v: Any): Boolean =
       f.stats.get(t.canonical).exists(st => tlit(t, v).exists(tv =>
-        cmpT(t.numeric, tv, st.min).exists(_ < 0) ||
-        cmpT(t.numeric, st.max, tv).exists(_ < 0)))
+        st.values match {
+          // EXACT membership ([[ColumnStats.values]]): hash-transform files
+          // carry their full distinct set when small — absent means no row
+          // of the file maps to this transform value, however wide the
+          // min/max range a scattered low-parallelism write produced
+          case Some(set) => !set.contains(tv)
+          case None =>
+            cmpT(t.numeric, tv, st.min).exists(_ < 0) ||
+            cmpT(t.numeric, st.max, tv).exists(_ < 0)
+        }))
     // rows with c > v (or >=) have t(c) >= t(v) under an order-preserving t
     def belowLower(t: PartitionTransform, v: Any): Boolean =
       t.orderPreserving && f.stats.get(t.canonical).exists(st =>
@@ -2459,14 +2504,16 @@ object GraftTable {
     val schema = DataType.fromJson(
       s.schemas(s.currentSchemaId.toString)).asInstanceOf[StructType]
     val cmp = new StatsComparator(schema)
-    val transforms = scala.util.Try(PartitionTransform
-      .parseListFrom(s.properties, schema)
-      .filterNot(_.isInstanceOf[PartitionTransform.Identity]))
-      .getOrElse(Seq.empty)
+    val transforms = prunableTransforms(s.properties, schema)
     val litCache = scala.collection.mutable.Map.empty[(String, Any), Option[String]]
+    val srcType = schema.fields.map(f => f.name -> f.dataType).toMap
     def tlit(t: PartitionTransform, v: Any): Option[String] =
       litCache.getOrElseUpdate((t.canonical, v),
-        PartitionTransform.evalOrderPreserving(t, v))
+        PartitionTransform.evalOrderPreserving(t, v)
+          // bucket equality/IN prunes over the wire too: the hash of a
+          // plainly-rendered literal is session-free (property-tested
+          // against the Spark column eval); None = no claim, keep
+          .orElse(PartitionTransform.evalBucket(t, v, srcType.get(t.source))))
     s.files.filter(f => !filters.exists(flt =>
       statsExcluded(cmp, f, flt) || transformExcluded(transforms, tlit, f, flt)))
   }

@@ -262,4 +262,78 @@ object PartitionTransform {
       }
     case _ => None // identity rides the plain column stats; buckets hash
   }
+
+  /** SESSION-FREE evaluation of a HASH transform (bucket / iceberg_bucket)
+    * over a filter literal — valid for EQUALITY/IN pruning only (hashes are
+    * not order-preserving; [[GraftTable.transformExcluded]]'s range arms
+    * gate on `orderPreserving` and never consult this). Lets the REST scan
+    * planner prune `bucket(n, k) = v` terms like the engine does locally,
+    * and spares the engine a driver-local Spark job per literal.
+    *
+    * Soundness rides on rendering the literal EXACTLY as the transform
+    * column rendered the data (property-tested against the Spark column
+    * eval in HiddenPartitioningSpec): only literal/source-type pairs whose
+    * `cast(x as string)` is the plain JVM rendering qualify — strings,
+    * integrals, booleans, dates. Everything else (float/decimal formatting,
+    * NTZ renderings, zone-dependent v1 timestamp buckets) returns None: no
+    * claim, keep the file (the engine falls back to Spark eval; the server
+    * just doesn't prune that term). `srcType` is the SOURCE column's schema
+    * type — literal dispatch alone can't tell a string column's literal
+    * from a wire-form timestamp string. */
+  def evalBucket(t: PartitionTransform, v: Any,
+      srcType: Option[DataType]): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx(lit: Literal): Long =
+      XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+    // the plain renderings that match Spark's cast-to-string exactly
+    def render(dt: DataType): Option[String] = (dt, v) match {
+      case (StringType, s: String) => Some(s)
+      case (IntegerType | LongType | ShortType | ByteType,
+            n @ (_: Int | _: Long | _: Short | _: Byte)) => Some(n.toString)
+      case (BooleanType, b: Boolean) => Some(b.toString)
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toString)
+      case (DateType, d: java.time.LocalDate) => Some(d.toString)
+      case _ => None
+    }
+    if (v == null) return None
+    t match {
+      case b: Bucket if b.tsMicros => // zone-free v2: hash unix_micros
+        GraftTable.tsLitMicros(v).map(m =>
+          Math.floorMod(xx(Literal(m, LongType)), b.n.toLong).toString)
+      case _: Bucket if srcType.contains(TimestampType) =>
+        None // legacy v1 ts bucket: zone-dependent, never a claim
+      case b: Bucket =>
+        srcType.flatMap(render).map(s =>
+          Math.floorMod(xx(Literal(UTF8String.fromString(s), StringType)),
+            b.n.toLong).toString)
+      case ib: IcebergBucket =>
+        import graft.functions.IcebergMurmur3
+        val hash: Option[Int] = srcType.flatMap {
+          case IntegerType | LongType | ShortType | ByteType => v match {
+            case n @ (_: Int | _: Long | _: Short | _: Byte) =>
+              Some(IcebergMurmur3.hashLong(n.asInstanceOf[Number].longValue))
+            case _ => None
+          }
+          case DateType => (v match { // spec: date hashes as epoch-day int
+            case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+            case d: java.time.LocalDate => Some(d.toEpochDay)
+            case _ => None
+          }).map(IcebergMurmur3.hashLong)
+          case TimestampType | TimestampNTZType => // spec: micros long
+            GraftTable.tsLitMicros(v).map(IcebergMurmur3.hashLong)
+          case StringType => v match {
+            case s: String => Some(IcebergMurmur3.hashUtf8(UTF8String.fromString(s)))
+            case _ => None
+          }
+          case BinaryType => v match {
+            case b: Array[Byte] => Some(IcebergMurmur3.hashBytes(b))
+            case _ => None
+          }
+          case _ => None // decimal: literal scale may differ from the column's
+        }
+        hash.map(h => IcebergMurmur3.bucketOf(h, ib.n).toString)
+      case _ => None
+    }
+  }
 }

@@ -9,7 +9,14 @@ import org.json4s.jackson.Serialization
   * column bounds play for its `ScanBuilder` (reference `main.tf:794,803`;
   * SURVEY.md §4 row 1). */
 case class ColumnStats(min: String, max: String, dataType: String,
-    nullCount: Long = -1L) // -1 = unknown (entry written before null tracking)
+    nullCount: Long = -1L, // -1 = unknown (entry written before null tracking)
+    // EXACT distinct-value set (sorted), recorded only for small sets on
+    // hash-transform stat entries (bucket/iceberg_bucket). Ranges are weak
+    // for hash domains — a file holding buckets {3, 29} carries the bound
+    // [3, 29], so `bucket = 17` can't prune it; the set proves membership
+    // exactly. None = unknown (large set, or entry predates the field —
+    // json4s omits None on write and defaults it on legacy reads).
+    values: Option[Seq[String]] = None)
 
 /** One immutable data file registered in a snapshot. `schemaId` pins the
   * column names/ids the file was written with, so schema evolution (rename/

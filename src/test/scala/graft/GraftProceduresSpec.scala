@@ -338,6 +338,40 @@ class GraftProceduresSpec extends SparkSpec {
       .collect()(0).getLong(0) == 48)
   }
 
+  test("CALL refresh_stats: entries without bucket value sets gain them") {
+    init()
+    import graft.table.GraftTable
+    import org.apache.spark.sql.sources.EqualTo
+    spark.sql(
+      "CREATE TABLE graft.proc.vs (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(128, id))")
+    noCoalesce { spark.sql(
+      "INSERT INTO graft.proc.vs SELECT id, CAST(id AS DOUBLE) FROM range(4000)") }
+    val t = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/vs")
+    val head = t.log.current
+    val all = head.files
+    assert(all.forall(_.stats("bucket(128,id)").values.isDefined))
+    // simulate a pre-values writer: strip every set
+    val stripped = all.map(f => f.copy(stats =
+      f.stats.map { case (k, st) => k -> st.copy(values = None) }))
+    t.log.commit(head.version, v => head.copy(version = v,
+      parent = head.version, timestampMs = System.currentTimeMillis(),
+      operation = "test-strip", files = stripped))
+    val t2 = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/vs")
+    val eq = Seq(EqualTo("id", 1234L))
+    val kept = t2.pruneFiles(t2.log.current, eq).size
+    assert(kept == all.size, "range-only scattered buckets should keep everything")
+    spark.sql("CALL graft.system.refresh_stats('proc.vs')")
+    val t3 = GraftTable.load(spark, s"${SparkSpec.warehouse}/proc/vs")
+    val rHead = t3.log.current
+    assert(rHead.files.map(_.path).sorted == all.map(_.path).sorted)
+    assert(rHead.files.forall(_.stats("bucket(128,id)").values.isDefined),
+      "refresh_stats must record the value sets")
+    assert(t3.pruneFiles(rHead, eq).size * 4 <= all.size,
+      "value sets must restore scattered-bucket equality pruning")
+    assert(spark.sql("SELECT v FROM graft.proc.vs WHERE id = 1234")
+      .collect()(0).getDouble(0) == 1234.0)
+  }
+
   test("CALL refresh_stats: re-keys stats to CURRENT names after a rename") {
     init()
     import graft.table.GraftTable

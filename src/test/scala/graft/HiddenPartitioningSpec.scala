@@ -139,6 +139,107 @@ class HiddenPartitioningSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t2.addPartitionField("zigzag(ts)") }
   }
 
+  test("bucket(128, id): scattered-bucket files prune equality via EXACT value sets") {
+    // THE weak case for range stats: more buckets than write parallelism →
+    // every file holds several SCATTERED bucket values, so its [min, max]
+    // spans most of the domain and `bucket = v` can't prune by range. The
+    // per-file distinct-value SET ([[ColumnStats.values]]) proves
+    // membership exactly.
+    init()
+    spark.sql("CREATE TABLE graft.hp.sc (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(128, id))")
+    noCoalesce {
+      spark.sql("INSERT INTO graft.hp.sc SELECT id, CAST(id AS DOUBLE) FROM range(4000)") }
+    val t = GraftTable.load(spark, s"$wh/hp/sc")
+    val head = t.log.current
+    val all = head.files
+    assert(all.size >= 4, s"need scattered multi-bucket files, got ${all.size}")
+    // each file's set is present (small), and genuinely multi-valued
+    val sets = all.map(_.stats("bucket(128,id)").values)
+    assert(sets.forall(_.isDefined), "value sets missing from bucket stats")
+    assert(sets.exists(_.get.size > 1), "expected multi-bucket files")
+    val eq = Seq(EqualTo("id", 1234L))
+    val pruned = t.pruneFiles(head, eq)
+    assert(pruned.size * 4 <= all.size,
+      s"value sets did not prune scattered buckets: ${pruned.size}/${all.size}")
+    // the SERVER-side pruner (no SparkSession eval available) agrees —
+    // bucket literals hash session-free now
+    assert(GraftTable.pruneFilesByStats(head, eq).map(_.path).toSet ==
+      pruned.map(_.path).toSet, "server-planned bucket pruning diverged from local")
+    // IN prunes to the union of member files
+    val in = Seq(org.apache.spark.sql.sources.In("id", Array(7L, 1234L)))
+    val prunedIn = t.pruneFiles(head, in)
+    assert(prunedIn.size * 2 <= all.size)
+    assert(GraftTable.pruneFilesByStats(head, in).map(_.path).toSet ==
+      prunedIn.map(_.path).toSet)
+    // and the answers stay exact
+    assert(spark.sql("SELECT v FROM graft.hp.sc WHERE id = 1234")
+      .collect()(0).getDouble(0) == 1234.0)
+    assert(spark.sql("SELECT count(*) FROM graft.hp.sc WHERE id IN (7, 1234)")
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("value sets stay BOUNDED: a file spanning >64 buckets records none") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.cap (id BIGINT) PARTITIONED BY (bucket(128, id))")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try noCoalesce {
+      spark.sql("INSERT INTO graft.hp.cap SELECT id FROM range(4000)") }
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    val t = GraftTable.load(spark, s"$wh/hp/cap")
+    val all = t.log.current.files
+    assert(all.nonEmpty)
+    // one writer partition → every bucket value in each file → over the cap
+    assert(all.forall(_.stats("bucket(128,id)").values.isEmpty),
+      "a >cap distinct set must fall back to range bounds, not bloat metadata")
+    // no set, wide range: equality keeps the file — and stays correct
+    assert(t.pruneFiles(t.log.current, Seq(EqualTo("id", 99L))).size == all.size)
+    assert(spark.sql("SELECT count(*) FROM graft.hp.cap WHERE id = 99")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("evalBucket: session-free bucket literal hash == the Spark column eval") {
+    import graft.table.PartitionTransform
+    import graft.table.PartitionTransform.{Bucket, IcebergBucket}
+    import org.apache.spark.sql.types._
+    def sparkForm(t: PartitionTransform, v: Any): String =
+      spark.range(1).select(t.column(lit(v)).cast("string")).collect()(0).getString(0)
+    def check(t: PartitionTransform, v: Any, dt: DataType): Unit = {
+      val got = PartitionTransform.evalBucket(t, v, Some(dt))
+      assert(got == Some(sparkForm(t, v)),
+        s"evalBucket diverged for ${t.canonical} over $v ($dt): $got")
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 40) {
+      val n = 1 + rnd.nextInt(512)
+      check(Bucket("s", n), rnd.nextString(1 + rnd.nextInt(12)), StringType)
+      check(Bucket("l", n), rnd.nextLong(), LongType)
+      check(Bucket("i", n), rnd.nextInt(), IntegerType)
+      check(Bucket("b", n), rnd.nextBoolean(), BooleanType)
+      check(Bucket("d", n),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000).toLong)),
+        DateType)
+      // v2 zone-free timestamp bucket: hash of unix_micros
+      check(Bucket("ts", n, tsMicros = true),
+        new java.sql.Timestamp(rnd.nextLong() % 4102444800000L), TimestampType)
+      check(IcebergBucket("l", n), rnd.nextLong(), LongType)
+      check(IcebergBucket("i", n), rnd.nextInt(), IntegerType)
+      check(IcebergBucket("s", n), rnd.nextString(1 + rnd.nextInt(12)), StringType)
+      check(IcebergBucket("d", n),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000).toLong)),
+        DateType)
+      check(IcebergBucket("ts", n),
+        new java.sql.Timestamp(rnd.nextLong() % 4102444800000L), TimestampType)
+    }
+    // NO-CLAIM shapes: legacy v1 ts bucket (zone-dependent) and odd types
+    import org.apache.spark.sql.types.{TimestampType => TsT}
+    assert(PartitionTransform.evalBucket(Bucket("ts", 8),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(TsT)).isEmpty)
+    assert(PartitionTransform.evalBucket(Bucket("x", 8), 1.5d, Some(DoubleType)).isEmpty)
+    assert(PartitionTransform.evalBucket(IcebergBucket("x", 8),
+      new java.math.BigDecimal("1.50"), Some(DecimalType(10, 2))).isEmpty)
+  }
+
   test("partitions metadata table reports transform-valued partitions") {
     init()
     spark.sql("CREATE TABLE graft.hp.pm (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
