@@ -709,7 +709,15 @@ object IcebergImport {
         StructType((obj \ "fields").children.map { f =>
           implicit val fmts: Formats = DefaultFormats
           val id = (f \ "id").extract[Int]
-          val name = (f \ "name").extract[String]
+          // extract[String] maps JSON null to a NULL REFERENCE — a null
+          // field name would flow all the way into a null stats-map key
+          // and only explode at snapshot serialization (fuzz-found); a
+          // nameless field is malformed metadata, reject it here
+          val name = (f \ "name") match {
+            case JString(n) if n.nonEmpty => n
+            case other => throw new IllegalArgumentException(
+              s"Iceberg schema field $id has no usable name: $other")
+          }
           val required = (f \ "required").extractOpt[Boolean].getOrElse(false)
           StructField(name, sparkType(f \ "type"), nullable = !required,
             metadata = new MetadataBuilder().putLong("graft.id", id - 1L).build())
