@@ -119,6 +119,9 @@ private[catalog] object GraftProcedures {
         Seq(tbl))((s, r) => load(s, r).computeColumnStats()),
       new Proc("refresh_stats", "re-record every data file's stats in the canonical pruning forms (UTC timestamp bounds, spec-integer transform values, all-null markers) — one distributed read, metadata-only commit, no data rewritten; the cheap cure for legacy tables whose stats carry no pruning claim",
         Seq(tbl))((s, r) => load(s, r).refreshStats()),
+      new Proc("replicate_table", "incrementally mirror the table's live snapshot lineage (metadata, data, tags/branches, rewritten positional deletes) to target_path — a readable replica with IDENTICAL version numbers; re-runs copy only new versions and resume a crashed copy",
+        Seq(tbl, in("target_path", StringType)))((s, r) =>
+        graft.table.Replicate.run(s, load(s, r).path, r.getUTF8String(1).toString)),
       new Proc("ancestors_of", "register a temp view of the HEAD's ancestor chain (version, timestamp, operation), newest first — Iceberg's ancestors_of",
         Seq(tbl, in("view_name", StringType)))((s, r) => {
         val t = load(s, r)
