@@ -126,17 +126,26 @@ object Replicate {
       dstIo.createExclusive(s"${dst.metaDir}/v$v.json", Serialization.write(out))
     }
 
+    // the FENCE travels: version numbers are shared, so a source rollback's
+    // fence means the same thing on the replica — without it, a replica of
+    // a rolled-back source would forward-walk HEAD back onto the abandoned
+    // lineage it replicated in an earlier run (stale versions stay present;
+    // only the fence keeps them dead, exactly as on the source)
+    if (src.io.exists(s"${src.metaDir}/FENCE"))
+      dstIo.writeAtomicReplace(s"${dst.metaDir}/FENCE",
+        src.io.readString(s"${src.metaDir}/FENCE"))
     if (chain.nonEmpty)
       dstIo.writeAtomicReplace(s"${dst.metaDir}/HEAD", chain.last.toString)
-    // refs (tags/branches) for every version the replica holds
+    // refs (tags/branches) for every version the replica holds — written
+    // whenever the source HAS a refs file, so a ref deleted at the source
+    // disappears from the replica too
     if (src.io.exists(s"${src.metaDir}/refs.json")) {
       val have = dst.listVersions.toSet
       val refs = JsonMethods.parse(src.io.readString(s"${src.metaDir}/refs.json"))
         .extract[Map[String, Ref]]
         .filter { case (_, r) => have.contains(r.version) }
-      if (refs.nonEmpty)
-        dstIo.writeAtomicReplace(s"${dst.metaDir}/refs.json",
-          Serialization.write(refs))
+      dstIo.writeAtomicReplace(s"${dst.metaDir}/refs.json",
+        Serialization.write(refs))
     }
     todo
   }

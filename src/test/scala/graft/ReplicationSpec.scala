@@ -119,6 +119,30 @@ class ReplicationSpec extends SparkSpec {
     assert(Replicate.run(spark, s"$dir/src", dst).isEmpty)
   }
 
+  test("a source rollback transfers: the replica never resurrects the abandoned lineage") {
+    val dir = tmp("repl-rb-")
+    val src = GraftTable.create(spark, s"$dir/src", spark.range(0, 20).toDF("id"))
+    src.append(spark.range(20, 40).toDF("id"))
+    src.createTag("drop-me", 1L)
+    val dst = s"$dir/dst"
+    Replicate.run(spark, s"$dir/src", dst) // replica holds v0 + v1 + the tag
+    GraftTable.load(spark, s"$dir/src").rollbackTo(0L) // fence at 1, HEAD back to 0
+    GraftTable.load(spark, s"$dir/src").dropRef("drop-me")
+    assert(Replicate.run(spark, s"$dir/src", dst).isEmpty) // nothing new — but state moves
+    val r = GraftTable.load(spark, dst)
+    // without the fence transfer, HEAD recovery would forward-walk back
+    // onto the replicated-then-abandoned v1
+    assert(r.log.currentVersion == 0L, "replica resurrected the rolled-back lineage")
+    assert(r.read.count() == 20)
+    assert(!r.log.refs.contains("drop-me"), "replica kept a source-deleted ref")
+    // a post-rollback source commit replays cleanly on top
+    GraftTable.load(spark, s"$dir/src").append(spark.range(100, 110).toDF("id"))
+    Replicate.run(spark, s"$dir/src", dst)
+    val r2 = GraftTable.load(spark, dst)
+    assert(r2.read.count() == 30)
+    assert(r2.log.currentVersion == GraftTable.load(spark, s"$dir/src").log.currentVersion)
+  }
+
   test("refuses to overwrite a non-replica destination, and itself") {
     val dir = tmp("repl-guard-")
     GraftTable.create(spark, s"$dir/src", spark.range(0, 10).toDF("id"))
