@@ -168,6 +168,7 @@ object PartitionTransform {
           case "bucket" =>
             require(args.length == 2, s"bucket takes (n, col): $spec")
             val f = field(args(1))
+            require(args.head.toInt > 0, s"bucket count must be > 0: $spec")
             Bucket(f.name, args.head.toInt,
               tsMicros = v2 && f.dataType == TimestampType)
           case "iceberg_bucket" =>
@@ -298,6 +299,11 @@ object PartitionTransform {
     }
     if (v == null) return None
     t match {
+      // a non-positive bucket count is malformed metadata: the Spark-eval
+      // fallback answers null there (no claim); floorMod would THROW on
+      // every read instead — same no-claim here
+      case b: Bucket if b.n <= 0 => None
+      case ib: IcebergBucket if ib.n <= 0 => None
       case b: Bucket if b.tsMicros => // zone-free v2: hash unix_micros
         GraftTable.tsLitMicros(v).map(m =>
           Math.floorMod(xx(Literal(m, LongType)), b.n.toLong).toString)

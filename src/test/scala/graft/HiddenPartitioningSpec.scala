@@ -238,6 +238,14 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(PartitionTransform.evalBucket(Bucket("x", 8), 1.5d, Some(DoubleType)).isEmpty)
     assert(PartitionTransform.evalBucket(IcebergBucket("x", 8),
       new java.math.BigDecimal("1.50"), Some(DecimalType(10, 2))).isEmpty)
+    // malformed bucket counts: no claim, never an ArithmeticException —
+    // and the DDL parser refuses to mint one in the first place
+    assert(PartitionTransform.evalBucket(Bucket("x", 0), "v", Some(StringType)).isEmpty)
+    assert(PartitionTransform.evalBucket(IcebergBucket("x", 0), "v", Some(StringType)).isEmpty)
+    intercept[IllegalArgumentException] {
+      PartitionTransform.parse("bucket(0, s)", org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("s", StringType))))
+    }
   }
 
   test("partitions metadata table reports transform-valued partitions") {
