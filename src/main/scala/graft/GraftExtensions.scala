@@ -129,6 +129,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     }
     ext.injectFunction((
+      FunctionIdentifier("bounded_set"),
+      new ExpressionInfo(classOf[graft.functions.BoundedSetAgg].getName, "bounded_set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.BoundedSetAgg(c, 64, 256)
+        case Seq(c, cap) => graft.functions.BoundedSetAgg(c,
+          intLit(cap, "bounded_set cap"), 256)
+        case Seq(c, cap, len) => graft.functions.BoundedSetAgg(c,
+          intLit(cap, "bounded_set cap"), intLit(len, "bounded_set max_len"))
+        case _ => throw new IllegalArgumentException("bounded_set(col[, cap[, max_len]])")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_sketch"),
       new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName, "kll_sketch"),
       (args: Seq[Expression]) => args match {

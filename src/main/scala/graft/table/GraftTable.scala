@@ -1910,26 +1910,40 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
       case TimestampType => unix_micros(qcol(f.name))
       case _ => qcol(f.name) // NTZ cast-to-string is already zone-free
     }
-    // Hash transforms (bucket families) get an EXACT bounded distinct-value
-    // SET next to the min/max: hash ranges barely prune (a file holding two
-    // scattered buckets spans most of the domain), membership prunes
-    // exactly. The aggregation state is bounded by the bucket count, so the
-    // set is only collected for modest domains; storage is bounded again at
-    // record time ([[ColumnStats.values]] cap).
-    def wantSet(t: PartitionTransform): Boolean = t match {
-      case PartitionTransform.Bucket(_, n, _)     => n <= 4096
-      case PartitionTransform.IcebergBucket(_, n) => n <= 4096
-      case _ => false // order-preserving transforms: ranges are tight
+    // EXACT bounded distinct-value SETS next to the min/max
+    // ([[ColumnStats.values]], collected by the memory-bounded
+    // [[graft.functions.BoundedSetAgg]] — safe on ANY column at any
+    // cardinality): membership prunes where ranges prove nothing.
+    //  - hash transforms (bucket families): a file holding two scattered
+    //    buckets spans most of the domain — ranges can't prune equality;
+    //  - plain low-cardinality columns (categories, enums, flags): same
+    //    story when values scatter across files. Restricted to types whose
+    //    cast-to-string is the comparator's literal rendering
+    //    ([[GraftTable.StatsComparator.litStr]] — timestamps render
+    //    canonically, floats format-sensitively: excluded).
+    def wantSet(t: PartitionTransform): Boolean =
+      !t.orderPreserving // hash families; ranges are tight for the rest
+    def plainSet(dt: DataType): Boolean = dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false
     }
+    import graft.functions.BoundedSetAgg
     val aggs = Seq(count(lit(1)).as("_rows")) ++
       statFields.flatMap(f => Seq(
         min(statVal(f)).cast("string").as(s"_min_${f.name}"),
         max(statVal(f)).cast("string").as(s"_max_${f.name}"),
-        sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}"))) ++
+        sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${f.name}")) ++
+        (if (plainSet(f.dataType))
+          Seq(BoundedSetAgg(qcol(f.name).cast("string"),
+            GraftTable.MaxPlainValues, GraftTable.MaxPlainLen).as(s"_set_${f.name}"))
+         else Seq.empty)) ++
       derived.zipWithIndex.flatMap { case ((t, ex), i) => Seq(
         min(ex).cast("string").as(s"_tmin_$i"),
         max(ex).cast("string").as(s"_tmax_$i")) ++
-        (if (wantSet(t)) Seq(collect_set(ex.cast("string")).as(s"_tset_$i"))
+        (if (wantSet(t))
+          Seq(BoundedSetAgg(ex.cast("string"), GraftTable.MaxStatValues, 40)
+            .as(s"_tset_$i"))
          else Seq.empty) }
     spark.read.schema(schema).parquet(absPaths: _*)
       .groupBy(col("_metadata.file_path").as("_fp"))
@@ -1949,6 +1963,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
         }.getOrElse(r.getString(0))
         val local = canon(decoded)
         val rowsN = r.getAs[Long]("_rows")
+        def setOf(colName: String): Option[Seq[String]] =
+          Option(r.getAs[scala.collection.Seq[String]](colName)).map(_.toSeq)
         val stats = statFields.flatMap { f =>
           val mn = r.getAs[String](s"_min_${f.name}")
           val mx = r.getAs[String](s"_max_${f.name}")
@@ -1970,7 +1986,8 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
                 (canonNtz(mn), canonNtz(mx))
               case _ => (mn, mx)
             }
-            Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName, nulls))
+            val vals = if (plainSet(f.dataType)) setOf(s"_set_${f.name}") else None
+            Some(f.name -> ColumnStats(bmn, bmx, f.dataType.typeName, nulls, vals))
           }
         }.toMap
         val transformStats = derived.zipWithIndex.flatMap { case ((t, _), i) =>
@@ -1978,14 +1995,11 @@ class GraftTable private (val spark: SparkSession, rawPath: String,
           val mx = r.getAs[String](s"_tmax_$i")
           if (mn == null || mx == null) None
           else {
-            // store the exact set only when SMALL — per-file metadata stays
-            // bounded no matter how scattered a low-parallelism write was
+            // BoundedSetAgg already enforced the cap (null = overflow), so
+            // per-file metadata stays bounded no matter how scattered a
+            // low-parallelism write was
             val set: Option[Seq[String]] =
-              if (!wantSet(t)) None
-              else Option(r.getAs[scala.collection.Seq[String]](s"_tset_$i"))
-                .filter(_.size <= GraftTable.MaxStatValues)
-                .map(a => scala.util.Try(a.toSeq.sortBy(_.toLong))
-                  .getOrElse(a.toSeq.sorted))
+              if (!wantSet(t)) None else setOf(s"_tset_$i")
             Some(t.canonical -> ColumnStats(mn, mx,
               if (t.numeric) "long" else "string", -1L, set))
           }
@@ -2338,13 +2352,21 @@ object GraftTable {
         for (x <- tsStatMicros(a); y <- tsStatMicros(b))
           yield java.lang.Long.compare(x, y)
       else Some(if (numeric(column)) numCmp(a, b) else a.compareTo(b))
-    /** False only when PROVEN: bounds exclude `value`, or the file is
-      * all-null in the column (no non-null value exists to match). */
+    /** False only when PROVEN: the exact value set excludes `value`, bounds
+      * exclude it, or the file is all-null in the column (no non-null value
+      * exists to match). Value sets are only RECORDED for columns whose
+      * cast-to-string equals [[litStr]]'s rendering (never timestamps), so
+      * membership compares like-for-like; the ts guard is defense in depth
+      * against foreign-written stats. */
     def canContain(f: DataFile, column: String, value: String): Boolean =
       !known(column) || f.stats.get(column).forall { st =>
         if (allNull(f, st)) false
-        else cmpOpt(column, st.min, value).forall(_ <= 0) &&
-          cmpOpt(column, value, st.max).forall(_ <= 0)
+        else st.values match {
+          case Some(set) if !ts(column) => set.contains(value)
+          case _ =>
+            cmpOpt(column, st.min, value).forall(_ <= 0) &&
+              cmpOpt(column, value, st.max).forall(_ <= 0)
+        }
       }
     /** The all-null marker ([[GraftTable.statFiles]] records empty bounds
       * with nullCount == rows): no non-null value in the column. The
@@ -2404,9 +2426,16 @@ object GraftTable {
     }
   }
 
-  /** Cap on [[ColumnStats.values]] — per-file metadata stays bounded no
-    * matter how scattered a write was; larger sets fall back to ranges. */
+  /** Cap on [[ColumnStats.values]] for TRANSFORM stat entries (hash-bucket
+    * values: short numeric strings) — larger sets fall back to ranges. */
   private[graft] val MaxStatValues = 64
+
+  /** Caps for PLAIN column value sets — tighter than the transform cap
+    * because arbitrary column values are wider: at most `MaxPlainValues`
+    * values of at most `MaxPlainLen` chars per column per file, so a wide
+    * schema can't bloat the snapshot metadata. */
+  private[graft] val MaxPlainValues = 16
+  private[graft] val MaxPlainLen = 32
 
   /** The transforms a pruning pass may CLAIM through — shared by local
     * [[pruneFiles]] and the session-free REST planner so both sides prune

@@ -198,6 +198,32 @@ class HiddenPartitioningSpec extends SparkSpec {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("plain low-cardinality columns carry value sets: equality prunes scattered categories") {
+    init()
+    spark.sql("CREATE TABLE graft.hp.pv (id BIGINT, cat STRING)")
+    // two files whose cat RANGES both span [aa..zz] — only the sets differ
+    spark.sql("INSERT INTO graft.hp.pv SELECT id, IF(id % 2 = 0, 'aa', 'zz') FROM range(100)")
+    spark.sql("INSERT INTO graft.hp.pv SELECT id + 100, IF(id % 2 = 0, 'bb', 'yy') FROM range(100)")
+    val t = GraftTable.load(spark, s"$wh/hp/pv")
+    val all = t.log.current.files
+    assert(all.size >= 2)
+    assert(all.forall(_.stats("cat").values.isDefined), "plain value sets missing")
+    // inside every range, outside every set
+    assert(t.pruneFiles(t.log.current, Seq(EqualTo("cat", "mm"))).isEmpty)
+    // member of exactly one file's set
+    val zz = t.pruneFiles(t.log.current, Seq(EqualTo("cat", "zz")))
+    assert(zz.size < all.size && zz.nonEmpty)
+    // the server-side pruner agrees (shared statsExcluded)
+    assert(GraftTable.pruneFilesByStats(t.log.current, Seq(EqualTo("cat", "mm"))).isEmpty)
+    // answers stay exact
+    assert(spark.sql("SELECT count(*) FROM graft.hp.pv WHERE cat = 'mm'")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.hp.pv WHERE cat = 'zz'")
+      .collect()(0).getLong(0) == 50L)
+    // a high-cardinality column records NO set (bounded metadata)
+    assert(all.forall(f => f.stats("id").values.forall(_.size <= 16)))
+  }
+
   test("evalBucket: session-free bucket literal hash == the Spark column eval") {
     import graft.table.PartitionTransform
     import graft.table.PartitionTransform.{Bucket, IcebergBucket}

@@ -110,6 +110,30 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(fa.length == 1 && fa.head.startsWith("a,b:"), fa)
   }
 
+  test("bounded_set: exact small sets, sticky NULL past either cap, map-side mergeable") {
+    // exact set under the cap, sorted
+    val small = spark.sql(
+      "SELECT bounded_set(CAST(id % 5 AS STRING)) FROM range(1000)")
+      .collect()(0).getSeq[String](0)
+    assert(small == Seq("0", "1", "2", "3", "4"))
+    // cardinality overflow -> NULL (not a truncated lie)
+    assert(spark.sql("SELECT bounded_set(CAST(id AS STRING), 10) FROM range(1000)")
+      .collect()(0).isNullAt(0))
+    // length overflow -> NULL
+    assert(spark.sql("SELECT bounded_set(repeat('x', 300)) FROM range(3)")
+      .collect()(0).isNullAt(0))
+    // grouped: per-group sets survive the partial/final split
+    val grouped = spark.sql(
+      """SELECT id % 2 AS g, bounded_set(CAST(id % 6 AS STRING)) AS s
+         FROM range(600) GROUP BY 1 ORDER BY 1""").collect()
+    assert(grouped(0).getSeq[String](1) == Seq("0", "2", "4"))
+    assert(grouped(1).getSeq[String](1) == Seq("1", "3", "5"))
+    // nulls are ignored, not counted against the cap
+    assert(spark.sql(
+      "SELECT bounded_set(IF(id < 2, CAST(id AS STRING), NULL)) FROM range(100)")
+      .collect()(0).getSeq[String](0) == Seq("0", "1"))
+  }
+
   test("extensions hook registers cosine_sim and minhash_sig for SQL") {
     // same injection path as spark.sql.extensions=graft.GraftExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions

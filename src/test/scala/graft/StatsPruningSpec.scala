@@ -25,14 +25,24 @@ class StatsPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     * (string-rendered min/max + null count). */
   private case class F(rows: Seq[(Option[Long], Option[String])])
 
+  /** EXACT value set the way the writer records one (BoundedSetAgg): the
+    * sorted distinct set when small, None past the caps — so the soundness
+    * property below fuzzes MEMBERSHIP pruning against ground truth too. */
+  private def setOf(vs: Seq[String]): Option[Seq[String]] = {
+    val d = vs.distinct
+    if (d.size <= 16 && d.forall(_.length <= 32)) Some(d.sorted) else None
+  }
+
   private def statsOf(f: F): Map[String, ColumnStats] = {
     val ns = f.rows.flatMap(_._1)
     val ss = f.rows.flatMap(_._2)
     Seq(
       if (ns.isEmpty) None else Some("n" -> ColumnStats(
-        ns.min.toString, ns.max.toString, "bigint", f.rows.count(_._1.isEmpty))),
+        ns.min.toString, ns.max.toString, "bigint", f.rows.count(_._1.isEmpty),
+        setOf(ns.map(_.toString)))),
       if (ss.isEmpty) None else Some("s" -> ColumnStats(
-        ss.min, ss.max, "string", f.rows.count(_._2.isEmpty)))
+        ss.min, ss.max, "string", f.rows.count(_._2.isEmpty),
+        setOf(ss)))
     ).flatten.toMap
   }
 
@@ -119,6 +129,25 @@ class StatsPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept.map(_.path) == Seq("f1.parquet"))
     // IS NULL on a zero-null column prunes both
     assert(GraftTable.pruneFilesByStats(s, Seq(IsNull("n"))).isEmpty)
+  }
+
+  test("exact value sets prune equality/IN that ranges cannot") {
+    // both files' RANGES contain 50/"m"; only the sets prove absence
+    val (s, _) = snap(Seq(
+      F(Seq((Some(1L), Some("a")), (Some(100L), Some("z")))),
+      F(Seq((Some(2L), Some("b")), (Some(99L), Some("y"))))))
+    assert(s.files.forall(_.stats("n").values.isDefined), "sets not recorded")
+    assert(GraftTable.pruneFilesByStats(s, Seq(EqualTo("n", 50L))).isEmpty)
+    assert(GraftTable.pruneFilesByStats(s, Seq(EqualTo("s", "m"))).isEmpty)
+    assert(GraftTable.pruneFilesByStats(s, Seq(EqualTo("n", 99L)))
+      .map(_.path) == Seq("f1.parquet"))
+    assert(GraftTable.pruneFilesByStats(s,
+      Seq(In("n", Array(50L: Any, 60L: Any)))).isEmpty)
+    assert(GraftTable.pruneFilesByStats(s,
+      Seq(In("s", Array("m": Any, "z": Any)))).map(_.path) == Seq("f0.parquet"))
+    // range predicates still rule by bounds, never by membership
+    assert(GraftTable.pruneFilesByStats(s, Seq(GreaterThan("n", 99L)))
+      .map(_.path) == Seq("f0.parquet"))
   }
 
   // ---- canonical timestamp bounds (VERDICT r16 #1) ------------------------
