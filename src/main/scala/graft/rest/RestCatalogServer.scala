@@ -392,6 +392,17 @@ class RestCatalogServer(val warehouse: String,
         if String.valueOf(e.getMessage).startsWith("Mkdirs failed") =>
       err(ex, 409, s"storage mutation raced a concurrent operation, retry: " +
         s"${e.getMessage}", "CommitFailedException")
+    // ...and the fourth face: Hadoop's local FS reports "list a directory
+    // that vanished between exists() and list()" (File.list() == null) as a
+    // generic IOException with this message — a read that loses the race
+    // against a concurrent drop sees the resource gone → 404, like the
+    // FileNotFoundException face above. (Surfaced by ConcurrencySoakSpec:
+    // /plan racing dropTable 500'd here.)
+    case e: java.io.IOException
+        if String.valueOf(e.getMessage)
+          .startsWith("Invalid directory or I/O error occurred") =>
+      err(ex, 404, s"resource vanished (concurrent drop?): ${e.getMessage}",
+        "NoSuchTableException")
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
