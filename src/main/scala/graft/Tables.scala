@@ -83,5 +83,40 @@ object Tables {
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       col("doc_id"))
   }
+
+  /** CONDITIONAL parallelism normalizer (optimization guide §2.5 "input
+    * skew: one huge unsplittable file ... repartition immediately after the
+    * read"): repartition `df` by `key` to the session's shuffle parallelism
+    * ONLY when its planned scan parallelism is materially below it.
+    *
+    * The fixture tables arrive as single-row-group parquet files, so every
+    * scan — and everything pipelined into the scan stage: per-row expression
+    * work, broadcast-join probes, partial aggregation — runs as ONE task no
+    * matter how many cores the session has (measured: q01's whole decimal
+    * aggregation single-threaded, q126's broadcast join + partial count
+    * single-threaded). At production scale a table scan has thousands of
+    * splits, the planned partition count exceeds the target, and this helper
+    * is a NO-OP — the decision derives from the observed input layout, not
+    * from a constant tuned for either environment (the [[spreadByDoc]]
+    * normalizer is the unconditional cousin, justified separately by its
+    * downstream explode volume).
+    *
+    * The repartition hashes an explicit KEY (never round-robin): keyless
+    * `repartition(n)` pays a defensive local sort of the input per
+    * SPARK-23207, single-threaded on exactly the narrow scan this exists to
+    * spread. Callers pass a high-cardinality, skew-free key. The partition
+    * count is pinned (REPARTITION_BY_NUM) so AQE's size-based coalescing
+    * cannot merge the small-but-CPU-heavy outputs back onto a few tasks. */
+  def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // physical-plan partition count BEFORE any exchange: for a (filtered/
+    // projected) scan this is the split count — planning-time only, no job.
+    // CALLER CONTRACT: pass a scan-shaped frame (projections/filters only).
+    // A frame containing an exchange would make toRdd execute AQE stages —
+    // a real job at plan time.
+    val planned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd.getNumPartitions
+    if (planned * 2 <= target) df.repartition(target, key) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

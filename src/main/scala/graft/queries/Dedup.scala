@@ -45,27 +45,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Distinct shingles WITH the per-doc count riding along: (doc_id, n,
-    * shingle). Distinctness is per-row `array_distinct` BEFORE the explode
-    * (map-local — one doc's shingles never straddle rows) instead of a
-    * post-explode DISTINCT, and `size` on the deduped array is the per-doc
-    * count — no shuffle for distinctness, no second aggregation, no sizes
-    * join. For the inverted-index SELF-JOIN consumers (q43, q82) this is
-    * the winning shape: the count unlocks size-ratio/threshold prefilters
-    * at the widest point of the plan, where at 100 TB the candidate-pair
-    * stream is many times the corpus. (Aggregate-only consumers keep
-    * [[shingles]] — measured faster there.) */
-  private[graft] def shinglesN(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 3)
-      .transform(graft.Tables.spreadByDoc) // same few-split normalizer as shingles()
-      .select($"doc_id", expr(
-        "array_distinct(transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' ')))")
-        .as("sh"))
-      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
-  }
+  // NOTE (r18 optimization round): the per-row `array_distinct` + size
+  // helper that used to live here (`shinglesN`) was REMOVED after
+  // re-measurement at sf0.1/local[32]: Spark's ArrayDistinct compares
+  // string elements pairwise — O(k²) per document — and the "distinctness
+  // without a shuffle" it bought cost 2.36 s where [[shingles]]'s
+  // post-explode DISTINCT (partial-aggregating, one narrow exchange) costs
+  // 0.48 s; the per-doc-count-riding prefilters it enabled in q43/q82 are
+  // implied by those queries' final thresholds anyway (see q43/q82 notes).
+  // At 100 TB the quadratic per-row scan only gets worse (long documents),
+  // so the aggregate form wins at every scale.
 
   private[queries] val shinglesSql: String =
     """SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
@@ -242,6 +231,16 @@ object Dedup {
     * that survives 100 TB; join cost is Σ_shingle df² with df <= the cap. */
   def q43(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r18: [[shingles]] base (post-explode partial-aggregating DISTINCT),
+    // not the removed per-row array_distinct form — measured 3.65 s →
+    // 1.88 s at sf0.1/local[32] for the whole query; ArrayDistinct's
+    // pairwise string scan was the hot loop, not the join. Per-doc sizes
+    // become one narrow aggregate of the SAME distinct stream, joined onto
+    // the pair AGGREGATE (hundreds of rows), not the candidate stream. The
+    // old size-ratio prefilter is dropped as redundant: c ≤ min(n1,n2)
+    // gives J ≤ min/max, so the final jaccard ≥ 0.4 filter implies
+    // min·10 ≥ max·4 — same output, proven against the oracle.
+    //
     // inverted-index frequency cap: drop stop-shingles before the self-join.
     // A count-over-shingle window (not groupBy+join) computes the frequency
     // in the SAME hash(shingle) shuffle the self-join needs — the window's
@@ -252,20 +251,18 @@ object Dedup {
     // r15) — and with no cache there is no eviction-recompute hazard and
     // no checkpoint write; the q100 materialization rule applies only when
     // a relation feeds DIFFERENT downstream plans, not a self-join.
-    val rare = shinglesN(spark, dir)
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"shingle")))
       .filter($"df" <= HotShingleCap).drop("df")
     rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
-      // size-ratio prefilter: c ≤ min(n1,n2) gives J ≤ min/max, so a pair
-      // with min·10 < max·4 can never reach 0.4 — pruned BEFORE the pair
-      // aggregation, where the candidate set is at its widest. The per-doc
-      // counts ride the shingle rows (computed pre-explode), so this costs
-      // zero extra joins.
-      .filter(least($"a.n", $"b.n") * 10 >= greatest($"a.n", $"b.n") * 4)
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("c"), max($"a.n").as("n1"), max($"b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
       .withColumn("jaccard", round($"c".cast("double") / ($"n1" + $"n2" - $"c"), 4))
       .filter($"jaccard" >= 0.4)
       .select($"d1", $"d2", $"jaccard")
@@ -382,7 +379,13 @@ object Dedup {
     * shingle explosion. */
   def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shinglesN(spark, dir)
+    // r18: [[shingles]] base, not the removed per-row array_distinct form
+    // (measured 3.81 s → 1.83 s at sf0.1/local[32] — the q43 finding). The
+    // old least(n) ≥ threshold prefilter is dropped as redundant: c ≤
+    // min(n1, n2), so the HAVING c ≥ MinSharedShingles below already
+    // implies it — same output, proven against the oracle, and n no longer
+    // needs to ride the exploded stream at all.
+    val sh = shingles(spark, dir)
     // deliberately NOT materialized (measured 2.8 s -> 3.3 s with a
     // localCheckpoint here): the self-join's two sides are identical
     // subplans over the same hash(shingle) exchange, so ReuseExchange
@@ -394,10 +397,6 @@ object Dedup {
       .filter($"df" <= HotShingleCap).drop("df")
     val cand = rare.as("a").join(rare.as("b"), "shingle")
       .filter($"a.doc_id" < $"b.doc_id")
-      // c ≤ min(n1,n2): a pair whose smaller doc has fewer distinct
-      // shingles than the threshold can never produce c ≥ threshold —
-      // pruned before the pair aggregation (n rides the shingle rows free)
-      .filter(least($"a.n", $"b.n") >= MinSharedShingles)
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= MinSharedShingles)

@@ -37,8 +37,17 @@ object Relational {
     * carries only |groups|×partitions rows. */
   def q01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    lineitem(spark, dir)
-      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    // spreadIfNarrow (guide §2.5): the whole filter + decimal partial
+    // aggregation otherwise pipelines into the scan stage — ONE task on a
+    // single-row-group input (measured 1.21 s -> 0.95 s at sf0.1/local[32];
+    // no-op once the scan has real splits). Project first so the spread
+    // shuffle carries only the six aggregated columns.
+    spreadIfNarrow(
+      lineitem(spark, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .select($"l_orderkey", $"l_returnflag", $"l_linestatus", $"l_quantity",
+          $"l_extendedprice", $"l_discount", $"l_tax"),
+      $"l_orderkey")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         msum($"l_quantity").as("sum_qty"),

@@ -319,7 +319,14 @@ object Similarity {
   def q126(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val eps = 0.5
-    val cells = events(spark, dir).select(
+    // spreadIfNarrow (guide §2.5): the broadcast join below BUILDS the
+    // exploded probe side and STREAMS cells — on a single-row-group input
+    // the whole join + distance filter + partial count pipelines into the
+    // one scan task (plan-verified: BroadcastHashJoin directly over
+    // Scan parquet). Spreading the base scan parallelizes both branches;
+    // no-op once the scan has real splits.
+    val cells = spreadIfNarrow(
+      events(spark, dir).select($"event_id"), $"event_id").select(
       $"event_id",
       ((($"event_id" * 48271L) % 100003L * 69621L) % 99991L).cast("double")
         ./(lit(1000.0)).as("x"),
