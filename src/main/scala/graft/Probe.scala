@@ -18,9 +18,51 @@ object Probe {
   // Concluded experiments are recorded in OPTIMIZATION_r18.md with their
   // measurements; only live ones stay here.
 
-  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43v0" -> graft.queries.Dedup.q43 _,
-    "q82v0" -> graft.queries.Dedup.q82 _)
+  /** Declared query with the narrow-scan spread forced ON/OFF — the
+    * within-session A/B for every spreadIfNarrow call site. */
+  private def spreadAB(name: String, on: Boolean)(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.spread.narrow", if (on) "on" else "off")
+    SparkEntry.queries(name)(spark, dir)
+  }
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = {
+    val ab = Seq("q142_tpch_q17_small_qty", "q143_tpch_q18_large_volume",
+      "q147_tpch_q2_min_cost_supplier", "q152_tpch_q16_supplier_count",
+      "q01_pricing_summary", "q126_grid_neighbors",
+      "q13_agg_distinct", "q21_agg_approx_distinct", "q42_dedup_simhash",
+      "q67_dedup_simhash_pairs", "q71_variant_extract", "q90_block_dedup",
+      "q96_substring_dedup", "q121_robust_outliers", "q125_market_basket",
+      "q127_woe_binning", "q129_pareto_share").flatMap { n =>
+      val short = n.split("_")(0)
+      Seq(s"${short}on" -> (spreadAB(n, on = true) _),
+          s"${short}off" -> (spreadAB(n, on = false) _))
+    }.toMap
+    ab ++ Map(
+      "q43v0" -> (graft.queries.Dedup.q43 _),
+      "q82v0" -> (graft.queries.Dedup.q82 _),
+      // q96 as it was before r18 (per-row array_distinct, no spread) — the
+      // code-shape A/B the conf lever can't express
+      "q96old" -> ((spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val W = graft.queries.Dedup.WinLen
+        val wins = Tables.documents(spark, dir)
+          .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .filter(size($"w") >= W)
+          .select($"doc_id", explode(expr(
+            s"array_distinct(transform(sequence(1, size(w) - ${W - 1})," +
+              s" i -> array_join(slice(w, i, $W), ' ')))")).as("win"))
+        val flagged = wins.withColumn("ndocs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"win")))
+        flagged.groupBy($"doc_id")
+          .agg(
+            sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("dup_windows"),
+            count(lit(1)).as("total_windows"))
+          .filter($"dup_windows" > 0)
+          .select($"doc_id", $"dup_windows", $"total_windows",
+            round($"dup_windows".cast("double") / $"total_windows", 4).as("dup_ratio"))
+          .orderBy($"doc_id")
+      }))
+  }
 
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").map(_.trim)

@@ -110,6 +110,10 @@ object Advanced {
       // being inlined into the four variant_gets), filter at the scan —
       // the residual SCALING ratio is inherent row-linear parse work
       .filter(floor($"value" * 100).cast("long") > 50)
+      // spreadIfNarrow (guide §2.5): the parse_json + variant_gets below are
+      // the row-linear hot loop this query exists to exercise; on a single-
+      // row-group input they otherwise run inside the one scan task
+      .transform(df => graft.Tables.spreadIfNarrow(df, $"event_id"))
       .withColumn("js", concat(
         lit("{\"meta\":{\"type\":\""), $"event_type", lit("\",\"uid\":"), $"user_id",
         lit("},\"vals\":["), floor($"value" * 100).cast("long"),

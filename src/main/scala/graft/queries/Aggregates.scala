@@ -28,6 +28,10 @@ object Aggregates {
     * aggregate — exercises Catalyst's expand-based distinct rewrite. */
   def q13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r18: a spreadIfNarrow(l_orderkey) here was A/B-measured WORSE (1.87
+    // vs 1.41 s) — the Expand's 3x row stream rides the spread exchange and
+    // costs more than the parallelized partial aggregate wins. Left single-
+    // task on purpose.
     lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
@@ -253,6 +257,9 @@ object Aggregates {
       // NULL keys never count: count(DISTINCT k), approx_count_distinct and
       // the oracle all skip them, but count(lit(1)) over the deduped pairs
       // would tally a (flag, NULL) row — drop them before the dedup
+      // r18: a spreadIfNarrow(key) before the distinct was A/B-measured
+      // WORSE (1.71 vs 1.25 s) — the extra exchange of raw pairs costs more
+      // than parallelizing the already-collapsing partial distinct.
       val dp = lineitem(spark, dir).select($"l_returnflag", col(key))
         .filter(col(key).isNotNull).distinct()
       val bound = 3 * rsd

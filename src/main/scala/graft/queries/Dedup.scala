@@ -183,7 +183,11 @@ object Dedup {
     * RESULTS, not expressions). */
   def q42(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = documents(spark, dir)
+    // spreadIfNarrow (guide §2.5): the per-token md5 + conv otherwise run
+    // inside the single-task scan stage; the groupBy(doc_id) below reuses
+    // the spread's hash(doc_id) partitioning — no extra exchange
+    val words = spreadIfNarrow(
+        documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", explode(split($"text", " ")).as("wd"))
       .filter(length($"wd") > 0)
       .withColumn("h", md5($"wd".cast("binary")))
@@ -293,7 +297,10 @@ object Dedup {
     * combinable aggregate over the token scan. */
   def q67(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = documents(spark, dir)
+    // spreadIfNarrow: the q42 rationale — per-token md5/conv parallelize,
+    // groupBy(doc_id) reuses the partitioning
+    val words = spreadIfNarrow(
+        documents(spark, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", explode(split($"text", " ")).as("wd"))
       .filter(length($"wd") > 0)
       .withColumn("h", md5($"wd".cast("binary")))
@@ -509,6 +516,9 @@ object Dedup {
     * Σ_block df² with df <= [[HotBlockCap]]; never all-pairs. */
   def q90(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r18: a spreadIfNarrow here was A/B-measured WORSE (0.97 vs 0.84 s) —
+    // fixed-offset substring blocks are cheap to build, so the spread
+    // exchange outweighs the parallelized explode.
     val blocks = documents(spark, dir)
       .filter(length($"text") >= BlockLen)
       .select($"doc_id", explode(expr(
@@ -568,12 +578,19 @@ object Dedup {
     * problem a hash aggregation. */
   def q96(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wins = documents(spark, dir)
+    // r18: per-row array_distinct removed (the q43 finding — Spark's
+    // ArrayDistinct is a pairwise O(k^2) scan per document, quadratic in
+    // document length at any scale); per-(doc, win) distinctness is the
+    // post-explode partial-aggregating DISTINCT instead, and the explode
+    // runs off a spread scan rather than the single input task.
+    val wins = spreadIfNarrow(documents(spark, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
       .filter(size($"w") >= WinLen)
       .select($"doc_id", explode(expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${WinLen - 1})," +
-          s" i -> array_join(slice(w, i, $WinLen), ' ')))")).as("win"))
+        s"transform(sequence(1, size(w) - ${WinLen - 1})," +
+          s" i -> array_join(slice(w, i, $WinLen), ' '))")).as("win"))
+      .distinct()
     // (doc_id, win) is distinct, so a plain COUNT over the win partition is
     // the window's document frequency — no COUNT(DISTINCT) needed
     val flagged = wins.withColumn("ndocs", count(lit(1)).over(

@@ -543,7 +543,12 @@ object Pipeline {
     // join + distinct is CHEAPER than materializing it (a localCheckpoint
     // here measured 2.5x slower at sf0.1 — the q119 tradeoff inverts when
     // the checkpointed stage is scan-shaped rather than a shuffle fan-out)
-    val ob = lineitem(spark, dir)
+    // spreadIfNarrow (guide §2.5), keyed on the ORDER key: the broadcast
+    // probe + partial distinct otherwise run in the single scan task, and
+    // hash(okey) is reused by the distinct AND by the pair self-join below
+    // (subset clustering) — one spread parallelizes all four consumers
+    val ob = spreadIfNarrow(lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey"), $"l_orderkey")
       .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("okey"), $"p_brand".as("brand"))
       .distinct()

@@ -277,7 +277,9 @@ object Sampling {
     * deterministic without the window. */
   def q127(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val o = orders(spark, dir)
+    // spreadIfNarrow: the exact-percentile partial (which buffers values)
+    // and the per-row edge-array fold otherwise run in the one scan task
+    val o = spreadIfNarrow(orders(spark, dir), $"o_orderkey")
     val edges = o.agg(
       expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
         .as("edges"))

@@ -578,7 +578,10 @@ object Temporal {
     * the FILTER uses the unrounded value on both sides. */
   def q121(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = events(spark, dir)
+    // spreadIfNarrow: both exact-percentile partials and the join probes
+    // otherwise run single-task in the scan stage; user_id is the grouping
+    // AND join key, so every consumer reuses the spread's partitioning
+    val ev = spreadIfNarrow(events(spark, dir), $"user_id")
     val med = ev.groupBy($"user_id")
       .agg(expr("percentile(value, 0.5)").as("med"))
     val mad = ev.join(med, "user_id").groupBy($"user_id")

@@ -32,6 +32,21 @@ object TpchStyle {
 
   private val discSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
+  // r18 NOTE on spreadIfNarrow (guide §2.5): with every dimension
+  // broadcast, the whole join chain + partial aggregation pipelines into
+  // the FACT scan stage — one task on a single-row-group input. The
+  // conditional spread was MEASURED on all 21 queries here and kept only
+  // where it paid: fact-wide AGGREGATION work (q142/q143/q147 — the
+  // per-row decimal/distinct aggregation is what parallelizes profitably;
+  // spread key chosen so the grouping CONTAINS it and the repartition is
+  // reused by the aggregate, no extra exchange). For the pure broadcast-
+  // probe chains (q134/q135/q137/q138/q139/q144/q148/q149/q150/q151/q153/
+  // q154) the extra exchange cost more than the parallelized probes won
+  // (batch-measured +7% total), and q152's distinct-aggregate was neutral
+  // (within-session A/B 1.04 vs 1.03 s) — left on the single-task scan on
+  // purpose.
+  // At production split counts every spread no-ops.
+
   // ------------------------------------------------------------- q134 (Q3)
   /** Shipping priority: top unshipped orders by revenue for one market
     * segment. lineitem⋈orders⋈customer with both date filters pushed to
@@ -299,7 +314,7 @@ object TpchStyle {
     * the identical double. */
   def q142(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val l = lineitem(spark, dir)
+    val l = spreadIfNarrow(lineitem(spark, dir), $"l_partkey")
     val avgQty = l.groupBy($"l_partkey".as("ap"))
       .agg((msum($"l_quantity") / count(lit(1))).as("avg_qty"))
     val p = part(spark, dir).filter($"p_brand" === "Brand#13").select($"p_partkey")
@@ -328,7 +343,7 @@ object TpchStyle {
     * then a bounded top-k. */
   def q143(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val big = lineitem(spark, dir)
+    val big = spreadIfNarrow(lineitem(spark, dir), $"l_orderkey")
       .groupBy($"l_orderkey".as("bk"))
       .agg(msum($"l_quantity").as("sum_qty"))
       .filter($"sum_qty" > 180.0)
@@ -453,7 +468,7 @@ object TpchStyle {
     * like the decorrelated plan every engine produces for Q2. */
   def q147(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = lineitem(spark, dir)
+    val ps = spreadIfNarrow(lineitem(spark, dir), $"l_partkey")
       .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
       .agg(min($"l_extendedprice" / $"l_quantity").as("ps_cost"))
     val s = supplier(spark, dir)

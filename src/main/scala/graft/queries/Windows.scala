@@ -216,7 +216,10 @@ object Windows {
     * double divisions in the identical expression shape. */
   def q129(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rev = lineitem(spark, dir)
+    // spreadIfNarrow: the broadcast probe + per-row decimal fold + partial
+    // brand aggregate otherwise run inside the single scan task (q01 shape)
+    val rev = spreadIfNarrow(lineitem(spark, dir)
+        .select($"l_partkey", $"l_extendedprice", $"l_discount"), $"l_partkey")
       .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand".as("brand"))
       .agg(sum($"l_extendedprice".cast(DecimalType(12, 2)) *
