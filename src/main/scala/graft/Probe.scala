@@ -32,12 +32,36 @@ object Probe {
       "q13_agg_distinct", "q21_agg_approx_distinct", "q42_dedup_simhash",
       "q67_dedup_simhash_pairs", "q71_variant_extract", "q90_block_dedup",
       "q96_substring_dedup", "q121_robust_outliers", "q125_market_basket",
-      "q127_woe_binning", "q129_pareto_share").flatMap { n =>
+      "q127_woe_binning", "q129_pareto_share", "q91_resample_interpolate").flatMap { n =>
       val short = n.split("_")(0)
       Seq(s"${short}on" -> (spreadAB(n, on = true) _),
           s"${short}off" -> (spreadAB(n, on = false) _))
     }.toMap
     ab ++ Map(
+      "q100rare" -> ((s: SparkSession, d: String) =>
+        graft.queries.Dedup.rareShingles(s, d, materialized = true)),
+      "q100rareU" -> ((s: SparkSession, d: String) =>
+        graft.queries.Dedup.rareShingles(s, d, materialized = false)),
+      "q100pairs" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val rare = graft.queries.Dedup.rareShingles(s, d, materialized = true)
+        rare.as("a").join(rare.as("b"), "shingle")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+          .select(col("d1"), col("d2")).transform(graft.Mat.checkpoint)
+      }),
+      "q100pairsU" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val rare = graft.queries.Dedup.rareShingles(s, d, materialized = false)
+        rare.as("a").join(rare.as("b"), "shingle")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+          .select(col("d1"), col("d2")).transform(graft.Mat.checkpoint)
+      }),
+      "q100v0" -> graft.queries.Pipeline.q100 _,
+      "q119v0" -> graft.queries.Pipeline.queries("q119_triangles"),
       "q43v0" -> (graft.queries.Dedup.q43 _),
       "q82v0" -> (graft.queries.Dedup.q82 _),
       // q96 as it was before r18 (per-row array_distinct, no spread) — the

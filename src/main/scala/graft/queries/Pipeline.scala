@@ -322,12 +322,14 @@ object Pipeline {
   def q100(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // rare-shingle inverted index (q43/q90 shape: stop-shingle cap bounds
-    // the self-join fanout; never all-pairs). materialized = true:
-    // localCheckpoint'd, so the multi-consumer self-join below can never
-    // silently re-trigger the shingle pipeline under storage-memory
-    // pressure — the plan-shape/caching tradeoff lives in ONE place,
-    // Dedup.rareShingles (q113 is the uncached window-form twin).
-    val rare = Dedup.rareShingles(spark, dir, materialized = true)
+    // the self-join fanout; never all-pairs). r18: WINDOW form, not the
+    // materialized groupBy+join form — the self-join's sides are identical
+    // subplans over one hash(shingle) exchange, so ReuseExchange tokenizes
+    // once (the q43/q82 rule) and the `pairs` checkpoint right below is
+    // already the durable multi-consumer barrier the superstep loop needs;
+    // a second materialization of `rare` bought nothing (A/B-measured
+    // through the pair build: 1.83 s materialized vs 1.19 s window).
+    val rare = Dedup.rareShingles(spark, dir, materialized = false)
     // edge = >= 2 SHARED rare shingles (the q113/q82 evidence rule): a
     // single shingle collision is noise, not similarity, and it DENSIFIES
     // the graph ~25x (436k -> 17k edges at sf0.1) — the threshold is what

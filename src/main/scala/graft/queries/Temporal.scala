@@ -199,7 +199,10 @@ object Temporal {
   def q91(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = events(spark, dir)
+    // spreadIfNarrow: the (user_id, ts) dedup partial-agg otherwise runs
+    // in the single scan task; user_id is every downstream window's
+    // partition key, so the spread's partitioning is reused throughout
+    val e = spreadIfNarrow(events(spark, dir), $"user_id")
       .groupBy($"user_id", $"ts").agg(min($"value").as("v"))
     val grid = e.groupBy($"user_id")
       .agg(date_trunc("hour", min($"ts")).as("t0"), date_trunc("hour", max($"ts")).as("t1"))
