@@ -166,11 +166,18 @@ object Bench {
     // on identical code (q99 5.50 vs 1.55 s) while the checkpointed family
     // stayed flat; 5 samples make a real regression separable from the
     // contention the family is sensitive to
+    // r18 additions: the optimization round's biggest movers (q43/q82
+    // restructure, q71/q125/q126 narrow-scan spreads) — their within-session
+    // A/Bs were stable but between-JVM samples on the contended box swung
+    // up to 2x, so 5 samples keep a real regression separable in the
+    // driver's own artifact (same rationale as the r16 lazy-cache family)
     val swing = Set("q100_pagerank", "q113_split_leakage",
       "q102_rag_chunks", "q103_char_entropy",
       "q74_decontaminate", "q84_token_vocab",
       "q95_bigram_lm", "q97_nb_langid", "q98_dsir_weights",
-      "q99_tfidf_keywords", "q63_text_bm25", "q45_embed_neardup_lsh")
+      "q99_tfidf_keywords", "q63_text_bm25", "q45_embed_neardup_lsh",
+      "q43_dedup_ngram_jaccard", "q82_dedup_editdist",
+      "q71_variant_extract", "q125_market_basket", "q126_grid_neighbors")
     val samples: Seq[(String, Seq[Double])] =
       names.map { n =>
         val reps = if (headline.contains(n) || swing.contains(n)) 5 else 3

@@ -38,6 +38,70 @@ object Probe {
           s"${short}off" -> (spreadAB(n, on = false) _))
     }.toMap
     ab ++ Map(
+      "q97v0" -> graft.queries.TextAnalysis.queries("q97_nb_langid"),
+      "q97v1" -> ((spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val toks = Tables.documentsSpread(spark, dir)
+          .select($"doc_id", $"lang",
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+        val dw = toks.groupBy($"doc_id", $"lang", $"word")
+          .agg(count(lit(1)).as("c")).transform(graft.Mat.multiUse)
+        val cw = dw.groupBy($"lang".as("cls"), $"word")
+          .agg(sum($"c").as("cw"))
+        // per-word class-count MAP: the (cls, word) join of the 5x-expanded
+        // candidate stream becomes ONE word-keyed join + a map lookup
+        val cwm = cw.groupBy($"word")
+          .agg(map_from_entries(collect_list(struct($"cls", $"cw"))).as("m"))
+        val ct = cw.groupBy($"cls").agg(sum($"cw").as("ctot"))
+        val vocab = dw.agg(countDistinct($"word").as("v"))
+        val docs = Tables.documents(spark, dir)
+        val pri = docs.groupBy($"lang".as("cls")).agg(count(lit(1)).as("nd"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val cls = ct.join(pri, "cls").crossJoin(vocab).crossJoin(n)
+          .select($"cls", $"ctot", $"v", log($"nd".cast("double") / $"n").as("prior_ln"))
+        val cand = dw.join(cwm, Seq("word"))
+          .crossJoin(broadcast(cls))
+          .select($"doc_id", $"lang", $"cls", $"prior_ln",
+            ($"c" * (log(coalesce(element_at($"m", $"cls"), lit(0L)) + 1) - log($"ctot" + $"v")))
+              .cast("decimal(28,12)").as("term"))
+        val sc = cand.groupBy($"doc_id", $"lang", $"cls", $"prior_ln")
+          .agg(round($"prior_ln" + sum($"term").cast("double"), 4).as("s"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"s".desc, $"cls".asc)
+        sc.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"cls".as("pred_lang"), $"s".as("nb_logp"),
+            ($"lang" === $"cls").as("correct"))
+          .orderBy($"doc_id")
+      }),
+      "q95v0" -> graft.queries.TextAnalysis.queries("q95_bigram_lm"),
+      "q95v1" -> ((spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val toks = Tables.documentsSpread(spark, dir)
+          .select($"doc_id", expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .filter(size($"w") >= 2)
+        val docBg = toks
+          .select($"doc_id", explode(expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+              " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+          .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+          .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+          .transform(graft.Mat.multiUse)
+        val corpusBg = docBg.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+        val corpusUni = corpusBg.groupBy($"w1").agg(sum($"c12").as("c1"))
+        // model-first: fold c1 into the bigram table BEFORE the wide join,
+        // so the doc stream joins ONCE on (w1, w2) instead of twice
+        val model = corpusBg.join(corpusUni, Seq("w1"))
+          .select($"w1", $"w2", (log($"c12") - log($"c1")).as("lr"))
+        docBg
+          .join(model, Seq("w1", "w2"))
+          .groupBy($"doc_id")
+          .agg(
+            round(
+              sum(($"c" * $"lr").cast("decimal(28,12)"))
+                .cast("double") / sum($"c"), 4).as("avg_logp"),
+            sum($"c").as("n_bigrams"))
+          .orderBy($"doc_id")
+      }),
       "q100rare" -> ((s: SparkSession, d: String) =>
         graft.queries.Dedup.rareShingles(s, d, materialized = true)),
       "q100rareU" -> ((s: SparkSession, d: String) =>

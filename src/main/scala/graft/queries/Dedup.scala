@@ -66,25 +66,16 @@ object Dedup {
     * (split-leakage audit) self-join on. The df-cap is what bounds the
     * self-join fanout (never all-pairs; the RefinedWeb stop-shingle rule).
     *
-    * ONE helper, TWO plan shapes, because the right shape depends on how
-    * many times the result is consumed — the tradeoff both call sites used
-    * to document separately (and could have forked semantically):
-    *
-    *  - `materialized = true` (q100: consumed by a self-join AND the
-    *    superstep pipeline): df-filter as groupBy + key join — the groupBy
-    *    partial-aggregates map-side and the hash join skips the window's
-    *    per-partition sort (4.7 s → 3.5 s at sf0.1) — then
-    *    `localCheckpoint()` so the result is DURABLY materialized: lineage
-    *    is truncated, so storage-memory pressure can spill the blocks to
-    *    disk but can never silently re-trigger the whole shingle pipeline
-    *    per consumer (the r14 driver-run 5.7× blowup with a plain
-    *    `.cache()`, which keeps lineage and recomputes on eviction races).
-    *    Blocks are freed by the ContextCleaner once the plan is GC'd.
-    *  - `materialized = false` (q113: single consumer pair-join): df-filter
-    *    as a count-over-shingle window — no materialization at all, and the
-    *    one-pass window beats paying a checkpoint write for a single read
-    *    (measured 2.4 s vs 4.3 s for the uncached join form).
-    */
+    * ONE helper, TWO plan shapes. r18: BOTH remaining callers (q100, q113)
+    * now use `materialized = false` — the count-over-shingle window whose
+    * hash(shingle) exchange the pair self-join reuses (ReuseExchange).
+    * The materialized groupBy+join+localCheckpoint form was re-measured
+    * after the r18 shingle-base change and LOST (1.83 s vs 1.19 s through
+    * the pair build at sf0.1): q100's `pairs` checkpoint immediately
+    * downstream is already the durable multi-consumer barrier, so a second
+    * materialization here bought nothing. The materialized branch is kept
+    * (DedupSpec pins both forms agree) for consumers that need a DURABLE
+    * rare-shingle relation itself — none of the declared queries today. */
   private[graft] val RareDfCap = 10
 
   private[graft] def rareShingles(
