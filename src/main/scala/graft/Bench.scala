@@ -51,7 +51,7 @@ object Bench {
       // (Mat.multiUse): lets the lazy-vs-checkpoint decision be re-measured
       // on any box without a code flip (VERDICT r16 #2)
       .config("spark.graft.mat.multi-use",
-        sys.env.getOrElse("SPARK_GRAFT_MAT_MULTI_USE", "cache"))
+        sys.env.getOrElse("SPARK_GRAFT_MAT_MULTI_USE", "none"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -32,27 +32,33 @@ object Mat {
 
   /** Materialization for MULTI-CONSUMER, non-iterative intermediates — the
     * q95 family shape: one per-doc aggregate feeding both a corpus model
-    * and a scoring join. Default is a lazy `.cache()` — the first consumer
-    * materializes it inside its own job, so an eager checkpoint's separate
-    * write pass is pure overhead, and an eviction recompute is one linear
-    * pass (no plan-shape cliff, unlike the iterative [[checkpoint]]
-    * sites). The strategy is a session knob so the lazy-vs-eager choice
-    * stays MEASURABLE per deployment instead of hard-coded (VERDICT r16
-    * #2 — the contended driver box inflates exactly this family):
+    * and a scoring join. Default since r19 is NO materialization: every
+    * consumer recomputes the frame and AQE's runtime shuffle-stage reuse
+    * dedups the expensive upstream exchanges (the same reason the q43/q82
+    * self-joins are deliberately uncached). The strategy stays a session
+    * knob so the choice is MEASURABLE per deployment instead of hard-coded
+    * (VERDICT r16 #2):
     *
-    *   spark.graft.mat.multi-use = cache (default) | checkpoint
+    *   spark.graft.mat.multi-use = none (default) | cache | checkpoint
     *
-    * r17 measurement (local[8], 4 GiB — the ROBUSTNESS contention profile
-    * — sf0.1, q45/q63/q95/q97/q98/q99 family total, median-of-5 per
-    * query): cache 6.53 s vs checkpoint 6.81 s, mixed per query (q97/q99
-    * favored checkpoint, q45/q63/q95 cache) — lazy stays the default; the
-    * knob exists for boxes where eviction churn under memory pressure
-    * dominates (numbers in the round-17 ledger). */
+    * r19 measurement (sf0.1, local[32], within-session A/B, median of 7):
+    * "none" ≥ "cache" at EVERY multiUse call site — q95 2.58→1.76 s,
+    * q97 2.56→2.26, q98 2.49→2.44, q99 1.23→1.13, q45 1.45→1.23 — the
+    * lazy cache's serialize-into-storage cost exceeded the duplicate
+    * linear recompute it saved once the r18 spread normalizer made that
+    * recompute parallel (r17's cache-vs-checkpoint numbers predate the
+    * spread). At 100 TB "none" is also the memory-safe default: nothing
+    * competes with execution memory. */
   def multiUse(df: DataFrame): DataFrame =
     scala.util.Try(df.sparkSession.sessionState.conf
-      .getConfString("spark.graft.mat.multi-use", "cache"))
-      .getOrElse("cache") match {
+      .getConfString("spark.graft.mat.multi-use", "none"))
+      .getOrElse("none") match {
       case "checkpoint" => checkpoint(df)
+      // "none": no materialization at all — consumers recompute the frame,
+      // relying on AQE's runtime shuffle-stage reuse to dedup the expensive
+      // upstream exchanges (the q43/q82 self-join rule). Added r19 so the
+      // lazy-cache default stays A/B-measurable against plain recompute.
+      case "none" => df
       case _ => df.cache()
     }
 

@@ -28,7 +28,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.mat.multi-use",
-        sys.env.getOrElse("SPARK_GRAFT_MAT_MULTI_USE", "cache"))
+        sys.env.getOrElse("SPARK_GRAFT_MAT_MULTI_USE", "none"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))

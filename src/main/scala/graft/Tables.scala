@@ -120,9 +120,19 @@ object Tables {
     // projected) scan this is the split count — planning-time only, no job.
     // CALLER CONTRACT: pass a scan-shaped frame (projections/filters only).
     // A frame containing an exchange would make toRdd execute AQE stages —
-    // a real job at plan time.
-    val planned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.toRdd.getNumPartitions
+    // a real job at plan time. ENFORCED (ADVICE r18): a future call site
+    // with a join/aggregate/exchange upstream fails loudly here instead of
+    // silently running a job during query construction.
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    val offending = qe.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e.nodeName
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a.nodeName
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.nodeName
+    }
+    require(offending.isEmpty,
+      s"spreadIfNarrow requires a scan-shaped frame (projections/filters " +
+        s"only); found: ${offending.mkString(", ")}")
+    val planned = qe.toRdd.getNumPartitions
     if (planned * 2 <= target) df.repartition(target, key) else df
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

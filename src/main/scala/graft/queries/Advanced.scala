@@ -151,7 +151,16 @@ object Advanced {
     * driver-side. Depth over N docs is ceil(log2(N)) — 30 levels at 10^9
     * rows, well under the recursion limit. */
   def q72(spark: SparkSession, dir: String): DataFrame = {
-    documents(spark, dir).createOrReplaceTempView("q72_docs")
+    // r19: the recursion's base relation is a locally-checkpointed NARROW
+    // projection (doc_id only) — every UnionLoop step re-reads tiny
+    // in-memory blocks instead of re-planning + re-running a parquet scan
+    // per iteration (O(depth) iterations, so the per-step constant is the
+    // whole cost at any scale; measured 2.49 → 1.67 s at sf0.1/local[32]).
+    // Same rows, same oracle; the checkpoint is released by the runner's
+    // between-query sweep (SparkEntry.releaseScratch).
+    import org.apache.spark.sql.functions.col
+    graft.Mat.checkpoint(documents(spark, dir).select(col("doc_id")))
+      .createOrReplaceTempView("q72_docs")
     spark.sql("""
       WITH RECURSIVE tree AS (
         SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM q72_docs WHERE doc_id = 0

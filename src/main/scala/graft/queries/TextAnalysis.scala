@@ -315,13 +315,21 @@ object TextAnalysis {
       .transform(Mat.multiUse)
     val corpusBg = docBg.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
     val corpusUni = corpusBg.groupBy($"w1").agg(sum($"c12").as("c1"))
+    // r19: MODEL-FIRST join — fold c1 into the (much smaller) bigram model
+    // before the scoring join, so the doc-keyed stream joins ONCE on
+    // (w1, w2) instead of twice ((w1, w2) then (w1) — a second full
+    // shuffle of the scored stream at any scale). Same rows, same term
+    // values (log(c12) − log(c1) computed per model row instead of per
+    // scored row — identical doubles), oracle-proven; A/B: 1.93→1.73 s
+    // and 2.48→2.32 s across two sessions at sf0.1/local[32].
+    val model = corpusBg.join(corpusUni, Seq("w1"))
+      .select($"w1", $"w2", (log($"c12") - log($"c1")).as("lr"))
     docBg
-      .join(corpusBg, Seq("w1", "w2"))
-      .join(corpusUni, Seq("w1"))
+      .join(model, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(
         round(
-          sum(($"c" * (log($"c12") - log($"c1"))).cast("decimal(28,12)"))
+          sum(($"c" * $"lr").cast("decimal(28,12)"))
             .cast("double") / sum($"c"), 4).as("avg_logp"),
         sum($"c").as("n_bigrams"))
       .orderBy($"doc_id")

@@ -398,12 +398,30 @@ class RestCatalogServer(val warehouse: String,
     // against a concurrent drop sees the resource gone → 404, like the
     // FileNotFoundException face above. (Surfaced by ConcurrencySoakSpec:
     // /plan racing dropTable 500'd here.)
+    // ADVICE r18: the same message also covers REAL faults (permissions,
+    // disk I/O) where File.list() returns null with the directory still
+    // present — so re-stat the named directory and only downgrade to 404
+    // when it is actually gone; a still-existing dir stays an honest 500.
     case e: java.io.IOException
         if String.valueOf(e.getMessage)
-          .startsWith("Invalid directory or I/O error occurred") =>
+          .startsWith("Invalid directory or I/O error occurred") &&
+          !vanishedDirStillExists(e.getMessage) =>
       err(ex, 404, s"resource vanished (concurrent drop?): ${e.getMessage}",
         "NoSuchTableException")
     case e: Exception => err(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+  }
+
+  /** Hadoop's RawLocalFileSystem formats the null-File.list() IOException as
+    * "Invalid directory or I/O error occurred for dir: <path>"; parse the
+    * path back out and stat it. True = the directory is still there, so the
+    * failure was a real I/O/permission fault, not the drop race. A message
+    * without the marker (format drift) conservatively reports "exists" so
+    * the error stays a 500 rather than masquerading as a concurrent drop. */
+  private def vanishedDirStillExists(msg: String): Boolean = {
+    val marker = "for dir: "
+    val i = String.valueOf(msg).indexOf(marker)
+    if (i < 0) true
+    else new java.io.File(msg.substring(i + marker.length).trim).exists()
   }
 
   /** Route shape -> (privilege, securable) for [[GrantStore]] enforcement —

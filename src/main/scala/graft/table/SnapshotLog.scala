@@ -174,18 +174,25 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
   def currentVersion: Long = {
     val vs = listVersions
     val f = fence
+    // HEAD-absent anchor recovery: the highest MAIN-LINEAGE version above
+    // the fence — the bare max can be a detached branch tip or a fenced
+    // rolled-back lineage, and serving either as head is wrong data.
+    def recoveredAnchor: Long = {
+      if (vs.isEmpty) throw new IllegalStateException(s"no graft table at $tableRoot")
+      vs.reverseIterator.find(v => v > f && lineageOf(v).exists(_._2))
+        .orElse(vs.reverseIterator.find(v => lineageOf(v).exists(_._2)))
+        .getOrElse(vs.max)
+    }
     val anchor =
-      if (io.exists(headPath)) io.readString(headPath).trim.toLong
-      else {
-        // HEAD absent (non-posix delete+rename replace window, or a dead
-        // writer). Anchor at the highest MAIN-LINEAGE version above the
-        // fence — the bare max can be a detached branch tip or a fenced
-        // rolled-back lineage, and serving either as head is wrong data.
-        if (vs.isEmpty) throw new IllegalStateException(s"no graft table at $tableRoot")
-        vs.reverseIterator.find(v => v > f && lineageOf(v).exists(_._2))
-          .orElse(vs.reverseIterator.find(v => lineageOf(v).exists(_._2)))
-          .getOrElse(vs.max)
-      }
+      if (io.exists(headPath)) {
+        // HEAD is only a CACHE of the durable version files (see class
+        // doc). A purge racing a recreate can leave a stale HEAD whose
+        // target version was deleted (r19 ConcurrencySoakSpec flake:
+        // HEAD=3 at rest, v3.json purged) — a vanished target gets the
+        // same recovery as an absent HEAD instead of poisoning every read.
+        val h = io.readString(headPath).trim.toLong
+        if (vs.contains(h) || io.exists(versionPath(h))) h else recoveredAnchor
+      } else recoveredAnchor
     var cur = anchor
     var advanced = true
     while (advanced) {

@@ -24,6 +24,7 @@ class BenchHygieneSpec extends SparkSpec {
     "q100_pagerank",           // final rank frontier localCheckpoint backs the result
     "q119_triangles",          // oriented adjacency localCheckpoint backs the result
     "q67_dedup_simhash_pairs", // cached simhash table, reused by 4 pigeonhole bands
+    "q72_recursive_cte",       // checkpointed narrow base relation backs the UnionLoop
     "q90_block_dedup",         // cached block table, reused by candidate join + verify
     "q95_bigram_lm",           // cached token stream feeds model build AND scoring join
     "q97_nb_langid",           // cached char n-grams feed class priors AND likelihoods

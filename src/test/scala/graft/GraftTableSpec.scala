@@ -412,6 +412,25 @@ class GraftTableSpec extends SparkSpec {
     assert(t.log.currentVersion == head.version + 1)
   }
 
+  test("stale HEAD whose target version was purged recovers to surviving lineage") {
+    // the r19 ConcurrencySoakSpec flake: a purge racing a recreate left
+    // HEAD=N at rest with vN.json deleted — reads must re-anchor on the
+    // surviving main-lineage versions (HEAD is a cache of the durable
+    // version files, not the truth), not poison every current() call
+    val t = mk(Seq((1L, "a", 10.0)))
+    t.appendWithRetry(Seq((2L, "b", 20.0)).toDF("id", "name", "amount"))
+    val head = t.log.currentVersion
+    val meta = new java.io.File(t.path, "_graft")
+    val headFile = new java.io.File(meta, "HEAD")
+    // simulate the race: the HEAD cache survives, its target vanishes
+    assert(new java.io.File(meta, s"v$head.json").delete())
+    java.nio.file.Files.write(headFile.toPath, head.toString.getBytes)
+    val log = new graft.table.SnapshotLog(t.path) // fresh reader, no caches
+    assert(log.currentVersion == head - 1,
+      s"expected recovery to v${head - 1}, got v${log.currentVersion}")
+    assert(log.current.version == head - 1)
+  }
+
   test("concurrent appenders: every writer's rows land exactly once") {
     val t = mk(Seq((0L, "base", 0.0)))
     val writers = (1 to 4).map { i =>

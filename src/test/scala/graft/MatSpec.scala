@@ -89,13 +89,23 @@ class MatSpec extends SparkSpec {
 
   test("multiUse honors the spark.graft.mat.multi-use strategy knob") {
     val df = spark.range(0, 50).toDF("n")
-    // default: lazy cache — the plan stays the original (cached) tree
-    val lazyDf = Mat.multiUse(df)
+    // default (r19): none — the frame passes through unmaterialized
+    val plain = Mat.multiUse(df)
+    assert(plain.count() == 50)
+    assert(!plain.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+      "default multiUse unexpectedly cached")
+    spark.conf.set("spark.graft.mat.multi-use", "cache")
+    // fresh frame: `df`'s queryExecution.withCachedData is already memoized
+    // from the pass-through assertion above and would never see the cache
+    val lazyDf = Mat.multiUse(spark.range(0, 50).toDF("n"))
     try {
       assert(lazyDf.count() == 50)
       assert(lazyDf.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
-        "default multiUse did not cache")
-    } finally lazyDf.unpersist(blocking = true)
+        "cache-mode multiUse did not cache")
+    } finally {
+      lazyDf.unpersist(blocking = true)
+      spark.conf.unset("spark.graft.mat.multi-use")
+    }
     spark.conf.set("spark.graft.mat.multi-use", "checkpoint")
     try {
       val eager = Mat.multiUse(spark.range(0, 50).toDF("n"))
