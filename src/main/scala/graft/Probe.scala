@@ -322,6 +322,71 @@ object Probe {
         Seq(deg, ewd).foreach(_.unpersist())
         pr.select($"node".as("doc_id"), $"pr".as("pr_scaled")).orderBy($"doc_id")
       }),
+      // ---- q97: vocab derived from cw (rides cw's exchange, saving one
+      // full tokenize pass under the no-cache default)
+      "q97v2" -> ((spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val toks = Tables.documentsSpread(spark, dir)
+          .select($"doc_id", $"lang",
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+        val dw = toks.groupBy($"doc_id", $"lang", $"word")
+          .agg(count(lit(1)).as("c")).transform(Mat.multiUse)
+        val cw = dw.groupBy($"lang".as("cls"), $"word")
+          .agg(sum($"c").as("cw"))
+        val ct = cw.groupBy($"cls").agg(sum($"cw").as("ctot"))
+        val vocab = cw.select($"word").distinct().agg(count(lit(1)).as("v"))
+        val docs = Tables.documents(spark, dir)
+        val pri = docs.groupBy($"lang".as("cls")).agg(count(lit(1)).as("nd"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val cls = ct.join(pri, "cls").crossJoin(vocab).crossJoin(n)
+          .select($"cls", $"ctot", $"v", log($"nd".cast("double") / $"n").as("prior_ln"))
+        val cand = dw.crossJoin(broadcast(cls))
+          .join(cw, Seq("cls", "word"), "left")
+          .select($"doc_id", $"lang", $"cls", $"prior_ln",
+            ($"c" * (log(coalesce($"cw", lit(0L)) + 1) - log($"ctot" + $"v")))
+              .cast("decimal(28,12)").as("term"))
+        val sc = cand.groupBy($"doc_id", $"lang", $"cls", $"prior_ln")
+          .agg(round($"prior_ln" + sum($"term").cast("double"), 4).as("s"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"s".desc, $"cls".asc)
+        sc.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"cls".as("pred_lang"), $"s".as("nb_logp"),
+            ($"lang" === $"cls").as("correct"))
+          .orderBy($"doc_id")
+      }),
+      // ---- q98: ONE fused bucket aggregate feeds target, raw AND totals
+      // (three separate db aggregations today = three tokenize passes
+      // under the no-cache default; the fused g is ≤1024 rows)
+      "q98v1" -> ((spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val DsirBuckets = 1024L
+        val toks = Tables.documentsSpread(spark, dir)
+          .select($"doc_id", $"lang",
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .filter(size($"w") >= 2)
+        val bg = toks.select($"doc_id", $"lang", explode(expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))"))
+            .as("bgm"))
+          .select($"doc_id", $"lang",
+            (conv(substring(md5($"bgm".cast("binary")), 1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
+        val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+          .transform(Mat.multiUse)
+        val g = db.groupBy($"b").agg(
+          sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+          sum($"c").as("cr"))
+        val tot = g.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+        val model = g.crossJoin(tot)
+          .select($"b",
+            (log(($"ct" + 1).cast("double") / ($"nt" + DsirBuckets)) -
+              log(($"cr" + 1).cast("double") / ($"nr" + DsirBuckets))).as("lr"))
+        db.join(broadcast(model), "b")
+          .groupBy($"doc_id", $"lang")
+          .agg(
+            round(sum(($"c" * $"lr").cast("decimal(28,12)")).cast("double") / sum($"c"), 4)
+              .as("dsir_logw"),
+            sum($"c").as("n_bigrams"))
+          .orderBy($"doc_id")
+      }),
       // ---- q125: basket table cached across its four consumers
       "q125ca" -> ((spark: SparkSession, dir: String) => {
         import spark.implicits._

@@ -139,14 +139,19 @@ object Sampling {
     // recompute is one linear pass, not a cost-class cliff)
     val db = bg.groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
       .transform(graft.Mat.multiUse)
-    val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"c").as("ct"))
-    val raw = db.groupBy($"b").agg(sum($"c").as("cr"))
-    val tot = db.agg(
-      sum(when($"lang" === "en", $"c").otherwise(0L)).as("nt"),
-      sum($"c").as("nr"))
-    val model = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+    // r19: ONE fused bucket aggregate feeds target, raw AND the totals —
+    // the former three separate db aggregations were three tokenize passes
+    // under the no-cache multiUse default. Identical algebra: per-bucket
+    // ct = Σc over lang='en' (0 where absent — exactly the old left-join
+    // coalesce), cr = Σc; totals are sums of g's columns. A/B at sf0.1:
+    // mins 1.67 → 1.40 s; oracle-proven at all three SFs.
+    val g = db.groupBy($"b").agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+      sum($"c").as("cr"))
+    val tot = g.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val model = g.crossJoin(tot)
       .select($"b",
-        (log((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"nt" + DsirBuckets)) -
+        (log(($"ct" + 1).cast("double") / ($"nt" + DsirBuckets)) -
           log(($"cr" + 1).cast("double") / ($"nr" + DsirBuckets))).as("lr"))
     db.join(broadcast(model), "b")
       .groupBy($"doc_id", $"lang")

@@ -385,7 +385,11 @@ object TextAnalysis {
     val cw = dw.groupBy($"lang".as("cls"), $"word")
       .agg(sum($"c").as("cw"))
     val ct = cw.groupBy($"cls").agg(sum($"cw").as("ctot"))
-    val vocab = dw.agg(countDistinct($"word").as("v"))
+    // r19: vocab DERIVES from cw (same distinct word set by construction),
+    // riding cw's (cls, word) exchange instead of re-tokenizing the corpus
+    // a third time under the no-cache multiUse default (A/B at sf0.1:
+    // mins 2.13 → 1.77 s for the whole query; same value, oracle-proven)
+    val vocab = cw.select($"word").distinct().agg(count(lit(1)).as("v"))
     val docs = documents(spark, dir)
     val pri = docs.groupBy($"lang".as("cls")).agg(count(lit(1)).as("nd"))
     val n = docs.agg(count(lit(1)).as("n"))

@@ -150,7 +150,17 @@ class SnapshotLog(tableRoot: String, val io: FileIO) {
     * fallback matters on stores where the HEAD replace is delete+rename —
     * a probe in that window must not conclude "no table" (a streaming sink
     * acting on that would auto-create an empty table over a live one). */
-  def exists: Boolean = io.exists(headPath) || listVersions.nonEmpty
+  def exists: Boolean = listVersions.nonEmpty || {
+    // HEAD alone counts only while its target version is durable: HEAD is
+    // a CACHE of the version files, and a purge racing a recreate can
+    // strand an orphan HEAD with zero versions at rest (r19 soak) — no
+    // durable content is no table. The delete+rename HEAD-replace window
+    // this disjunction exists for (see below) has the version files
+    // present, so it is covered by the listVersions arm.
+    io.exists(headPath) &&
+      scala.util.Try(io.readString(headPath).trim.toLong)
+        .toOption.exists(v => io.exists(versionPath(v)))
+  }
 
   private def versionPath(v: Long): String = s"$metaDir/v$v.json"
   private def fencePath: String = s"$metaDir/FENCE"

@@ -429,6 +429,14 @@ class GraftTableSpec extends SparkSpec {
     assert(log.currentVersion == head - 1,
       s"expected recovery to v${head - 1}, got v${log.currentVersion}")
     assert(log.current.version == head - 1)
+    // the orphan face of the same race: ALL versions purged, HEAD stranded
+    // — a cache with no durable content is NOT a table (exists must say
+    // so, rather than luring readers into an unwalkable current())
+    new java.io.File(meta, "").listFiles()
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    val orphan = new graft.table.SnapshotLog(t.path)
+    assert(!orphan.exists, "orphan HEAD with zero versions must not exist")
   }
 
   test("concurrent appenders: every writer's rows land exactly once") {
